@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory: one place for the conventions every entry point
+  * (Verify, Bench, tests, driver smoke) must share.
+  *
+  * - UTC session time zone (oracle parity; DuckDB renders UTC).
+  * - AQE on: runtime shuffle coalescing + skew-join handling is the
+  *   100 TB posture (SURVEY §4.2) and costs nothing at fixture scale.
+  * - `nanosAsLong`: the `events` fixture stores TIMESTAMP(NANOS),
+  *   which Spark 4.x refuses to read as a timestamp; reading it as a
+  *   raw Long and truncating to micros (Tables.events) matches
+  *   DuckDB's own ns→µs truncation bit-for-bit.
+  * - shuffle.partitions defaults to the local core count, not 200 —
+  *   at cluster scale this is a submit-time setting, never hardcoded.
+  */
+object Engine {
+  val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config(NanosAsLong, "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / ad-hoc runs. */
+  def session(cores: Int = 32): SparkSession = {
+    val s = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
