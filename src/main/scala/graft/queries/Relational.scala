@@ -1,0 +1,507 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Q2–Q17 — the relational surface (SURVEY §2.B).
+  *
+  * Cross-engine determinism conventions (validated against the fixture
+  * data, which stores all money/value doubles with ≤2 decimal digits):
+  *  - money math runs in DECIMAL end-to-end: base columns cast to tight
+  *    decimals (lossless for this data), decimal arithmetic is exact in
+  *    both engines, SUM over decimal is order-independent, and the final
+  *    projection casts to DOUBLE (same exact value → same bits);
+  *  - per-row double expressions keep the identical expression tree in
+  *    both dialects and are emitted raw — never ROUND(double, n), whose
+  *    semantics differ between Spark (shortest-repr HALF_UP) and DuckDB
+  *    (binary-value rounding);
+  *  - averages are CAST(dec_sum AS DOUBLE) / count — one IEEE division
+  *    of identical operands;
+  *  - timestamps leave as epoch-micros BIGINT or formatted strings;
+  *  - every query ends in a total ORDER BY (oracle side spells out
+  *    NULLS FIRST, Spark's ascending default).
+  */
+object Relational {
+
+  private[queries] def decQty(c: Column)   = c.cast("decimal(12,2)")
+  private[queries] def decPrice(c: Column) = c.cast("decimal(14,2)")
+  private[queries] def decRate(c: Column)  = c.cast("decimal(4,2)")
+  private[queries] val oneDec: Column = lit(new java.math.BigDecimal("1.00"))
+
+  val all: Seq[GraftQuery] = Seq(
+    Q2Agg, Q3JoinChain, Q4BroadcastJoin, Q5SemiAnti, Q6TopK, Q7WindowRank,
+    Q8WindowFrame, Q9Rollup, Q10Cube, Q11SetOps, Q12DistinctAgg,
+    Q12bApproxDistinct, Q13ScalarFns, Q14Json, Q15ArrayFns, Q16RangeJoin,
+    Q17Sessionize)
+}
+
+/** Q2 — scan+filter+project+hash agg (TPC-H Q1 shape). At scale: one
+  * shuffle keyed by (returnflag, linestatus); Catalyst plans the
+  * map-side partial agg the reference hand-rolled (main.cpp:234-258). */
+object Q2Agg extends GraftQuery {
+  import Relational._
+  val name = "q2_agg_pricing_summary"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val discPrice = decPrice(col("l_extendedprice")) * (oneDec - decRate(col("l_discount")))
+    val charge    = discPrice * (oneDec + decRate(col("l_tax")))
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(decQty(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(decPrice(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(decQty(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(decPrice(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(decRate(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+  val oracle = Some("""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+  """.trim)
+}
+
+/** Q3 — multi-way equi join (TPC-H Q5 shape). Big⋈big (lineitem⋈orders,
+  * customer⋈orders) shuffle on their keys; only the bounded dimension
+  * tables (supplier, nation, region) carry broadcast hints — customer
+  * is NOT broadcast-able at 100 TB. */
+object Q3JoinChain extends GraftQuery {
+  import Relational._
+  val name = "q3_join_revenue_by_nation"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val orders   = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val supplier = Tables.supplier(spark, dir)
+    val nation   = Tables.nation(spark, dir)
+    val region   = Tables.region(spark, dir)
+    val revenue = decPrice(col("l_extendedprice")) * (oneDec - decRate(col("l_discount")))
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(revenue).cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+  val oracle = Some("""
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
+  """.trim)
+}
+
+/** Q4 — broadcast join: `part` is a classic broadcast-able dimension
+  * (bounded catalog vs an unbounded fact table). The explicit
+  * broadcast() hint keeps the plan a BroadcastHashJoin at any fact
+  * size — no shuffle of lineitem. */
+object Q4BroadcastJoin extends GraftQuery {
+  import Relational._
+  val name = "q4_broadcast_join_brand"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir).filter(col("p_brand") === "Brand#12")
+    val revenue = decPrice(col("l_extendedprice")) * (oneDec - decRate(col("l_discount")))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(sum(revenue).cast("double").as("revenue"),
+           sum(decQty(col("l_quantity"))).cast("double").as("sum_qty"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("p_type"))
+  }
+  val oracle = Some("""
+    SELECT p_type,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#12'
+    GROUP BY p_type
+    ORDER BY p_type
+  """.trim)
+}
+
+/** Q5 — left-semi + left-anti join (EXISTS / NOT EXISTS). Semi/anti
+  * shuffle only the key column of the probe side; no row duplication. */
+object Q5SemiAnti extends GraftQuery {
+  val name = "q5_semi_anti_join"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir).select(col("o_custkey"))
+    val semi = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_order").as("tag"))
+    val anti = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_order").as("tag"))
+    semi.unionAll(anti).orderBy(col("tag"), col("c_custkey"))
+  }
+  val oracle = Some("""
+    SELECT c_custkey, 'has_order' AS tag FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT c_custkey, 'no_order' AS tag FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY tag, c_custkey
+  """.trim)
+}
+
+/** Q6 — top-K: groupBy + orderBy + limit plans as partial top-K per
+  * partition (TakeOrderedAndProject) — no global sort at scale. */
+object Q6TopK extends GraftQuery {
+  import Relational._
+  val name = "q6_topk_customers"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(decPrice(col("o_totalprice"))).cast("double").as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("o_custkey").asc)
+      .limit(10)
+  val oracle = Some("""
+    SELECT o_custkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    ORDER BY revenue DESC, o_custkey ASC LIMIT 10
+  """.trim)
+}
+
+/** Q7 — ranking window: row_number per customer partition; the window
+  * shuffles once on the partition key, then sorts within partitions. */
+object Q7WindowRank extends GraftQuery {
+  val name = "q7_window_rank_orders"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+  val oracle = Some("""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+  """.trim)
+}
+
+/** Q8 — analytic window with an explicit frame: running sum + lag.
+  * The running SUM accumulates DECIMAL (order-defined but engine-exact);
+  * epoch-micros keys avoid cross-engine timestamp rendering. */
+object Q8WindowFrame extends GraftQuery {
+  val name = "q8_window_running_sum"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .withColumn("running_sum",
+        sum(col("value").cast("decimal(14,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+  val oracle = Some("""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+      CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE) AS running_sum,
+      lag(value, 1) OVER w AS prev_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts_us, event_id
+  """.trim)
+}
+
+/** Q9 — ROLLUP with grouping_id for unambiguous null handling. */
+object Q9Rollup extends GraftQuery {
+  import Relational._
+  val name = "q9_rollup_orders"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(decPrice(col("o_totalprice"))).cast("double").as("total"),
+           grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  val oracle = Some("""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+      CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    ORDER BY gid, o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+  """.trim)
+}
+
+/** Q10 — CUBE over lineitem flags. */
+object Q10Cube extends GraftQuery {
+  val name = "q10_cube_lineitem"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  val oracle = Some("""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+  """.trim)
+}
+
+/** Q11 — set operations (UNION distinct / INTERSECT / EXCEPT), tagged
+  * and stacked so one result covers all three. */
+object Q11SetOps extends GraftQuery {
+  val name = "q11_set_ops"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    def custs(status: String) =
+      orders.filter(col("o_orderstatus") === status).select(col("o_custkey")).distinct()
+    val o = custs("O"); val f = custs("F")
+    val u = o.union(f).distinct().select(col("o_custkey"), lit("union").as("op"))
+    val i = o.intersect(f).select(col("o_custkey"), lit("intersect").as("op"))
+    val e = o.except(f).select(col("o_custkey"), lit("except").as("op"))
+    u.unionAll(i).unionAll(e).orderBy(col("op"), col("o_custkey"))
+  }
+  val oracle = Some("""
+    WITH o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT o_custkey, 'union' AS op FROM (SELECT * FROM o UNION SELECT * FROM f)
+    UNION ALL
+    SELECT o_custkey, 'intersect' AS op FROM (SELECT * FROM o INTERSECT SELECT * FROM f)
+    UNION ALL
+    SELECT o_custkey, 'except' AS op FROM (SELECT * FROM o EXCEPT SELECT * FROM f)
+    ORDER BY op, o_custkey
+  """.trim)
+}
+
+/** Q12 — exact COUNT(DISTINCT) per group + grand total via ROLLUP.
+  * Catalyst expands distinct aggregation into a two-phase plan; exact
+  * distinct at 100 TB shuffles (flag, partkey) once. */
+object Q12DistinctAgg extends GraftQuery {
+  val name = "q12_distinct_agg"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           count(lit(1)).as("n_rows"),
+           grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first)
+  val oracle = Some("""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows,
+      CAST(GROUPING(l_returnflag) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag)
+    ORDER BY gid, l_returnflag ASC NULLS FIRST
+  """.trim)
+}
+
+/** Q12b — approx distinct (HLL++). Sketch results are engine-specific →
+  * no DuckDB hash oracle (driver records a rows-only check); a ScalaTest
+  * asserts the ±5% envelope against the exact count instead. */
+object Q12bApproxDistinct extends GraftQuery {
+  val name = "q12b_approx_distinct"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+           approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+  val oracle = None
+}
+
+/** Q13 — scalar function surface (string/date/math), row-level so every
+  * value is a pure per-row expression — identical IEEE ops both engines. */
+object Q13ScalarFns extends GraftQuery {
+  val name = "q13_scalar_functions"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"),
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+      upper(substring(col("o_orderpriority"), 1, 1)).as("prio_code"),
+      concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+      length(col("o_orderpriority")).as("prio_len"),
+      abs(col("o_totalprice")).as("abs_price"),
+      (col("o_totalprice") / lit(1000.0)).as("price_k"))
+      .orderBy(col("o_orderkey"))
+  val oracle = Some("""
+    SELECT o_orderkey,
+      CAST(year(o_orderdate) AS INT) AS yr,
+      CAST(month(o_orderdate) AS INT) AS mo,
+      strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      upper(substring(o_orderpriority, 1, 1)) AS prio_code,
+      concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+      CAST(length(o_orderpriority) AS INT) AS prio_len,
+      abs(o_totalprice) AS abs_price,
+      o_totalprice / 1000.0 AS price_k
+    FROM orders ORDER BY o_orderkey
+  """.trim)
+}
+
+/** Q14 — JSON extraction + grouped stats. */
+object Q14Json extends GraftQuery {
+  val name = "q14_json_extract"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+    ev.groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"),
+           (sum(col("k").cast("long")).cast("double") / count(col("k"))).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
+  val oracle = Some("""
+    SELECT event_type, COUNT(k) AS n,
+      MIN(k) AS min_k, MAX(k) AS max_k,
+      CAST(SUM(CAST(k AS BIGINT)) AS DOUBLE) / COUNT(k) AS avg_k
+    FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+    GROUP BY event_type ORDER BY event_type
+  """.trim)
+}
+
+/** Q15 — array higher-order functions over embeddings: per-row stats
+  * via aggregate() (sequential fold → decimal accumulator keeps the
+  * cross-engine sum exact), then grouped per label. */
+object Q15ArrayFns extends GraftQuery {
+  val name = "q15_array_hof_stats"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val perRow = Tables.embeddings(spark, dir).select(
+      col("label"),
+      size(col("embedding")).as("dim"),
+      aggregate(col("embedding"), lit(new java.math.BigDecimal("0.0000000000")).cast("decimal(30,10)"),
+        (acc, x) => (acc + x.cast("decimal(30,10)")).cast("decimal(30,10)")).as("elem_sum_dec"),
+      array_min(col("embedding")).as("row_min"),
+      array_max(col("embedding")).as("row_max"))
+    perRow.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           min(col("dim")).as("min_dim"),
+           max(col("dim")).as("max_dim"),
+           sum(col("elem_sum_dec")).cast("double").as("sum_elems"),
+           min(col("row_min")).as("min_elem"),
+           max(col("row_max")).as("max_elem"))
+      .orderBy(col("label"))
+  }
+  val oracle = Some("""
+    SELECT label, COUNT(*) AS n_vecs,
+      MIN(dim) AS min_dim, MAX(dim) AS max_dim,
+      CAST(SUM(elem_sum_dec) AS DOUBLE) AS sum_elems,
+      MIN(row_min) AS min_elem, MAX(row_max) AS max_elem
+    FROM (
+      SELECT label,
+        CAST(len(embedding) AS INT) AS dim,
+        list_aggregate(list_transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(30,10))), 'sum') AS elem_sum_dec,
+        list_aggregate(embedding, 'min') AS row_min,
+        list_aggregate(embedding, 'max') AS row_max
+      FROM embeddings)
+    GROUP BY label ORDER BY label
+  """.trim)
+}
+
+/** Q16 — equi + range (theta) join: SortMergeJoin on the equi key with
+  * the BETWEEN as a post-join predicate — the scalable shape (never a
+  * cartesian). */
+object Q16RangeJoin extends GraftQuery {
+  val name = "q16_range_join_shipping"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_ships"),
+           (sum(datediff(col("l_shipdate"), col("o_orderdate")).cast("long")).cast("double")
+             / count(lit(1))).as("avg_gap_days"))
+      .orderBy(col("o_orderstatus"))
+  }
+  val oracle = Some("""
+    SELECT o_orderstatus, COUNT(*) AS n_ships,
+      CAST(SUM(CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_gap_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      AND l_shipdate >= o_orderdate
+      AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+  """.trim)
+}
+
+/** Q17 — sessionization as batch windows: session boundary = gap > 30
+  * min, session id = running count of boundaries. All integer (µs)
+  * arithmetic → engine-exact. Must agree with streaming S4. */
+object Q17Sessionize extends GraftQuery {
+  val name = "q17_sessionize"
+  private val GapUs = 30L * 60 * 1000 * 1000
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > GapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts_us")).as("start_us"),
+           max(col("ts_us")).as("end_us"),
+           sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+  val oracle = Some("""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+      FROM events),
+    s AS (
+      SELECT *, SUM(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM e)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+      MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+      CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+  """.trim)
+}
