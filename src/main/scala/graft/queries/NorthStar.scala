@@ -1,0 +1,581 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Q18–Q24 — the LLM-training-data pipeline surface (north star):
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard with
+  * prefix filtering, embedding cosine), similarity search (exact
+  * top-k + LSH-bucketed ANN), and text analysis (top terms,
+  * language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * Cross-engine determinism strategy (everything hash-matches DuckDB):
+  *  - all hashing is md5 hex (identical in both engines); MinHash
+  *    minimizes hex STRINGS lexicographically — uniform fixed-length
+  *    hex makes that a valid uniform hash order, and it needs no
+  *    hex→int conversion that the two engines would do differently;
+  *  - float→decimal casts go through the scale-10 path validated by
+  *    Q15 (Spark CAST(float AS DECIMAL(18,10)) ≡ DuckDB
+  *    CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,10)));
+  *    products stay ≤ DECIMAL(37,20) (exact, no precision loss in
+  *    either engine) and are summed by a decimal SUM aggregate — NOT
+  *    a fold, whose per-step precision growth Spark would round;
+  *  - cosine = CAST(dot AS DOUBLE)/(sqrt(n2a)*sqrt(n2b)) — one IEEE
+  *    expression over identical exact operands, so bit-equal without
+  *    any ROUND;
+  *  - ratios are single IEEE divisions of exact integer counts.
+  */
+object NorthStar {
+  /** Whitespace tokens, empties dropped (reference tokenizer, R4/R6). */
+  private[queries] val toksExpr = "filter(split(text, '\\\\s+'), t -> t != '')"
+  /** Distinct word 3-shingles of `t`; requires size(t) >= 3. */
+  private[queries] val shinglesExpr =
+    "array_distinct(transform(sequence(1, size(t)-2), " +
+      "i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2))))"
+  /** DuckDB mirrors of the two above. */
+  private[queries] val duckToks = raw"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+  private[queries] val duckShingles =
+    "list_distinct(list_transform(range(1, len(t)-1), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+
+  /** Per-document distinct 3-shingle sets (docs with ≥3 tokens). */
+  private[queries] def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+
+  /** Spark float→decimal element cast (Q15-validated parity path). */
+  private[queries] def dec(c: Column): Column = c.cast("decimal(18,10)")
+  /** DuckDB side of the same cast. */
+  private[queries] def duckDec(x: String): String =
+    s"CAST(CAST(CAST($x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,10))"
+
+  /** DuckDB decimal→double through VARCHAR: DuckDB's direct
+    * decimal→double cast double-rounds (int128→double, then /10^s),
+    * off by 1 ulp from Spark's correctly-rounded BigDecimal path;
+    * decimal→varchar→double is correctly rounded in both engines. */
+  private[queries] def duckDbl(x: String): String =
+    s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+
+  // Declared AFTER the helper vals: forcing the query objects during
+  // this object's own init would otherwise capture them as null.
+  val all: Seq[GraftQuery] = Seq(
+    Q18DedupExact, Q18bDedupMinHash, Q18cDedupSimHash, Q18dDedupNgram,
+    Q18eDedupEmbedding, Q19SimilarityTopK, Q19bAnnLsh, Q20TopTermsPerLang,
+    Q21LanguageId, Q22QualityScore, Q23TokenCount, Q24Fingerprint)
+}
+
+/** Q18 — exact dedup: group by content hash, keep min(doc_id).
+  * At 100 TB: one shuffle keyed by a 128-bit hash — the canonical
+  * first dedup pass; the hash groupBy never materializes texts. */
+object Q18DedupExact extends GraftQuery {
+  val name = "q18_dedup_exact"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(lower(col("text"))).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+           count(lit(1)).as("n_copies"),
+           sort_array(collect_set(col("doc_id"))).as("doc_ids"))
+      .orderBy(col("keeper_doc_id"))
+  val oracle = Some("""
+    SELECT md5(lower(text)) AS content_hash,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM documents GROUP BY 1 ORDER BY keeper_doc_id
+  """.trim)
+}
+
+/** Q18b — MinHash + LSH near-dup detection. 32 hex-string minhashes
+  * over distinct word 3-shingles; 8 bands × 4 rows; candidate pairs
+  * share a band key; estimated Jaccard = matching-signature fraction.
+  *
+  * Scale shape: signatures are computed per-row (no shuffle); the
+  * only shuffles are the band-key self-join and the distinct — both
+  * keyed on 128-bit-ish band digests, so buckets are tiny unless the
+  * docs really collide (AQE skew-join absorbs pathological clusters).
+  * This is the standard 100 TB dedup topology (banding beats the
+  * O(n²) pairwise scan by construction). */
+object Q18bDedupMinHash extends GraftQuery {
+  import NorthStar._
+  val name = "q18b_dedup_minhash"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val sig = shingleSets(spark, dir).select(col("doc_id"),
+      expr("transform(sequence(0,31), " +
+        "i -> array_min(transform(sh, s -> md5(concat(cast(i as string), '|', s)))))").as("sig"))
+    val bands = sig.select(col("doc_id"), explode(expr(
+      "transform(sequence(0,7), j -> concat(cast(j as string), '|', " +
+        "element_at(sig,4*j+1), element_at(sig,4*j+2), element_at(sig,4*j+3), element_at(sig,4*j+4)))"))
+      .as("bkey"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("ida"), col("sig").as("sa"))
+    val sb = sig.select(col("doc_id").as("idb"), col("sig").as("sb"))
+    cand.join(sa, col("doc_a") === col("ida"))
+      .join(sb, col("doc_b") === col("idb"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(size(filter(sequence(1,32), i -> element_at(sa,i) = element_at(sb,i))) as double) / 32.0")
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  val oracle = Some(s"""
+    WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+    sh AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3),
+    sig AS (SELECT doc_id, list_transform(range(0, 32),
+            i -> list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+            FROM sh),
+    bands AS (SELECT doc_id, CAST(j AS VARCHAR) || '|' || sig[4*j+1] || sig[4*j+2] || sig[4*j+3] || sig[4*j+4] AS bkey
+              FROM sig, unnest(range(0, 8)) AS u(j)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+      CAST(len(list_filter(range(1,33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 AS est_jaccard
+    FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_filter(range(1,33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 >= 0.5
+    ORDER BY doc_a, doc_b
+  """.trim)
+}
+
+/** Q18c — SimHash near-dup: 16-bit signature from per-token md5 sign
+  * votes, candidates block on 4-bit chunks (pigeonhole guarantees any
+  * pair at Hamming distance ≤ 3 shares a chunk), verified by
+  * bit_count(xor). Per-row signature → no shuffle until the tiny
+  * chunk-key join. */
+object Q18cDedupSimHash extends GraftQuery {
+  import NorthStar._
+  val name = "q18c_dedup_simhash"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), size(col("t")).as("n"),
+        expr("transform(sequence(0,15), i -> size(filter(t, " +
+          "tok -> substring(md5(concat(cast(i as string), '#', tok)), 1, 1) < '8')))").as("hits"))
+      .select(col("doc_id"),
+        expr("aggregate(sequence(0,15), cast(0 as bigint), (acc, i) -> acc + " +
+          "CASE WHEN 2*element_at(hits, i+1) > n THEN cast(shiftleft(1, i) as bigint) " +
+          "ELSE cast(0 as bigint) END)").as("simhash"))
+    val chunks = sigs.select(col("doc_id"), col("simhash"), explode(expr(
+      "transform(sequence(0,3), j -> concat(cast(j as string), '|', " +
+        "cast((shiftright(simhash, 4*j) & 15) as string)))")).as("ckey"))
+    chunks.as("a")
+      .join(chunks.as("b"), col("a.ckey") === col("b.ckey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  val oracle = Some(s"""
+    WITH toks AS (SELECT doc_id, list_distinct($duckToks) AS t FROM documents),
+    hits AS (SELECT doc_id, len(t) AS n, list_transform(range(0, 16),
+             i -> len(list_filter(t, tok -> substr(md5(CAST(i AS VARCHAR) || '#' || tok), 1, 1) < '8'))) AS hits
+             FROM toks WHERE len(t) > 0),
+    sigs AS (SELECT doc_id, list_aggregate(list_transform(range(0, 16),
+             i -> CASE WHEN 2*hits[i+1] > n THEN CAST(1 << i AS BIGINT) ELSE CAST(0 AS BIGINT) END), 'sum') AS simhash
+             FROM hits),
+    chunks AS (SELECT doc_id, simhash, CAST(j AS VARCHAR) || '|' || CAST((simhash >> (4*j)) & 15 AS VARCHAR) AS ckey
+               FROM sigs, unnest(range(0, 4)) AS u(j))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM chunks a JOIN chunks b ON a.ckey = b.ckey AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc_a, doc_b
+  """.trim)
+}
+
+/** Q18d — exact n-gram (word 3-shingle) Jaccard join with PREFIX
+  * FILTERING: for J ≥ 0.8, two shingle sets must share an element in
+  * the first n - ceil(0.8n) + 1 shingles when every doc's shingles
+  * are ordered by (global df asc, shingle asc) — the rarest-first
+  * prefix. Candidates come only from prefix matches (provably no
+  * false negatives), then exact Jaccard verifies. This is the
+  * scalable exact-similarity-join topology (PPJoin family): no O(n²)
+  * pair scan, and the join keys are globally-rare shingles so bucket
+  * fanout stays tiny at 100 TB. */
+object Q18dDedupNgram extends GraftQuery {
+  import NorthStar._
+  val name = "q18d_dedup_ngram"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(spark, dir)
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+    val gdf = ex.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))
+    val prefix = ex.join(gdf, "g")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - expr("(4*n + 4) div 5") + 1)
+      .select(col("doc_id"), col("g"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("ida"), col("sh").as("sha"), size(col("sh")).as("na"))
+    val sb = sh.select(col("doc_id").as("idb"), col("sh").as("shb"), size(col("sh")).as("nb"))
+    cand.join(sa, col("doc_a") === col("ida"))
+      .join(sb, col("doc_b") === col("idb"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  val oracle = Some(s"""
+    WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+    sh AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+    gdf AS (SELECT g, count(*) AS gdf FROM ex GROUP BY g),
+    ranked AS (SELECT ex.doc_id, ex.n, ex.g,
+               row_number() OVER (PARTITION BY ex.doc_id ORDER BY gdf.gdf, ex.g) AS rn
+               FROM ex JOIN gdf ON ex.g = gdf.g),
+    prefix AS (SELECT doc_id, g FROM ranked WHERE rn <= n - ((4*n + 4) // 5) + 1),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id),
+    j AS (SELECT doc_a, doc_b,
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+          FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+    ORDER BY doc_a, doc_b
+  """.trim)
+}
+
+/** Q18e — embedding-cosine near-dup: block on the sign pattern of the
+  * first 4 dimensions (a 16-bucket random-hyperplane-style LSH — the
+  * fixture vectors' leading dims act as the projections), pair within
+  * buckets, verify exact cosine in decimal. Dot products are summed
+  * by a decimal SUM over exploded element products — the same
+  * distributed topology a 100 TB pairwise-verify stage uses. */
+object Q18eDedupEmbedding extends GraftQuery {
+  import NorthStar._
+  val name = "q18e_dedup_embedding"
+  private val bucketExpr =
+    "concat_ws('', transform(slice(embedding, 1, 4), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val n2 = e.select(col("vec_id"), explode(col("embedding")).as("x"))
+      .groupBy(col("vec_id"))
+      .agg(sum(dec(col("x")) * dec(col("x"))).as("n2"))
+    val b = e.select(col("vec_id"), col("embedding"), expr(bucketExpr).as("bucket"))
+    val cand = b.select(col("vec_id").as("va"), col("embedding").as("ea"), col("bucket"))
+      .join(b.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("bucket")), "bucket")
+      .filter(col("va") < col("vb"))
+    val dots = cand
+      .select(col("va"), col("vb"),
+        explode(zip_with(col("ea"), col("eb"), (x, y) => dec(x) * dec(y))).as("p"))
+      .groupBy(col("va"), col("vb"))
+      .agg(sum(col("p")).as("dot"))
+    dots
+      .join(n2.select(col("vec_id").as("va"), col("n2").as("n2a")), "va")
+      .join(n2.select(col("vec_id").as("vb"), col("n2").as("n2b")), "vb")
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double")))).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+  private def d(x: String) = NorthStar.duckDec(x)
+  val oracle = Some(s"""
+    WITH b AS (SELECT vec_id, embedding,
+          array_to_string(list_transform(embedding[1:4], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        FROM embeddings),
+    n2 AS (SELECT vec_id, list_aggregate(list_transform(range(1, len(embedding)+1),
+           i -> ${d("embedding[i]")} * ${d("embedding[i]")}), 'sum') AS n2 FROM b),
+    cand AS (SELECT a.vec_id AS va, a.embedding AS ea, bd.vec_id AS vb, bd.embedding AS eb
+             FROM b a JOIN b bd ON a.bucket = bd.bucket AND a.vec_id < bd.vec_id),
+    dots AS (SELECT va, vb, list_aggregate(list_transform(range(1, len(ea)+1),
+             i -> ${d("ea[i]")} * ${d("eb[i]")}), 'sum') AS dot FROM cand),
+    cos AS (SELECT va AS vec_a, vb AS vec_b,
+            ${NorthStar.duckDbl("dot")} / (sqrt(${NorthStar.duckDbl("na.n2")}) * sqrt(${NorthStar.duckDbl("nb.n2")})) AS cosine
+            FROM dots JOIN n2 na ON na.vec_id = va JOIN n2 nb ON nb.vec_id = vb)
+    SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= 0.4
+    ORDER BY vec_a, vec_b
+  """.trim)
+}
+
+/** Q19 — exact cosine top-k against the query vector (vec_id = 0).
+  * Distributed shape: explode elements once, broadcast the 64-row
+  * query vector, partial-sum products per vec — a single narrow pass
+  * + one groupBy; TakeOrderedAndProject handles the top-k without a
+  * global sort. This is the brute-force baseline; Q19b is the
+  * bucketed scale path. */
+object Q19SimilarityTopK extends GraftQuery {
+  import NorthStar._
+  val name = "q19_similarity_topk"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val ex = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), dec(col("x")).as("x"))
+    val q = ex.filter(col("vec_id") === 0)
+      .select(col("pos"), col("x").as("qx"))
+    val qn2 = q.agg(sum(col("qx") * col("qx")).as("qn2"))
+    ex.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), "pos")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("x") * col("qx")).as("dot"), sum(col("x") * col("x")).as("n2"))
+      .crossJoin(broadcast(qn2))
+      .select(col("vec_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double")))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(10)
+  }
+  private def d(x: String) = NorthStar.duckDec(x)
+  val oracle = Some(s"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id,
+      list_aggregate(list_transform(range(1, len(embedding)+1), i -> ${d("embedding[i]")} * ${d("qv[i]")}), 'sum') AS dot,
+      list_aggregate(list_transform(range(1, len(embedding)+1), i -> ${d("embedding[i]")} * ${d("embedding[i]")}), 'sum') AS n2,
+      list_aggregate(list_transform(range(1, len(qv)+1), i -> ${d("qv[i]")} * ${d("qv[i]")}), 'sum') AS qn2
+      FROM embeddings, q WHERE vec_id <> 0)
+    SELECT vec_id, ${NorthStar.duckDbl("dot")} / (sqrt(${NorthStar.duckDbl("n2")}) * sqrt(${NorthStar.duckDbl("qn2")})) AS cosine
+    FROM c ORDER BY cosine DESC, vec_id ASC LIMIT 10
+  """.trim)
+}
+
+/** Q19b — LSH-bucketed ANN: candidates are vectors whose 8-dim sign
+  * signature equals the query's (1/256 selectivity on random data),
+  * then exact cosine top-k among candidates only. At 100 TB the
+  * bucket filter prunes the scan to ~n/256 before any arithmetic;
+  * the signature is computable at write time as a partition column. */
+object Q19bAnnLsh extends GraftQuery {
+  import NorthStar._
+  val name = "q19b_ann_lsh"
+  private val sigExpr =
+    "concat_ws('', transform(slice(embedding, 1, 8), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"), expr(sigExpr).as("sig"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("sig"), col("embedding").as("qv"))
+    val cand = e.filter(col("vec_id") =!= 0).join(broadcast(q), "sig")
+    val prods = cand.select(col("vec_id"),
+      explode(zip_with(col("embedding"), col("qv"), (x, y) => dec(x) * dec(y))).as("p"))
+    prods
+      .groupBy(col("vec_id"))
+      .agg(sum(col("p")).as("dot"))
+      .join(cand.select(col("vec_id"), explode(col("embedding")).as("x"))
+        .groupBy(col("vec_id")).agg(sum(dec(col("x")) * dec(col("x"))).as("n2")), "vec_id")
+      .crossJoin(broadcast(q.select(explode(col("qv")).as("qx"))
+        .agg(sum(dec(col("qx")) * dec(col("qx"))).as("qn2"))))
+      .select(col("vec_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double")))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(10)
+  }
+  private def d(x: String) = NorthStar.duckDec(x)
+  val oracle = Some(s"""
+    WITH e AS (SELECT vec_id, embedding,
+          array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS sig
+        FROM embeddings),
+    q AS (SELECT sig, embedding AS qv FROM e WHERE vec_id = 0),
+    c AS (SELECT e.vec_id,
+      list_aggregate(list_transform(range(1, len(embedding)+1), i -> ${d("embedding[i]")} * ${d("qv[i]")}), 'sum') AS dot,
+      list_aggregate(list_transform(range(1, len(embedding)+1), i -> ${d("embedding[i]")} * ${d("embedding[i]")}), 'sum') AS n2,
+      list_aggregate(list_transform(range(1, len(qv)+1), i -> ${d("qv[i]")} * ${d("qv[i]")}), 'sum') AS qn2
+      FROM e JOIN q ON e.sig = q.sig WHERE e.vec_id <> 0)
+    SELECT vec_id, ${NorthStar.duckDbl("dot")} / (sqrt(${NorthStar.duckDbl("n2")}) * sqrt(${NorthStar.duckDbl("qn2")})) AS cosine
+    FROM c ORDER BY cosine DESC, vec_id ASC LIMIT 10
+  """.trim)
+}
+
+/** Q20 — top-5 terms per language by term frequency (Q1's tokenizer +
+  * normalizer, then a ranking window over the per-lang counts). */
+object Q20TopTermsPerLang extends GraftQuery {
+  val name = "q20_top_terms_per_lang"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), "\\s+")).as("tok"))
+      .select(col("lang"), lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("tf").desc, col("word").asc)
+    tf.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("word"), col("tf"))
+      .orderBy(col("lang"), col("rn"))
+  }
+  val oracle = Some(raw"""
+    WITH toks AS (
+      SELECT lang, lower(regexp_replace(unnest(string_split_regex(text, '\s+')), '[^a-zA-Z]', '', 'g')) AS word
+      FROM documents),
+    tf AS (SELECT lang, word, count(*) AS tf FROM toks WHERE word <> '' GROUP BY lang, word),
+    r AS (SELECT lang, word, tf,
+          CAST(row_number() OVER (PARTITION BY lang ORDER BY tf DESC, word ASC) AS INT) AS rn FROM tf)
+    SELECT lang, rn, word, tf FROM r WHERE rn <= 5 ORDER BY lang, rn
+  """.trim)
+}
+
+/** Q21 — language identification by marker-word voting: count tokens
+  * (with multiplicity) hitting each language's closed marker list;
+  * predict the alphabetically-first language achieving the max score.
+  * Entirely per-row (codegen'd HOFs) — zero shuffles before the
+  * final ORDER BY. */
+object Q21LanguageId extends GraftQuery {
+  import NorthStar._
+  val name = "q21_language_id"
+  private val markers = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "fr" -> Seq("le", "les", "et", "est", "un"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai"))
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val withToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), expr(toksExpr).as("t"))
+    val scored = markers.foldLeft(withToks) { case (df, (l, ws)) =>
+      val arr = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+      df.withColumn(s"score_$l", expr(s"size(filter(t, tok -> array_contains($arr, tok)))"))
+    }
+    val m = greatest(markers.map { case (l, _) => col(s"score_$l") }: _*)
+    val pred = markers.foldRight(lit("und"): Column) { case ((l, _), e) =>
+      when(col(s"score_$l") === m, lit(l)).otherwise(e)
+    }
+    // foldRight builds 'de'-first WHEN chain = alphabetical priority
+    scored
+      .withColumn("predicted", when(m === 0, lit("und")).otherwise(pred))
+      .select((Seq(col("doc_id"), col("lang"), col("predicted")) ++
+        markers.map { case (l, _) => col(s"score_$l") }): _*)
+      .orderBy(col("doc_id"))
+  }
+  private def duckScore(ws: Seq[String]): String = {
+    val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(t, tok -> list_contains($arr, tok)))"
+  }
+  val oracle = Some {
+    val scores = markers.map { case (l, ws) => s"${duckScore(ws)} AS score_$l" }.mkString(",\n          ")
+    val m = markers.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+    val chain = markers.map { case (l, _) => s"WHEN score_$l = $m THEN '$l'" }.mkString(" ")
+    s"""
+    WITH s AS (SELECT doc_id, lang,
+          $scores
+        FROM (SELECT doc_id, lang, $duckToks AS t FROM documents))
+    SELECT doc_id, lang,
+      CASE WHEN $m = 0 THEN 'und' $chain ELSE 'und' END AS predicted,
+      ${markers.map { case (l, _) => s"CAST(score_$l AS INT) AS score_$l" }.mkString(", ")}
+    FROM s ORDER BY doc_id
+    """.trim
+  }
+}
+
+/** Q22 — document quality scoring: token/char counts, type-token
+  * ratio, stopword ratio, punctuation ratio, mean token length, and a
+  * composite score. All ratios are single IEEE divisions of exact
+  * integer counts; the composite keeps one identical expression tree
+  * in both engines. Per-row → shuffle-free until the ORDER BY. */
+object Q22QualityScore extends GraftQuery {
+  import NorthStar._
+  val name = "q22_quality_score"
+  private val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+    .map(w => s"'$w'").mkString("array(", ", ", ")")
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), expr(toksExpr).as("t"), col("text"))
+      .withColumn("n_tokens", size(col("t")))
+      .filter(col("n_tokens") > 0)
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_uniq", size(array_distinct(col("t"))))
+      .withColumn("sum_tok_len", expr("aggregate(t, 0, (acc, x) -> acc + length(x))"))
+      .withColumn("stop_hits", expr(s"size(filter(t, tok -> array_contains($stop, tok)))"))
+      .withColumn("n_punct", length(regexp_replace(col("text"), "[a-z0-9\\s]", "")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_chars"),
+        (col("n_uniq").cast("double") / col("n_tokens")).as("type_token_ratio"),
+        (col("sum_tok_len").cast("double") / col("n_tokens")).as("mean_token_len"),
+        (col("stop_hits").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        (col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"))
+      .withColumn("quality",
+        col("type_token_ratio") * 0.4 + col("stopword_ratio") * 0.3
+          + (lit(1.0) - col("punct_ratio")) * 0.3)
+      .orderBy(col("doc_id"))
+  val oracle = Some(raw"""
+    WITH s AS (
+      SELECT doc_id, lang, text,
+        list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang,
+        len(t) AS n_tokens,
+        length(text) AS n_chars,
+        len(list_distinct(t)) AS n_uniq,
+        list_aggregate(list_transform(t, x -> length(x)), 'sum') AS sum_tok_len,
+        len(list_filter(t, tok -> list_contains(['the','a','of','and','is','to','in'], tok))) AS stop_hits,
+        length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) AS n_punct
+      FROM s WHERE len(t) > 0)
+    SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens, CAST(n_chars AS INT) AS n_chars,
+      CAST(n_uniq AS DOUBLE) / n_tokens AS type_token_ratio,
+      CAST(sum_tok_len AS DOUBLE) / n_tokens AS mean_token_len,
+      CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+      CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+      (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.4 + (CAST(stop_hits AS DOUBLE) / n_tokens) * 0.3
+        + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3 AS quality
+    FROM c ORDER BY doc_id
+  """.trim)
+}
+
+/** Q23 — token counting per source: whitespace tokens + a BPE-ish
+  * regex segmentation ([a-z]+ | digit runs | single punctuation),
+  * aggregated per source. One narrow pass + one tiny groupBy. */
+object Q23TokenCount extends GraftQuery {
+  import NorthStar._
+  val name = "q23_token_count"
+  private val bpeish = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(expr(toksExpr)).as("ws"),
+        size(regexp_extract_all(col("text"), lit(bpeish), lit(0))).as("bpe"),
+        length(col("text")).as("chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws").cast("long")).as("sum_ws_tokens"),
+        sum(col("bpe").cast("long")).as("sum_bpe_tokens"),
+        sum(col("chars").cast("long")).as("sum_chars"),
+        (sum(col("ws").cast("long")).cast("double") / count(lit(1))).as("avg_ws_tokens"))
+      .orderBy(col("source"))
+  val oracle = Some(raw"""
+    WITH c AS (
+      SELECT source,
+        len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws,
+        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe,
+        length(text) AS chars
+      FROM documents)
+    SELECT source, count(*) AS n_docs,
+      SUM(CAST(ws AS BIGINT)) AS sum_ws_tokens,
+      SUM(CAST(bpe AS BIGINT)) AS sum_bpe_tokens,
+      SUM(CAST(chars AS BIGINT)) AS sum_chars,
+      CAST(SUM(CAST(ws AS BIGINT)) AS DOUBLE) / count(*) AS avg_ws_tokens
+    FROM c GROUP BY source ORDER BY source
+  """.trim)
+}
+
+/** Q24 — document fingerprinting: 31-ary rolling hash over the
+  * character stream mod 1e9+7 (exact BIGINT arithmetic — never
+  * overflows, identical in both engines), plus the per-fingerprint
+  * collision count. Per-row fold → shuffle-free except the window. */
+object Q24Fingerprint extends GraftQuery {
+  val name = "q24_fingerprint"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("aggregate(transform(filter(split(text, ''), c -> c != ''), c -> cast(ascii(c) as bigint)), " +
+          "cast(0 as bigint), (acc, x) -> (acc * 31 + x) % 1000000007)").as("fingerprint"))
+    fp.withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+      .orderBy(col("doc_id"))
+  }
+  val oracle = Some("""
+    WITH fp AS (
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(list_filter(string_split(text, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))),
+          (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+      FROM documents)
+    SELECT doc_id, fingerprint, count(*) OVER (PARTITION BY fingerprint) AS n_same
+    FROM fp ORDER BY doc_id
+  """.trim)
+}
