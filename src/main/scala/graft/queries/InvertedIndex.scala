@@ -43,8 +43,12 @@ object InvertedIndex extends GraftQuery {
       size(col("doc_ids")).cast("long").as("df"),
       col("doc_ids"))
 
+  /** Driver-facing result: `doc_ids` rendered as a space-joined STRING
+    * (the reference's own `[i1 i2 …]` body, main.cpp:164-177) — raw
+    * ARRAY columns are not hashable by the correctness comparator. */
   def run(spark: SparkSession, dir: String): DataFrame =
     index(Tables.documents(spark, dir))
+      .withColumn("doc_ids", array_join(col("doc_ids"), " "))
       .orderBy(col("df").desc, col("word").asc)
 
   /** Reference sink (R15): one text part per first letter, lines
@@ -70,7 +74,7 @@ object InvertedIndex extends GraftQuery {
     SELECT word,
            substring(word, 1, 1) AS letter,
            CAST(count(*) AS BIGINT) AS df,
-           list_sort(list(doc_id)) AS doc_ids
+           array_to_string(list_sort(list(doc_id)), ' ') AS doc_ids
     FROM toks
     WHERE word <> ''
     GROUP BY word

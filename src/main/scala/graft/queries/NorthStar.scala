@@ -25,7 +25,13 @@ import graft.Tables
   *  - cosine = CAST(dot AS DOUBLE)/(sqrt(n2a)*sqrt(n2b)) — one IEEE
   *    expression over identical exact operands, so bit-equal without
   *    any ROUND;
-  *  - ratios are single IEEE divisions of exact integer counts.
+  *  - ratios are single IEEE divisions of exact integer counts;
+  *  - per-row dot products (Q18e) are left-folds over doubles: both
+  *    engines add identical IEEE products in identical element order,
+  *    so the result is bit-equal with no decimal detour at all;
+  *  - DuckDB SUM(BIGINT) returns HUGEINT (decimal128 in arrow) — every
+  *    integer SUM in an oracle is wrapped in CAST(... AS BIGINT) to
+  *    match Spark's int64 (this, not regex dialect, broke q23 in r1).
   */
 object NorthStar {
   /** Whitespace tokens, empties dropped (reference tokenizer, R4/R6). */
@@ -60,6 +66,17 @@ object NorthStar {
   private[queries] def duckDbl(x: String): String =
     s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
 
+  /** SQL-expression "let": bind `value` ONCE as lambda variable `name`
+    * inside `body`. Catalyst's CollapseProject will inline an aliased
+    * projection into every reference site of the next projection; when
+    * the reference sits inside a higher-order-function lambda that runs
+    * 64 times per row, the aliased expression is re-evaluated 64× per
+    * row (measured: q18c's chunk stage went 1.1 s → 40 s at sf0.01).
+    * Routing the value through a single-element array + transform makes
+    * it a lambda-bound variable, evaluated exactly once per row. */
+  private[queries] def let(name: String, value: String, body: String): String =
+    s"element_at(transform(array($value), $name -> $body), 1)"
+
   // Declared AFTER the helper vals: forcing the query objects during
   // this object's own init would otherwise capture them as null.
   val all: Seq[GraftQuery] = Seq(
@@ -78,37 +95,44 @@ object Q18DedupExact extends GraftQuery {
       .groupBy(md5(lower(col("text"))).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper_doc_id"),
            count(lit(1)).as("n_copies"),
-           sort_array(collect_set(col("doc_id"))).as("doc_ids"))
+           array_join(sort_array(collect_set(col("doc_id"))), " ").as("doc_ids"))
       .orderBy(col("keeper_doc_id"))
   val oracle = Some("""
     SELECT md5(lower(text)) AS content_hash,
            min(doc_id) AS keeper_doc_id,
            count(*) AS n_copies,
-           list_sort(list(doc_id)) AS doc_ids
+           array_to_string(list_sort(list(doc_id)), ' ') AS doc_ids
     FROM documents GROUP BY 1 ORDER BY keeper_doc_id
   """.trim)
 }
 
-/** Q18b — MinHash + LSH near-dup detection. 32 hex-string minhashes
-  * over distinct word 3-shingles; 8 bands × 4 rows; candidate pairs
-  * share a band key; estimated Jaccard = matching-signature fraction.
+/** Q18b — MinHash + LSH near-dup detection. Each shingle is hashed
+  * ONCE (md5 → 60-bit int from the first 15 hex chars, mod p); the 32
+  * permutations are derived arithmetically as (a_i·h + b_i) mod p with
+  * p = 1e9+7 — every product stays < 2^60, exact BIGINT in both
+  * engines. 8 bands × 4 rows; candidate pairs share a band key;
+  * estimated Jaccard = matching-signature fraction.
   *
   * Scale shape: signatures are computed per-row (no shuffle); the
   * only shuffles are the band-key self-join and the distinct — both
-  * keyed on 128-bit-ish band digests, so buckets are tiny unless the
-  * docs really collide (AQE skew-join absorbs pathological clusters).
-  * This is the standard 100 TB dedup topology (banding beats the
-  * O(n²) pairwise scan by construction). */
+  * keyed on band digests, so buckets are tiny unless the docs really
+  * collide (AQE skew-join absorbs pathological clusters). At 100 TB
+  * the corpus passes through md5 exactly once (round 1 did 32×,
+  * 513 s of the 797 s bench). */
 object Q18bDedupMinHash extends GraftQuery {
   import NorthStar._
   val name = "q18b_dedup_minhash"
   def run(spark: SparkSession, dir: String): DataFrame = {
-    val sig = shingleSets(spark, dir).select(col("doc_id"),
-      expr("transform(sequence(0,31), " +
-        "i -> array_min(transform(sh, s -> md5(concat(cast(i as string), '|', s)))))").as("sig"))
-    val bands = sig.select(col("doc_id"), explode(expr(
-      "transform(sequence(0,7), j -> concat(cast(j as string), '|', " +
-        "element_at(sig,4*j+1), element_at(sig,4*j+2), element_at(sig,4*j+3), element_at(sig,4*j+4)))"))
+    val sig = shingleSets(spark, dir)
+      .select(col("doc_id"), expr(
+        "transform(sh, s -> aggregate(split(substring(md5(s), 1, 15), ''), cast(0 as bigint), " +
+          "(acc, c) -> acc * 16 + cast(instr('0123456789abcdef', c) - 1 as bigint)) % 1000000007)").as("hs"))
+      .select(col("doc_id"), expr(let("hsv", "hs",
+        "transform(sequence(0, 31), i -> array_min(transform(hsv, h -> " +
+          "(((2654435761 * (i+1)) % 1000000007) * h + ((40503 * (i+1) + 7) % 1000000007)) % 1000000007)))")).as("sig"))
+    val bands = sig.select(col("doc_id"), explode(expr(let("sg", "sig",
+      "transform(sequence(0,7), j -> concat_ws(',', cast(j as string), " +
+        "element_at(sg,4*j+1), element_at(sg,4*j+2), element_at(sg,4*j+3), element_at(sg,4*j+4)))")))
       .as("bkey"))
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
@@ -127,10 +151,15 @@ object Q18bDedupMinHash extends GraftQuery {
   val oracle = Some(s"""
     WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
     sh AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3),
+    hs AS (SELECT doc_id, list_transform(sh, s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(substr(md5(s), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           (acc, x) -> acc * 16 + x) % 1000000007) AS hs FROM sh),
     sig AS (SELECT doc_id, list_transform(range(0, 32),
-            i -> list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
-            FROM sh),
-    bands AS (SELECT doc_id, CAST(j AS VARCHAR) || '|' || sig[4*j+1] || sig[4*j+2] || sig[4*j+3] || sig[4*j+4] AS bkey
+            i -> list_min(list_transform(hs, h ->
+              (((2654435761 * (i+1)) % 1000000007) * h + ((40503 * (i+1) + 7) % 1000000007)) % 1000000007))) AS sig
+            FROM hs),
+    bands AS (SELECT doc_id, CAST(j AS VARCHAR) || ',' || CAST(sig[4*j+1] AS VARCHAR) || ',' || CAST(sig[4*j+2] AS VARCHAR)
+                || ',' || CAST(sig[4*j+3] AS VARCHAR) || ',' || CAST(sig[4*j+4] AS VARCHAR) AS bkey
               FROM sig, unnest(range(0, 8)) AS u(j)),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
@@ -142,11 +171,13 @@ object Q18bDedupMinHash extends GraftQuery {
   """.trim)
 }
 
-/** Q18c — SimHash near-dup: 16-bit signature from per-token md5 sign
-  * votes, candidates block on 4-bit chunks (pigeonhole guarantees any
-  * pair at Hamming distance ≤ 3 shares a chunk), verified by
-  * bit_count(xor). Per-row signature → no shuffle until the tiny
-  * chunk-key join. */
+/** Q18c — SimHash near-dup: 64-bit signature from ONE md5 per distinct
+  * token (the first 16 hex chars supply 64 bit-votes), stored as 4 ×
+  * 16-bit chunks. Candidates block on (chunk index, chunk value) —
+  * 65,536 buckets per chunk, so any pair at Hamming distance ≤ 3
+  * shares a chunk (pigeonhole) while the bucket fanout stays
+  * near-linear at 100 TB (round 1's 16-bit/4-bit layout was
+  * O(n²/16)). Verified by summed bit_count(xor) over the chunks. */
 object Q18cDedupSimHash extends GraftQuery {
   import NorthStar._
   val name = "q18c_dedup_simhash"
@@ -155,37 +186,46 @@ object Q18cDedupSimHash extends GraftQuery {
       .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("t"))
       .filter(size(col("t")) > 0)
       .select(col("doc_id"), size(col("t")).as("n"),
-        expr("transform(sequence(0,15), i -> size(filter(t, " +
-          "tok -> substring(md5(concat(cast(i as string), '#', tok)), 1, 1) < '8')))").as("hits"))
+        expr("transform(t, tok -> substring(md5(tok), 1, 16))").as("hx"))
+      .select(col("doc_id"), col("n"),
+        expr(let("hv", "hx",
+          "transform(sequence(0, 63), i -> size(filter(hv, h -> " +
+            "(shiftright(instr('0123456789abcdef', substring(h, (i div 4) + 1, 1)) - 1, i % 4) & 1) = 1)))"))
+          .as("hits"))
       .select(col("doc_id"),
-        expr("aggregate(sequence(0,15), cast(0 as bigint), (acc, i) -> acc + " +
-          "CASE WHEN 2*element_at(hits, i+1) > n THEN cast(shiftleft(1, i) as bigint) " +
-          "ELSE cast(0 as bigint) END)").as("simhash"))
-    val chunks = sigs.select(col("doc_id"), col("simhash"), explode(expr(
-      "transform(sequence(0,3), j -> concat(cast(j as string), '|', " +
-        "cast((shiftright(simhash, 4*j) & 15) as string)))")).as("ckey"))
+        expr(let("s", "named_struct('n', n, 'hits', hits)",
+          "transform(sequence(0, 3), j -> aggregate(sequence(0, 15), cast(0 as bigint), " +
+            "(acc, k) -> acc + IF(2 * element_at(s.hits, 16*j+k+1) > s.n, cast(shiftleft(1, k) as bigint), cast(0 as bigint))))"))
+          .as("chunks"))
+    val chunks = sigs
+      .select(col("doc_id"), col("chunks"), posexplode(col("chunks")).as(Seq("j", "cv")))
+      .select(col("doc_id"), col("chunks"), concat_ws("|", col("j"), col("cv")).as("ckey"))
     chunks.as("a")
       .join(chunks.as("b"), col("a.ckey") === col("b.ckey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+        expr("aggregate(zip_with(a.chunks, b.chunks, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+          .cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
   }
   val oracle = Some(s"""
     WITH toks AS (SELECT doc_id, list_distinct($duckToks) AS t FROM documents),
-    hits AS (SELECT doc_id, len(t) AS n, list_transform(range(0, 16),
-             i -> len(list_filter(t, tok -> substr(md5(CAST(i AS VARCHAR) || '#' || tok), 1, 1) < '8'))) AS hits
-             FROM toks WHERE len(t) > 0),
-    sigs AS (SELECT doc_id, list_aggregate(list_transform(range(0, 16),
-             i -> CASE WHEN 2*hits[i+1] > n THEN CAST(1 << i AS BIGINT) ELSE CAST(0 AS BIGINT) END), 'sum') AS simhash
+    hx AS (SELECT doc_id, len(t) AS n, list_transform(t, tok -> substr(md5(tok), 1, 16)) AS hx
+           FROM toks WHERE len(t) > 0),
+    hits AS (SELECT doc_id, n, list_transform(range(0, 64),
+             i -> len(list_filter(hx, h ->
+               (((strpos('0123456789abcdef', substr(h, CAST(i // 4 AS INT) + 1, 1)) - 1) >> (i % 4)) & 1) = 1))) AS hits
+             FROM hx),
+    sigs AS (SELECT doc_id, list_transform(range(0, 4), j -> CAST(list_aggregate(list_transform(range(0, 16),
+             k -> CASE WHEN 2 * hits[16*j+k+1] > n THEN CAST(1 << k AS BIGINT) ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT)) AS chunks
              FROM hits),
-    chunks AS (SELECT doc_id, simhash, CAST(j AS VARCHAR) || '|' || CAST((simhash >> (4*j)) & 15 AS VARCHAR) AS ckey
+    chunks AS (SELECT doc_id, chunks, CAST(j AS VARCHAR) || '|' || CAST(chunks[j+1] AS VARCHAR) AS ckey
                FROM sigs, unnest(range(0, 4)) AS u(j))
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      CAST(list_aggregate(list_transform(range(0, 4), j -> bit_count(xor(a.chunks[j+1], b.chunks[j+1]))), 'sum') AS INT) AS hamming
     FROM chunks a JOIN chunks b ON a.ckey = b.ckey AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    WHERE CAST(list_aggregate(list_transform(range(0, 4), j -> bit_count(xor(a.chunks[j+1], b.chunks[j+1]))), 'sum') AS INT) <= 3
     ORDER BY doc_a, doc_b
   """.trim)
 }
@@ -246,52 +286,51 @@ object Q18dDedupNgram extends GraftQuery {
 }
 
 /** Q18e — embedding-cosine near-dup: block on the sign pattern of the
-  * first 4 dimensions (a 16-bucket random-hyperplane-style LSH — the
-  * fixture vectors' leading dims act as the projections), pair within
-  * buckets, verify exact cosine in decimal. Dot products are summed
-  * by a decimal SUM over exploded element products — the same
-  * distributed topology a 100 TB pairwise-verify stage uses. */
+  * first 16 dimensions (65,536 random-hyperplane-style buckets — near
+  * dups agree on all sign bits, random pairs collide with p ≈ 2⁻¹⁶,
+  * so candidate generation is near-linear at 100 TB; round 1's 4-bit
+  * key was O(n²/16)). Exact cosine verifies each candidate with a
+  * per-row left-fold dot product — IEEE doubles added in identical
+  * element order are bit-equal across engines, and nothing is
+  * exploded through a shuffle. */
 object Q18eDedupEmbedding extends GraftQuery {
-  import NorthStar._
   val name = "q18e_dedup_embedding"
   private val bucketExpr =
-    "concat_ws('', transform(slice(embedding, 1, 4), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"
+    "concat_ws('', transform(slice(embedding, 1, 16), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"
+  private val n2Expr =
+    "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), " +
+      "cast(0 as double), (acc, p) -> acc + p)"
+  private val dotExpr =
+    "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), " +
+      "cast(0 as double), (acc, p) -> acc + p)"
   def run(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val n2 = e.select(col("vec_id"), explode(col("embedding")).as("x"))
-      .groupBy(col("vec_id"))
-      .agg(sum(dec(col("x")) * dec(col("x"))).as("n2"))
+    val n2 = e.select(col("vec_id"), expr(n2Expr).as("n2"))
     val b = e.select(col("vec_id"), col("embedding"), expr(bucketExpr).as("bucket"))
     val cand = b.select(col("vec_id").as("va"), col("embedding").as("ea"), col("bucket"))
       .join(b.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("bucket")), "bucket")
       .filter(col("va") < col("vb"))
-    val dots = cand
-      .select(col("va"), col("vb"),
-        explode(zip_with(col("ea"), col("eb"), (x, y) => dec(x) * dec(y))).as("p"))
-      .groupBy(col("va"), col("vb"))
-      .agg(sum(col("p")).as("dot"))
-    dots
+    cand.select(col("va"), col("vb"), expr(dotExpr).as("dot"))
       .join(n2.select(col("vec_id").as("va"), col("n2").as("n2a")), "va")
       .join(n2.select(col("vec_id").as("vb"), col("n2").as("n2b")), "vb")
       .select(col("va").as("vec_a"), col("vb").as("vec_b"),
-        (col("dot").cast("double") /
-          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double")))).as("cosine"))
+        (col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b")))).as("cosine"))
       .filter(col("cosine") >= 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
   }
-  private def d(x: String) = NorthStar.duckDec(x)
   val oracle = Some(s"""
     WITH b AS (SELECT vec_id, embedding,
-          array_to_string(list_transform(embedding[1:4], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+          array_to_string(list_transform(embedding[1:16], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
         FROM embeddings),
-    n2 AS (SELECT vec_id, list_aggregate(list_transform(range(1, len(embedding)+1),
-           i -> ${d("embedding[i]")} * ${d("embedding[i]")}), 'sum') AS n2 FROM b),
+    n2 AS (SELECT vec_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (acc, p) -> acc + p) AS n2 FROM b),
     cand AS (SELECT a.vec_id AS va, a.embedding AS ea, bd.vec_id AS vb, bd.embedding AS eb
              FROM b a JOIN b bd ON a.bucket = bd.bucket AND a.vec_id < bd.vec_id),
-    dots AS (SELECT va, vb, list_aggregate(list_transform(range(1, len(ea)+1),
-             i -> ${d("ea[i]")} * ${d("eb[i]")}), 'sum') AS dot FROM cand),
-    cos AS (SELECT va AS vec_a, vb AS vec_b,
-            ${NorthStar.duckDbl("dot")} / (sqrt(${NorthStar.duckDbl("na.n2")}) * sqrt(${NorthStar.duckDbl("nb.n2")})) AS cosine
+    dots AS (SELECT va, vb, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(ea)+1), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))),
+             (acc, p) -> acc + p) AS dot FROM cand),
+    cos AS (SELECT va AS vec_a, vb AS vec_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
             FROM dots JOIN n2 na ON na.vec_id = va JOIN n2 nb ON nb.vec_id = vb)
     SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= 0.4
     ORDER BY vec_a, vec_b
@@ -546,9 +585,9 @@ object Q23TokenCount extends GraftQuery {
         length(text) AS chars
       FROM documents)
     SELECT source, count(*) AS n_docs,
-      SUM(CAST(ws AS BIGINT)) AS sum_ws_tokens,
-      SUM(CAST(bpe AS BIGINT)) AS sum_bpe_tokens,
-      SUM(CAST(chars AS BIGINT)) AS sum_chars,
+      CAST(SUM(CAST(ws AS BIGINT)) AS BIGINT) AS sum_ws_tokens,
+      CAST(SUM(CAST(bpe AS BIGINT)) AS BIGINT) AS sum_bpe_tokens,
+      CAST(SUM(CAST(chars AS BIGINT)) AS BIGINT) AS sum_chars,
       CAST(SUM(CAST(ws AS BIGINT)) AS DOUBLE) / count(*) AS avg_ws_tokens
     FROM c GROUP BY source ORDER BY source
   """.trim)

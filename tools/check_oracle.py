@@ -24,7 +24,10 @@ def canon(v):
     if isinstance(v, list):
         return tuple(canon(x) for x in v)
     if v.__class__.__name__ == "Decimal":
-        return float(v)
+        # Type-tagged: the driver's hash distinguishes DuckDB HUGEINT/
+        # DECIMAL results from Spark int64/double — coercing to float
+        # here would hide exactly the mismatch that broke q23 in r1.
+        return ("decimal", str(v))
     return v
 
 
