@@ -9,7 +9,7 @@ object SparkEntry {
     * SURVEY order; names are stable driver-facing identifiers. */
   val all: Seq[GraftQuery] = Seq(
     InvertedIndex
-  ) ++ Relational.all ++ NorthStar.all
+  ) ++ Relational.all ++ NorthStar.all ++ graft.streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,193 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{Engine, Tables}
+import graft.queries.GraftQuery
+
+/** S1–S6 as driver-checkable queries: each builds a REAL file-source
+  * stream over the fixture parquet, runs the Streams transform through
+  * a memory sink to completion, and returns the final table — so the
+  * streaming pack goes through the same DuckDB oracle gate as the
+  * batch queries instead of being test-only.
+  *
+  * Determinism: each fixture is a single parquet file, so the file
+  * source delivers exactly one micro-batch; complete/update-mode final
+  * state (and append-mode state past the watermark, S3) is then a pure
+  * function of the data. Rendering conventions follow GraftQuery:
+  * window bounds as epoch-microsecond longs, money-ish sums as
+  * decimals, a total ORDER BY everywhere.
+  */
+object StreamQueries {
+  private val runId = new AtomicInteger(0)
+
+  /** Execute a streaming plan to completion on a memory sink; return
+    * the final result as a batch DataFrame. */
+  private[graft] def runToBatch(spark: SparkSession, stream: DataFrame,
+                                mode: String): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(name)
+  }
+
+  /** File-source stream over `events` with the same ns→µs timestamp
+    * canonicalization as the batch loader (Tables.events). */
+  private[graft] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set(Engine.NanosAsLong, "true")
+    val sch = spark.read.parquet(s"$dir/events.parquet").schema
+    // Glob form: the file-stream source requires a directory basePath.
+    val raw = spark.readStream.schema(sch).parquet(s"$dir/{events}.parquet")
+    if (sch("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  private[graft] def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    val sch = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(sch).parquet(s"$dir/{documents}.parquet")
+  }
+
+  /** DuckDB: events.ts is TIMESTAMP(NANOS); epoch µs by exact integer
+    * division — matches Tables.events' `ts div 1000`. */
+  private[streaming] val duckUs = "epoch_ns(ts) // 1000"
+
+  val all: Seq[GraftQuery] = Seq(
+    S1Tumbling, S2Sliding, S3WatermarkLate, S4SessionWindow, S5Dedup,
+    S6IncrementalIndex)
+}
+
+/** S1 — tumbling 1-hour counts per event_type (complete mode). */
+object S1Tumbling extends GraftQuery {
+  import StreamQueries._
+  val name = "s1_stream_tumbling"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    runToBatch(spark, Streams.tumblingCounts(eventsStream(spark, dir)), "complete")
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+      .orderBy(col("window_start_us"), col("event_type"))
+  val oracle = Some(s"""
+    WITH e AS (SELECT ${StreamQueries.duckUs} AS us, event_type FROM events)
+    SELECT (us // 3600000000) * 3600000000 AS window_start_us, event_type, count(*) AS n
+    FROM e GROUP BY 1, 2 ORDER BY 1, 2
+  """.trim)
+}
+
+/** S2 — 1-hour windows sliding every 15 min: decimal-exact sum + count
+  * (complete mode); every event lands in exactly 4 windows. */
+object S2Sliding extends GraftQuery {
+  import StreamQueries._
+  val name = "s2_stream_sliding"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    runToBatch(spark, Streams.slidingValueAgg(eventsStream(spark, dir)), "complete")
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("sum_value"), col("n"),
+        (col("sum_value").cast("double") / col("n")).as("avg_value"))
+      .orderBy(col("window_start_us"))
+  val oracle = Some(s"""
+    WITH e AS (SELECT ${StreamQueries.duckUs} AS us, value FROM events),
+    w AS (SELECT ((us // 900000000) - j) * 900000000 AS ws, value
+          FROM e, unnest(range(0, 4)) AS u(j)),
+    g AS (SELECT ws AS window_start_us,
+          SUM(CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))) AS sum_value,
+          count(*) AS n
+          FROM w GROUP BY ws)
+    SELECT window_start_us, sum_value, n,
+           CAST(CAST(sum_value AS VARCHAR) AS DOUBLE) / n AS avg_value
+    FROM g ORDER BY window_start_us
+  """.trim)
+}
+
+/** S3 — watermark + late data: append mode emits only windows whose
+  * end is at or before the watermark (max event time − 10 min, at
+  * millisecond precision); the open tail windows stay withheld. */
+object S3WatermarkLate extends GraftQuery {
+  import StreamQueries._
+  val name = "s3_stream_watermark_late"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    runToBatch(spark, Streams.watermarkedTumbling(eventsStream(spark, dir)), "append")
+      .select(unix_micros(col("window.start")).as("window_start_us"), col("n"))
+      .orderBy(col("window_start_us"))
+  val oracle = Some(s"""
+    WITH e AS (SELECT ${StreamQueries.duckUs} AS us FROM events),
+    wm AS (SELECT ((max(us) // 1000) - 600000) * 1000 AS wm_us FROM e)
+    SELECT (us // 3600000000) * 3600000000 AS window_start_us, count(*) AS n
+    FROM e GROUP BY 1
+    HAVING window_start_us + 3600000000 <= (SELECT wm_us FROM wm)
+    ORDER BY 1
+  """.trim)
+}
+
+/** S4 — 30-minute-gap session windows per user (complete mode — the
+  * one output mode Spark supports for session-window aggregations
+  * besides watermarked append). Must agree with batch Q17: same gap,
+  * new session iff gap STRICTLY exceeds 30 min — an event landing
+  * exactly on the previous session's end merges into it (verified by
+  * StreamingSpec). */
+object S4SessionWindow extends GraftQuery {
+  import StreamQueries._
+  val name = "s4_stream_session_window"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    runToBatch(spark, Streams.sessionWindows(eventsStream(spark, dir)), "complete")
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  val oracle = Some(s"""
+    WITH e AS (SELECT user_id, ${StreamQueries.duckUs} AS us, value FROM events),
+    f AS (SELECT user_id, us, value,
+          CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+               THEN 1 ELSE 0 END AS new_s
+          FROM e),
+    s AS (SELECT user_id, us, value,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f)
+    SELECT user_id, min(us) AS session_start_us,
+           max(us) + 1800000000 AS session_end_us,
+           count(*) AS n_events,
+           SUM(CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))) AS sum_value
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
+  """.trim)
+}
+
+/** S5 — streaming dedup: the stream unioned with itself (every event
+  * arrives twice) deduplicated back to unique event_ids within the
+  * watermark. */
+object S5Dedup extends GraftQuery {
+  import StreamQueries._
+  val name = "s5_stream_dedup"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val s = eventsStream(spark, dir)
+    val doubled = s.union(eventsStream(spark, dir))
+    runToBatch(spark, Streams.dedupByEventId(doubled), "append")
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .orderBy(col("event_id"))
+  }
+  val oracle = Some(s"""
+    SELECT event_id, event_type, ${StreamQueries.duckUs} AS us
+    FROM events ORDER BY event_id
+  """.trim)
+}
+
+/** S6 — Q1 incrementalized: the reference's inverted index as a
+  * streaming aggregation (update mode); final state must equal the
+  * batch Q1 result, so it shares Q1's oracle. */
+object S6IncrementalIndex extends GraftQuery {
+  import StreamQueries._
+  val name = "s6_stream_inverted_index"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    runToBatch(spark, Streams.incrementalInvertedIndex(docsStream(spark, dir)), "update")
+      .select(col("word"),
+        substring(col("word"), 1, 1).as("letter"),
+        size(col("doc_ids")).cast("long").as("df"),
+        array_join(col("doc_ids"), " ").as("doc_ids"))
+      .orderBy(col("df").desc, col("word").asc)
+  val oracle = graft.queries.InvertedIndex.oracle
+}

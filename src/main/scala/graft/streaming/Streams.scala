@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** S1–S6 — the Structured Streaming surface (SURVEY §2.B streaming
+  * declarations). Each operator is a pure transform over an unbounded
+  * DataFrame — the same declarative plan Catalyst incrementalizes —
+  * so the identical code runs on a file stream, Kafka, or a
+  * MemoryStream in tests. Nothing here knows about sources or sinks.
+  *
+  * Scale posture: every stateful operator carries a watermark so
+  * state is evicted as event time advances — unbounded state is the
+  * streaming equivalent of the quadratic join (it dies at 100 TB /
+  * unbounded retention). Aggregations shuffle once on their grouping
+  * key, exactly like their batch counterparts.
+  */
+object Streams {
+
+  /** S1 — tumbling 1-hour counts per event_type, 10-min watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** S2 — 1-hour windows sliding every 15 min: decimal-exact sum plus
+    * event count per window (avg = sum/n is derived in one IEEE
+    * division by the caller; the decimal sum keeps the aggregate
+    * order-independent and engine-exact). */
+  def slidingValueAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+           count(lit(1)).as("n"))
+
+  /** S3 — watermark + late data: append-mode tumbling counts. Only
+    * windows whose end has passed the 10-minute watermark are emitted;
+    * rows arriving later than the watermark are dropped. */
+  def watermarkedTumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+
+  /** S4 — session windows: 30-minute gap per user (must agree with the
+    * batch sessionization Q17 — same gap, same >=-gap boundary rule). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+
+  /** S5 — streaming dedup on event_id; state for an id is kept only
+    * within the watermark delay, so it is evicted as time advances
+    * (dropDuplicates("event_id") alone would grow state forever). */
+  def dedupByEventId(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** S6 — the reference's inverted index (Q1), incrementalized: same
+    * tokenize→normalize→distinct→group pipeline in update mode. The
+    * posting list uses collect_set exactly like batch Q1 (R10/R11). */
+  def incrementalInvertedIndex(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .select(col("doc_id"),
+        lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("doc_ids"))
+}

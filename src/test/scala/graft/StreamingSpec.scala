@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StreamQueries, Streams}
+
+/** SURVEY §5.2 item 5 — streaming ≡ batch on the same data.
+  *
+  * The Streams transforms are source-agnostic; here they run on
+  * MemoryStream inputs (no files involved) and must agree with the
+  * equivalent batch plans. S4 must agree with Q17's sessionization and
+  * S6 with Q1's inverted index (the reference's program).
+  */
+/** Top-level so Spark's case-class Encoder can instantiate it. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val evs = Seq(
+    // user 1: a gap of EXACTLY 30 min (00:10 -> 00:40) merges — new
+    // session only when the gap strictly exceeds the gap duration
+    Ev(1, Timestamp.valueOf("2024-01-01 00:00:00"), 1, "click", 1.0),
+    Ev(2, Timestamp.valueOf("2024-01-01 00:10:00"), 1, "view", 2.0),
+    Ev(3, Timestamp.valueOf("2024-01-01 00:40:00"), 1, "click", 3.0),
+    Ev(4, Timestamp.valueOf("2024-01-01 02:00:00"), 1, "purchase", 4.0),
+    // user 2: one session spanning an hour boundary
+    Ev(5, Timestamp.valueOf("2024-01-01 00:55:00"), 2, "view", 5.0),
+    Ev(6, Timestamp.valueOf("2024-01-01 01:05:00"), 2, "view", 6.0))
+
+  private def runStream(mkStream: DataFrame => DataFrame, mode: String): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(evs)
+    StreamQueries.runToBatch(spark, mkStream(in.toDF()), mode)
+  }
+
+  test("S1 tumbling counts == batch groupBy on the same rows") {
+    val out = runStream(Streams.tumblingCounts, "complete")
+      .select(col("window.start"), col("event_type"), col("n"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    val batch = evs.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(out === batch && out.nonEmpty)
+  }
+
+  test("S4 session windows == Q17-style lag/sum sessionization") {
+    val out = runStream(Streams.sessionWindows, "complete")
+      .select(col("user_id"), col("session_window.start"),
+        col("session_window.end"), col("n_events"))
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    // expected sessions: (user, start, end = last + 30 min, n)
+    val expect = Set(
+      (1L, ts("00:00:00"), ts("01:10:00"), 3L),
+      (1L, ts("02:00:00"), ts("02:30:00"), 1L),
+      (2L, ts("00:55:00"), ts("01:35:00"), 2L))
+    assert(out === expect)
+  }
+
+  test("S5 dedup collapses a doubled stream to unique event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(evs ++ evs) // every event twice
+    val out = StreamQueries.runToBatch(spark,
+      Streams.dedupByEventId(in.toDF()), "append")
+    assert(out.select("event_id").as[Long].collect().sorted ===
+      evs.map(_.event_id).sorted)
+  }
+
+  test("S6 incremental inverted index == batch Q1 on fixture documents") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    in.addData(docs)
+    val out = StreamQueries.runToBatch(spark,
+      Streams.incrementalInvertedIndex(
+        in.toDF().toDF("doc_id", "text")), "update")
+      .as[(String, Seq[Long])].collect().toSet
+    val batch = queries.InvertedIndex.index(Tables.documents(spark, sf))
+      .select(col("word"), col("doc_ids"))
+      .as[(String, Seq[Long])].collect().toSet
+    assert(out === batch && out.nonEmpty)
+  }
+
+  private def ts(hms: String) = Timestamp.valueOf(s"2024-01-01 $hms")
+}
