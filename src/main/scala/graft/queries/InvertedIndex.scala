@@ -54,6 +54,10 @@ object InvertedIndex extends GraftQuery {
   /** Reference sink (R15): one text part per first letter, lines
     * `word:[i1 i2 ...]`, ordered df desc / word asc within a letter
     * (main.cpp:148-183). Partitioned write ≡ the 26-letter work list.
+    * NOTE: partitionBy drops letters with no words; the byte-exact
+    * 26-file contract (empty files included) is
+    * [[graft.sources.TextCorpus.writeLetterFiles]], golden-tested
+    * against the compiled reference binary.
     */
   def writeTextIndex(docs: DataFrame, outDir: String): Unit =
     index(docs)

@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.queries.InvertedIndex
+
+/** The reference's input contract (R1/R3): a manifest file whose first
+  * line is a count N followed by N file paths; file IDs are 1-based in
+  * manifest order (/root/reference/src/main.cpp:334-345,
+  * README.md:23-25). Output contract (R12–R15): exactly 26 files
+  * `a.txt`…`z.txt`, lines `word:[i1 i2 …]` ordered df desc / word asc,
+  * a letter with no words still yielding an empty file
+  * (main.cpp:148-183).
+  *
+  * Spark-first shape: the manifest (tiny, driver-side) becomes a
+  * broadcast path→id map; the corpus itself is read by the
+  * distributed text source — one task per split, which replaces the
+  * reference's mutex-guarded work queue (main.cpp:216-226). Relative
+  * manifest entries resolve against the manifest's directory.
+  */
+object TextCorpus {
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true)))
+
+  /** Parse a manifest into (path, 1-based id), resolving relative
+    * paths against the manifest's parent directory. */
+  def manifestEntries(manifestPath: String): Seq[(String, Long)] = {
+    // Absolute + normalized: the path→id map is joined against
+    // input_file_name(), which always reports absolute paths — a
+    // relative entry would silently match nothing.
+    val p = Paths.get(manifestPath).toAbsolutePath.normalize
+    val lines = Files.readAllLines(p)
+    val n = lines.get(0).trim.toInt
+    (1 to n).map { i =>
+      val raw = Paths.get(lines.get(i).trim)
+      val abs = if (raw.isAbsolute) raw else p.getParent.resolve(raw)
+      (abs.normalize.toString, i.toLong)
+    }
+  }
+
+  /** `documents`-shaped DataFrame (doc_id, text) from a manifest: one
+    * row per LINE of each corpus file (the reference streams lines,
+    * main.cpp:232-238; Q1's tokenizer splits them further). */
+  def documents(spark: SparkSession, manifestPath: String): DataFrame = {
+    val entries = manifestEntries(manifestPath)
+    if (entries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+    val ids = spark.createDataFrame(entries).toDF("path", "doc_id")
+    spark.read.text(entries.map(_._1): _*)
+      .withColumn("path", regexp_replace(input_file_name(), "^file:/+", "/"))
+      .join(broadcast(ids), "path")
+      .select(col("doc_id"), col("value").as("text"))
+  }
+
+  /** Reference-exact sink: 26 files `<letter>.txt` in outDir. The
+    * distributed write is a partitioned text write sorted within
+    * partitions; the driver only renames the per-letter part file and
+    * touches empty files for absent letters (O(26) finalization). */
+  def writeLetterFiles(docs: DataFrame, outDir: String): Unit = {
+    val spark = docs.sparkSession
+    val tmp = s"$outDir/_parts"
+    InvertedIndex.index(docs)
+      .repartition(col("letter"))
+      .sortWithinPartitions(col("letter"), col("df").desc, col("word").asc)
+      .select(col("letter"), concat(
+        col("word"), lit(":["),
+        array_join(col("doc_ids"), " "), lit("]")).as("value"))
+      .write.mode("overwrite").partitionBy("letter").text(tmp)
+    val out = Paths.get(outDir)
+    Files.createDirectories(out)
+    ('a' to 'z').foreach { letter =>
+      val target = out.resolve(s"$letter.txt")
+      val partDir = Paths.get(tmp, s"letter=$letter")
+      if (Files.isDirectory(partDir)) {
+        val parts = Files.list(partDir).iterator()
+        var moved = false
+        while (parts.hasNext) {
+          val f = parts.next()
+          if (f.getFileName.toString.startsWith("part-")) {
+            // repartition(letter) puts each letter in one task → one part
+            Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
+            moved = true
+          }
+        }
+        if (!moved) Files.write(target, Array.emptyByteArray)
+      } else {
+        Files.write(target, Array.emptyByteArray) // empty letter → empty file
+      }
+    }
+    // clean the staging dir
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+    val _ = spark
+  }
+
+  /** End-to-end reference CLI equivalent: manifest in, a.txt…z.txt out. */
+  def buildIndex(spark: SparkSession, manifestPath: String, outDir: String): Unit =
+    writeLetterFiles(documents(spark, manifestPath), outDir)
+}
