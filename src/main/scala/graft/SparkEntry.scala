@@ -8,8 +8,10 @@ object SparkEntry {
   /** Every implemented operator/query (SURVEY §2.B). Order is the
     * SURVEY order; names are stable driver-facing identifiers. */
   val all: Seq[GraftQuery] = Seq(
-    InvertedIndex
-  ) ++ Relational.all ++ NorthStar.all ++ graft.streaming.StreamQueries.all
+    InvertedIndex, InvertedIndexUdaf
+  ) ++ Relational.all ++ NorthStar.all ++
+    Seq(graft.multimodal.Q25MultimodalFeatures) ++
+    graft.streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -85,3 +85,31 @@ object InvertedIndex extends GraftQuery {
     ORDER BY df DESC, word ASC
   """.stripMargin.trim)
 }
+
+/** Q1b — Q1 through the user-extension surface instead of built-ins:
+  * the R5 normalizer as a registered scalar `udf` and the R11
+  * posting-list merge as a registered typed-`Aggregator` `udaf`
+  * (graft.functions.PostingList). Same oracle as Q1 — the two paths
+  * must be indistinguishable to the driver. The built-in Q1 remains
+  * the hot path (codegen'd); this exists to prove the extension API. */
+object InvertedIndexUdaf extends GraftQuery {
+  val name = "q1b_inverted_index_udaf"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PostingList.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .select(col("doc_id"),
+        graft.functions.PostingList.normalizeWord(col("tok")).as("word"))
+      .filter(col("word") =!= "")
+      .dropDuplicates("word", "doc_id")
+      .groupBy(col("word"))
+      .agg(expr("graft_posting_list(doc_id)").as("doc_ids"))
+      .select(
+        col("word"),
+        substring(col("word"), 1, 1).as("letter"),
+        size(col("doc_ids")).cast("long").as("df"),
+        array_join(col("doc_ids"), " ").as("doc_ids"))
+      .orderBy(col("df").desc, col("word").asc)
+  }
+  val oracle = InvertedIndex.oracle
+}

@@ -336,14 +336,17 @@ object Q12DistinctAgg extends GraftQuery {
 
 /** Q12b — approx distinct (HLL++). Sketch results are engine-specific →
   * no DuckDB hash oracle (driver records a rows-only check); a ScalaTest
-  * asserts the ±5% envelope against the exact count instead. */
+  * (ApproxDistinctSpec) asserts the ±5% envelope against the exact
+  * count. rsd = 0.01: the default 0.05 is a 1-sigma bound, so ~1/3 of
+  * counts would legitimately land outside ±5%; at 1% rsd a 5% miss is
+  * a 5-sigma event. Sketch size is still only ~24 KB per group. */
 object Q12bApproxDistinct extends GraftQuery {
   val name = "q12b_approx_distinct"
   def run(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-           approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+           approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
       .orderBy(col("l_returnflag"))
   val oracle = None
 }

@@ -1,0 +1,61 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal._
+
+/** The multimodal plumbing is real even though decode is a stub:
+  * typed schema, batch shape, partition-locality, and the determinism
+  * of the fake codec (same payload → same features). */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = mediaTable(spark, sf).as[MediaRow]
+
+  test("media schema: binary payload + typed metadata struct") {
+    val sch = mediaTable(spark, sf).schema
+    assert(sch("payload").dataType.typeName === "binary")
+    assert(sch("meta").dataType.typeName === "struct")
+  }
+
+  test("feature extraction is deterministic and checksum matches md5 of payload") {
+    val a = extractFeatures(media).collect().sortBy(_.media_id)
+    val b = extractFeatures(media).collect().sortBy(_.media_id)
+    assert(a.toSeq === b.toSeq)
+    // spot-check one checksum against Spark's own md5
+    val expect = mediaTable(spark, sf)
+      .select(col("media_id"), md5(col("payload")).as("m"))
+      .as[(Long, String)].collect().toMap
+    a.foreach(f => assert(f.checksum === expect(f.media_id)))
+  }
+
+  test("mean_intensity equals the unsigned-byte mean of the payload") {
+    val rows = media.collect().map(r => r.media_id ->
+      (if (r.payload.isEmpty) 0.0
+       else r.payload.map(b => (b & 0xff).toLong).sum.toDouble / r.payload.length)).toMap
+    extractFeatures(media).collect().foreach { f =>
+      assert(f.mean_intensity === rows(f.media_id))
+    }
+  }
+
+  test("mapPartitions consumes the iterator in bounded batches") {
+    // a codec that records the largest observed batch via decode calls
+    // cannot see batch boundaries; instead check grouped() semantics by
+    // running with batchSize 7 and asserting identical output to 64
+    val small = extractFeatures(media, FakeCodec, batchSize = 7)
+      .collect().sortBy(_.media_id).toSeq
+    val big = extractFeatures(media, FakeCodec, batchSize = 64)
+      .collect().sortBy(_.media_id).toSeq
+    assert(small === big)
+  }
+
+  test("frame sampling: every max(1, n_frames/4)-th frame") {
+    val d = FakeCodec.decode(Array[Byte](1, 2, 3), MediaMeta("png", 8, 8, 10))
+    assert(d.frames === Seq(0, 2, 4, 6, 8)) // step = 10/4 = 2
+    val d2 = FakeCodec.decode(Array[Byte](1), MediaMeta("png", 8, 8, 3))
+    assert(d2.frames === Seq(0, 1, 2)) // step = 1
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.queries.InvertedIndex
+
+/** SURVEY §5.2 item 2 — property-based agreement between the
+  * distributed Q1 pipeline and a naive in-memory Scala reference on
+  * random corpora, plus the structural invariants of §1.4.
+  * (Raw ScalaCheck generators with fixed seeds — the scalatest
+  * bridge artifact is not in the offline cache.)
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sample stream from a generator. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val token: Gen[String] = Gen.oneOf(
+    Gen.stringOfN(3, Gen.alphaChar),
+    Gen.stringOfN(2, Gen.alphaLowerChar),
+    Gen.oneOf("word-count", "index2", "123", "?!?", "HeLLo", "a", "Zz"))
+  private val docGen: Gen[String] =
+    Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, token)).map(_.mkString(" "))
+  private val corpusGen: Gen[List[String]] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, docGen))
+
+  /** The reference's semantics, naively: normalize per §1.4, distinct
+    * per doc, group, postings ascending. */
+  private def naive(corpus: List[String]): Map[String, List[Long]] =
+    corpus.zipWithIndex.flatMap { case (text, i) =>
+      text.split("\\s+").toList
+        .map(_.toLowerCase.filter(c => c >= 'a' && c <= 'z'))
+        .filter(_.nonEmpty).distinct
+        .map(w => (w, (i + 1).toLong))
+    }.groupBy(_._1).map { case (w, ps) => w -> ps.map(_._2).distinct.sorted }
+
+  test("Q1 pipeline == naive in-memory reference on random corpora") {
+    samples(corpusGen, 15).foreach { corpus =>
+      val df = corpus.zipWithIndex
+        .map { case (t, i) => ((i + 1).toLong, t) }.toDF("doc_id", "text")
+      val got = InvertedIndex.index(df)
+        .select($"word", $"doc_ids")
+        .as[(String, List[Long])].collect().toMap
+      assert(got === naive(corpus))
+    }
+  }
+
+  test("Q1 invariants: postings ascending, ids in range, letter = first char") {
+    samples(corpusGen, 10).foreach { corpus =>
+      val df = corpus.zipWithIndex
+        .map { case (t, i) => ((i + 1).toLong, t) }.toDF("doc_id", "text")
+      val rows = InvertedIndex.index(df).collect()
+      rows.foreach { r =>
+        val word = r.getString(0)
+        val ids = r.getSeq[Long](3)
+        assert(ids == ids.sorted && ids.distinct == ids)
+        assert(ids.forall(id => id >= 1 && id <= corpus.length))
+        assert(r.getString(1) == word.substring(0, 1))
+        assert(r.getLong(2) == ids.length)
+        assert(word.nonEmpty && word.forall(c => c >= 'a' && c <= 'z'))
+      }
+    }
+  }
+
+  test("typed Aggregator merge == sort_array(collect_set) on random inputs") {
+    import graft.functions.PostingList.PostingListAgg
+    samples(Gen.listOf(Gen.chooseNum(1L, 20L)), 30).foreach { ids =>
+      val viaAgg = ids.foldLeft(PostingListAgg.zero)(PostingListAgg.reduce)
+      // also exercise merge: split in two halves, fold each, merge
+      val (l, r) = ids.splitAt(ids.length / 2)
+      val merged = PostingListAgg.merge(
+        l.foldLeft(PostingListAgg.zero)(PostingListAgg.reduce),
+        r.foldLeft(PostingListAgg.zero)(PostingListAgg.reduce))
+      val expect = ids.distinct.sorted
+      assert(viaAgg == expect && merged == expect)
+    }
+  }
+}
