@@ -21,6 +21,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Untimed warmup: JIT + codegen + parquet-footer caches otherwise
+    // land entirely on whichever query happens to run first.
+    try {
+      val q1 = SparkEntry.all.head
+      q1.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.all.map { q =>
       val t0 = System.nanoTime()
       val sec =

@@ -27,14 +27,21 @@ object InvertedIndex extends GraftQuery {
   val name = "q1_inverted_index"
 
   /** (doc_id, word) pairs, normalized + per-document distinct. */
-  def wordDocPairs(docs: DataFrame): DataFrame = docs
+  def wordDocPairs(docs: DataFrame): DataFrame = rawPairs(docs)
+    .dropDuplicates("word", "doc_id")
+
+  private def rawPairs(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
     .select(col("doc_id"),
       lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
     .filter(col("word") =!= "")
-    .dropDuplicates("word", "doc_id")
 
-  def index(docs: DataFrame): DataFrame = wordDocPairs(docs)
+  /** One shuffle, not two: the per-document distinct (R7) is NOT a
+    * separate dropDuplicates exchange — collect_set dedups, and
+    * Catalyst's map-side partial aggregation performs the dedup
+    * before anything hits the wire (exactly the reference's local
+    * wordMap check, main.cpp:247-249). */
+  def index(docs: DataFrame): DataFrame = rawPairs(docs)
     .groupBy(col("word"))
     .agg(sort_array(collect_set(col("doc_id"))).as("doc_ids"))
     .select(
@@ -101,9 +108,8 @@ object InvertedIndexUdaf extends GraftQuery {
       .select(col("doc_id"),
         graft.functions.PostingList.normalizeWord(col("tok")).as("word"))
       .filter(col("word") =!= "")
-      .dropDuplicates("word", "doc_id")
       .groupBy(col("word"))
-      .agg(expr("graft_posting_list(doc_id)").as("doc_ids"))
+      .agg(expr("graft_posting_list(doc_id)").as("doc_ids")) // Aggregator dedups
       .select(
         col("word"),
         substring(col("word"), 1, 1).as("letter"),

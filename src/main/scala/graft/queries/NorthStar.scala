@@ -46,12 +46,15 @@ object NorthStar {
     "list_distinct(list_transform(range(1, len(t)-1), " +
       "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
 
-  /** Per-document distinct 3-shingle sets (docs with ≥3 tokens). */
+  /** Per-document distinct 3-shingle sets (docs with ≥3 tokens).
+    * `t` is let-bound: shinglesExpr references it 3× per shingle
+    * index, and CollapseProject would otherwise re-tokenize the text
+    * at every reference (measured 11 s of q18d's 19 s at sf0.1). */
   private[queries] def shingleSets(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), expr(toksExpr).as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+      .select(col("doc_id"), expr(let("t", "t", shinglesExpr)).as("sh"))
 
   /** Spark float→decimal element cast (Q15-validated parity path). */
   private[queries] def dec(c: Column): Column = c.cast("decimal(18,10)")
@@ -123,28 +126,33 @@ object Q18bDedupMinHash extends GraftQuery {
   import NorthStar._
   val name = "q18b_dedup_minhash"
   def run(spark: SparkSession, dir: String): DataFrame = {
+    // hex→int via native conv() (codegen'd — the interpreted 15-step
+    // fold was the residual hot spot); the DuckDB oracle computes the
+    // same VALUE with a list_reduce fold, method need not match.
     val sig = shingleSets(spark, dir)
       .select(col("doc_id"), expr(
-        "transform(sh, s -> aggregate(split(substring(md5(s), 1, 15), ''), cast(0 as bigint), " +
-          "(acc, c) -> acc * 16 + cast(instr('0123456789abcdef', c) - 1 as bigint)) % 1000000007)").as("hs"))
+        "transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 1000000007)").as("hs"))
       .select(col("doc_id"), expr(let("hsv", "hs",
         "transform(sequence(0, 31), i -> array_min(transform(hsv, h -> " +
           "(((2654435761 * (i+1)) % 1000000007) * h + ((40503 * (i+1) + 7) % 1000000007)) % 1000000007)))")).as("sig"))
-    val bands = sig.select(col("doc_id"), explode(expr(let("sg", "sig",
+      .repartition(col("doc_id")) // barrier: sig referenced 9× below
+    // sig rides along through the band join: Spark does not share DAG
+    // subtrees, so separate sa/sb join branches would re-run the whole
+    // signature pipeline twice more.
+    val bands = sig.select(col("doc_id"), col("sig"), explode(expr(let("sg", "sig",
       "transform(sequence(0,7), j -> concat_ws(',', cast(j as string), " +
         "element_at(sg,4*j+1), element_at(sg,4*j+2), element_at(sg,4*j+3), element_at(sg,4*j+4)))")))
       .as("bkey"))
-    val cand = bands.as("a")
+    // codegen'd 32-term match count (no per-pair interpreted HOF)
+    val matches = (1 to 32)
+      .map(i => s"IF(element_at(sa, $i) = element_at(sb, $i), 1, 0)").mkString(" + ")
+    bands.as("a")
       .join(bands.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sa = sig.select(col("doc_id").as("ida"), col("sig").as("sa"))
-    val sb = sig.select(col("doc_id").as("idb"), col("sig").as("sb"))
-    cand.join(sa, col("doc_a") === col("ida"))
-      .join(sb, col("doc_b") === col("idb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        expr("cast(size(filter(sequence(1,32), i -> element_at(sa,i) = element_at(sb,i))) as double) / 32.0")
-          .as("est_jaccard"))
+        (expr(matches).cast("double") / 32.0).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -186,24 +194,43 @@ object Q18cDedupSimHash extends GraftQuery {
       .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("t"))
       .filter(size(col("t")) > 0)
       .select(col("doc_id"), size(col("t")).as("n"),
-        expr("transform(t, tok -> substring(md5(tok), 1, 16))").as("hx"))
+        // nibble arrays: 16 string ops per token ONCE; the 64 bit
+        // tests below are then pure int ops (no per-test substring)
+        expr("transform(t, tok -> transform(split(substring(md5(tok), 1, 16), ''), " +
+          "c -> instr('0123456789abcdef', c) - 1))").as("nibs"))
       .select(col("doc_id"), col("n"),
-        expr(let("hv", "hx",
-          "transform(sequence(0, 63), i -> size(filter(hv, h -> " +
-            "(shiftright(instr('0123456789abcdef', substring(h, (i div 4) + 1, 1)) - 1, i % 4) & 1) = 1)))"))
+        expr(let("nv", "nibs",
+          "transform(sequence(0, 63), i -> size(filter(nv, nb -> " +
+            "(shiftright(element_at(nb, cast(i div 4 as int) + 1), cast(i % 4 as int)) & 1) = 1)))"))
           .as("hits"))
       .select(col("doc_id"),
         expr(let("s", "named_struct('n', n, 'hits', hits)",
           "transform(sequence(0, 3), j -> aggregate(sequence(0, 15), cast(0 as bigint), " +
             "(acc, k) -> acc + IF(2 * element_at(s.hits, 16*j+k+1) > s.n, cast(shiftleft(1, k) as bigint), cast(0 as bigint))))"))
           .as("chunks"))
-    val chunks = sigs
-      .select(col("doc_id"), col("chunks"), posexplode(col("chunks")).as(Seq("j", "cv")))
-      .select(col("doc_id"), col("chunks"), concat_ws("|", col("j"), col("cv")).as("ckey"))
+    // Chunks as four flat columns: the per-pair Hamming distance is
+    // then pure codegen'd bit_count/xor arithmetic. The fixture corpus
+    // is heavily clustered (one chunk bucket holds 1/3 of the docs),
+    // so the verify stage runs over millions of candidate pairs — an
+    // interpreted HOF there cost 16 s at sf0.1.
+    // The repartition is a REAL exchange barrier: downstream selects
+    // reference the chunks array 8×, and without a materialization
+    // point CollapseProject re-evaluates the whole signature pipeline
+    // at each reference (measured 14 s → 26 s). One tiny shuffle of
+    // (doc_id, 4×int64) rows buys back 8× the signature cost.
+    val flat = sigs.repartition(col("doc_id")).select(col("doc_id"),
+      element_at(col("chunks"), 1).as("c0"), element_at(col("chunks"), 2).as("c1"),
+      element_at(col("chunks"), 3).as("c2"), element_at(col("chunks"), 4).as("c3"))
+    val chunks = flat
+      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))).as(Seq("j", "cv")))
+      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        concat_ws("|", col("j"), col("cv")).as("ckey"))
     chunks.as("a")
       .join(chunks.as("b"), col("a.ckey") === col("b.ckey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("aggregate(zip_with(a.chunks, b.chunks, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+        expr("bit_count(a.c0 ^ b.c0) + bit_count(a.c1 ^ b.c1) + " +
+          "bit_count(a.c2 ^ b.c2) + bit_count(a.c3 ^ b.c3)")
           .cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
