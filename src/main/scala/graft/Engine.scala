@@ -19,6 +19,7 @@ object Engine {
   val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
 
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new graft.functions.GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -8,7 +8,7 @@ object SparkEntry {
   /** Every implemented operator/query (SURVEY §2.B). Order is the
     * SURVEY order; names are stable driver-facing identifiers. */
   val all: Seq[GraftQuery] = Seq(
-    InvertedIndex, InvertedIndexUdaf
+    InvertedIndex, InvertedIndexUdaf, InvertedIndexNative
   ) ++ Relational.all ++ NorthStar.all ++
     Seq(graft.multimodal.Q25MultimodalFeatures) ++
     graft.streaming.StreamQueries.all

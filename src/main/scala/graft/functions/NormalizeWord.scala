@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** R5 (the reference's `filterWord`, main.cpp:191-208) as a native
+  * Catalyst expression WITH whole-stage codegen: keep `[A-Za-z]`,
+  * lowercase, delete everything else — one byte-loop over the
+  * UTF8String, no regex engine, no UDF serialization boundary.
+  *
+  * This is the (b)-tier extension point of the design ladder (compose
+  * built-ins > custom `Expression` > custom plan/strategy): Q1's
+  * `lower(regexp_replace(...))` is semantically identical and stays
+  * the default — this expression exists to prove the ladder rung and
+  * to shave the regex engine off the hottest scalar in the flagship
+  * query (q1c in BENCH measures the difference). ASCII-only by
+  * construction: non-ASCII bytes (0x80+) are deleted like any other
+  * non-letter, matching the reference's `isalpha` on signed chars.
+  */
+case class NormalizeWord(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_normalize_fast requires STRING, got ${child.dataType.sql}")
+  override def prettyName: String = "graft_normalize_fast"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].getBytes
+    val out = new Array[Byte](s.length)
+    var i = 0; var n = 0
+    while (i < s.length) {
+      val b = s(i)
+      if (b >= 'a' && b <= 'z') { out(n) = b; n += 1 }
+      else if (b >= 'A' && b <= 'Z') { out(n) = (b + 32).toByte; n += 1 }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val b = ctx.freshName("b")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |byte[] $out = new byte[$bytes.length];
+         |int $n = 0;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  byte $b = $bytes[$i];
+         |  if ($b >= 'a' && $b <= 'z') { $out[$n++] = $b; }
+         |  else if ($b >= 'A' && $b <= 'Z') { $out[$n++] = (byte)($b + 32); }
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromBytes($out, 0, $n);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeWord =
+    copy(child = newChild)
+}
+
+/** Session extension registering the native function — usable via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` or
+  * `builder.withExtensions(new GraftExtensions)` (Engine does the
+  * latter). Public API only: SparkSessionExtensions.injectFunction. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_normalize_fast"),
+      new ExpressionInfo(classOf[NormalizeWord].getName, "graft_normalize_fast"),
+      (children: Seq[Expression]) => NormalizeWord(children.head)))
+  }
+}

@@ -93,6 +93,30 @@ object InvertedIndex extends GraftQuery {
   """.stripMargin.trim)
 }
 
+/** Q1c — Q1 with the normalizer as a NATIVE codegen'd Catalyst
+  * expression (graft.functions.NormalizeWord, injected by
+  * GraftExtensions): a byte-loop replaces the regex engine on the
+  * hottest scalar of the flagship query. Same oracle as Q1; BENCH
+  * compares the three normalizer tiers head-to-head
+  * (expression < regexp built-in < scala udf). */
+object InvertedIndexNative extends GraftQuery {
+  val name = "q1c_inverted_index_native"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .select(col("doc_id"), expr("graft_normalize_fast(tok)").as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("doc_ids"))
+      .select(
+        col("word"),
+        substring(col("word"), 1, 1).as("letter"),
+        size(col("doc_ids")).cast("long").as("df"),
+        array_join(col("doc_ids"), " ").as("doc_ids"))
+      .orderBy(col("df").desc, col("word").asc)
+  val oracle = InvertedIndex.oracle
+}
+
 /** Q1b — Q1 through the user-extension surface instead of built-ins:
   * the R5 normalizer as a registered scalar `udf` and the R11
   * posting-list merge as a registered typed-`Aggregator` `udaf`
