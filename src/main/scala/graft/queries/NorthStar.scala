@@ -84,8 +84,9 @@ object NorthStar {
   // this object's own init would otherwise capture them as null.
   val all: Seq[GraftQuery] = Seq(
     Q18DedupExact, Q18bDedupMinHash, Q18cDedupSimHash, Q18dDedupNgram,
-    Q18eDedupEmbedding, Q19SimilarityTopK, Q19bAnnLsh, Q20TopTermsPerLang,
-    Q21LanguageId, Q22QualityScore, Q23TokenCount, Q24Fingerprint)
+    Q18eDedupEmbedding, Q19SimilarityTopK, Q19bAnnLsh, Q19cAnnSparkMl,
+    Q20TopTermsPerLang, Q21LanguageId, Q22QualityScore, Q23TokenCount,
+    Q24Fingerprint)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).
@@ -448,6 +449,35 @@ object Q19bAnnLsh extends GraftQuery {
     SELECT vec_id, ${NorthStar.duckDbl("dot")} / (sqrt(${NorthStar.duckDbl("n2")}) * sqrt(${NorthStar.duckDbl("qn2")})) AS cosine
     FROM c ORDER BY cosine DESC, vec_id ASC LIMIT 10
   """.trim)
+}
+
+/** Q19c — the 100 TB ANN path on the PUBLIC spark.ml API (SURVEY
+  * §4.2): BucketedRandomProjectionLSH (p-stable Euclidean LSH, seeded
+  * → deterministic) over the embeddings, approxNearestNeighbors for
+  * the query vector. The only driver-side value is the single query
+  * key — everything else is a bucketed distributed scan. Hash-oracle
+  * is impossible (the hyperplanes live in the JVM model, not SQL), so
+  * the driver records rows-only; AnnSparkMlSpec pins determinism and
+  * recall against the exact Q19 baseline. */
+object Q19cAnnSparkMl extends GraftQuery {
+  val name = "q19c_ann_sparkml"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(2.0).setNumHashTables(4).setSeed(42)
+      .setInputCol("features").setOutputCol("hashes")
+    val model = lsh.fit(e)
+    val key = e.filter(col("vec_id") === 0)
+      .head().getAs[org.apache.spark.ml.linalg.Vector]("features")
+    model.approxNearestNeighbors(e.filter(col("vec_id") =!= 0), key, 10)
+      .select(col("vec_id"), round(col("distCol"), 4).as("euclid_dist"))
+      .orderBy(col("euclid_dist"), col("vec_id"))
+  }
+  val oracle = None
 }
 
 /** Q20 — top-5 terms per language by term frequency (Q1's tokenizer +
