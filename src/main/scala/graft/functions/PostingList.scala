@@ -21,44 +21,24 @@ import org.apache.spark.sql.functions.udf
   */
 object PostingList {
 
-  /** Merge doc ids into an ascending, distinct posting list. */
-  object PostingListAgg extends Aggregator[Long, Seq[Long], Seq[Long]] {
-    def zero: Seq[Long] = Vector.empty
-    def reduce(b: Seq[Long], a: Long): Seq[Long] = insert(b, a)
-    def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] = {
-      // linear merge of two sorted runs — what the reference's
-      // sort-after-concat (main.cpp:126) should have been
-      val out = Vector.newBuilder[Long]
-      var (i, j) = (0, 0)
-      while (i < b1.length && j < b2.length) {
-        val c = java.lang.Long.compare(b1(i), b2(j))
-        if (c < 0) { out += b1(i); i += 1 }
-        else if (c > 0) { out += b2(j); j += 1 }
-        else { out += b1(i); i += 1; j += 1 }
-      }
-      while (i < b1.length) { out += b1(i); i += 1 }
-      while (j < b2.length) { out += b2(j); j += 1 }
-      out.result()
-    }
-    def finish(r: Seq[Long]): Seq[Long] = r
-    def bufferEncoder: Encoder[Seq[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  /** Merge doc ids into an ascending, distinct posting list.
+    *
+    * Buffer = hash set (kryo-encoded): O(1) amortized insert and
+    * union. A sorted-sequence buffer would pay O(n) per insert —
+    * O(n²) for a hot word — which is the same class of flaw as the
+    * reference's sort-after-every-merge (main.cpp:126). The single
+    * O(n log n) sort happens once per group, in finish. */
+  object PostingListAgg
+      extends Aggregator[Long, scala.collection.mutable.HashSet[Long], Seq[Long]] {
+    type Buf = scala.collection.mutable.HashSet[Long]
+    def zero: Buf = scala.collection.mutable.HashSet.empty[Long]
+    def reduce(b: Buf, a: Long): Buf = { b += a; b }
+    def merge(b1: Buf, b2: Buf): Buf =
+      if (b1.size >= b2.size) { b1 ++= b2; b1 } else { b2 ++= b1; b2 }
+    def finish(r: Buf): Seq[Long] = r.toSeq.sorted
+    def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
     def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
-
-    private def insert(b: Seq[Long], a: Long): Seq[Long] = {
-      val idx = search(b, a)
-      if (idx >= 0) b else b.patch(-idx - 1, Seq(a), 0)
-    }
-    private def search(b: Seq[Long], a: Long): Int = {
-      var lo = 0; var hi = b.length - 1
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        val c = java.lang.Long.compare(b(mid), a)
-        if (c < 0) lo = mid + 1 else if (c > 0) hi = mid - 1 else return mid
-      }
-      -(lo + 1)
-    }
   }
 
   /** R5 as a scalar udf: delete non-[A-Za-z] (ASCII only, like the

@@ -68,12 +68,13 @@ class PropertySpec extends SparkSpec {
   test("typed Aggregator merge == sort_array(collect_set) on random inputs") {
     import graft.functions.PostingList.PostingListAgg
     samples(Gen.listOf(Gen.chooseNum(1L, 20L)), 30).foreach { ids =>
-      val viaAgg = ids.foldLeft(PostingListAgg.zero)(PostingListAgg.reduce)
+      val viaAgg = PostingListAgg.finish(
+        ids.foldLeft(PostingListAgg.zero)(PostingListAgg.reduce))
       // also exercise merge: split in two halves, fold each, merge
       val (l, r) = ids.splitAt(ids.length / 2)
-      val merged = PostingListAgg.merge(
+      val merged = PostingListAgg.finish(PostingListAgg.merge(
         l.foldLeft(PostingListAgg.zero)(PostingListAgg.reduce),
-        r.foldLeft(PostingListAgg.zero)(PostingListAgg.reduce))
+        r.foldLeft(PostingListAgg.zero)(PostingListAgg.reduce)))
       val expect = ids.distinct.sorted
       assert(viaAgg == expect && merged == expect)
     }
