@@ -343,7 +343,7 @@ object Q18eDedupEmbedding extends GraftQuery {
       .join(n2.select(col("vec_id").as("vb"), col("n2").as("n2b")), "vb")
       .select(col("va").as("vec_a"), col("vb").as("vec_b"),
         (col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b")))).as("cosine"))
-      .filter(col("cosine") >= 0.4)
+      .filter(col("cosine") >= 0.2)
       .orderBy(col("vec_a"), col("vec_b"))
   }
   val oracle = Some(s"""
@@ -360,7 +360,7 @@ object Q18eDedupEmbedding extends GraftQuery {
              (acc, p) -> acc + p) AS dot FROM cand),
     cos AS (SELECT va AS vec_a, vb AS vec_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
             FROM dots JOIN n2 na ON na.vec_id = va JOIN n2 nb ON nb.vec_id = vb)
-    SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= 0.4
+    SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= 0.2
     ORDER BY vec_a, vec_b
   """.trim)
 }
