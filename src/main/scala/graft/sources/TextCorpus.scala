@@ -62,10 +62,15 @@ object TextCorpus {
     * distributed write is a partitioned text write sorted within
     * partitions; the driver only renames the per-letter part file and
     * touches empty files for absent letters (O(26) finalization). */
-  def writeLetterFiles(docs: DataFrame, outDir: String): Unit = {
-    val spark = docs.sparkSession
+  def writeLetterFiles(docs: DataFrame, outDir: String): Unit =
+    writeLetterFilesFromIndex(InvertedIndex.index(docs), outDir)
+
+  /** Same sink over a prebuilt index DF (word, letter, df, doc_ids) —
+    * also the foreachBatch target for the streaming S6 pipeline. */
+  def writeLetterFilesFromIndex(index: DataFrame, outDir: String): Unit = {
+    val spark = index.sparkSession
     val tmp = s"$outDir/_parts"
-    InvertedIndex.index(docs)
+    index
       .repartition(col("letter"))
       .sortWithinPartitions(col("letter"), col("df").desc, col("word").asc)
       .select(col("letter"), concat(

@@ -72,4 +72,21 @@ object Streams {
       .filter(col("word") =!= "")
       .groupBy(col("word"))
       .agg(sort_array(collect_set(col("doc_id"))).as("doc_ids"))
+
+  /** S6 sink: maintain the reference's 26 `<letter>.txt` files from
+    * the incremental index — complete-mode foreachBatch republishes
+    * the letter files on every micro-batch, so a reader always sees
+    * the reference's exact output contract over all data so far. */
+  def writeIndexLetterFiles(docs: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incrementalInvertedIndex(docs)
+      .select(col("word"),
+        substring(col("word"), 1, 1).as("letter"),
+        size(col("doc_ids")).cast("long").as("df"),
+        col("doc_ids"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.TextCorpus.writeLetterFilesFromIndex(batch, outDir)
+      }
+      .start()
 }

@@ -92,5 +92,21 @@ class StreamingSpec extends SparkSpec {
     assert(out === batch && out.nonEmpty)
   }
 
+  test("S6 letter-file sink == batch TextCorpus sink on the same docs") {
+    val outS = java.nio.file.Files.createTempDirectory("s6_sink").toString
+    val outB = java.nio.file.Files.createTempDirectory("s6_batch").toString
+    val docs = graft.streaming.StreamQueries.docsStream(spark, sf)
+    val q = Streams.writeIndexLetterFiles(docs, outS)
+    try { q.processAllAvailable() } finally { q.stop() }
+    sources.TextCorpus.writeLetterFilesFromIndex(
+      queries.InvertedIndex.index(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text"))), outB)
+    for (l <- 'a' to 'z') {
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(outS, s"$l.txt"))
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(outB, s"$l.txt"))
+      assert(java.util.Arrays.equals(a, b), s"letter $l differs")
+    }
+  }
+
   private def ts(hms: String) = Timestamp.valueOf(s"2024-01-01 $hms")
 }
