@@ -108,5 +108,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("checkpointed restart: half the corpus arrives after a stop; state survives") {
+    // batch 1 processes the even docs; the stream stops (simulated
+    // crash); the odd docs arrive while it is down; the restarted
+    // query must combine checkpointed state with the new file and
+    // reach exactly the batch result over the full corpus.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val srcDir = Files.createTempDirectory("ckpt_src")
+    val stage = Files.createTempDirectory("ckpt_stage")
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$stage/f0")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$stage/f1")
+    def deliver(part: String): Unit = {
+      val src = Files.list(Paths.get(s"$stage/$part")).iterator()
+      while (src.hasNext) {
+        val f = src.next()
+        if (f.getFileName.toString.startsWith("part-"))
+          Files.copy(f, srcDir.resolve(s"$part.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def start(name: String) =
+      Streams.incrementalInvertedIndex(
+        spark.readStream.schema(docs.schema).parquet(s"$srcDir/*.parquet"))
+        .writeStream.format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt).start()
+    deliver("f0")
+    val q1 = start("ckpt_run1")
+    try { q1.processAllAvailable() } finally { q1.stop() }
+    deliver("f1") // arrives while the stream is down
+    val q2 = start("ckpt_run2")
+    try { q2.processAllAvailable() } finally { q2.stop() }
+    val got = spark.table("ckpt_run2")
+      .as[(String, Seq[Long])].collect().toMap
+    val expect = queries.InvertedIndex.index(docs)
+      .select(col("word"), col("doc_ids"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got === expect && got.nonEmpty)
+  }
+
   private def ts(hms: String) = Timestamp.valueOf(s"2024-01-01 $hms")
 }
