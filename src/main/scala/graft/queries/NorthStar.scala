@@ -86,7 +86,7 @@ object NorthStar {
     Q18DedupExact, Q18bDedupMinHash, Q18cDedupSimHash, Q18dDedupNgram,
     Q18eDedupEmbedding, Q19SimilarityTopK, Q19bAnnLsh, Q19cAnnSparkMl,
     Q20TopTermsPerLang, Q21LanguageId, Q22QualityScore, Q23TokenCount,
-    Q24Fingerprint)
+    Q24Fingerprint, Q26TfIdf)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).
@@ -478,6 +478,56 @@ object Q19cAnnSparkMl extends GraftQuery {
       .orderBy(col("euclid_dist"), col("vec_id"))
   }
   val oracle = None
+}
+
+/** Q26 — TF-IDF top terms per document: the query the inverted index
+  * exists to serve. tf with multiplicity per (doc, word); df over
+  * distinct (doc, word); score = tf · ln(N/df). ROUND(…,4) absorbs
+  * the one non-correctly-rounded IEEE op (ln differs by ≤1 ulp
+  * between libm and the JVM); ties broken by word so the top-3
+  * window is total. Scale shape: two keyed shuffles (tf, df) + one
+  * broadcast scalar N + one per-doc window — no all-pairs anything. */
+object Q26TfIdf extends GraftQuery {
+  val name = "q26_tfidf_top_terms"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .select(col("doc_id"),
+        lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = words.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).count() // scalar, broadcast as literal
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word").asc)
+    tf.join(df, "word")
+      .withColumn("tfidf", round(
+        col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn").cast("int").as("rn"), col("word"),
+        col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+  val oracle = Some(raw"""
+    WITH words AS (
+      SELECT doc_id,
+        lower(regexp_replace(unnest(string_split_regex(text, '\s+')), '[^a-zA-Z]', '', 'g')) AS word
+      FROM documents),
+    w AS (SELECT doc_id, word FROM words WHERE word <> ''),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+    df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY word),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+          round(CAST(tf.tf AS DOUBLE) * ln((SELECT n FROM n) / CAST(df.df AS DOUBLE)), 4) AS tfidf
+          FROM tf JOIN df ON tf.word = df.word),
+    r AS (SELECT doc_id, word, tf, df, tfidf,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS INT) AS rn
+          FROM s)
+    SELECT doc_id, rn, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+    FROM r WHERE rn <= 3 ORDER BY doc_id, rn
+  """.trim)
 }
 
 /** Q20 — top-5 terms per language by term frequency (Q1's tokenizer +
