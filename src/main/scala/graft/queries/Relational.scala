@@ -34,7 +34,7 @@ object Relational {
     Q2Agg, Q3JoinChain, Q4BroadcastJoin, Q5SemiAnti, Q6TopK, Q7WindowRank,
     Q8WindowFrame, Q9Rollup, Q10Cube, Q11SetOps, Q12DistinctAgg,
     Q12bApproxDistinct, Q13ScalarFns, Q14Json, Q15ArrayFns, Q16RangeJoin,
-    Q17Sessionize)
+    Q17Sessionize, Q27OuterJoin)
 }
 
 /** Q2 — scan+filter+project+hash agg (TPC-H Q1 shape). At scale: one
@@ -293,23 +293,60 @@ object Q11SetOps extends GraftQuery {
   val name = "q11_set_ops"
   def run(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
-    def custs(status: String) =
-      orders.filter(col("o_orderstatus") === status).select(col("o_custkey")).distinct()
+    def raw(status: String) =
+      orders.filter(col("o_orderstatus") === status).select(col("o_custkey"))
+    def custs(status: String) = raw(status).distinct()
     val o = custs("O"); val f = custs("F")
     val u = o.union(f).distinct().select(col("o_custkey"), lit("union").as("op"))
     val i = o.intersect(f).select(col("o_custkey"), lit("intersect").as("op"))
     val e = o.except(f).select(col("o_custkey"), lit("except").as("op"))
-    u.unionAll(i).unionAll(e).orderBy(col("op"), col("o_custkey"))
+    // multiset variants over the NON-distinct inputs (bag semantics)
+    val ia = raw("O").intersectAll(raw("F"))
+      .select(col("o_custkey"), lit("intersect_all").as("op"))
+    val ea = raw("O").exceptAll(raw("F"))
+      .select(col("o_custkey"), lit("except_all").as("op"))
+    u.unionAll(i).unionAll(e).unionAll(ia).unionAll(ea)
+      .orderBy(col("op"), col("o_custkey"))
   }
   val oracle = Some("""
     WITH o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
-         f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         oraw AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         fraw AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
     SELECT o_custkey, 'union' AS op FROM (SELECT * FROM o UNION SELECT * FROM f)
     UNION ALL
     SELECT o_custkey, 'intersect' AS op FROM (SELECT * FROM o INTERSECT SELECT * FROM f)
     UNION ALL
     SELECT o_custkey, 'except' AS op FROM (SELECT * FROM o EXCEPT SELECT * FROM f)
+    UNION ALL
+    SELECT o_custkey, 'intersect_all' AS op FROM (SELECT * FROM oraw INTERSECT ALL SELECT * FROM fraw)
+    UNION ALL
+    SELECT o_custkey, 'except_all' AS op FROM (SELECT * FROM oraw EXCEPT ALL SELECT * FROM fraw)
     ORDER BY op, o_custkey
+  """.trim)
+}
+
+/** Q27 — outer join with null-introducing aggregation: every customer
+  * with their order count and decimal total, zero/0.00 for customers
+  * with no orders (count over the nullable join column + coalesced
+  * sum — the null semantics the inner-join pack never exercises). */
+object Q27OuterJoin extends GraftQuery {
+  import Relational._
+  val name = "q27_outer_join"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           coalesce(sum(decPrice(col("o_totalprice"))),
+             lit(0).cast("decimal(14,2)")).cast("decimal(24,2)").as("total"))
+      .orderBy(col("c_custkey"))
+  val oracle = Some("""
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+      CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 0) AS DECIMAL(24,2)) AS total
+    FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
   """.trim)
 }
 
