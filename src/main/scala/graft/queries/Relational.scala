@@ -34,7 +34,7 @@ object Relational {
     Q2Agg, Q3JoinChain, Q4BroadcastJoin, Q5SemiAnti, Q6TopK, Q7WindowRank,
     Q8WindowFrame, Q9Rollup, Q10Cube, Q11SetOps, Q12DistinctAgg,
     Q12bApproxDistinct, Q13ScalarFns, Q14Json, Q15ArrayFns, Q16RangeJoin,
-    Q17Sessionize, Q27OuterJoin)
+    Q17Sessionize, Q27OuterJoin, Q28Pivot, Q29ScalarSubquery, Q30Percentiles)
 }
 
 /** Q2 — scan+filter+project+hash agg (TPC-H Q1 shape). At scale: one
@@ -323,6 +323,83 @@ object Q11SetOps extends GraftQuery {
     UNION ALL
     SELECT o_custkey, 'except_all' AS op FROM (SELECT * FROM oraw EXCEPT ALL SELECT * FROM fraw)
     ORDER BY op, o_custkey
+  """.trim)
+}
+
+/** Q28 — pivot: orders count + decimal total per priority, pivoted on
+  * the closed status domain {F,O,P} (explicit value list keeps the
+  * output schema static, which is also the 100 TB posture — a pivot
+  * on an open domain needs a values scan first). Oracle = conditional
+  * aggregation, the relational algebra pivot desugars to. */
+object Q28Pivot extends GraftQuery {
+  import Relational._
+  val name = "q28_pivot"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"),
+           sum(decPrice(col("o_totalprice"))).cast("decimal(24,2)").as("total"))
+      .na.fill(0L, Seq("F_n", "O_n", "P_n"))
+      .orderBy(col("o_orderpriority"))
+  val oracle = Some("""
+    SELECT o_orderpriority,
+      CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS F_n,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DECIMAL(24,2)) AS F_total,
+      CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS O_n,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DECIMAL(24,2)) AS O_total,
+      CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS P_n,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DECIMAL(24,2)) AS P_total
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+  """.trim)
+}
+
+/** Q29 — scalar + correlated subqueries: customers whose balance
+  * exceeds the global average (ScalarSubquery) with their order count
+  * (correlated, decorrelated by Catalyst into a join). */
+object Q29ScalarSubquery extends GraftQuery {
+  val name = "q29_scalar_subquery"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    Tables.customer(spark2, dir).createOrReplaceTempView("g_customer")
+    Tables.orders(spark2, dir).createOrReplaceTempView("g_orders")
+    spark2.sql("""
+      SELECT c_custkey,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+             (SELECT COUNT(*) FROM g_orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      FROM g_customer c
+      WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(12,2))) FROM g_customer)
+      ORDER BY c_custkey
+    """)
+  }
+  val oracle = Some("""
+    SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer)
+    ORDER BY c_custkey
+  """.trim)
+}
+
+/** Q30 — exact percentiles: median and p90 of quantity/price per
+  * return flag. Both engines linearly interpolate on the sorted
+  * values; ROUND(…,4) absorbs any last-ulp divergence in the
+  * interpolation arithmetic. */
+object Q30Percentiles extends GraftQuery {
+  val name = "q30_percentiles"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+           round(expr("percentile(l_discount, 0.25)"), 4).as("p25_disc"))
+      .orderBy(col("l_returnflag"))
+  val oracle = Some("""
+    SELECT l_returnflag,
+      round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+      round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+      round(quantile_cont(l_discount, 0.25), 4) AS p25_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
   """.trim)
 }
 
