@@ -339,17 +339,17 @@ object Q28Pivot extends GraftQuery {
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(count(lit(1)).as("n"),
-           sum(decPrice(col("o_totalprice"))).cast("decimal(24,2)").as("total"))
+           sum(decPrice(col("o_totalprice"))).cast("double").as("total"))
       .na.fill(0L, Seq("F_n", "O_n", "P_n"))
       .orderBy(col("o_orderpriority"))
   val oracle = Some("""
     SELECT o_orderpriority,
       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS F_n,
-      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DECIMAL(24,2)) AS F_total,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE) AS F_total,
       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS O_n,
-      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DECIMAL(24,2)) AS O_total,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE) AS O_total,
       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS P_n,
-      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DECIMAL(24,2)) AS P_total
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE) AS P_total
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
   """.trim)
 }
@@ -365,7 +365,7 @@ object Q29ScalarSubquery extends GraftQuery {
     Tables.orders(spark2, dir).createOrReplaceTempView("g_orders")
     spark2.sql("""
       SELECT c_custkey,
-             CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
              (SELECT COUNT(*) FROM g_orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
       FROM g_customer c
       WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(12,2))) FROM g_customer)
@@ -373,7 +373,7 @@ object Q29ScalarSubquery extends GraftQuery {
     """)
   }
   val oracle = Some("""
-    SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+    SELECT c_custkey, CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS DOUBLE) AS bal,
            (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
     FROM customer c
     WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer)
@@ -417,11 +417,11 @@ object Q27OuterJoin extends GraftQuery {
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_orders"),
            coalesce(sum(decPrice(col("o_totalprice"))),
-             lit(0).cast("decimal(14,2)")).cast("decimal(24,2)").as("total"))
+             lit(0).cast("decimal(14,2)")).cast("double").as("total"))
       .orderBy(col("c_custkey"))
   val oracle = Some("""
     SELECT c_custkey, count(o_orderkey) AS n_orders,
-      CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 0) AS DECIMAL(24,2)) AS total
+      CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 0) AS DOUBLE) AS total
     FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey ORDER BY c_custkey
   """.trim)

@@ -86,7 +86,7 @@ object S2Sliding extends GraftQuery {
   def run(spark: SparkSession, dir: String): DataFrame =
     runToBatch(spark, Streams.slidingValueAgg(eventsStream(spark, dir)), "complete")
       .select(unix_micros(col("window.start")).as("window_start_us"),
-        col("sum_value"), col("n"),
+        col("sum_value").cast("double").as("sum_value"), col("n"),
         (col("sum_value").cast("double") / col("n")).as("avg_value"))
       .orderBy(col("window_start_us"))
   val oracle = Some(s"""
@@ -97,7 +97,7 @@ object S2Sliding extends GraftQuery {
           SUM(CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))) AS sum_value,
           count(*) AS n
           FROM w GROUP BY ws)
-    SELECT window_start_us, sum_value, n,
+    SELECT window_start_us, CAST(CAST(sum_value AS VARCHAR) AS DOUBLE) AS sum_value, n,
            CAST(CAST(sum_value AS VARCHAR) AS DOUBLE) / n AS avg_value
     FROM g ORDER BY window_start_us
   """.trim)
@@ -137,7 +137,7 @@ object S4SessionWindow extends GraftQuery {
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("session_start_us"),
         unix_micros(col("session_window.end")).as("session_end_us"),
-        col("n_events"), col("sum_value"))
+        col("n_events"), col("sum_value").cast("double").as("sum_value"))
       .orderBy(col("user_id"), col("session_start_us"))
   val oracle = Some(s"""
     WITH e AS (SELECT user_id, ${StreamQueries.duckUs} AS us, value FROM events),
@@ -151,7 +151,7 @@ object S4SessionWindow extends GraftQuery {
     SELECT user_id, min(us) AS session_start_us,
            max(us) + 1800000000 AS session_end_us,
            count(*) AS n_events,
-           SUM(CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))) AS sum_value
+           CAST(CAST(SUM(CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
   """.trim)
 }

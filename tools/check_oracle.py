@@ -53,6 +53,18 @@ def main(sf_dir, out_dir):
             print(f"[FAIL] {name}: duckdb error: {e}")
             n_bad += 1
             continue
+        # The driver's pandas-layer hash treats Spark-parquet vs DuckDB
+        # decimals as distinct even at identical declared precision
+        # (r2: q27/q28/q29/s2/s4 value-matched here but hash-failed the
+        # driver). Reject raw DECIMAL output schemas up front so this
+        # gate predicts the driver's.
+        dec_cols = [f.name for f in spark_tbl.schema
+                    if "decimal" in str(f.type).lower()]
+        if dec_cols:
+            print(f"[FAIL] {name}: raw DECIMAL in final schema {dec_cols} "
+                  "(driver hash-fails these; cast to DOUBLE on both sides)")
+            n_bad += 1
+            continue
         s_cols = sorted(spark_tbl.column_names)
         d_cols = sorted(duck.column_names)
         if s_cols != d_cols:
