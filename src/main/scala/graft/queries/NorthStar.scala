@@ -80,13 +80,35 @@ object NorthStar {
   private[queries] def let(name: String, value: String, body: String): String =
     s"element_at(transform(array($value), $name -> $body), 1)"
 
+  /** Shared DuckDB CTE chain ending in `pairs(doc_a, doc_b,
+    * est_jaccard)` — the MinHash band-join candidates at threshold
+    * 0.5. Used by q18b (pair report) and q18f (cluster closure). */
+  private[queries] val duckMinhashPairCtes = s"""toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+    sh AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3),
+    hs AS (SELECT doc_id, list_transform(sh, s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(substr(md5(s), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           (acc, x) -> acc * 16 + x) % 1000000007) AS hs FROM sh),
+    sig AS (SELECT doc_id, list_transform(range(0, 32),
+            i -> list_min(list_transform(hs, h ->
+              (((2654435761 * (i+1)) % 1000000007) * h + ((40503 * (i+1) + 7) % 1000000007)) % 1000000007))) AS sig
+            FROM hs),
+    bands AS (SELECT doc_id, CAST(j AS VARCHAR) || ',' || CAST(sig[4*j+1] AS VARCHAR) || ',' || CAST(sig[4*j+2] AS VARCHAR)
+                || ',' || CAST(sig[4*j+3] AS VARCHAR) || ',' || CAST(sig[4*j+4] AS VARCHAR) AS bkey
+              FROM sig, unnest(range(0, 8)) AS u(j)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    pairs AS (SELECT doc_a, doc_b,
+      CAST(len(list_filter(range(1,33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 AS est_jaccard
+      FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+      WHERE CAST(len(list_filter(range(1,33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 >= 0.5)"""
+
   // Declared AFTER the helper vals: forcing the query objects during
   // this object's own init would otherwise capture them as null.
   val all: Seq[GraftQuery] = Seq(
     Q18DedupExact, Q18bDedupMinHash, Q18cDedupSimHash, Q18dDedupNgram,
-    Q18eDedupEmbedding, Q19SimilarityTopK, Q19bAnnLsh, Q19cAnnSparkMl,
-    Q20TopTermsPerLang, Q21LanguageId, Q22QualityScore, Q23TokenCount,
-    Q24Fingerprint, Q26TfIdf)
+    Q18eDedupEmbedding, Q18fDedupClusters, Q19SimilarityTopK, Q19bAnnLsh,
+    Q19cAnnSparkMl, Q20TopTermsPerLang, Q21LanguageId, Q22QualityScore,
+    Q23TokenCount, Q24Fingerprint, Q26TfIdf)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).
@@ -158,25 +180,64 @@ object Q18bDedupMinHash extends GraftQuery {
       .orderBy(col("doc_a"), col("doc_b"))
   }
   val oracle = Some(s"""
-    WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
-    sh AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3),
-    hs AS (SELECT doc_id, list_transform(sh, s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-           list_transform(string_split(substr(md5(s), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
-           (acc, x) -> acc * 16 + x) % 1000000007) AS hs FROM sh),
-    sig AS (SELECT doc_id, list_transform(range(0, 32),
-            i -> list_min(list_transform(hs, h ->
-              (((2654435761 * (i+1)) % 1000000007) * h + ((40503 * (i+1) + 7) % 1000000007)) % 1000000007))) AS sig
-            FROM hs),
-    bands AS (SELECT doc_id, CAST(j AS VARCHAR) || ',' || CAST(sig[4*j+1] AS VARCHAR) || ',' || CAST(sig[4*j+2] AS VARCHAR)
-                || ',' || CAST(sig[4*j+3] AS VARCHAR) || ',' || CAST(sig[4*j+4] AS VARCHAR) AS bkey
-              FROM sig, unnest(range(0, 8)) AS u(j)),
-    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b,
-      CAST(len(list_filter(range(1,33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 AS est_jaccard
-    FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
-    WHERE CAST(len(list_filter(range(1,33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 >= 0.5
-    ORDER BY doc_a, doc_b
+    WITH ${NorthStar.duckMinhashPairCtes}
+    SELECT doc_a, doc_b, est_jaccard FROM pairs ORDER BY doc_a, doc_b
+  """.trim)
+}
+
+/** Q18f — dedup CLUSTER resolution: the q18b candidate pairs resolved
+  * into duplicate groups (connected components) with one keeper —
+  * min(doc_id) — per group, via iterative min-label propagation over
+  * the pair graph. Each iteration is one keyed join + groupBy (no
+  * driver-side data, only a scalar convergence count); iterations =
+  * O(component diameter), and near-dup components are shallow (a dup
+  * cluster's pair graph is dense), so 2-4 rounds in practice. The
+  * edge set is persisted so the MinHash pipeline runs ONCE, not once
+  * per iteration. The DuckDB oracle computes the same components with
+  * a recursive CTE. */
+object Q18fDedupClusters extends GraftQuery {
+  val name = "q18f_dedup_clusters"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Q18bDedupMinHash.run(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.as("o")
+        .join(nbrMin, col("o.id") === nbrMin("src"), "left")
+        .select(col("o.id").as("id"),
+          least(col("o.lbl"), coalesce(col("nlbl"), col("o.lbl"))).as("lbl"))
+        .persist()
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") < col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+    }
+    val out = labels.groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(sort_array(collect_set(col("id"))), " ").as("doc_ids"))
+      .orderBy(col("cluster_id"))
+    edges.unpersist()
+    out
+  }
+  val oracle = Some(s"""
+    WITH RECURSIVE ${NorthStar.duckMinhashPairCtes},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+    lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT cluster_id, count(*) AS n_docs,
+           array_to_string(list_sort(list(id)), ' ') AS doc_ids
+    FROM lab GROUP BY cluster_id ORDER BY cluster_id
   """.trim)
 }
 
@@ -287,6 +348,12 @@ object Q18dDedupNgram extends GraftQuery {
     val sb = sh.select(col("doc_id").as("idb"), col("sh").as("shb"), size(col("sh")).as("nb"))
     cand.join(sa, col("doc_a") === col("ida"))
       .join(sb, col("doc_b") === col("idb"))
+      // PPJoin length filter: J(A,B) >= 0.8 requires |A| >= 0.8|B| and
+      // |B| >= 0.8|A| (exact integer form: 5|A| >= 4|B|). Prunes most
+      // candidate pairs BEFORE the expensive exact intersection — the
+      // standard size bound the verify stage was missing (was 13% of
+      // the whole bench).
+      .filter(col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
@@ -323,14 +390,25 @@ object Q18dDedupNgram extends GraftQuery {
   * exploded through a shuffle. */
 object Q18eDedupEmbedding extends GraftQuery {
   val name = "q18e_dedup_embedding"
+  /** Embedding dimension — fixed by the fixture schema (FIXTURES.md:
+    * `embedding ARRAY<FLOAT>` dim 64); at scale the dimension is
+    * likewise known at plan time, so the per-pair arithmetic can be a
+    * flat codegen'd expression instead of an interpreted HOF. */
+  private val Dim = 64
   private val bucketExpr =
     "concat_ws('', transform(slice(embedding, 1, 16), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"
-  private val n2Expr =
-    "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), " +
-      "cast(0 as double), (acc, p) -> acc + p)"
-  private val dotExpr =
-    "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), " +
-      "cast(0 as double), (acc, p) -> acc + p)"
+  /** Flat Dim-term product sum — whole-stage-codegen'd, same pattern
+    * as q18b's 32-term match count and q18c's bit_count/xor (the
+    * interpreted aggregate(zip_with(...)) fold this replaces was the
+    * last interpreted-HOF verify stage). Left-associative `+` chains
+    * add the identical IEEE products in the identical order as the
+    * DuckDB oracle's list_reduce fold, so results stay bit-equal. */
+  private def flatDot(a: String, b: String): String =
+    (1 to Dim).map(i =>
+      s"cast(element_at($a, $i) as double) * cast(element_at($b, $i) as double)")
+      .mkString(" + ")
+  private val n2Expr = flatDot("embedding", "embedding")
+  private val dotExpr = flatDot("ea", "eb")
   def run(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val n2 = e.select(col("vec_id"), expr(n2Expr).as("n2"))
@@ -573,21 +651,30 @@ object Q21LanguageId extends GraftQuery {
     "fr" -> Seq("le", "les", "et", "est", "un"),
     "zh" -> Seq("de", "shi", "bu", "le", "zai"))
   def run(spark: SparkSession, dir: String): DataFrame = {
-    val withToks = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), expr(toksExpr).as("t"))
-    val scored = markers.foldLeft(withToks) { case (df, (l, ws)) =>
+    // Everything derived from the token array is computed inside ONE
+    // generator expression with nested let() bindings: `tk` (the
+    // tokenization), `sc` (the five marker scores), and `m` (their
+    // max) are each lambda-bound, so each is evaluated exactly once
+    // per row no matter how many times the body references it —
+    // CollapseProject cannot re-inline a lambda variable. The
+    // inline(array(...)) generator then flattens the struct to
+    // columns WITHOUT a projection that would re-trigger the
+    // collapse (the q18c lesson, applied shuffle-free).
+    val scores = markers.map { case (l, ws) =>
       val arr = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
-      df.withColumn(s"score_$l", expr(s"size(filter(t, tok -> array_contains($arr, tok)))"))
-    }
-    val m = greatest(markers.map { case (l, _) => col(s"score_$l") }: _*)
-    val pred = markers.foldRight(lit("und"): Column) { case ((l, _), e) =>
-      when(col(s"score_$l") === m, lit(l)).otherwise(e)
-    }
-    // foldRight builds 'de'-first WHEN chain = alphabetical priority
-    scored
-      .withColumn("predicted", when(m === 0, lit("und")).otherwise(pred))
-      .select((Seq(col("doc_id"), col("lang"), col("predicted")) ++
-        markers.map { case (l, _) => col(s"score_$l") }): _*)
+      s"'score_$l', size(filter(tk, w_ -> array_contains($arr, w_)))"
+    }.mkString("named_struct(", ", ", ")")
+    // 'de'-first WHEN chain = alphabetical priority on score ties
+    val whenChain = markers.map { case (l, _) => s"WHEN sc.score_$l = m THEN '$l'" }.mkString(" ")
+    val outStruct = "named_struct('predicted', " +
+      s"CASE WHEN m = 0 THEN 'und' $whenChain ELSE 'und' END, " +
+      markers.map { case (l, _) => s"'score_$l', sc.score_$l" }.mkString(", ") + ")"
+    val body = let("tk", toksExpr,
+      let("sc", scores,
+        let("m", "greatest(sc.score_de, sc.score_en, sc.score_es, sc.score_fr, sc.score_zh)",
+          outStruct)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), inline(array(expr(body))))
       .orderBy(col("doc_id"))
   }
   private def duckScore(ws: Seq[String]): String = {
@@ -620,25 +707,39 @@ object Q22QualityScore extends GraftQuery {
   val name = "q22_quality_score"
   private val stop = Seq("the", "a", "of", "and", "is", "to", "in")
     .map(w => s"'$w'").mkString("array(", ", ", ")")
-  def run(spark: SparkSession, dir: String): DataFrame =
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    // Single generator expression with nested let() bindings (same
+    // shape as Q21): `tk` (tokens), `c` (the six integer counts), and
+    // `r` (the four ratios) are lambda-bound so each is evaluated once
+    // per row — the previous withColumn chain let CollapseProject
+    // re-tokenize at every downstream reference. Rows with zero
+    // tokens are filtered AFTER the inline (their ratio NaNs are
+    // computed then discarded — no 0-token doc exists in the fixture,
+    // the filter is defensive).
+    val counts = "named_struct(" +
+      "'n_tokens', size(tk), " +
+      "'n_chars', length(text), " +
+      "'n_uniq', size(array_distinct(tk)), " +
+      "'sum_tok_len', aggregate(tk, 0, (acc, x_) -> acc + length(x_)), " +
+      s"'stop_hits', size(filter(tk, w_ -> array_contains($stop, w_))), " +
+      "'n_punct', length(regexp_replace(text, '[a-z0-9\\\\s]', '')))"
+    val ratios = "named_struct(" +
+      "'ttr', cast(c.n_uniq as double) / c.n_tokens, " +
+      "'mtl', cast(c.sum_tok_len as double) / c.n_tokens, " +
+      "'swr', cast(c.stop_hits as double) / c.n_tokens, " +
+      "'pr', cast(c.n_punct as double) / c.n_chars)"
+    val outStruct = "named_struct(" +
+      "'n_tokens', c.n_tokens, 'n_chars', c.n_chars, " +
+      "'type_token_ratio', r.ttr, 'mean_token_len', r.mtl, " +
+      "'stopword_ratio', r.swr, 'punct_ratio', r.pr, " +
+      "'quality', r.ttr * cast(0.4 as double) + r.swr * cast(0.3 as double) " +
+        "+ (cast(1.0 as double) - r.pr) * cast(0.3 as double))"
+    val body = let("tk", toksExpr, let("c", counts, let("r", ratios, outStruct)))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), expr(toksExpr).as("t"), col("text"))
-      .withColumn("n_tokens", size(col("t")))
+      .select(col("doc_id"), col("lang"), inline(array(expr(body))))
       .filter(col("n_tokens") > 0)
-      .withColumn("n_chars", length(col("text")))
-      .withColumn("n_uniq", size(array_distinct(col("t"))))
-      .withColumn("sum_tok_len", expr("aggregate(t, 0, (acc, x) -> acc + length(x))"))
-      .withColumn("stop_hits", expr(s"size(filter(t, tok -> array_contains($stop, tok)))"))
-      .withColumn("n_punct", length(regexp_replace(col("text"), "[a-z0-9\\s]", "")))
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_chars"),
-        (col("n_uniq").cast("double") / col("n_tokens")).as("type_token_ratio"),
-        (col("sum_tok_len").cast("double") / col("n_tokens")).as("mean_token_len"),
-        (col("stop_hits").cast("double") / col("n_tokens")).as("stopword_ratio"),
-        (col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"))
-      .withColumn("quality",
-        col("type_token_ratio") * 0.4 + col("stopword_ratio") * 0.3
-          + (lit(1.0) - col("punct_ratio")) * 0.3)
       .orderBy(col("doc_id"))
+  }
   val oracle = Some(raw"""
     WITH s AS (
       SELECT doc_id, lang, text,

@@ -34,7 +34,8 @@ object Relational {
     Q2Agg, Q3JoinChain, Q4BroadcastJoin, Q5SemiAnti, Q6TopK, Q7WindowRank,
     Q8WindowFrame, Q9Rollup, Q10Cube, Q11SetOps, Q12DistinctAgg,
     Q12bApproxDistinct, Q13ScalarFns, Q14Json, Q15ArrayFns, Q16RangeJoin,
-    Q17Sessionize, Q27OuterJoin, Q28Pivot, Q29ScalarSubquery, Q30Percentiles)
+    Q17Sessionize, Q27OuterJoin, Q28Pivot, Q29ScalarSubquery, Q30Percentiles,
+    Q30bApproxPercentiles, Q31MapJson)
 }
 
 /** Q2 — scan+filter+project+hash agg (TPC-H Q1 shape). At scale: one
@@ -384,7 +385,13 @@ object Q29ScalarSubquery extends GraftQuery {
 /** Q30 — exact percentiles: median and p90 of quantity/price per
   * return flag. Both engines linearly interpolate on the sorted
   * values; ROUND(…,4) absorbs any last-ulp divergence in the
-  * interpolation arithmetic. */
+  * interpolation arithmetic.
+  *
+  * SMALL-DATA ONLY: exact percentile buffers every group value in one
+  * aggregation buffer — with 3 group keys at 100 TB that is billions
+  * of doubles in 3 tasks. The at-scale default is Q30b's mergeable
+  * approx_percentile sketch; this exact variant is the documented
+  * small-data / oracle-calibration tool. */
 object Q30Percentiles extends GraftQuery {
   val name = "q30_percentiles"
   def run(spark: SparkSession, dir: String): DataFrame =
@@ -400,6 +407,99 @@ object Q30Percentiles extends GraftQuery {
       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
       round(quantile_cont(l_discount, 0.25), 4) AS p25_disc
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+  """.trim)
+}
+
+/** Q30b — approx percentiles, the 100 TB path for Q30: Spark's
+  * approx_percentile (Greenwald-Khanna sketch) is MERGEABLE with
+  * constant per-group memory, where Q30's exact percentile buffers
+  * every group value in one aggregation buffer (OOM + stragglers at
+  * scale). Sketch outputs are engine-specific, so the hash-stable
+  * contract is a TOLERANCE CHECK computed in-query: the result
+  * carries the exact percentiles (same values as Q30's oracle) plus
+  * boolean flags asserting the sketch landed within 5% relative (or
+  * one 0.011 discount step, for the discrete-valued p25) of exact —
+  * DuckDB's oracle emits literal TRUE, so a drifting sketch
+  * hash-fails honestly. At scale the exact columns drop and only the
+  * sketch runs; accuracy 10000 bounds rank error at n/10000. */
+object Q30bApproxPercentiles extends GraftQuery {
+  val name = "q30b_approx_percentiles"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+           round(expr("percentile(l_discount, 0.25)"), 4).as("p25_disc"),
+           expr("approx_percentile(l_quantity, 0.5, 10000)").as("aq"),
+           expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("ap"),
+           expr("approx_percentile(l_discount, 0.25, 10000)").as("ad"))
+      .select(col("l_returnflag"), col("median_qty"), col("p90_price"), col("p25_disc"),
+        (abs(col("aq") - col("median_qty")) <=
+          greatest(abs(col("median_qty")) * 0.05, lit(0.011))).as("approx_median_ok"),
+        (abs(col("ap") - col("p90_price")) <=
+          greatest(abs(col("p90_price")) * 0.05, lit(0.011))).as("approx_p90_ok"),
+        (abs(col("ad") - col("p25_disc")) <=
+          greatest(abs(col("p25_disc")) * 0.05, lit(0.011))).as("approx_p25_ok"))
+      .orderBy(col("l_returnflag"))
+  val oracle = Some("""
+    SELECT l_returnflag,
+      round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+      round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+      round(quantile_cont(l_discount, 0.25), 4) AS p25_disc,
+      TRUE AS approx_median_ok, TRUE AS approx_p90_ok, TRUE AS approx_p25_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+  """.trim)
+}
+
+/** Q31 — typed JSON structs + MapType functions (the Q14/Q15 halves
+  * SURVEY §2.B declares but the array/get_json_object queries never
+  * exercised): `from_json` into a typed struct AND into a
+  * MAP<STRING,INT>, `map_concat` with a constructed `map()`,
+  * `map_keys`, and `explode(map)` → (key, value) rows, aggregated per
+  * (event_type, key). Per-row JSON parse + one keyed shuffle — the
+  * 100 TB shape for property-bag analytics (the map never becomes a
+  * wide schema). DuckDB mirrors the map explode with
+  * unnest(json_keys) + dynamic-path json_extract. */
+object Q31MapJson extends GraftQuery {
+  val name = "q31_map_json"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), lit("k INT")).as("s"),
+        from_json(col("props"), lit("map<string,int>")).as("m"))
+      .withColumn("m2", map_concat(col("m"),
+        map(lit("et_len"), length(col("event_type")))))
+    ev.select(col("event_type"), col("s").getField("k").as("struct_k"),
+        size(map_keys(col("m2"))).as("n_keys"),
+        explode(col("m2")).as(Seq("pkey", "pval")))
+      .groupBy(col("event_type"), col("pkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("pval").cast("long")).as("sum_val"),
+        min(col("pval")).as("min_val"),
+        max(col("pval")).as("max_val"),
+        sum(col("struct_k").cast("long")).as("sum_struct_k"),
+        max(col("n_keys")).as("max_n_keys"))
+      .orderBy(col("event_type"), col("pkey"))
+  }
+  val oracle = Some("""
+    WITH base AS (
+      SELECT event_type, props,
+        CAST(length(event_type) AS INT) AS etl,
+        CAST(json_extract_string(props, 'k') AS INT) AS struct_k,
+        CAST(len(json_keys(props)) + 1 AS INT) AS n_keys
+      FROM events),
+    kv AS (
+      SELECT event_type, pkey, CAST(json_extract_string(props, pkey) AS INT) AS pval,
+             struct_k, n_keys
+      FROM base, unnest(json_keys(props)) AS u(pkey)
+      UNION ALL
+      SELECT event_type, 'et_len', etl, struct_k, n_keys FROM base)
+    SELECT event_type, pkey, count(*) AS n,
+      CAST(SUM(CAST(pval AS BIGINT)) AS BIGINT) AS sum_val,
+      MIN(pval) AS min_val, MAX(pval) AS max_val,
+      CAST(SUM(CAST(struct_k AS BIGINT)) AS BIGINT) AS sum_struct_k,
+      MAX(n_keys) AS max_n_keys
+    FROM kv GROUP BY event_type, pkey ORDER BY event_type, pkey
   """.trim)
 }
 
