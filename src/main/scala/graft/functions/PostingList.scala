@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions.udf
   * whole-stage codegen: the hot Q1 path stays on built-in Catalyst
   * expressions (`sort_array(collect_set)` — see InvertedIndex), and
   * InvertedIndexUdafSpec pins the two paths to identical results.
-  * The buffer is a sorted-unique Seq (product-encoded, not kryo) so
-  * partial aggregates stay compact on the shuffle wire — the same
-  * map-side-combine shape the reference hand-codes with per-thread
-  * maps (main.cpp:234-258).
+  * The buffer is a kryo-encoded mutable HashSet (see PostingListAgg's
+  * own doc) — partial aggregates on the shuffle wire carry distinct
+  * ids only, the same map-side-combine shape the reference hand-codes
+  * with per-thread maps (main.cpp:234-258).
   */
 object PostingList {
 
@@ -42,10 +42,13 @@ object PostingList {
   }
 
   /** R5 as a scalar udf: delete non-[A-Za-z] (ASCII only, like the
-    * reference's filterWord, main.cpp:191-208), lowercase. */
+    * reference's filterWord, main.cpp:191-208), lowercase.
+    * Locale.ROOT: the default-locale toLowerCase would diverge from
+    * the ASCII contract on e.g. a Turkish-locale JVM ('I' → 'ı'). */
   val normalizeWord: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((w: String) => if (w == null) "" else
-      w.filter(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')).toLowerCase)
+      w.filter(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))
+        .toLowerCase(java.util.Locale.ROOT))
 
   /** Register the surface on a session: `graft_posting_list` (udaf)
     * and `graft_normalize` (udf), usable from spark.sql(...). */

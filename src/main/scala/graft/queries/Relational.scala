@@ -63,13 +63,13 @@ object Q2Agg extends GraftQuery {
   }
   val oracle = Some("""
     SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-      CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -108,7 +108,7 @@ object Q3JoinChain extends GraftQuery {
   }
   val oracle = Some("""
     SELECT n_name,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
       COUNT(*) AS n_items
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -142,8 +142,8 @@ object Q4BroadcastJoin extends GraftQuery {
   }
   val oracle = Some("""
     SELECT p_type,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
       COUNT(*) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_brand = 'Brand#12'
@@ -189,7 +189,7 @@ object Q6TopK extends GraftQuery {
       .limit(10)
   val oracle = Some("""
     SELECT o_custkey,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS revenue,
       COUNT(*) AS n_orders
     FROM orders GROUP BY o_custkey
     ORDER BY revenue DESC, o_custkey ASC LIMIT 10
@@ -239,7 +239,7 @@ object Q8WindowFrame extends GraftQuery {
   }
   val oracle = Some("""
     SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
-      CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE) AS running_sum,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER w AS VARCHAR) AS DOUBLE) AS running_sum,
       lag(value, 1) OVER w AS prev_value
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
@@ -262,7 +262,7 @@ object Q9Rollup extends GraftQuery {
         col("o_orderstatus").asc_nulls_first)
   val oracle = Some("""
     SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total,
       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
@@ -346,11 +346,11 @@ object Q28Pivot extends GraftQuery {
   val oracle = Some("""
     SELECT o_orderpriority,
       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS F_n,
-      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE) AS F_total,
+      CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS VARCHAR) AS DOUBLE) AS F_total,
       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS O_n,
-      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE) AS O_total,
+      CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS VARCHAR) AS DOUBLE) AS O_total,
       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS P_n,
-      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE) AS P_total
+      CAST(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS VARCHAR) AS DOUBLE) AS P_total
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
   """.trim)
 }
@@ -521,7 +521,7 @@ object Q27OuterJoin extends GraftQuery {
       .orderBy(col("c_custkey"))
   val oracle = Some("""
     SELECT c_custkey, count(o_orderkey) AS n_orders,
-      CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 0) AS DOUBLE) AS total
+      CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 0) AS VARCHAR) AS DOUBLE) AS total
     FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey ORDER BY c_custkey
   """.trim)
@@ -642,7 +642,7 @@ object Q15ArrayFns extends GraftQuery {
   val oracle = Some("""
     SELECT label, COUNT(*) AS n_vecs,
       MIN(dim) AS min_dim, MAX(dim) AS max_dim,
-      CAST(SUM(elem_sum_dec) AS DOUBLE) AS sum_elems,
+      CAST(CAST(SUM(elem_sum_dec) AS VARCHAR) AS DOUBLE) AS sum_elems,
       MIN(row_min) AS min_elem, MAX(row_max) AS max_elem
     FROM (
       SELECT label,
@@ -717,7 +717,7 @@ object Q17Sessionize extends GraftQuery {
       FROM e)
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
-      CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id, session_id
     ORDER BY user_id, session_id
   """.trim)

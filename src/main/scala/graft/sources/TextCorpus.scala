@@ -45,7 +45,15 @@ object TextCorpus {
 
   /** `documents`-shaped DataFrame (doc_id, text) from a manifest: one
     * row per LINE of each corpus file (the reference streams lines,
-    * main.cpp:232-238; Q1's tokenizer splits them further). */
+    * main.cpp:232-238; Q1's tokenizer splits them further).
+    *
+    * input_file_name() reports the Hadoop Path URI, which
+    * percent-encodes spaces and non-ASCII characters — joining the
+    * raw URI against plain manifest paths would silently drop those
+    * files. url_decode restores the literal path; the '+'→"%2B"
+    * pre-pass protects literal pluses (url_decode is form-decoding,
+    * which would otherwise turn them into spaces). Parity is pinned
+    * by GoldenSpec's space/non-ASCII corpus. */
   def documents(spark: SparkSession, manifestPath: String): DataFrame = {
     val entries = manifestEntries(manifestPath)
     if (entries.isEmpty)
@@ -53,7 +61,9 @@ object TextCorpus {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
     val ids = spark.createDataFrame(entries).toDF("path", "doc_id")
     spark.read.text(entries.map(_._1): _*)
-      .withColumn("path", regexp_replace(input_file_name(), "^file:/+", "/"))
+      .withColumn("path", url_decode(
+        regexp_replace(
+          regexp_replace(input_file_name(), "^file:/+", "/"), "\\+", "%2B")))
       .join(broadcast(ids), "path")
       .select(col("doc_id"), col("value").as("text"))
   }
@@ -83,17 +93,23 @@ object TextCorpus {
       val target = out.resolve(s"$letter.txt")
       val partDir = Paths.get(tmp, s"letter=$letter")
       if (Files.isDirectory(partDir)) {
-        val parts = Files.list(partDir).iterator()
-        var moved = false
-        while (parts.hasNext) {
-          val f = parts.next()
-          if (f.getFileName.toString.startsWith("part-")) {
-            // repartition(letter) puts each letter in one task → one part
-            Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
-            moved = true
-          }
+        // repartition(letter) routes each letter to exactly one task →
+        // at most one part file per letter dir. Assert rather than
+        // silently keep whichever part happened to move last: two
+        // parts would mean the partitioning contract broke and the
+        // within-letter global order is no longer guaranteed.
+        import scala.jdk.CollectionConverters._
+        val parts = Files.list(partDir).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-")).toSeq
+        if (parts.size > 1)
+          throw new IllegalStateException(
+            s"letter '$letter': expected one part file, found ${parts.size} " +
+              s"(${parts.map(_.getFileName).mkString(", ")}) — " +
+              "repartition-by-letter invariant broken")
+        parts.headOption match {
+          case Some(f) => Files.move(f, target, StandardCopyOption.REPLACE_EXISTING)
+          case None    => Files.write(target, Array.emptyByteArray)
         }
-        if (!moved) Files.write(target, Array.emptyByteArray)
       } else {
         Files.write(target, Array.emptyByteArray) // empty letter → empty file
       }

@@ -23,13 +23,46 @@ class GoldenSpec extends SparkSpec {
     val caseDir = root.resolve(c)
     val outDir = Files.createTempDirectory(s"golden_$c").toString
     TextCorpus.buildIndex(spark, caseDir.resolve("manifest.txt").toString, outDir)
+    assertMatchesExpected(caseDir, outDir, c)
+  }
+
+  test("reference CLI contract: Cli.main(M, R, manifest, outDir) end-to-end") {
+    val caseDir = root.resolve("tiny")
+    val outDir = Files.createTempDirectory("golden_cli").toString
+    // Same arg shape as `./tema1 4 4 manifest.txt` (README.md:16); the
+    // 4th arg redirects output away from the CWD. getOrCreate reuses
+    // the suite session, so this exercises the full main body.
+    Cli.main(Array("4", "4", caseDir.resolve("manifest.txt").toString, outDir))
+    assertMatchesExpected(caseDir, outDir, "tiny-via-cli")
+  }
+
+  test("manifest join survives spaces and pluses in file names") {
+    // input_file_name() reports percent-encoded URIs; without the
+    // url_decode in TextCorpus.documents these files silently vanish
+    // from the join (no error, just missing doc_ids). A literal '+'
+    // additionally probes the form-decoding hazard ('+' → ' '). The
+    // container JVM's file.encoding is ASCII, so non-ASCII names are
+    // untestable here; percent-escapes are byte-wise, covered by the
+    // same decode path.
+    val dir = Files.createTempDirectory("golden_enc")
+    Files.write(dir.resolve("with space.txt"), "alpha bravo".getBytes("UTF-8"))
+    Files.write(dir.resolve("a+b.txt"), "charlie delta".getBytes("UTF-8"))
+    Files.write(dir.resolve("manifest.txt"),
+      "2\nwith space.txt\na+b.txt\n".getBytes("UTF-8"))
+    val docs = TextCorpus.documents(spark, dir.resolve("manifest.txt").toString)
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === Set((1L, "alpha bravo"), (2L, "charlie delta")))
+  }
+
+  private def assertMatchesExpected(caseDir: java.nio.file.Path,
+                                    outDir: String, label: String): Unit = {
     for (letter <- 'a' to 'z') {
       val ours = Paths.get(outDir, s"$letter.txt")
       val theirs = caseDir.resolve("expected").resolve(s"$letter.txt")
       assert(Files.exists(ours), s"missing $letter.txt")
       val a = new String(Files.readAllBytes(ours), "UTF-8")
       val b = new String(Files.readAllBytes(theirs), "UTF-8")
-      assert(a === b, s"case $c letter $letter differs")
+      assert(a === b, s"case $label letter $letter differs")
     }
   }
 }

@@ -16,17 +16,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(v):
+def canon(v, coerce_dec=False):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return v
     if isinstance(v, list):
-        return tuple(canon(x) for x in v)
+        return tuple(canon(x, coerce_dec) for x in v)
     if v.__class__.__name__ == "Decimal":
-        # Type-tagged: the driver's hash distinguishes DuckDB HUGEINT/
-        # DECIMAL results from Spark int64/double — coercing to float
-        # here would hide exactly the mismatch that broke q23 in r1.
+        # Type-tagged by default: the driver's hash distinguishes DuckDB
+        # HUGEINT/DECIMAL results from Spark int64/double — coercing to
+        # float would hide exactly the mismatch that broke q23 in r1.
+        # coerce_dec=True is used only AFTER the schema gate has already
+        # failed the query, to report whether the VALUES at least agree
+        # numerically (the key round-2 diagnostic signal).
+        if coerce_dec:
+            return float(v)
         return ("decimal", str(v))
     return v
 
@@ -56,24 +61,33 @@ def main(sf_dir, out_dir):
         # The driver's pandas-layer hash treats Spark-parquet vs DuckDB
         # decimals as distinct even at identical declared precision
         # (r2: q27/q28/q29/s2/s4 value-matched here but hash-failed the
-        # driver). Reject raw DECIMAL output schemas up front so this
-        # gate predicts the driver's.
-        dec_cols = [f.name for f in spark_tbl.schema
-                    if "decimal" in str(f.type).lower()]
-        if dec_cols:
-            print(f"[FAIL] {name}: raw DECIMAL in final schema {dec_cols} "
-                  "(driver hash-fails these; cast to DOUBLE on both sides)")
-            n_bad += 1
-            continue
+        # driver). Flag raw DECIMAL schemas ON EITHER SIDE as failures,
+        # but still run the value comparison below — "values match but
+        # schema is DECIMAL" vs "values differ too" was the key
+        # diagnostic signal in round 2.
+        dec_fail = None
+        s_dec = [f.name for f in spark_tbl.schema
+                 if "decimal" in str(f.type).lower()]
+        d_dec = [f.name for f in duck.schema
+                 if "decimal" in str(f.type).lower()]
+        if s_dec or d_dec:
+            side = []
+            if s_dec:
+                side.append(f"spark={s_dec}")
+            if d_dec:
+                side.append(f"duck={d_dec}")
+            dec_fail = ("raw DECIMAL in final schema (" + ", ".join(side) +
+                        ") — driver hash-fails these; cast to DOUBLE on both sides")
         s_cols = sorted(spark_tbl.column_names)
         d_cols = sorted(duck.column_names)
         if s_cols != d_cols:
             print(f"[FAIL] {name}: columns spark={s_cols} duck={d_cols}")
             n_bad += 1
             continue
-        s_rows = [tuple(canon(spark_tbl.column(c)[i].as_py()) for c in s_cols)
+        coerce = dec_fail is not None
+        s_rows = [tuple(canon(spark_tbl.column(c)[i].as_py(), coerce) for c in s_cols)
                   for i in range(spark_tbl.num_rows)]
-        d_rows = [tuple(canon(duck.column(c)[i].as_py()) for c in d_cols)
+        d_rows = [tuple(canon(duck.column(c)[i].as_py(), coerce) for c in d_cols)
                   for i in range(duck.num_rows)]
         if len(s_rows) != len(d_rows):
             print(f"[FAIL] {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
@@ -85,9 +99,13 @@ def main(sf_dir, out_dir):
             continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
         if bad:
-            print(f"[FAIL] {name}: {len(bad)}/{len(s_rows)} rows differ; cols={s_cols}; first:")
+            extra = f"; {dec_fail}" if dec_fail else ""
+            print(f"[FAIL] {name}: {len(bad)}/{len(s_rows)} rows differ; cols={s_cols}{extra}; first:")
             for i, a, b in bad[:3]:
                 print(f"   row {i}:\n     spark={a}\n     duck ={b}")
+            n_bad += 1
+        elif dec_fail:
+            print(f"[FAIL] {name}: {dec_fail} (values match)")
             n_bad += 1
         else:
             print(f"[ OK ] {name}: {len(s_rows)} rows match")
