@@ -148,7 +148,12 @@ object Q18DedupExact extends GraftQuery {
 object Q18bDedupMinHash extends GraftQuery {
   import NorthStar._
   val name = "q18b_dedup_minhash"
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  def run(spark: SparkSession, dir: String): DataFrame =
+    pairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+  /** The candidate pairs WITHOUT the final sort — q18f consumes these
+    * (a global orderBy would add a range-partitioning sampling pass
+    * that re-runs the whole signature pipeline a second time). */
+  private[queries] def pairs(spark: SparkSession, dir: String): DataFrame = {
     // hex→int via native conv() (codegen'd — the interpreted 15-step
     // fold was the residual hot spot); the DuckDB oracle computes the
     // same VALUE with a list_reduce fold, method need not match.
@@ -177,7 +182,6 @@ object Q18bDedupMinHash extends GraftQuery {
       .select(col("doc_a"), col("doc_b"),
         (expr(matches).cast("double") / 32.0).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
   val oracle = Some(s"""
     WITH ${NorthStar.duckMinhashPairCtes}
@@ -198,14 +202,27 @@ object Q18bDedupMinHash extends GraftQuery {
 object Q18fDedupClusters extends GraftQuery {
   val name = "q18f_dedup_clusters"
   def run(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Q18bDedupMinHash.run(spark, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = Q18bDedupMinHash.pairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
-    var changed = 1L
-    while (changed > 0) {
+    // Seed with the first propagation round folded in: every node
+    // appears as src (edges are symmetric), so min(self, min neighbor)
+    // covers all nodes and replaces both the distinct() and one loop
+    // iteration.
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
+      .persist()
+    def lblSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("lbl"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    // Labels only ever decrease (least), so the label sum strictly
+    // decreases iff any label changed — one scalar agg per iteration
+    // replaces a join+count convergence check.
+    var prevSum = -1L
+    var curSum = lblSum(labels)
+    while (curSum != prevSum) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
       val next = labels.as("o")
@@ -213,8 +230,8 @@ object Q18fDedupClusters extends GraftQuery {
         .select(col("o.id").as("id"),
           least(col("o.lbl"), coalesce(col("nlbl"), col("o.lbl"))).as("lbl"))
         .persist()
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") < col("o.lbl")).count()
+      prevSum = curSum
+      curSum = lblSum(next)
       labels.unpersist()
       labels = next
     }
@@ -402,12 +419,21 @@ object Q18eDedupEmbedding extends GraftQuery {
     * interpreted aggregate(zip_with(...)) fold this replaces was the
     * last interpreted-HOF verify stage). Left-associative `+` chains
     * add the identical IEEE products in the identical order as the
-    * DuckDB oracle's list_reduce fold, so results stay bit-equal. */
+    * DuckDB oracle's list_reduce fold, so results stay bit-equal.
+    *
+    * Used for the PER-PAIR dot product only: that expression runs
+    * once per candidate pair (billions at 100 TB — codegen is the
+    * scale path), while the per-row norm runs exactly once per vector
+    * and stays an O(d) HOF fold — measured at sf0.1, flattening the
+    * norm too only added ~0.8 s of constant optimizer/codegen-compile
+    * time with no execution win. */
   private def flatDot(a: String, b: String): String =
     (1 to Dim).map(i =>
       s"cast(element_at($a, $i) as double) * cast(element_at($b, $i) as double)")
       .mkString(" + ")
-  private val n2Expr = flatDot("embedding", "embedding")
+  private val n2Expr =
+    "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), " +
+      "cast(0 as double), (acc, p) -> acc + p)"
   private val dotExpr = flatDot("ea", "eb")
   def run(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
