@@ -80,12 +80,17 @@ object NorthStar {
   private[queries] def let(name: String, value: String, body: String): String =
     s"element_at(transform(array($value), $name -> $body), 1)"
 
-  /** Shared DuckDB CTE chain ending in `pairs(doc_a, doc_b,
-    * est_jaccard)` — the MinHash band-join candidates at threshold
-    * 0.5. Used by q18b (pair report) and q18f (cluster closure). */
-  private[queries] val duckMinhashPairCtes = s"""toks AS (SELECT doc_id, $duckToks AS t FROM documents),
-    sh AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3),
-    hs AS (SELECT doc_id, list_transform(sh, s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+  /** DuckDB CTEs shared by every shingle-based oracle: tokenization +
+    * per-doc distinct 3-shingle sets. */
+  private[queries] val duckShingleCtes =
+    s"""toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+    sh AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3)"""
+
+  /** DuckDB CTE chain (appended after duckShingleCtes) ending in
+    * `pairs(doc_a, doc_b, est_jaccard)` — the MinHash band-join
+    * candidates at threshold 0.5. Used by q18b (pair report) and
+    * q18f (cluster closure). */
+  private[queries] val duckMinhashPairCtes = s"""hs AS (SELECT doc_id, list_transform(sh, s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
            list_transform(string_split(substr(md5(s), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
            (acc, x) -> acc * 16 + x) % 1000000007) AS hs FROM sh),
     sig AS (SELECT doc_id, list_transform(range(0, 32),
@@ -101,6 +106,25 @@ object NorthStar {
       CAST(len(list_filter(range(1,33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 AS est_jaccard
       FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
       WHERE CAST(len(list_filter(range(1,33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 >= 0.5)"""
+
+  /** DuckDB CTE chain (appended after duckShingleCtes) ending in
+    * `jpairs(doc_a, doc_b, jaccard)` — the exact n-gram Jaccard pairs
+    * at threshold 0.8 via PPJoin prefix filtering. Used by q18d (pair
+    * report) and q18f (cluster closure); CTE names are disjoint from
+    * the MinHash chain so both can live in one WITH clause. */
+  private[queries] val duckNgramPairCtes = """ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+    gdf AS (SELECT g, count(*) AS gdf FROM ex GROUP BY g),
+    ranked AS (SELECT ex.doc_id, ex.n, ex.g,
+               row_number() OVER (PARTITION BY ex.doc_id ORDER BY gdf.gdf, ex.g) AS rn
+               FROM ex JOIN gdf ON ex.g = gdf.g),
+    prefix AS (SELECT doc_id, g FROM ranked WHERE rn <= n - ((4*n + 4) // 5) + 1),
+    ncand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id),
+    jraw AS (SELECT doc_a, doc_b,
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+          FROM ncand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b),
+    jpairs AS (SELECT doc_a, doc_b, jaccard FROM jraw WHERE jaccard >= 0.8)"""
 
   // Declared AFTER the helper vals: forcing the query objects during
   // this object's own init would otherwise capture them as null.
@@ -184,25 +208,28 @@ object Q18bDedupMinHash extends GraftQuery {
       .filter(col("est_jaccard") >= 0.5)
   }
   val oracle = Some(s"""
-    WITH ${NorthStar.duckMinhashPairCtes}
+    WITH ${NorthStar.duckShingleCtes},
+    ${NorthStar.duckMinhashPairCtes}
     SELECT doc_a, doc_b, est_jaccard FROM pairs ORDER BY doc_a, doc_b
   """.trim)
 }
 
-/** Q18f — dedup CLUSTER resolution: the q18b candidate pairs resolved
-  * into duplicate groups (connected components) with one keeper —
+/** Q18f — dedup CLUSTER resolution: the union of the q18b (MinHash)
+  * and q18d (exact n-gram Jaccard) candidate pairs resolved into
+  * duplicate groups (connected components) with one keeper —
   * min(doc_id) — per group, via iterative min-label propagation over
   * the pair graph. Each iteration is one keyed join + groupBy (no
   * driver-side data, only a scalar convergence count); iterations =
   * O(component diameter), and near-dup components are shallow (a dup
   * cluster's pair graph is dense), so 2-4 rounds in practice. The
-  * edge set is persisted so the MinHash pipeline runs ONCE, not once
+  * edge set is persisted so both pair pipelines run ONCE, not once
   * per iteration. The DuckDB oracle computes the same components with
-  * a recursive CTE. */
+  * a recursive CTE over the same two pair CTE chains. */
 object Q18fDedupClusters extends GraftQuery {
   val name = "q18f_dedup_clusters"
   def run(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Q18bDedupMinHash.pairs(spark, dir).select(col("doc_a"), col("doc_b"))
+      .union(Q18dDedupNgram.pairs(spark, dir).select(col("doc_a"), col("doc_b")))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -243,9 +270,13 @@ object Q18fDedupClusters extends GraftQuery {
     out
   }
   val oracle = Some(s"""
-    WITH RECURSIVE ${NorthStar.duckMinhashPairCtes},
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    WITH RECURSIVE ${NorthStar.duckShingleCtes},
+    ${NorthStar.duckMinhashPairCtes},
+    ${NorthStar.duckNgramPairCtes},
+    upairs AS (SELECT doc_a, doc_b FROM pairs
+               UNION SELECT doc_a, doc_b FROM jpairs),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM upairs
+              UNION ALL SELECT doc_b, doc_a FROM upairs),
     nodes AS (SELECT DISTINCT src AS id FROM edges),
     reach(id, r) AS (
       SELECT id, id FROM nodes
@@ -348,7 +379,10 @@ object Q18cDedupSimHash extends GraftQuery {
 object Q18dDedupNgram extends GraftQuery {
   import NorthStar._
   val name = "q18d_dedup_ngram"
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  def run(spark: SparkSession, dir: String): DataFrame =
+    pairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+  /** Verified pairs WITHOUT the final sort — q18f consumes these. */
+  private[queries] def pairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleSets(spark, dir)
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
     val gdf = ex.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
@@ -375,25 +409,11 @@ object Q18dDedupNgram extends GraftQuery {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
   val oracle = Some(s"""
-    WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
-    sh AS (SELECT doc_id, $duckShingles AS sh FROM toks WHERE len(t) >= 3),
-    ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
-    gdf AS (SELECT g, count(*) AS gdf FROM ex GROUP BY g),
-    ranked AS (SELECT ex.doc_id, ex.n, ex.g,
-               row_number() OVER (PARTITION BY ex.doc_id ORDER BY gdf.gdf, ex.g) AS rn
-               FROM ex JOIN gdf ON ex.g = gdf.g),
-    prefix AS (SELECT doc_id, g FROM ranked WHERE rn <= n - ((4*n + 4) // 5) + 1),
-    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id),
-    j AS (SELECT doc_a, doc_b,
-          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-          FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
-    SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
-    ORDER BY doc_a, doc_b
+    WITH ${NorthStar.duckShingleCtes},
+    ${NorthStar.duckNgramPairCtes}
+    SELECT doc_a, doc_b, jaccard FROM jpairs ORDER BY doc_a, doc_b
   """.trim)
 }
 

@@ -28,7 +28,9 @@ class Round4Spec extends SparkSpec {
     val byDoc = memberSets.zipWithIndex
       .flatMap { case (s, i) => s.map(_ -> i) }.toMap
     val pairs = Q18bDedupMinHash.run(spark, sf01)
-      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect() ++
+      Q18dDedupNgram.run(spark, sf01)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
     assert(pairs.nonEmpty)
     pairs.foreach { case (a, b) =>
       assert(byDoc(a) === byDoc(b), s"pair ($a,$b) split across clusters")
