@@ -49,7 +49,13 @@ object NorthStar {
   /** Per-document distinct 3-shingle sets (docs with ≥3 tokens).
     * `t` is let-bound: shinglesExpr references it 3× per shingle
     * index, and CollapseProject would otherwise re-tokenize the text
-    * at every reference (measured 11 s of q18d's 19 s at sf0.1). */
+    * at every reference (measured 11 s of q18d's 19 s at sf0.1).
+    *
+    * Deliberately NO repartition barrier here: consumers reference
+    * the shingle sets from several plan branches (q18d 3×), but a
+    * ReuseExchange anchor was measured SLOWER at sf0.1 (6.4 → 8.6 s)
+    * — shuffling the full shingle arrays costs more than recomputing
+    * the codegen'd tokenize+shingle projection per branch. */
   private[queries] def shingleSets(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), expr(toksExpr).as("t"))
@@ -173,15 +179,17 @@ object Q18bDedupMinHash extends GraftQuery {
   import NorthStar._
   val name = "q18b_dedup_minhash"
   def run(spark: SparkSession, dir: String): DataFrame =
-    pairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
-  /** The candidate pairs WITHOUT the final sort — q18f consumes these
-    * (a global orderBy would add a range-partitioning sampling pass
-    * that re-runs the whole signature pipeline a second time). */
-  private[queries] def pairs(spark: SparkSession, dir: String): DataFrame = {
+    pairsFrom(shingleSets(spark, dir)).orderBy(col("doc_a"), col("doc_b"))
+  /** The candidate pairs WITHOUT the final sort, over a caller-chosen
+    * shingle frame — q18f consumes these (a global orderBy would add
+    * a range-partitioning sampling pass that re-runs the whole
+    * signature pipeline a second time, and q18f anchors the shingle
+    * frame so its two pair pipelines share one computation). */
+  private[queries] def pairsFrom(shingles: DataFrame): DataFrame = {
     // hex→int via native conv() (codegen'd — the interpreted 15-step
     // fold was the residual hot spot); the DuckDB oracle computes the
     // same VALUE with a list_reduce fold, method need not match.
-    val sig = shingleSets(spark, dir)
+    val sig = shingles
       .select(col("doc_id"), expr(
         "transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 1000000007)").as("hs"))
       .select(col("doc_id"), expr(let("hsv", "hs",
@@ -228,11 +236,22 @@ object Q18bDedupMinHash extends GraftQuery {
 object Q18fDedupClusters extends GraftQuery {
   val name = "q18f_dedup_clusters"
   def run(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Q18bDedupMinHash.pairs(spark, dir).select(col("doc_a"), col("doc_b"))
-      .union(Q18dDedupNgram.pairs(spark, dir).select(col("doc_a"), col("doc_b")))
+    // pairs is persisted BEFORE the symmetric-edge union: edges
+    // references it twice (both directions), and every loop iteration
+    // is a separate action — without the cache the two full pair
+    // pipelines would re-run 2× per action (measured 34 s vs 13 s at
+    // sf0.1). The repartition on the shared shingle frame is a
+    // ReuseExchange anchor scoped to THIS query: within the one
+    // materialization action, both pair pipelines reference an
+    // identical exchange subtree, so tokenize+shingle runs once
+    // (standalone q18b/q18d skip the anchor — for a single consumer
+    // the shuffle costs more than the recompute, measured 6.4→8.6 s).
+    val sh = NorthStar.shingleSets(spark, dir).repartition(col("doc_id"))
+    val pairs = Q18bDedupMinHash.pairsFrom(sh).select(col("doc_a"), col("doc_b"))
+      .union(Q18dDedupNgram.pairsFrom(sh).select(col("doc_a"), col("doc_b")))
+      .persist()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
     // Seed with the first propagation round folded in: every node
     // appears as src (edges are symmetric), so min(self, min neighbor)
     // covers all nodes and replaces both the distinct() and one loop
@@ -266,7 +285,7 @@ object Q18fDedupClusters extends GraftQuery {
       .agg(count(lit(1)).as("n_docs"),
         array_join(sort_array(collect_set(col("id"))), " ").as("doc_ids"))
       .orderBy(col("cluster_id"))
-    edges.unpersist()
+    pairs.unpersist()
     out
   }
   val oracle = Some(s"""
@@ -380,10 +399,10 @@ object Q18dDedupNgram extends GraftQuery {
   import NorthStar._
   val name = "q18d_dedup_ngram"
   def run(spark: SparkSession, dir: String): DataFrame =
-    pairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
-  /** Verified pairs WITHOUT the final sort — q18f consumes these. */
-  private[queries] def pairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSets(spark, dir)
+    pairsFrom(shingleSets(spark, dir)).orderBy(col("doc_a"), col("doc_b"))
+  /** Verified pairs WITHOUT the final sort, over a caller-chosen
+    * shingle frame — q18f consumes these. */
+  private[queries] def pairsFrom(sh: DataFrame): DataFrame = {
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
     val gdf = ex.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))
