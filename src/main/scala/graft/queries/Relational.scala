@@ -35,7 +35,7 @@ object Relational {
     Q8WindowFrame, Q9Rollup, Q10Cube, Q11SetOps, Q12DistinctAgg,
     Q12bApproxDistinct, Q13ScalarFns, Q14Json, Q15ArrayFns, Q16RangeJoin,
     Q17Sessionize, Q27OuterJoin, Q28Pivot, Q29ScalarSubquery, Q30Percentiles,
-    Q30bApproxPercentiles, Q31MapJson)
+    Q30bApproxPercentiles, Q31MapJson, Q32AsofJoin)
 }
 
 /** Q2 — scan+filter+project+hash agg (TPC-H Q1 shape). At scale: one
@@ -500,6 +500,65 @@ object Q31MapJson extends GraftQuery {
       CAST(SUM(CAST(struct_k AS BIGINT)) AS BIGINT) AS sum_struct_k,
       MAX(n_keys) AS max_n_keys
     FROM kv GROUP BY event_type, pkey ORDER BY event_type, pkey
+  """.trim)
+}
+
+/** Q32 — AS-OF join: for every click event, the most recent purchase
+  * (ts <= click ts) by the same user — the canonical event/feature
+  * alignment operator of a training-data pipeline, which Spark lacks
+  * natively. Implemented by composition (the preferred tier (a) of
+  * the custom-operator ladder): tag purchases and clicks, union, and
+  * carry the last purchase forward with an ignoreNulls last() over a
+  * (user, time) window — ONE shuffle on user_id, versus the
+  * range-join formulation whose per-user candidate set is quadratic.
+  * Purchases sort before clicks at equal timestamps (side 0 < 1), so
+  * a same-instant purchase matches — exactly DuckDB's `ASOF ... ON
+  * c.ts >= p.ts`, which the oracle uses natively, making it a
+  * genuinely independent implementation. The right side is first
+  * reduced to one row per (user, ts) (max value) so tie-breaking is
+  * engine-independent. */
+object Q32AsofJoin extends GraftQuery {
+  val name = "q32_asof_join"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("value")).as("pval"))
+    val clicks = ev.filter(col("event_type") === "click")
+    val tagged = purchases
+      .select(col("user_id"), col("ts_us"), lit(0).as("side"),
+        lit(null).cast("bigint").as("event_id"),
+        lit(null).cast("double").as("click_value"), col("pval"))
+      .unionByName(clicks
+        .select(col("user_id"), col("ts_us"), lit(1).as("side"),
+          col("event_id"), col("value").as("click_value"),
+          lit(null).cast("double").as("pval")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("purchase_ts_us",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .withColumn("purchase_value",
+        last(when(col("side") === 0, col("pval")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("click_value"),
+        col("purchase_ts_us"), col("purchase_value"),
+        (col("ts_us") - col("purchase_ts_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+  val oracle = Some("""
+    WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type FROM events),
+    p AS (SELECT user_id, ts_us AS pts, max(value) AS pval
+          FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_us),
+    c AS (SELECT user_id, event_id, ts_us, value AS click_value
+          FROM ev WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, c.ts_us, c.click_value,
+           p.pts AS purchase_ts_us, p.pval AS purchase_value,
+           c.ts_us - p.pts AS gap_us
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.pts
+    ORDER BY c.event_id
   """.trim)
 }
 

@@ -59,7 +59,7 @@ object StreamQueries {
 
   val all: Seq[GraftQuery] = Seq(
     S1Tumbling, S2Sliding, S3WatermarkLate, S4SessionWindow, S5Dedup,
-    S6IncrementalIndex)
+    S6IncrementalIndex, S7StatefulProfiles)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -173,6 +173,29 @@ object S5Dedup extends GraftQuery {
   val oracle = Some(s"""
     SELECT event_id, event_type, ${StreamQueries.duckUs} AS us
     FROM events ORDER BY event_id
+  """.trim)
+}
+
+/** S7 — flatMapGroupsWithState per-user profiles (update mode): the
+  * single-batch file stream means each user emits exactly one final
+  * profile row; every statistic is order-independent, so the result
+  * equals the batch groupBy the oracle computes. StreamingSpec
+  * additionally drives the operator through TWO MemoryStream batches
+  * to pin incremental state maintenance. */
+object S7StatefulProfiles extends GraftQuery {
+  import StreamQueries._
+  val name = "s7_stream_stateful_profiles"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    runToBatch(spark, Streams.userProfiles(eventsStream(spark, dir)).toDF(), "update")
+      .orderBy(col("user_id"))
+  val oracle = Some(s"""
+    SELECT user_id, count(*) AS n_events,
+      CAST(count(DISTINCT event_type) AS INT) AS n_types,
+      array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+      MIN(${StreamQueries.duckUs}) AS first_us,
+      MAX(${StreamQueries.duckUs}) AS last_us,
+      MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY user_id ORDER BY user_id
   """.trim)
 }
 

@@ -1,7 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed rows for the S7 arbitrary-stateful operator (top level so
+  * Spark's case-class Encoders can instantiate them). */
+case class UserEvent(event_id: Long, ts_us: Long, user_id: Long,
+                     event_type: String, value: Double)
+case class ProfileState(n: Long, types: Seq[String], firstUs: Long,
+                        lastUs: Long, vmin: Double, vmax: Double)
+case class UserProfile(user_id: Long, n_events: Long, n_types: Int,
+                       types: String, first_us: Long, last_us: Long,
+                       vmin: Double, vmax: Double)
 
 /** S1–S6 — the Structured Streaming surface (SURVEY §2.B streaming
   * declarations). Each operator is a pure transform over an unbounded
@@ -72,6 +83,62 @@ object Streams {
       .filter(col("word") =!= "")
       .groupBy(col("word"))
       .agg(sort_array(collect_set(col("doc_id"))).as("doc_ids"))
+
+  /** S7 — ARBITRARY stateful processing (`flatMapGroupsWithState`,
+    * the custom-state tier of the streaming API the built-in
+    * windows/dedup can't express): an incrementally-maintained
+    * per-user profile — event count, sorted distinct event types,
+    * first/last event time, min/max value. Every statistic is
+    * order-independent (counts, set union, min/max), so the profile
+    * is deterministic regardless of batch boundaries or iterator
+    * order — the property that makes the operator verifiable against
+    * a batch oracle.
+    *
+    * Scale posture: state per key is O(1) (six scalars + a ≤5-element
+    * type list); EventTimeTimeout + the watermark evict users idle
+    * past the delay, so state never grows unboundedly. */
+  def userProfiles(events: DataFrame): Dataset[UserProfile] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      // ts rides along past the typed view (extra columns are fine
+      // for as[]) — dropping it would drop the watermark the
+      // event-time timeout requires.
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("ts"))
+      .withWatermark("ts", "10 minutes")
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ProfileState, UserProfile](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[ProfileState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle past the watermark: evict, emit nothing
+            Iterator.empty
+          } else {
+            val init = state.getOption.getOrElse(ProfileState(
+              0L, Seq.empty, Long.MaxValue, Long.MinValue,
+              Double.PositiveInfinity, Double.NegativeInfinity))
+            val st = rows.foldLeft(init) { (s, e) =>
+              ProfileState(
+                s.n + 1,
+                if (s.types.contains(e.event_type)) s.types
+                else (s.types :+ e.event_type).sorted,
+                math.min(s.firstUs, e.ts_us), math.max(s.lastUs, e.ts_us),
+                math.min(s.vmin, e.value), math.max(s.vmax, e.value))
+            }
+            state.update(st)
+            // Evict 10 min (event time) after the user's last event;
+            // clamped above the current watermark (setting a timeout
+            // at-or-before it is an error for long-idle users).
+            state.setTimeoutTimestamp(math.max(
+              st.lastUs / 1000 + 10 * 60 * 1000,
+              state.getCurrentWatermarkMs() + 60 * 1000))
+            Iterator(UserProfile(user, st.n, st.types.size,
+              st.types.mkString(","), st.firstUs, st.lastUs, st.vmin, st.vmax))
+          }
+      }
+  }
 
   /** S6 sink: maintain the reference's 26 `<letter>.txt` files from
     * the incremental index — complete-mode foreachBatch republishes

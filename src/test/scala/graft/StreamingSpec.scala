@@ -108,6 +108,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S7 stateful profiles across two batches == one batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val name = "s7_two_batches"
+    val q = Streams.userProfiles(in.toDF()).toDF()
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    try {
+      // chronological split: batch 2's earliest event is >= batch 1's
+      // latest, so nothing is late relative to the 10-min watermark
+      val sorted = evs.sortBy(_.ts.getTime)
+      in.addData(sorted.take(3))
+      q.processAllAvailable()
+      in.addData(sorted.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode appends one profile per user per batch — the final
+    // state is the row with the largest n_events per user
+    val got = spark.table(name).as[graft.streaming.UserProfile].collect()
+      .groupBy(_.user_id).values.map(_.maxBy(_.n_events))
+      .map(p => (p.user_id, p.n_events, p.n_types, p.types,
+        p.first_us, p.last_us, p.vmin, p.vmax)).toSet
+    val expect = evs.toDF()
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        size(collect_set(col("event_type"))).as("nt"),
+        array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
+        min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .as[(Long, Long, Int, String, Long, Long, Double, Double)]
+      .collect().toSet
+    assert(got === expect && got.nonEmpty)
+  }
+
   test("checkpointed restart: half the corpus arrives after a stop; state survives") {
     // batch 1 processes the even docs; the stream stops (simulated
     // crash); the odd docs arrive while it is down; the restarted
