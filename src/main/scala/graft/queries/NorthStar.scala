@@ -137,8 +137,8 @@ object NorthStar {
   val all: Seq[GraftQuery] = Seq(
     Q18DedupExact, Q18bDedupMinHash, Q18cDedupSimHash, Q18dDedupNgram,
     Q18eDedupEmbedding, Q18fDedupClusters, Q19SimilarityTopK, Q19bAnnLsh,
-    Q19cAnnSparkMl, Q20TopTermsPerLang, Q21LanguageId, Q22QualityScore,
-    Q23TokenCount, Q24Fingerprint, Q26TfIdf)
+    Q19cAnnSparkMl, Q19dAnnIvf, Q20TopTermsPerLang, Q21LanguageId,
+    Q22QualityScore, Q23TokenCount, Q24Fingerprint, Q26TfIdf)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).
@@ -619,6 +619,59 @@ object Q19cAnnSparkMl extends GraftQuery {
     model.approxNearestNeighbors(e.filter(col("vec_id") =!= 0), key, 10)
       .select(col("vec_id"), round(col("distCol"), 4).as("euclid_dist"))
       .orderBy(col("euclid_dist"), col("vec_id"))
+  }
+  val oracle = None
+}
+
+/** Q19d — IVF (inverted-file) ANN, the third scale path next to the
+  * sign-signature buckets (q19b) and spark.ml LSH (q19c): a seeded
+  * spark.ml KMeans is the coarse quantizer, every vector is assigned
+  * to its nearest centroid (the "inverted lists" — at scale a
+  * write-time partition column), and the query probes only the
+  * nProbe nearest lists, computing exact cosine within them. Scan
+  * cost ≈ n·(nProbe/k) instead of n; the only driver-side values are
+  * the O(1) query row and the k-row centroid table. The per-candidate
+  * dot product runs through the same decimal explode+broadcast shape
+  * as q19, so results are deterministic (rows-only driver check —
+  * the centroids live in the JVM model, not SQL; AnnIvfSpec pins
+  * determinism and recall vs the exact top-k). */
+object Q19dAnnIvf extends GraftQuery {
+  import NorthStar._
+  val name = "q19d_ann_ivf"
+  private val K = 16
+  private val NProbe = 4
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(K).setSeed(42).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("list_id").fit(e)
+    val assigned = model.transform(e)
+    val qVec = assigned.filter(col("vec_id") === 0)
+      .head().getAs[Vector]("features") // O(1) driver value: the query key
+    val probe = model.clusterCenters.zipWithIndex // k rows on the driver
+      .map { case (c, i) => (i, Vectors.sqdist(c, qVec)) }
+      .sortBy(_._2).take(NProbe).map(_._1).toSeq
+    val cand = assigned
+      .filter(col("vec_id") =!= 0 && col("list_id").isin(probe: _*))
+    val ex = cand.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), dec(col("x")).as("x"))
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(posexplode(col("embedding")).as(Seq("pos", "qx")))
+      .select(col("pos"), dec(col("qx")).as("qx"))
+    val qn2 = q.agg(sum(col("qx") * col("qx")).as("qn2"))
+    ex.join(broadcast(q), "pos")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("x") * col("qx")).as("dot"), sum(col("x") * col("x")).as("n2"))
+      .crossJoin(broadcast(qn2))
+      .select(col("vec_id"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(10)
   }
   val oracle = None
 }
