@@ -18,28 +18,41 @@ import graft.sources.TextCorpus
   * the CWD, main.cpp:161) so callers need not pollute it.
   */
 object Cli {
+  private val Usage =
+    "usage: <noOfMapThreads> <noOfReduceThreads> <inputFile> [outDir]"
+
   def main(args: Array[String]): Unit = {
-    if (args.length < 3) {
-      System.err.println(
-        "usage: <noOfMapThreads> <noOfReduceThreads> <inputFile> [outDir]")
+    val parsed = if (args.length < 3) None else
+      (args(0).toIntOption, args(1).toIntOption) match {
+        case (Some(m), Some(r)) if m >= 1 && r >= 1 => Some((m, r))
+        case _ => None
+      }
+    if (parsed.isEmpty) {
+      // Same failure shape as the reference (usage line + nonzero
+      // exit, main.cpp:277-282) for any malformed invocation.
+      System.err.println(Usage)
       sys.exit(1)
     }
-    val m = args(0).toInt
-    val r = args(1).toInt
-    require(m >= 1 && r >= 1, "thread counts must be >= 1")
+    val (m, r) = parsed.get
     val manifest = args(2)
     val outDir = if (args.length > 3) args(3) else "."
-    // In a JVM that already holds a session (tests), getOrCreate
-    // reuses it — then master/partition settings stay as-is and the
-    // session is left running for its owner.
-    val owned = SparkSession.getDefaultSession.isEmpty
-    val spark = Engine.configure(SparkSession.builder()
-      .master(s"local[${m + r}]")
-      .appName("graft-tema1")
-      .config("spark.sql.shuffle.partitions", r.toString))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try TextCorpus.buildIndex(spark, manifest, outDir)
-    finally if (owned) spark.stop()
+    // A JVM that already holds a session (tests, embedding apps) keeps
+    // it UNTOUCHED — going through the builder would apply modifiable
+    // configs (shuffle.partitions) to the existing session. Only a
+    // fresh standalone run builds (and owns, and stops) a session
+    // sized by the reference's thread arguments.
+    SparkSession.getDefaultSession match {
+      case Some(existing) =>
+        TextCorpus.buildIndex(existing, manifest, outDir)
+      case None =>
+        val spark = Engine.configure(SparkSession.builder()
+          .master(s"local[${m + r}]")
+          .appName("graft-tema1")
+          .config("spark.sql.shuffle.partitions", r.toString))
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        try TextCorpus.buildIndex(spark, manifest, outDir)
+        finally spark.stop()
+    }
   }
 }

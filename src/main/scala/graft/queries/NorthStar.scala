@@ -281,12 +281,22 @@ object Q18fDedupClusters extends GraftQuery {
       labels.unpersist()
       labels = next
     }
-    val out = labels.groupBy(col("lbl").as("cluster_id"))
+    // Truncate lineage before releasing the caches: the returned plan
+    // executes AFTER run() returns, so unpersisting pairs/labels here
+    // would otherwise let an eviction silently re-run both full pair
+    // pipelines. localCheckpoint materializes the (tiny) label table
+    // with no upstream lineage; its blocks are reclaimed by the
+    // ContextCleaner when the result is GC'd. (Non-reliable: on a
+    // real cluster an executor loss fails the job instead of
+    // recomputing — swap for checkpoint() with a checkpoint dir when
+    // running multi-node.)
+    val finalLabels = labels.localCheckpoint(true)
+    labels.unpersist()
+    pairs.unpersist()
+    finalLabels.groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
         array_join(sort_array(collect_set(col("id"))), " ").as("doc_ids"))
       .orderBy(col("cluster_id"))
-    pairs.unpersist()
-    out
   }
   val oracle = Some(s"""
     WITH RECURSIVE ${NorthStar.duckShingleCtes},
@@ -831,9 +841,10 @@ object Q22QualityScore extends GraftQuery {
     // `r` (the four ratios) are lambda-bound so each is evaluated once
     // per row — the previous withColumn chain let CollapseProject
     // re-tokenize at every downstream reference. Rows with zero
-    // tokens are filtered AFTER the inline (their ratio NaNs are
-    // computed then discarded — no 0-token doc exists in the fixture,
-    // the filter is defensive).
+    // tokens are filtered AFTER the inline, so the ratio divisors go
+    // through nullif: under Spark 4's default ANSI mode a literal /0
+    // would ABORT the query for an empty document, while /null yields
+    // null rows that the n_tokens > 0 filter then drops.
     val counts = "named_struct(" +
       "'n_tokens', size(tk), " +
       "'n_chars', length(text), " +
@@ -842,10 +853,10 @@ object Q22QualityScore extends GraftQuery {
       s"'stop_hits', size(filter(tk, w_ -> array_contains($stop, w_))), " +
       "'n_punct', length(regexp_replace(text, '[a-z0-9\\\\s]', '')))"
     val ratios = "named_struct(" +
-      "'ttr', cast(c.n_uniq as double) / c.n_tokens, " +
-      "'mtl', cast(c.sum_tok_len as double) / c.n_tokens, " +
-      "'swr', cast(c.stop_hits as double) / c.n_tokens, " +
-      "'pr', cast(c.n_punct as double) / c.n_chars)"
+      "'ttr', cast(c.n_uniq as double) / nullif(c.n_tokens, 0), " +
+      "'mtl', cast(c.sum_tok_len as double) / nullif(c.n_tokens, 0), " +
+      "'swr', cast(c.stop_hits as double) / nullif(c.n_tokens, 0), " +
+      "'pr', cast(c.n_punct as double) / nullif(c.n_chars, 0))"
     val outStruct = "named_struct(" +
       "'n_tokens', c.n_tokens, 'n_chars', c.n_chars, " +
       "'type_token_ratio', r.ttr, 'mean_token_len', r.mtl, " +

@@ -50,6 +50,20 @@ class Round4Spec extends SparkSpec {
       assert(a.getAs[Double](c) === e.getAs[Double](c), s"$c differs from q30")
   }
 
+  test("q22 survives zero-token documents (ANSI division guard)") {
+    // Under Spark 4's default ANSI mode a /0 aborts the query; the
+    // ratio divisors go through nullif so empty/whitespace-only docs
+    // produce null ratios that the n_tokens > 0 filter then drops.
+    val dir = java.nio.file.Files.createTempDirectory("q22_ansi").toString
+    Seq((0L, "", "en", "src0", 0L),
+        (1L, "hello world", "en", "src0", 11L),
+        (2L, "   ", "en", "src0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Q22QualityScore.run(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
+  }
+
   test("q31 map explode: every event contributes its json key plus the derived entry") {
     val out = Q31MapJson.run(spark, sf01).collect()
     val types = Tables.events(spark, sf01)

@@ -81,7 +81,8 @@ def main(sf_dir, out_dir):
         s_cols = sorted(spark_tbl.column_names)
         d_cols = sorted(duck.column_names)
         if s_cols != d_cols:
-            print(f"[FAIL] {name}: columns spark={s_cols} duck={d_cols}")
+            extra = f"; {dec_fail}" if dec_fail else ""
+            print(f"[FAIL] {name}: columns spark={s_cols} duck={d_cols}{extra}")
             n_bad += 1
             continue
         coerce = dec_fail is not None
@@ -90,7 +91,8 @@ def main(sf_dir, out_dir):
         d_rows = [tuple(canon(duck.column(c)[i].as_py(), coerce) for c in d_cols)
                   for i in range(duck.num_rows)]
         if len(s_rows) != len(d_rows):
-            print(f"[FAIL] {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+            extra = f"; {dec_fail}" if dec_fail else ""
+            print(f"[FAIL] {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}{extra}")
             for i in range(min(3, len(s_rows))):
                 print(f"   spark[{i}]: {s_rows[i]}")
             for i in range(min(3, len(d_rows))):
