@@ -33,7 +33,8 @@ object Relational {
   val all: Seq[GraftQuery] = Seq(
     Q2Agg, Q3JoinChain, Q4BroadcastJoin, Q5SemiAnti, Q6TopK, Q7WindowRank,
     Q8WindowFrame, Q9Rollup, Q10Cube, Q11SetOps, Q12DistinctAgg,
-    Q12bApproxDistinct, Q13ScalarFns, Q14Json, Q15ArrayFns, Q16RangeJoin,
+    Q12bApproxDistinct, Q12cHllSketchUnion, Q13ScalarFns, Q14Json,
+    Q15ArrayFns, Q16RangeJoin,
     Q17Sessionize, Q27OuterJoin, Q28Pivot, Q29ScalarSubquery, Q30Percentiles,
     Q30bApproxPercentiles, Q31MapJson, Q32AsofJoin)
 }
@@ -622,6 +623,39 @@ object Q12bApproxDistinct extends GraftQuery {
            approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
       .orderBy(col("l_returnflag"))
   val oracle = None
+}
+
+/** Q12c — MERGEABLE sketch re-aggregation (Apache DataSketches HLL via
+  * Spark's public hll_sketch_agg/hll_union_agg): distinct-part
+  * sketches are built once per fine-grained (returnflag, linestatus)
+  * group, then UNIONED up to per-flag estimates without touching the
+  * raw rows again — the at-scale pattern q12b's one-shot
+  * approx_count_distinct can't express (persist the sketch column,
+  * re-aggregate along any rollup later). Sketch bytes are
+  * engine-specific, so the hash-stable contract is the q30b pattern:
+  * exact counts plus an in-query tolerance flag (default lgConfigK=12
+  * → ~1.6% rsd; the 5% bound is ~3σ), with DuckDB emitting literal
+  * TRUE — a drifting sketch hash-fails honestly. */
+object Q12cHllSketchUnion extends GraftQuery {
+  val name = "q12c_hll_sketch_union"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sub = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    val merged = sub.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+    merged.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("n_parts"),
+        (abs(col("est") - col("n_parts")) <= col("n_parts") * 0.05).as("sketch_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+  val oracle = Some("""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+           TRUE AS sketch_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+  """.trim)
 }
 
 /** Q13 — scalar function surface (string/date/math), row-level so every
