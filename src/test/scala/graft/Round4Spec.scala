@@ -50,6 +50,21 @@ class Round4Spec extends SparkSpec {
       assert(a.getAs[Double](c) === e.getAs[Double](c), s"$c differs from q30")
   }
 
+  test("q32 as-of: one row per click, match is at-or-before, gap consistent") {
+    val out = Q32AsofJoin.run(spark, sf01).collect()
+    val nClicks = Tables.events(spark, sf01)
+      .filter($"event_type" === "click").count()
+    assert(out.length === nClicks)
+    out.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("purchase_ts_us"))) {
+        val ts = r.getAs[Long]("ts_us")
+        val pts = r.getAs[Long]("purchase_ts_us")
+        assert(pts <= ts, s"as-of match after the click: $r")
+        assert(r.getAs[Long]("gap_us") === ts - pts)
+      } else assert(r.isNullAt(r.fieldIndex("purchase_value")))
+    }
+  }
+
   test("q22 survives zero-token documents (ANSI division guard)") {
     // Under Spark 4's default ANSI mode a /0 aborts the query; the
     // ratio divisors go through nullif so empty/whitespace-only docs
