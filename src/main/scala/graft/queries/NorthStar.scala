@@ -329,37 +329,47 @@ object Q18cDedupSimHash extends GraftQuery {
   import NorthStar._
   val name = "q18c_dedup_simhash"
   def run(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("t"))
-      .filter(size(col("t")) > 0)
-      .select(col("doc_id"), size(col("t")).as("n"),
-        // nibble arrays: 16 string ops per token ONCE; the 64 bit
-        // tests below are then pure int ops (no per-test substring)
-        expr("transform(t, tok -> transform(split(substring(md5(tok), 1, 16), ''), " +
-          "c -> instr('0123456789abcdef', c) - 1))").as("nibs"))
-      .select(col("doc_id"), col("n"),
-        expr(let("nv", "nibs",
-          "transform(sequence(0, 63), i -> size(filter(nv, nb -> " +
-            "(shiftright(element_at(nb, cast(i div 4 as int) + 1), cast(i % 4 as int)) & 1) = 1)))"))
-          .as("hits"))
+    // Signature stage as explode + 64 flat codegen'd conditional sums:
+    // each distinct token becomes a row carrying its md5's two 32-bit
+    // halves, and the per-bit vote counts are 64 IF-sums in ONE
+    // whole-stage-codegen'd hash aggregation with map-side partial
+    // combine (round 3 computed the votes with nested interpreted
+    // HOFs — 64 filter passes over the token array per doc; measured
+    // 2.3 s → 1.65 s at sf0.1, bit-identical chunks). The groupBy's
+    // exchange doubles as the DAG-reuse barrier the old code bought
+    // with an explicit repartition: downstream references the flat
+    // chunk columns 8×, and an aggregation output is a real
+    // materialization point.
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("tok"))
       .select(col("doc_id"),
-        expr(let("s", "named_struct('n', n, 'hits', hits)",
-          "transform(sequence(0, 3), j -> aggregate(sequence(0, 15), cast(0 as bigint), " +
-            "(acc, k) -> acc + IF(2 * element_at(s.hits, 16*j+k+1) > s.n, cast(shiftleft(1, k) as bigint), cast(0 as bigint))))"))
-          .as("chunks"))
-    // Chunks as four flat columns: the per-pair Hamming distance is
-    // then pure codegen'd bit_count/xor arithmetic. The fixture corpus
-    // is heavily clustered (one chunk bucket holds 1/3 of the docs),
-    // so the verify stage runs over millions of candidate pairs — an
-    // interpreted HOF there cost 16 s at sf0.1.
-    // The repartition is a REAL exchange barrier: downstream selects
-    // reference the chunks array 8×, and without a materialization
-    // point CollapseProject re-evaluates the whole signature pipeline
-    // at each reference (measured 14 s → 26 s). One tiny shuffle of
-    // (doc_id, 4×int64) rows buys back 8× the signature cost.
-    val flat = sigs.repartition(col("doc_id")).select(col("doc_id"),
-      element_at(col("chunks"), 1).as("c0"), element_at(col("chunks"), 2).as("c1"),
-      element_at(col("chunks"), 3).as("c2"), element_at(col("chunks"), 4).as("c3"))
+        expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)").as("hi"),
+        expr("cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint)").as("lo"))
+    // bit i lives in hex char (i div 4) (chars 0-7 in hi, 8-15 in lo),
+    // at bit (i mod 4) of that char's value; a char sits 4*(7-pos) or
+    // 4*(15-pos) bits from its half's LSB.
+    val bitCols = (0 until 64).map { i =>
+      val charIdx = i / 4
+      val bit = i % 4
+      val src = if (charIdx < 8) "hi" else "lo"
+      val shift = 4 * (if (charIdx < 8) 7 - charIdx else 15 - charIdx) + bit
+      expr(s"sum(IF((shiftright($src, $shift) & 1) = 1, 1, 0))").as(s"b$i")
+    }
+    val votes = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitCols: _*)
+    // majority vote per bit -> four flat 16-bit chunk columns; the
+    // per-pair Hamming distance below is then pure codegen'd
+    // bit_count/xor arithmetic (the fixture corpus is heavily
+    // clustered — one chunk bucket holds 1/3 of the docs, so the
+    // verify stage runs over millions of candidate pairs; an
+    // interpreted HOF there cost 16 s at sf0.1).
+    val chunkCols = (0 until 4).map { j =>
+      val terms = (0 until 16).map(k =>
+        s"IF(2 * b${16 * j + k} > n, cast(${1L << k} as bigint), cast(0 as bigint))")
+        .mkString(" + ")
+      expr(terms).as(s"c$j")
+    }
+    val flat = votes.select(col("doc_id") +: chunkCols: _*)
     val chunks = flat
       .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
         posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))).as(Seq("j", "cv")))
