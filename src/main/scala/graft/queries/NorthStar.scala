@@ -186,16 +186,33 @@ object Q18bDedupMinHash extends GraftQuery {
     * signature pipeline a second time, and q18f anchors the shingle
     * frame so its two pair pipelines share one computation). */
   private[queries] def pairsFrom(shingles: DataFrame): DataFrame = {
-    // hex→int via native conv() (codegen'd — the interpreted 15-step
-    // fold was the residual hot spot); the DuckDB oracle computes the
-    // same VALUE with a list_reduce fold, method need not match.
-    val sig = shingles
-      .select(col("doc_id"), expr(
-        "transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 1000000007)").as("hs"))
-      .select(col("doc_id"), expr(let("hsv", "hs",
-        "transform(sequence(0, 31), i -> array_min(transform(hsv, h -> " +
-          "(((2654435761 * (i+1)) % 1000000007) * h + ((40503 * (i+1) + 7) % 1000000007)) % 1000000007)))")).as("sig"))
-      .repartition(col("doc_id")) // barrier: sig referenced 9× below
+    // Signature stage as explode + 32 flat codegen'd min aggregations
+    // (the q18c vote-sum pattern): each shingle becomes a row, is
+    // md5-hashed ONCE via native conv() (codegen'd — the interpreted
+    // 15-step fold was round 1's residual hot spot), and the 32
+    // arithmetic permutations reduce as min() columns in ONE
+    // whole-stage-codegen'd hash aggregation with map-side partial
+    // combine — round 3 evaluated them as 32 interpreted array_min
+    // passes over each doc's hash array. The DuckDB oracle computes
+    // the same VALUES with list folds; method need not match.
+    val shex = shingles.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 1000000007").as("h"))
+    val permCols = (0 until 32).map { i =>
+      min(expr(s"(((2654435761 * ${i + 1}) % 1000000007) * h + " +
+        s"((40503 * ${i + 1} + 7) % 1000000007)) % 1000000007")).as(s"m$i")
+    }
+    // The explicit repartition is the materialization barrier (sig is
+    // referenced from both band-join sides + the verify columns). It
+    // is NOT redundant: when the caller hands an already-doc_id-
+    // partitioned shingle frame (q18f's anchor), the groupBy inserts
+    // no exchange of its own, and without any barrier the whole
+    // signature pipeline re-runs per plan branch (measured 8 s → 30 s
+    // for q18f). One tiny shuffle of (doc_id, 32×int64) rows.
+    val sig = shex.groupBy(col("doc_id")).agg(permCols.head, permCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 32).map(i => col(s"m$i")): _*).as("sig"))
+      .repartition(col("doc_id"))
     // sig rides along through the band join: Spark does not share DAG
     // subtrees, so separate sa/sb join branches would re-run the whole
     // signature pipeline twice more.
@@ -240,13 +257,13 @@ object Q18fDedupClusters extends GraftQuery {
     // references it twice (both directions), and every loop iteration
     // is a separate action — without the cache the two full pair
     // pipelines would re-run 2× per action (measured 34 s vs 13 s at
-    // sf0.1). The repartition on the shared shingle frame is a
-    // ReuseExchange anchor scoped to THIS query: within the one
-    // materialization action, both pair pipelines reference an
-    // identical exchange subtree, so tokenize+shingle runs once
-    // (standalone q18b/q18d skip the anchor — for a single consumer
-    // the shuffle costs more than the recompute, measured 6.4→8.6 s).
-    val sh = NorthStar.shingleSets(spark, dir).repartition(col("doc_id"))
+    // sf0.1). The shared shingle frame is MEMORY-cached, not
+    // exchange-anchored: the MinHash branch reduces early (explode +
+    // map-side partial agg), so shuffling the full shingle arrays to
+    // share them costs more than it saves, while the cache still
+    // feeds all four references (1× MinHash, 3× n-gram) from one
+    // tokenize+shingle pass.
+    val sh = NorthStar.shingleSets(spark, dir).persist()
     val pairs = Q18bDedupMinHash.pairsFrom(sh).select(col("doc_a"), col("doc_b"))
       .union(Q18dDedupNgram.pairsFrom(sh).select(col("doc_a"), col("doc_b")))
       .persist()
@@ -293,6 +310,7 @@ object Q18fDedupClusters extends GraftQuery {
     val finalLabels = labels.localCheckpoint(true)
     labels.unpersist()
     pairs.unpersist()
+    sh.unpersist()
     finalLabels.groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
         array_join(sort_array(collect_set(col("id"))), " ").as("doc_ids"))
