@@ -36,7 +36,8 @@ object Relational {
     Q12bApproxDistinct, Q12cHllSketchUnion, Q13ScalarFns, Q14Json,
     Q15ArrayFns, Q16RangeJoin,
     Q17Sessionize, Q27OuterJoin, Q28Pivot, Q29ScalarSubquery, Q30Percentiles,
-    Q30bApproxPercentiles, Q31MapJson, Q32AsofJoin)
+    Q30bApproxPercentiles, Q31MapJson, Q32AsofJoin, Q33GroupingSets,
+    Q34SaltedJoin)
 }
 
 /** Q2 — scan+filter+project+hash agg (TPC-H Q1 shape). At scale: one
@@ -813,5 +814,80 @@ object Q17Sessionize extends GraftQuery {
       CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id, session_id
     ORDER BY user_id, session_id
+  """.trim)
+}
+
+/** Q33 — explicit GROUPING SETS: two independent one-dimension
+  * groupings plus the grand total in ONE scan — the set
+  * ((status), (priority), ()) is expressible as neither ROLLUP (which
+  * would add (status, priority)) nor CUBE (same), so it exercises the
+  * general grouping-sets expansion the Q9/Q10 pack can't reach.
+  * Catalyst plans a single Expand + one shuffled aggregation: at
+  * 100 TB the fact table is read once, not once per GROUP BY.
+  * GROUPING() flags disambiguate "grouped-out" from data nulls. */
+object Q33GroupingSets extends GraftQuery {
+  import Relational._
+  val name = "q33_grouping_sets"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           sum(decPrice(col("o_totalprice"))).cast("double").as("total"),
+           grouping(col("o_orderstatus")).cast("int").as("g_status"),
+           grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  val oracle = Some("""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total,
+      CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY g_status, g_priority,
+      o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+  """.trim)
+}
+
+/** Q34 — skew-salted join as a first-class query: per-nation order
+  * count + decimal revenue, with the orders⋈customer join spread over
+  * 16 salt buckets. The probe side derives a uniform salt from a
+  * per-row key (hash(o_orderkey) — NOT the join key, which is what's
+  * skewed); the build side is replicated ×16 via explode(sequence),
+  * so one hot custkey's rows land on 16 tasks instead of one. The
+  * salt never reaches the aggregate, so the result is exactly the
+  * plain join the oracle computes. This is the manual fallback for
+  * single-key skew beyond what AQE's skew-join splitting handles;
+  * BucketingSpec plan-asserts the salted-aggregation twin. */
+object Q34SaltedJoin extends GraftQuery {
+  import Relational._
+  private val Salts = 16
+  val name = "q34_salted_skew_join"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .withColumn("salt", pmod(hash(col("o_orderkey")), lit(Salts)))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        explode(sequence(lit(0), lit(Salts - 1))).as("salt"))
+    orders
+      .join(cust, orders("o_custkey") === cust("c_custkey") &&
+        orders("salt") === cust("salt"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(decPrice(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("n_name"))
+  }
+  val oracle = Some("""
+    SELECT n_name, count(*) AS n_orders,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
   """.trim)
 }

@@ -59,7 +59,7 @@ object StreamQueries {
 
   val all: Seq[GraftQuery] = Seq(
     S1Tumbling, S2Sliding, S3WatermarkLate, S4SessionWindow, S5Dedup,
-    S6IncrementalIndex, S7StatefulProfiles)
+    S6IncrementalIndex, S7StatefulProfiles, S8StreamStreamJoin)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -196,6 +196,40 @@ object S7StatefulProfiles extends GraftQuery {
       MAX(${StreamQueries.duckUs}) AS last_us,
       MIN(value) AS vmin, MAX(value) AS vmax
     FROM events GROUP BY user_id ORDER BY user_id
+  """.trim)
+}
+
+/** S8 — stream-stream inner join (append mode): clicks × same-user
+  * purchases within 30 minutes after the click. The single-batch file
+  * source delivers both sides in micro-batch 0, so the inner join's
+  * append output is the complete, deterministic match set — the same
+  * rows the oracle's batch self-join computes. Streams.clickPurchaseJoin
+  * carries the two-sided watermark + time-bound state-eviction
+  * contract (see its doc). */
+object S8StreamStreamJoin extends GraftQuery {
+  import StreamQueries._
+  val name = "s8_stream_stream_join"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val joined = Streams.clickPurchaseJoin(
+      ev.filter(col("event_type") === "click"),
+      eventsStream(spark, dir).filter(col("event_type") === "purchase"))
+    runToBatch(spark, joined, "append")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+  val oracle = Some(s"""
+    WITH e AS (SELECT event_id, user_id, event_type, ${StreamQueries.duckUs} AS us FROM events)
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           c.us AS click_us, p.us AS purchase_us, p.us - c.us AS gap_us
+    FROM e c JOIN e p ON c.user_id = p.user_id
+      AND c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.us BETWEEN c.us AND c.us + 1800000000
+    ORDER BY click_id, purchase_id
   """.trim)
 }
 

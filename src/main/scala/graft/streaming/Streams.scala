@@ -140,6 +140,29 @@ object Streams {
       }
   }
 
+  /** S8 — stream-stream inner join: each click joined to the same
+    * user's purchases landing within [click_ts, click_ts + 30 min].
+    * Both inputs are watermarked and the join condition bounds event
+    * time in BOTH directions, so Spark can evict buffered rows from
+    * both state stores as the watermark advances — the unbounded-state
+    * trap of stream-stream joins (a join without a time bound must
+    * keep every row forever) is structurally avoided. One shuffle per
+    * side, keyed by user_id. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+  }
+
   /** S6 sink: maintain the reference's 26 `<letter>.txt` files from
     * the incremental index — complete-mode foreachBatch republishes
     * the letter files on every micro-batch, so a reader always sees

@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.queries._
+import graft.streaming.Streams
+
+/** Oracle-independent invariants for the round-5 operators (q33
+  * grouping sets, q34 salted skew join, s8 stream-stream join). */
+class Round5Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("q33 grouping sets: three grouping levels tie out to the same total") {
+    val rows = Q33GroupingSets.run(spark, sf01).collect()
+    val total = Tables.orders(spark, sf01).count()
+    val grand = rows.filter(r =>
+      r.getAs[Int]("g_status") == 1 && r.getAs[Int]("g_priority") == 1)
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n") === total)
+    // each one-dimension slice partitions the full table
+    val byStatus = rows.filter(r =>
+      r.getAs[Int]("g_status") == 0 && r.getAs[Int]("g_priority") == 1)
+    val byPriority = rows.filter(r =>
+      r.getAs[Int]("g_status") == 1 && r.getAs[Int]("g_priority") == 0)
+    assert(byStatus.map(_.getAs[Long]("n")).sum === total)
+    assert(byPriority.map(_.getAs[Long]("n")).sum === total)
+    // no (status, priority) cross rows — the set is not a rollup/cube
+    assert(rows.length === byStatus.length + byPriority.length + 1)
+    // grouped-out columns are null exactly when their flag says so
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("o_orderstatus")) ===
+        (r.getAs[Int]("g_status") == 1))
+      assert(r.isNullAt(r.fieldIndex("o_orderpriority")) ===
+        (r.getAs[Int]("g_priority") == 1))
+    }
+  }
+
+  test("q34 salted join == plain unsalted join, salt spreads the probe side") {
+    val salted = Q34SaltedJoin.run(spark, sf01).collect()
+    val plain = Tables.orders(spark, sf01)
+      .join(Tables.customer(spark, sf01), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf01), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("revenue"))
+      .orderBy(col("n_name")).collect()
+    assert(salted.map(_.toSeq).toSeq === plain.map(_.toSeq).toSeq)
+    // the salt really fans out: every bucket receives orders rows
+    val buckets = Tables.orders(spark, sf01)
+      .select(pmod(hash(col("o_orderkey")), lit(16)).as("salt"))
+      .groupBy(col("salt")).count().collect()
+    assert(buckets.length === 16)
+  }
+
+  test("s8 stream-stream join matches across MemoryStream batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val name = "s8_two_batches"
+    val q = Streams.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // batch 1: clicks only — nothing can join yet
+      clicks.addData(
+        Ev(1, Timestamp.valueOf("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Ev(2, Timestamp.valueOf("2024-01-01 00:05:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0)
+      // batch 2: purchases — user 1 inside the 30-min bound joins the
+      // buffered click; user 2's lands outside the bound and does not
+      purchases.addData(
+        Ev(10, Timestamp.valueOf("2024-01-01 00:20:00"), 1, "purchase", 2.0),
+        Ev(11, Timestamp.valueOf("2024-01-01 00:50:00"), 2, "purchase", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name)
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L, 1L)))
+  }
+
+  test("s8 fixture output: bounds hold and row count matches the batch join") {
+    val out = graft.streaming.S8StreamStreamJoin.run(spark, sf01).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val gap = r.getAs[Long]("gap_us")
+      assert(gap >= 0 && gap <= 30L * 60 * 1000 * 1000, s"gap out of bounds: $r")
+    }
+    val ev = Tables.events(spark, sf01)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"), col("us").as("cus"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("us").as("pus"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+      col("pus") >= col("cus") && col("pus") <= col("cus") + 1800000000L)
+    assert(out.length.toLong === batch.count())
+  }
+}
