@@ -9,7 +9,7 @@ object SparkEntry {
     * SURVEY order; names are stable driver-facing identifiers. */
   val all: Seq[GraftQuery] = Seq(
     InvertedIndex, InvertedIndexUdaf, InvertedIndexNative
-  ) ++ Relational.all ++ NorthStar.all ++
+  ) ++ Relational.all ++ Analytics.all ++ NorthStar.all ++
     Seq(graft.multimodal.Q25MultimodalFeatures) ++
     graft.streaming.StreamQueries.all
 

@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{RankedOrder, TopKOrdersAgg}
+
+/** Round-5 analytics surface: bounded-state per-key top-k (q7b),
+  * unpivot/melt (q35), decimal-exact statistical moments (q36),
+  * generated date-spine gap fill (q37), distribution window functions
+  * (q38), and a blocked fuzzy string-match join (q39). Same
+  * conventions as Relational (decimal money math, VARCHAR-roundtrip
+  * oracle casts, total ORDER BY). */
+object Analytics {
+  val all: Seq[GraftQuery] = Seq(
+    Q7bTopKAgg, Q35Unpivot, Q36StatsMoments, Q37DateSpine,
+    Q38WindowDistribution, Q39FuzzyMatch)
+}
+
+/** Q7b — q7's per-customer top-3 through the bounded typed
+  * `Aggregator` instead of a window sort: at most k rows of state per
+  * key, map-side partial combine (≤k rows per key per map task reach
+  * the shuffle), associative merge — the 100 TB shape for per-key
+  * top-k over skewed keys, where q7's `row_number` plan must shuffle
+  * and sort EVERY row of a hot key in one task. Shares q7's oracle:
+  * both rankings are total orders, so the results are identical. */
+object Q7bTopKAgg extends GraftQuery {
+  val name = "q7b_topk_per_key_agg"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new TopKOrdersAgg(3), ExpressionEncoder[RankedOrder]())
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("o_orderkey"), col("o_totalprice")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), col("col.o_orderkey").as("o_orderkey"),
+        col("col.o_totalprice").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+  val oracle = Q7WindowRank.oracle
+}
+
+/** Q35 — unpivot (melt): three lineitem measures rotated into
+  * (metric, val) rows, then aggregated per (returnflag, metric) —
+  * q28's pivot run in reverse. Unpivot is a zero-shuffle Expand (rows
+  * ×3, no exchange); the one shuffle is the aggregation's. The
+  * measures are cast to a common decimal before the rotate so `val`
+  * stays engine-exact. */
+object Q35Unpivot extends GraftQuery {
+  val name = "q35_unpivot_measures"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(14,2)").as("l_quantity"),
+        col("l_extendedprice").cast("decimal(14,2)").as("l_extendedprice"),
+        col("l_discount").cast("decimal(14,2)").as("l_discount"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "val")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).cast("double").as("total"))
+      .orderBy(col("l_returnflag"), col("metric"))
+  val oracle = Some("""
+    WITH u AS (
+      SELECT l_returnflag, metric, val FROM (
+        SELECT l_returnflag,
+          CAST(l_quantity AS DECIMAL(14,2)) AS l_quantity,
+          CAST(l_extendedprice AS DECIMAL(14,2)) AS l_extendedprice,
+          CAST(l_discount AS DECIMAL(14,2)) AS l_discount
+        FROM lineitem)
+      UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount)))
+    SELECT l_returnflag, metric, count(*) AS n,
+      CAST(CAST(SUM(val) AS VARCHAR) AS DOUBLE) AS total
+    FROM u GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric
+  """.trim)
+}
+
+/** Q36 — statistical moments with decimal-exact accumulation: n, Σx,
+  * Σx², Σxy run in DECIMAL (order-independent, engine-exact — the
+  * mergeable, shuffle-once shape), then mean/variance/stddev/corr are
+  * derived in ONE identical double expression tree per statistic in
+  * both engines, so the hash matches bit-for-bit. Spark's built-in
+  * `stddev_samp`/`corr` (Welford-style central moments) are emitted
+  * as in-query tolerance FLAGS against the decimal-exact values
+  * (oracle emits literal TRUE — q30b's sketch-gate pattern): the
+  * built-ins are exercised honestly without hashing their
+  * non-portable low-order bits. */
+object Q36StatsMoments extends GraftQuery {
+  val name = "q36_stats_moments"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast("decimal(12,2)")
+    val p = col("l_extendedprice").cast("decimal(14,2)")
+    val agg = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).as("sq"), sum(q * q).as("sq2"),
+        sum(p).as("sp"), sum(p * p).as("sp2"),
+        sum(p * q).as("spq"),
+        stddev_samp(col("l_quantity")).as("builtin_std_qty"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("builtin_corr"))
+    val dn = col("n").cast("double")
+    val (dq, dq2) = (col("sq").cast("double"), col("sq2").cast("double"))
+    val (dp, dp2) = (col("sp").cast("double"), col("sp2").cast("double"))
+    val dpq = col("spq").cast("double")
+    val varQty = (dq2 - dq * dq / dn) / (dn - lit(1.0))
+    val stdQty = sqrt(varQty)
+    val corrM = (dpq - dp * dq / dn) /
+      sqrt((dp2 - dp * dp / dn) * (dq2 - dq * dq / dn))
+    agg.select(col("l_returnflag"), col("n"),
+      (dq / dn).as("mean_qty"), varQty.as("var_qty"), stdQty.as("std_qty"),
+      (dp / dn).as("mean_price"), corrM.as("corr_qty_price"),
+      (abs(col("builtin_std_qty") - stdQty) <= lit(1e-9) * stdQty)
+        .as("builtin_std_ok"),
+      (abs(col("builtin_corr") - corrM) <= lit(1e-9)).as("builtin_corr_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+  // Identical double expression trees, decimal sums VARCHAR-roundtripped
+  // (DuckDB's direct decimal->double cast double-rounds; see ADVICE r3).
+  val oracle = Some("""
+    WITH a AS (
+      SELECT l_returnflag, count(*) AS n,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS dq,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS dq2,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS dp,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS dp2,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS dpq
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+      dq / CAST(n AS DOUBLE) AS mean_qty,
+      (dq2 - dq * dq / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_qty,
+      sqrt((dq2 - dq * dq / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS std_qty,
+      dp / CAST(n AS DOUBLE) AS mean_price,
+      (dpq - dp * dq / CAST(n AS DOUBLE)) /
+        sqrt((dp2 - dp * dp / CAST(n AS DOUBLE)) * (dq2 - dq * dq / CAST(n AS DOUBLE))) AS corr_qty_price,
+      TRUE AS builtin_std_ok,
+      TRUE AS builtin_corr_ok
+    FROM a ORDER BY l_returnflag
+  """.trim)
+}
+
+/** Q37 — generated date spine + gap fill: a month spine generated
+  * with sequence() between the data's own bounds (computed in-plan —
+  * no driver collect), left-joined to monthly revenue, missing months
+  * zero-filled. The spine side is a handful of rows broadcast against
+  * the aggregated months; the base table is read once. */
+object Q37DateSpine extends GraftQuery {
+  val name = "q37_date_spine"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(date_trunc("month", col("o_orderdate")).as("mo"),
+        col("o_totalprice"))
+    val monthly = o.groupBy(col("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).as("rev"))
+    val spine = o.agg(min(col("mo")).as("lo"), max(col("mo")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 MONTH"))).as("mo"))
+    spine.join(monthly, Seq("mo"), "left")
+      .select(date_format(col("mo"), "yyyy-MM").as("month"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("rev"), lit(0).cast("decimal(24,2)"))
+          .cast("double").as("revenue"))
+      .orderBy(col("month"))
+  }
+  val oracle = Some("""
+    WITH o AS (SELECT date_trunc('month', o_orderdate) AS mo, o_totalprice FROM orders),
+    b AS (SELECT min(mo) AS lo, max(mo) AS hi FROM o),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS mo FROM b),
+    m AS (SELECT mo, count(*) AS n_orders,
+          SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+          FROM o GROUP BY mo)
+    SELECT strftime(spine.mo, '%Y-%m') AS month,
+      COALESCE(m.n_orders, 0) AS n_orders,
+      CAST(CAST(COALESCE(m.rev, CAST(0 AS DECIMAL(24,2))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM spine LEFT JOIN m ON spine.mo = m.mo ORDER BY month
+  """.trim)
+}
+
+/** Q38 — distribution window functions: ntile quartiles,
+  * percent_rank, cume_dist per order-status partition. The ordering
+  * key (price, orderkey) is total, so ranks are tie-free and each
+  * statistic is one exact integer ratio evaluated in one IEEE
+  * division — engine-exact without rounding. */
+object Q38WindowDistribution extends GraftQuery {
+  val name = "q38_window_distribution"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+  val oracle = Some("""
+    SELECT o_orderstatus, o_orderkey, o_totalprice,
+      CAST(ntile(4) OVER w AS INT) AS quartile,
+      percent_rank() OVER w AS pr,
+      cume_dist() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderstatus, o_orderkey
+  """.trim)
+}
+
+/** Q39 — fuzzy string matching as a BLOCKED join: distinct part
+  * names paired within a first-token block, scored with Levenshtein
+  * edit distance, kept at distance 1–4. The block key bounds
+  * candidates (never all-pairs — same posture as the q18 dedup
+  * family); at 100 TB the token key shuffles once and skewed blocks
+  * split under AQE. */
+object Q39FuzzyMatch extends GraftQuery {
+  val name = "q39_fuzzy_match"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir).select(col("p_name")).distinct()
+      .withColumn("tok", split(col("p_name"), " ").getItem(0))
+    val a = names.select(col("p_name").as("name_a"), col("tok"))
+    val b = names.select(col("p_name").as("name_b"), col("tok"))
+    a.join(b, "tok")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist").between(1, 4))
+      .select(col("name_a"), col("name_b"), col("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+  val oracle = Some("""
+    WITH n AS (SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS tok FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+      CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM n a JOIN n b ON a.tok = b.tok AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4
+    ORDER BY name_a, name_b
+  """.trim)
+}

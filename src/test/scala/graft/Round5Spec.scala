@@ -82,6 +82,60 @@ class Round5Spec extends SparkSpec {
     assert(got === Set((1L, 10L, 1L)))
   }
 
+  test("q7b bounded-heap top-k == q7 window ranking, row for row") {
+    val agg = Q7bTopKAgg.run(spark, sf01).collect().map(_.toSeq).toSeq
+    val win = Q7WindowRank.run(spark, sf01).collect().map(_.toSeq).toSeq
+    assert(agg === win && agg.nonEmpty)
+  }
+
+  test("TopKOrdersAgg: insert order never changes the result, size bounded") {
+    val agg = new graft.functions.TopKOrdersAgg(3)
+    val rows = Seq(
+      graft.functions.RankedOrder(1, 10.0), graft.functions.RankedOrder(2, 30.0),
+      graft.functions.RankedOrder(3, 20.0), graft.functions.RankedOrder(4, 30.0),
+      graft.functions.RankedOrder(5, 5.0))
+    val expect = Seq(
+      graft.functions.RankedOrder(2, 30.0), graft.functions.RankedOrder(4, 30.0),
+      graft.functions.RankedOrder(3, 20.0))
+    rows.permutations.take(30).foreach { perm =>
+      // any reduce order and any split into merged partials agree
+      val whole = perm.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(whole) === expect)
+      val (l, r) = perm.splitAt(2)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) === expect)
+      assert(merged.size <= 3)
+    }
+  }
+
+  test("q37 date spine zero-fills a missing month") {
+    val dir = java.nio.file.Files.createTempDirectory("q37_gap").toString
+    // three orders in Jan and Mar 2024 — Feb must appear with zeros
+    Seq((1L, 1L, "O", 10.0, java.sql.Timestamp.valueOf("2024-01-15 00:00:00"), "1-URGENT"),
+        (2L, 1L, "O", 20.0, java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), "1-URGENT"),
+        (3L, 2L, "F", 30.0, java.sql.Timestamp.valueOf("2024-03-05 00:00:00"), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = Q37DateSpine.run(spark, dir).collect()
+    assert(out.map(r => (r.getAs[String]("month"), r.getAs[Long]("n_orders"),
+      r.getAs[Double]("revenue"))).toSeq ===
+      Seq(("2024-01", 2L, 30.0), ("2024-02", 0L, 0.0), ("2024-03", 1L, 30.0)))
+  }
+
+  test("q36 built-in stats agree with decimal-exact moments on the fixture") {
+    val rows = Q36StatsMoments.run(spark, sf01).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("builtin_std_ok"), s"stddev drift: $r")
+      assert(r.getAs[Boolean]("builtin_corr_ok"), s"corr drift: $r")
+      assert(r.getAs[Double]("var_qty") >= 0)
+      val c = r.getAs[Double]("corr_qty_price")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
   test("s8 fixture output: bounds hold and row count matches the batch join") {
     val out = graft.streaming.S8StreamStreamJoin.run(spark, sf01).collect()
     assert(out.nonEmpty)
