@@ -59,7 +59,8 @@ object StreamQueries {
 
   val all: Seq[GraftQuery] = Seq(
     S1Tumbling, S2Sliding, S3WatermarkLate, S4SessionWindow, S5Dedup,
-    S6IncrementalIndex, S7StatefulProfiles, S8StreamStreamJoin)
+    S6IncrementalIndex, S7StatefulProfiles, S8StreamStreamJoin,
+    S9StreamStaticJoin)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -230,6 +231,30 @@ object S8StreamStreamJoin extends GraftQuery {
       AND c.event_type = 'click' AND p.event_type = 'purchase'
       AND p.us BETWEEN c.us AND c.us + 1800000000
     ORDER BY click_id, purchase_id
+  """.trim)
+}
+
+/** S9 — stream-static join (complete mode): events enriched against
+  * the static customer dimension (user_id joins c_custkey by fixture
+  * construction), counted + decimal-summed per (segment, type). The
+  * static side is broadcast — the join holds no state; events with no
+  * matching customer (user 0) drop, matching the oracle's inner
+  * join. */
+object S9StreamStaticJoin extends GraftQuery {
+  import StreamQueries._
+  val name = "s9_stream_static_join"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    runToBatch(spark, Streams.enrichedSegmentAgg(
+      eventsStream(spark, dir), graft.Tables.customer(spark, dir)), "complete")
+      .select(col("c_mktsegment"), col("event_type"), col("n"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  val oracle = Some("""
+    SELECT c_mktsegment, event_type, count(*) AS n,
+      CAST(CAST(SUM(CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    ORDER BY c_mktsegment, event_type
   """.trim)
 }
 

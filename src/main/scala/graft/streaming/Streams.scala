@@ -163,6 +163,20 @@ object Streams {
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
   }
 
+  /** S9 — stream-static join: the unbounded event stream enriched
+    * against a bounded dimension table (the classic at-scale pattern:
+    * the static side is broadcast to every task — stateless, no
+    * store, re-resolved per micro-batch), then aggregated per
+    * (segment, event_type). The only stateful op is the aggregation;
+    * the join itself keeps zero state. */
+  def enrichedSegmentAgg(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+
   /** S6 sink: maintain the reference's 26 `<letter>.txt` files from
     * the incremental index — complete-mode foreachBatch republishes
     * the letter files on every micro-batch, so a reader always sees

@@ -82,6 +82,31 @@ class Round5Spec extends SparkSpec {
     assert(got === Set((1L, 10L, 1L)))
   }
 
+  test("s9 stream-static join across two batches == batch join+agg") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "SEG_A"), (2L, "SEG_B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val in = MemoryStream[Ev]
+    val name = "s9_two_batches"
+    val q = Streams.enrichedSegmentAgg(in.toDF(), dim)
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      in.addData(
+        Ev(1, Timestamp.valueOf("2024-01-01 00:00:00"), 1, "click", 1.5),
+        Ev(2, Timestamp.valueOf("2024-01-01 00:01:00"), 3, "click", 9.0)) // no dim row
+      q.processAllAvailable()
+      in.addData(
+        Ev(3, Timestamp.valueOf("2024-01-01 00:02:00"), 1, "click", 2.5),
+        Ev(4, Timestamp.valueOf("2024-01-01 00:03:00"), 2, "view", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name)
+      .select(col("c_mktsegment"), col("event_type"),
+        col("n"), col("sum_value").cast("double"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === Set(("SEG_A", "click", 2L, 4.0), ("SEG_B", "view", 1L, 4.0)))
+  }
+
   test("q7b bounded-heap top-k == q7 window ranking, row for row") {
     val agg = Q7bTopKAgg.run(spark, sf01).collect().map(_.toSeq).toSeq
     val win = Q7WindowRank.run(spark, sf01).collect().map(_.toSeq).toSeq
