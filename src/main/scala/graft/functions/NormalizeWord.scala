@@ -69,15 +69,18 @@ case class NormalizeWord(child: Expression)
     copy(child = newChild)
 }
 
-/** Session extension registering the native function — usable via
+/** Session extension registering the native function (b-tier) and the
+  * Levenshtein-threshold optimizer rule (c-tier) — usable via
   * `spark.sql.extensions=graft.functions.GraftExtensions` or
   * `builder.withExtensions(new GraftExtensions)` (Engine does the
-  * latter). Public API only: SparkSessionExtensions.injectFunction. */
+  * latter). Public API only: SparkSessionExtensions.injectFunction /
+  * injectOptimizerRule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_normalize_fast"),
       new ExpressionInfo(classOf[NormalizeWord].getName, "graft_normalize_fast"),
       (children: Seq[Expression]) => NormalizeWord(children.head)))
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
   }
 }
