@@ -17,7 +17,7 @@ import graft.functions.{RankedOrder, TopKOrdersAgg}
 object Analytics {
   val all: Seq[GraftQuery] = Seq(
     Q7bTopKAgg, Q35Unpivot, Q36StatsMoments, Q37DateSpine,
-    Q38WindowDistribution, Q39FuzzyMatch)
+    Q38WindowDistribution, Q39FuzzyMatch, Q40TrainTestSplit, Q41ArgMax)
 }
 
 /** Q7b — q7's per-customer top-3 through the bounded typed
@@ -204,6 +204,74 @@ object Q38WindowDistribution extends GraftQuery {
     FROM orders
     WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
     ORDER BY o_orderstatus, o_orderkey
+  """.trim)
+}
+
+/** Q40 — deterministic train/test split, the training-pipeline
+  * staple: each document is assigned a split by a content-independent
+  * pseudo-random key — the last hex nibble of md5(doc_id) — so the
+  * assignment is stable across runs, engines, partitionings and
+  * re-shards (never `rand()`, which is neither reproducible nor
+  * oracle-checkable; never `doc_id % k`, which aliases any
+  * id-assignment pattern). Nibbles 0–12 → train (~81%), 13–15 → test.
+  * Emitted as per-(split, lang) counts + share-of-split so the oracle
+  * also checks the stratification the split is supposed to preserve.
+  * Per-row, shuffle-free until the final small aggregation. */
+object Q40TrainTestSplit extends GraftQuery {
+  val name = "q40_train_test_split"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val nib = expr(
+      "locate(substring(md5(cast(doc_id as string)), 32, 1), '0123456789abcdef') - 1")
+    val docs = Tables.documents(spark, dir)
+      .withColumn("split", when(nib < 13, lit("train")).otherwise(lit("test")))
+    val bySplit = Window.partitionBy(col("split"))
+    docs.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(bySplit).cast("double"))
+      .orderBy(col("split"), col("lang"))
+  }
+  val oracle = Some("""
+    WITH d AS (
+      SELECT lang,
+        CASE WHEN instr('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 13
+             THEN 'train' ELSE 'test' END AS split
+      FROM documents),
+    g AS (SELECT split, lang, count(*) AS n FROM d GROUP BY split, lang)
+    SELECT split, lang, n,
+      CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY split) AS DOUBLE) AS share
+    FROM g ORDER BY split, lang
+  """.trim)
+}
+
+/** Q41 — argmax per group, tie-safe: the row-level winner per lang is
+  * `max(struct(n_chars, doc_id))` — lexicographic struct ordering
+  * makes the tie-break (doc_id) part of the ORDER ITSELF, so the
+  * result is deterministic where a bare `max_by(doc_id, n_chars)`
+  * would be free to pick any tied row. One ordinary min/max
+  * aggregation: mergeable, one shuffle, no window sort. */
+object Q41ArgMax extends GraftQuery {
+  val name = "q41_argmax_per_group"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(max(struct(col("n_chars").as("nc"), col("doc_id").as("id"))).as("mx"),
+           min(struct(col("n_chars").as("nc"), col("doc_id").as("id"))).as("mn"),
+           count(lit(1)).as("n_docs"))
+      .select(col("lang"),
+        col("mx.nc").as("max_chars"), col("mx.id").as("longest_doc"),
+        col("mn.nc").as("min_chars"), col("mn.id").as("shortest_doc"),
+        col("n_docs"))
+      .orderBy(col("lang"))
+  val oracle = Some("""
+    SELECT lang,
+      (max({'nc': n_chars, 'id': doc_id})).nc AS max_chars,
+      (max({'nc': n_chars, 'id': doc_id})).id AS longest_doc,
+      (min({'nc': n_chars, 'id': doc_id})).nc AS min_chars,
+      (min({'nc': n_chars, 'id': doc_id})).id AS shortest_doc,
+      count(*) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
   """.trim)
 }
 

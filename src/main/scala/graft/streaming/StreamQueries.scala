@@ -60,7 +60,7 @@ object StreamQueries {
   val all: Seq[GraftQuery] = Seq(
     S1Tumbling, S2Sliding, S3WatermarkLate, S4SessionWindow, S5Dedup,
     S6IncrementalIndex, S7StatefulProfiles, S8StreamStreamJoin,
-    S9StreamStaticJoin)
+    S9StreamStaticJoin, S10StreamStreamOuterJoin)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -255,6 +255,47 @@ object S9StreamStaticJoin extends GraftQuery {
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment, event_type
     ORDER BY c_mktsegment, event_type
+  """.trim)
+}
+
+/** S10 — stream-stream LEFT OUTER join (append mode): s8's join with
+  * unmatched clicks surfaced. Matched rows emit in the data batch;
+  * null-extended rows emit in the watermark-advance (no-data) batch
+  * that follows, and ONLY for clicks whose 30-min window closed
+  * strictly below the final watermark `min(max click ts, max purchase
+  * ts) − 10 min` (ms precision) — clicks nearer the stream head stay
+  * buffered, exactly what an unbounded run would do. The oracle
+  * replays both rules (batch left join + the eviction predicate). */
+object S10StreamStreamOuterJoin extends GraftQuery {
+  import StreamQueries._
+  val name = "s10_stream_stream_outer_join"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Streams.clickPurchaseJoin(
+      eventsStream(spark, dir).filter(col("event_type") === "click"),
+      eventsStream(spark, dir).filter(col("event_type") === "purchase"),
+      "leftOuter")
+    runToBatch(spark, joined, "append")
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        col("purchase_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+      .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+  }
+  val oracle = Some(s"""
+    WITH e AS (SELECT event_id, user_id, event_type, ${StreamQueries.duckUs} AS us FROM events),
+    c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+    wm AS (SELECT (LEAST((SELECT max(us) FROM c), (SELECT max(us) FROM p))
+                   // 1000 - 600000) * 1000 AS wm_us),
+    j AS (SELECT c.event_id AS click_id, c.user_id, c.us AS click_us,
+                 p.event_id AS purchase_id, p.us AS purchase_us
+          FROM c LEFT JOIN p ON c.user_id = p.user_id
+            AND p.us BETWEEN c.us AND c.us + 1800000000)
+    SELECT click_id, user_id, click_us, purchase_id, purchase_us
+    FROM j
+    WHERE purchase_id IS NOT NULL
+       OR click_us + 1800000000 < (SELECT wm_us FROM wm)
+    ORDER BY click_id, purchase_id NULLS FIRST
   """.trim)
 }
 

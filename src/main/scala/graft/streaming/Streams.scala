@@ -147,8 +147,16 @@ object Streams {
     * both state stores as the watermark advances — the unbounded-state
     * trap of stream-stream joins (a join without a time bound must
     * keep every row forever) is structurally avoided. One shuffle per
-    * side, keyed by user_id. */
-  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    * side, keyed by user_id.
+    *
+    * joinType "leftOuter" (S10): a click with no purchase in its
+    * window is emitted null-extended only once the watermark passes
+    * `click_ts + 30 min` — the point where the time bound proves no
+    * future purchase can match — i.e. unmatched results surface with
+    * watermark latency, the price of correctness on unbounded
+    * streams. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        joinType: String = "inner"): DataFrame = {
     val c = clicks
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -160,7 +168,8 @@ object Streams {
     c.join(p,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      joinType)
   }
 
   /** S9 — stream-static join: the unbounded event stream enriched

@@ -82,6 +82,32 @@ class Round5Spec extends SparkSpec {
     assert(got === Set((1L, 10L, 1L)))
   }
 
+  test("s10 outer join emits unmatched clicks only after watermark eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val name = "s10_two_batches"
+    val q = Streams.clickPurchaseJoin(clicks.toDF(), purchases.toDF(), "leftOuter")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // batch 1: one click, no purchase — nothing emits (window open)
+      clicks.addData(Ev(1, Timestamp.valueOf("2024-01-01 00:00:00"), 1, "click", 1.0))
+      purchases.addData(Ev(90, Timestamp.valueOf("2024-01-01 00:00:00"), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0)
+      // batch 2: both watermarks jump 2h ahead; click 1's 30-min
+      // window is now strictly below the global watermark → the
+      // cleanup batch emits it null-extended
+      clicks.addData(Ev(2, Timestamp.valueOf("2024-01-01 02:00:00"), 1, "click", 1.0))
+      purchases.addData(Ev(91, Timestamp.valueOf("2024-01-01 02:00:00"), 9, "purchase", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name)
+      .select(col("click_id"), col("purchase_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got === Set((1L, -1L)))
+  }
+
   test("s9 stream-static join across two batches == batch join+agg") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "SEG_A"), (2L, "SEG_B"))
