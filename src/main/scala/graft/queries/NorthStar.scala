@@ -138,7 +138,8 @@ object NorthStar {
     Q18DedupExact, Q18bDedupMinHash, Q18cDedupSimHash, Q18dDedupNgram,
     Q18eDedupEmbedding, Q18fDedupClusters, Q19SimilarityTopK, Q19bAnnLsh,
     Q19cAnnSparkMl, Q19dAnnIvf, Q20TopTermsPerLang, Q21LanguageId,
-    Q22QualityScore, Q23TokenCount, Q24Fingerprint, Q26TfIdf)
+    Q22QualityScore, Q23TokenCount, Q24Fingerprint, Q26TfIdf,
+    Q42CorpusClean)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).
@@ -252,7 +253,23 @@ object Q18bDedupMinHash extends GraftQuery {
   * a recursive CTE over the same two pair CTE chains. */
 object Q18fDedupClusters extends GraftQuery {
   val name = "q18f_dedup_clusters"
+
+  /** Converged (id, lbl) labels — lbl = min doc_id of the connected
+    * component. Exposed so downstream passes (q42's corpus clean)
+    * can consume victim/keeper decisions without re-deriving the
+    * closure; lineage is already truncated (localCheckpoint). */
+  private[queries] def labels(spark: SparkSession, dir: String): DataFrame =
+    resolve(spark, dir)
+
   def run(spark: SparkSession, dir: String): DataFrame = {
+    val finalLabels = resolve(spark, dir)
+    finalLabels.groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(sort_array(collect_set(col("id"))), " ").as("doc_ids"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private def resolve(spark: SparkSession, dir: String): DataFrame = {
     // pairs is persisted BEFORE the symmetric-edge union: edges
     // references it twice (both directions), and every loop iteration
     // is a separate action — without the cache the two full pair
@@ -311,10 +328,7 @@ object Q18fDedupClusters extends GraftQuery {
     labels.unpersist()
     pairs.unpersist()
     sh.unpersist()
-    finalLabels.groupBy(col("lbl").as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        array_join(sort_array(collect_set(col("id"))), " ").as("doc_ids"))
-      .orderBy(col("cluster_id"))
+    finalLabels
   }
   val oracle = Some(s"""
     WITH RECURSIVE ${NorthStar.duckShingleCtes},
@@ -333,6 +347,81 @@ object Q18fDedupClusters extends GraftQuery {
     SELECT cluster_id, count(*) AS n_docs,
            array_to_string(list_sort(list(id)), ' ') AS doc_ids
     FROM lab GROUP BY cluster_id ORDER BY cluster_id
+  """.trim)
+}
+
+/** Q42 — the end-to-end corpus-cleaning pass, composed from the
+  * engine's own operators the way a 100 TB training-data pipeline
+  * would run them: near-duplicate removal (q18f's resolved clusters —
+  * a member that is not its cluster's keeper is dropped), quality
+  * floor (q22's decimal-free score), and a minimum-length gate
+  * (token count), with a per-document drop reason under a fixed
+  * precedence (duplicate → too_short → low_quality). Emitted as the
+  * per-(lang, status) audit table a pipeline owner actually reads.
+  * Dataflow: the two derived frames join the base table on doc_id —
+  * the expensive passes (shingles, closure, scoring) each read the
+  * corpus once; nothing is recomputed per filter. */
+object Q42CorpusClean extends GraftQuery {
+  val name = "q42_corpus_clean"
+  private val MinTokens = 15
+  private val MinQuality = 0.46
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val victims = Q18fDedupClusters.labels(spark, dir)
+      .filter(col("id") =!= col("lbl"))
+      .select(col("id").as("doc_id"), lit(true).as("is_dup"))
+    val scored = Q22QualityScore.scored(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(victims, Seq("doc_id"), "left")
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("is_dup"), lit("duplicate"))
+          .when(coalesce(col("n_tokens"), lit(0)) < MinTokens, lit("too_short"))
+          .when(col("quality") < MinQuality, lit("low_quality"))
+          .otherwise(lit("kept")))
+      .groupBy(col("lang"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("status"))
+  }
+  val oracle = Some(s"""
+    WITH RECURSIVE ${NorthStar.duckShingleCtes},
+    ${NorthStar.duckMinhashPairCtes},
+    ${NorthStar.duckNgramPairCtes},
+    upairs AS (SELECT doc_a, doc_b FROM pairs
+               UNION SELECT doc_a, doc_b FROM jpairs),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM upairs
+              UNION ALL SELECT doc_b, doc_a FROM upairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+    lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    victims AS (SELECT id AS doc_id FROM lab WHERE id <> cluster_id),
+    qs AS (SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+           FROM documents),
+    qc AS (SELECT doc_id, len(t) AS n_tokens, length(text) AS n_chars,
+           len(list_distinct(t)) AS n_uniq,
+           len(list_filter(t, tok -> list_contains(['the','a','of','and','is','to','in'], tok))) AS stop_hits,
+           length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS n_punct
+           FROM qs WHERE len(t) > 0),
+    qq AS (SELECT doc_id, n_tokens,
+           (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.4
+             + (CAST(stop_hits AS DOUBLE) / n_tokens) * 0.3
+             + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3 AS quality
+           FROM qc),
+    tagged AS (
+      SELECT d.lang,
+        CASE WHEN v.doc_id IS NOT NULL THEN 'duplicate'
+             WHEN COALESCE(qq.n_tokens, 0) < $MinTokens THEN 'too_short'
+             WHEN qq.quality < $MinQuality THEN 'low_quality'
+             ELSE 'kept' END AS status
+      FROM documents d
+      LEFT JOIN victims v ON d.doc_id = v.doc_id
+      LEFT JOIN qq ON d.doc_id = qq.doc_id)
+    SELECT lang, status, count(*) AS n
+    FROM tagged GROUP BY lang, status ORDER BY lang, status
   """.trim)
 }
 
@@ -863,7 +952,7 @@ object Q22QualityScore extends GraftQuery {
   val name = "q22_quality_score"
   private val stop = Seq("the", "a", "of", "and", "is", "to", "in")
     .map(w => s"'$w'").mkString("array(", ", ", ")")
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  private def build(spark: SparkSession, dir: String): DataFrame = {
     // Single generator expression with nested let() bindings (same
     // shape as Q21): `tk` (tokens), `c` (the six integer counts), and
     // `r` (the four ratios) are lambda-bound so each is evaluated once
@@ -895,8 +984,14 @@ object Q22QualityScore extends GraftQuery {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), inline(array(expr(body))))
       .filter(col("n_tokens") > 0)
-      .orderBy(col("doc_id"))
   }
+
+  /** Unordered scored frame for composition (q42 joins it). */
+  private[queries] def scored(spark: SparkSession, dir: String): DataFrame =
+    build(spark, dir)
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    build(spark, dir).orderBy(col("doc_id"))
   val oracle = Some(raw"""
     WITH s AS (
       SELECT doc_id, lang, text,

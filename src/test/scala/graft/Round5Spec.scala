@@ -133,6 +133,20 @@ class Round5Spec extends SparkSpec {
     assert(got === Set(("SEG_A", "click", 2L, 4.0), ("SEG_B", "view", 1L, 4.0)))
   }
 
+  test("q42 statuses partition the corpus; duplicates = cluster members minus keepers") {
+    val out = Q42CorpusClean.run(spark, sf01).collect()
+    val total = Tables.documents(spark, sf01).count()
+    assert(out.map(_.getAs[Long]("n")).sum === total)
+    val nDup = out.filter(_.getAs[String]("status") == "duplicate")
+      .map(_.getAs[Long]("n")).sum
+    // every resolved cluster drops exactly (n_docs - 1) members
+    val expectDup = Q18fDedupClusters.run(spark, sf01).collect()
+      .map(r => r.getAs[Long]("n_docs") - 1).sum
+    assert(nDup === expectDup && nDup > 0)
+    val statuses = out.map(_.getAs[String]("status")).toSet
+    assert(statuses === Set("kept", "duplicate", "too_short", "low_quality"))
+  }
+
   test("q7b bounded-heap top-k == q7 window ranking, row for row") {
     val agg = Q7bTopKAgg.run(spark, sf01).collect().map(_.toSeq).toSeq
     val win = Q7WindowRank.run(spark, sf01).collect().map(_.toSeq).toSeq
