@@ -11,7 +11,8 @@ import graft.functions.{RankedOrder, TopKOrdersAgg}
 /** Round-5 analytics surface: bounded-state per-key top-k (q7b),
   * unpivot/melt (q35), decimal-exact statistical moments (q36),
   * generated date-spine gap fill (q37), distribution window functions
-  * (q38), and a blocked fuzzy string-match join (q39). Same
+  * (q38), a blocked fuzzy string-match join (q39), a deterministic
+  * train/test split (q40), and tie-safe argmax (q41). Same
   * conventions as Relational (decimal money math, VARCHAR-roundtrip
   * oracle casts, total ORDER BY). */
 object Analytics {
@@ -60,6 +61,10 @@ object Q35Unpivot extends GraftQuery {
       .unpivot(Array(col("l_returnflag")),
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
         "metric", "val")
+      // Spark's unpivot RETAINS null measures where DuckDB's UNPIVOT
+      // drops them by default — align explicitly (no-op on the
+      // fixture, which has no null measures)
+      .filter(col("val").isNotNull)
       .groupBy(col("l_returnflag"), col("metric"))
       .agg(count(lit(1)).as("n"), sum(col("val")).cast("double").as("total"))
       .orderBy(col("l_returnflag"), col("metric"))

@@ -118,6 +118,41 @@ object NorthStar {
     * at threshold 0.8 via PPJoin prefix filtering. Used by q18d (pair
     * report) and q18f (cluster closure); CTE names are disjoint from
     * the MinHash chain so both can live in one WITH clause. */
+  /** DuckDB CTE chain (appended after the two pair chains) ending in
+    * `lab(id, cluster_id)` — the connected-components closure over
+    * the union of MinHash and n-gram pairs. Shared by q18f (cluster
+    * report) and q42 (victim gate) so the closure definition can
+    * never desynchronize between them. */
+  private[queries] val duckClosureCtes = """upairs AS (SELECT doc_a, doc_b FROM pairs
+               UNION SELECT doc_a, doc_b FROM jpairs),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM upairs
+              UNION ALL SELECT doc_b, doc_a FROM upairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+    lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)"""
+
+  /** DuckDB CTE chain ending in `qq(doc_id, n_tokens, quality)` — the
+    * q22 composite quality score over non-empty documents. Shared by
+    * the q22 and q42 oracles (one definition of the tokenizer, stop
+    * list, and 0.4/0.3/0.3 weights in SQL). */
+  private[queries] val duckQualityCtes = raw"""qs AS (SELECT doc_id, lang, text,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+           FROM documents),
+    qc AS (SELECT doc_id, lang, len(t) AS n_tokens, length(text) AS n_chars,
+           len(list_distinct(t)) AS n_uniq,
+           list_aggregate(list_transform(t, x -> length(x)), 'sum') AS sum_tok_len,
+           len(list_filter(t, tok -> list_contains(['the','a','of','and','is','to','in'], tok))) AS stop_hits,
+           length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) AS n_punct
+           FROM qs WHERE len(t) > 0),
+    qq AS (SELECT doc_id, lang, n_tokens, n_chars, n_uniq, sum_tok_len, stop_hits, n_punct,
+           (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.4
+             + (CAST(stop_hits AS DOUBLE) / n_tokens) * 0.3
+             + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3 AS quality
+           FROM qc)"""
+
   private[queries] val duckNgramPairCtes = """ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
     gdf AS (SELECT g, count(*) AS gdf FROM ex GROUP BY g),
     ranked AS (SELECT ex.doc_id, ex.n, ex.g,
@@ -254,22 +289,19 @@ object Q18bDedupMinHash extends GraftQuery {
 object Q18fDedupClusters extends GraftQuery {
   val name = "q18f_dedup_clusters"
 
-  /** Converged (id, lbl) labels — lbl = min doc_id of the connected
-    * component. Exposed so downstream passes (q42's corpus clean)
-    * can consume victim/keeper decisions without re-deriving the
-    * closure; lineage is already truncated (localCheckpoint). */
-  private[queries] def labels(spark: SparkSession, dir: String): DataFrame =
-    resolve(spark, dir)
-
   def run(spark: SparkSession, dir: String): DataFrame = {
-    val finalLabels = resolve(spark, dir)
+    val finalLabels = labels(spark, dir)
     finalLabels.groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
         array_join(sort_array(collect_set(col("id"))), " ").as("doc_ids"))
       .orderBy(col("cluster_id"))
   }
 
-  private def resolve(spark: SparkSession, dir: String): DataFrame = {
+  /** Converged (id, lbl) labels — lbl = min doc_id of the connected
+    * component. private[queries] so downstream passes (q42's corpus
+    * clean) can consume victim/keeper decisions without re-deriving
+    * the closure; lineage is already truncated (localCheckpoint). */
+  private[queries] def labels(spark: SparkSession, dir: String): DataFrame = {
     // pairs is persisted BEFORE the symmetric-edge union: edges
     // references it twice (both directions), and every loop iteration
     // is a separate action — without the cache the two full pair
@@ -334,16 +366,7 @@ object Q18fDedupClusters extends GraftQuery {
     WITH RECURSIVE ${NorthStar.duckShingleCtes},
     ${NorthStar.duckMinhashPairCtes},
     ${NorthStar.duckNgramPairCtes},
-    upairs AS (SELECT doc_a, doc_b FROM pairs
-               UNION SELECT doc_a, doc_b FROM jpairs),
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM upairs
-              UNION ALL SELECT doc_b, doc_a FROM upairs),
-    nodes AS (SELECT DISTINCT src AS id FROM edges),
-    reach(id, r) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
-    lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    ${NorthStar.duckClosureCtes}
     SELECT cluster_id, count(*) AS n_docs,
            array_to_string(list_sort(list(id)), ' ') AS doc_ids
     FROM lab GROUP BY cluster_id ORDER BY cluster_id
@@ -387,30 +410,9 @@ object Q42CorpusClean extends GraftQuery {
     WITH RECURSIVE ${NorthStar.duckShingleCtes},
     ${NorthStar.duckMinhashPairCtes},
     ${NorthStar.duckNgramPairCtes},
-    upairs AS (SELECT doc_a, doc_b FROM pairs
-               UNION SELECT doc_a, doc_b FROM jpairs),
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM upairs
-              UNION ALL SELECT doc_b, doc_a FROM upairs),
-    nodes AS (SELECT DISTINCT src AS id FROM edges),
-    reach(id, r) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
-    lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    ${NorthStar.duckClosureCtes},
     victims AS (SELECT id AS doc_id FROM lab WHERE id <> cluster_id),
-    qs AS (SELECT doc_id, text,
-           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
-           FROM documents),
-    qc AS (SELECT doc_id, len(t) AS n_tokens, length(text) AS n_chars,
-           len(list_distinct(t)) AS n_uniq,
-           len(list_filter(t, tok -> list_contains(['the','a','of','and','is','to','in'], tok))) AS stop_hits,
-           length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS n_punct
-           FROM qs WHERE len(t) > 0),
-    qq AS (SELECT doc_id, n_tokens,
-           (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.4
-             + (CAST(stop_hits AS DOUBLE) / n_tokens) * 0.3
-             + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3 AS quality
-           FROM qc),
+    ${NorthStar.duckQualityCtes},
     tagged AS (
       SELECT d.lang,
         CASE WHEN v.doc_id IS NOT NULL THEN 'duplicate'
@@ -992,28 +994,15 @@ object Q22QualityScore extends GraftQuery {
 
   def run(spark: SparkSession, dir: String): DataFrame =
     build(spark, dir).orderBy(col("doc_id"))
-  val oracle = Some(raw"""
-    WITH s AS (
-      SELECT doc_id, lang, text,
-        list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
-      FROM documents),
-    c AS (
-      SELECT doc_id, lang,
-        len(t) AS n_tokens,
-        length(text) AS n_chars,
-        len(list_distinct(t)) AS n_uniq,
-        list_aggregate(list_transform(t, x -> length(x)), 'sum') AS sum_tok_len,
-        len(list_filter(t, tok -> list_contains(['the','a','of','and','is','to','in'], tok))) AS stop_hits,
-        length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) AS n_punct
-      FROM s WHERE len(t) > 0)
+  val oracle = Some(s"""
+    WITH ${NorthStar.duckQualityCtes}
     SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens, CAST(n_chars AS INT) AS n_chars,
       CAST(n_uniq AS DOUBLE) / n_tokens AS type_token_ratio,
       CAST(sum_tok_len AS DOUBLE) / n_tokens AS mean_token_len,
       CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
-      (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.4 + (CAST(stop_hits AS DOUBLE) / n_tokens) * 0.3
-        + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3 AS quality
-    FROM c ORDER BY doc_id
+      quality
+    FROM qq ORDER BY doc_id
   """.trim)
 }
 

@@ -211,10 +211,11 @@ object S8StreamStreamJoin extends GraftQuery {
   import StreamQueries._
   val name = "s8_stream_stream_join"
   def run(spark: SparkSession, dir: String): DataFrame = {
+    // one file source, self-joined: both sides filter the same stream
     val ev = eventsStream(spark, dir)
     val joined = Streams.clickPurchaseJoin(
       ev.filter(col("event_type") === "click"),
-      eventsStream(spark, dir).filter(col("event_type") === "purchase"))
+      ev.filter(col("event_type") === "purchase"))
     runToBatch(spark, joined, "append")
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         unix_micros(col("click_ts")).as("click_us"),
@@ -270,9 +271,10 @@ object S10StreamStreamOuterJoin extends GraftQuery {
   import StreamQueries._
   val name = "s10_stream_stream_outer_join"
   def run(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
     val joined = Streams.clickPurchaseJoin(
-      eventsStream(spark, dir).filter(col("event_type") === "click"),
-      eventsStream(spark, dir).filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
       "leftOuter")
     runToBatch(spark, joined, "append")
       .select(col("click_id"), col("user_id"),
