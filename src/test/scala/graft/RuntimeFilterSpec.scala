@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale posture (SURVEY §4.2): Spark's runtime bloom-filter
+  * injection — when one side of a shuffle join carries a selective
+  * filter, the optimizer plants a bloom filter built from that side
+  * into the other side's scan, pruning shuffle input at runtime.
+  * At 100 TB this is a major shuffle reducer for selective
+  * dim-to-fact joins; the fixture only clears the size thresholds
+  * when they are lowered, so this spec lowers them for its own
+  * queries and restores the session afterwards. */
+class RuntimeFilterSpec extends SparkSpec {
+
+  private def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { confs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("selective dim join injects might_contain into the fact side") {
+    withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val li = Tables.lineitem(spark, sf01)
+      val part = Tables.part(spark, sf01).filter(col("p_brand") === "Brand#17")
+      val q = li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type")).agg(count(lit(1)).as("n"))
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact scan in:\n$opt")
+      // the filter prunes, it must not change results
+      assert(q.collect().map(_.getAs[Long]("n")).sum ===
+        li.join(Tables.part(spark, sf01).filter(col("p_brand") === "Brand#17"),
+          col("l_partkey") === col("p_partkey")).count())
+    }
+  }
+}
