@@ -153,6 +153,32 @@ class Round5Spec extends SparkSpec {
     assert(agg === win && agg.nonEmpty)
   }
 
+  test("TopKOrdersAgg property: any input, any partition split == sorted.take(k)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.functions.{RankedOrder, TopKOrdersAgg}
+    val rowGen = for {
+      id <- Gen.chooseNum(1L, 40L)
+      price <- Gen.oneOf(1.0, 2.5, 2.5, 7.0, 7.0, 9.75) // ties likely
+    } yield RankedOrder(id, price)
+    val inputGen = for {
+      n <- Gen.chooseNum(0, 25)
+      rows <- Gen.listOfN(n, rowGen)
+      cut <- Gen.chooseNum(0, n)
+    } yield (rows, cut)
+    val agg = new TopKOrdersAgg(3)
+    (0 until 200).foreach { i =>
+      val (rows, cut) = inputGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val distinctRows = rows.distinct // duplicate ids collapse in expectation
+      val expect = distinctRows
+        .sortBy(r => (-r.o_totalprice, r.o_orderkey)).take(3)
+      val (l, r) = distinctRows.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) === expect, s"seed $i")
+    }
+  }
+
   test("TopKOrdersAgg: insert order never changes the result, size bounded") {
     val agg = new graft.functions.TopKOrdersAgg(3)
     val rows = Seq(
