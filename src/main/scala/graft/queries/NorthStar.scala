@@ -118,6 +118,20 @@ object NorthStar {
     * at threshold 0.8 via PPJoin prefix filtering. Used by q18d (pair
     * report) and q18f (cluster closure); CTE names are disjoint from
     * the MinHash chain so both can live in one WITH clause. */
+  private[queries] val duckNgramPairCtes = """ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+    gdf AS (SELECT g, count(*) AS gdf FROM ex GROUP BY g),
+    ranked AS (SELECT ex.doc_id, ex.n, ex.g,
+               row_number() OVER (PARTITION BY ex.doc_id ORDER BY gdf.gdf, ex.g) AS rn
+               FROM ex JOIN gdf ON ex.g = gdf.g),
+    prefix AS (SELECT doc_id, g FROM ranked WHERE rn <= n - ((4*n + 4) // 5) + 1),
+    ncand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id),
+    jraw AS (SELECT doc_a, doc_b,
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+          FROM ncand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b),
+    jpairs AS (SELECT doc_a, doc_b, jaccard FROM jraw WHERE jaccard >= 0.8)"""
+
   /** DuckDB CTE chain (appended after the two pair chains) ending in
     * `lab(id, cluster_id)` — the connected-components closure over
     * the union of MinHash and n-gram pairs. Shared by q18f (cluster
@@ -152,20 +166,6 @@ object NorthStar {
              + (CAST(stop_hits AS DOUBLE) / n_tokens) * 0.3
              + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3 AS quality
            FROM qc)"""
-
-  private[queries] val duckNgramPairCtes = """ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
-    gdf AS (SELECT g, count(*) AS gdf FROM ex GROUP BY g),
-    ranked AS (SELECT ex.doc_id, ex.n, ex.g,
-               row_number() OVER (PARTITION BY ex.doc_id ORDER BY gdf.gdf, ex.g) AS rn
-               FROM ex JOIN gdf ON ex.g = gdf.g),
-    prefix AS (SELECT doc_id, g FROM ranked WHERE rn <= n - ((4*n + 4) // 5) + 1),
-    ncand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id),
-    jraw AS (SELECT doc_a, doc_b,
-          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-          FROM ncand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b),
-    jpairs AS (SELECT doc_a, doc_b, jaccard FROM jraw WHERE jaccard >= 0.8)"""
 
   // Declared AFTER the helper vals: forcing the query objects during
   // this object's own init would otherwise capture them as null.

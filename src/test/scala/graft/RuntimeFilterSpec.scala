@@ -22,6 +22,12 @@ class RuntimeFilterSpec extends SparkSpec {
   }
 
   test("selective dim join injects might_contain into the fact side") {
+    // baseline BEFORE the bloom confs: if the injected filter pruned
+    // matching rows, comparing two bloom-filtered plans would agree
+    // on the wrong answer
+    val expected = Tables.lineitem(spark, sf01)
+      .join(Tables.part(spark, sf01).filter(col("p_brand") === "Brand#17"),
+        col("l_partkey") === col("p_partkey")).count()
     withConfs(
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
@@ -34,9 +40,7 @@ class RuntimeFilterSpec extends SparkSpec {
       assert(opt.contains("might_contain"),
         s"expected a runtime bloom filter on the fact scan in:\n$opt")
       // the filter prunes, it must not change results
-      assert(q.collect().map(_.getAs[Long]("n")).sum ===
-        li.join(Tables.part(spark, sf01).filter(col("p_brand") === "Brand#17"),
-          col("l_partkey") === col("p_partkey")).count())
+      assert(q.collect().map(_.getAs[Long]("n")).sum === expected)
     }
   }
 }
