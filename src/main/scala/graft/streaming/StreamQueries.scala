@@ -26,13 +26,28 @@ object StreamQueries {
   private val runId = new AtomicInteger(0)
 
   /** Execute a streaming plan to completion on a memory sink; return
-    * the final result as a batch DataFrame. */
+    * the final result as a batch DataFrame.
+    *
+    * Shuffle partitions are scoped down for the stream's lifetime:
+    * a stateful operator materializes one state store PER shuffle
+    * partition per operator (a stream-stream join keeps two), and at
+    * fixture scale 32-way state is pure per-store overhead. This is
+    * the standard per-job knob a streaming deployment sets to match
+    * its key cardinality — results are identical under any partition
+    * count; only the state layout changes. (On a real cluster the
+    * count is fixed into the checkpoint at first start — size it for
+    * peak state there.) */
   private[graft] def runToBatch(spark: SparkSession, stream: DataFrame,
                                 mode: String): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode(mode).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    val partsKey = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    } finally spark.conf.set(partsKey, before)
     spark.table(name)
   }
 
