@@ -174,7 +174,7 @@ object NorthStar {
     Q18eDedupEmbedding, Q18fDedupClusters, Q19SimilarityTopK, Q19bAnnLsh,
     Q19cAnnSparkMl, Q19dAnnIvf, Q20TopTermsPerLang, Q21LanguageId,
     Q22QualityScore, Q23TokenCount, Q24Fingerprint, Q26TfIdf,
-    Q42CorpusClean)
+    Q42CorpusClean, Q43TopBigrams, Q44SourceCap, Q45TokenPacking)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).
@@ -1039,6 +1039,117 @@ object Q23TokenCount extends GraftQuery {
       CAST(SUM(CAST(chars AS BIGINT)) AS BIGINT) AS sum_chars,
       CAST(SUM(CAST(ws AS BIGINT)) AS DOUBLE) / count(*) AS avg_ws_tokens
     FROM c GROUP BY source ORDER BY source
+  """.trim)
+}
+
+/** Q43 — bigram language-model counts: top-5 consecutive token pairs
+  * per lang (count desc, bigram asc). The pair stream is generated
+  * per row with zip_with over two slices (no self-join, no
+  * re-tokenization — `tk` is let-bound once); one shuffle for the
+  * (lang, bigram) count, one for the per-lang ranking window. The
+  * n-gram count table is the first stage of classic LM pipelines. */
+object Q43TopBigrams extends GraftQuery {
+  import NorthStar._
+  val name = "q43_top_bigrams"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = let("tk", toksExpr,
+      "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
+        "(a, b) -> concat(a, ' ', b))")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("bigram").asc)
+    Tables.documents(spark, dir)
+      .filter(size(expr(toksExpr)) >= 2)
+      .select(col("lang"), explode(expr(bigrams)).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy(col("lang"), col("rk"))
+  }
+  val oracle = Some(raw"""
+    WITH d AS (SELECT lang, $duckToks AS t FROM documents),
+    b AS (SELECT lang, t[i] || ' ' || t[i + 1] AS bigram
+          FROM d, unnest(range(1, len(t))) AS u(i)
+          WHERE len(t) >= 2),
+    g AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY lang, bigram),
+    r AS (SELECT lang, bigram, n,
+          CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS INT) AS rk
+          FROM g)
+    SELECT lang, bigram, n, rk FROM r WHERE rk <= 5 ORDER BY lang, rk
+  """.trim)
+}
+
+/** Q44 — per-source contribution cap: keep at most K documents per
+  * source, selected by md5(doc_id) order — the deterministic
+  * "random" sample (q40's key trick) that caps any one source's
+  * share of a training mix without rand()'s irreproducibility. One
+  * ranking window per source; at 100 TB this is the anti-skew gate
+  * run before expensive downstream passes. */
+object Q44SourceCap extends GraftQuery {
+  val name = "q44_source_cap"
+  private val Cap = 20
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("rk") <= Cap, 1L).otherwise(0L)).as("n_kept"),
+        array_join(sort_array(collect_list(
+          when(col("rk") <= Cap, col("doc_id")))), " ").as("kept_ids"))
+      .orderBy(col("source"))
+  }
+  val oracle = Some(s"""
+    WITH r AS (SELECT source, doc_id,
+          row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+    SELECT source, count(*) AS n_total,
+      CAST(SUM(CASE WHEN rk <= $Cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      array_to_string(list_sort(list(doc_id) FILTER (WHERE rk <= $Cap)), ' ') AS kept_ids
+    FROM r GROUP BY source ORDER BY source
+  """.trim)
+}
+
+/** Q45 — token-budget shard packing: documents packed (in doc_id
+  * order, per lang) into shards of ~1000 whitespace tokens via an
+  * exclusive running sum — `shard = floor((cum - tokens) / budget)`,
+  * all integer arithmetic, so both engines agree exactly. This is
+  * the sequence-packing / shard-sizing step of a pretraining
+  * pipeline; partitioning by lang keeps the window parallel (at
+  * 100 TB you pack per source shard, never globally). */
+object Q45TokenPacking extends GraftQuery {
+  import NorthStar._
+  val name = "q45_token_packing"
+  private val Budget = 1000L
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(expr(toksExpr)).cast("long").as("tokens"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("shard", expr(s"(cum - tokens) div $Budget"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("shard"))
+  }
+  val oracle = Some(raw"""
+    WITH d AS (SELECT lang, doc_id, CAST(len($duckToks) AS BIGINT) AS tokens
+               FROM documents),
+    c AS (SELECT lang, doc_id, tokens,
+          CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM d)
+    SELECT lang, (cum - tokens) // 1000 AS shard, count(*) AS n_docs,
+      CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+      min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY lang, shard ORDER BY lang, shard
   """.trim)
 }
 

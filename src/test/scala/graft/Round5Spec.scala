@@ -133,6 +133,36 @@ class Round5Spec extends SparkSpec {
     assert(got === Set(("SEG_A", "click", 2L, 4.0), ("SEG_B", "view", 1L, 4.0)))
   }
 
+  test("q43/q44/q45 pipeline-op invariants hold") {
+    // q43: exactly top-5 per lang, counts non-increasing within lang
+    val bi = Q43TopBigrams.run(spark, sf01).collect()
+    bi.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq === (1 to 5))
+      val ns = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("n"))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    }
+    // q44: cap respected, kept list sized to the cap
+    val cap = Q44SourceCap.run(spark, sf01).collect()
+    cap.foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept === math.min(r.getAs[Long]("n_total"), 20L))
+      assert(r.getAs[String]("kept_ids").split(" ").length.toLong === kept)
+    }
+    // q45: shards contiguous from 0 per lang, token totals conserved
+    val sh = Q45TokenPacking.run(spark, sf01).collect()
+    sh.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("shard")).sorted
+      assert(ids.toSeq === (0L until ids.length).toSeq, "shards not contiguous")
+      rows.foreach(r => assert(
+        r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc")))
+    }
+    val packed = sh.map(_.getAs[Long]("total_tokens")).sum
+    val direct = Tables.documents(spark, sf01)
+      .select(size(split(col("text"), "\\s+")).cast("long").as("t"))
+      .agg(sum(col("t"))).head().getLong(0)
+    assert(packed === direct, "token totals not conserved")
+  }
+
   test("q42 statuses partition the corpus; duplicates = cluster members minus keepers") {
     val out = Q42CorpusClean.run(spark, sf01).collect()
     val total = Tables.documents(spark, sf01).count()
