@@ -45,10 +45,10 @@ object Bench {
     // sample and report the min — bounded to the 10 worst so the
     // bench's wall time stays within the same order. The 6 s floor
     // keeps quiet-run structural costs (most of the dedup family)
-    // from re-running every time; the handful above it (q42, q18f,
-    // the stream-stream joins) are exactly the multi-action queries
-    // contention amplifies worst, so a second sample of them is the
-    // point, not waste.
+    // from re-running every time; the pair above it on a quiet run
+    // (q42, q18f) are exactly the multi-action queries contention
+    // amplifies worst, so a second sample of them is the point, not
+    // waste.
     val valid = firstPass.map(_._2).filter(_ >= 0).sorted
     val median = if (valid.isEmpty) 0.0 else valid(valid.length / 2)
     val rerun = firstPass.filter { case (_, s) => s > math.max(6.0, 4 * median) }

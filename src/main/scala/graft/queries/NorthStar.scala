@@ -1146,7 +1146,7 @@ object Q45TokenPacking extends GraftQuery {
           CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
           FROM d)
-    SELECT lang, (cum - tokens) // 1000 AS shard, count(*) AS n_docs,
+    SELECT lang, (cum - tokens) // $Budget AS shard, count(*) AS n_docs,
       CAST(SUM(tokens) AS BIGINT) AS total_tokens,
       min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM c GROUP BY lang, shard ORDER BY lang, shard

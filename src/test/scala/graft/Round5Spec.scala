@@ -157,8 +157,11 @@ class Round5Spec extends SparkSpec {
         r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc")))
     }
     val packed = sh.map(_.getAs[Long]("total_tokens")).sum
+    // same tokenizer as the query (empties filtered) — a raw split
+    // counts the empty token of leading/trailing-whitespace docs
     val direct = Tables.documents(spark, sf01)
-      .select(size(split(col("text"), "\\s+")).cast("long").as("t"))
+      .select(size(expr("filter(split(text, '\\\\s+'), t -> t != '')"))
+        .cast("long").as("t"))
       .agg(sum(col("t"))).head().getLong(0)
     assert(packed === direct, "token totals not conserved")
   }

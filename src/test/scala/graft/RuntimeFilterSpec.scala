@@ -12,15 +12,6 @@ import org.apache.spark.sql.functions._
   * queries and restores the session afterwards. */
 class RuntimeFilterSpec extends SparkSpec {
 
-  private def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
-    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    try { confs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("selective dim join injects might_contain into the fact side") {
     // baseline BEFORE the bloom confs: if the injected filter pruned
     // matching rows, comparing two bloom-filtered plans would agree

@@ -24,15 +24,12 @@ class SkewJoinSpec extends SparkSpec {
       .write.parquet(s"$dir/fact")
     spark.range(202).select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
       .write.parquet(s"$dir/dim")
-    val confs = Seq(
+    try withConfs(
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val old = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
-    try {
-      confs.foreach { case (c, v) => spark.conf.set(c, v) }
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       // sum(v) keeps the fact payload column in the shuffle — a
       // key-only scan halves the hot partition's bytes below the
       // threshold and the split silently declines
@@ -50,9 +47,10 @@ class SkewJoinSpec extends SparkSpec {
       assert(rows.map(_.getAs[Long]("n")).sum === 550000L)
       val hot = rows.find(_.getAs[String]("name") == "d1").get
       assert(hot.getAs[Long]("n") === 500000L)
-    } finally old.foreach {
-      case (c, Some(v)) => spark.conf.set(c, v)
-      case (c, None)    => spark.conf.unset(c)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(Files.delete)
     }
   }
 }

@@ -9,4 +9,16 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Engine.session(cores = 8)
   val sf  = "/root/testdata/sf0.001"
   val sf01 = "/root/testdata/sf0.01"
+
+  /** Scope session confs to a block, restoring (or unsetting) after —
+    * shared by the plan-posture specs that lower AQE/bloom
+    * thresholds for fixture-scale data. */
+  def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { confs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
