@@ -64,6 +64,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reruns":${rerun.size}}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reruns":${rerun.size}}"""
+    // The line is >2 KB with ~70 queries and has been tail-truncated by
+    // log capture in every round so far ("parsed": null in BENCH_r*) —
+    // persist it to a file too so the artifact survives verbatim.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
   }
 }

@@ -224,11 +224,21 @@ object Q38WindowDistribution extends GraftQuery {
   * Per-row, shuffle-free until the final small aggregation. */
 object Q40TrainTestSplit extends GraftQuery {
   val name = "q40_train_test_split"
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  /** The split key, shared with q46's decontamination pass: train iff
+    * the last md5(doc_id) nibble < 13. */
+  private[queries] def splitCol: org.apache.spark.sql.Column = {
     val nib = expr(
       "locate(substring(md5(cast(doc_id as string)), 32, 1), '0123456789abcdef') - 1")
+    when(nib < 13, lit("train")).otherwise(lit("test"))
+  }
+  /** DuckDB mirror of [[splitCol]] (instr/locate swap arg order). */
+  private[queries] val duckSplit =
+    "CASE WHEN instr('0123456789abcdef', " +
+      "substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 13 " +
+      "THEN 'train' ELSE 'test' END"
+  def run(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .withColumn("split", when(nib < 13, lit("train")).otherwise(lit("test")))
+      .withColumn("split", splitCol)
     val bySplit = Window.partitionBy(col("split"))
     docs.groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n"))
@@ -236,12 +246,9 @@ object Q40TrainTestSplit extends GraftQuery {
         col("n").cast("double") / sum(col("n")).over(bySplit).cast("double"))
       .orderBy(col("split"), col("lang"))
   }
-  val oracle = Some("""
+  val oracle = Some(s"""
     WITH d AS (
-      SELECT lang,
-        CASE WHEN instr('0123456789abcdef',
-                        substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 13
-             THEN 'train' ELSE 'test' END AS split
+      SELECT lang, $duckSplit AS split
       FROM documents),
     g AS (SELECT split, lang, count(*) AS n FROM d GROUP BY split, lang)
     SELECT split, lang, n,
