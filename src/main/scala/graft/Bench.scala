@@ -66,12 +66,19 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reruns":${rerun.size}}"""
+    println(line)
     // The line is >2 KB with ~70 queries and has been tail-truncated by
     // log capture in every round so far ("parsed": null in BENCH_r*) —
-    // persist it to a file too so the artifact survives verbatim.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(line)
+    // persist it to a file too so the artifact survives verbatim. After
+    // the println, and guarded: a read-only cwd must not take the
+    // stdout artifact down with it.
+    try
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write bench_out.json: $e")
+    }
   }
 }

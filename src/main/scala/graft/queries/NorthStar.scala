@@ -174,7 +174,8 @@ object NorthStar {
     Q18eDedupEmbedding, Q18fDedupClusters, Q19SimilarityTopK, Q19bAnnLsh,
     Q19cAnnSparkMl, Q19dAnnIvf, Q20TopTermsPerLang, Q21LanguageId,
     Q22QualityScore, Q23TokenCount, Q24Fingerprint, Q26TfIdf,
-    Q42CorpusClean, Q43TopBigrams, Q44SourceCap, Q45TokenPacking)
+    Q42CorpusClean, Q43TopBigrams, Q44SourceCap, Q45TokenPacking,
+    Q46Decontaminate)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).
@@ -1150,6 +1151,102 @@ object Q45TokenPacking extends GraftQuery {
       CAST(SUM(tokens) AS BIGINT) AS total_tokens,
       min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM c GROUP BY lang, shard ORDER BY lang, shard
+  """.trim)
+}
+
+/** Q46 — eval-set decontamination: detect test-split documents leaking
+  * into the train split via shared word 5-grams — the pass every
+  * training-data pipeline runs before a model ever sees the corpus
+  * (an eval question paraphrased inside a train document inflates
+  * benchmark scores without improving the model). The split is q40's
+  * deterministic md5-nibble key ([[Q40TrainTestSplit.splitCol]]), so
+  * the same document lands in the same split here and in q40.
+  *
+  * Dataflow (blocked join, never all-pairs): each split's documents
+  * explode to distinct word-5-gram rows keyed by md5(gram) — at
+  * 100 TB you ship the 128-bit hash through the shuffle, not the
+  * 5-word string — then train×test candidates come from ONE equi-join
+  * on the hash key and aggregate to (train_doc, eval_doc,
+  * n_shared_ngrams). Per train doc the strongest match wins
+  * (n desc, eval_doc asc — deterministic), and the verdict is
+  * `contaminated` iff ≥ [[Q46Decontaminate.MinShared]] distinct
+  * 5-grams are shared: one shared 5-gram between independent docs is
+  * plausible boilerplate, a run of them is copied text. At 100 TB the
+  * one extra guard this needs is a document-frequency cap on the gram
+  * key (drop grams appearing in thousands of docs — boilerplate that
+  * adds join skew, not signal); on this corpus the max gram DF is
+  * single-digit so the cap would be inert and is documented instead
+  * of built. */
+object Q46Decontaminate extends GraftQuery {
+  import NorthStar._
+  val name = "q46_decontaminate"
+  /** Shared distinct 5-grams at or above this → contaminated. */
+  private val MinShared = 3
+  /** Distinct word 5-shingles of token array `t` (needs size(t) ≥ 5);
+    * the 3-gram analogue of [[NorthStar.shinglesExpr]]. */
+  private val fiveGramExpr =
+    "array_distinct(transform(sequence(1, size(t)-4), " +
+      "i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), " +
+      "element_at(t,i+2), element_at(t,i+3), element_at(t,i+4))))"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    // One pass over the corpus → (doc, split, gram-hash) rows; `t` is
+    // let-bound so CollapseProject can't re-tokenize per gram index.
+    val grams = Tables.documents(spark, dir)
+      .withColumn("split", Q40TrainTestSplit.splitCol)
+      .select(col("doc_id"), col("split"), expr(toksExpr).as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), col("split"),
+        explode(expr(let("t", "t", fiveGramExpr))).as("g"))
+      .select(col("doc_id"), col("split"), md5(col("g")).as("gh"))
+    val shared = grams.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc_id"), col("gh"))
+      .join(grams.filter(col("split") === "test")
+        .select(col("doc_id").as("eval_doc_id"), col("gh")), "gh")
+      .groupBy(col("train_doc_id"), col("eval_doc_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("train_doc_id"))
+      .orderBy(col("n").desc, col("eval_doc_id").asc)
+    val best = shared.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("train_doc_id"),
+        col("eval_doc_id").as("matched_eval_doc"), col("n"))
+    Tables.documents(spark, dir)
+      .withColumn("split", Q40TrainTestSplit.splitCol)
+      .filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc_id"))
+      .join(best, Seq("train_doc_id"), "left")
+      .select(col("train_doc_id"), col("matched_eval_doc"),
+        coalesce(col("n"), lit(0L)).as("n_shared_ngrams"),
+        when(coalesce(col("n"), lit(0L)) >= MinShared, lit("contaminated"))
+          .otherwise(lit("clean")).as("verdict"))
+      .orderBy(col("train_doc_id"))
+  }
+  val oracle = Some(s"""
+    WITH d AS (SELECT doc_id, text, ${Q40TrainTestSplit.duckSplit} AS split
+               FROM documents),
+    toks AS (SELECT doc_id, split, $duckToks AS t FROM d),
+    g5 AS (SELECT doc_id, split,
+           unnest(list_distinct(list_transform(range(1, len(t)-3),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+           FROM toks WHERE len(t) >= 5),
+    gh AS (SELECT doc_id, split, md5(g) AS gh FROM g5),
+    shared AS (SELECT tr.doc_id AS train_doc_id, te.doc_id AS eval_doc_id,
+               count(*) AS n
+               FROM gh tr JOIN gh te ON tr.gh = te.gh
+               WHERE tr.split = 'train' AND te.split = 'test'
+               GROUP BY 1, 2),
+    best AS (SELECT train_doc_id, eval_doc_id, n,
+             row_number() OVER (PARTITION BY train_doc_id
+               ORDER BY n DESC, eval_doc_id ASC) AS rk
+             FROM shared)
+    SELECT t.doc_id AS train_doc_id, b.eval_doc_id AS matched_eval_doc,
+      CAST(COALESCE(b.n, 0) AS BIGINT) AS n_shared_ngrams,
+      CASE WHEN COALESCE(b.n, 0) >= $MinShared THEN 'contaminated'
+           ELSE 'clean' END AS verdict
+    FROM d t LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+      ON t.doc_id = b.train_doc_id
+    WHERE t.split = 'train'
+    ORDER BY train_doc_id
   """.trim)
 }
 
