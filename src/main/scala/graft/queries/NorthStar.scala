@@ -167,6 +167,36 @@ object NorthStar {
              + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.3 AS quality
            FROM qc)"""
 
+  /** DuckDB CTE chain ending in `rep(doc_id, lang, n_lines,
+    * dup_line_frac, top_bigram, top_count, n_bigrams, top_share)` —
+    * the repetition signals, computed RELATIONALLY (unnest + group by
+    * + argmax join) where the Spark side folds per row: two genuinely
+    * independent implementations of one contract. Shared by q47 and
+    * q42 so the signal definition can never desynchronize. */
+  private[queries] val duckRepetitionCtes = raw"""rtoks AS (SELECT doc_id, lang, text,
+           list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+           FROM documents),
+    rl AS (SELECT doc_id, lang, t,
+           list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)), s -> s <> '') AS ln
+           FROM rtoks),
+    rb AS (SELECT doc_id, lang, ln,
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg
+           FROM rl WHERE len(t) >= 2),
+    rcnt AS (SELECT doc_id, b, count(*) AS c
+             FROM (SELECT doc_id, unnest(bg) AS b FROM rb) GROUP BY 1, 2),
+    rtop AS (SELECT doc_id, max(c) AS top_c FROM rcnt GROUP BY 1),
+    rarg AS (SELECT c.doc_id, min(c.b) AS top_bigram
+             FROM rcnt c JOIN rtop t ON c.doc_id = t.doc_id AND c.c = t.top_c
+             GROUP BY 1),
+    rep AS (SELECT rb.doc_id, rb.lang, CAST(len(rb.ln) AS INT) AS n_lines,
+            CAST(len(rb.ln) - len(list_distinct(rb.ln)) AS DOUBLE)
+              / NULLIF(len(rb.ln), 0) AS dup_line_frac,
+            ra.top_bigram, CAST(rt.top_c AS INT) AS top_count,
+            CAST(len(rb.bg) AS INT) AS n_bigrams,
+            CAST(rt.top_c AS DOUBLE) / NULLIF(len(rb.bg), 0) AS top_share
+            FROM rb JOIN rtop rt ON rb.doc_id = rt.doc_id
+            JOIN rarg ra ON rb.doc_id = ra.doc_id)"""
+
   // Declared AFTER the helper vals: forcing the query objects during
   // this object's own init would otherwise capture them as null.
   val all: Seq[GraftQuery] = Seq(
@@ -175,7 +205,7 @@ object NorthStar {
     Q19cAnnSparkMl, Q19dAnnIvf, Q20TopTermsPerLang, Q21LanguageId,
     Q22QualityScore, Q23TokenCount, Q24Fingerprint, Q26TfIdf,
     Q42CorpusClean, Q43TopBigrams, Q44SourceCap, Q45TokenPacking,
-    Q46Decontaminate)
+    Q46Decontaminate, Q47Repetition)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).
@@ -379,8 +409,9 @@ object Q18fDedupClusters extends GraftQuery {
   * would run them: near-duplicate removal (q18f's resolved clusters —
   * a member that is not its cluster's keeper is dropped), quality
   * floor (q22's decimal-free score), and a minimum-length gate
-  * (token count), with a per-document drop reason under a fixed
-  * precedence (duplicate → too_short → low_quality). Emitted as the
+  * (token count), plus q47's repetition gate (top-bigram share),
+  * with a per-document drop reason under a fixed precedence
+  * (duplicate → too_short → repetitive → low_quality). Emitted as the
   * per-(lang, status) audit table a pipeline owner actually reads.
   * Dataflow: the two derived frames join the base table on doc_id —
   * the expensive passes (shingles, closure, scoring) each read the
@@ -395,12 +426,17 @@ object Q42CorpusClean extends GraftQuery {
       .select(col("id").as("doc_id"), lit(true).as("is_dup"))
     val scored = Q22QualityScore.scored(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val rep = Q47Repetition.signals(spark, dir)
+      .select(col("doc_id"), col("top_share"))
     Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
       .join(victims, Seq("doc_id"), "left")
       .join(scored, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
       .withColumn("status",
         when(col("is_dup"), lit("duplicate"))
           .when(coalesce(col("n_tokens"), lit(0)) < MinTokens, lit("too_short"))
+          .when(col("top_share") > Q47Repetition.MaxTopBigramShare,
+            lit("repetitive"))
           .when(col("quality") < MinQuality, lit("low_quality"))
           .otherwise(lit("kept")))
       .groupBy(col("lang"), col("status"))
@@ -414,15 +450,18 @@ object Q42CorpusClean extends GraftQuery {
     ${NorthStar.duckClosureCtes},
     victims AS (SELECT id AS doc_id FROM lab WHERE id <> cluster_id),
     ${NorthStar.duckQualityCtes},
+    ${NorthStar.duckRepetitionCtes},
     tagged AS (
       SELECT d.lang,
         CASE WHEN v.doc_id IS NOT NULL THEN 'duplicate'
              WHEN COALESCE(qq.n_tokens, 0) < $MinTokens THEN 'too_short'
+             WHEN r.top_share > ${Q47Repetition.MaxTopBigramShare} THEN 'repetitive'
              WHEN qq.quality < $MinQuality THEN 'low_quality'
              ELSE 'kept' END AS status
       FROM documents d
       LEFT JOIN victims v ON d.doc_id = v.doc_id
-      LEFT JOIN qq ON d.doc_id = qq.doc_id)
+      LEFT JOIN qq ON d.doc_id = qq.doc_id
+      LEFT JOIN rep r ON d.doc_id = r.doc_id)
     SELECT lang, status, count(*) AS n
     FROM tagged GROUP BY lang, status ORDER BY lang, status
   """.trim)
@@ -1247,6 +1286,82 @@ object Q46Decontaminate extends GraftQuery {
       ON t.doc_id = b.train_doc_id
     WHERE t.split = 'train'
     ORDER BY train_doc_id
+  """.trim)
+}
+
+/** Q47 — repetition/boilerplate signals, the quality dimension q22's
+  * length/character ratios can't see: a document can be perfectly
+  * "well-formed" and still be the same sentence pasted fifty times —
+  * the classic low-value boilerplate a pretraining pipeline drops
+  * (the Gopher/MassiveText repetition filters). Two signals per doc:
+  *
+  *  - duplicate-line fraction — share of non-empty trimmed lines that
+  *    are repeats of an earlier line (machine-generated pages repeat
+  *    whole lines; this fixture's docs are single-line so it reads 0,
+  *    but the machinery is exercised and oracle-checked);
+  *  - top-bigram share — the fraction of all consecutive-token pairs
+  *    taken by the single most frequent bigram (with the bigram
+  *    itself, tie-broken lexicographically smallest).
+  *
+  * Everything is per-row and shuffle-free until the final ORDER BY:
+  * the top bigram comes from ONE fold over the row's sorted bigram
+  * array (longest run in a sorted array == max multiplicity) — no
+  * explode, no per-doc groupBy. Every binding (`tk`, `ln`, `bg`,
+  * `tb`) is let()-bound so CollapseProject can't re-tokenize per
+  * reference. The oracle computes the same contract relationally
+  * (unnest → count → argmax join) — an independent implementation,
+  * not a transliteration. `is_repetitive` (top share > 0.10, the
+  * empirical tail of this corpus) feeds q42's drop-reason chain. */
+object Q47Repetition extends GraftQuery {
+  import NorthStar._
+  val name = "q47_repetition"
+  /** Docs whose top bigram covers more than this share of all bigram
+    * slots are flagged repetitive (shared with q42's gate). */
+  private[queries] val MaxTopBigramShare = 0.10
+  private val linesExpr =
+    "filter(transform(split(text, '\n'), s_ -> trim(s_)), s_ -> s_ != '')"
+  private val bigramsExpr =
+    "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
+      "(a_, b_) -> concat(a_, ' ', b_))"
+  /** Longest run in the SORTED bigram array = (count, value) of the
+    * most frequent bigram; first max run wins, which in sorted order
+    * is the lexicographically smallest argmax — deterministic. The
+    * new run length is let-bound (`r_`) inside the step so it is
+    * computed once, not once per struct field. */
+  private val topRunExpr =
+    "aggregate(array_sort(bg), " +
+      "named_struct('prev', '', 'run', 0, 'best', 0, 'arg', ''), " +
+      "(acc, x_) -> element_at(transform(" +
+      "array(IF(x_ = acc.prev, acc.run + 1, 1)), r_ -> named_struct(" +
+      "'prev', x_, 'run', r_, " +
+      "'best', IF(r_ > acc.best, r_, acc.best), " +
+      "'arg', IF(r_ > acc.best, x_, acc.arg))), 1))"
+  private def build(spark: SparkSession, dir: String): DataFrame = {
+    val outStruct = "named_struct(" +
+      "'n_lines', size(ln), " +
+      "'dup_line_frac', cast(size(ln) - size(array_distinct(ln)) as double) " +
+        "/ nullif(size(ln), 0), " +
+      "'top_bigram', tb.arg, 'top_count', tb.best, " +
+      "'n_bigrams', size(bg), " +
+      "'top_share', cast(tb.best as double) / nullif(size(bg), 0))"
+    val body = let("tk", toksExpr, let("ln", linesExpr,
+      let("bg", bigramsExpr, let("tb", topRunExpr, outStruct))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), inline(array(expr(body))))
+      .filter(col("n_bigrams") >= 1)
+  }
+  /** Unordered signal frame for composition (q42 joins it). */
+  private[queries] def signals(spark: SparkSession, dir: String): DataFrame =
+    build(spark, dir)
+  def run(spark: SparkSession, dir: String): DataFrame =
+    build(spark, dir)
+      .withColumn("is_repetitive", col("top_share") > MaxTopBigramShare)
+      .orderBy(col("doc_id"))
+  val oracle = Some(s"""
+    WITH ${NorthStar.duckRepetitionCtes}
+    SELECT doc_id, lang, n_lines, dup_line_frac, top_bigram, top_count,
+      n_bigrams, top_share, top_share > $MaxTopBigramShare AS is_repetitive
+    FROM rep ORDER BY doc_id
   """.trim)
 }
 

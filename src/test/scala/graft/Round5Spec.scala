@@ -177,7 +177,8 @@ class Round5Spec extends SparkSpec {
       .map(r => r.getAs[Long]("n_docs") - 1).sum
     assert(nDup === expectDup && nDup > 0)
     val statuses = out.map(_.getAs[String]("status")).toSet
-    assert(statuses === Set("kept", "duplicate", "too_short", "low_quality"))
+    assert(statuses === Set("kept", "duplicate", "too_short", "repetitive",
+      "low_quality"))
   }
 
   test("q7b bounded-heap top-k == q7 window ranking, row for row") {

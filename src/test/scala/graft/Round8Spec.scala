@@ -40,4 +40,42 @@ class Round8Spec extends SparkSpec {
     val positive = out.map(_.getAs[Long]("n_shared_ngrams")).filter(_ > 0)
     assert(positive.nonEmpty)
   }
+
+  test("q47 repetition: fold matches an explode-count argmax, flags the tail") {
+    val out = Q47Repetition.run(spark, sf01).collect()
+    assert(out.nonEmpty)
+    // recompute the top bigram per doc RELATIONALLY in Spark (the
+    // oracle does this in DuckDB; here it cross-checks the row fold)
+    val bigrams = Tables.documents(spark, sf01)
+      .select(col("doc_id"), expr(
+        "explode(zip_with(slice(filter(split(text, '\\\\s+'), t -> t != ''), 1, " +
+          "size(filter(split(text, '\\\\s+'), t -> t != '')) - 1), " +
+          "slice(filter(split(text, '\\\\s+'), t -> t != ''), 2, " +
+          "size(filter(split(text, '\\\\s+'), t -> t != '')) - 1), " +
+          "(a, b) -> concat(a, ' ', b)))").as("b"))
+      .groupBy(col("doc_id"), col("b")).count()
+    val expected = bigrams.collect()
+      .groupBy(_.get(0))
+      .map { case (id, rows) =>
+        val max = rows.map(_.getAs[Long]("count")).max
+        val arg = rows.filter(_.getAs[Long]("count") == max)
+          .map(_.getAs[String]("b")).min
+        id -> ((max, arg))
+      }
+    out.foreach { r =>
+      val (expCount, expArg) = expected(r.get(0))
+      assert(r.getAs[Int]("top_count").toLong === expCount,
+        s"doc ${r.get(0)} top_count")
+      assert(r.getAs[String]("top_bigram") === expArg,
+        s"doc ${r.get(0)} top_bigram")
+      // single-line fixture docs: the line machinery must report
+      // exactly one distinct line, zero duplicate fraction
+      assert(r.getAs[Int]("n_lines") === 1)
+      assert(r.getAs[Double]("dup_line_frac") === 0.0)
+      assert(r.getAs[Boolean]("is_repetitive") ===
+        (r.getAs[Double]("top_share") > 0.10))
+    }
+    // the flag actually fires on this corpus's repetitive tail
+    assert(out.count(_.getAs[Boolean]("is_repetitive")) > 0)
+  }
 }
