@@ -205,7 +205,7 @@ object NorthStar {
     Q19cAnnSparkMl, Q19dAnnIvf, Q20TopTermsPerLang, Q21LanguageId,
     Q22QualityScore, Q23TokenCount, Q24Fingerprint, Q26TfIdf,
     Q42CorpusClean, Q43TopBigrams, Q44SourceCap, Q45TokenPacking,
-    Q46Decontaminate, Q47Repetition)
+    Q46Decontaminate, Q47Repetition, Q48MixSample)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).
@@ -1362,6 +1362,87 @@ object Q47Repetition extends GraftQuery {
     SELECT doc_id, lang, n_lines, dup_line_frac, top_bigram, top_count,
       n_bigrams, top_share, top_share > $MaxTopBigramShare AS is_repetitive
     FROM rep ORDER BY doc_id
+  """.trim)
+}
+
+/** Q48 — weighted mix sampling to a token budget: the step that turns
+  * a cleaned corpus into a training MIX. A target share per language
+  * (per-mille weights: en 400, others 150 — upsample the headline
+  * language, keep the rest balanced) is split evenly across the
+  * sources that actually carry that language, giving every
+  * (source, lang) cell an integer token target out of one global
+  * budget; each cell is then greedily filled in md5(doc_id) order —
+  * q40/q44's deterministic "random" — taking documents until the
+  * target is crossed (the crossing document is kept, so a cell with
+  * any supply always makes progress). Composes q44's capping idea
+  * with q45's running-sum packing, but selects TO a target rather
+  * than capping or sharding.
+  *
+  * All target arithmetic is exact BIGINT (budget × weight div
+  * 1000 × n_sources) and the fill decision compares exact integer
+  * running sums, so both engines agree bit-for-bit; fill_ratio is one
+  * IEEE division of exact integers at the end. Scale posture: the
+  * fill window partitions by (source, lang) — thousands of
+  * independent cells, never a global sort — and the per-lang
+  * source-count frame is a broadcast-size join input. */
+object Q48MixSample extends GraftQuery {
+  import NorthStar._
+  val name = "q48_mix_sample"
+  /** Global token budget the mix is sampled to — deliberately well
+    * under the fixture corpus's supply (~27k tokens at sf0.01) so the
+    * greedy fill actually SELECTS at the correctness-gate scale
+    * instead of keeping every document. */
+  private val Budget = 10000L
+  /** Per-mille target share per language (`ref` = the lang column,
+    * qualified as each dialect's scope needs). */
+  private def wCase(ref: String) =
+    s"CASE WHEN $ref = 'en' THEN 400 ELSE 150 END"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("doc_id"),
+        size(expr(toksExpr)).cast("long").as("tokens"))
+    // how many sources carry each language (defines the even split)
+    val nSrc = docs.select(col("source"), col("lang")).distinct()
+      .groupBy(col("lang")).agg(countDistinct(col("source")).as("n_src"))
+    val w = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(nSrc), Seq("lang"))
+      .withColumn("target_tokens",
+        expr(s"($Budget * (${wCase("lang")})) div (1000 * n_src)"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("keep", col("cum") - col("tokens") < col("target_tokens"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_avail"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        first(col("target_tokens")).as("target_tokens"),
+        sum(when(col("keep"), col("tokens")).otherwise(0L)).as("tokens_kept"),
+        (sum(when(col("keep"), col("tokens")).otherwise(0L)).cast("double")
+          / nullif(first(col("target_tokens")), lit(0L))).as("fill_ratio"),
+        array_join(sort_array(collect_list(
+          when(col("keep"), col("doc_id")))), " ").as("kept_ids"))
+      .orderBy(col("source"), col("lang"))
+  }
+  val oracle = Some(raw"""
+    WITH d AS (SELECT source, lang, doc_id,
+               CAST(len($duckToks) AS BIGINT) AS tokens
+               FROM documents),
+    ns AS (SELECT lang, count(DISTINCT source) AS n_src FROM d GROUP BY lang),
+    t AS (SELECT d.*, ($Budget * (${wCase("d.lang")})) // (1000 * ns.n_src) AS target_tokens
+          FROM d JOIN ns ON d.lang = ns.lang),
+    c AS (SELECT *, CAST(SUM(tokens) OVER (PARTITION BY source, lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM t),
+    k AS (SELECT *, cum - tokens < target_tokens AS keep FROM c)
+    SELECT source, lang, count(*) AS n_avail,
+      CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(any_value(target_tokens) AS BIGINT) AS target_tokens,
+      CAST(SUM(CASE WHEN keep THEN tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+      CAST(SUM(CASE WHEN keep THEN tokens ELSE 0 END) AS DOUBLE)
+        / NULLIF(any_value(target_tokens), 0) AS fill_ratio,
+      array_to_string(list_sort(list(doc_id) FILTER (WHERE keep)), ' ') AS kept_ids
+    FROM k GROUP BY source, lang ORDER BY source, lang
   """.trim)
 }
 

@@ -78,4 +78,33 @@ class Round8Spec extends SparkSpec {
     // the flag actually fires on this corpus's repetitive tail
     assert(out.count(_.getAs[Boolean]("is_repetitive")) > 0)
   }
+
+  test("q48 mix sampling: greedy fill is tight, deterministic, and lang-weighted") {
+    val out = Q48MixSample.run(spark, sf01).collect()
+    assert(out.nonEmpty)
+    // the budget must actually bind at the gate scale: most cells select
+    assert(out.count(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_avail"))
+      > out.length / 2)
+    out.foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      val avail = r.getAs[Long]("n_avail")
+      val target = r.getAs[Long]("target_tokens")
+      val tokens = r.getAs[Long]("tokens_kept")
+      assert(kept >= 1 && kept <= avail)
+      // greedy-fill tightness: if the cell SELECTED (didn't exhaust its
+      // supply), the kept set reaches the target, and removing the last
+      // (crossing) document would put it back under — no overshoot
+      // beyond one document, no undershoot
+      if (kept < avail) assert(tokens >= target,
+        s"${r.get(0)}/${r.get(1)} undershot: $tokens < $target")
+      assert(r.getAs[String]("kept_ids").split(" ").length === kept)
+    }
+    // en gets the upweighted share of the global target
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.map(_.getAs[Long]("target_tokens")).sum).toMap
+    assert(byLang("en") > byLang.filter(_._1 != "en").values.max * 2)
+    // determinism: a second run returns the identical kept sets
+    val again = Q48MixSample.run(spark, sf01).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
