@@ -55,6 +55,15 @@ object TextCorpus {
     * which would otherwise turn them into spaces). Parity is pinned
     * by GoldenSpec's space/non-ASCII corpus. */
   def documents(spark: SparkSession, manifestPath: String): DataFrame = {
+    // Flagged alternate path: the DSv2 connector plans one partition
+    // per manifest file and carries the id in the partition — no
+    // path join, no input_file_name() URI repair. Same (doc_id, text)
+    // contract; GoldenSpec runs the full golden suite through it.
+    if (spark.conf.getOption("spark.graft.corpus.dsv2").exists(_.toBoolean))
+      return spark.read.format("graft-corpus")
+        .option("manifest",
+          Paths.get(manifestPath).toAbsolutePath.normalize.toString)
+        .load()
     val entries = manifestEntries(manifestPath)
     if (entries.isEmpty)
       return spark.createDataFrame(

@@ -26,6 +26,22 @@ class GoldenSpec extends SparkSpec {
     assertMatchesExpected(caseDir, outDir, c)
   }
 
+  test("all golden cases byte-match through the DSv2 graft-corpus source") {
+    // Same five corpora, routed through the connector instead of the
+    // text-source + path-join read: one partition per manifest file,
+    // ids carried by the partitions. Byte-equality against the same
+    // reference outputs proves the two read paths are interchangeable.
+    spark.conf.set("spark.graft.corpus.dsv2", "true")
+    try {
+      for (c <- cases) {
+        val caseDir = root.resolve(c)
+        val outDir = Files.createTempDirectory(s"golden_dsv2_$c").toString
+        TextCorpus.buildIndex(spark, caseDir.resolve("manifest.txt").toString, outDir)
+        assertMatchesExpected(caseDir, outDir, s"$c-via-dsv2")
+      }
+    } finally spark.conf.unset("spark.graft.corpus.dsv2")
+  }
+
   test("reference CLI contract: Cli.main(M, R, manifest, outDir) end-to-end") {
     val caseDir = root.resolve("tiny")
     val outDir = Files.createTempDirectory("golden_cli").toString

@@ -107,4 +107,31 @@ class Round8Spec extends SparkSpec {
     val again = Q48MixSample.run(spark, sf01).collect()
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("graft-corpus DSv2 source: per-file partitions, pruned scan, row parity") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val manifest = java.nio.file.Paths
+      .get("src/test/resources/golden/tiny/manifest.txt")
+      .toAbsolutePath.normalize.toString
+    val nFiles = graft.sources.TextCorpus.manifestEntries(manifest).size
+    val df = spark.read.format("graft-corpus")
+      .option("manifest", manifest).load()
+    // schema contract and per-file partition planning
+    assert(df.schema.fieldNames.toSeq === Seq("doc_id", "text"))
+    assert(df.rdd.getNumPartitions === nFiles && nFiles > 1)
+    // rows identical to the classic text-source + path-join read
+    val classic = graft.sources.TextCorpus.documents(spark, manifest)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaDsv2 = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaDsv2 === classic && viaDsv2.nonEmpty)
+    // column pruning reaches the scan: a doc_id-only query must plan
+    // a scan whose ReadSchema has no text column
+    val pruned = df.select(col("doc_id"))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.readSchema().fieldNames.toSeq === Seq("doc_id"))
+  }
 }
