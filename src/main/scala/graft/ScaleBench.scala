@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries._
+
+/** Scaling-curve harness for the dedup family (the 100 TB workhorse):
+  * times q18/q18b/c/d/e/f at sf0.1 and at a synthesized 10× corpus,
+  * printing one JSON line per scale plus the 10×/1× ratio per query.
+  *
+  * The 10× corpus (written once to /tmp/graft_scale10) must scale the
+  * WORKLOAD honestly, not just the row count:
+  *  - documents: ten copies with every token given a copy-specific
+  *    suffix — a bijective shingle transform, so each copy reproduces
+  *    the original near-dup pair structure exactly while sharing ZERO
+  *    shingles (and so zero band/prefix/chunk collisions) across
+  *    copies. Naive duplication instead makes every doc a near-dup of
+  *    its 9 clones — pair count ×100, a different workload, not a
+  *    scale-up of this one.
+  *  - embeddings: ten copies, each rotated by its copy index — an
+  *    orthogonal transform, so within-copy cosines (and the near-dup
+  *    pairs q18e reports) are preserved exactly while cross-copy
+  *    directions decorrelate.
+  * doc/vec ids offset by copy·10⁷ to stay disjoint.
+  *
+  * Run in a QUIET window (no concurrent sbt test / bench): one untimed
+  * warmup absorbs JIT+codegen, each query then gets min-of-2 samples.
+  */
+object ScaleBench {
+  private val Scale10Dir = "/tmp/graft_scale10"
+  private val Copies = 10
+  private val IdOffset = 10000000L
+
+  private def synthesize(spark: SparkSession, sfDir: String): Unit = {
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$Scale10Dir/embeddings.parquet"))) return
+    val docs = Tables.documents(spark, sfDir)
+    val embs = Tables.embeddings(spark, sfDir)
+    val docCopies = (0 until Copies).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * IdOffset)).as("doc_id"),
+        expr(s"array_join(transform(filter(split(text, '\\\\s+'), t -> t != ''), " +
+          s"x -> concat(x, '#$k')), ' ')").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    docCopies.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$Scale10Dir/documents.parquet")
+    val embCopies = (0 until Copies).map { k =>
+      embs.select(
+        (col("vec_id") + lit(k * IdOffset)).as("vec_id"),
+        (if (k == 0) col("embedding")
+         else expr(s"concat(slice(embedding, ${k + 1}, ${64 - k}), " +
+           s"slice(embedding, 1, $k))")).as("embedding"),
+        col("label"))
+    }
+    embCopies.reduce(_ unionAll _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$Scale10Dir/embeddings.parquet")
+  }
+
+  private val family: Seq[GraftQuery] = Seq(
+    Q18DedupExact, Q18bDedupMinHash, Q18cDedupSimHash,
+    Q18dDedupNgram, Q18eDedupEmbedding, Q18fDedupClusters)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Engine.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize(spark, sfDir)
+    def time1(q: GraftQuery, dir: String): Double = {
+      val t0 = System.nanoTime()
+      q.run(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timed(dir: String): Map[String, Double] = {
+      val _ = time1(Q18DedupExact, dir) // warmup
+      family.map(q => q.name -> math.min(time1(q, dir), time1(q, dir))).toMap
+    }
+    val at1 = timed(sfDir)
+    val at10 = timed(Scale10Dir)
+    spark.stop()
+    def row(m: Map[String, Double]) = family
+      .map(q => "\"" + q.name + "\":" + f"${m(q.name)}%.3f")
+      .mkString("{", ",", "}")
+    val ratios = family.map(q =>
+      "\"" + q.name + "\":" + f"${at10(q.name) / at1(q.name)}%.2f")
+      .mkString("{", ",", "}")
+    println(s"""{"scale":"sf0.1","queries":${row(at1)}}""")
+    println(s"""{"scale":"sf0.1x10","queries":${row(at10)}}""")
+    println(s"""{"ratio_10x":$ratios}""")
+  }
+}
