@@ -34,7 +34,15 @@ object ScaleBench {
 
   private def synthesize(spark: SparkSession, sfDir: String): Unit = {
     if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$Scale10Dir/embeddings.parquet"))) return
+        java.nio.file.Paths.get(s"$Scale10Dir/embeddings.parquet"))) {
+      // Reuse is keyed on existence only — if the source fixture
+      // changed (or SPARK_GRAFT_SF_DIR points elsewhere), the ratios
+      // would silently compare unrelated corpora. Say so loudly.
+      System.err.println(
+        s"[scalebench] REUSING existing $Scale10Dir — delete it to " +
+          s"regenerate from $sfDir")
+      return
+    }
     val docs = Tables.documents(spark, sfDir)
     val embs = Tables.embeddings(spark, sfDir)
     val docCopies = (0 until Copies).map { k =>
@@ -42,7 +50,11 @@ object ScaleBench {
         (col("doc_id") + lit(k * IdOffset)).as("doc_id"),
         expr(s"array_join(transform(filter(split(text, '\\\\s+'), t -> t != ''), " +
           s"x -> concat(x, '#$k')), ' ')").as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"))
+        // n_chars recomputed from the rewritten text — copying the
+        // original's count would leave the synthesized corpus
+        // internally inconsistent for any n_chars-consuming query
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }
     docCopies.reduce(_ unionAll _)
       .repartition(32)

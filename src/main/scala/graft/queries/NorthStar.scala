@@ -1346,9 +1346,14 @@ object Q47Repetition extends GraftQuery {
       "'top_share', cast(tb.best as double) / nullif(size(bg), 0))"
     val body = let("tk", toksExpr, let("ln", linesExpr,
       let("bg", bigramsExpr, let("tb", topRunExpr, outStruct))))
+    // The >= 2 pre-filter runs BEFORE the struct is evaluated (q43's
+    // guard): a zero-token document would otherwise feed slice() a
+    // negative length and crash the query — empty/blank lines are real
+    // inputs (TextCorpus emits one row per line). It also matches the
+    // oracle's `WHERE len(t) >= 2` exactly.
     Tables.documents(spark, dir)
+      .filter(size(expr(toksExpr)) >= 2)
       .select(col("doc_id"), col("lang"), inline(array(expr(body))))
-      .filter(col("n_bigrams") >= 1)
   }
   /** Unordered signal frame for composition (q42 joins it). */
   private[queries] def signals(spark: SparkSession, dir: String): DataFrame =

@@ -93,32 +93,46 @@ class GraftCorpusScan(manifest: String, required: StructType)
       .map { case (p, id) => GraftFilePartition(p, id): InputPartition }
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCorpusReaderFactory(required.fieldNames)
+    // The SESSION's Hadoop conf, not a bare `new Configuration()`:
+    // spark.hadoop.* settings (s3a credentials, defaultFS, …) must
+    // reach the executor-side file open or only file:// would work.
+    new GraftCorpusReaderFactory(required.fieldNames,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
 
 case class GraftFilePartition(path: String, docId: Long) extends InputPartition
 
-class GraftCorpusReaderFactory(fields: Array[String])
+class GraftCorpusReaderFactory(fields: Array[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftCorpusReader(partition.asInstanceOf[GraftFilePartition], fields)
+    new GraftCorpusReader(partition.asInstanceOf[GraftFilePartition], fields,
+      conf.value)
 }
 
 /** Streams one corpus file as (doc_id, text) rows; only the pruned
   * fields are materialized (a doc_id-only scan never decodes line
   * bytes into Spark rows). */
-class GraftCorpusReader(part: GraftFilePartition, fields: Array[String])
-    extends PartitionReader[InternalRow] {
-  private val fs = new Path(part.path).getFileSystem(new Configuration())
+class GraftCorpusReader(part: GraftFilePartition, fields: Array[String],
+    conf: Configuration) extends PartitionReader[InternalRow] {
+  private val fs = new Path(part.path).getFileSystem(conf)
   private val in = new java.io.BufferedReader(
     new java.io.InputStreamReader(fs.open(new Path(part.path)),
       java.nio.charset.StandardCharsets.UTF_8))
   private var line: String = _
+  // Field extractors resolved ONCE — get() runs per line of a 100 TB
+  // corpus and must not re-match field names or allocate closures.
+  private val extract: Array[() => Any] = fields.map {
+    case "doc_id" => () => part.docId
+    case "text"   => () => UTF8String.fromString(line)
+  }
   override def next(): Boolean = { line = in.readLine(); line != null }
-  override def get(): InternalRow =
-    InternalRow.fromSeq(fields.toIndexedSeq.map {
-      case "doc_id" => part.docId
-      case "text"   => UTF8String.fromString(line)
-    })
+  override def get(): InternalRow = {
+    val values = new Array[Any](extract.length)
+    var i = 0
+    while (i < values.length) { values(i) = extract(i)(); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+  }
   override def close(): Unit = in.close()
 }

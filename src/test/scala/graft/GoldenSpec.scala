@@ -31,15 +31,14 @@ class GoldenSpec extends SparkSpec {
     // text-source + path-join read: one partition per manifest file,
     // ids carried by the partitions. Byte-equality against the same
     // reference outputs proves the two read paths are interchangeable.
-    spark.conf.set("spark.graft.corpus.dsv2", "true")
-    try {
+    withConfs("spark.graft.corpus.dsv2" -> "true") {
       for (c <- cases) {
         val caseDir = root.resolve(c)
         val outDir = Files.createTempDirectory(s"golden_dsv2_$c").toString
         TextCorpus.buildIndex(spark, caseDir.resolve("manifest.txt").toString, outDir)
         assertMatchesExpected(caseDir, outDir, s"$c-via-dsv2")
       }
-    } finally spark.conf.unset("spark.graft.corpus.dsv2")
+    }
   }
 
   test("reference CLI contract: Cli.main(M, R, manifest, outDir) end-to-end") {

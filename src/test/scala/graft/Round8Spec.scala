@@ -84,6 +84,21 @@ class Round8Spec extends SparkSpec {
     assert(out.count(_.getAs[Boolean]("is_repetitive")) > 0)
   }
 
+  test("q47 survives zero-token documents (slice guard)") {
+    // empty/whitespace-only text tokenizes to zero tokens; without the
+    // pre-filter the bigram slice gets a negative length and the whole
+    // query (and q42, which joins the signals) dies at runtime
+    val dir = java.nio.file.Files.createTempDirectory("q47empty").toString
+    Seq((1L, "", "en", "s", 0L), (2L, "   ", "en", "s", 3L),
+        (3L, "x y x y", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Q47Repetition.run(spark, dir).collect()
+    assert(rows.map(_.get(0)).toSeq === Seq(3L))
+    assert(rows.head.getAs[String]("top_bigram") === "x y")
+    assert(rows.head.getAs[Int]("top_count") === 2)
+  }
+
   test("q48 mix sampling: greedy fill is tight, deterministic, and lang-weighted") {
     val out = Q48MixSample.run(spark, sf01).collect()
     assert(out.nonEmpty)
@@ -170,14 +185,13 @@ class Round8Spec extends SparkSpec {
       (spark.table(name).collect().map(_.toSeq).toSet, metrics)
     }
     val (baseline, _) = run("r8_sessions_default")
-    spark.conf.set(key, rocks)
-    try {
+    withConfs(key -> rocks) {
       val (viaRocks, metrics) = run("r8_sessions_rocksdb")
       // same answer, and the provider really engaged (RocksDB reports
       // its own custom state-store metrics; the default reports none
       // of these)
       assert(viaRocks === baseline && viaRocks.nonEmpty)
       assert(metrics.exists(_.toLowerCase.contains("rocksdb")), metrics)
-    } finally spark.conf.unset(key)
+    }
   }
 }
