@@ -8,8 +8,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -72,24 +72,65 @@ class GraftCorpusTable(manifest: String) extends Table with SupportsRead {
 }
 
 class GraftCorpusScanBuilder(manifest: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = GraftCorpusTable.schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftCorpusScan(manifest, required)
+  /** doc_id predicates become FILE pruning: a partition carries
+    * exactly one doc_id, so evaluating them against manifest entries
+    * at planning time is exact — the connector's form of partition
+    * pruning (a doc_id-range query over a million-file manifest opens
+    * only the matching files). ALL filters are returned for Spark to
+    * re-evaluate: pruning is an optimization, never a correctness
+    * dependency. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(GraftCorpusScan.prunable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new GraftCorpusScan(manifest, required, pushed)
 }
 
-class GraftCorpusScan(manifest: String, required: StructType)
-    extends Scan with Batch {
+object GraftCorpusScan {
+  /** Filters this source can evaluate against a manifest entry. */
+  private[sources] def prunable(f: Filter): Boolean = f match {
+    case EqualTo("doc_id", _) | GreaterThan("doc_id", _)
+       | GreaterThanOrEqual("doc_id", _) | LessThan("doc_id", _)
+       | LessThanOrEqual("doc_id", _) | In("doc_id", _)
+       | IsNotNull("doc_id") => true
+    case _ => false
+  }
+  private def asLong(v: Any): Long = v.asInstanceOf[Number].longValue()
+  /** Exact evaluation of a prunable filter against one file's id. */
+  private[sources] def keeps(id: Long, f: Filter): Boolean = f match {
+    case EqualTo("doc_id", v)            => id == asLong(v)
+    case GreaterThan("doc_id", v)        => id > asLong(v)
+    case GreaterThanOrEqual("doc_id", v) => id >= asLong(v)
+    case LessThan("doc_id", v)           => id < asLong(v)
+    case LessThanOrEqual("doc_id", v)    => id <= asLong(v)
+    case In("doc_id", vs)                => vs.exists(asLong(_) == id)
+    case IsNotNull("doc_id")             => true
+    case _                               => true
+  }
+}
+
+class GraftCorpusScan(manifest: String, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-corpus manifest=$manifest ReadSchema=${required.simpleString}"
-  /** One partition per manifest entry — the manifest is tiny and
-    * driver-side by contract (its first line bounds it), so this is
-    * an O(N-files) driver step, not a data read. */
+    s"graft-corpus manifest=$manifest ReadSchema=${required.simpleString}" +
+      s" PushedFilters=${pushed.mkString("[", ", ", "]")}"
+  /** One partition per manifest entry surviving the pushed doc_id
+    * predicates — the manifest is tiny and driver-side by contract
+    * (its first line bounds it), so this is an O(N-files) driver
+    * step, not a data read. */
   override def planInputPartitions(): Array[InputPartition] =
     TextCorpus.manifestEntries(manifest)
+      .filter { case (_, id) =>
+        pushed.forall(GraftCorpusScan.keeps(id, _)) }
       .map { case (p, id) => GraftFilePartition(p, id): InputPartition }
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =

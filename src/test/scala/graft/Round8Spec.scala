@@ -153,6 +153,17 @@ class Round8Spec extends SparkSpec {
     }
     assert(scans.nonEmpty)
     assert(scans.head.readSchema().fieldNames.toSeq === Seq("doc_id"))
+    // filter pushdown becomes file pruning: a doc_id equality must
+    // plan exactly ONE partition (one file opened), and ranges prune
+    // to the matching id set — while the filter is still re-applied
+    // above the scan, so results stay exact
+    val one = df.filter(col("doc_id") === 2)
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.collect().map(_.getLong(0)).distinct.toSeq === Seq(2L))
+    val range = df.filter(col("doc_id") > 1 && col("doc_id") <= nFiles)
+    assert(range.rdd.getNumPartitions === nFiles - 1)
+    assert(range.select(countDistinct(col("doc_id"))).head.getLong(0)
+      === (nFiles - 1).toLong)
   }
 
   test("stateful streaming under the RocksDB state store provider") {
