@@ -166,6 +166,26 @@ class Round8Spec extends SparkSpec {
       === (nFiles - 1).toLong)
   }
 
+  test("q46/q47/q48 physical plans hold the at-scale shape") {
+    // Locks in the topology the scale posture depends on: candidate
+    // generation via equi-joins only (a regression to a cartesian or
+    // nested-loop join would still pass the oracle at sf0.01 while
+    // being unrunnable at 100 TB), q48's source-count frame broadcast,
+    // and q47 staying join-free (pure per-row signals).
+    def plan(q: GraftQuery): String =
+      q.run(spark, sf01).queryExecution.executedPlan.toString
+    val p46 = plan(Q46Decontaminate)
+    assert(!p46.contains("CartesianProduct") &&
+      !p46.contains("BroadcastNestedLoopJoin"), "q46 must join on keys")
+    val p47 = plan(Q47Repetition)
+    assert(!p47.contains("Join"), "q47 must stay per-row (no joins)")
+    val p48 = plan(Q48MixSample)
+    assert(p48.contains("BroadcastHashJoin"),
+      "q48 must broadcast the per-lang source-count frame")
+    assert(!p48.contains("CartesianProduct") &&
+      !p48.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("stateful streaming under the RocksDB state store provider") {
     // The at-scale state-store posture: the default HDFSBackedStateStore
     // keeps every key in executor heap — fine for these fixtures,
