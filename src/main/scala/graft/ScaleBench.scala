@@ -74,7 +74,11 @@ object ScaleBench {
 
   private val family: Seq[GraftQuery] = Seq(
     Q18DedupExact, Q18bDedupMinHash, Q18cDedupSimHash,
-    Q18dDedupNgram, Q18eDedupEmbedding, Q18fDedupClusters)
+    Q18dDedupNgram, Q18eDedupEmbedding, Q18fDedupClusters,
+    // the round-8 training-data assembly ops ride the same corpus:
+    // q46's gram-hash join is the other blocked-join workhorse, q47
+    // is the per-row ceiling, q48 the windowed-fill shape
+    Q46Decontaminate, Q47Repetition, Q48MixSample)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
