@@ -84,6 +84,26 @@ class Round8Spec extends SparkSpec {
     assert(out.count(_.getAs[Boolean]("is_repetitive")) > 0)
   }
 
+  test("q47 duplicate-line fraction fires on multi-line documents") {
+    // the fixture corpus is single-line, so the oracle only ever checks
+    // dup_line_frac == 0; this pins the positive path: repeated lines,
+    // trimmed-whitespace dedup, and blank-line filtering
+    val dir = java.nio.file.Files.createTempDirectory("q47lines").toString
+    val repeated = "buy now\nlimited offer\nbuy now\n\n  buy now  \nunique line"
+    Seq((1L, repeated, "en", "s", repeated.length.toLong),
+        (2L, "a b\nc d", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Q47Repetition.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 5 non-empty trimmed lines, 3 distinct -> 2/5 duplicated
+    assert(rows(1L).getAs[Int]("n_lines") === 5)
+    assert(rows(1L).getAs[Double]("dup_line_frac") === 0.4)
+    // doc 2: two distinct lines, nothing duplicated
+    assert(rows(2L).getAs[Int]("n_lines") === 2)
+    assert(rows(2L).getAs[Double]("dup_line_frac") === 0.0)
+  }
+
   test("q47 survives zero-token documents (slice guard)") {
     // empty/whitespace-only text tokenizes to zero tokens; without the
     // pre-filter the bigram slice gets a negative length and the whole
