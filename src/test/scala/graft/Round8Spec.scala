@@ -206,6 +206,37 @@ class Round8Spec extends SparkSpec {
       !p48.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("graft-corpus streams a growing manifest incrementally") {
+    // the streaming rung of the connector: the manifest count is the
+    // offset, so files appended to the manifest between micro-batches
+    // arrive exactly once with their manifest-position ids
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("corpus_stream")
+    def writeFile(n: String, content: String): Unit =
+      Files.write(dir.resolve(n), content.getBytes("UTF-8"))
+    def writeManifest(names: String*): Unit =
+      Files.write(dir.resolve("manifest.txt"),
+        (s"${names.size}\n" + names.mkString("\n") + "\n").getBytes("UTF-8"))
+    writeFile("f1.txt", "alpha")
+    writeFile("f2.txt", "bravo")
+    writeManifest("f1.txt", "f2.txt")
+    val stream = spark.readStream.format("graft-corpus")
+      .option("manifest", dir.resolve("manifest.txt").toString).load()
+    val q = stream.writeStream.format("memory")
+      .queryName("r8_corpus_stream").outputMode("append").start()
+    def seen: Set[(Long, String)] = spark.table("r8_corpus_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    try {
+      q.processAllAvailable()
+      assert(seen === Set((1L, "alpha"), (2L, "bravo")))
+      // grow the manifest between batches — only the new file arrives
+      writeFile("f3.txt", "charlie")
+      writeManifest("f1.txt", "f2.txt", "f3.txt")
+      q.processAllAvailable()
+      assert(seen === Set((1L, "alpha"), (2L, "bravo"), (3L, "charlie")))
+    } finally q.stop()
+  }
+
   test("stateful streaming under the RocksDB state store provider") {
     // The at-scale state-store posture: the default HDFSBackedStateStore
     // keeps every key in executor heap — fine for these fixtures,
