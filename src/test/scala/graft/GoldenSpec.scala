@@ -41,6 +41,37 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  test("growing manifest streamed through the connector converges to the golden files") {
+    // End-to-end marriage of the two extension rungs: the DSv2
+    // connector's micro-batch stream feeds the incremental inverted
+    // index, whose foreachBatch sink republishes the reference's
+    // 26-file output. Half the corpus arrives first, the manifest
+    // then grows to full — the final letter files must byte-match the
+    // reference binary's output for the whole corpus (ids are
+    // manifest positions, so the staged prefixes assign the same ids
+    // the full manifest does).
+    val caseDir = root.resolve("tiny")
+    val entries = TextCorpus.manifestEntries(
+      caseDir.resolve("manifest.txt").toString)
+    assert(entries.size >= 2)
+    val stage = Files.createTempDirectory("golden_stream")
+    def writeManifest(n: Int): Unit = Files.write(
+      stage.resolve("manifest.txt"),
+      (s"$n\n" + entries.take(n).map(_._1).mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+    writeManifest(entries.size / 2)
+    val outDir = Files.createTempDirectory("golden_stream_out").toString
+    val stream = spark.readStream.format("graft-corpus")
+      .option("manifest", stage.resolve("manifest.txt").toString).load()
+    val q = graft.streaming.Streams.writeIndexLetterFiles(stream, outDir)
+    try {
+      q.processAllAvailable()
+      writeManifest(entries.size) // the rest of the corpus arrives
+      q.processAllAvailable()
+    } finally q.stop()
+    assertMatchesExpected(caseDir, outDir, "tiny-via-streaming-connector")
+  }
+
   test("reference CLI contract: Cli.main(M, R, manifest, outDir) end-to-end") {
     val caseDir = root.resolve("tiny")
     val outDir = Files.createTempDirectory("golden_cli").toString
