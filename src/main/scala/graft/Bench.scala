@@ -41,18 +41,41 @@ object Bench {
     // Adaptive outlier re-run: a shared machine inflates co-scheduled
     // work non-uniformly (measured 2x total, 8x on multi-action
     // queries in round 4) and a single sample can't tell a spike from
-    // a regression. Queries far above the pack median get ONE more
-    // sample and report the min — bounded to the 10 worst so the
-    // bench's wall time stays within the same order. The 6 s floor
-    // keeps quiet-run structural costs (most of the dedup family)
-    // from re-running every time; the pair above it on a quiet run
-    // (q42, q18f) are exactly the multi-action queries contention
-    // amplifies worst, so a second sample of them is the point, not
-    // waste.
+    // a regression. Two triggers, each bounded to the worst offenders
+    // so the bench's wall time stays within the same order:
+    //  - pack-relative: far above the run's own median (the 6 s floor
+    //    keeps quiet-run structural costs — most of the dedup family —
+    //    from re-running every time);
+    //  - floor-relative: >3x the query's own measured quiet-window
+    //    floor (BASELINE.md table, shipped as graft/floors.tsv). The
+    //    median rule alone let a 0.6 s calibration query report a
+    //    phantom 6x spike in round 8 (3.8 s is big relative to ITS
+    //    floor but small relative to the pack).
+    // Floors are sf0.1 measurements, so the floor rule only arms on
+    // the sf0.1 fixture dir; elsewhere it would re-run everything or
+    // nothing meaningfully.
+    val floors: Map[String, Double] =
+      if (!sfDir.contains("sf0.1")) Map.empty
+      else {
+        val in = getClass.getResourceAsStream("/graft/floors.tsv")
+        if (in == null) Map.empty
+        else try
+          scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .map(_.split("\t")).collect { case Array(n, s) => n -> s.toDouble }
+            .toMap
+        finally in.close()
+      }
     val valid = firstPass.map(_._2).filter(_ >= 0).sorted
     val median = if (valid.isEmpty) 0.0 else valid(valid.length / 2)
-    val rerun = firstPass.filter { case (_, s) => s > math.max(6.0, 4 * median) }
-      .sortBy(-_._2).take(10)
+    val rerun = firstPass.filter { case (q, s) =>
+        s > math.max(6.0, 4 * median) ||
+          floors.get(q.name).exists(f => s > 3 * f)
+      }
+      // rank by deviation RATIO, not absolute seconds — a 0.6 s-floor
+      // query at 3.8 s must outrank a structurally-8 s query at 9 s
+      .sortBy { case (q, s) =>
+        -(s / math.max(floors.getOrElse(q.name, median), 0.1)) }
+      .take(15)
       .map { case (q, s) =>
         val r = time(q)
         q.name -> (if (r >= 0) math.min(s, r) else s)

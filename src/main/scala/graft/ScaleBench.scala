@@ -62,8 +62,10 @@ object ScaleBench {
     val embCopies = (0 until Copies).map { k =>
       embs.select(
         (col("vec_id") + lit(k * IdOffset)).as("vec_id"),
+        // width from the data, not a hardcoded 64: a changed fixture
+        // dimension must rotate, never silently truncate, the vectors
         (if (k == 0) col("embedding")
-         else expr(s"concat(slice(embedding, ${k + 1}, ${64 - k}), " +
+         else expr(s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
            s"slice(embedding, 1, $k))")).as("embedding"),
         col("label"))
     }

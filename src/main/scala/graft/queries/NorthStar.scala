@@ -1389,7 +1389,16 @@ object Q47Repetition extends GraftQuery {
   * IEEE division of exact integers at the end. Scale posture: the
   * fill window partitions by (source, lang) — thousands of
   * independent cells, never a global sort — and the per-lang
-  * source-count frame is a broadcast-size join input. */
+  * source-count frame is a broadcast-size join input.
+  *
+  * The audit columns pin the kept SET with O(1) state per cell:
+  * `kept_ids_hash` is the sum of a per-id rolling hash (the same
+  * 31-ary mod-1e9+7 fold q24 proves portable across both engines —
+  * commutative, so no sorted collect_list), plus `first_kept`/
+  * `last_kept` extremes and the existing `n_kept` count. A cell
+  * keeping millions of documents at 100 TB costs one BIGINT of
+  * aggregation buffer, where the previous `collect_list` audit string
+  * built a multi-GB row (round-8 verdict item 6). */
 object Q48MixSample extends GraftQuery {
   import NorthStar._
   val name = "q48_mix_sample"
@@ -1417,6 +1426,10 @@ object Q48MixSample extends GraftQuery {
         expr(s"($Budget * (${wCase("lang")})) div (1000 * n_src)"))
       .withColumn("cum", sum(col("tokens")).over(w))
       .withColumn("keep", col("cum") - col("tokens") < col("target_tokens"))
+      .withColumn("idh", expr(
+        "aggregate(transform(filter(split(cast(doc_id as string), ''), " +
+          "c -> c != ''), c -> cast(ascii(c) as bigint)), " +
+          "cast(0 as bigint), (acc, x) -> (acc * 31 + x) % 1000000007)"))
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_avail"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
@@ -1424,8 +1437,9 @@ object Q48MixSample extends GraftQuery {
         sum(when(col("keep"), col("tokens")).otherwise(0L)).as("tokens_kept"),
         (sum(when(col("keep"), col("tokens")).otherwise(0L)).cast("double")
           / nullif(first(col("target_tokens")), lit(0L))).as("fill_ratio"),
-        array_join(sort_array(collect_list(
-          when(col("keep"), col("doc_id")))), " ").as("kept_ids"))
+        sum(when(col("keep"), col("idh")).otherwise(0L)).as("kept_ids_hash"),
+        min(when(col("keep"), col("doc_id"))).as("first_kept"),
+        max(when(col("keep"), col("doc_id"))).as("last_kept"))
       .orderBy(col("source"), col("lang"))
   }
   val oracle = Some(raw"""
@@ -1439,14 +1453,21 @@ object Q48MixSample extends GraftQuery {
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
           FROM t),
-    k AS (SELECT *, cum - tokens < target_tokens AS keep FROM c)
+    k AS (SELECT *, cum - tokens < target_tokens AS keep,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(list_filter(string_split(CAST(doc_id AS VARCHAR), ''),
+              c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000000007) AS idh
+          FROM c)
     SELECT source, lang, count(*) AS n_avail,
       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       CAST(any_value(target_tokens) AS BIGINT) AS target_tokens,
       CAST(SUM(CASE WHEN keep THEN tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
       CAST(SUM(CASE WHEN keep THEN tokens ELSE 0 END) AS DOUBLE)
         / NULLIF(any_value(target_tokens), 0) AS fill_ratio,
-      array_to_string(list_sort(list(doc_id) FILTER (WHERE keep)), ' ') AS kept_ids
+      CAST(SUM(CASE WHEN keep THEN idh ELSE 0 END) AS BIGINT) AS kept_ids_hash,
+      MIN(CASE WHEN keep THEN doc_id END) AS first_kept,
+      MAX(CASE WHEN keep THEN doc_id END) AS last_kept
     FROM k GROUP BY source, lang ORDER BY source, lang
   """.trim)
 }

@@ -96,13 +96,20 @@ class GraftCorpusScanBuilder(manifest: String)
 }
 
 object GraftCorpusScan {
-  /** Filters this source can evaluate against a manifest entry. */
+  /** Filters this source can evaluate against a manifest entry. A
+    * filter carrying a null literal (e.g. `isin(1, null)`) is NOT
+    * prunable: `keeps` would NPE casting it, and since every filter is
+    * re-applied above the scan anyway, declining to prune is always
+    * safe. */
   private[sources] def prunable(f: Filter): Boolean = f match {
-    case EqualTo("doc_id", _) | GreaterThan("doc_id", _)
-       | GreaterThanOrEqual("doc_id", _) | LessThan("doc_id", _)
-       | LessThanOrEqual("doc_id", _) | In("doc_id", _)
-       | IsNotNull("doc_id") => true
-    case _ => false
+    case EqualTo("doc_id", v)            => v != null
+    case GreaterThan("doc_id", v)        => v != null
+    case GreaterThanOrEqual("doc_id", v) => v != null
+    case LessThan("doc_id", v)           => v != null
+    case LessThanOrEqual("doc_id", v)    => v != null
+    case In("doc_id", vs)                => vs != null && vs.forall(_ != null)
+    case IsNotNull("doc_id")             => true
+    case _                               => false
   }
   private def asLong(v: Any): Long = v.asInstanceOf[Number].longValue()
   /** Exact evaluation of a prunable filter against one file's id. */
@@ -164,9 +171,21 @@ case class GraftManifestOffset(n: Long) extends Offset {
   * contract instead of a parquet drop directory. */
 class GraftCorpusMicroBatchStream(manifest: String,
     factory: PartitionReaderFactory) extends MicroBatchStream {
+  /** Last successfully-observed manifest size. latestOffset() runs on
+    * every trigger against a file a producer may be rewriting in
+    * place; a torn snapshot (unparseable count line, vanished file)
+    * must stall the stream at the previous offset, not kill the
+    * query — the next trigger sees the completed write. */
+  @volatile protected var lastKnown: Long = 0L
   override def initialOffset(): Offset = GraftManifestOffset(0L)
-  override def latestOffset(): Offset =
-    GraftManifestOffset(TextCorpus.manifestEntries(manifest).size.toLong)
+  override def latestOffset(): Offset = {
+    val n = try TextCorpus.manifestEntries(manifest).size.toLong
+            catch { case scala.util.control.NonFatal(_) => lastKnown }
+    // Monotone: a torn read that surfaces a shorter prefix must not
+    // rewind the offset (ids are positional; history never shrinks).
+    lastKnown = math.max(lastKnown, n)
+    GraftManifestOffset(lastKnown)
+  }
   override def deserializeOffset(json: String): Offset =
     GraftManifestOffset(json.trim.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -35,7 +35,14 @@ object TextCorpus {
     // relative entry would silently match nothing.
     val p = Paths.get(manifestPath).toAbsolutePath.normalize
     val lines = Files.readAllLines(p)
-    val n = lines.get(0).trim.toInt
+    if (lines.isEmpty) return Seq.empty
+    // Clamp to the lines actually present: a grower rewriting the
+    // manifest in place can expose a snapshot whose count line is
+    // ahead of its path lines. Ids are positional, so the visible
+    // prefix is exactly a valid earlier manifest state — the streaming
+    // reader picks up the rest next trigger instead of dying on an
+    // IndexOutOfBounds mid-query.
+    val n = math.min(lines.get(0).trim.toInt, lines.size - 1)
     (1 to n).map { i =>
       val raw = Paths.get(lines.get(i).trim)
       val abs = if (raw.isAbsolute) raw else p.getParent.resolve(raw)

@@ -55,10 +55,18 @@ class GoldenSpec extends SparkSpec {
       caseDir.resolve("manifest.txt").toString)
     assert(entries.size >= 2)
     val stage = Files.createTempDirectory("golden_stream")
-    def writeManifest(n: Int): Unit = Files.write(
-      stage.resolve("manifest.txt"),
-      (s"$n\n" + entries.take(n).map(_._1).mkString("\n") + "\n")
-        .getBytes("UTF-8"))
+    // Write-temp + ATOMIC_MOVE: the streaming source polls this file
+    // on its own thread, so an in-place write could expose a torn
+    // snapshot (count line ahead of the paths) mid-poll.
+    def writeManifest(n: Int): Unit = {
+      val tmp = stage.resolve("manifest.txt.tmp")
+      Files.write(tmp,
+        (s"$n\n" + entries.take(n).map(_._1).mkString("\n") + "\n")
+          .getBytes("UTF-8"))
+      Files.move(tmp, stage.resolve("manifest.txt"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     writeManifest(entries.size / 2)
     val outDir = Files.createTempDirectory("golden_stream_out").toString
     val stream = spark.readStream.format("graft-corpus")

