@@ -40,8 +40,14 @@ object NorthStar {
   private[queries] val shinglesExpr =
     "array_distinct(transform(sequence(1, size(t)-2), " +
       "i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2))))"
-  /** DuckDB mirrors of the two above. */
+  /** Non-empty trimmed lines of `text` (q47's intra-doc and q49's
+    * cross-doc repetition signals share one definition of "line"). */
+  private[queries] val linesExpr =
+    "filter(transform(split(text, '\n'), s_ -> trim(s_)), s_ -> s_ != '')"
+  /** DuckDB mirrors of the above. */
   private[queries] val duckToks = raw"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+  private[queries] val duckLines =
+    "list_filter(list_transform(string_split(text, chr(10)), s_ -> trim(s_)), s_ -> s_ <> '')"
   private[queries] val duckShingles =
     "list_distinct(list_transform(range(1, len(t)-1), " +
       "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
@@ -197,6 +203,17 @@ object NorthStar {
             FROM rb JOIN rtop rt ON rb.doc_id = rt.doc_id
             JOIN rarg ra ON rb.doc_id = ra.doc_id)"""
 
+  /** DuckDB CTE chain ending in `xdoc(doc_id, shared_line_frac)` — the
+    * q49 cross-document shared-paragraph share. Shared by the q49 and
+    * q42 oracles (names disjoint from the other chains). */
+  private[queries] val duckCrossDocCtes = s"""xln AS (SELECT doc_id, lang, unnest($duckLines) AS line FROM documents),
+    xl AS (SELECT doc_id, lang, md5(line) AS lh FROM xln),
+    xbyl AS (SELECT lh, count(DISTINCT doc_id) AS n_docs FROM xl GROUP BY lh),
+    xdoc AS (SELECT xl.doc_id,
+             CAST(SUM(CASE WHEN b.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS shared_line_frac
+             FROM xl JOIN xbyl b ON xl.lh = b.lh GROUP BY xl.doc_id)"""
+
   // Declared AFTER the helper vals: forcing the query objects during
   // this object's own init would otherwise capture them as null.
   val all: Seq[GraftQuery] = Seq(
@@ -205,7 +222,8 @@ object NorthStar {
     Q19cAnnSparkMl, Q19dAnnIvf, Q20TopTermsPerLang, Q21LanguageId,
     Q22QualityScore, Q23TokenCount, Q24Fingerprint, Q26TfIdf,
     Q42CorpusClean, Q43TopBigrams, Q44SourceCap, Q45TokenPacking,
-    Q46Decontaminate, Q47Repetition, Q48MixSample)
+    Q46Decontaminate, Q46bDecontaminateDfCap, Q47Repetition, Q48MixSample,
+    Q49CrossDocParagraphs)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).
@@ -409,13 +427,15 @@ object Q18fDedupClusters extends GraftQuery {
   * would run them: near-duplicate removal (q18f's resolved clusters —
   * a member that is not its cluster's keeper is dropped), quality
   * floor (q22's decimal-free score), and a minimum-length gate
-  * (token count), plus q47's repetition gate (top-bigram share),
+  * (token count), plus q47's repetition gate (top-bigram share) and
+  * q49's cross-document boilerplate gate (shared-paragraph share),
   * with a per-document drop reason under a fixed precedence
-  * (duplicate → too_short → repetitive → low_quality). Emitted as the
-  * per-(lang, status) audit table a pipeline owner actually reads.
-  * Dataflow: the two derived frames join the base table on doc_id —
-  * the expensive passes (shingles, closure, scoring) each read the
-  * corpus once; nothing is recomputed per filter. */
+  * (duplicate → too_short → repetitive → boilerplate → low_quality).
+  * Emitted as the per-(lang, status) audit table a pipeline owner
+  * actually reads. Dataflow: the derived frames join the base table
+  * on doc_id — the expensive passes (shingles, closure, scoring,
+  * line-sharing) each read the corpus once; nothing is recomputed per
+  * filter. */
 object Q42CorpusClean extends GraftQuery {
   val name = "q42_corpus_clean"
   private val MinTokens = 15
@@ -428,15 +448,20 @@ object Q42CorpusClean extends GraftQuery {
       .select(col("doc_id"), col("n_tokens"), col("quality"))
     val rep = Q47Repetition.signals(spark, dir)
       .select(col("doc_id"), col("top_share"))
+    val xdoc = Q49CrossDocParagraphs.signals(spark, dir)
+      .select(col("doc_id"), col("shared_line_frac"))
     Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
       .join(victims, Seq("doc_id"), "left")
       .join(scored, Seq("doc_id"), "left")
       .join(rep, Seq("doc_id"), "left")
+      .join(xdoc, Seq("doc_id"), "left")
       .withColumn("status",
         when(col("is_dup"), lit("duplicate"))
           .when(coalesce(col("n_tokens"), lit(0)) < MinTokens, lit("too_short"))
           .when(col("top_share") > Q47Repetition.MaxTopBigramShare,
             lit("repetitive"))
+          .when(col("shared_line_frac") > Q49CrossDocParagraphs.MaxSharedFrac,
+            lit("boilerplate"))
           .when(col("quality") < MinQuality, lit("low_quality"))
           .otherwise(lit("kept")))
       .groupBy(col("lang"), col("status"))
@@ -451,17 +476,21 @@ object Q42CorpusClean extends GraftQuery {
     victims AS (SELECT id AS doc_id FROM lab WHERE id <> cluster_id),
     ${NorthStar.duckQualityCtes},
     ${NorthStar.duckRepetitionCtes},
+    ${NorthStar.duckCrossDocCtes},
     tagged AS (
       SELECT d.lang,
         CASE WHEN v.doc_id IS NOT NULL THEN 'duplicate'
              WHEN COALESCE(qq.n_tokens, 0) < $MinTokens THEN 'too_short'
              WHEN r.top_share > ${Q47Repetition.MaxTopBigramShare} THEN 'repetitive'
+             WHEN x.shared_line_frac > ${Q49CrossDocParagraphs.MaxSharedFrac}
+               THEN 'boilerplate'
              WHEN qq.quality < $MinQuality THEN 'low_quality'
              ELSE 'kept' END AS status
       FROM documents d
       LEFT JOIN victims v ON d.doc_id = v.doc_id
       LEFT JOIN qq ON d.doc_id = qq.doc_id
-      LEFT JOIN rep r ON d.doc_id = r.doc_id)
+      LEFT JOIN rep r ON d.doc_id = r.doc_id
+      LEFT JOIN xdoc x ON d.doc_id = x.doc_id)
     SELECT lang, status, count(*) AS n
     FROM tagged GROUP BY lang, status ORDER BY lang, status
   """.trim)
@@ -1210,33 +1239,36 @@ object Q45TokenPacking extends GraftQuery {
   * (n desc, eval_doc asc — deterministic), and the verdict is
   * `contaminated` iff ≥ [[Q46Decontaminate.MinShared]] distinct
   * 5-grams are shared: one shared 5-gram between independent docs is
-  * plausible boilerplate, a run of them is copied text. At 100 TB the
-  * one extra guard this needs is a document-frequency cap on the gram
-  * key (drop grams appearing in thousands of docs — boilerplate that
-  * adds join skew, not signal); on this corpus the max gram DF is
-  * single-digit so the cap would be inert and is documented instead
-  * of built. */
+  * plausible boilerplate, a run of them is copied text. The at-scale
+  * gram-DF cap (drop grams shared by many documents — boilerplate
+  * that adds join skew, not signal) is the [[Q46bDecontaminateDfCap]]
+  * variant; this query is the uncapped definition. */
 object Q46Decontaminate extends GraftQuery {
   import NorthStar._
   val name = "q46_decontaminate"
   /** Shared distinct 5-grams at or above this → contaminated. */
-  private val MinShared = 3
+  private[queries] val MinShared = 3
   /** Distinct word 5-shingles of token array `t` (needs size(t) ≥ 5);
     * the 3-gram analogue of [[NorthStar.shinglesExpr]]. */
   private val fiveGramExpr =
     "array_distinct(transform(sequence(1, size(t)-4), " +
       "i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), " +
       "element_at(t,i+2), element_at(t,i+3), element_at(t,i+4))))"
-  def run(spark: SparkSession, dir: String): DataFrame = {
-    // One pass over the corpus → (doc, split, gram-hash) rows; `t` is
-    // let-bound so CollapseProject can't re-tokenize per gram index.
-    val grams = Tables.documents(spark, dir)
+  /** One pass over the corpus → (doc_id, split, gh) gram-hash rows;
+    * `t` is let-bound so CollapseProject can't re-tokenize per gram
+    * index. Shared with the DF-capped variant. */
+  private[graft] def gramFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .withColumn("split", Q40TrainTestSplit.splitCol)
       .select(col("doc_id"), col("split"), expr(toksExpr).as("t"))
       .filter(size(col("t")) >= 5)
       .select(col("doc_id"), col("split"),
         explode(expr(let("t", "t", fiveGramExpr))).as("g"))
       .select(col("doc_id"), col("split"), md5(col("g")).as("gh"))
+  /** Train×test candidate join + per-train-doc verdict over any gram
+    * frame (uncapped or DF-capped — the report contract is shared). */
+  private[queries] def report(spark: SparkSession, dir: String,
+      grams: DataFrame): DataFrame = {
     val shared = grams.filter(col("split") === "train")
       .select(col("doc_id").as("train_doc_id"), col("gh"))
       .join(grams.filter(col("split") === "test")
@@ -1260,7 +1292,20 @@ object Q46Decontaminate extends GraftQuery {
           .otherwise(lit("clean")).as("verdict"))
       .orderBy(col("train_doc_id"))
   }
-  val oracle = Some(s"""
+  def run(spark: SparkSession, dir: String): DataFrame =
+    report(spark, dir, gramFrame(spark, dir))
+  /** One oracle text for both variants: `capDf = Some(K)` inserts the
+    * same DF filter the Spark side applies, so the two definitions
+    * can never drift apart. */
+  private[queries] def oracleSqlFor(capDf: Option[Int]): String = {
+    val capCte = capDf.map(k => s""",
+    gdf AS (SELECT gh AS cgh, count(DISTINCT doc_id) AS gram_df
+            FROM gh GROUP BY gh),
+    ghk AS (SELECT g.doc_id, g.split, g.gh FROM gh g
+            JOIN gdf ON g.gh = gdf.cgh WHERE gdf.gram_df <= $k)""")
+      .getOrElse("")
+    val gramSrc = if (capDf.isDefined) "ghk" else "gh"
+    s"""
     WITH d AS (SELECT doc_id, text, ${Q40TrainTestSplit.duckSplit} AS split
                FROM documents),
     toks AS (SELECT doc_id, split, $duckToks AS t FROM d),
@@ -1268,10 +1313,10 @@ object Q46Decontaminate extends GraftQuery {
            unnest(list_distinct(list_transform(range(1, len(t)-3),
              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
            FROM toks WHERE len(t) >= 5),
-    gh AS (SELECT doc_id, split, md5(g) AS gh FROM g5),
+    gh AS (SELECT doc_id, split, md5(g) AS gh FROM g5)$capCte,
     shared AS (SELECT tr.doc_id AS train_doc_id, te.doc_id AS eval_doc_id,
                count(*) AS n
-               FROM gh tr JOIN gh te ON tr.gh = te.gh
+               FROM $gramSrc tr JOIN $gramSrc te ON tr.gh = te.gh
                WHERE tr.split = 'train' AND te.split = 'test'
                GROUP BY 1, 2),
     best AS (SELECT train_doc_id, eval_doc_id, n,
@@ -1286,7 +1331,50 @@ object Q46Decontaminate extends GraftQuery {
       ON t.doc_id = b.train_doc_id
     WHERE t.split = 'train'
     ORDER BY train_doc_id
-  """.trim)
+    """.trim
+  }
+  val oracle = Some(oracleSqlFor(None))
+}
+
+/** Q46b — decontamination with the gram document-frequency cap BUILT,
+  * not documented (round-8 verdict item 3): grams appearing in more
+  * than [[Q46bDecontaminateDfCap.MaxGramDf]] distinct documents are
+  * dropped BEFORE the train×test join. Two reasons, one mechanism:
+  *
+  *  - scale: a boilerplate gram ("click here to subscribe now")
+  *    appearing in 10⁵ train and 10⁴ test docs creates a 10⁹-row
+  *    hot key in the equi-join — the classic skew blow-up. Capping DF
+  *    removes the key from the shuffle entirely (cheaper than salting
+  *    a key whose output is discarded anyway);
+  *  - signal: a gram shared by many documents is boilerplate by
+  *    definition and says nothing about eval leakage — dropping it
+  *    REMOVES false-positive matches, it doesn't approximate.
+  *
+  * The DF frame is one row per distinct gram (groupBy on the same
+  * hash key the join uses — no new shuffle topology), and the filter
+  * is an equi-join of the gram rows against the surviving hashes.
+  * Cap = 2 because a train↔test leak needs only the leaked pair to
+  * share the gram; at fixture scale the corpus's max gram DF is 3, so
+  * the cap provably engages (Round9Spec pins the skewed key vanishing
+  * from the join input on a boilerplate fixture). At 100 TB the cap
+  * would sit in the hundreds; the mechanism is identical. */
+object Q46bDecontaminateDfCap extends GraftQuery {
+  val name = "q46b_decontaminate_dfcap"
+  /** Grams in more than this many distinct docs are boilerplate. */
+  private[queries] val MaxGramDf = 2
+  /** The join input after the cap — exposed so Round9Spec can assert
+    * the boilerplate key is really gone from the shuffle. */
+  private[graft] def cappedGrams(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Q46Decontaminate.gramFrame(spark, dir)
+    val keep = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("gram_df"))
+      .filter(col("gram_df") <= MaxGramDf)
+      .select(col("gh"))
+    grams.join(keep, Seq("gh"))
+  }
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Q46Decontaminate.report(spark, dir, cappedGrams(spark, dir))
+  val oracle = Some(Q46Decontaminate.oracleSqlFor(Some(MaxGramDf)))
 }
 
 /** Q47 — repetition/boilerplate signals, the quality dimension q22's
@@ -1318,8 +1406,6 @@ object Q47Repetition extends GraftQuery {
   /** Docs whose top bigram covers more than this share of all bigram
     * slots are flagged repetitive (shared with q42's gate). */
   private[queries] val MaxTopBigramShare = 0.10
-  private val linesExpr =
-    "filter(transform(split(text, '\n'), s_ -> trim(s_)), s_ -> s_ != '')"
   private val bigramsExpr =
     "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
       "(a_, b_) -> concat(a_, ' ', b_))"
@@ -1469,6 +1555,74 @@ object Q48MixSample extends GraftQuery {
       MIN(CASE WHEN keep THEN doc_id END) AS first_kept,
       MAX(CASE WHEN keep THEN doc_id END) AS last_kept
     FROM k GROUP BY source, lang ORDER BY source, lang
+  """.trim)
+}
+
+/** Q49 — cross-document repeated-paragraph detection, the MassiveText
+  * filter q47 cannot see: q47 scores repetition WITHIN a document and
+  * the q18 family dedups WHOLE documents, but a scraped corpus is full
+  * of documents that are each unique overall while sharing navigation
+  * chrome, cookie banners, or licence footers line-for-line with
+  * thousands of other pages. Those shared paragraphs are what a
+  * pretraining pipeline drops (or down-weights) before training.
+  *
+  * Unit of sharing: the non-empty trimmed line ([[NorthStar.linesExpr]]
+  * — one definition shared with q47's intra-doc signal). Dataflow at
+  * 100 TB: explode lines → md5 the line (the 128-bit hash, not the
+  * paragraph text, is what shuffles) → ONE hash-keyed aggregation
+  * counts distinct carrying documents per line → ONE equi-join back on
+  * the hash tags each line occurrence with its cross-doc count → per-
+  * document aggregation. No pairwise comparison anywhere: a paragraph
+  * shared by 10⁵ documents is one aggregation row and 10⁵ tagged
+  * lines, never 10¹⁰ pairs. A document whose shared-line share
+  * exceeds [[Q49CrossDocParagraphs.MaxSharedFrac]] (the MassiveText
+  * ~30% duplicate-content bar) is flagged `is_boilerplate` and feeds
+  * q42's drop-reason precedence.
+  *
+  * The fixture corpus is single-line docs with unique texts, so the
+  * gate-scale output is honestly all-zero shares (still row/schema/
+  * hash-checked); the positive path — shared lines across docs,
+  * multiplicity counting, within-doc-only repeats NOT counted — is
+  * pinned by Round9Spec's multi-doc fixture, and at sf0.1 the corpus
+  * genuinely contains cross-doc duplicate lines. */
+object Q49CrossDocParagraphs extends GraftQuery {
+  import NorthStar._
+  val name = "q49_cross_doc_paragraphs"
+  /** Docs with more than this share of cross-doc-shared lines are
+    * boilerplate-dominated (shared with q42's gate). */
+  private[queries] val MaxSharedFrac = 0.3
+  /** Unordered per-doc signal frame (q42 joins it on doc_id). */
+  private[queries] def signals(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(expr(linesExpr)).as("line"))
+      .select(col("doc_id"), col("lang"), md5(col("line")).as("lh"))
+    // one row per DISTINCT line hash — the "how many docs carry this
+    // paragraph" side of the join; countDistinct because a line
+    // repeated only within one doc is q47's business, not q49's
+    val byLine = lines.groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val sharedLines = sum(when(col("n_docs") >= 2, 1L).otherwise(0L))
+    lines.join(byLine, Seq("lh"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_lines"),
+        sharedLines.as("n_shared_lines"),
+        (sharedLines.cast("double") / count(lit(1))).as("shared_line_frac"))
+  }
+  def run(spark: SparkSession, dir: String): DataFrame =
+    signals(spark, dir)
+      .withColumn("is_boilerplate", col("shared_line_frac") > MaxSharedFrac)
+      .orderBy(col("doc_id"))
+  val oracle = Some(s"""
+    WITH ${NorthStar.duckCrossDocCtes}
+    SELECT xl.doc_id, xl.lang, count(*) AS n_lines,
+      CAST(SUM(CASE WHEN b.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_shared_lines,
+      CAST(SUM(CASE WHEN b.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*) AS shared_line_frac,
+      CAST(SUM(CASE WHEN b.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*) > $MaxSharedFrac AS is_boilerplate
+    FROM xl JOIN xbyl b ON xl.lh = b.lh
+    GROUP BY xl.doc_id, xl.lang ORDER BY xl.doc_id
   """.trim)
 }
 

@@ -1,0 +1,148 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.queries._
+
+/** Oracle-independent invariants for the round-9 operators: the q46b
+  * gram-DF cap and the q49 cross-document paragraph filter. */
+class Round9Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** The q40 md5-nibble split, recomputed independently of splitCol. */
+  private def splitOf(docId: Long): String = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(docId.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if ("0123456789abcdef".indexOf(hex.last) < 13) "train" else "test"
+  }
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r9docs").toString
+    rows.map { case (id, text) => (id, text, "en", "s", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // 8-token boilerplate → 4 distinct 5-grams, each carried by many docs
+  private val boiler = "subscribe to our newsletter for daily updates now"
+  private val boilerGrams = {
+    val t = boiler.split(" ")
+    (0 to t.length - 5).map(i => t.slice(i, i + 5).mkString(" "))
+  }
+  private def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+    .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Fixture: ten docs carry the boilerplate sentence (spanning both
+    * splits), one genuine train→test leak shares a rare 7-token
+    * sentence (3 distinct 5-grams, DF exactly 2). */
+  private lazy val capFixture: (String, Long, Long, Seq[Long]) = {
+    val ids = (1L to 40L)
+    val train = ids.filter(splitOf(_) == "train")
+    val test = ids.filter(splitOf(_) == "test")
+    assert(train.size >= 6 && test.size >= 5, s"${train.size}/${test.size}")
+    val leak = "alpha bravo charlie delta echo foxtrot golf"
+    val trainLeaker = train.head
+    val evalLeaked = test.head
+    val chromeCarriers = (train.slice(1, 6) ++ test.slice(1, 6))
+    val rows =
+      Seq(trainLeaker -> s"$leak filler${trainLeaker}a filler${trainLeaker}b",
+          evalLeaked -> s"$leak filler${evalLeaked}a filler${evalLeaked}b") ++
+      chromeCarriers.map(id => id -> s"$boiler filler${id}a filler${id}b")
+    (writeDocs(rows), trainLeaker, evalLeaked, chromeCarriers.filter(splitOf(_) == "train"))
+  }
+
+  test("q46b: the boilerplate gram key vanishes from the join input") {
+    val (dir, _, _, _) = capFixture
+    val bHashes = boilerGrams.map(md5hex)
+    // the uncapped gram frame carries the hot key ~10 times...
+    val uncapped = Q46Decontaminate.gramFrame(spark, dir)
+      .filter(col("gh").isin(bHashes: _*)).count()
+    assert(uncapped >= 10 * boilerGrams.size)
+    // ...the capped frame has removed it from the shuffle entirely
+    val capped = Q46bDecontaminateDfCap.cappedGrams(spark, dir)
+      .filter(col("gh").isin(bHashes: _*)).count()
+    assert(capped === 0L)
+    // while DF<=cap grams (the leak sentence's) all survive
+    val leakGrams = Q46bDecontaminateDfCap.cappedGrams(spark, dir).count()
+    assert(leakGrams > 0)
+  }
+
+  test("q46b: cap kills the boilerplate false positives, keeps the real leak") {
+    val (dir, trainLeaker, evalLeaked, trainChrome) = capFixture
+    def verdicts(q: GraftQuery): Map[Long, (String, Long)] =
+      q.run(spark, dir).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getAs[String]("verdict"), r.getAs[Long]("n_shared_ngrams"))))
+        .toMap
+    val uncapped = verdicts(Q46Decontaminate)
+    val capped = verdicts(Q46bDecontaminateDfCap)
+    // uncapped: every train-side chrome carrier shares the 4
+    // boilerplate grams with test-side carriers → false "contaminated"
+    trainChrome.foreach { id =>
+      assert(uncapped(id) === (("contaminated", 4L)), s"doc $id uncapped")
+      // capped: those matches disappear completely
+      assert(capped(id) === (("clean", 0L)), s"doc $id capped")
+    }
+    // the genuine leak survives the cap with its 3 rare grams intact
+    assert(capped(trainLeaker)._1 === "contaminated")
+    assert(capped(trainLeaker)._2 === 3L)
+    val matched = Q46bDecontaminateDfCap.run(spark, dir)
+      .filter(col("train_doc_id") === trainLeaker)
+      .head().getAs[Long]("matched_eval_doc")
+    assert(matched === evalLeaked)
+  }
+
+  test("q49: cross-doc shared lines counted with multiplicity, intra-doc repeats ignored") {
+    // doc 1: 2 of its 4 lines are the chrome line shared with docs 2,3
+    //        (multiplicity: both occurrences count) → 0.5 share
+    // doc 2: 1 of its 3 lines shared → 1/3 share (above 0.3 bar)
+    // doc 3: chrome + unique → 0.5
+    // doc 4: a line repeated WITHIN the doc only → q47's business,
+    //        not q49's: share must be 0
+    val chrome = "copyright acme corp all rights reserved"
+    val dir = writeDocs(Seq(
+      1L -> s"$chrome\none two three\n$chrome\nfour five six",
+      2L -> s"seven eight nine\n  $chrome  \nten eleven twelve",
+      3L -> s"$chrome\nthirteen fourteen fifteen",
+      4L -> "own line repeated\nown line repeated\nunique tail here"))
+    val out = Q49CrossDocParagraphs.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_lines") === 4L)
+    assert(out(1L).getAs[Long]("n_shared_lines") === 2L)
+    assert(out(1L).getAs[Double]("shared_line_frac") === 0.5)
+    assert(out(1L).getAs[Boolean]("is_boilerplate"))
+    // trimming: doc 2's padded chrome line still matches
+    assert(out(2L).getAs[Long]("n_shared_lines") === 1L)
+    assert(out(2L).getAs[Boolean]("is_boilerplate"))
+    assert(out(3L).getAs[Double]("shared_line_frac") === 0.5)
+    // within-doc-only repetition is NOT cross-doc sharing
+    assert(out(4L).getAs[Long]("n_shared_lines") === 0L)
+    assert(!out(4L).getAs[Boolean]("is_boilerplate"))
+  }
+
+  test("q49 feeds q42: boilerplate-dominated docs get the new drop reason") {
+    // three docs, each: one shared chrome line + one long unique line —
+    // not near-dups (distinct shingles), long and clean enough to pass
+    // every other gate, but 50% shared content → 'boilerplate'
+    val chrome = "copyright acme corp all rights reserved"
+    def uniq(i: Int) = (1 to 12).map(j => s"w${i}x$j").mkString(" ")
+    val dir = writeDocs(Seq(
+      1L -> s"$chrome\n${uniq(1)}",
+      2L -> s"$chrome\n${uniq(2)}",
+      3L -> s"$chrome\n${uniq(3)}"))
+    val out = Q42CorpusClean.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("en", "boilerplate") -> 3L))
+  }
+
+  test("q49 flags real cross-doc duplicate lines at sf0.1") {
+    // the sf0.1 corpus genuinely contains duplicate single-line docs —
+    // the flag must fire there without a synthetic fixture
+    val out = Q49CrossDocParagraphs.run(spark, "/root/testdata/sf0.1")
+    assert(out.filter(col("is_boilerplate")).count() > 0)
+  }
+}
