@@ -37,21 +37,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * the scan ([[SupportsPushDownRequiredColumns]]): a `count(*)` or
   * doc_id-only query never materializes line text.
   *
-  * Scale posture: per-file granularity is the reference's own work
-  * unit; at 100 TB with huge single files the next rung is byte-range
-  * splits (as Spark's FilePartition does), and with millions of tiny
-  * files, bin-packing several per partition — both are
-  * planInputPartitions-local changes. Files are opened through the
-  * Hadoop FileSystem API, so any scheme the cluster's Hadoop conf
-  * resolves (file://, hdfs://, s3a://) works unchanged.
+  * Scale posture (round 9): partition granularity follows Spark's own
+  * file-source policy, not the manifest's — one 100 GB corpus file
+  * becomes many newline-aligned byte-range splits (the
+  * FileSourceScanExec pattern: a split owns the lines that START
+  * inside it, the first partial line belongs to the previous split),
+  * and a million tiny files bin-pack into
+  * `totalBytes / defaultParallelism`-sized partitions so the
+  * scheduler sees thousands of tasks, not millions. The split size
+  * honors `spark.sql.files.maxPartitionBytes` /
+  * `spark.sql.files.openCostInBytes` (overridable per-read via
+  * `.option("maxsplitbytes", …)` / `.option("opencostbytes", …)`).
+  * Files are opened through the Hadoop FileSystem API, so any scheme
+  * the cluster's Hadoop conf resolves (file://, hdfs://, s3a://)
+  * works unchanged.
   */
 class GraftCorpusSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-corpus"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftCorpusTable.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new GraftCorpusTable(properties.get("manifest"))
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    def longOpt(k: String): Option[Long] =
+      Option(opts.get(k)).map(_.trim.toLong)
+    new GraftCorpusTable(opts.get("manifest"),
+      longOpt("maxsplitbytes"), longOpt("opencostbytes"))
+  }
 }
 
 object GraftCorpusTable {
@@ -61,7 +73,9 @@ object GraftCorpusTable {
     StructField("text", StringType, nullable = true)))
 }
 
-class GraftCorpusTable(manifest: String) extends Table with SupportsRead {
+class GraftCorpusTable(manifest: String,
+    maxSplit: Option[Long] = None, openCost: Option[Long] = None)
+    extends Table with SupportsRead {
   require(manifest != null,
     """graft-corpus requires .option("manifest", <path>)""")
   override def name(): String = s"graft-corpus($manifest)"
@@ -70,19 +84,20 @@ class GraftCorpusTable(manifest: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftCorpusScanBuilder(manifest)
+    new GraftCorpusScanBuilder(manifest, maxSplit, openCost)
 }
 
-class GraftCorpusScanBuilder(manifest: String)
+class GraftCorpusScanBuilder(manifest: String,
+    maxSplit: Option[Long], openCost: Option[Long])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = GraftCorpusTable.schema
   private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  /** doc_id predicates become FILE pruning: a partition carries
-    * exactly one doc_id, so evaluating them against manifest entries
-    * at planning time is exact — the connector's form of partition
+  /** doc_id predicates become FILE pruning: a file carries exactly
+    * one doc_id, so evaluating them against manifest entries at
+    * planning time is exact — the connector's form of partition
     * pruning (a doc_id-range query over a million-file manifest opens
     * only the matching files). ALL filters are returned for Spark to
     * re-evaluate: pruning is an optimization, never a correctness
@@ -92,7 +107,8 @@ class GraftCorpusScanBuilder(manifest: String)
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new GraftCorpusScan(manifest, required, pushed)
+  override def build(): Scan =
+    new GraftCorpusScan(manifest, required, pushed, maxSplit, openCost)
 }
 
 object GraftCorpusScan {
@@ -123,25 +139,92 @@ object GraftCorpusScan {
     case IsNotNull("doc_id")             => true
     case _                               => true
   }
+
+  /** Spark's file-source split-size policy
+    * (`FilePartition.maxSplitBytes` in the Spark source): cap at
+    * maxPartitionBytes, but when the whole corpus divided across the
+    * cluster's cores is smaller, shrink toward openCost so small
+    * corpora still fan out to every core instead of one packed task. */
+  private[sources] def maxSplitBytes(totalCost: Long, parallelism: Int,
+      maxPartitionBytes: Long, openCost: Long): Long =
+    math.min(maxPartitionBytes,
+      math.max(openCost, totalCost / math.max(1, parallelism)))
+
+  /** Plan (path, doc_id, fileLen) entries into partitions: files
+    * larger than the split size break into byte-range chunks
+    * (newline-aligned at READ time by the partial-line protocol, so
+    * planning never opens a file); smaller files bin-pack greedily in
+    * manifest order until a bin reaches the split size, each file
+    * costing its length plus openCost (Spark's
+    * `FilePartition.getFilePartitions` policy — a million empty files
+    * still pay their open cost and spread across tasks). */
+  private[sources] def planChunks(entries: Seq[(String, Long, Long)],
+      maxPartitionBytes: Long, openCost: Long,
+      parallelism: Int): Array[InputPartition] = {
+    val totalCost = entries.map(_._3 + openCost).sum
+    val split = maxSplitBytes(totalCost, parallelism, maxPartitionBytes, openCost)
+    val chunks = entries.flatMap { case (p, id, len) =>
+      if (len > split)
+        (0L until len by split).map(off =>
+          GraftChunk(p, id, off, math.min(split, len - off)))
+      else Seq(GraftChunk(p, id, 0L, len))
+    }
+    val parts = Array.newBuilder[InputPartition]
+    var cur = Vector.empty[GraftChunk]
+    var size = 0L
+    chunks.foreach { c =>
+      if (cur.nonEmpty && size + c.length > split) {
+        parts += GraftCorpusPartition(cur.toArray); cur = Vector.empty; size = 0L
+      }
+      cur :+= c
+      size += c.length + openCost
+    }
+    if (cur.nonEmpty) parts += GraftCorpusPartition(cur.toArray)
+    parts.result()
+  }
+
+  /** Resolve split/open-cost knobs: per-read option, else the
+    * session's spark.sql.files.* values. */
+  private[sources] def sizing(maxSplit: Option[Long],
+      openCost: Option[Long]): (Long, Long, Int) = {
+    val sess = org.apache.spark.sql.SparkSession.active
+    (maxSplit.getOrElse(sess.sessionState.conf.filesMaxPartitionBytes),
+      openCost.getOrElse(sess.sessionState.conf.filesOpenCostInBytes),
+      sess.sparkContext.defaultParallelism)
+  }
+
+  /** Driver-side file lengths for surviving manifest entries (the FS
+    * objects are cached per scheme; one RPC per file — the same
+    * listing cost Spark's own file index pays). */
+  private[sources] def withLengths(entries: Seq[(String, Long)],
+      conf: Configuration): Seq[(String, Long, Long)] =
+    entries.map { case (p, id) =>
+      val hp = new Path(p)
+      (p, id, hp.getFileSystem(conf).getFileStatus(hp).getLen)
+    }
 }
 
 class GraftCorpusScan(manifest: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], maxSplit: Option[Long] = None,
+    openCost: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-corpus manifest=$manifest ReadSchema=${required.simpleString}" +
       s" PushedFilters=${pushed.mkString("[", ", ", "]")}"
-  /** One partition per manifest entry surviving the pushed doc_id
-    * predicates — the manifest is tiny and driver-side by contract
-    * (its first line bounds it), so this is an O(N-files) driver
-    * step, not a data read. */
-  override def planInputPartitions(): Array[InputPartition] =
-    TextCorpus.manifestEntries(manifest)
-      .filter { case (_, id) =>
-        pushed.forall(GraftCorpusScan.keeps(id, _)) }
-      .map { case (p, id) => GraftFilePartition(p, id): InputPartition }
-      .toArray
+  /** Manifest entries surviving the pushed doc_id predicates, split
+    * and bin-packed by [[GraftCorpusScan.planChunks]] — the manifest
+    * is tiny and driver-side by contract (its first line bounds it),
+    * so this is an O(N-files) driver step, not a data read. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val survivors = TextCorpus.manifestEntries(manifest)
+      .filter { case (_, id) => pushed.forall(GraftCorpusScan.keeps(id, _)) }
+    val (mpb, oc, par) = GraftCorpusScan.sizing(maxSplit, openCost)
+    GraftCorpusScan.planChunks(
+      GraftCorpusScan.withLengths(survivors,
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
+      mpb, oc, par)
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     // The SESSION's Hadoop conf, not a bare `new Configuration()`:
     // spark.hadoop.* settings (s3a credentials, defaultFS, …) must
@@ -150,7 +233,8 @@ class GraftCorpusScan(manifest: String, required: StructType,
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftCorpusMicroBatchStream(manifest, createReaderFactory())
+    new GraftCorpusMicroBatchStream(manifest, createReaderFactory(),
+      maxSplit, openCost)
 }
 
 /** Offset = how many manifest entries have been processed. The
@@ -170,7 +254,8 @@ case class GraftManifestOffset(n: Long) extends Offset {
   * incremental inverted index (S6) from the reference's own input
   * contract instead of a parquet drop directory. */
 class GraftCorpusMicroBatchStream(manifest: String,
-    factory: PartitionReaderFactory) extends MicroBatchStream {
+    factory: PartitionReaderFactory, maxSplit: Option[Long] = None,
+    openCost: Option[Long] = None) extends MicroBatchStream {
   /** Last successfully-observed manifest size. latestOffset() runs on
     * every trigger against a file a producer may be rewriting in
     * place; a torn snapshot (unparseable count line, vanished file)
@@ -191,48 +276,113 @@ class GraftCorpusMicroBatchStream(manifest: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[GraftManifestOffset].n
     val hi = end.asInstanceOf[GraftManifestOffset].n
-    TextCorpus.manifestEntries(manifest)
+    val batch = TextCorpus.manifestEntries(manifest)
       .filter { case (_, id) => id > lo && id <= hi }
-      .map { case (p, id) => GraftFilePartition(p, id): InputPartition }
-      .toArray
+    // Same split/bin-pack policy as the batch scan: a batch of a
+    // million tiny appended files packs into bounded partitions, one
+    // huge appended file splits across the cluster.
+    val (mpb, oc, par) = GraftCorpusScan.sizing(maxSplit, openCost)
+    GraftCorpusScan.planChunks(
+      GraftCorpusScan.withLengths(batch,
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
+      mpb, oc, par)
   }
   override def createReaderFactory(): PartitionReaderFactory = factory
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-case class GraftFilePartition(path: String, docId: Long) extends InputPartition
+/** One unit of read work: a byte range [start, start+length) of one
+  * corpus file. `length == Long.MaxValue` means "to EOF" (used by
+  * whole-file chunks where the length wasn't probed). */
+case class GraftChunk(path: String, docId: Long, start: Long, length: Long)
+
+/** A scheduled partition: one or more chunks read sequentially by one
+  * task (several bin-packed small files, or one byte-range of a large
+  * file). */
+case class GraftCorpusPartition(chunks: Array[GraftChunk]) extends InputPartition
 
 class GraftCorpusReaderFactory(fields: Array[String],
     conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftCorpusReader(partition.asInstanceOf[GraftFilePartition], fields,
+    new GraftCorpusReader(partition.asInstanceOf[GraftCorpusPartition], fields,
       conf.value)
 }
 
-/** Streams one corpus file as (doc_id, text) rows; only the pruned
-  * fields are materialized (a doc_id-only scan never decodes line
-  * bytes into Spark rows). */
-class GraftCorpusReader(part: GraftFilePartition, fields: Array[String],
+/** Byte-accurate line reader over one chunk, implementing the
+  * file-source split protocol (Hadoop's LineRecordReader contract): a
+  * split owns every line that STARTS at a byte position in
+  * (start, start+length] — so a split with start > 0 discards the
+  * first (possibly partial) line, and every split keeps reading
+  * through its end boundary until the current line completes. Two
+  * adjacent splits therefore assign every line to exactly one owner,
+  * and no split ever needs to see its neighbor. Byte positions (not
+  * chars) are tracked, so multi-byte UTF-8 never desynchronizes the
+  * boundary math. */
+private[sources] final class ChunkLineReader(chunk: GraftChunk,
+    conf: Configuration) {
+  private val p = new Path(chunk.path)
+  private val raw = p.getFileSystem(conf).open(p)
+  if (chunk.start > 0) raw.seek(chunk.start)
+  private val in = new java.io.BufferedInputStream(raw, 128 * 1024)
+  private var pos = chunk.start
+  private val end =
+    if (chunk.length == Long.MaxValue) Long.MaxValue
+    else chunk.start + chunk.length
+  if (chunk.start > 0) readLine() // skip the partial first line
+  /** Bytes of the next owned line (terminator stripped), null when
+    * the chunk is exhausted. */
+  def nextLine(): Array[Byte] = if (pos > end) null else readLine()
+  private def readLine(): Array[Byte] = {
+    var b = in.read()
+    if (b == -1) return null
+    val out = new java.io.ByteArrayOutputStream(96)
+    while (b != -1 && b != '\n') { out.write(b); b = in.read() }
+    // position BEFORE stripping \r: pos counts raw file bytes
+    pos += out.size() + (if (b == '\n') 1 else 0)
+    val arr = out.toByteArray
+    if (arr.nonEmpty && arr(arr.length - 1) == '\r')
+      java.util.Arrays.copyOf(arr, arr.length - 1)
+    else arr
+  }
+  def close(): Unit = in.close()
+}
+
+/** Streams a partition's chunks as (doc_id, text) rows; only the
+  * pruned fields are materialized (a doc_id-only scan never converts
+  * line bytes into Spark strings). */
+class GraftCorpusReader(part: GraftCorpusPartition, fields: Array[String],
     conf: Configuration) extends PartitionReader[InternalRow] {
-  private val fs = new Path(part.path).getFileSystem(conf)
-  private val in = new java.io.BufferedReader(
-    new java.io.InputStreamReader(fs.open(new Path(part.path)),
-      java.nio.charset.StandardCharsets.UTF_8))
-  private var line: String = _
+  private var idx = 0
+  private var cur: ChunkLineReader = null
+  private var docId: Long = 0L
+  private var line: Array[Byte] = _
   // Field extractors resolved ONCE — get() runs per line of a 100 TB
   // corpus and must not re-match field names or allocate closures.
   private val extract: Array[() => Any] = fields.map {
-    case "doc_id" => () => part.docId
-    case "text"   => () => UTF8String.fromString(line)
+    case "doc_id" => () => docId
+    case "text"   => () => UTF8String.fromBytes(line)
   }
-  override def next(): Boolean = { line = in.readLine(); line != null }
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (idx >= part.chunks.length) return false
+        cur = new ChunkLineReader(part.chunks(idx), conf)
+        docId = part.chunks(idx).docId
+        idx += 1
+      }
+      line = cur.nextLine()
+      if (line != null) return true
+      cur.close(); cur = null
+    }
+    false // unreachable
+  }
   override def get(): InternalRow = {
     val values = new Array[Any](extract.length)
     var i = 0
     while (i < values.length) { values(i) = extract(i)(); i += 1 }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
   }
-  override def close(): Unit = in.close()
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }

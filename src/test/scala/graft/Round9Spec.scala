@@ -139,6 +139,107 @@ class Round9Spec extends SparkSpec {
     assert(out === Map(("en", "boilerplate") -> 3L))
   }
 
+  private def writeCorpus(files: Seq[(String, String)]): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("r9corpus")
+    files.foreach { case (n, content) =>
+      java.nio.file.Files.write(dir.resolve(n), content.getBytes("UTF-8")) }
+    java.nio.file.Files.write(dir.resolve("manifest.txt"),
+      (s"${files.size}\n" + files.map(_._1).mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+    dir
+  }
+
+  test("graft-corpus splits a dominant file into byte ranges, no line lost or duplicated") {
+    // one 500-line dominant file (7-byte lines: split boundaries land
+    // MID-line), plus edge files: empty, no trailing newline, CRLF,
+    // and one whose line length divides the split size so boundaries
+    // land exactly ON line starts
+    val dominant = (0 until 500).map(i => f"d$i%05d").mkString("", "\n", "\n")
+    val exact = (0 until 100).map(_ => "aaaa").mkString("", "\n", "\n")
+    val dir = writeCorpus(Seq(
+      "big.txt" -> dominant,
+      "exact.txt" -> exact,
+      "empty.txt" -> "",
+      "notrail.txt" -> "x y\nlast line no newline",
+      "crlf.txt" -> "one\r\ntwo\r\n"))
+    val manifest = dir.resolve("manifest.txt").toString
+    val df = spark.read.format("graft-corpus")
+      .option("manifest", manifest)
+      .option("maxsplitbytes", "50").option("opencostbytes", "10")
+      .load()
+    // the dominant file (3500 B) must break into many ranges: far more
+    // partitions than the 5 manifest files
+    assert(df.rdd.getNumPartitions > 20,
+      s"expected byte-range splits, got ${df.rdd.getNumPartitions}")
+    val viaSplits = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    val classic = graft.sources.TextCorpus.documents(spark, manifest)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // multiset equality: a lost boundary line or a double-read one
+    // both break this
+    assert(viaSplits.groupBy(identity).view.mapValues(_.length).toMap ===
+      classic.groupBy(identity).view.mapValues(_.length).toMap)
+    assert(viaSplits.length === 500 + 100 + 0 + 2 + 2)
+  }
+
+  test("graft-corpus bin-packs many tiny files into few partitions") {
+    val files = (0 until 40).map(i => (f"t$i%02d.txt", s"tiny file $i"))
+    val dir = writeCorpus(files)
+    val manifest = dir.resolve("manifest.txt").toString
+    // zero open cost + large cap → split size becomes totalBytes/cores
+    // and the 40 files pack into about one bin per core
+    val packed = spark.read.format("graft-corpus")
+      .option("manifest", manifest)
+      .option("maxsplitbytes", s"${10 * 1024 * 1024}")
+      .option("opencostbytes", "0")
+      .load()
+    assert(packed.rdd.getNumPartitions <= 10,
+      s"expected bin-packing, got ${packed.rdd.getNumPartitions}")
+    // default sizing: the 4 MB open cost dominates tiny files, and
+    // totalCost/cores caps the bin at ~5 files → one bin per core,
+    // never 40 single-file tasks (Spark's own file-source policy)
+    val spread = spark.read.format("graft-corpus")
+      .option("manifest", manifest).load()
+    assert(spread.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+    // packing changes scheduling only, never rows
+    assert(packed.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      (0 until 40).map(i => ((i + 1).toLong, s"tiny file $i")).toSet)
+  }
+
+  test("golden letter files byte-match through the split-forced connector read") {
+    // the full R1→R15 pipeline (index + 26-file sink) over a corpus
+    // with one dominant file, read through byte-range splits: output
+    // must byte-match the same pipeline over the classic text-source
+    // read (which GoldenSpec pins to the reference binary)
+    val words = Seq("apple", "banana", "cherry", "date", "elderberry",
+      "fig", "grape", "honeydew", "kiwi", "lemon")
+    val rnd = new scala.util.Random(11)
+    val dominant = (0 until 400)
+      .map(_ => (0 until 8).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" "))
+      .mkString("", "\n", "\n")
+    val dir = writeCorpus(Seq(
+      "big.txt" -> dominant, "s1.txt" -> "quince apple\nmango",
+      "s2.txt" -> "banana quince"))
+    val manifest = dir.resolve("manifest.txt").toString
+    val viaSplits = spark.read.format("graft-corpus")
+      .option("manifest", manifest)
+      .option("maxsplitbytes", "256").option("opencostbytes", "16")
+      .load()
+    assert(viaSplits.rdd.getNumPartitions > 10)
+    val outSplit = java.nio.file.Files.createTempDirectory("r9split").toString
+    graft.sources.TextCorpus.writeLetterFiles(viaSplits, outSplit)
+    val outClassic = java.nio.file.Files.createTempDirectory("r9classic").toString
+    graft.sources.TextCorpus.buildIndex(spark, manifest, outClassic)
+    for (l <- 'a' to 'z') {
+      val a = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(outSplit, s"$l.txt"))
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(outClassic, s"$l.txt"))
+      assert(java.util.Arrays.equals(a, b), s"letter $l differs")
+    }
+  }
+
   test("q49 flags real cross-doc duplicate lines at sf0.1") {
     // the sf0.1 corpus genuinely contains duplicate single-line docs —
     // the flag must fire there without a synthetic fixture
