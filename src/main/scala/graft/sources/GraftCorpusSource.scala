@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -62,7 +62,8 @@ class GraftCorpusSource extends TableProvider with DataSourceRegister {
     def longOpt(k: String): Option[Long] =
       Option(opts.get(k)).map(_.trim.toLong)
     new GraftCorpusTable(opts.get("manifest"),
-      longOpt("maxsplitbytes"), longOpt("opencostbytes"))
+      longOpt("maxsplitbytes"), longOpt("opencostbytes"),
+      longOpt("maxfilespertrigger").map(_.toInt))
   }
 }
 
@@ -74,7 +75,8 @@ object GraftCorpusTable {
 }
 
 class GraftCorpusTable(manifest: String,
-    maxSplit: Option[Long] = None, openCost: Option[Long] = None)
+    maxSplit: Option[Long] = None, openCost: Option[Long] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Table with SupportsRead {
   require(manifest != null,
     """graft-corpus requires .option("manifest", <path>)""")
@@ -84,11 +86,12 @@ class GraftCorpusTable(manifest: String,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftCorpusScanBuilder(manifest, maxSplit, openCost)
+    new GraftCorpusScanBuilder(manifest, maxSplit, openCost, maxFilesPerTrigger)
 }
 
 class GraftCorpusScanBuilder(manifest: String,
-    maxSplit: Option[Long], openCost: Option[Long])
+    maxSplit: Option[Long], openCost: Option[Long],
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = GraftCorpusTable.schema
@@ -108,7 +111,8 @@ class GraftCorpusScanBuilder(manifest: String,
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new GraftCorpusScan(manifest, required, pushed, maxSplit, openCost)
+    new GraftCorpusScan(manifest, required, pushed, maxSplit, openCost,
+      maxFilesPerTrigger)
 }
 
 object GraftCorpusScan {
@@ -206,7 +210,8 @@ object GraftCorpusScan {
 
 class GraftCorpusScan(manifest: String, required: StructType,
     pushed: Array[Filter], maxSplit: Option[Long] = None,
-    openCost: Option[Long] = None) extends Scan with Batch {
+    openCost: Option[Long] = None,
+    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -234,7 +239,7 @@ class GraftCorpusScan(manifest: String, required: StructType,
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftCorpusMicroBatchStream(manifest, createReaderFactory(),
-      maxSplit, openCost)
+      maxSplit, openCost, maxFilesPerTrigger)
 }
 
 /** Offset = how many manifest entries have been processed. The
@@ -250,27 +255,54 @@ case class GraftManifestOffset(n: Long) extends Offset {
 
 /** Streaming rung of the connector: a GROWING manifest becomes a
   * micro-batch source — each batch reads the files appended since the
-  * last committed count, one partition per new file, feeding the
-  * incremental inverted index (S6) from the reference's own input
-  * contract instead of a parquet drop directory. */
+  * last committed count, split/bin-packed like the batch scan, feeding
+  * the incremental inverted index (S6) from the reference's own input
+  * contract instead of a parquet drop directory.
+  *
+  * Admission control ([[SupportsAdmissionControl]]): without it, a
+  * manifest that grows by 10⁶ files between triggers becomes ONE
+  * million-file micro-batch — unbounded latency, checkpoint interval
+  * and state growth all coupled to producer burstiness.
+  * `.option("maxfilespertrigger", N)` declares a [[ReadMaxFiles]]
+  * default read limit; the engine then calls the two-arg
+  * `latestOffset(start, limit)` and each batch admits at most N new
+  * manifest entries, the rest drain over subsequent triggers (exactly
+  * the FileStreamSource pattern). */
 class GraftCorpusMicroBatchStream(manifest: String,
     factory: PartitionReaderFactory, maxSplit: Option[Long] = None,
-    openCost: Option[Long] = None) extends MicroBatchStream {
+    openCost: Option[Long] = None, maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   /** Last successfully-observed manifest size. latestOffset() runs on
     * every trigger against a file a producer may be rewriting in
     * place; a torn snapshot (unparseable count line, vanished file)
     * must stall the stream at the previous offset, not kill the
     * query — the next trigger sees the completed write. */
   @volatile protected var lastKnown: Long = 0L
-  override def initialOffset(): Offset = GraftManifestOffset(0L)
-  override def latestOffset(): Offset = {
+  private def observeManifest(): Long = {
     val n = try TextCorpus.manifestEntries(manifest).size.toLong
             catch { case scala.util.control.NonFatal(_) => lastKnown }
     // Monotone: a torn read that surfaces a shorter prefix must not
     // rewind the offset (ids are positional; history never shrinks).
     lastKnown = math.max(lastKnown, n)
-    GraftManifestOffset(lastKnown)
+    lastKnown
   }
+  override def initialOffset(): Offset = GraftManifestOffset(0L)
+  override def latestOffset(): Offset = GraftManifestOffset(observeManifest())
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = observeManifest()
+    val from = start.asInstanceOf[GraftManifestOffset].n
+    val capped = limit match {
+      case mf: ReadMaxFiles => math.min(avail, from + mf.maxFiles())
+      case _                => avail
+    }
+    GraftManifestOffset(capped)
+  }
+  /** True head of the stream for progress reporting, independent of
+    * the admission cap. */
+  override def reportLatestOffset(): Offset = GraftManifestOffset(lastKnown)
   override def deserializeOffset(json: String): Offset =
     GraftManifestOffset(json.trim.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

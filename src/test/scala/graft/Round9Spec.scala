@@ -240,6 +240,31 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("graft-corpus streaming admission control bounds each micro-batch") {
+    // 7 one-line files arrive at once; maxfilespertrigger=2 must
+    // drain them in ceil(7/2)=4 batches of at most 2 files each, with
+    // results identical to an unbounded read
+    val files = (1 to 7).map(i => (s"f$i.txt", s"line $i"))
+    val dir = writeCorpus(files)
+    val stream = spark.readStream.format("graft-corpus")
+      .option("manifest", dir.resolve("manifest.txt").toString)
+      .option("maxfilespertrigger", "2")
+      .load()
+    val q = stream.writeStream.format("memory")
+      .queryName("r9_admission").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val seen = spark.table("r9_admission").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(seen === (1 to 7).map(i => (i.toLong, s"line $i")).toSet)
+      // every non-empty batch admitted at most 2 files (= 2 rows here)
+      val batchRows = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batchRows.nonEmpty && batchRows.forall(_ <= 2),
+        batchRows.mkString(","))
+      assert(batchRows.length === 4, batchRows.mkString(","))
+    } finally q.stop()
+  }
+
   test("q49 flags real cross-doc duplicate lines at sf0.1") {
     // the sf0.1 corpus genuinely contains duplicate single-line docs —
     // the flag must fire there without a synthetic fixture
