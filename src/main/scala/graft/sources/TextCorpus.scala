@@ -95,6 +95,20 @@ object TextCorpus {
     * also the foreachBatch target for the streaming S6 pipeline. */
   def writeLetterFilesFromIndex(index: DataFrame, outDir: String): Unit = {
     val spark = index.sparkSession
+    // Flagged alternate path: the DSv2 graft-letters sink commits the
+    // 26 files through Spark's V2 committer (task-staged files
+    // published only at driver commit — atomic on object stores) and
+    // declares its own cluster-by-letter distribution + (df desc,
+    // word) ordering, so no explicit repartition/sort is needed here.
+    // GoldenSpec byte-matches the golden suite through it.
+    if (spark.conf.getOption("spark.graft.letters.dsv2").exists(_.toBoolean)) {
+      index.select(col("letter"), col("word"), col("df").cast("long").as("df"),
+        concat(col("word"), lit(":["),
+          array_join(col("doc_ids"), " "), lit("]")).as("line"))
+        .write.format("graft-letters").option("path", outDir)
+        .mode("overwrite").save()
+      return
+    }
     val tmp = s"$outDir/_parts"
     index
       .repartition(col("letter"))

@@ -41,6 +41,21 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  test("all golden cases byte-match through the DSv2 graft-letters sink") {
+    // Same five corpora, written through the V2 committer sink (task
+    // staging + driver-commit publish, sink-declared distribution and
+    // ordering) instead of the driver-side part-file rename. Byte
+    // equality proves the two write paths are interchangeable.
+    withConfs("spark.graft.letters.dsv2" -> "true") {
+      for (c <- cases) {
+        val caseDir = root.resolve(c)
+        val outDir = Files.createTempDirectory(s"golden_sink_$c").toString
+        TextCorpus.buildIndex(spark, caseDir.resolve("manifest.txt").toString, outDir)
+        assertMatchesExpected(caseDir, outDir, s"$c-via-letter-sink")
+      }
+    }
+  }
+
   test("growing manifest streamed through the connector converges to the golden files") {
     // End-to-end marriage of the two extension rungs: the DSv2
     // connector's micro-batch stream feeds the incremental inverted
