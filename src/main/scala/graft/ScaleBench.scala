@@ -80,7 +80,17 @@ object ScaleBench {
     // the round-8 training-data assembly ops ride the same corpus:
     // q46's gram-hash join is the other blocked-join workhorse, q47
     // is the per-row ceiling, q48 the windowed-fill shape
-    Q46Decontaminate, Q47Repetition, Q48MixSample)
+    Q46Decontaminate, Q47Repetition, Q48MixSample,
+    // the inverted-index/TF-IDF family — the reference's own workload.
+    // On the 10x corpus the '#k' token suffixes are letters-stripped by
+    // the normalizer, so all ten copies share ONE vocabulary: 10x docs,
+    // same distinct words, 10x-longer posting lists. That is the honest
+    // scale-up for THIS family (real corpora grow tokens much faster
+    // than vocabulary) — the word-keyed shuffle carries 10x rows into
+    // the same number of groups, exactly the skew profile a 100 TB
+    // corpus presents. (The dedup family above reads the suffixes
+    // pre-normalization, where they keep cross-copy shingles disjoint.)
+    InvertedIndex, Q20TopTermsPerLang, Q26TfIdf)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -157,8 +157,16 @@ class Round8Spec extends SparkSpec {
       .get("src/test/resources/golden/tiny/manifest.txt")
       .toAbsolutePath.normalize.toString
     val nFiles = graft.sources.TextCorpus.manifestEntries(manifest).size
+    // opencostbytes ≥ maxsplitbytes forces one partition per file
+    // regardless of the context's core count — without the pin, the
+    // round-9 bin-packer's split size depends on defaultParallelism,
+    // which is whatever master the FIRST suite to touch the shared
+    // context used (local[2] if ExtensionsSpec won the race)
     val df = spark.read.format("graft-corpus")
-      .option("manifest", manifest).load()
+      .option("manifest", manifest)
+      .option("maxsplitbytes", s"${128 * 1024 * 1024}")
+      .option("opencostbytes", s"${128 * 1024 * 1024}")
+      .load()
     // schema contract and per-file partition planning
     assert(df.schema.fieldNames.toSeq === Seq("doc_id", "text"))
     assert(df.rdd.getNumPartitions === nFiles && nFiles > 1)

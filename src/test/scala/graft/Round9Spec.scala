@@ -265,6 +265,115 @@ class Round9Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q50: finds and masks emails, phones and IPv4s; clean docs untouched") {
+    val dir = writeDocs(Seq(
+      1L -> "contact bob.smith+x@corp.example.com or call 555-123-4567 today",
+      2L -> "server at 10.0.255.3 and backup at 192.168.1.77 respond",
+      3L -> "perfectly clean prose with no identifiers at all",
+      // an IP must be redacted as an IP (the phone pattern must not
+      // half-eat it), and a dotted 3-3-4 number is a phone
+      4L -> "mix a@b.co and 212.555.0199 with 4 octets 212.55.50.199"))
+    val out = Q50PiiRedact.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") === 1L)
+    assert(out(1L).getAs[Long]("n_phones") === 1L)
+    assert(out(1L).getAs[Long]("n_ips") === 0L)
+    assert(out(1L).getAs[String]("redacted") ===
+      "contact <EMAIL> or call <PHONE> today")
+    assert(out(2L).getAs[Long]("n_ips") === 2L)
+    assert(out(2L).getAs[String]("redacted") ===
+      "server at <IP> and backup at <IP> respond")
+    assert(out(3L).getAs[Long]("pii_total") === 0L)
+    assert(out(3L).getAs[String]("redacted") ===
+      "perfectly clean prose with no identifiers at all")
+    // "212.555.0199" is 3-3-4 with dot separators → phone, not IP
+    // (only 3 dotted groups); "212.55.50.199" is 4 octets → IP, and
+    // the phone pattern (applied last) finds no 3-3-4 shape in it
+    assert(out(4L).getAs[Long]("n_emails") === 1L)
+    assert(out(4L).getAs[Long]("n_phones") === 1L)
+    assert(out(4L).getAs[Long]("n_ips") === 1L)
+    assert(out(4L).getAs[String]("redacted") ===
+      "mix <EMAIL> and <PHONE> with 4 octets <IP>")
+  }
+
+  test("q51: URL extraction, distinct domains, blocklist verdict") {
+    val dir = writeDocs(Seq(
+      1L -> ("see https://good.example/a and http://good.example/b " +
+        "plus https://other.example/x"),
+      2L -> "links to https://spam.example/buy and https://good.example/ok",
+      3L -> "no urls at all in this one",
+      4L -> "UPPER https://SPAM.example/SHOUTY is still blocked"))
+    val out = Q51UrlDomains.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_urls") === 3L)
+    assert(out(1L).getAs[Long]("n_domains") === 2L)
+    assert(out(1L).getAs[Long]("n_blocked") === 0L)
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Long]("n_blocked") === 1L)
+    assert(!out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Long]("n_urls") === 0L && out(3L).getAs[Boolean]("keep"))
+    // domain matching is case-insensitive (lowered before the list hit)
+    assert(out(4L).getAs[Long]("n_blocked") === 1L && !out(4L).getAs[Boolean]("keep"))
+  }
+
+  test("q52: any stride-aligned prefix holds sources in exact weight proportion") {
+    val out = Q52MixInterleave.run(spark, sf).collect()
+    // weights derive from src#: (# % 3) + 1
+    def weightOf(src: String) = (src.drop(3).toInt % 3) + 1
+    out.foreach(r => assert(
+      r.getAs[Int]("weight") === weightOf(r.getAs[String]("source"))))
+    // per source the emitted subsequence stays in doc_id order
+    out.groupBy(_.getAs[String]("source")).values.foreach { rows =>
+      val ids = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("doc_id"))
+      assert(ids === ids.sorted)
+    }
+    // the defining stride property: within sort_key <= 12 (two full
+    // LCM rounds), a weight-3 source has emitted exactly 6 docs, a
+    // weight-2 source 4, a weight-1 source 2 — 3:2:1, no drift
+    val prefix = out.filter(_.getAs[Long]("sort_key") <= 12L)
+      .groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    prefix.foreach { case (src, n) =>
+      assert(n === 2 * weightOf(src), s"$src emitted $n in 2 rounds")
+    }
+    // and the order is the total ORDER BY it claims to be
+    val keys = out.map(r => (r.getAs[Long]("sort_key"),
+      r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    assert(keys.toSeq === keys.toSeq.sorted)
+  }
+
+  test("q53: entropy separates degenerate repetition from diverse text") {
+    val dir = writeDocs(Seq(
+      1L -> "same same same same",          // one type: entropy 0
+      2L -> "alpha bravo charlie delta",    // uniform: entropy ln(4)
+      3L -> "twin twin other other"))       // two types evenly: ln(2)
+    val out = Q53TokenEntropy.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") === 4L)
+    assert(out(1L).getAs[Long]("n_types") === 1L)
+    assert(out(1L).getAs[Double]("entropy") === 0.0)
+    assert(out(1L).getAs[Double]("ttr") === 0.25)
+    assert(out(2L).getAs[Double]("entropy") === math.rint(math.log(4) * 1e4) / 1e4)
+    assert(out(2L).getAs[Double]("ttr") === 1.0)
+    assert(out(3L).getAs[Double]("entropy") === math.rint(math.log(2) * 1e4) / 1e4)
+  }
+
+  test("q50/q51 stay map-only; q52 plans one partition-local window, no join") {
+    def plan(q: GraftQuery): String =
+      q.run(spark, sf).queryExecution.executedPlan.toString
+    // per-row regex passes must never grow a join or aggregate — at
+    // 100 TB they are the cheap full-scan passes of the pipeline
+    Seq(plan(Q50PiiRedact), plan(Q51UrlDomains)).foreach { p =>
+      assert(!p.contains("Join"), p.linesIterator.take(8).mkString("\n"))
+      assert(!p.contains("HashAggregate"))
+    }
+    val p52 = plan(Q52MixInterleave)
+    assert(!p52.contains("Join"))
+    // exactly one shuffle besides the final range sort: the
+    // source-partitioned window
+    assert(p52.contains("Window"))
+    assert("hashpartitioning".r.findAllIn(p52).size === 1, p52)
+  }
+
   test("q49 flags real cross-doc duplicate lines at sf0.1") {
     // the sf0.1 corpus genuinely contains duplicate single-line docs —
     // the flag must fire there without a synthetic fixture
