@@ -90,7 +90,12 @@ object ScaleBench {
     // the same number of groups, exactly the skew profile a 100 TB
     // corpus presents. (The dedup family above reads the suffixes
     // pre-normalization, where they keep cross-copy shingles disjoint.)
-    InvertedIndex, Q20TopTermsPerLang, Q26TfIdf)
+    InvertedIndex, Q20TopTermsPerLang, Q26TfIdf,
+    // similarity search over the rotated 10x embeddings: exact top-k
+    // is the linear-scan baseline (must grow ~linearly once slack is
+    // gone), IVF is the scale path (probes a fixed fraction of
+    // inverted lists — its ratio should sit well under exact's)
+    Q19SimilarityTopK, Q19dAnnIvf)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

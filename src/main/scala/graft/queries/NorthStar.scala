@@ -221,7 +221,8 @@ object NorthStar {
     Q18eDedupEmbedding, Q18fDedupClusters, Q19SimilarityTopK, Q19bAnnLsh,
     Q19cAnnSparkMl, Q19dAnnIvf, Q20TopTermsPerLang, Q21LanguageId,
     Q22QualityScore, Q23TokenCount, Q24Fingerprint, Q26TfIdf,
-    Q42CorpusClean, Q43TopBigrams, Q44SourceCap, Q45TokenPacking,
+    Q42CorpusClean, Q42bCorpusCleanFull, Q43TopBigrams, Q44SourceCap,
+    Q45TokenPacking,
     Q46Decontaminate, Q46bDecontaminateDfCap, Q47Repetition, Q48MixSample,
     Q49CrossDocParagraphs)
 }
@@ -438,9 +439,17 @@ object Q18fDedupClusters extends GraftQuery {
   * filter. */
 object Q42CorpusClean extends GraftQuery {
   val name = "q42_corpus_clean"
-  private val MinTokens = 15
-  private val MinQuality = 0.46
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] val MinTokens = 15
+  private[queries] val MinQuality = 0.46
+  /** The audit table. `withContamination` (q42b) inserts q46b's
+    * DF-capped decontamination verdict as a drop reason directly
+    * after `duplicate` — a leaked eval doc must leave the training
+    * set no matter how clean it looks, while the dup gate stays first
+    * so the audit attributes each doc to the cheapest reason that
+    * already condemns it. Dataflow is unchanged: one more derived
+    * frame (train-split verdicts) joined on doc_id. */
+  private[queries] def audit(spark: SparkSession, dir: String,
+      withContamination: Boolean): DataFrame = {
     val victims = Q18fDedupClusters.labels(spark, dir)
       .filter(col("id") =!= col("lbl"))
       .select(col("id").as("doc_id"), lit(true).as("is_dup"))
@@ -450,13 +459,26 @@ object Q42CorpusClean extends GraftQuery {
       .select(col("doc_id"), col("top_share"))
     val xdoc = Q49CrossDocParagraphs.signals(spark, dir)
       .select(col("doc_id"), col("shared_line_frac"))
-    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
       .join(victims, Seq("doc_id"), "left")
       .join(scored, Seq("doc_id"), "left")
       .join(rep, Seq("doc_id"), "left")
       .join(xdoc, Seq("doc_id"), "left")
+    val joined =
+      if (!withContamination) base
+      else base.join(
+        Q46Decontaminate
+          .verdicts(spark, dir, Q46bDecontaminateDfCap.cappedGrams(spark, dir))
+          .filter(col("verdict") === "contaminated")
+          .select(col("train_doc_id").as("doc_id"), lit(true).as("is_contam")),
+        Seq("doc_id"), "left")
+    val afterDup = when(col("is_dup"), lit("duplicate"))
+    val chain =
+      if (withContamination) afterDup.when(col("is_contam"), lit("contaminated"))
+      else afterDup
+    joined
       .withColumn("status",
-        when(col("is_dup"), lit("duplicate"))
+        chain
           .when(coalesce(col("n_tokens"), lit(0)) < MinTokens, lit("too_short"))
           .when(col("top_share") > Q47Repetition.MaxTopBigramShare,
             lit("repetitive"))
@@ -468,7 +490,19 @@ object Q42CorpusClean extends GraftQuery {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("status"))
   }
-  val oracle = Some(s"""
+  def run(spark: SparkSession, dir: String): DataFrame =
+    audit(spark, dir, withContamination = false)
+  private[queries] def oracleSqlFor(withContamination: Boolean): String = {
+    val contamCtes = if (!withContamination) "" else s""",
+    ${Q46Decontaminate.duckDecontamCtes(Some(Q46bDecontaminateDfCap.MaxGramDf))},
+    contam AS (SELECT train_doc_id AS doc_id FROM cbest
+               WHERE rk = 1 AND n >= ${Q46Decontaminate.MinShared})"""
+    val contamJoin =
+      if (withContamination) "LEFT JOIN contam c ON d.doc_id = c.doc_id" else ""
+    val contamCase =
+      if (withContamination) "WHEN c.doc_id IS NOT NULL THEN 'contaminated'"
+      else ""
+    s"""
     WITH RECURSIVE ${NorthStar.duckShingleCtes},
     ${NorthStar.duckMinhashPairCtes},
     ${NorthStar.duckNgramPairCtes},
@@ -476,10 +510,11 @@ object Q42CorpusClean extends GraftQuery {
     victims AS (SELECT id AS doc_id FROM lab WHERE id <> cluster_id),
     ${NorthStar.duckQualityCtes},
     ${NorthStar.duckRepetitionCtes},
-    ${NorthStar.duckCrossDocCtes},
+    ${NorthStar.duckCrossDocCtes}$contamCtes,
     tagged AS (
       SELECT d.lang,
         CASE WHEN v.doc_id IS NOT NULL THEN 'duplicate'
+             $contamCase
              WHEN COALESCE(qq.n_tokens, 0) < $MinTokens THEN 'too_short'
              WHEN r.top_share > ${Q47Repetition.MaxTopBigramShare} THEN 'repetitive'
              WHEN x.shared_line_frac > ${Q49CrossDocParagraphs.MaxSharedFrac}
@@ -490,10 +525,26 @@ object Q42CorpusClean extends GraftQuery {
       LEFT JOIN victims v ON d.doc_id = v.doc_id
       LEFT JOIN qq ON d.doc_id = qq.doc_id
       LEFT JOIN rep r ON d.doc_id = r.doc_id
-      LEFT JOIN xdoc x ON d.doc_id = x.doc_id)
+      LEFT JOIN xdoc x ON d.doc_id = x.doc_id
+      $contamJoin)
     SELECT lang, status, count(*) AS n
     FROM tagged GROUP BY lang, status ORDER BY lang, status
-  """.trim)
+    """.trim
+  }
+  val oracle = Some(oracleSqlFor(withContamination = false))
+}
+
+/** Q42b — the FULL composed cleaning pass: q42's gates plus q46b's
+  * DF-capped eval-set decontamination (`contaminated` outranks every
+  * verdict except `duplicate`). This is the audit a pretraining
+  * pipeline owner actually ships: dedup, leakage, length, repetition,
+  * cross-doc boilerplate, and quality in one pass, every expensive
+  * signal reading the corpus once and joining on doc_id. */
+object Q42bCorpusCleanFull extends GraftQuery {
+  val name = "q42b_corpus_clean_full"
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Q42CorpusClean.audit(spark, dir, withContamination = true)
+  val oracle = Some(Q42CorpusClean.oracleSqlFor(withContamination = true))
 }
 
 /** Q18c — SimHash near-dup: 64-bit signature from ONE md5 per distinct
@@ -1266,8 +1317,10 @@ object Q46Decontaminate extends GraftQuery {
         explode(expr(let("t", "t", fiveGramExpr))).as("g"))
       .select(col("doc_id"), col("split"), md5(col("g")).as("gh"))
   /** Train×test candidate join + per-train-doc verdict over any gram
-    * frame (uncapped or DF-capped — the report contract is shared). */
-  private[queries] def report(spark: SparkSession, dir: String,
+    * frame (uncapped or DF-capped — the report contract is shared).
+    * Unordered: q42b joins this on doc_id, where a pre-join sort would
+    * be wasted work; `report` adds the driver-facing ORDER BY. */
+  private[queries] def verdicts(spark: SparkSession, dir: String,
       grams: DataFrame): DataFrame = {
     val shared = grams.filter(col("split") === "train")
       .select(col("doc_id").as("train_doc_id"), col("gh"))
@@ -1290,49 +1343,55 @@ object Q46Decontaminate extends GraftQuery {
         coalesce(col("n"), lit(0L)).as("n_shared_ngrams"),
         when(coalesce(col("n"), lit(0L)) >= MinShared, lit("contaminated"))
           .otherwise(lit("clean")).as("verdict"))
-      .orderBy(col("train_doc_id"))
   }
+  private[queries] def report(spark: SparkSession, dir: String,
+      grams: DataFrame): DataFrame =
+    verdicts(spark, dir, grams).orderBy(col("train_doc_id"))
   def run(spark: SparkSession, dir: String): DataFrame =
     report(spark, dir, gramFrame(spark, dir))
-  /** One oracle text for both variants: `capDf = Some(K)` inserts the
-    * same DF filter the Spark side applies, so the two definitions
-    * can never drift apart. */
-  private[queries] def oracleSqlFor(capDf: Option[Int]): String = {
+  /** Decontamination CTE chain ending in `cbest` (per train-doc best
+    * eval match). CTE names are c-prefixed so the fragment composes
+    * into q42b's oracle next to the shingle/quality/repetition chains
+    * (whose names include `toks` and `gdf`) without collisions.
+    * `capDf = Some(K)` inserts the same gram-DF filter the Spark side
+    * applies, so the two definitions can never drift apart. */
+  private[queries] def duckDecontamCtes(capDf: Option[Int]): String = {
     val capCte = capDf.map(k => s""",
-    gdf AS (SELECT gh AS cgh, count(DISTINCT doc_id) AS gram_df
-            FROM gh GROUP BY gh),
-    ghk AS (SELECT g.doc_id, g.split, g.gh FROM gh g
-            JOIN gdf ON g.gh = gdf.cgh WHERE gdf.gram_df <= $k)""")
+    cgdf AS (SELECT gh AS cgh, count(DISTINCT doc_id) AS gram_df
+            FROM cgh GROUP BY gh),
+    cghk AS (SELECT g.doc_id, g.split, g.gh FROM cgh g
+            JOIN cgdf ON g.gh = cgdf.cgh WHERE cgdf.gram_df <= $k)""")
       .getOrElse("")
-    val gramSrc = if (capDf.isDefined) "ghk" else "gh"
-    s"""
-    WITH d AS (SELECT doc_id, text, ${Q40TrainTestSplit.duckSplit} AS split
+    val gramSrc = if (capDf.isDefined) "cghk" else "cgh"
+    s"""cd AS (SELECT doc_id, text, ${Q40TrainTestSplit.duckSplit} AS split
                FROM documents),
-    toks AS (SELECT doc_id, split, $duckToks AS t FROM d),
-    g5 AS (SELECT doc_id, split,
+    ctoks AS (SELECT doc_id, split, $duckToks AS t FROM cd),
+    cg5 AS (SELECT doc_id, split,
            unnest(list_distinct(list_transform(range(1, len(t)-3),
              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
-           FROM toks WHERE len(t) >= 5),
-    gh AS (SELECT doc_id, split, md5(g) AS gh FROM g5)$capCte,
-    shared AS (SELECT tr.doc_id AS train_doc_id, te.doc_id AS eval_doc_id,
+           FROM ctoks WHERE len(t) >= 5),
+    cgh AS (SELECT doc_id, split, md5(g) AS gh FROM cg5)$capCte,
+    cshared AS (SELECT tr.doc_id AS train_doc_id, te.doc_id AS eval_doc_id,
                count(*) AS n
                FROM $gramSrc tr JOIN $gramSrc te ON tr.gh = te.gh
                WHERE tr.split = 'train' AND te.split = 'test'
                GROUP BY 1, 2),
-    best AS (SELECT train_doc_id, eval_doc_id, n,
+    cbest AS (SELECT train_doc_id, eval_doc_id, n,
              row_number() OVER (PARTITION BY train_doc_id
                ORDER BY n DESC, eval_doc_id ASC) AS rk
-             FROM shared)
+             FROM cshared)"""
+  }
+  private[queries] def oracleSqlFor(capDf: Option[Int]): String = s"""
+    WITH ${duckDecontamCtes(capDf)}
     SELECT t.doc_id AS train_doc_id, b.eval_doc_id AS matched_eval_doc,
       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_shared_ngrams,
       CASE WHEN COALESCE(b.n, 0) >= $MinShared THEN 'contaminated'
            ELSE 'clean' END AS verdict
-    FROM d t LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+    FROM cd t LEFT JOIN (SELECT * FROM cbest WHERE rk = 1) b
       ON t.doc_id = b.train_doc_id
     WHERE t.split = 'train'
     ORDER BY train_doc_id
     """.trim
-  }
   val oracle = Some(oracleSqlFor(None))
 }
 

@@ -265,6 +265,29 @@ class Round9Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q42b: the genuine leak drops as 'contaminated'; chrome carriers fall through") {
+    val (dir, _, _, _) = capFixture
+    // the ten chrome carriers are near-dups of each other (the shared
+    // 8-token sentence dominates their shingles) → q18f makes nine of
+    // them cluster victims; the two leak docs are below the 15-token
+    // floor. That IS the plain q42 audit:
+    val plain = Q42CorpusClean.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(plain === Map(
+      ("en", "duplicate") -> 10L, ("en", "too_short") -> 2L))
+    // full pass: the one genuine train→test leaker is re-attributed
+    // from too_short to contaminated; `duplicate` still outranks
+    // `contaminated` for the chrome carriers (even though uncapped
+    // decontamination would have flagged them, the DF cap plus
+    // precedence keeps chrome attributed to dedup, not leakage)
+    val full = Q42bCorpusCleanFull.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(full === Map(
+      ("en", "duplicate") -> 10L,
+      ("en", "contaminated") -> 1L,
+      ("en", "too_short") -> 1L))
+  }
+
   test("q50: finds and masks emails, phones and IPv4s; clean docs untouched") {
     val dir = writeDocs(Seq(
       1L -> "contact bob.smith+x@corp.example.com or call 555-123-4567 today",
