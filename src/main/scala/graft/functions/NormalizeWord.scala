@@ -81,6 +81,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_normalize_fast"),
       new ExpressionInfo(classOf[NormalizeWord].getName, "graft_normalize_fast"),
       (children: Seq[Expression]) => NormalizeWord(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_token_score"),
+      new ExpressionInfo(classOf[HashedTokenScore].getName, "graft_token_score"),
+      (children: Seq[Expression]) => HashedTokenScore(children.head)))
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
   }
 }

@@ -23,9 +23,9 @@ import graft.Tables
 object Curation {
   /** Email/phone/IPv4 patterns, valid and identical under Java regex
     * (Spark) and RE2 (DuckDB): no backrefs, no lookaround. */
-  private[queries] val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-  private[queries] val Ipv4Pat = """\b(\d{1,3}\.){3}\d{1,3}\b"""
-  private[queries] val PhonePat = """\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"""
+  private[graft] val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[graft] val Ipv4Pat = """\b(\d{1,3}\.){3}\d{1,3}\b"""
+  private[graft] val PhonePat = """\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"""
   /** URL + domain-capture patterns (no quote chars — they embed in SQL
     * single-quoted literals verbatim — and NO backslashes in DomainPat:
     * it rides inside Spark `expr` strings, where '\s' in a single-quoted

@@ -35,7 +35,7 @@ import graft.Tables
   */
 object NorthStar {
   /** Whitespace tokens, empties dropped (reference tokenizer, R4/R6). */
-  private[queries] val toksExpr = "filter(split(text, '\\\\s+'), t -> t != '')"
+  private[graft] val toksExpr = "filter(split(text, '\\\\s+'), t -> t != '')"
   /** Distinct word 3-shingles of `t`; requires size(t) >= 3. */
   private[queries] val shinglesExpr =
     "array_distinct(transform(sequence(1, size(t)-2), " +
@@ -45,7 +45,7 @@ object NorthStar {
   private[queries] val linesExpr =
     "filter(transform(split(text, '\n'), s_ -> trim(s_)), s_ -> s_ != '')"
   /** DuckDB mirrors of the above. */
-  private[queries] val duckToks = raw"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+  private[graft] val duckToks = raw"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
   private[queries] val duckLines =
     "list_filter(list_transform(string_split(text, chr(10)), s_ -> trim(s_)), s_ -> s_ <> '')"
   private[queries] val duckShingles =
@@ -439,7 +439,7 @@ object Q18fDedupClusters extends GraftQuery {
   * filter. */
 object Q42CorpusClean extends GraftQuery {
   val name = "q42_corpus_clean"
-  private[queries] val MinTokens = 15
+  private[graft] val MinTokens = 15
   private[queries] val MinQuality = 0.46
   /** The audit table. `withContamination` (q42b) inserts q46b's
     * DF-capped decontamination verdict as a drop reason directly

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Q54–Q55 — model-driven document scoring, the two passes a corpus
+  * pipeline runs between cleaning and mixing: an n-gram language-model
+  * perplexity filter (CCNet-style — score every document against an
+  * LM trained on the corpus itself, drop the tail) and a hashed-feature
+  * linear quality classifier (fastText-style).
+  *
+  * Float determinism follows the q53 rules: every per-doc float
+  * aggregate folds in an explicit key order (so both engines add
+  * identical IEEE terms in identical sequence), integer arithmetic
+  * everywhere a verdict is derived, ROUND(..., 4) on surfaced floats.
+  */
+object Scoring {
+  /** q53's corpus normalization: whitespace tokens → letters-only,
+    * lowercased, empties dropped. */
+  private[queries] val normToks =
+    "filter(transform(split(text, '\\\\s+'), " +
+      "t_ -> lower(regexp_replace(t_, '[^a-zA-Z]', ''))), x_ -> x_ != '')"
+  private[queries] val duckNormToks =
+    raw"list_filter(list_transform(string_split_regex(text, '\s+'), " +
+      raw"t_ -> lower(regexp_replace(t_, '[^a-zA-Z]', '', 'g'))), x_ -> x_ <> '')"
+
+  val all: Seq[GraftQuery] = Seq(Q54LmPerplexity, Q55ClassifierScore)
+}
+
+/** Q54 — bigram-LM perplexity scoring (the CCNet quality gate): build
+  * add-1-smoothed bigram statistics over the whole corpus, then score
+  * each document by its mean negative log-likelihood under that model
+  * (`nll`, and `ppl = e^nll`). Repetitive/templated text scores low,
+  * incoherent token soup scores high; q42's gates work on surface
+  * ratios, this is the distributional upgrade.
+  *
+  * Scale shape: three aggregations over the exploded bigram stream
+  * (corpus bigram counts c2, first-word counts c1, per-doc distinct
+  * counts dc) — all key-partitioned shuffles with map-side partials —
+  * then dc ⋈ c2 ⋈ c1 on word keys. Joining the per-doc DISTINCT
+  * bigrams (not every occurrence) keeps the probe side at the
+  * vocabulary scale rather than the token scale; Zipf-hot keys
+  * ("of the" in every doc) are exactly the AQE skew-join case the
+  * session enables. The vocabulary size V is a 1-row broadcast, the
+  * same pattern as q19's query-vector attachment.
+  *
+  * Determinism: `dc · ln((c2+1)/(c1+V))` terms are collected per doc
+  * and folded in (w1, w2) order — identical IEEE addition sequence in
+  * both engines (q53's rule); ln/exp are the libm-vs-StrictMath risk
+  * q53 already prices in, hidden behind ROUND(..., 4).
+  */
+object Q54LmPerplexity extends GraftQuery {
+  import Scoring._
+  val name = "q54_lm_perplexity"
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), expr(normToks).as("t"))
+    val bg = toks
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(a_, b_) -> named_struct('w1', a_, 'w2', b_))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("v"))
+    val lm2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val lm1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val dbg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("dc"))
+    dbg.join(lm2, Seq("w1", "w2")).join(lm1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("w1"), col("w2"), col("dc"),
+        (col("dc").cast("double") *
+          log((col("c2") + 1).cast("double") /
+            (col("c1").cast("double") + col("v")))).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("dc")).cast("long").as("n_bigrams"),
+        // (w1, w2) unique per doc → the struct sort is total and the
+        // float fold below is order-deterministic
+        sort_array(collect_list(struct(col("w1"), col("w2"), col("term"))))
+          .as("ts"))
+      .withColumn("nllu", expr(
+        "-aggregate(transform(ts, x_ -> x_.term), cast(0 as double), " +
+          "(a_, x_) -> a_ + x_) / n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("nllu"), 4).as("nll"),
+        round(exp(col("nllu")), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oracle = Some(raw"""
+    WITH toks AS (SELECT doc_id, $duckNormToks AS t FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2),
+    vocab AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+              FROM (SELECT unnest(t) AS w FROM toks)),
+    lm2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    lm1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    dbg AS (SELECT doc_id, w1, w2, count(*) AS dc FROM bg GROUP BY 1, 2, 3),
+    terms AS (
+      SELECT d.doc_id, d.w1, d.w2, d.dc,
+        CAST(d.dc AS DOUBLE) * ln((l2.c2 + 1) / (l1.c1 + v.v)) AS term
+      FROM dbg d
+      JOIN lm2 l2 ON d.w1 = l2.w1 AND d.w2 = l2.w2
+      JOIN lm1 l1 ON d.w1 = l1.w1
+      CROSS JOIN vocab v),
+    agg AS (
+      SELECT doc_id, CAST(sum(dc) AS BIGINT) AS n_bigrams,
+        list(term ORDER BY w1 ASC, w2 ASC) AS ts
+      FROM terms GROUP BY doc_id),
+    fin AS (
+      SELECT doc_id, n_bigrams,
+        -list_reduce(list_prepend(CAST(0 AS DOUBLE), ts),
+          (a_, x_) -> a_ + x_) / n_bigrams AS nllu
+      FROM agg)
+    SELECT doc_id, n_bigrams, round(nllu, 4) AS nll, round(exp(nllu), 4) AS ppl
+    FROM fin ORDER BY doc_id
+  """.trim)
+}
+
+/** Q55 — hashed linear quality classifier (fastText-shaped): one
+  * codegen'd pass over every byte of the corpus via the native
+  * `graft_token_score` expression (`functions/HashedTokenScore.scala`
+  * — feature = q24 rolling hash mod 1000003, weight = Knuth scramble
+  * standing in for trained weights). score_num and n_toks are LONGs —
+  * the cross-engine contract is integer-exact; the surfaced score is
+  * one IEEE division, and the keep verdict compares the integer
+  * numerator so no float ever decides it. Map-only (join/agg-free,
+  * plan-asserted in Round9bSpec): at 100 TB this is a pure scan. */
+object Q55ClassifierScore extends GraftQuery {
+  import Scoring._
+  val name = "q55_classifier_score"
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("graft_token_score(text)").as("r"))
+      .select(col("doc_id"),
+        col("r.n_toks").as("n_toks"),
+        col("r.score_num").as("score_num"))
+      .select(col("doc_id"), col("n_toks"), col("score_num"),
+        // deliberately UNROUNDED: both operands are exact integers, so
+        // the single IEEE division is bit-identical in both engines —
+        // while ROUND(x, 4) is NOT cross-engine-safe here, because
+        // score_num/(500·n) is an exact short decimal whenever the
+        // denominator's 3-factors cancel, and exact halfway points
+        // (e.g. -261/12000 = -0.02175 at sf0.1) round differently
+        // (Spark: HALF_UP on the shortest decimal repr; DuckDB: on
+        // the binary double, which sits below the halfway point)
+        when(col("n_toks") === 0, 0.0d)
+          .otherwise(col("score_num").cast("double") /
+            (col("n_toks") * 500.0d)).as("score"),
+        (col("score_num") >= 0).as("keep"))
+      .orderBy(col("doc_id"))
+
+  val oracle = Some(raw"""
+    WITH toks AS (SELECT doc_id, $duckNormToks AS ts FROM documents),
+    w AS (
+      SELECT doc_id, list_transform(ts, t_ ->
+        ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(t_, ''), c_ -> CAST(ascii(c_) AS BIGINT))),
+          (acc_, x_) -> (acc_ * 31 + x_) % 1000003) * 2654435761) % 1001) - 500) AS ws
+      FROM toks),
+    a AS (
+      SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_toks,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ws),
+          (a_, x_) -> a_ + x_) AS BIGINT) AS score_num
+      FROM w)
+    SELECT doc_id, n_toks, score_num,
+      CASE WHEN n_toks = 0 THEN 0.0
+           ELSE CAST(score_num AS DOUBLE) / (n_toks * 500.0) END AS score,
+      score_num >= 0 AS keep
+    FROM a ORDER BY doc_id
+  """.trim)
+}

@@ -75,7 +75,7 @@ object StreamQueries {
   val all: Seq[GraftQuery] = Seq(
     S1Tumbling, S2Sliding, S3WatermarkLate, S4SessionWindow, S5Dedup,
     S6IncrementalIndex, S7StatefulProfiles, S8StreamStreamJoin,
-    S9StreamStaticJoin, S10StreamStreamOuterJoin)
+    S9StreamStaticJoin, S10StreamStreamOuterJoin, S11StreamCuration)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -330,4 +330,60 @@ object S6IncrementalIndex extends GraftQuery {
         array_join(col("doc_ids"), " ").as("doc_ids"))
       .orderBy(col("df").desc, col("word").asc)
   val oracle = graft.queries.InvertedIndex.oracle
+}
+
+/** S11 — ingest-time curation: the q50/q42 admission gates (PII-free,
+  * not too short) run as a stateless map over the document stream,
+  * feeding a running per-source admission dashboard (streaming
+  * aggregation, complete mode). This is the shape a 100 TB ingest
+  * actually deploys curation in — filter documents AS they arrive and
+  * keep per-source counters current, rather than re-scanning the
+  * corpus after the fact. The gate itself adds no state; the only
+  * state store is the per-source counter row (bounded by source
+  * cardinality, not corpus size). Final state is a pure function of
+  * the data, so it shares the batch oracle. */
+object S11StreamCuration extends GraftQuery {
+  import StreamQueries._
+  import graft.queries.{Curation, NorthStar, Q42CorpusClean}
+  val name = "s11_stream_curation"
+
+  private[graft] def gated(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      (size(regexp_extract_all(col("text"), lit(Curation.EmailPat), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(Curation.PhonePat), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(Curation.Ipv4Pat), lit(0))))
+        .cast("long").as("pii"),
+      size(expr(NorthStar.toksExpr)).cast("long").as("n_toks"))
+      .withColumn("kept",
+        col("pii") === 0 && col("n_toks") >= Q42CorpusClean.MinTokens)
+
+  private[graft] def dashboard(gated: DataFrame): DataFrame =
+    gated.groupBy(col("source")).agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+      sum(col("pii")).cast("long").as("pii_total"),
+      sum(when(col("kept"), col("n_toks")).otherwise(0L))
+        .cast("long").as("toks_kept"))
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    runToBatch(spark, dashboard(gated(docsStream(spark, dir))), "complete")
+      .orderBy(col("source"))
+
+  val oracle = Some(raw"""
+    WITH d AS (
+      SELECT source,
+        CAST(length(regexp_extract_all(text, '${Curation.EmailPat}'))
+           + length(regexp_extract_all(text, '${Curation.PhonePat}'))
+           + length(regexp_extract_all(text, '${Curation.Ipv4Pat}')) AS BIGINT) AS pii,
+        CAST(len(${NorthStar.duckToks}) AS BIGINT) AS n_toks
+      FROM documents),
+    g AS (SELECT source, pii, n_toks,
+          (pii = 0 AND n_toks >= ${Q42CorpusClean.MinTokens}) AS kept FROM d)
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(pii) AS BIGINT) AS pii_total,
+      CAST(sum(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT) AS toks_kept
+    FROM g GROUP BY source ORDER BY source
+  """.trim)
 }
