@@ -35,15 +35,17 @@ object Scoring {
   * incoherent token soup scores high; q42's gates work on surface
   * ratios, this is the distributional upgrade.
   *
-  * Scale shape: three aggregations over the exploded bigram stream
-  * (corpus bigram counts c2, first-word counts c1, per-doc distinct
-  * counts dc) — all key-partitioned shuffles with map-side partials —
-  * then dc ⋈ c2 ⋈ c1 on word keys. Joining the per-doc DISTINCT
-  * bigrams (not every occurrence) keeps the probe side at the
-  * vocabulary scale rather than the token scale; Zipf-hot keys
-  * ("of the" in every doc) are exactly the AQE skew-join case the
-  * session enables. The vocabulary size V is a 1-row broadcast, the
-  * same pattern as q19's query-vector attachment.
+  * Scale shape: the exploded bigram stream is aggregated ONCE, into
+  * the per-doc distinct counts dc — everything else derives from that
+  * much smaller frame: c2(w1,w2) = Σ_docs dc, and c1(w1) = Σ_w2 c2
+  * (a rollup of a rollup — no second pass over the corpus). A naive
+  * formulation would re-derive the explode for each of c2/c1/dc,
+  * i.e. three corpus scans; this one pays one (plus a cheap token
+  * scan for the vocabulary scalar, a 1-row broadcast — q19's
+  * query-vector pattern). The scoring join dc ⋈ c2 ⋈ c1 is on word
+  * keys at vocabulary scale, not token scale; Zipf-hot keys ("of
+  * the" in every doc) are exactly the AQE skew-join case the session
+  * enables.
   *
   * Determinism: `dc · ln((c2+1)/(c1+V))` terms are collected per doc
   * and folded in (w1, w2) order — identical IEEE addition sequence in
@@ -63,12 +65,22 @@ object Q54LmPerplexity extends GraftQuery {
         "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
           "(a_, b_) -> named_struct('w1', a_, 'w2', b_))")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // w1/w2 are never null (explode of named_struct over non-null
+      // tokens) but Catalyst can't see that; the downstream joins
+      // infer DIFFERENT isnotnull sets per branch (w1-only for the c1
+      // join), which breaks exchange-reuse canonicalization and
+      // re-derives the corpus scan. Filtering both here makes every
+      // branch's subtree identical → one shuffle feeds all three.
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
     val vocab = toks.select(explode(col("t")).as("w"))
       .agg(countDistinct(col("w")).cast("double").as("v"))
-    val lm2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val lm1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val dbg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("dc"))
+    // both rollups hang off dbg's exchange directly (AQE reuses one
+    // (doc_id,w1,w2) shuffle for all three consumers; a c1-from-c2
+    // chain was observed to re-derive the corpus scan instead)
+    val lm2 = dbg.groupBy(col("w1"), col("w2")).agg(sum(col("dc")).as("c2"))
+    val lm1 = dbg.groupBy(col("w1")).agg(sum(col("dc")).as("c1"))
     dbg.join(lm2, Seq("w1", "w2")).join(lm1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("w1"), col("w2"), col("dc"),

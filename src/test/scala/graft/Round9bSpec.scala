@@ -135,6 +135,21 @@ class Round9bSpec extends SparkSpec {
     assert(ids === Set(3L))
   }
 
+  test("q54: one corpus scan feeds the LM — dc's exchange is reused, not recomputed") {
+    // c2 and c1 derive from the per-doc counts frame (rollup of a
+    // rollup); the only other corpus scan is the vocabulary scalar.
+    // Without the derivation the explode pipeline runs 3x.
+    val df = Q54LmPerplexity.run(spark, "/root/testdata/sf0.001")
+    df.collect()
+    // count scans in the FINAL adaptive plan only (toString appends
+    // the initial plan, which double-counts every leaf)
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"expected <=2 corpus scans, saw $scans")
+    assert(plan.contains("ReusedExchange"), "dbg's shuffle must be reused")
+  }
+
   test("q54: vocabulary frame is broadcast, not shuffled in") {
     val plan = Q54LmPerplexity.run(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString()
