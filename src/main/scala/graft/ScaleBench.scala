@@ -95,7 +95,12 @@ object ScaleBench {
     // is the linear-scan baseline (must grow ~linearly once slack is
     // gone), IVF is the scale path (probes a fixed fraction of
     // inverted lists — its ratio should sit well under exact's)
-    Q19SimilarityTopK, Q19dAnnIvf)
+    Q19SimilarityTopK, Q19dAnnIvf,
+    // the round-9 scoring ops: q54's LM rides the shared-vocabulary
+    // property like the index family (10x docs, same bigram keys,
+    // 10x-hotter counts — the Zipf join profile); q55 is the pure
+    // map-over-every-byte floor, which must scale ~linearly
+    Q54LmPerplexity, Q55ClassifierScore)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
