@@ -85,6 +85,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_token_score"),
       new ExpressionInfo(classOf[HashedTokenScore].getName, "graft_token_score"),
       (children: Seq[Expression]) => HashedTokenScore(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_asof_le"),
+      new ExpressionInfo(classOf[graft.plans.AsofLessEqual].getName, "graft_asof_le"),
+      (children: Seq[Expression]) =>
+        graft.plans.AsofLessEqual(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
+    ext.injectOptimizerRule(_ => graft.plans.AsofJoinRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -36,8 +36,8 @@ object Relational {
     Q12bApproxDistinct, Q12cHllSketchUnion, Q13ScalarFns, Q14Json,
     Q15ArrayFns, Q16RangeJoin,
     Q17Sessionize, Q27OuterJoin, Q28Pivot, Q29ScalarSubquery, Q30Percentiles,
-    Q30bApproxPercentiles, Q31MapJson, Q32AsofJoin, Q33GroupingSets,
-    Q34SaltedJoin)
+    Q30bApproxPercentiles, Q31MapJson, Q32AsofJoin, Q32bAsofJoinNative,
+    Q33GroupingSets, Q34SaltedJoin)
 }
 
 /** Q2 — scan+filter+project+hash agg (TPC-H Q1 shape). At scale: one
@@ -562,6 +562,42 @@ object Q32AsofJoin extends GraftQuery {
     FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.pts
     ORDER BY c.event_id
   """.trim)
+}
+
+/** Q32b — the SAME as-of query through the native operator
+  * (`plans/AsofJoin.scala`, the (c)-tier rung): a plain left join
+  * carrying the `graft_asof_le` marker is rewritten by the injected
+  * optimizer rule into the custom logical node and planned onto
+  * `AsofJoinExec` — co-partition, sort, ONE streaming merge pass. No
+  * union row blow-up, no window buffer, O(1) state beyond the sorts.
+  * Shares q32's oracle verbatim (DuckDB's native ASOF LEFT JOIN), so
+  * composition tier, native tier, and an independent engine must all
+  * agree row-for-row; Round9bSpec pins that AsofJoinExec is actually
+  * in the plan (the marker can't silently degrade — it's Unevaluable).
+  */
+object Q32bAsofJoinNative extends GraftQuery {
+  val name = "q32b_asof_join_native"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("value")).as("pval"))
+      .select(col("user_id").as("p_user"), col("ts_us").as("pts"), col("pval"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("value").as("click_value"))
+    clicks
+      .join(purchases,
+        col("user_id") === col("p_user") && expr("graft_asof_le(pts, ts_us)"),
+        "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("click_value"),
+        col("pts").as("purchase_ts_us"), col("pval").as("purchase_value"),
+        (col("ts_us") - col("pts")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+  val oracle = Q32AsofJoin.oracle
 }
 
 /** Q27 — outer join with null-introducing aggregation: every customer

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Q32AsofJoin, Q32bAsofJoinNative}
+
+/** The native as-of join operator (plans/AsofJoin.scala): plan shape,
+  * edge semantics, and agreement with the composition tier. */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def asof(left: DataFrame, right: DataFrame): DataFrame =
+    left.join(right,
+      col("k") === col("rk") && expr("graft_asof_le(rt, t)"), "left")
+
+  private def leftDf(rows: (Int, Long)*): DataFrame =
+    rows.toSeq.toDF("k", "t")
+  private def rightDf(rows: (Int, Long, String)*): DataFrame =
+    rows.toSeq.toDF("rk", "rt", "v")
+
+  test("the plan contains AsofJoinExec — the rewrite fired") {
+    val plan = Q32bAsofJoinNative.run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString()
+    // the exec's nodeName strips the Exec suffix
+    assert(plan.contains("AsofJoin "), plan.linesIterator.take(8).mkString("\n"))
+    assert(!plan.contains("WindowExec"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("native tier == composition tier on the fixture corpus") {
+    val native = Q32bAsofJoinNative.run(spark, "/root/testdata/sf0.001").collect()
+    val composed = Q32AsofJoin.run(spark, "/root/testdata/sf0.001").collect()
+    assert(native.length === composed.length)
+    native.zip(composed).foreach { case (n, c) => assert(n === c) }
+  }
+
+  test("exact-timestamp right row matches; later rows do not") {
+    val out = asof(
+      leftDf((1, 100L), (1, 150L)),
+      rightDf((1, 100L, "at"), (1, 151L, "after")))
+      .select(col("t"), col("v")).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet === Set((100L, "at"), (150L, "at")))
+  }
+
+  test("left rows before any right row null-extend") {
+    val out = asof(
+      leftDf((1, 50L), (1, 200L)),
+      rightDf((1, 100L, "x")))
+      .select(col("t"), col("v")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(out.toSet === Set((50L, null), (200L, "x")))
+  }
+
+  test("keys never match across groups; interleaved keys walk correctly") {
+    val out = asof(
+      leftDf((1, 10L), (2, 10L), (3, 10L)),
+      rightDf((1, 5L, "one"), (3, 5L, "three")))
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(out.toSet === Set((1, "one"), (2, null), (3, "three")))
+  }
+
+  test("null keys and null times never match") {
+    val left = Seq(
+      (Option(1), Option(100L)),
+      (Option.empty[Int], Option(100L)),
+      (Option(1), Option.empty[Long])).toDF("k", "t")
+    val right = Seq(
+      (Option(1), Option(50L), "ok"),
+      (Option.empty[Int], Option(50L), "nullkey"),
+      (Option(1), Option.empty[Long], "nulltime")).toDF("rk", "rt", "v")
+    val out = left.join(right,
+      col("k") === col("rk") && expr("graft_asof_le(rt, t)"), "left")
+      .select(col("k"), col("t"), col("v")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getInt(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    assert(out.toSet === Set((1, 100L, "ok"), (null, 100L, null),
+      (1, null, null)))
+  }
+
+  test("empty right side null-extends every left row") {
+    val out = asof(leftDf((1, 10L), (2, 20L)),
+      rightDf().limit(0))
+      .select(col("v")).collect()
+    assert(out.length === 2 && out.forall(_.isNullAt(0)))
+  }
+
+  test("latest-not-first: many right rows per key, each left gets its floor") {
+    val rights = (1L to 100L).map(i => (7, i * 10, s"r$i"))
+    val lefts = Seq((7, 5L), (7, 55L), (7, 1000L), (7, 999L))
+    val out = asof(leftDf(lefts: _*), rightDf(rights: _*))
+      .select(col("t"), col("v")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(out.toSet === Set((5L, null), (55L, "r5"), (1000L, "r100"),
+      (999L, "r99")))
+  }
+
+  test("an unsupported shape fails loudly instead of degrading") {
+    // inner join with the marker: the rewrite only handles LeftOuter,
+    // and the marker is Unevaluable — planning/execution must throw,
+    // never silently produce range-join rows
+    val ex = intercept[Throwable] {
+      leftDf((1, 10L)).join(rightDf((1, 5L, "x")),
+        col("k") === col("rk") && expr("graft_asof_le(rt, t)"), "inner")
+        .collect()
+    }
+    assert(ex != null)
+  }
+}
