@@ -25,7 +25,56 @@ object Scoring {
     raw"list_filter(list_transform(string_split_regex(text, '\s+'), " +
       raw"t_ -> lower(regexp_replace(t_, '[^a-zA-Z]', '', 'g'))), x_ -> x_ <> '')"
 
-  val all: Seq[GraftQuery] = Seq(Q54LmPerplexity, Q55ClassifierScore)
+  val all: Seq[GraftQuery] = Seq(Q54LmPerplexity, Q55ClassifierScore,
+    Q56ChunkWindows)
+}
+
+/** Q56 — context-window chunking: split every document's token stream
+  * into fixed-size windows (W=32) with stride S=24 (8-token overlap) —
+  * the step between curation and sequence packing in a pretraining
+  * pipeline (long documents must become model-context-sized pieces;
+  * the overlap preserves cross-boundary n-grams). All integer
+  * arithmetic: chunk count = (max(n−W, 0) + S − 1) div S + 1 (integer
+  * ceil — no float division for either engine to disagree on), chunk k
+  * covers tokens [kS+1, kS+W]; S < W guarantees the last chunk is
+  * non-empty. Pure per-row explode — map-only until the final sort, no
+  * shuffle grows with document LENGTH, only with document count. */
+object Q56ChunkWindows extends GraftQuery {
+  val name = "q56_chunk_windows"
+  private val W = 32
+  private val S = 24
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(NorthStar.toksExpr).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        explode(expr(
+          s"transform(sequence(0, (greatest(size(t) - $W, 0) + $S - 1) div $S), " +
+            s"k -> named_struct('cid', cast(k as int), " +
+            s"'start', cast(k * $S + 1 as int), " +
+            s"'toks', slice(t, k * $S + 1, $W)))")).as("c"))
+      .select(col("doc_id"),
+        col("c.cid").as("chunk_id"),
+        col("c.start").as("start_tok"),
+        size(col("c.toks")).as("chunk_tokens"),
+        array_join(col("c.toks"), " ").as("chunk_text"),
+        col("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  val oracle = Some(raw"""
+    WITH toks AS (SELECT doc_id, ${NorthStar.duckToks} AS t FROM documents),
+    d AS (SELECT doc_id, t, CAST(len(t) AS INT) AS n FROM toks WHERE len(t) >= 1),
+    k AS (SELECT doc_id, t, n,
+          CAST(unnest(range(0, (greatest(n - 32, 0) + 23) // 24 + 1)) AS INT) AS cid
+          FROM d),
+    c AS (SELECT doc_id, cid, cid * 24 + 1 AS start_tok,
+          t[cid * 24 + 1 : least(cid * 24 + 32, n)] AS ts, n
+          FROM k)
+    SELECT doc_id, cid AS chunk_id, CAST(start_tok AS INT) AS start_tok,
+      CAST(len(ts) AS INT) AS chunk_tokens,
+      array_to_string(ts, ' ') AS chunk_text,
+      CAST(n AS INT) AS n_tokens
+    FROM c ORDER BY doc_id, chunk_id
+  """.trim)
 }
 
 /** Q54 — bigram-LM perplexity scoring (the CCNet quality gate): build

@@ -97,6 +97,28 @@ class AsofJoinSpec extends SparkSpec {
       (999L, "r99")))
   }
 
+  test("property: native operator == independent Scala reference on random data") {
+    val rnd = new scala.util.Random(20260813L)
+    // unique (key, time) pairs on the right so floor-match is unambiguous
+    val rightRows = rnd.shuffle((1 to 40).flatMap(k =>
+      rnd.shuffle((0L until 2000L).toVector).take(50).map(t => (k, t, s"v$k-$t"))))
+    val leftRows = Seq.fill(3000)((rnd.nextInt(45) + 1, rnd.nextLong(2100)))
+    val expected = {
+      val byKey = rightRows.groupBy(_._1)
+        .map { case (k, rs) => k -> rs.map(r => (r._2, r._3)).sortBy(_._1) }
+      leftRows.map { case (k, t) =>
+        val m = byKey.get(k).flatMap(_.takeWhile(_._1 <= t).lastOption)
+        (k, t, m.map(_._2).orNull)
+      }
+    }
+    val got = asof(leftDf(leftRows: _*), rightDf(rightRows: _*))
+      .select(col("k"), col("t"), col("v")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(2)) null else r.getString(2)))
+    // both sides sorted (left rows are not unique → compare multisets)
+    assert(got.sorted(Ordering.by((x: (Int, Long, String)) => (x._1, x._2, String.valueOf(x._3))))
+      .toSeq === expected.sorted(Ordering.by((x: (Int, Long, String)) => (x._1, x._2, String.valueOf(x._3)))).toSeq)
+  }
+
   test("an unsupported shape fails loudly instead of degrading") {
     // inner join with the marker: the rewrite only handles LeftOuter,
     // and the marker is Unevaluable — planning/execution must throw,

@@ -157,6 +157,37 @@ class Round9bSpec extends SparkSpec {
       plan.contains("BroadcastExchange"), "1-row vocab should broadcast")
   }
 
+  // ---- q56 context-window chunking ---------------------------------
+
+  test("q56: chunks tile every document — coverage, overlap, reconstruction") {
+    val out = Q56ChunkWindows.run(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("chunk_tokens"), col("chunk_text"), col("n_tokens"))
+      .collect()
+      .groupBy(_.getLong(0))
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), expr(graft.queries.NorthStar.toksExpr).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (docId, chunks) =>
+      val toks = docs(docId)
+      val sorted = chunks.sortBy(_.getInt(1))
+      // chunk ids are dense from 0; strides are 24; windows are 32
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getInt(1) === i)
+        assert(c.getInt(2) === i * 24 + 1)
+        val expect = toks.slice(i * 24, math.min(i * 24 + 32, toks.length))
+        assert(c.getString(4) === expect.mkString(" "), s"doc $docId chunk $i")
+        assert(c.getInt(3) === expect.length)
+      }
+      // full coverage: last chunk reaches the final token; no empty chunk
+      val last = sorted.last
+      assert(last.getInt(2) + last.getInt(3) - 1 === toks.length)
+      assert(sorted.forall(_.getInt(3) > 0))
+      assert(last.getInt(5) === toks.length)
+    }
+  }
+
   // ---- s11 streaming curation --------------------------------------
 
   test("s11: final stream state equals the batch dashboard") {
