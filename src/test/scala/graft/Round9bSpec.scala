@@ -188,6 +188,37 @@ class Round9bSpec extends SparkSpec {
     }
   }
 
+  // ---- q57 delta dedup ----------------------------------------------
+
+  test("q57: exact copy, near copy, and novel doc get the right verdicts") {
+    import java.security.MessageDigest
+    def splitOf(docId: Long): String = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("0123456789abcdef".indexOf(hex.last) < 13) "train" else "test"
+    }
+    val ids = (1L to 60L)
+    val train = ids.filter(splitOf(_) == "train")
+    val test = ids.filter(splitOf(_) == "test")
+    assert(train.size >= 2 && test.size >= 3)
+    val base1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val base2 = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val nearCopy = base2.replace("tango", "uniform") // last token: J = 16/20
+    val dir = writeDocs(Seq(
+      train(0) -> base1, train(1) -> base2,
+      test(0) -> base1,              // exact dup of train(0)
+      test(1) -> nearCopy,           // near dup of train(1)
+      test(2) -> "victor whiskey xray yankee zulu one two three four five"))
+    val out = Q57DeltaDedup.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out(test(0)) === (("exact_dup", train(0))))
+    assert(out(test(1)) === (("near_dup", train(1))))
+    assert(out(test(2))._1 === "new")
+    assert(out.size === 3) // every delta doc accounted for
+  }
+
   // ---- s11 streaming curation --------------------------------------
 
   test("s11: final stream state equals the batch dashboard") {
