@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{
   Attribute, BinaryExpression, EqualTo, Expression, GenericInternalRow,
   JoinedRow, SortOrder, Unevaluable, UnsafeProjection, UnsafeRow}
@@ -52,6 +53,29 @@ case class AsofLessEqual(left: Expression, right: Expression)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override def prettyName: String = "graft_asof_le"
+  // The analyzer inserts no coercion for an opaque function, and the
+  // exec compares both times with an ordering built from the LEFT
+  // type — an int right time read as a long would silently corrupt
+  // the merge. Require identical, orderable, NON-FLOAT types: float
+  // times would also need -0.0/NaN normalization (see the rewrite's
+  // key-type gate), so they are rejected here rather than mis-joined.
+  override def checkInputDataTypes(): TypeCheckResult =
+    // == not sameType: times are atomic (orderability enforced below),
+    // so nested-nullability tolerance has nothing to tolerate
+    if (left.dataType != right.dataType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_asof_le requires identical time types, got " +
+          s"${left.dataType.sql} vs ${right.dataType.sql}")
+    else if (!org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(left.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_asof_le requires an orderable time type, got ${left.dataType.sql}")
+    else if (AsofJoinRewrite.isFloat(left.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        "graft_asof_le does not support float/double times " +
+          "(-0.0/NaN ordering diverges from SQL equality) — use an " +
+          "integral or decimal time column")
+    else TypeCheckResult.TypeCheckSuccess
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): AsofLessEqual =
     copy(left = newLeft, right = newRight)
@@ -79,6 +103,18 @@ case class AsofJoinPlan(
   * conjunct an equi-key or the single marker), so ordinary joins are
   * untouched. */
 object AsofJoinRewrite extends Rule[LogicalPlan] {
+  /** Float/double anywhere in a key or time would need the
+    * -0.0/NaN normalization Spark's NormalizeFloatingNumbers rule
+    * applies to nodes it knows about (Join, Aggregate, Window) — it
+    * runs in a later batch and never sees AsofJoinPlan, so a double
+    * key 0.0 on one side and -0.0 on the other would hash-partition
+    * apart and compare unequal, silently diverging from SQL join
+    * semantics. Such joins are left unrewritten → the Unevaluable
+    * marker fails planning loudly instead. */
+  private[plans] def isFloat(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.FloatType ||
+      dt == org.apache.spark.sql.types.DoubleType
+
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
       splitConjuncts(l) ++ splitConjuncts(r)
@@ -105,7 +141,8 @@ object AsofJoinRewrite extends Rule[LogicalPlan] {
         // fails planning loudly instead of silently flipping semantics.
         case Seq(AsofLessEqual(rt, lt))
             if keyPairs.length == rest.length && keyPairs.nonEmpty &&
-              fromRight(rt) && fromLeft(lt) =>
+              fromRight(rt) && fromLeft(lt) &&
+              keyPairs.forall(p => !isFloat(p._1.dataType)) =>
           AsofJoinPlan(l, r, keyPairs.map(_._1), keyPairs.map(_._2), lt, rt)
         case _ => j // unsupported shape: leave it; Unevaluable will fail loudly
       }

@@ -34,9 +34,17 @@ object Q57DeltaDedup extends GraftQuery {
   val name = "q57_delta_dedup"
 
   def run(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint is the materialization barrier: the hashed frame
+    // feeds FIVE plan branches (both exact-tier sides, both split
+    // attachments, the final delta frame) with different filters, so
+    // exchange reuse can't apply (predicate pushdown would sink each
+    // branch's filter below a repartition) and without a barrier the
+    // documents scan + full-text md5 run five times. The checkpointed
+    // frame is 3 narrow columns — corpus-count-sized, never text-sized.
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), Q40TrainTestSplit.splitCol.as("split"),
         md5(col("text")).as("th"))
+      .localCheckpoint()
     val exact = docs.filter(col("split") === "test").as("d")
       .join(docs.filter(col("split") === "train").as("b"),
         col("d.th") === col("b.th"))

@@ -128,6 +128,46 @@ class AsofJoinSpec extends SparkSpec {
         col("k") === col("rk") && expr("graft_asof_le(rt, t)"), "inner")
         .collect()
     }
-    assert(ex != null)
+    // pin the INTENDED failure mode — the unevaluable marker surfacing
+    // — not just "something threw"
+    val msg = String.valueOf(ex.getMessage).toLowerCase
+    assert(msg.contains("graft_asof_le") || msg.contains("unevaluable"),
+      s"wrong failure mode: $ex")
+  }
+
+  test("float keys and float times are refused, not silently mis-joined") {
+    // double KEY: the rewrite declines (no -0.0/NaN normalization runs
+    // on the custom node) → Unevaluable marker fails loudly
+    val keyEx = intercept[Throwable] {
+      Seq((1.0d, 10L)).toDF("k", "t").join(
+        Seq((1.0d, 5L, "x")).toDF("rk", "rt", "v"),
+        col("k") === col("rk") && expr("graft_asof_le(rt, t)"), "left")
+        .collect()
+    }
+    val keyMsg = String.valueOf(keyEx.getMessage).toLowerCase
+    assert(keyMsg.contains("graft_asof_le") || keyMsg.contains("unevaluable"),
+      s"wrong failure mode: $keyEx")
+    // double TIME: the marker's own type check rejects at analysis
+    val timeEx = intercept[Throwable] {
+      Seq((1, 10.0d)).toDF("k", "t").join(
+        Seq((1, 5.0d, "x")).toDF("rk", "rt", "v"),
+        col("k") === col("rk") && expr("graft_asof_le(rt, t)"), "left")
+        .collect()
+    }
+    assert(String.valueOf(timeEx.getMessage).toLowerCase.contains("graft_asof_le"),
+      s"wrong failure mode: $timeEx")
+  }
+
+  test("mismatched time types are rejected at analysis, not mis-compared") {
+    // int right time vs long left time: without the type check the
+    // exec would read the int's unsafe word with a long ordering
+    val ex = intercept[Throwable] {
+      leftDf((1, 10L)).join(
+        Seq((1, 5, "x")).toDF("rk", "rt", "v"), // rt is INT
+        col("k") === col("rk") && expr("graft_asof_le(rt, t)"), "left")
+        .collect()
+    }
+    assert(String.valueOf(ex.getMessage).toLowerCase.contains("graft_asof_le"),
+      s"wrong failure mode: $ex")
   }
 }

@@ -4,12 +4,22 @@ import graft.queries.GraftQueryAudit
 
 /** Whole-surface plan audit: the scale-posture claims, asserted
   * mechanically for EVERY batch query rather than argued per query.
-  * Runs on sf0.001 (planner output only — no execution), so a new
-  * query that accidentally plans a cartesian product or an
-  * unbounded nested-loop join fails CI the day it lands. */
+  * A new query that accidentally plans a cartesian product or an
+  * unbounded nested-loop join fails the suite the day it lands.
+  *
+  * Plans are computed ONCE and shared across the assertions: run()
+  * is not free — the q18f/q42 family drives its label-propagation
+  * actions eagerly while building the frame, so per-test re-derivation
+  * would execute those loops once per assertion.
+  */
 class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
+
+  private lazy val plans: Seq[(String, String)] =
+    GraftQueryAudit.batchQueries.map { q =>
+      q.name -> q.run(spark, dir).queryExecution.executedPlan.toString()
+    }
 
   /** Queries whose plan legitimately carries a BroadcastNestedLoopJoin:
     * all are 1-row broadcast attachments (q19's query vector, q54's
@@ -19,21 +29,18 @@ class PlanAuditSpec extends SparkSpec {
     "q54_lm_perplexity")
 
   test("no batch query plans a cartesian product") {
-    GraftQueryAudit.batchQueries.foreach { q =>
-      val plan = q.run(spark, dir).queryExecution.executedPlan.toString()
+    assert(plans.nonEmpty)
+    plans.foreach { case (name, plan) =>
       assert(!plan.contains("CartesianProduct"),
-        s"${q.name} plans a cartesian product")
+        s"$name plans a cartesian product")
     }
   }
 
   test("nested-loop joins appear only as known 1-row broadcasts") {
-    GraftQueryAudit.batchQueries
-      .filterNot(q => oneRowBroadcasts(q.name))
-      .foreach { q =>
-        val plan = q.run(spark, dir).queryExecution.executedPlan.toString()
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"${q.name} plans an unexpected nested-loop join")
-      }
+    plans.filterNot(p => oneRowBroadcasts(p._1)).foreach { case (name, plan) =>
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans an unexpected nested-loop join")
+    }
   }
 
   // NOTE deliberately no WholeStageCodegen assertion here: under AQE
