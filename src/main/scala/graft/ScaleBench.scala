@@ -100,7 +100,11 @@ object ScaleBench {
     // property like the index family (10x docs, same bigram keys,
     // 10x-hotter counts — the Zipf join profile); q55 is the pure
     // map-over-every-byte floor, which must scale ~linearly
-    Q54LmPerplexity, Q55ClassifierScore)
+    Q54LmPerplexity, Q55ClassifierScore,
+    // q56 is per-row explode (must stay ~linear-in-slack); q57's band
+    // join crosses the split boundary, so its candidate growth tracks
+    // the dedup family's blocked-join profile
+    Q56ChunkWindows, Q57DeltaDedup)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

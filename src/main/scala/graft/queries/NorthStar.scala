@@ -449,6 +449,15 @@ object Q42CorpusClean extends GraftQuery {
     * already condemns it. Dataflow is unchanged: one more derived
     * frame (train-split verdicts) joined on doc_id. */
   private[queries] def audit(spark: SparkSession, dir: String,
+      withContamination: Boolean): DataFrame =
+    statusByDoc(spark, dir, withContamination)
+      .groupBy(col("lang"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("status"))
+
+  /** The per-doc verdict frame the audit aggregates — exposed so the
+    * assembly tail (q58) can take exactly the docs the audit keeps. */
+  private[graft] def statusByDoc(spark: SparkSession, dir: String,
       withContamination: Boolean): DataFrame = {
     val victims = Q18fDedupClusters.labels(spark, dir)
       .filter(col("id") =!= col("lbl"))
@@ -486,13 +495,14 @@ object Q42CorpusClean extends GraftQuery {
             lit("boilerplate"))
           .when(col("quality") < MinQuality, lit("low_quality"))
           .otherwise(lit("kept")))
-      .groupBy(col("lang"), col("status"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("lang"), col("status"))
+      .select(col("doc_id"), col("lang"), col("status"))
   }
   def run(spark: SparkSession, dir: String): DataFrame =
     audit(spark, dir, withContamination = false)
-  private[queries] def oracleSqlFor(withContamination: Boolean): String = {
+  /** The full WITH chain ending in `tagged(doc_id, lang, status)` —
+    * the SQL mirror of [[statusByDoc]], shared by q42/q42b's audits
+    * and the q58 assembly tail. */
+  private[queries] def duckTaggedCtes(withContamination: Boolean): String = {
     val contamCtes = if (!withContamination) "" else s""",
     ${Q46Decontaminate.duckDecontamCtes(Some(Q46bDecontaminateDfCap.MaxGramDf))},
     contam AS (SELECT train_doc_id AS doc_id FROM cbest
@@ -502,8 +512,7 @@ object Q42CorpusClean extends GraftQuery {
     val contamCase =
       if (withContamination) "WHEN c.doc_id IS NOT NULL THEN 'contaminated'"
       else ""
-    s"""
-    WITH RECURSIVE ${NorthStar.duckShingleCtes},
+    s"""WITH RECURSIVE ${NorthStar.duckShingleCtes},
     ${NorthStar.duckMinhashPairCtes},
     ${NorthStar.duckNgramPairCtes},
     ${NorthStar.duckClosureCtes},
@@ -512,7 +521,7 @@ object Q42CorpusClean extends GraftQuery {
     ${NorthStar.duckRepetitionCtes},
     ${NorthStar.duckCrossDocCtes}$contamCtes,
     tagged AS (
-      SELECT d.lang,
+      SELECT d.doc_id, d.lang,
         CASE WHEN v.doc_id IS NOT NULL THEN 'duplicate'
              $contamCase
              WHEN COALESCE(qq.n_tokens, 0) < $MinTokens THEN 'too_short'
@@ -526,11 +535,15 @@ object Q42CorpusClean extends GraftQuery {
       LEFT JOIN qq ON d.doc_id = qq.doc_id
       LEFT JOIN rep r ON d.doc_id = r.doc_id
       LEFT JOIN xdoc x ON d.doc_id = x.doc_id
-      $contamJoin)
+      $contamJoin)"""
+  }
+
+  private[queries] def oracleSqlFor(withContamination: Boolean): String =
+    s"""
+    ${duckTaggedCtes(withContamination)}
     SELECT lang, status, count(*) AS n
     FROM tagged GROUP BY lang, status ORDER BY lang, status
     """.trim
-  }
   val oracle = Some(oracleSqlFor(withContamination = false))
 }
 

@@ -219,6 +219,27 @@ class Round9bSpec extends SparkSpec {
     assert(out.size === 3) // every delta doc accounted for
   }
 
+  // ---- q58 end-to-end assembly ---------------------------------------
+
+  test("q58: shard ids are dense per lang and totals reconcile with the audit") {
+    val dir = "/root/testdata/sf0.001"
+    val shards = Q58TrainingShards.run(spark, dir).collect()
+    assert(shards.nonEmpty)
+    shards.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val ids = rows.map(_.getInt(1)).sorted
+      assert(ids === (0 until ids.length).toArray, s"$lang shard ids not dense")
+    }
+    assert(shards.groupBy(_.getString(0)).exists(_._2.length >= 2),
+      "fixture must be large enough that packing actually splits shards")
+    // token totals = chunk totals over exactly the audit's kept docs
+    val kept = Q42CorpusClean.statusByDoc(spark, dir, withContamination = true)
+      .filter(col("status") === "kept").select(col("doc_id"))
+    val expected = Q56ChunkWindows.run(spark, dir)
+      .join(kept, Seq("doc_id"))
+      .agg(sum(col("chunk_tokens"))).head().getLong(0)
+    assert(shards.map(_.getLong(3)).sum === expected)
+  }
+
   // ---- s11 streaming curation --------------------------------------
 
   test("s11: final stream state equals the batch dashboard") {
