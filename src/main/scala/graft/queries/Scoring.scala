@@ -99,7 +99,10 @@ object Q56ChunkWindows extends GraftQuery {
   * Determinism: `dc · ln((c2+1)/(c1+V))` terms are collected per doc
   * and folded in (w1, w2) order — identical IEEE addition sequence in
   * both engines (q53's rule); ln/exp are the libm-vs-StrictMath risk
-  * q53 already prices in, hidden behind ROUND(..., 4).
+  * q53 already prices in, hidden behind ROUND(..., 4). The collected
+  * array is bounded by ONE DOCUMENT's distinct-bigram count (q53's
+  * `cs` class — MBs for a 100k-token doc), never by a corpus-level
+  * key like the q48 audit column the round-8 review flagged.
   */
 object Q54LmPerplexity extends GraftQuery {
   import Scoring._
