@@ -151,8 +151,10 @@ object GraftCorpusScan {
     * corpora still fan out to every core instead of one packed task. */
   private[sources] def maxSplitBytes(totalCost: Long, parallelism: Int,
       maxPartitionBytes: Long, openCost: Long): Long =
-    math.min(maxPartitionBytes,
-      math.max(openCost, totalCost / math.max(1, parallelism)))
+    // floor of 1: openCost=0 (a supported option) with a tiny corpus
+    // on a wide cluster yields split=0, and `0L until len by 0` throws
+    math.max(1L, math.min(maxPartitionBytes,
+      math.max(openCost, totalCost / math.max(1, parallelism))))
 
   /** Plan (path, doc_id, fileLen) entries into partitions: files
     * larger than the split size break into byte-range chunks
@@ -162,7 +164,7 @@ object GraftCorpusScan {
     * costing its length plus openCost (Spark's
     * `FilePartition.getFilePartitions` policy — a million empty files
     * still pay their open cost and spread across tasks). */
-  private[sources] def planChunks(entries: Seq[(String, Long, Long)],
+  private[graft] def planChunks(entries: Seq[(String, Long, Long)],
       maxPartitionBytes: Long, openCost: Long,
       parallelism: Int): Array[InputPartition] = {
     val totalCost = entries.map(_._3 + openCost).sum
@@ -197,15 +199,32 @@ object GraftCorpusScan {
       sess.sparkContext.defaultParallelism)
   }
 
-  /** Driver-side file lengths for surviving manifest entries (the FS
-    * objects are cached per scheme; one RPC per file — the same
-    * listing cost Spark's own file index pays). */
+  /** Driver-side file lengths for surviving manifest entries. One
+    * getFileStatus RPC per file, issued through a bounded pool: at the
+    * 10⁶-file scale the connector plans for, sequential HEAD
+    * round-trips (~1–10 ms each against a real namenode/object store)
+    * would turn planning into minutes — the same reason Spark's
+    * InMemoryFileIndex parallelizes its listing. FS objects are
+    * cached per scheme and thread-safe; order is preserved. */
   private[sources] def withLengths(entries: Seq[(String, Long)],
-      conf: Configuration): Seq[(String, Long, Long)] =
-    entries.map { case (p, id) =>
+      conf: Configuration): Seq[(String, Long, Long)] = {
+    def stat(p: String, id: Long): (String, Long, Long) = {
       val hp = new Path(p)
       (p, id, hp.getFileSystem(conf).getFileStatus(hp).getLen)
     }
+    if (entries.size <= 8) entries.map { case (p, id) => stat(p, id) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(32, entries.size))
+      try {
+        entries.map { case (p, id) =>
+          pool.submit(new java.util.concurrent.Callable[(String, Long, Long)] {
+            override def call(): (String, Long, Long) = stat(p, id)
+          })
+        }.map(_.get())
+      } finally pool.shutdown()
+    }
+  }
 }
 
 class GraftCorpusScan(manifest: String, required: StructType,
@@ -278,9 +297,26 @@ class GraftCorpusMicroBatchStream(manifest: String,
     * must stall the stream at the previous offset, not kill the
     * query — the next trigger sees the completed write. */
   @volatile protected var lastKnown: Long = 0L
+  @volatile private var observedOnce = false
   private def observeManifest(): Long = {
-    val n = try TextCorpus.manifestEntries(manifest).size.toLong
-            catch { case scala.util.control.NonFatal(_) => lastKnown }
+    // Tolerant read (clamp to the visible prefix) — this is offset
+    // DISCOVERY; the monotone floor below carries torn snapshots.
+    val n = try {
+      val k = TextCorpus.manifestEntries(manifest, strict = false).size.toLong
+      observedOnce = true
+      k
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // Swallowing only makes sense for TRANSIENT races against a
+        // rewriter, which presuppose a manifest we have read before.
+        // A first-observation failure is a misconfigured path or
+        // permission — surface it instead of stalling forever at 0.
+        if (!observedOnce) throw e
+        System.err.println(
+          s"[graft-corpus] transient manifest read failure, holding " +
+            s"offset $lastKnown: $e")
+        lastKnown
+    }
     // Monotone: a torn read that surfaces a shorter prefix must not
     // rewind the offset (ids are positional; history never shrinks).
     lastKnown = math.max(lastKnown, n)
@@ -308,8 +344,18 @@ class GraftCorpusMicroBatchStream(manifest: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[GraftManifestOffset].n
     val hi = end.asInstanceOf[GraftManifestOffset].n
-    val batch = TextCorpus.manifestEntries(manifest)
-      .filter { case (_, id) => id > lo && id <= hi }
+    // STRICT read, plus a committed-range guard: the engine already
+    // fixed (lo, hi] into the offset log, so a snapshot shorter than
+    // hi must FAIL (the trigger retries) — clamping here would read a
+    // subset while the checkpoint advances past the rest, silently
+    // losing files forever.
+    val all = TextCorpus.manifestEntries(manifest)
+    if (all.size < hi)
+      throw new IllegalStateException(
+        s"manifest $manifest shows ${all.size} entries but offset $hi " +
+          "is committed — torn snapshot or rewritten history; failing " +
+          "the trigger for retry")
+    val batch = all.filter { case (_, id) => id > lo && id <= hi }
     // Same split/bin-pack policy as the batch scan: a batch of a
     // million tiny appended files packs into bounded partitions, one
     // huge appended file splits across the cluster.
@@ -325,8 +371,9 @@ class GraftCorpusMicroBatchStream(manifest: String,
 }
 
 /** One unit of read work: a byte range [start, start+length) of one
-  * corpus file. `length == Long.MaxValue` means "to EOF" (used by
-  * whole-file chunks where the length wasn't probed). */
+  * corpus file. `length` is always exact — planChunks stats every
+  * file (there is no "to EOF" sentinel; an unprobed length would also
+  * interact subtly with the skip-first-line ownership rule). */
 case class GraftChunk(path: String, docId: Long, start: Long, length: Long)
 
 /** A scheduled partition: one or more chunks read sequentially by one
@@ -352,31 +399,56 @@ class GraftCorpusReaderFactory(fields: Array[String],
   * and no split ever needs to see its neighbor. Byte positions (not
   * chars) are tracked, so multi-byte UTF-8 never desynchronizes the
   * boundary math. */
-private[sources] final class ChunkLineReader(chunk: GraftChunk,
+private[graft] final class ChunkLineReader(chunk: GraftChunk,
     conf: Configuration) {
   private val p = new Path(chunk.path)
-  private val raw = p.getFileSystem(conf).open(p)
-  if (chunk.start > 0) raw.seek(chunk.start)
-  private val in = new java.io.BufferedInputStream(raw, 128 * 1024)
+  private val in = p.getFileSystem(conf).open(p)
+  if (chunk.start > 0) in.seek(chunk.start)
   private var pos = chunk.start
-  private val end =
-    if (chunk.length == Long.MaxValue) Long.MaxValue
-    else chunk.start + chunk.length
+  private val end = chunk.start + chunk.length
+  // Block-buffered scan (the Hadoop LineReader shape): refill a 128 KB
+  // buffer and memchr for '\n' — NOT one synchronized read() call plus
+  // a ByteArrayOutputStream write per BYTE, which would be the hot
+  // loop of the whole corpus scan. Lines spanning a refill (rare)
+  // merge via one extra copy.
+  private val buf = new Array[Byte](128 * 1024)
+  private var bufLen = 0
+  private var bufPos = 0
+  private var eof = false
+  private def fill(): Boolean = {
+    if (eof) return false
+    bufLen = in.read(buf, 0, buf.length)
+    bufPos = 0
+    if (bufLen <= 0) { eof = true; false } else true
+  }
   if (chunk.start > 0) readLine() // skip the partial first line
   /** Bytes of the next owned line (terminator stripped), null when
     * the chunk is exhausted. */
   def nextLine(): Array[Byte] = if (pos > end) null else readLine()
   private def readLine(): Array[Byte] = {
-    var b = in.read()
-    if (b == -1) return null
-    val out = new java.io.ByteArrayOutputStream(96)
-    while (b != -1 && b != '\n') { out.write(b); b = in.read() }
-    // position BEFORE stripping \r: pos counts raw file bytes
-    pos += out.size() + (if (b == '\n') 1 else 0)
-    val arr = out.toByteArray
-    if (arr.nonEmpty && arr(arr.length - 1) == '\r')
-      java.util.Arrays.copyOf(arr, arr.length - 1)
-    else arr
+    if (bufPos >= bufLen && !fill()) return null
+    var line: Array[Byte] = null
+    var done = false
+    while (!done) {
+      var i = bufPos
+      while (i < bufLen && buf(i) != '\n') i += 1
+      val found = i < bufLen
+      val n = i - bufPos
+      if (line == null) line = java.util.Arrays.copyOfRange(buf, bufPos, i)
+      else {
+        val prev = line.length
+        line = java.util.Arrays.copyOf(line, prev + n)
+        System.arraycopy(buf, bufPos, line, prev, n)
+      }
+      // position BEFORE stripping \r: pos counts raw file bytes
+      pos += n + (if (found) 1 else 0)
+      bufPos = i + 1 // past the '\n' (ignored when !found — refilled)
+      if (found) done = true
+      else if (!fill()) done = true // EOF terminates the last line
+    }
+    if (line.nonEmpty && line(line.length - 1) == '\r')
+      java.util.Arrays.copyOf(line, line.length - 1)
+    else line
   }
   def close(): Unit = in.close()
 }

@@ -168,6 +168,14 @@ class GraftLetterWriter(stagingDir: String, letterIdx: Int, lineIdx: Int,
   private val newline = "\n".getBytes("UTF-8")
   override def write(row: InternalRow): Unit = {
     val letter = row.getString(letterIdx)
+    // The publish loop ('a' to 'z') is the sink's whole contract; a
+    // staged file for any other letter value would survive the task
+    // commit and then vanish with the staging dir — a SUCCESSFUL write
+    // that silently lost rows. Reject at the source of the data.
+    if (letter == null || letter.length != 1 ||
+        letter.charAt(0) < 'a' || letter.charAt(0) > 'z')
+      throw new IllegalArgumentException(
+        s"graft-letters sink requires letter in 'a'..'z', got '$letter'")
     if (letter != current) {
       if (out != null) out.close()
       val p = new Path(stagingDir,

@@ -29,20 +29,34 @@ object TextCorpus {
 
   /** Parse a manifest into (path, 1-based id), resolving relative
     * paths against the manifest's parent directory. */
-  def manifestEntries(manifestPath: String): Seq[(String, Long)] = {
+  def manifestEntries(manifestPath: String): Seq[(String, Long)] =
+    manifestEntries(manifestPath, strict = true)
+
+  /** strict=true (every PLANNING path): a count line ahead of the
+    * visible path lines means a torn/truncated snapshot — throw, so
+    * the read fails retryably instead of silently planning a partial
+    * corpus (batch) or permanently skipping a committed offset range
+    * (streaming — the checkpoint advances even if the snapshot was
+    * short). strict=false (offset DISCOVERY only, where the caller
+    * carries its own monotone floor): clamp to the visible prefix —
+    * ids are positional, so the prefix is exactly a valid earlier
+    * manifest state and the next trigger sees the rest. */
+  def manifestEntries(manifestPath: String,
+      strict: Boolean): Seq[(String, Long)] = {
     // Absolute + normalized: the path→id map is joined against
     // input_file_name(), which always reports absolute paths — a
     // relative entry would silently match nothing.
     val p = Paths.get(manifestPath).toAbsolutePath.normalize
     val lines = Files.readAllLines(p)
     if (lines.isEmpty) return Seq.empty
-    // Clamp to the lines actually present: a grower rewriting the
-    // manifest in place can expose a snapshot whose count line is
-    // ahead of its path lines. Ids are positional, so the visible
-    // prefix is exactly a valid earlier manifest state — the streaming
-    // reader picks up the rest next trigger instead of dying on an
-    // IndexOutOfBounds mid-query.
-    val n = math.min(lines.get(0).trim.toInt, lines.size - 1)
+    val declared = lines.get(0).trim.toInt
+    val visible = lines.size - 1
+    if (strict && declared > visible)
+      throw new IllegalStateException(
+        s"torn/truncated manifest snapshot at $manifestPath: declares " +
+          s"$declared entries, only $visible visible — retry when the " +
+          "rewrite completes")
+    val n = math.min(declared, visible)
     (1 to n).map { i =>
       val raw = Paths.get(lines.get(i).trim)
       val abs = if (raw.isAbsolute) raw else p.getParent.resolve(raw)
