@@ -37,7 +37,7 @@ object NorthStar {
   /** Whitespace tokens, empties dropped (reference tokenizer, R4/R6). */
   private[graft] val toksExpr = "filter(split(text, '\\\\s+'), t -> t != '')"
   /** Distinct word 3-shingles of `t`; requires size(t) >= 3. */
-  private[queries] val shinglesExpr =
+  private[graft] val shinglesExpr =
     "array_distinct(transform(sequence(1, size(t)-2), " +
       "i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2))))"
   /** Non-empty trimmed lines of `text` (q47's intra-doc and q49's
@@ -89,7 +89,7 @@ object NorthStar {
     * row (measured: q18c's chunk stage went 1.1 s → 40 s at sf0.01).
     * Routing the value through a single-element array + transform makes
     * it a lambda-bound variable, evaluated exactly once per row. */
-  private[queries] def let(name: String, value: String, body: String): String =
+  private[graft] def let(name: String, value: String, body: String): String =
     s"element_at(transform(array($value), $name -> $body), 1)"
 
   /** DuckDB CTEs shared by every shingle-based oracle: tokenization +

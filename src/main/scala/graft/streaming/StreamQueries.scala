@@ -75,7 +75,8 @@ object StreamQueries {
   val all: Seq[GraftQuery] = Seq(
     S1Tumbling, S2Sliding, S3WatermarkLate, S4SessionWindow, S5Dedup,
     S6IncrementalIndex, S7StatefulProfiles, S8StreamStreamJoin,
-    S9StreamStaticJoin, S10StreamStreamOuterJoin, S11StreamCuration)
+    S9StreamStaticJoin, S10StreamStreamOuterJoin, S11StreamCuration,
+    S12StreamDeltaDedup)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -386,4 +387,107 @@ object S11StreamCuration extends GraftQuery {
       CAST(sum(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT) AS toks_kept
     FROM g GROUP BY source ORDER BY source
   """.trim)
+}
+
+/** S12 — DELTA DEDUP AT INGEST: q57's shard-vs-corpus dedup as a
+  * streaming query — every arriving document (the q40 test split
+  * standing in for "the incoming crawl") is checked against the
+  * EXISTING corpus (train split, a static frame) and lands in the
+  * final state as exact_dup / near_dup / new. This is the deploy
+  * shape of delta dedup: admit-or-reject as data arrives, not a
+  * nightly batch.
+  *
+  * Streaming constraints drive the design:
+  *  - MinHash signatures are computed PER ROW with higher-order
+  *    functions (32 array_min folds over the shingle hashes) —
+  *    stateless, so no pre-aggregation stage is needed on the stream
+  *    side (a groupBy signature stage would chain two stateful
+  *    operators, which update mode forbids). Same VALUES as q18b's
+  *    flat-agg pipeline — method independence is exactly what the
+  *    shared oracle proves.
+  *  - Both tiers and the "new" fallback are three STATELESS branches
+  *    of the same stream (exact md5 stream-static join, banded
+  *    stream-static join, identity), unioned into ONE stateful
+  *    aggregation: min(struct(priority, 32−matches, base)) picks
+  *    exact over near, then highest estimate, then lowest base id —
+  *    all integer comparisons.
+  *  - State is one row per delta doc (bounded by the delta, not the
+  *    corpus); the static band frame is the corpus-side index.
+  * Shares q57's DuckDB oracle verbatim. */
+object S12StreamDeltaDedup extends GraftQuery {
+  import StreamQueries._
+  import graft.queries.{NorthStar, Q40TrainTestSplit, Q57DeltaDedup}
+  val name = "s12_stream_delta_dedup"
+
+  /** Per-row MinHash machinery (stream-safe: no aggregation). */
+  private val hashOf =
+    "cast(conv(substring(md5(s_), 1, 15), 16, 10) as bigint) % 1000000007"
+  private val sigExpr =
+    s"transform(sequence(1, 32), i_ -> array_min(transform(hs, h_ -> " +
+      "(((2654435761 * i_) % 1000000007) * h_ + " +
+      "((40503 * i_ + 7) % 1000000007)) % 1000000007)))"
+  private val bandsExpr =
+    "transform(sequence(0, 7), j_ -> concat_ws(',', cast(j_ as string), " +
+      "element_at(sig, 4*j_+1), element_at(sig, 4*j_+2), " +
+      "element_at(sig, 4*j_+3), element_at(sig, 4*j_+4)))"
+  private val matchesExpr = (1 to 32)
+    .map(i => s"IF(element_at(dsig, $i) = element_at(bsig, $i), 1, 0)")
+    .mkString(" + ")
+
+  /** (doc_id, sig, bkey) — one row per band of each doc with >= 3
+    * tokens; works on a static OR streaming frame. */
+  private def bandFrame(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr(NorthStar.toksExpr).as("t"), col("text"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        expr(NorthStar.let("t", "t", NorthStar.shinglesExpr)).as("sh"))
+      .select(col("doc_id"),
+        expr(s"transform(sh, s_ -> $hashOf)").as("hs"))
+      .select(col("doc_id"), expr(sigExpr).as("sig"))
+      .select(col("doc_id"), col("sig"), explode(expr(bandsExpr)).as("bkey"))
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val static = graft.Tables.documents(spark, dir)
+      .withColumn("split", Q40TrainTestSplit.splitCol)
+      .filter(col("split") === "train")
+    val baseHash = static.select(md5(col("text")).as("th"),
+      col("doc_id").as("base_id"))
+    val baseBands = bandFrame(static)
+      .select(col("bkey"), col("sig").as("bsig"), col("doc_id").as("base_id"))
+    val delta = docsStream(spark, dir)
+      .withColumn("split", Q40TrainTestSplit.splitCol)
+      .filter(col("split") === "test")
+
+    val exact = delta.select(col("doc_id"), md5(col("text")).as("th"))
+      .join(baseHash, Seq("th"))
+      .select(col("doc_id"), lit(0).as("pri"), lit(0).as("negest"),
+        col("base_id"))
+    val near = bandFrame(delta)
+      .select(col("doc_id"), col("sig").as("dsig"), col("bkey"))
+      .join(baseBands, Seq("bkey"))
+      .select(col("doc_id"), col("base_id"),
+        expr(matchesExpr).as("matches"))
+      .filter(col("matches") >= 16) // est_jaccard >= 0.5
+      .select(col("doc_id"), lit(1).as("pri"),
+        (lit(32) - col("matches")).as("negest"), col("base_id"))
+    val fresh = delta.select(col("doc_id"), lit(2).as("pri"),
+      lit(0).as("negest"), lit(null).cast("long").as("base_id"))
+
+    val best = exact.unionByName(near).unionByName(fresh)
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("pri"), col("negest"), col("base_id"))).as("b"))
+    runToBatch(spark, best, "complete")
+      .select(col("doc_id"),
+        when(col("b.pri") === 0, lit("exact_dup"))
+          .when(col("b.pri") === 1, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"),
+        col("b.base_id").as("base_id"),
+        when(col("b.pri") === 1,
+          (lit(32) - col("b.negest")).cast("double") / 32.0d)
+          .otherwise(lit(null).cast("double")).as("est_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oracle = Q57DeltaDedup.oracle
 }

@@ -240,6 +240,16 @@ class Round9bSpec extends SparkSpec {
     assert(shards.map(_.getLong(3)).sum === expected)
   }
 
+  // ---- s12 streaming delta dedup -------------------------------------
+
+  test("s12: streaming delta dedup == batch q57, row for row") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.S12StreamDeltaDedup.run(spark, dir).collect()
+    val batch = Q57DeltaDedup.run(spark, dir).collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+  }
+
   // ---- s11 streaming curation --------------------------------------
 
   test("s11: final stream state equals the batch dashboard") {
