@@ -34,6 +34,18 @@ import graft.Tables
   *    match Spark's int64 (this, not regex dialect, broke q23 in r1).
   */
 object NorthStar {
+  /** MinHash permutation/hash constants, shared by q18b's flat-agg
+    * pipeline, s12's per-row HOF pipeline, and (as literals) the
+    * DuckDB oracle CTEs — ONE definition, so the tiers cannot
+    * silently desynchronize from the oracle they share. Defined
+    * before every use site (vals initialize in declaration order). */
+  private[graft] val MinhashP = 1000000007L
+  private[graft] val MinhashA = 2654435761L
+  private[graft] val MinhashB = 40503L
+  /** md5-based shingle hash over SQL variable `v`. */
+  private[graft] def shingleHashExpr(v: String): String =
+    s"cast(conv(substring(md5($v), 1, 15), 16, 10) as bigint) % $MinhashP"
+
   /** Whitespace tokens, empties dropped (reference tokenizer, R4/R6). */
   private[graft] val toksExpr = "filter(split(text, '\\\\s+'), t -> t != '')"
   /** Distinct word 3-shingles of `t`; requires size(t) >= 3. */
@@ -282,11 +294,10 @@ object Q18bDedupMinHash extends GraftQuery {
     // passes over each doc's hash array. The DuckDB oracle computes
     // the same VALUES with list folds; method need not match.
     val shex = shingles.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"),
-        expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 1000000007").as("h"))
+      .select(col("doc_id"), expr(NorthStar.shingleHashExpr("s")).as("h"))
     val permCols = (0 until 32).map { i =>
-      min(expr(s"(((2654435761 * ${i + 1}) % 1000000007) * h + " +
-        s"((40503 * ${i + 1} + 7) % 1000000007)) % 1000000007")).as(s"m$i")
+      min(expr(s"(((${NorthStar.MinhashA} * ${i + 1}) % ${NorthStar.MinhashP}) * h + " +
+        s"((${NorthStar.MinhashB} * ${i + 1} + 7) % ${NorthStar.MinhashP})) % ${NorthStar.MinhashP}")).as(s"m$i")
     }
     // The explicit repartition is the materialization barrier (sig is
     // referenced from both band-join sides + the verify columns). It

@@ -214,15 +214,26 @@ object GraftCorpusScan {
     }
     if (entries.size <= 8) entries.map { case (p, id) => stat(p, id) }
     else {
+      // daemon threads + shutdownNow: a failed/hung stat must neither
+      // leave ~10^6 queued RPCs running to completion in the
+      // background nor block JVM exit on a wedged filesystem call
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(32, entries.size))
+        math.min(32, entries.size),
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-corpus-stat")
+          t.setDaemon(true); t
+        })
       try {
         entries.map { case (p, id) =>
           pool.submit(new java.util.concurrent.Callable[(String, Long, Long)] {
             override def call(): (String, Long, Long) = stat(p, id)
           })
-        }.map(_.get())
-      } finally pool.shutdown()
+        }.map(f =>
+          try f.get()
+          catch { // surface the raw FS error, not the wrapper
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          })
+      } finally pool.shutdownNow()
     }
   }
 }
@@ -344,17 +355,20 @@ class GraftCorpusMicroBatchStream(manifest: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[GraftManifestOffset].n
     val hi = end.asInstanceOf[GraftManifestOffset].n
-    // STRICT read, plus a committed-range guard: the engine already
-    // fixed (lo, hi] into the offset log, so a snapshot shorter than
-    // hi must FAIL (the trigger retries) — clamping here would read a
-    // subset while the checkpoint advances past the rest, silently
-    // losing files forever.
-    val all = TextCorpus.manifestEntries(manifest)
+    // TOLERANT read plus a committed-range guard: the guard alone is
+    // what prevents data loss (a snapshot shorter than the committed
+    // hi must fail — clamping past it would read a subset while the
+    // checkpoint advances, silently losing files). A strict read here
+    // would be WORSE, not safer: a count line ahead of the visible
+    // paths (the benign mid-rewrite race) would kill the whole query
+    // even when every committed entry is visible, and a failed trigger
+    // terminates the stream — there is no per-trigger retry to lean on.
+    val all = TextCorpus.manifestEntries(manifest, strict = false)
     if (all.size < hi)
       throw new IllegalStateException(
         s"manifest $manifest shows ${all.size} entries but offset $hi " +
-          "is committed — torn snapshot or rewritten history; failing " +
-          "the trigger for retry")
+          "is committed — torn snapshot or rewritten history; restart " +
+          "the query once the manifest is complete")
     val batch = all.filter { case (_, id) => id > lo && id <= hi }
     // Same split/bin-pack policy as the batch scan: a batch of a
     // million tiny appended files packs into bounded partitions, one

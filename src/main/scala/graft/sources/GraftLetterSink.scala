@@ -167,12 +167,17 @@ class GraftLetterWriter(stagingDir: String, letterIdx: Int, lineIdx: Int,
   private var out: java.io.OutputStream = null
   private val newline = "\n".getBytes("UTF-8")
   override def write(row: InternalRow): Unit = {
-    val letter = row.getString(letterIdx)
     // The publish loop ('a' to 'z') is the sink's whole contract; a
     // staged file for any other letter value would survive the task
     // commit and then vanish with the staging dir — a SUCCESSFUL write
     // that silently lost rows. Reject at the source of the data.
-    if (letter == null || letter.length != 1 ||
+    // (Null check BEFORE getString: the DSv2 write path does not
+    // enforce the schema's nullable=false, and getString NPEs first.)
+    if (row.isNullAt(letterIdx))
+      throw new IllegalArgumentException(
+        "graft-letters sink requires letter in 'a'..'z', got null")
+    val letter = row.getString(letterIdx)
+    if (letter.length != 1 ||
         letter.charAt(0) < 'a' || letter.charAt(0) > 'z')
       throw new IllegalArgumentException(
         s"graft-letters sink requires letter in 'a'..'z', got '$letter'")

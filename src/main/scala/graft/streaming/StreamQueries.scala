@@ -419,13 +419,12 @@ object S12StreamDeltaDedup extends GraftQuery {
   import graft.queries.{NorthStar, Q40TrainTestSplit, Q57DeltaDedup}
   val name = "s12_stream_delta_dedup"
 
-  /** Per-row MinHash machinery (stream-safe: no aggregation). */
-  private val hashOf =
-    "cast(conv(substring(md5(s_), 1, 15), 16, 10) as bigint) % 1000000007"
+  /** Per-row MinHash machinery (stream-safe: no aggregation), built
+    * from NorthStar's shared constants — same values as q18b. */
   private val sigExpr =
     s"transform(sequence(1, 32), i_ -> array_min(transform(hs, h_ -> " +
-      "(((2654435761 * i_) % 1000000007) * h_ + " +
-      "((40503 * i_ + 7) % 1000000007)) % 1000000007)))"
+      s"(((${NorthStar.MinhashA} * i_) % ${NorthStar.MinhashP}) * h_ + " +
+      s"((${NorthStar.MinhashB} * i_ + 7) % ${NorthStar.MinhashP})) % ${NorthStar.MinhashP})))"
   private val bandsExpr =
     "transform(sequence(0, 7), j_ -> concat_ws(',', cast(j_ as string), " +
       "element_at(sig, 4*j_+1), element_at(sig, 4*j_+2), " +
@@ -438,23 +437,35 @@ object S12StreamDeltaDedup extends GraftQuery {
     * tokens; works on a static OR streaming frame. */
   private def bandFrame(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), expr(NorthStar.toksExpr).as("t"), col("text"))
+      .select(col("doc_id"), expr(NorthStar.toksExpr).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
         expr(NorthStar.let("t", "t", NorthStar.shinglesExpr)).as("sh"))
+      // `hs` is a let-bound LAMBDA variable, not a projection alias:
+      // CollapseProject inlines a single-referenced alias into the
+      // 32-iteration signature fold — md5 per shingle 32x per row,
+      // the exact measured regression q18b/q18c's notes price out —
+      // but it cannot inline through a lambda binding.
       .select(col("doc_id"),
-        expr(s"transform(sh, s_ -> $hashOf)").as("hs"))
-      .select(col("doc_id"), expr(sigExpr).as("sig"))
+        expr(NorthStar.let("hs",
+          s"transform(sh, s_ -> ${NorthStar.shingleHashExpr("s_")})",
+          sigExpr)).as("sig"))
       .select(col("doc_id"), col("sig"), explode(expr(bandsExpr)).as("bkey"))
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val static = graft.Tables.documents(spark, dir)
       .withColumn("split", Q40TrainTestSplit.splitCol)
       .filter(col("split") === "train")
+    // localCheckpoint: a stream-static join re-evaluates the static
+    // plan EVERY trigger — without a barrier the deploy shape would
+    // re-scan and re-sign the whole existing corpus per micro-batch.
+    // Materialized once per run; only the stream side changes.
     val baseHash = static.select(md5(col("text")).as("th"),
       col("doc_id").as("base_id"))
+      .localCheckpoint()
     val baseBands = bandFrame(static)
       .select(col("bkey"), col("sig").as("bsig"), col("doc_id").as("base_id"))
+      .localCheckpoint()
     val delta = docsStream(spark, dir)
       .withColumn("split", Q40TrainTestSplit.splitCol)
       .filter(col("split") === "test")
