@@ -104,7 +104,10 @@ object ScaleBench {
     // q56 is per-row explode (must stay ~linear-in-slack); q57's band
     // join crosses the split boundary, so its candidate growth tracks
     // the dedup family's blocked-join profile
-    Q56ChunkWindows, Q57DeltaDedup)
+    Q56ChunkWindows, Q57DeltaDedup,
+    // the composed end-to-end pipeline: its ratio prices the SUM of
+    // the chain's scale behaviors (dominated by the q18f closure)
+    Q58TrainingShards)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

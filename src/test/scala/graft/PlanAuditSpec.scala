@@ -28,6 +28,12 @@ class PlanAuditSpec extends SparkSpec {
     "q19_similarity_topk", "q19b_ann_lsh", "q19d_ann_ivf",
     "q54_lm_perplexity")
 
+  test("query names are unique — the driver contract is a Map") {
+    val names = SparkEntry.all.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.length > 1).keys
+    assert(dups.isEmpty, s"duplicate query names shadow silently: $dups")
+  }
+
   test("no batch query plans a cartesian product") {
     assert(plans.nonEmpty)
     plans.foreach { case (name, plan) =>
