@@ -55,6 +55,23 @@ class ConnectorHardeningSpec extends SparkSpec {
     assert(chain(ex).exists(_.contains("'a'..'z'")), chain(ex).mkString(" | "))
   }
 
+  test("letters sink abort leaves NO partial output and NO staging dir") {
+    import spark.implicits._
+    val dir = tmp()
+    // rows sort (letter asc) so several good letters stage BEFORE the
+    // poisoned one aborts the job — exactly the partial-failure case
+    // the staged-commit protocol exists for
+    val rows = Seq(("a", "aw", 1L, "line a"), ("b", "bw", 1L, "line b"),
+      ("z!", "zw", 1L, "poison"))
+    intercept[Exception] {
+      rows.toDF("letter", "word", "df", "line")
+        .write.format("graft-letters").mode("overwrite").save(dir)
+    }
+    val leftovers = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+    assert(leftovers.isEmpty,
+      s"aborted write must publish nothing, found: ${leftovers.mkString(",")}")
+  }
+
   test("streaming against a nonexistent manifest fails fast, not a silent stall") {
     val q = spark.readStream.format("graft-corpus")
       .option("manifest", "/nonexistent/graft/manifest.txt")
