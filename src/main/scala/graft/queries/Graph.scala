@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables
+
+/** Q59–Q60 — graph/span operators for corpus curation at web scale.
+  *
+  * Q59 is PageRank, the canonical authority score a web-crawl pipeline
+  * computes over the host/domain link graph to keep high-authority
+  * content (and as a spam prior). The synthetic corpus carries no
+  * hyperlinks (q50/q51 verified: no URL-shaped tokens), so the fixture
+  * graph is the customer↔supplier bipartite graph from orders⋈lineitem
+  * — real, skewed, non-trivial edges at every SF; the operator itself
+  * is generic over any (src, dst) edge list.
+  *
+  * Q60 is cross-document repeated-SPAN detection (8-token sliding
+  * windows): q49 catches repeated LINES, but boilerplate that has been
+  * reflowed/rewrapped crosses line boundaries and only token windows
+  * see it (the "exact substring dedup" signal of Lee et al. 2022,
+  * approximated at fixed window width so it stays a hash-join, not a
+  * suffix array).
+  */
+object Graph {
+  val all: Seq[GraftQuery] = Seq(Q59GraphPagerank, Q60RepeatedSpans)
+}
+
+/** Q59 — PageRank over the customer↔supplier graph, 5 iterations,
+  * damping 0.85, in BIGINT fixed-point micro-units (1.0 == 1,000,000).
+  *
+  * Why integer fixed-point: float PageRank sums partial contributions
+  * in whatever order the reduce happens to run — nondeterministic
+  * across Spark runs (task scheduling) AND across engines (DuckDB's
+  * aggregation order differs), so a float rank could never hash-match
+  * an oracle. Integer sums are associative-commutative-EXACT: identical
+  * results any run, any engine, any partitioning. Division truncates a
+  * little mass each iteration (≤1 micro-unit per edge), which is fine —
+  * PageRank is used as an ORDERING, and the truncation is identical in
+  * both engines (`div`/`//` agree on non-negative operands).
+  *
+  * Node encoding: customer c → 2c, supplier s → 2s+1 (disjoint BIGINT
+  * ids, no string keys on the shuffle). Edges are symmetrized, so the
+  * bipartite graph has no dangling nodes and every node receives
+  * contributions every iteration.
+  *
+  * Scale posture (Pregel shape): the degree-annotated edge list is
+  * persisted hash-partitioned by src and reused across all iterations;
+  * ranks come out of each iteration hash-partitioned by node (the
+  * groupBy dst), so the next join is shuffle-free on both sides —
+  * exactly ONE shuffle per iteration (the contribution aggregation),
+  * with map-side partial sums because the aggregate is a plain BIGINT
+  * sum. Overflow headroom: 85 · N · 10⁶ fits BIGINT up to N ≈ 10¹⁰
+  * nodes. At depth ≫ 5, checkpoint ranks every few iterations to cut
+  * lineage (q18f's pattern); 5 fixed iterations don't need it.
+  */
+object Q59GraphPagerank extends GraftQuery {
+  val name = "q59_graph_pagerank"
+  val Iterations = 5
+  /** 1.0 in micro-units; damping 0.85 == 85/100 in integer form. */
+  val One = 1000000L
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val edges = sym
+      .join(sym.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = edges.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(One))
+    for (_ <- 1 to Iterations) {
+      ranks = edges.join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"), expr("pr div outdeg").as("contrib"))
+        .groupBy(col("dst").as("node"))
+        .agg(expr(s"150000L + (85 * sum(contrib)) div 100").as("pr"))
+    }
+    // q18f's teardown pattern: eagerly checkpoint the (tiny) rank
+    // table so the persisted edge list can be released NOW, not when
+    // some later pipeline happens to consume the plan; the global
+    // decode+sort sits downstream of the checkpoint.
+    val finalRanks = ranks.localCheckpoint(true)
+    edges.unpersist()
+    finalRanks.select(
+      when(col("node") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("kind"),
+      expr("node div 2").as("entity_key"),
+      col("pr").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("kind"), col("entity_key"))
+  }
+
+  val oracle = Some {
+    // Unrolled (not WITH RECURSIVE): Postgres-family recursive CTEs
+    // forbid aggregation in the recursive member, and 5 iterations are
+    // fixed by contract anyway. `//` is DuckDB integer division == the
+    // Spark `div` above on these non-negative values; SUM over BIGINT
+    // widens to HUGEINT, hence the final CAST.
+    val iters = (1 to Iterations).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+        CAST(150000 + (85 * SUM(r${i - 1}.pr // e.outdeg)) // 100 AS BIGINT) AS pr
+        FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node GROUP BY e.dst)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    sym AS (SELECT a AS src, b AS dst FROM pairs
+            UNION ALL SELECT b AS src, a AS dst FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY src),
+    e AS (SELECT sym.src, sym.dst, deg.outdeg FROM sym JOIN deg USING (src)),
+    r0 AS (SELECT DISTINCT src AS node, CAST(${One} AS BIGINT) AS pr FROM sym),
+    $iters
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+      node // 2 AS entity_key, pr AS rank_micro
+    FROM r$Iterations
+    ORDER BY rank_micro DESC, kind, entity_key
+    """.trim
+  }
+}
+
+/** Q60 — cross-document repeated token spans: for every document with
+  * ≥ [[Q60RepeatedSpans.Width]] whitespace tokens, the fraction of its
+  * distinct 8-token windows that also occur in ANOTHER document.
+  *
+  * Line-reflow blindspot of q49: a boilerplate footer rewrapped at a
+  * different column shares no line hash with its original, but its
+  * token windows are identical — window hashing is layout-independent.
+  * Fixed width keeps it a linear scan + hash aggregation (the full
+  * suffix-array substring dedup is superlinear and needs no Spark
+  * shuffle shape that this doesn't already have).
+  *
+  * Scale posture: one corpus scan; windows explode to ~n_tokens rows
+  * per doc but carry only (doc_id, 32-char md5) — the shuffle is
+  * hashed-key-uniform (no skew by construction: a span shared by many
+  * docs spreads over the doc_id dimension, and the span-frequency side
+  * of the join is pre-aggregated to ONE row per span hash, so a
+  * mega-shared span amplifies nothing). Per-doc distinct windows are
+  * computed BEFORE the explode (array_distinct on the sorted window
+  * array), so intra-doc repetition (q47's signal) never inflates the
+  * cross-doc count.
+  */
+object Q60RepeatedSpans extends GraftQuery {
+  val name = "q60_repeated_spans"
+  val Width = 8
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val w = Width
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(NorthStar.toksExpr).as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(t) - ${w - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(t, i, $w)))))")).as("span_h"))
+    // spans is distinct per (doc_id, span_h) ⇒ count(*) == distinct docs
+    val bySpan = spans.groupBy("span_h").agg(count(lit(1)).as("n_docs"))
+    spans.join(bySpan, "span_h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_span_frac",
+        col("n_shared").cast("double") / col("n_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_shared"),
+        col("shared_span_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // shared_span_frac is one IEEE division of two exact integers —
+  // bit-deterministic, surfaced UNROUNDED (the q55 lesson: ROUND on
+  // exact short decimals is the cross-engine hazard, not division).
+  val oracle = Some(s"""
+    WITH tt AS (SELECT doc_id, ${NorthStar.duckToks} AS t FROM documents),
+    wi AS (SELECT doc_id, t, unnest(range(1, len(t) - ${Width - 2})) AS i
+           FROM tt WHERE len(t) >= $Width),
+    spans AS (SELECT DISTINCT doc_id,
+              md5(array_to_string(t[i:i+${Width - 1}], ' ')) AS span_h FROM wi),
+    byspan AS (SELECT span_h, COUNT(*) AS n_docs FROM spans GROUP BY span_h)
+    SELECT s.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_spans,
+      CAST(SUM(CASE WHEN b.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      CAST(SUM(CASE WHEN b.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS shared_span_frac
+    FROM spans s JOIN byspan b ON s.span_h = b.span_h
+    GROUP BY s.doc_id ORDER BY s.doc_id
+  """.trim)
+}

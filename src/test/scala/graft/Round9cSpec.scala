@@ -1,0 +1,103 @@
+package graft
+
+import graft.queries._
+
+/** Oracle-independent invariants for the round-9 graph/span operators:
+  * q59's fixed-point PageRank (checked against a from-scratch in-memory
+  * reimplementation — same integer contract, none of the Spark
+  * machinery) and q60's cross-document repeated-span filter (positive
+  * path on a crafted corpus: the synthetic fixture corpus has unique
+  * single-line texts, so the gate-scale output pins the all-zero case).
+  */
+class Round9cSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- q59 ----------------------------------------------------------
+
+  /** The whole q59 contract, reimplemented in ~15 lines of driver-side
+    * Scala over the same parquet bytes: same node encoding, same
+    * symmetric edges, same BIGINT fixed-point iteration. Long `/` on
+    * non-negative operands is the same floor division as SQL div. */
+  private def referencePagerank(dir: String): Set[(String, Long, Long)] = {
+    val custOf = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey").as[(Long, Long)].collect().toMap
+    val pairs = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").as[(Long, Long)].collect()
+      .map { case (ok, sk) => (custOf(ok) * 2, sk * 2 + 1) }.distinct
+    val edges = pairs ++ pairs.map { case (a, b) => (b, a) }
+    val outdeg = edges.groupBy(_._1).map { case (k, es) => k -> es.length.toLong }
+    var pr = edges.map(_._1).distinct.map(_ -> Q59GraphPagerank.One).toMap
+    for (_ <- 1 to Q59GraphPagerank.Iterations) {
+      val contrib = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (s, d) => contrib(d) += pr(s) / outdeg(s) }
+      pr = contrib.map { case (n, c) => n -> (150000L + 85L * c / 100L) }.toMap
+    }
+    pr.map { case (n, p) =>
+      (if (n % 2 == 0) "customer" else "supplier", n / 2, p)
+    }.toSet
+  }
+
+  test("q59 == an independent in-memory PageRank on sf0.001") {
+    val got = Q59GraphPagerank.run(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(got.length === got.toSet.size)
+    assert(got.toSet === referencePagerank(sf))
+  }
+
+  test("q59 output order is total: (rank desc, kind, entity_key)") {
+    val rows = Q59GraphPagerank.run(spark, sf)
+      .as[(String, Long, Long)].collect()
+    val resorted = rows.sortBy { case (k, e, r) => (-r, k, e) }
+    assert(rows.toSeq === resorted.toSeq)
+  }
+
+  test("q59 is run-to-run deterministic (the integer-sum argument)") {
+    val a = Q59GraphPagerank.run(spark, sf).as[(String, Long, Long)].collect()
+    val b = Q59GraphPagerank.run(spark, sf).as[(String, Long, Long)].collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  // ---- q60 ----------------------------------------------------------
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r9cdocs").toString
+    rows.map { case (id, text) => (id, text, "en", "s", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val span8 = "alpha beta gamma delta epsilon zeta eta theta"
+
+  test("q60: reflowed spans shared; unique/intra-doc-only/short docs not") {
+    val dir = writeDocs(Seq(
+      // A and B share span8, but B is REFLOWED (newline mid-span): no
+      // shared LINE (q49's blindspot), identical token windows here.
+      1L -> s"$span8 uniqueA1 uniqueA2",
+      2L -> "alpha beta gamma\ndelta epsilon zeta eta theta uniqueB1 uniqueB2",
+      // C: 10 unique tokens — windows shared with nobody.
+      3L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10",
+      // D: the same 8-token run TWICE within one doc — intra-doc
+      // repetition must not count as cross-doc sharing.
+      4L -> "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8",
+      // E: 7 tokens — below the window width, excluded entirely.
+      5L -> "e1 e2 e3 e4 e5 e6 e7"))
+    val got = Q60RepeatedSpans.run(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 1L, 1.0 / 3),   // 10 toks → 3 windows, window 1 == B's
+      (2L, 3L, 1L, 1.0 / 3),
+      (3L, 3L, 0L, 0.0),
+      (4L, 8L, 0L, 0.0)))      // 9 windows, w9 == w1 → 8 distinct, 0 shared
+  }
+
+  test("q60 on the real corpus: spans are per-doc-distinct and consistent") {
+    val df = Q60RepeatedSpans.run(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(df.nonEmpty)
+    df.foreach { case (id, n, sh, f) =>
+      assert(n > 0 && sh >= 0 && sh <= n, s"doc $id counts out of range")
+      assert(f == sh.toDouble / n, s"doc $id frac is not the exact division")
+    }
+  }
+}
