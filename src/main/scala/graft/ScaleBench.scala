@@ -105,6 +105,11 @@ object ScaleBench {
     // join crosses the split boundary, so its candidate growth tracks
     // the dedup family's blocked-join profile
     Q56ChunkWindows, Q57DeltaDedup,
+    // q60's 8-token windows inherit the dedup family's suffix
+    // disjointness (spans are pre-normalization token sequences, so
+    // copies share zero span hashes): 10x spans into 10x distinct
+    // keys — the uniform-key shuffle that must scale ~linearly
+    Q60RepeatedSpans,
     // the composed end-to-end pipeline: its ratio prices the SUM of
     // the chain's scale behaviors (dominated by the q18f closure)
     Q58TrainingShards)

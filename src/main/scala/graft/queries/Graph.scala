@@ -61,18 +61,24 @@ object Q59GraphPagerank extends GraftQuery {
   val One = 1000000L
 
   def run(spark: SparkSession, dir: String): DataFrame = {
+    // pairs persisted BEFORE the symmetric union (q18f's pattern): the
+    // union's two projections are distinct plan subtrees, so without
+    // the cache the orders⋈lineitem distinct would be computed twice.
     val pairs = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("a"),
         (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
     val edges = sym
       .join(sym.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize through the pairs cache, then drop it
+    pairs.unpersist()
     var ranks = edges.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(One))
     for (_ <- 1 to Iterations) {
