@@ -39,7 +39,8 @@ object Curation {
     "badsite.example", "spam.example", "tracker.example")
 
   val all: Seq[GraftQuery] = Seq(
-    Q50PiiRedact, Q51UrlDomains, Q52MixInterleave, Q53TokenEntropy)
+    Q50PiiRedact, Q51UrlDomains, Q52MixInterleave, Q53TokenEntropy,
+    Q61GopherRules)
 }
 
 /** Q50 — PII redaction: count and mask emails, phone numbers and IPv4
@@ -224,4 +225,131 @@ object Q53TokenEntropy extends GraftQuery {
             (a_, x_) -> a_ + x_ * ln(x_)) / n_tokens, 4) AS entropy
     FROM agg ORDER BY doc_id
   """.trim)
+}
+
+/** Q61 — the Gopher quality rules (Rae et al. 2021, Appendix A): the
+  * canonical published composite rule-set most production corpora run
+  * before model-based scoring. Each document gets the FIRST failing
+  * rule in the paper's order as its status (precedence mirrors
+  * q42's drop-reason discipline: one cheapest-condemning reason).
+  *
+  * Rules: word count ∈ [50, 100k]; mean word length ∈ [3, 10];
+  * symbol-to-word ratio ('#' chars + '...' runs) ≤ 0.1; <90% of lines
+  * bullet-started; <30% of lines ellipsis-ended; ≥80% of words
+  * containing an alphabetic char; ≥2 distinct stopwords present.
+  *
+  * Entirely per-row HOF work over one projection binding tokens and
+  * lines (the shingleSets let-binding rule) — map-only at 100 TB, like
+  * q50. Ratio outputs are single IEEE divisions of exact integers,
+  * surfaced UNROUNDED (the q55 rule), zero-guarded so an empty doc
+  * hashes as 0.0 instead of engine-specific null/NaN; the threshold
+  * comparisons therefore agree across engines because both sides
+  * compare bit-identical doubles. Stopword counting filters the
+  * 8-element literal list against the token set (never the reverse:
+  * list_intersect's dedup semantics differ subtly across engines).
+  */
+object Q61GopherRules extends GraftQuery {
+  val name = "q61_gopher_rules"
+  val MinWords = 50L
+  val MaxWords = 100000L
+  val Stopwords = Seq("the", "a", "be", "to", "of", "and", "that", "have")
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = Stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        expr(NorthStar.toksExpr).as("t"),
+        expr(NorthStar.linesExpr).as("lns"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_words"),
+        expr("aggregate(t, cast(0 as bigint), (a_, x_) -> a_ + length(x_))")
+          .as("wchars"),
+        expr("cast(size(filter(t, x_ -> x_ rlike '[A-Za-z]')) as bigint)")
+          .as("n_alpha"),
+        (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+          .cast("long").as("n_hash"),
+        expr("cast((length(text) - length(replace(text, '...', ''))) div 3 as bigint)")
+          .as("n_ellip"),
+        size(col("lns")).cast("long").as("n_lines"),
+        expr("cast(size(filter(lns, s_ -> startswith(s_, '-') or startswith(s_, '*'))) as bigint)")
+          .as("n_bullet"),
+        expr("cast(size(filter(lns, s_ -> endswith(s_, '...'))) as bigint)")
+          .as("n_ell_lines"),
+        expr(s"cast(size(filter($stopArr, s_ -> " +
+          "array_contains(transform(t, x_ -> lower(x_)), s_))) as bigint)")
+          .as("n_stopwords"))
+      .withColumn("mean_word_len",
+        when(col("n_words") === 0L, lit(0.0))
+          .otherwise(col("wchars").cast("double") / col("n_words")))
+      .withColumn("symbol_ratio",
+        when(col("n_words") === 0L, lit(0.0))
+          .otherwise((col("n_hash") + col("n_ellip")).cast("double") / col("n_words")))
+      .withColumn("alpha_frac",
+        when(col("n_words") === 0L, lit(0.0))
+          .otherwise(col("n_alpha").cast("double") / col("n_words")))
+      .withColumn("bullet_frac",
+        when(col("n_lines") === 0L, lit(0.0))
+          .otherwise(col("n_bullet").cast("double") / col("n_lines")))
+      .withColumn("ellipsis_frac",
+        when(col("n_lines") === 0L, lit(0.0))
+          .otherwise(col("n_ell_lines").cast("double") / col("n_lines")))
+      .withColumn("status",
+        when(col("n_words") < MinWords || col("n_words") > MaxWords,
+          lit("word_count"))
+          .when(col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0,
+            lit("word_length"))
+          .when(col("symbol_ratio") > 0.1, lit("symbol_ratio"))
+          .when(col("bullet_frac") > 0.9, lit("bullet_lines"))
+          .when(col("ellipsis_frac") > 0.3, lit("ellipsis_lines"))
+          .when(col("alpha_frac") < 0.8, lit("alpha_words"))
+          .when(col("n_stopwords") < 2L, lit("stopwords"))
+          .otherwise(lit("kept")))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_frac"), col("bullet_frac"),
+        col("ellipsis_frac"), col("n_stopwords"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oracle = Some {
+    val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    raw"""
+    WITH b AS (
+      SELECT doc_id, text, ${NorthStar.duckToks} AS t,
+        ${NorthStar.duckLines} AS lns
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        CAST(len(t) AS BIGINT) AS n_words,
+        CAST(COALESCE(list_sum(list_transform(t, x_ -> length(x_))), 0) AS BIGINT) AS wchars,
+        CAST(len(list_filter(t, x_ -> regexp_matches(x_, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellip,
+        CAST(len(lns) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(lns, s_ -> starts_with(s_, '-') OR starts_with(s_, '*'))) AS BIGINT) AS n_bullet,
+        CAST(len(list_filter(lns, s_ -> ends_with(s_, '...'))) AS BIGINT) AS n_ell_lines,
+        CAST(len(list_filter($stopList, s_ ->
+          list_contains(list_transform(t, x_ -> lower(x_)), s_))) AS BIGINT) AS n_stopwords
+      FROM b),
+    f AS (
+      SELECT doc_id, n_words, n_stopwords,
+        CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(wchars AS DOUBLE) / n_words END AS mean_word_len,
+        CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_hash + n_ellip AS DOUBLE) / n_words END AS symbol_ratio,
+        CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_words END AS alpha_frac,
+        CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_bullet AS DOUBLE) / n_lines END AS bullet_frac,
+        CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_ell_lines AS DOUBLE) / n_lines END AS ellipsis_frac
+      FROM s)
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+      bullet_frac, ellipsis_frac, n_stopwords,
+      CASE WHEN n_words < $MinWords OR n_words > $MaxWords THEN 'word_count'
+           WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'word_length'
+           WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+           WHEN bullet_frac > 0.9 THEN 'bullet_lines'
+           WHEN ellipsis_frac > 0.3 THEN 'ellipsis_lines'
+           WHEN alpha_frac < 0.8 THEN 'alpha_words'
+           WHEN n_stopwords < 2 THEN 'stopwords'
+           ELSE 'kept' END AS status
+    FROM f ORDER BY doc_id
+  """.trim
+  }
 }

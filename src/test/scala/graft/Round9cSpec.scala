@@ -91,6 +91,47 @@ class Round9cSpec extends SparkSpec {
       (4L, 8L, 0L, 0.0)))      // 9 windows, w9 == w1 → 8 distinct, 0 shared
   }
 
+  // ---- q61 ----------------------------------------------------------
+
+  /** 60 plain words that pass every Gopher rule: mean length in
+    * [3,10], all-alpha, stopwords 'the' and 'have' present. */
+  private val cleanText =
+    (Seq("the", "have") ++ (1 to 58).map(i => s"word$i")).mkString(" ")
+
+  test("q61: each rule fires on its crafted doc, in precedence order") {
+    val dir = writeDocs(Seq(
+      1L -> cleanText,                                  // kept
+      2L -> "too short",                                // word_count
+      3L -> (1 to 60).map(_ => "ab").mkString(" "),     // word_length (mean 2)
+      4L -> (cleanText + " " + "#" * 40),               // symbol_ratio (40/61)
+      5L -> (1 to 10).map(i => s"- item$i alpha beta gamma delta epsi")
+        .mkString("\n"),                                // bullet_lines (10/10)
+      // 10 words + '...' per line: symbol_ratio 10/110 stays ≤ 0.1
+      // (the '...' runs count there too), so the ellipsis rule is
+      // genuinely the first to fire
+      6L -> (1 to 10).map(i =>
+        s"line$i alpha beta gamma delta epsil zeta etaa theta iota ...")
+        .mkString("\n"),                                // ellipsis_lines (10/10)
+      7L -> (1 to 60).map(i => s"$i$i$i").mkString(" "), // alpha_words (0 alpha)
+      8L -> (1 to 60).map(i => s"word$i").mkString(" "), // stopwords (0 present)
+      // precedence: doc 9 fails BOTH word_length and symbol_ratio —
+      // word_length is earlier in the paper's order and must win
+      9L -> (1 to 60).map(_ => "##").mkString(" ")))
+    val got = Q61GopherRules.run(spark, dir)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "kept", 2L -> "word_count", 3L -> "word_length",
+      4L -> "symbol_ratio", 5L -> "bullet_lines", 6L -> "ellipsis_lines",
+      7L -> "alpha_words", 8L -> "stopwords", 9L -> "word_length"))
+  }
+
+  test("q61 plans map-only: no join, no aggregate before the sort") {
+    val plan = Q61GopherRules.run(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Aggregate"), plan)
+  }
+
   test("q60 on the real corpus: spans are per-doc-distinct and consistent") {
     val df = Q60RepeatedSpans.run(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
