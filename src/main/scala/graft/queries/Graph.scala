@@ -155,9 +155,14 @@ object Q60RepeatedSpans extends GraftQuery {
   val name = "q60_repeated_spans"
   val Width = 8
 
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  def run(spark: SparkSession, dir: String): DataFrame =
+    sharedSpans(Tables.documents(spark, dir))
+
+  /** Frame-based entry point (any frame with doc_id + text) — the
+    * composable surface PropertySpec drives with random corpora. */
+  private[graft] def sharedSpans(docs: DataFrame): DataFrame = {
     val w = Width
-    val spans = Tables.documents(spark, dir)
+    val spans = docs
       .select(col("doc_id"), expr(NorthStar.toksExpr).as("t"))
       .filter(size(col("t")) >= w)
       .select(col("doc_id"), explode(expr(

@@ -132,6 +132,50 @@ class Round9cSpec extends SparkSpec {
     assert(!plan.contains("Aggregate"), plan)
   }
 
+  /** q60 semantics from scratch: whitespace tokens, all 8-token
+    * windows, distinct per doc, shared iff another doc has it. */
+  private def naiveSpans(corpus: Seq[(Long, String)])
+      : Map[Long, (Long, Long, Double)] = {
+    val perDoc = corpus.map { case (id, text) =>
+      id -> text.split("\\s+").filter(_.nonEmpty).sliding(8)
+        .filter(_.length == 8).map(_.mkString(" ")).toSeq.distinct
+    }.filter(_._2.nonEmpty)
+    val docsPerSpan = perDoc.flatMap { case (id, ws) => ws.map(_ -> id) }
+      .groupBy(_._1).map { case (wdw, ds) => wdw -> ds.map(_._2).distinct.size }
+    perDoc.map { case (id, ws) =>
+      val shared = ws.count(docsPerSpan(_) >= 2).toLong
+      id -> (ws.size.toLong, shared, shared.toDouble / ws.size)
+    }.toMap
+  }
+
+  test("q60 == a naive in-memory reference on random corpora") {
+    // near-binary vocabulary: 2^8 = 256 possible windows against
+    // ~8000 cross-doc window pairs per corpus, so shared spans are
+    // near-certain — the sharing path is exercised hard, not by luck
+    val token = org.scalacheck.Gen.frequency(
+      5 -> org.scalacheck.Gen.const("aa"), 5 -> org.scalacheck.Gen.const("bb"),
+      1 -> org.scalacheck.Gen.const("cc"))
+    val docGen = org.scalacheck.Gen.chooseNum(0, 24)
+      .flatMap(n => org.scalacheck.Gen.listOfN(n, token)).map(_.mkString(" "))
+    val corpusGen = org.scalacheck.Gen.chooseNum(1, 8)
+      .flatMap(n => org.scalacheck.Gen.listOfN(n, docGen))
+    var sharedSeen = 0L
+    (0 until 10).foreach { i =>
+      val corpus = corpusGen.pureApply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)).zipWithIndex
+        .map { case (t, j) => ((j + 1).toLong, t) }
+      val df = corpus.toDF("doc_id", "text")
+      val got = Q60RepeatedSpans.sharedSpans(df)
+        .as[(Long, Long, Long, Double)].collect()
+        .map { case (id, n, s, f) => id -> (n, s, f) }.toMap
+      assert(got === naiveSpans(corpus), s"seed $i")
+      sharedSeen += got.valuesIterator.map(_._2).sum
+    }
+    // a run where no seed produced a shared span would silently test
+    // only the all-zero path — fail loudly instead
+    assert(sharedSeen > 0L, "no seed exercised the shared-span path")
+  }
+
   test("q60 on the real corpus: spans are per-doc-distinct and consistent") {
     val df = Q60RepeatedSpans.run(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
