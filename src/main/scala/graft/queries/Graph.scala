@@ -23,7 +23,8 @@ import graft.Tables
   * suffix array).
   */
 object Graph {
-  val all: Seq[GraftQuery] = Seq(Q59GraphPagerank, Q60RepeatedSpans)
+  val all: Seq[GraftQuery] =
+    Seq(Q59GraphPagerank, Q60RepeatedSpans, Q62VocabCoverage)
 }
 
 /** Q59 — PageRank over the customer↔supplier graph, 5 iterations,
@@ -198,5 +199,87 @@ object Q60RepeatedSpans extends GraftQuery {
         / COUNT(*) AS shared_span_frac
     FROM spans s JOIN byspan b ON s.span_h = b.span_h
     GROUP BY s.doc_id ORDER BY s.doc_id
+  """.trim)
+}
+
+/** Q62 — vocabulary coverage: the global word-frequency table with
+  * cumulative coverage fraction, ordered most-frequent-first — the
+  * stat a tokenizer-training pass reads to size its vocabulary ("how
+  * many types cover 95% of tokens?").
+  *
+  * The interesting part is the GLOBAL running sum. The declarative
+  * spelling — `sum(c) OVER (ORDER BY c DESC, word)` with no PARTITION
+  * BY — plans a single-partition window: every row through one task,
+  * the exact shape q52 refused. This implements the scalable
+  * alternative, the classic two-pass distributed prefix sum:
+  *
+  *   1. range-repartition + sort by the output order (Spark's own
+  *      global-sort machinery — deterministic split points);
+  *   2. pass 1: per-partition subtotals — P scalars to the driver
+  *      (q18f's scalar-only-driver-traffic rule);
+  *   3. pass 2: per-partition local prefix + broadcast offset.
+  *
+  * Every partition works in parallel in both passes; the driver sees
+  * O(P) longs, never rows. `mapPartitions` here is the (d)-tier rung
+  * used for what it is genuinely for: per-partition imperative logic
+  * (a running accumulator) that no key-partitioned window expresses.
+  * Counts are exact BIGINTs, so the prefix sums are order-exact and
+  * `cum_frac` is one unrounded IEEE division per row (the q55 rule).
+  */
+object Q62VocabCoverage extends GraftQuery {
+  val name = "q62_vocab_coverage"
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .select(lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val parted = counts
+      .repartitionByRange(col("c").desc, col("word"))
+      .sortWithinPartitions(col("c").desc, col("word"))
+      .as[(String, Long)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition subtotals (P scalars, not rows)
+    val subtotals = parted.mapPartitions { it =>
+      var s = 0L; var n = false
+      it.foreach { case (_, c) => s += c; n = true }
+      if (n) Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
+      else Iterator.empty
+    }.collect().toMap
+    val total = subtotals.valuesIterator.sum.toDouble
+    val offsets = {
+      val P = parted.rdd.getNumPartitions
+      val arr = new Array[Long](P)
+      var acc = 0L
+      for (p <- 0 until P) { arr(p) = acc; acc += subtotals.getOrElse(p, 0L) }
+      arr
+    }
+    // pass 2: local prefix + this partition's broadcast offset
+    val out = parted.mapPartitions { it =>
+      var acc = offsets(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (w, c) => acc += c; (w, c, acc, acc / total) }
+    }.toDF("word", "c", "cum_c", "cum_frac")
+      .orderBy(col("c").desc, col("word"))
+      .localCheckpoint()
+    parted.unpersist()
+    out
+  }
+
+  val oracle = Some(raw"""
+    WITH words AS (
+      SELECT lower(regexp_replace(unnest(string_split_regex(text, '\s+')),
+        '[^a-zA-Z]', '', 'g')) AS word
+      FROM documents),
+    counts AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c
+      FROM words WHERE word <> '' GROUP BY word)
+    SELECT word, c,
+      CAST(SUM(c) OVER (ORDER BY c DESC, word
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+      CAST(SUM(c) OVER (ORDER BY c DESC, word ROWS UNBOUNDED PRECEDING)
+        AS DOUBLE) / SUM(c) OVER () AS cum_frac
+    FROM counts ORDER BY c DESC, word
   """.trim)
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.queries._
 
 /** Oracle-independent invariants for the round-9 graph/span operators:
@@ -89,6 +91,31 @@ class Round9cSpec extends SparkSpec {
       (2L, 3L, 1L, 1.0 / 3),
       (3L, 3L, 0L, 0.0),
       (4L, 8L, 0L, 0.0)))      // 9 windows, w9 == w1 → 8 distinct, 0 shared
+  }
+
+  // ---- q62 ----------------------------------------------------------
+
+  test("q62 distributed prefix sum == the single-partition window spelling") {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.orderBy(col("c").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counts = Tables.documents(spark, sf01)
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .select(lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c"))).as[Long].head.toDouble
+    val reference = counts
+      .withColumn("cum_c", sum(col("c")).over(win))
+      .withColumn("cum_frac", col("cum_c").cast("double") / total)
+      .orderBy(col("c").desc, col("word"))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val got = Q62VocabCoverage.run(spark, sf01)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got === reference)
+    // the reference is the shape q62 exists to avoid — make sure the
+    // equality test actually covered a multi-partition prefix sum
+    assert(got.last._3 === total.toLong, "last cum must equal the total")
   }
 
   // ---- q61 ----------------------------------------------------------
