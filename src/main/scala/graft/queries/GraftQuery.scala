@@ -8,7 +8,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - every result has a total ORDER BY ending in a unique key;
   *  - money aggregates go through DECIMAL(18,2) (order-independent,
   *    engine-exact) and are surfaced as DOUBLE after rounding;
-  *  - float similarity/ratio outputs are ROUND(..., 4);
+  *  - genuinely-float outputs (ln/exp folds, similarity estimates)
+  *    are ROUND(..., 4); but a ratio of two exact integers is
+  *    surfaced UNROUNDED — one IEEE division is bit-deterministic,
+  *    while ROUND on it is the hazard: exact short decimals land on
+  *    halfway points that Spark (HALF_UP on the shortest decimal
+  *    repr) and DuckDB (on the binary double) round differently
+  *    (q55, −261/12000 at sf0.1);
   *  - timestamps are rendered as strings (UTC) or epoch integers —
   *    never as raw TIMESTAMP columns;
   *  - column names are identical in `run` and `oracle`.

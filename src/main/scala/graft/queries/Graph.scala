@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
-/** Q59–Q60 — graph/span operators for corpus curation at web scale.
+/** Q59–Q62 — graph/span/coverage operators for corpus curation at web
+  * scale (q62's distributed prefix sum lives here with the other
+  * driver-coordinated iteration/teardown patterns).
   *
   * Q59 is PageRank, the canonical authority score a web-crawl pipeline
   * computes over the host/domain link graph to keep high-authority
@@ -78,28 +80,30 @@ object Q59GraphPagerank extends GraftQuery {
       .join(sym.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count() // materialize through the pairs cache, then drop it
-    pairs.unpersist()
-    var ranks = edges.select(col("src").as("node")).distinct()
-      .withColumn("pr", lit(One))
-    for (_ <- 1 to Iterations) {
-      ranks = edges.join(ranks, edges("src") === ranks("node"))
-        .select(col("dst"), expr("pr div outdeg").as("contrib"))
-        .groupBy(col("dst").as("node"))
-        .agg(expr(s"150000L + (85 * sum(contrib)) div 100").as("pr"))
-    }
-    // q18f's teardown pattern: eagerly checkpoint the (tiny) rank
-    // table so the persisted edge list can be released NOW, not when
-    // some later pipeline happens to consume the plan; the global
-    // decode+sort sits downstream of the checkpoint.
-    val finalRanks = ranks.localCheckpoint(true)
-    edges.unpersist()
-    finalRanks.select(
-      when(col("node") % 2 === 0, lit("customer"))
-        .otherwise(lit("supplier")).as("kind"),
-      expr("node div 2").as("entity_key"),
-      col("pr").as("rank_micro"))
-      .orderBy(col("rank_micro").desc, col("kind"), col("entity_key"))
+    // try/finally (unpersist is idempotent): a failed job must not
+    // leak either cache into the session's remaining queries.
+    try {
+      edges.count() // materialize through the pairs cache, then drop it
+      pairs.unpersist()
+      var ranks = edges.select(col("src").as("node")).distinct()
+        .withColumn("pr", lit(One))
+      for (_ <- 1 to Iterations) {
+        ranks = edges.join(ranks, edges("src") === ranks("node"))
+          .select(col("dst"), expr("pr div outdeg").as("contrib"))
+          .groupBy(col("dst").as("node"))
+          .agg(expr(s"150000L + (85 * sum(contrib)) div 100").as("pr"))
+      }
+      // q18f's teardown pattern: eagerly checkpoint the (tiny) rank
+      // table so the persisted edge list can be released NOW, not when
+      // some later pipeline happens to consume the plan; the global
+      // decode+sort sits downstream of the checkpoint.
+      ranks.localCheckpoint(true).select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        expr("node div 2").as("entity_key"),
+        col("pr").as("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("kind"), col("entity_key"))
+    } finally { edges.unpersist(); pairs.unpersist() }
   }
 
   val oracle = Some {
@@ -160,7 +164,18 @@ object Q60RepeatedSpans extends GraftQuery {
     sharedSpans(Tables.documents(spark, dir))
 
   /** Frame-based entry point (any frame with doc_id + text) — the
-    * composable surface PropertySpec drives with random corpora. */
+    * composable surface PropertySpec drives with random corpora.
+    *
+    * The span frame is PERSISTED across its two consumers (frequency
+    * agg + join back): the branches are non-identical exchange
+    * subtrees (partial agg under one of them), so ReuseExchange can't
+    * deduplicate them and the corpus scan + window-md5 explode — the
+    * dominant cost — would run twice (the q59-pairs lesson, caught by
+    * review). The per-doc result is eagerly localCheckpoint'ed so the
+    * cache can be released before return (q18f's teardown); at real
+    * scale this materialization is the output a cleaning pass writes
+    * to storage anyway. try/finally: a failed job must not leak the
+    * cache into the session's remaining queries. */
   private[graft] def sharedSpans(docs: DataFrame): DataFrame = {
     val w = Width
     val spans = docs
@@ -169,17 +184,21 @@ object Q60RepeatedSpans extends GraftQuery {
       .select(col("doc_id"), explode(expr(
         s"array_distinct(transform(sequence(1, size(t) - ${w - 1}), " +
           s"i -> md5(concat_ws(' ', slice(t, i, $w)))))")).as("span_h"))
-    // spans is distinct per (doc_id, span_h) ⇒ count(*) == distinct docs
-    val bySpan = spans.groupBy("span_h").agg(count(lit(1)).as("n_docs"))
-    spans.join(bySpan, "span_h")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
-      .withColumn("shared_span_frac",
-        col("n_shared").cast("double") / col("n_spans"))
-      .select(col("doc_id"), col("n_spans"), col("n_shared"),
-        col("shared_span_frac"))
-      .orderBy(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // spans is distinct per (doc_id, span_h) ⇒ count(*) == distinct docs
+      val bySpan = spans.groupBy("span_h").agg(count(lit(1)).as("n_docs"))
+      spans.join(bySpan, "span_h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("shared_span_frac",
+          col("n_shared").cast("double") / col("n_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_shared"),
+          col("shared_span_frac"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally spans.unpersist()
   }
 
   // shared_span_frac is one IEEE division of two exact integers —
@@ -241,30 +260,30 @@ object Q62VocabCoverage extends GraftQuery {
       .sortWithinPartitions(col("c").desc, col("word"))
       .as[(String, Long)]
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // pass 1: per-partition subtotals (P scalars, not rows)
-    val subtotals = parted.mapPartitions { it =>
-      var s = 0L; var n = false
-      it.foreach { case (_, c) => s += c; n = true }
-      if (n) Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
-      else Iterator.empty
-    }.collect().toMap
-    val total = subtotals.valuesIterator.sum.toDouble
-    val offsets = {
-      val P = parted.rdd.getNumPartitions
-      val arr = new Array[Long](P)
-      var acc = 0L
-      for (p <- 0 until P) { arr(p) = acc; acc += subtotals.getOrElse(p, 0L) }
-      arr
-    }
-    // pass 2: local prefix + this partition's broadcast offset
-    val out = parted.mapPartitions { it =>
-      var acc = offsets(org.apache.spark.TaskContext.getPartitionId())
-      it.map { case (w, c) => acc += c; (w, c, acc, acc / total) }
-    }.toDF("word", "c", "cum_c", "cum_frac")
-      .orderBy(col("c").desc, col("word"))
-      .localCheckpoint()
-    parted.unpersist()
-    out
+    try {
+      // pass 1: per-partition subtotals (P scalars, not rows)
+      val subtotals = parted.mapPartitions { it =>
+        var s = 0L; var n = false
+        it.foreach { case (_, c) => s += c; n = true }
+        if (n) Iterator((org.apache.spark.TaskContext.getPartitionId(), s))
+        else Iterator.empty
+      }.collect().toMap
+      val total = subtotals.valuesIterator.sum.toDouble
+      val offsets = {
+        val P = parted.rdd.getNumPartitions
+        val arr = new Array[Long](P)
+        var acc = 0L
+        for (p <- 0 until P) { arr(p) = acc; acc += subtotals.getOrElse(p, 0L) }
+        arr
+      }
+      // pass 2: local prefix + this partition's broadcast offset
+      parted.mapPartitions { it =>
+        var acc = offsets(org.apache.spark.TaskContext.getPartitionId())
+        it.map { case (w, c) => acc += c; (w, c, acc, acc / total) }
+      }.toDF("word", "c", "cum_c", "cum_frac")
+        .orderBy(col("c").desc, col("word"))
+        .localCheckpoint(true)
+    } finally parted.unpersist()
   }
 
   val oracle = Some(raw"""

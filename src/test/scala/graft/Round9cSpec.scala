@@ -93,6 +93,22 @@ class Round9cSpec extends SparkSpec {
       (4L, 8L, 0L, 0.0)))      // 9 windows, w9 == w1 → 8 distinct, 0 shared
   }
 
+  // ---- cross-engine tokenizer invariant ------------------------------
+
+  /** Java regex `\s` includes vertical tab U+000B; RE2's (DuckDB's)
+    * does not. Every tokenizing query shares that latent divergence
+    * through NorthStar.toksExpr/duckToks — harmless ONLY while no
+    * fixture text carries a VT. Make the assumption a loud failure
+    * instead of a silent hash mismatch the day a fixture changes. */
+  test("fixture corpora carry no vertical tab (Java-vs-RE2 \\s divergence)") {
+    Seq(sf, sf01).foreach { dir =>
+      val n = Tables.documents(spark, dir)
+        .filter(col("text").contains("\u000B")).count()
+      assert(n === 0L, s"$dir has $n docs with U+000B — Spark and DuckDB " +
+        "tokenize these differently; align the tokenizer char classes first")
+    }
+  }
+
   // ---- q62 ----------------------------------------------------------
 
   test("q62 distributed prefix sum == the single-partition window spelling") {
