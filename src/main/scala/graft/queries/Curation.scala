@@ -5,15 +5,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
-/** Q50–Q53 — corpus-curation operators a training-data pipeline runs
-  * after dedup/decontamination: PII redaction, URL/domain policy,
-  * deterministic mixture interleaving, and token-distribution stats.
+/** Q50–Q53 + Q61 — corpus-curation operators a training-data pipeline
+  * runs after dedup/decontamination: PII redaction, URL/domain policy,
+  * deterministic mixture interleaving, token-distribution stats, and
+  * the Gopher composite quality rules.
   *
   * Cross-engine determinism follows the NorthStar rules: md5/regex
   * surfaces identical in both engines, integer arithmetic everywhere a
-  * sort key is derived, and the one floating aggregate (q53's entropy)
+  * sort key is derived, the one floating aggregate (q53's entropy)
   * folds in an explicit word-asc order so both engines add identical
-  * IEEE terms in identical sequence.
+  * IEEE terms in identical sequence, and exact-integer ratios (q53's
+  * ttr, q61's five rule ratios) are surfaced UNROUNDED per the
+  * GraftQuery contract.
   *
   * The synthetic corpus contains no PII- or URL-shaped tokens (verified
   * at sf0.01: zero digits in any text), so q50/q51 oracle rows pin the
@@ -100,8 +103,11 @@ object Q51UrlDomains extends GraftQuery {
   def run(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("urls", regexp_extract_all(col("text"), lit(UrlPat), lit(0)))
+      // drop the '' regexp_extract returns for a domain-less URL
+      // ("http:///x", "http://:8080/x") — it would otherwise count as
+      // a phantom distinct domain in both engines, consistently wrong
       .withColumn("domains",
-        expr(s"transform(urls, u_ -> lower(regexp_extract(u_, '$DomainPat', 1)))"))
+        expr(s"filter(transform(urls, u_ -> lower(regexp_extract(u_, '$DomainPat', 1))), d_ -> d_ != '')"))
       .select(
         col("doc_id"),
         size(col("urls")).cast("long").as("n_urls"),
@@ -115,8 +121,8 @@ object Q51UrlDomains extends GraftQuery {
     s"""
     WITH u AS (
       SELECT doc_id,
-        list_transform(regexp_extract_all(text, '$UrlPat'),
-          u_ -> lower(regexp_extract(u_, '$DomainPat', 1))) AS domains,
+        list_filter(list_transform(regexp_extract_all(text, '$UrlPat'),
+          u_ -> lower(regexp_extract(u_, '$DomainPat', 1))), d_ -> d_ <> '') AS domains,
         CAST(length(regexp_extract_all(text, '$UrlPat')) AS BIGINT) AS n_urls
       FROM documents)
     SELECT doc_id, n_urls,
@@ -199,7 +205,12 @@ object Q53TokenEntropy extends GraftQuery {
           "cast(0 as double), (a_, x_) -> a_ + x_ * ln(x_))"))
       .select(
         col("doc_id"), col("n_tokens"), col("n_types"),
-        round(col("n_types").cast("double") / col("n_tokens"), 4).as("ttr"),
+        // UNROUNDED: a ratio of two exact integers is one
+        // bit-deterministic IEEE division; ROUND(…, 4) on it is the
+        // q55 halfway-point hazard (e.g. 87/4000 = 0.02175 rounds
+        // 0.0218 in Spark, 0.0217 in DuckDB). entropy stays rounded —
+        // it is a genuinely-float ln fold.
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
         round(log(col("n_tokens").cast("double")) - col("slc") / col("n_tokens"), 4)
           .as("entropy"))
       .orderBy(col("doc_id"))
@@ -219,7 +230,7 @@ object Q53TokenEntropy extends GraftQuery {
         list(CAST(c AS DOUBLE) ORDER BY word ASC) AS cs
       FROM byword GROUP BY doc_id)
     SELECT doc_id, n_tokens, n_types,
-      round(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
+      CAST(n_types AS DOUBLE) / n_tokens AS ttr,
       round(ln(CAST(n_tokens AS DOUBLE))
         - list_reduce(list_prepend(CAST(0 AS DOUBLE), cs),
             (a_, x_) -> a_ + x_ * ln(x_)) / n_tokens, 4) AS entropy
@@ -234,19 +245,30 @@ object Q53TokenEntropy extends GraftQuery {
   * q42's drop-reason discipline: one cheapest-condemning reason).
   *
   * Rules: word count ∈ [50, 100k]; mean word length ∈ [3, 10];
-  * symbol-to-word ratio ('#' chars + '...' runs) ≤ 0.1; <90% of lines
+  * hash-symbol-to-word ratio ≤ 0.1 AND '...'-run-to-word ratio ≤ 0.1
+  * (the paper thresholds EACH symbol separately — a doc at 0.06+0.06
+  * passes, a summed ratio would wrongly condemn it); <90% of lines
   * bullet-started; <30% of lines ellipsis-ended; ≥80% of words
   * containing an alphabetic char; ≥2 distinct stopwords present.
   *
-  * Entirely per-row HOF work over one projection binding tokens and
-  * lines (the shingleSets let-binding rule) — map-only at 100 TB, like
-  * q50. Ratio outputs are single IEEE divisions of exact integers,
-  * surfaced UNROUNDED (the q55 rule), zero-guarded so an empty doc
-  * hashes as 0.0 instead of engine-specific null/NaN; the threshold
-  * comparisons therefore agree across engines because both sides
-  * compare bit-identical doubles. Stopword counting filters the
-  * 8-element literal list against the token set (never the reverse:
-  * list_intersect's dedup semantics differ subtly across engines).
+  * One DELIBERATE deviation from App. A: the stopword list swaps the
+  * paper's "with" for "a" — the synthetic corpus vocabulary contains
+  * "the" and "a" but none of the paper's other six, so the paper's
+  * exact list would tag every long fixture doc 'stopwords' and the
+  * kept path would only ever run in crafted tests. A production run
+  * swaps the literal list back.
+  *
+  * Entirely per-row HOF work over one projection binding tokens,
+  * lines, and the LOWERED token array (bound once — 8 stopword probes
+  * reference it; an inline transform would re-lowercase per probe) —
+  * map-only at 100 TB, like q50. Ratio outputs are single IEEE
+  * divisions of exact integers, surfaced UNROUNDED (the q55 rule),
+  * zero-guarded so an empty doc hashes as 0.0 instead of
+  * engine-specific null/NaN; the threshold comparisons therefore
+  * agree across engines because both sides compare bit-identical
+  * doubles. Stopword counting filters the 8-element literal list
+  * against the token set (never the reverse: list_intersect's dedup
+  * semantics differ subtly across engines).
   */
 object Q61GopherRules extends GraftQuery {
   val name = "q61_gopher_rules"
@@ -260,6 +282,7 @@ object Q61GopherRules extends GraftQuery {
       .select(col("doc_id"), col("text"),
         expr(NorthStar.toksExpr).as("t"),
         expr(NorthStar.linesExpr).as("lns"))
+      .withColumn("tl", expr("transform(t, x_ -> lower(x_))"))
       .select(
         col("doc_id"),
         size(col("t")).cast("long").as("n_words"),
@@ -277,14 +300,17 @@ object Q61GopherRules extends GraftQuery {
         expr("cast(size(filter(lns, s_ -> endswith(s_, '...'))) as bigint)")
           .as("n_ell_lines"),
         expr(s"cast(size(filter($stopArr, s_ -> " +
-          "array_contains(transform(t, x_ -> lower(x_)), s_))) as bigint)")
+          "array_contains(tl, s_))) as bigint)")
           .as("n_stopwords"))
       .withColumn("mean_word_len",
         when(col("n_words") === 0L, lit(0.0))
           .otherwise(col("wchars").cast("double") / col("n_words")))
-      .withColumn("symbol_ratio",
+      .withColumn("hash_ratio",
         when(col("n_words") === 0L, lit(0.0))
-          .otherwise((col("n_hash") + col("n_ellip")).cast("double") / col("n_words")))
+          .otherwise(col("n_hash").cast("double") / col("n_words")))
+      .withColumn("ellipsis_ratio",
+        when(col("n_words") === 0L, lit(0.0))
+          .otherwise(col("n_ellip").cast("double") / col("n_words")))
       .withColumn("alpha_frac",
         when(col("n_words") === 0L, lit(0.0))
           .otherwise(col("n_alpha").cast("double") / col("n_words")))
@@ -299,15 +325,17 @@ object Q61GopherRules extends GraftQuery {
           lit("word_count"))
           .when(col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0,
             lit("word_length"))
-          .when(col("symbol_ratio") > 0.1, lit("symbol_ratio"))
+          .when(col("hash_ratio") > 0.1 || col("ellipsis_ratio") > 0.1,
+            lit("symbol_ratio"))
           .when(col("bullet_frac") > 0.9, lit("bullet_lines"))
           .when(col("ellipsis_frac") > 0.3, lit("ellipsis_lines"))
           .when(col("alpha_frac") < 0.8, lit("alpha_words"))
           .when(col("n_stopwords") < 2L, lit("stopwords"))
           .otherwise(lit("kept")))
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
-        col("symbol_ratio"), col("alpha_frac"), col("bullet_frac"),
-        col("ellipsis_frac"), col("n_stopwords"), col("status"))
+        col("hash_ratio"), col("ellipsis_ratio"), col("alpha_frac"),
+        col("bullet_frac"), col("ellipsis_frac"), col("n_stopwords"),
+        col("status"))
       .orderBy(col("doc_id"))
   }
 
@@ -334,16 +362,17 @@ object Q61GopherRules extends GraftQuery {
     f AS (
       SELECT doc_id, n_words, n_stopwords,
         CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(wchars AS DOUBLE) / n_words END AS mean_word_len,
-        CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_hash + n_ellip AS DOUBLE) / n_words END AS symbol_ratio,
+        CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_hash AS DOUBLE) / n_words END AS hash_ratio,
+        CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_ellip AS DOUBLE) / n_words END AS ellipsis_ratio,
         CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_words END AS alpha_frac,
         CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_bullet AS DOUBLE) / n_lines END AS bullet_frac,
         CASE WHEN n_lines = 0 THEN 0.0 ELSE CAST(n_ell_lines AS DOUBLE) / n_lines END AS ellipsis_frac
       FROM s)
-    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
-      bullet_frac, ellipsis_frac, n_stopwords,
+    SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+      alpha_frac, bullet_frac, ellipsis_frac, n_stopwords,
       CASE WHEN n_words < $MinWords OR n_words > $MaxWords THEN 'word_count'
            WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'word_length'
-           WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+           WHEN hash_ratio > 0.1 OR ellipsis_ratio > 0.1 THEN 'symbol_ratio'
            WHEN bullet_frac > 0.9 THEN 'bullet_lines'
            WHEN ellipsis_frac > 0.3 THEN 'ellipsis_lines'
            WHEN alpha_frac < 0.8 THEN 'alpha_words'
