@@ -16,9 +16,10 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private lazy val plans: Seq[(String, String)] =
+  private lazy val plans: Seq[(String, String, org.apache.spark.sql.types.StructType)] =
     GraftQueryAudit.batchQueries.map { q =>
-      q.name -> q.run(spark, dir).queryExecution.executedPlan.toString()
+      val df = q.run(spark, dir)
+      (q.name, df.queryExecution.executedPlan.toString(), df.schema)
     }
 
   /** Queries whose plan legitimately carries a BroadcastNestedLoopJoin:
@@ -36,16 +37,40 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no batch query plans a cartesian product") {
     assert(plans.nonEmpty)
-    plans.foreach { case (name, plan) =>
+    plans.foreach { case (name, plan, _) =>
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product")
     }
   }
 
   test("nested-loop joins appear only as known 1-row broadcasts") {
-    plans.filterNot(p => oneRowBroadcasts(p._1)).foreach { case (name, plan) =>
+    plans.filterNot(p => oneRowBroadcasts(p._1)).foreach { case (name, plan, _) =>
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans an unexpected nested-loop join")
+    }
+  }
+
+  test("output schemas honor the driver-hash contract") {
+    // GraftQuery doc: column names identical in run and oracle (the
+    // compare sorts columns by NAME), lowercase snake_case so DuckDB
+    // never case-folds them apart; no raw TIMESTAMP surfaces (engines
+    // disagree on zone/precision rendering — render as string/epoch).
+    val snake = "^[a-z][a-z0-9_]*$".r
+    // q28's pivot columns derive from DATA values ("F"/"O"/"P" order
+    // statuses → F_n, F_total, …); its oracle spells them identically
+    // and case-sensitively, hash-green since round 3 — the only
+    // sanctioned departure from lowercase.
+    val dataDerived = "^[A-Z]_(n|total)$".r
+    plans.foreach { case (name, _, schema) =>
+      schema.fields.foreach { f =>
+        assert(snake.pattern.matcher(f.name).matches() ||
+          (name == "q28_pivot" && dataDerived.pattern.matcher(f.name).matches()),
+          s"$name column '${f.name}' is not lowercase snake_case")
+        assert(!f.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType],
+          s"$name column '${f.name}' surfaces a raw TIMESTAMP")
+      }
+      assert(schema.fields.map(_.name).distinct.length === schema.fields.length,
+        s"$name has duplicate column names — the sorted-by-name hash is ambiguous")
     }
   }
 
