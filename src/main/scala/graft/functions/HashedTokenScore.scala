@@ -14,8 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * has no model); the hashing-trick feature map, the integer-exact
   * scoring contract, and the Spark plumbing are real:
   *
-  *  - tokens are maximal runs between ASCII `\s` whitespace
-  *    (space, \t, \n, \x0B, \f, \r — exactly Java/RE2 `\s`);
+  *  - tokens are maximal runs between ASCII whitespace
+  *    (space, \t, \n, \x0B, \f, \r — exactly Java `\s`; NOTE RE2's
+  *    `\s` — DuckDB — excludes \x0B, so the shared-oracle parity
+  *    holds only while no fixture text carries a vertical tab, an
+  *    invariant Round9cSpec pins loudly for the corpora);
   *  - within a token only letters count, lowercased (the corpus
   *    normalization every text query here shares); a token with no
   *    letters vanishes, other bytes never split a token;

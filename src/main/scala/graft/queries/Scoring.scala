@@ -4,16 +4,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Q54–Q55 — model-driven document scoring, the two passes a corpus
-  * pipeline runs between cleaning and mixing: an n-gram language-model
-  * perplexity filter (CCNet-style — score every document against an
-  * LM trained on the corpus itself, drop the tail) and a hashed-feature
-  * linear quality classifier (fastText-style).
+/** Q54–Q56 — model-driven document scoring and chunking: an n-gram
+  * language-model perplexity filter (CCNet-style — score every
+  * document against an LM trained on the corpus itself, drop the
+  * tail), a hashed-feature linear quality classifier (fastText-style),
+  * and context-window chunking. `Scoring.all` is ALSO the registration
+  * point for q57 (DeltaDedup.scala) and q58 (Pipeline.scala) — a new
+  * query in those files must be added HERE to reach SparkEntry.
   *
   * Float determinism follows the q53 rules: every per-doc float
   * aggregate folds in an explicit key order (so both engines add
   * identical IEEE terms in identical sequence), integer arithmetic
-  * everywhere a verdict is derived, ROUND(..., 4) on surfaced floats.
+  * everywhere a verdict is derived, ROUND(..., 4) on genuinely-float
+  * surfaces (exact-integer ratios stay UNROUNDED per the GraftQuery
+  * contract).
   */
 object Scoring {
   /** q53's corpus normalization: whitespace tokens → letters-only,
@@ -86,8 +90,10 @@ object Q56ChunkWindows extends GraftQuery {
   *
   * Scale shape: the exploded bigram stream is aggregated ONCE, into
   * the per-doc distinct counts dc — everything else derives from that
-  * much smaller frame: c2(w1,w2) = Σ_docs dc, and c1(w1) = Σ_w2 c2
-  * (a rollup of a rollup — no second pass over the corpus). A naive
+  * much smaller frame: c2(w1,w2) = Σ_docs dc, and c1(w1) = Σ_docs dc
+  * rolled up DIRECTLY from dc (not from c2 — the c1-from-c2 chain
+  * broke exchange-reuse canonicalization and re-derived the corpus
+  * scan; see the inline comment at the lm1 definition). A naive
   * formulation would re-derive the explode for each of c2/c1/dc,
   * i.e. three corpus scans; this one pays one (plus a cheap token
   * scan for the vocabulary scalar, a 1-row broadcast — q19's
@@ -146,9 +152,13 @@ object Q54LmPerplexity extends GraftQuery {
         // float fold below is order-deterministic
         sort_array(collect_list(struct(col("w1"), col("w2"), col("term"))))
           .as("ts"))
+      // + 0.0 normalizes the -0.0 a degenerate all-one-word corpus
+      // produces (every term exactly 0 → negated sum is -0.0): Spark's
+      // round() drops the sign via BigDecimal, DuckDB's keeps it — the
+      // addition makes both engines carry +0.0 before rounding.
       .withColumn("nllu", expr(
         "-aggregate(transform(ts, x_ -> x_.term), cast(0 as double), " +
-          "(a_, x_) -> a_ + x_) / n_bigrams"))
+          "(a_, x_) -> a_ + x_) / n_bigrams + 0.0d"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("nllu"), 4).as("nll"),
         round(exp(col("nllu")), 4).as("ppl"))
@@ -179,7 +189,7 @@ object Q54LmPerplexity extends GraftQuery {
     fin AS (
       SELECT doc_id, n_bigrams,
         -list_reduce(list_prepend(CAST(0 AS DOUBLE), ts),
-          (a_, x_) -> a_ + x_) / n_bigrams AS nllu
+          (a_, x_) -> a_ + x_) / n_bigrams + 0.0 AS nllu
       FROM agg)
     SELECT doc_id, n_bigrams, round(nllu, 4) AS nll, round(exp(nllu), 4) AS ppl
     FROM fin ORDER BY doc_id
@@ -217,7 +227,9 @@ object Q55ClassifierScore extends GraftQuery {
         when(col("n_toks") === 0, 0.0d)
           .otherwise(col("score_num").cast("double") /
             (col("n_toks") * 500.0d)).as("score"),
-        (col("score_num") >= 0).as("keep"))
+        // a zero-token doc (pure digits/punctuation) is junk, not a
+        // neutral score-0 pass — the gate requires tokens to judge
+        (col("n_toks") > 0 && col("score_num") >= 0).as("keep"))
       .orderBy(col("doc_id"))
 
   val oracle = Some(raw"""
@@ -237,7 +249,7 @@ object Q55ClassifierScore extends GraftQuery {
     SELECT doc_id, n_toks, score_num,
       CASE WHEN n_toks = 0 THEN 0.0
            ELSE CAST(score_num AS DOUBLE) / (n_toks * 500.0) END AS score,
-      score_num >= 0 AS keep
+      n_toks > 0 AND score_num >= 0 AS keep
     FROM a ORDER BY doc_id
   """.trim)
 }
