@@ -18,7 +18,8 @@ import graft.functions.{RankedOrder, TopKOrdersAgg}
 object Analytics {
   val all: Seq[GraftQuery] = Seq(
     Q7bTopKAgg, Q35Unpivot, Q36StatsMoments, Q37DateSpine,
-    Q38WindowDistribution, Q39FuzzyMatch, Q40TrainTestSplit, Q41ArgMax)
+    Q38WindowDistribution, Q39FuzzyMatch, Q40TrainTestSplit, Q41ArgMax,
+    Q63GapFill)
 }
 
 /** Q7b — q7's per-customer top-3 through the bounded typed
@@ -314,5 +315,106 @@ object Q39FuzzyMatch extends GraftQuery {
     FROM n a JOIN n b ON a.tok = b.tok AND a.p_name < b.p_name
     WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4
     ORDER BY name_a, name_b
+  """.trim)
+}
+
+/** Q63 — time-series gap fill + linear interpolation: every user's
+  * daily reading series aligned to the global calendar spine, missing
+  * days filled by linear interpolation between the neighboring
+  * observations (edges forward-/back-filled) — the feature-pipeline
+  * resample step (sensor/metric series into a dense training matrix).
+  *
+  * Determinism: the per-day sample is `min_by(value, event_id)` — ONE
+  * stored double picked by a total key, never an order-dependent
+  * float SUM/AVG. The interpolation is the identical expression tree
+  * in both engines over identical operands (one exact-integer day
+  * ratio, one multiply, one add — no reassociation), so outputs are
+  * bit-deterministic UNROUNDED. Spine bounds are two driver scalars
+  * (q62's rule), so the per-user spine is explode(sequence(...)) —
+  * no cartesian join, no 1-row broadcast. Windows are PARTITIONed BY
+  * user — key-parallel, never global. prev/next pairs are consistent
+  * because `reading IS NULL ⇔ the CASE'd day IS NULL`: the IGNORE
+  * NULLS pair picks the same row.
+  */
+object Q63GapFill extends GraftQuery {
+  val name = "q63_gap_fill"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("value"), col("event_id"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(min_by(col("value"), col("event_id")).as("reading"))
+    val Array(lo, hi) = daily.agg(min(col("day")), max(col("day")))
+      .head().toSeq.map(_.toString).toArray
+    val spine = daily.select(col("user_id")).distinct()
+      .select(col("user_id"), explode(expr(
+        s"sequence(to_date('$lo'), to_date('$hi'), interval 1 day)")).as("day"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val obsDay = when(col("reading").isNotNull, col("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("prev_v", last(col("reading"), ignoreNulls = true).over(wPrev))
+      .withColumn("prev_day", last(obsDay, ignoreNulls = true).over(wPrev))
+      .withColumn("next_v", first(col("reading"), ignoreNulls = true).over(wNext))
+      .withColumn("next_day", first(obsDay, ignoreNulls = true).over(wNext))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        when(col("reading").isNotNull, col("reading"))
+          .when(col("prev_v").isNotNull && col("next_v").isNotNull,
+            col("prev_v") + (col("next_v") - col("prev_v")) *
+              (datediff(col("day"), col("prev_day")).cast("double") /
+                datediff(col("next_day"), col("prev_day"))))
+          .when(col("prev_v").isNotNull, col("prev_v"))
+          .otherwise(col("next_v")).as("value"),
+        when(col("reading").isNotNull, lit("observed"))
+          .when(col("prev_v").isNotNull && col("next_v").isNotNull,
+            lit("interpolated"))
+          .when(col("prev_v").isNotNull, lit("ffill"))
+          .otherwise(lit("bfill")).as("source"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val oracle = Some("""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+        arg_min(value, event_id) AS reading
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    spine AS (
+      SELECT u.user_id, CAST(unnest(generate_series(
+        (SELECT lo FROM b), (SELECT hi FROM b), INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM daily) u),
+    j AS (SELECT s.user_id, s.day, d.reading
+          FROM spine s LEFT JOIN daily d
+          ON s.user_id = d.user_id AND s.day = d.day),
+    w AS (
+      SELECT user_id, day, reading,
+        last_value(reading IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+        last_value(CASE WHEN reading IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_day,
+        first_value(reading IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+        first_value(CASE WHEN reading IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_day
+      FROM j)
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+      CASE WHEN reading IS NOT NULL THEN reading
+           WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+             prev_v + (next_v - prev_v) *
+               (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                 / date_diff('day', prev_day, next_day))
+           WHEN prev_v IS NOT NULL THEN prev_v
+           ELSE next_v END AS value,
+      CASE WHEN reading IS NOT NULL THEN 'observed'
+           WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN 'interpolated'
+           WHEN prev_v IS NOT NULL THEN 'ffill'
+           ELSE 'bfill' END AS source
+    FROM w ORDER BY user_id, day
   """.trim)
 }

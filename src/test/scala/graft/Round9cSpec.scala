@@ -93,6 +93,36 @@ class Round9cSpec extends SparkSpec {
       (4L, 8L, 0L, 0.0)))      // 9 windows, w9 == w1 → 8 distinct, 0 shared
   }
 
+  // ---- q63 ----------------------------------------------------------
+
+  test("q63: interpolation/ffill/bfill/min_by are exact on a crafted series") {
+    val dir = java.nio.file.Files.createTempDirectory("r9cev").toString
+    def ts(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-02-0$d $h%02d:00:00")
+    Seq(
+      (1L, ts(1, 0), 1L, "m", 10.0, "{}"),
+      // same user+day, LARGER event_id: min_by must ignore it
+      (2L, ts(1, 5), 1L, "m", 99.0, "{}"),
+      (3L, ts(3, 0), 1L, "m", 30.0, "{}"),
+      (4L, ts(4, 0), 1L, "m", 41.0, "{}"),
+      (5L, ts(3, 0), 2L, "m", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Q63GapFill.run(spark, dir)
+      .as[(Long, String, Double, String)].collect().toSeq
+    // the day-2 gap is half of an exact 20.0 delta, so the
+    // interpolated value is IEEE-exact, not approximately 20
+    assert(got === Seq(
+      (1L, "2024-02-01", 10.0, "observed"),
+      (1L, "2024-02-02", 20.0, "interpolated"),
+      (1L, "2024-02-03", 30.0, "observed"),
+      (1L, "2024-02-04", 41.0, "observed"),
+      (2L, "2024-02-01", 7.0, "bfill"),
+      (2L, "2024-02-02", 7.0, "bfill"),
+      (2L, "2024-02-03", 7.0, "observed"),
+      (2L, "2024-02-04", 7.0, "ffill")))
+  }
+
   // ---- cross-engine tokenizer invariant ------------------------------
 
   /** Java regex `\s` includes vertical tab U+000B; RE2's (DuckDB's)
