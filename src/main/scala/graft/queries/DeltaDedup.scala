@@ -51,13 +51,16 @@ object Q57DeltaDedup extends GraftQuery {
       .groupBy(col("d.doc_id").as("doc_id"))
       .agg(min(col("b.doc_id")).as("exact_base"))
     // undirected MinHash candidates (q18b's pipeline, signatures
-    // computed once for both sides), then keep cross-split pairs and
-    // orient them delta → base
+    // computed once for both sides); the split labels ride INTO the
+    // band join so within-split pairs die before the 32-term verify
+    // and pair-dedup shuffle (~2/3 of candidates under the 13/16
+    // split), and the surviving cross-split pairs are oriented
+    // delta → base via the same narrow label frame
     val split = docs.select(col("doc_id"), col("split"))
-    val pairs = Q18bDedupMinHash.pairsFrom(NorthStar.shingleSets(spark, dir))
+    val pairs = Q18bDedupMinHash
+      .pairsFrom(NorthStar.shingleSets(spark, dir), Some(split))
       .join(split.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(split.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .filter(col("sa.split") =!= col("sb.split"))
       .select(
         when(col("sa.split") === "test", col("doc_a")).otherwise(col("doc_b"))
           .as("delta_id"),

@@ -283,7 +283,19 @@ object Q18bDedupMinHash extends GraftQuery {
     * a range-partitioning sampling pass that re-runs the whole
     * signature pipeline a second time, and q18f anchors the shingle
     * frame so its two pair pipelines share one computation). */
-  private[queries] def pairsFrom(shingles: DataFrame): DataFrame = {
+  private[queries] def pairsFrom(shingles: DataFrame): DataFrame =
+    pairsFrom(shingles, None)
+
+  /** `crossOnly`: a narrow (doc_id, split) frame — when present, the
+    * band join keeps only pairs whose sides carry DIFFERENT split
+    * labels, BEFORE the 32-term verify and the pair-dedup shuffle.
+    * q57 needs only cross-split (delta↔base) pairs; with a 13/16
+    * train split roughly two-thirds of band candidates are
+    * within-split and verifying them first just to discard them was
+    * the near-tier's dominant wasted cost (round-9 review finding).
+    * Output schema is unchanged — the label column never escapes. */
+  private[queries] def pairsFrom(
+      shingles: DataFrame, crossOnly: Option[DataFrame]): DataFrame = {
     // Signature stage as explode + 32 flat codegen'd min aggregations
     // (the q18c vote-sum pattern): each shingle becomes a row, is
     // md5-hashed ONCE via native conv() (codegen'd — the interpreted
@@ -313,15 +325,20 @@ object Q18bDedupMinHash extends GraftQuery {
     // sig rides along through the band join: Spark does not share DAG
     // subtrees, so separate sa/sb join branches would re-run the whole
     // signature pipeline twice more.
-    val bands = sig.select(col("doc_id"), col("sig"), explode(expr(let("sg", "sig",
+    val bands0 = sig.select(col("doc_id"), col("sig"), explode(expr(let("sg", "sig",
       "transform(sequence(0,7), j -> concat_ws(',', cast(j as string), " +
         "element_at(sg,4*j+1), element_at(sg,4*j+2), element_at(sg,4*j+3), element_at(sg,4*j+4)))")))
       .as("bkey"))
+    val bands = crossOnly.fold(bands0)(lbl => bands0.join(lbl, "doc_id"))
     // codegen'd 32-term match count (no per-pair interpreted HOF)
     val matches = (1 to 32)
       .map(i => s"IF(element_at(sa, $i) = element_at(sb, $i), 1, 0)").mkString(" + ")
+    val baseCond = col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id")
+    val joinCond =
+      if (crossOnly.isDefined) baseCond && col("a.split") =!= col("b.split")
+      else baseCond
     bands.as("a")
-      .join(bands.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .join(bands.as("b"), joinCond)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sa"), col("b.sig").as("sb"))
       .dropDuplicates("doc_a", "doc_b")

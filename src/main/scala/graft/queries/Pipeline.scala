@@ -24,8 +24,9 @@ import graft.Tables
   */
 object Q58TrainingShards extends GraftQuery {
   val name = "q58_training_shards"
-  private val W = 32
-  private val S = 24
+  // the tiling IS q56's — one definition (Scoring.scala), zero drift
+  private def W = Q56ChunkWindows.W
+  private def S = Q56ChunkWindows.S
   /** Tokens per shard. Tiny to exercise multi-shard packing at
     * fixture scale; a real run sets sequence-count × context. */
   private val Budget = 1024
@@ -40,9 +41,12 @@ object Q58TrainingShards extends GraftQuery {
       .join(kept, Seq("doc_id"))
       .select(col("doc_id"), col("lang"),
         explode(expr(
-          s"transform(sequence(0, (greatest(size(t) - $W, 0) + $S - 1) div $S), " +
+          // ct arithmetically: k·S < size(t) for every generated k, so
+          // the count is least(W, size(t) − k·S) — no W-element array
+          // materialized per chunk just to take its size
+          s"transform(${Q56ChunkWindows.chunkIdsExpr}, " +
             s"k -> named_struct('cid', cast(k as int), " +
-            s"'ct', cast(size(slice(t, k * $S + 1, $W)) as bigint)))")).as("c"))
+            s"'ct', cast(least($W, size(t) - k * $S) as bigint)))")).as("c"))
       .select(col("doc_id"), col("lang"),
         col("c.cid").as("chunk_id"), col("c.ct").as("ct"))
     val w = Window.partitionBy(col("lang"))

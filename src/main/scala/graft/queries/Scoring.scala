@@ -45,15 +45,22 @@ object Scoring {
   * shuffle grows with document LENGTH, only with document count. */
 object Q56ChunkWindows extends GraftQuery {
   val name = "q56_chunk_windows"
-  private val W = 32
-  private val S = 24
+  /** Window geometry — ALSO consumed by q58's assembly tail
+    * (Pipeline.scala): one definition, so the tiling can never drift
+    * between "the chunking query" and "the pipeline that chunks". */
+  private[queries] val W = 32
+  private[queries] val S = 24
+  /** Chunk count over a bound token array `t`, integer-ceil:
+    * (max(n−W,0)+S−1) div S + 1 — shared with q58's explode. */
+  private[queries] def chunkIdsExpr: String =
+    s"sequence(0, (greatest(size(t) - $W, 0) + $S - 1) div $S)"
   def run(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), expr(NorthStar.toksExpr).as("t"))
       .filter(size(col("t")) >= 1)
       .select(col("doc_id"), size(col("t")).as("n_tokens"),
         explode(expr(
-          s"transform(sequence(0, (greatest(size(t) - $W, 0) + $S - 1) div $S), " +
+          s"transform($chunkIdsExpr, " +
             s"k -> named_struct('cid', cast(k as int), " +
             s"'start', cast(k * $S + 1 as int), " +
             s"'toks', slice(t, k * $S + 1, $W)))")).as("c"))
