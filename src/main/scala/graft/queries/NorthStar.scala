@@ -45,6 +45,18 @@ object NorthStar {
   /** md5-based shingle hash over SQL variable `v`. */
   private[graft] def shingleHashExpr(v: String): String =
     s"cast(conv(substring(md5($v), 1, 15), 16, 10) as bigint) % $MinhashP"
+  /** 8 band keys (4 signature slots each) over signature array `sig` —
+    * the banding GEOMETRY, shared by q18b's flat-agg pipeline and
+    * s12's per-row pipeline like the constants above: band width/count
+    * changed in one place changes every tier or none. */
+  private[graft] def bandKeysExpr(sig: String): String =
+    s"transform(sequence(0, 7), j_ -> concat_ws(',', cast(j_ as string), " +
+      s"element_at($sig, 4*j_+1), element_at($sig, 4*j_+2), " +
+      s"element_at($sig, 4*j_+3), element_at($sig, 4*j_+4)))"
+  /** Codegen'd 32-term signature match count between arrays `a`/`b`. */
+  private[graft] def matchCountExpr(a: String, b: String): String = (1 to 32)
+    .map(i => s"IF(element_at($a, $i) = element_at($b, $i), 1, 0)")
+    .mkString(" + ")
 
   /** Whitespace tokens, empties dropped (reference tokenizer, R4/R6). */
   private[graft] val toksExpr = "filter(split(text, '\\\\s+'), t -> t != '')"
@@ -325,14 +337,11 @@ object Q18bDedupMinHash extends GraftQuery {
     // sig rides along through the band join: Spark does not share DAG
     // subtrees, so separate sa/sb join branches would re-run the whole
     // signature pipeline twice more.
-    val bands0 = sig.select(col("doc_id"), col("sig"), explode(expr(let("sg", "sig",
-      "transform(sequence(0,7), j -> concat_ws(',', cast(j as string), " +
-        "element_at(sg,4*j+1), element_at(sg,4*j+2), element_at(sg,4*j+3), element_at(sg,4*j+4)))")))
-      .as("bkey"))
+    val bands0 = sig.select(col("doc_id"), col("sig"),
+      explode(expr(let("sg", "sig", NorthStar.bandKeysExpr("sg")))).as("bkey"))
     val bands = crossOnly.fold(bands0)(lbl => bands0.join(lbl, "doc_id"))
     // codegen'd 32-term match count (no per-pair interpreted HOF)
-    val matches = (1 to 32)
-      .map(i => s"IF(element_at(sa, $i) = element_at(sb, $i), 1, 0)").mkString(" + ")
+    val matches = NorthStar.matchCountExpr("sa", "sb")
     val baseCond = col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id")
     val joinCond =
       if (crossOnly.isDefined) baseCond && col("a.split") =!= col("b.split")

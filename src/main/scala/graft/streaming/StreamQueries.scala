@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.{Engine, Tables}
+import graft.Engine
 import graft.queries.GraftQuery
 
 /** S1–S6 as driver-checkable queries: each builds a REAL file-source
@@ -38,7 +38,11 @@ object StreamQueries {
     * count is fixed into the checkpoint at first start — size it for
     * peak state there.) */
   private[graft] def runToBatch(spark: SparkSession, stream: DataFrame,
-                                mode: String): DataFrame = {
+                                mode: String): DataFrame = this.synchronized {
+    // synchronized: the save/set/restore of the GLOBAL shuffle-
+    // partitions conf is not re-entrant — two interleaved calls would
+    // restore the scoped '8' as the session default for everything
+    // after (review finding). Streaming runs are sequential anyway.
     val name = s"graft_stream_${runId.incrementAndGet()}"
     val partsKey = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(partsKey)
@@ -48,7 +52,12 @@ object StreamQueries {
         .outputMode(mode).start()
       try { q.processAllAvailable() } finally { q.stop() }
     } finally spark.conf.set(partsKey, before)
-    spark.table(name)
+    // localCheckpoint then drop the view: the memory sink pins a full
+    // result copy in the driver for the SESSION lifetime otherwise —
+    // one leaked table per streaming run (bench: 12 queries × reruns).
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** File-source stream over `events` with the same ns→µs timestamp
@@ -180,8 +189,11 @@ object S5Dedup extends GraftQuery {
   import StreamQueries._
   val name = "s5_stream_dedup"
   def run(spark: SparkSession, dir: String): DataFrame = {
+    // self-union: one file source feeding two plan branches (the
+    // s8/s10 shape) — a second eventsStream() would register and scan
+    // an entire second source every trigger for identical rows
     val s = eventsStream(spark, dir)
-    val doubled = s.union(eventsStream(spark, dir))
+    val doubled = s.union(s)
     runToBatch(spark, Streams.dedupByEventId(doubled), "append")
       .select(col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
@@ -425,47 +437,60 @@ object S12StreamDeltaDedup extends GraftQuery {
     s"transform(sequence(1, 32), i_ -> array_min(transform(hs, h_ -> " +
       s"(((${NorthStar.MinhashA} * i_) % ${NorthStar.MinhashP}) * h_ + " +
       s"((${NorthStar.MinhashB} * i_ + 7) % ${NorthStar.MinhashP})) % ${NorthStar.MinhashP})))"
-  private val bandsExpr =
-    "transform(sequence(0, 7), j_ -> concat_ws(',', cast(j_ as string), " +
-      "element_at(sig, 4*j_+1), element_at(sig, 4*j_+2), " +
-      "element_at(sig, 4*j_+3), element_at(sig, 4*j_+4)))"
-  private val matchesExpr = (1 to 32)
-    .map(i => s"IF(element_at(dsig, $i) = element_at(bsig, $i), 1, 0)")
-    .mkString(" + ")
+  // band geometry + match count are NorthStar's shared builders —
+  // q18b, s12 and the oracle can only change banding together
+  private val bandsExpr = NorthStar.bandKeysExpr("sig")
+  private val matchesExpr = NorthStar.matchCountExpr("dsig", "bsig")
 
-  /** (doc_id, sig, bkey) — one row per band of each doc with >= 3
-    * tokens; works on a static OR streaming frame. */
-  private def bandFrame(docs: DataFrame): DataFrame =
+  /** (doc_id, sig, carry...) — NULL sig for docs with < 3 tokens (no
+    * shingles); works on a static OR streaming frame. `carry` columns
+    * ride through the projection chain so a caller can derive hash +
+    * signature from ONE scan of the text. */
+  private def sigFrame(docs: DataFrame, carry: String*): DataFrame = {
+    val cs = carry.map(col)
     docs
-      .select(col("doc_id"), expr(NorthStar.toksExpr).as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        expr(NorthStar.let("t", "t", NorthStar.shinglesExpr)).as("sh"))
+      .select(col("doc_id") +: expr(NorthStar.toksExpr).as("t") +: cs: _*)
+      .select(col("doc_id") +:
+        when(size(col("t")) >= 3,
+          expr(NorthStar.let("t", "t", NorthStar.shinglesExpr))).as("sh") +:
+        cs: _*)
       // `hs` is a let-bound LAMBDA variable, not a projection alias:
       // CollapseProject inlines a single-referenced alias into the
       // 32-iteration signature fold — md5 per shingle 32x per row,
       // the exact measured regression q18b/q18c's notes price out —
       // but it cannot inline through a lambda binding.
-      .select(col("doc_id"),
-        expr(NorthStar.let("hs",
-          s"transform(sh, s_ -> ${NorthStar.shingleHashExpr("s_")})",
-          sigExpr)).as("sig"))
+      .select(col("doc_id") +:
+        when(col("sh").isNotNull,
+          expr(NorthStar.let("hs",
+            s"transform(sh, s_ -> ${NorthStar.shingleHashExpr("s_")})",
+            sigExpr))).as("sig") +:
+        cs: _*)
+  }
+
+  /** (doc_id, sig, bkey) — one row per band of each doc with a
+    * signature. */
+  private def bandFrame(docs: DataFrame): DataFrame =
+    sigFrame(docs).filter(col("sig").isNotNull)
       .select(col("doc_id"), col("sig"), explode(expr(bandsExpr)).as("bkey"))
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val static = graft.Tables.documents(spark, dir)
       .withColumn("split", Q40TrainTestSplit.splitCol)
       .filter(col("split") === "train")
-    // localCheckpoint: a stream-static join re-evaluates the static
-    // plan EVERY trigger — without a barrier the deploy shape would
-    // re-scan and re-sign the whole existing corpus per micro-batch.
-    // Materialized once per run; only the stream side changes.
-    val baseHash = static.select(md5(col("text")).as("th"),
-      col("doc_id").as("base_id"))
+    // ONE corpus-side text scan (review finding: md5 and signatures
+    // were two separate full-text scans): hash + nullable signature
+    // in a single projection, checkpointed NARROW (doc_id, 16-byte
+    // md5, 32 longs — never text). localCheckpoint because a
+    // stream-static join re-evaluates the static plan EVERY trigger —
+    // without the barrier the deploy shape would re-scan and re-sign
+    // the whole existing corpus per micro-batch.
+    val signed = sigFrame(static.withColumn("th", md5(col("text"))), "th")
+      .select(col("doc_id").as("base_id"), col("th"), col("sig"))
       .localCheckpoint()
-    val baseBands = bandFrame(static)
-      .select(col("bkey"), col("sig").as("bsig"), col("doc_id").as("base_id"))
-      .localCheckpoint()
+    val baseHash = signed.select(col("th"), col("base_id"))
+    val baseBands = signed.filter(col("sig").isNotNull)
+      .select(col("base_id"), col("sig").as("bsig"),
+        explode(expr(bandsExpr)).as("bkey"))
     val delta = docsStream(spark, dir)
       .withColumn("split", Q40TrainTestSplit.splitCol)
       .filter(col("split") === "test")
