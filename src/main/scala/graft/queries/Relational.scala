@@ -359,19 +359,25 @@ object Q28Pivot extends GraftQuery {
 
 /** Q29 — scalar + correlated subqueries: customers whose balance
   * exceeds the global average (ScalarSubquery) with their order count
-  * (correlated, decorrelated by Catalyst into a join). */
+  * (correlated, decorrelated by Catalyst into a join).
+  *
+  * The threshold is spelled `CAST(dec_sum AS DOUBLE)/COUNT` in BOTH
+  * dialects per the file convention — engine-native AVG is Spark
+  * DECIMAL(16,6) HALF_UP vs DuckDB double (measured ~5e-7 apart on
+  * the fixtures), so a balance landing inside that gap would be
+  * included by one engine and excluded by the other. */
 object Q29ScalarSubquery extends GraftQuery {
   val name = "q29_scalar_subquery"
   def run(spark: SparkSession, dir: String): DataFrame = {
-    val spark2 = spark
-    Tables.customer(spark2, dir).createOrReplaceTempView("g_customer")
-    Tables.orders(spark2, dir).createOrReplaceTempView("g_orders")
-    spark2.sql("""
+    Tables.customer(spark, dir).createOrReplaceTempView("g_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("g_orders")
+    spark.sql("""
       SELECT c_custkey,
              CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
              (SELECT COUNT(*) FROM g_orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
       FROM g_customer c
-      WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(12,2))) FROM g_customer)
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                           / COUNT(*) FROM g_customer)
       ORDER BY c_custkey
     """)
   }
@@ -379,7 +385,8 @@ object Q29ScalarSubquery extends GraftQuery {
     SELECT c_custkey, CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS DOUBLE) AS bal,
            (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
     FROM customer c
-    WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer)
+    WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+                         / COUNT(*) FROM customer)
     ORDER BY c_custkey
   """.trim)
 }
@@ -465,16 +472,27 @@ object Q30bApproxPercentiles extends GraftQuery {
 object Q31MapJson extends GraftQuery {
   val name = "q31_map_json"
   def run(spark: SparkSession, dir: String): DataFrame = {
+    // The synthetic 'et_len' entry is a UNION branch, not map_concat,
+    // mirroring the oracle's shape exactly (round-9 review): map_concat
+    // would THROW on a props map already carrying 'et_len' (default
+    // mapKeyDedupPolicy=EXCEPTION) where the oracle double-counts, and
+    // a NULL/unparseable props row would vanish through explode(null)
+    // while the oracle's unconditional branch still emits its row.
+    // coalesce(m, map()) keeps those rows flowing; n_keys = size(m)+1
+    // is the oracle's len(json_keys)+1 under every collision case.
     val ev = Tables.events(spark, dir)
       .select(col("event_type"),
-        from_json(col("props"), lit("k INT")).as("s"),
-        from_json(col("props"), lit("map<string,int>")).as("m"))
-      .withColumn("m2", map_concat(col("m"),
-        map(lit("et_len"), length(col("event_type")))))
-    ev.select(col("event_type"), col("s").getField("k").as("struct_k"),
-        size(map_keys(col("m2"))).as("n_keys"),
-        explode(col("m2")).as(Seq("pkey", "pval")))
-      .groupBy(col("event_type"), col("pkey"))
+        from_json(col("props"), lit("k INT")).getField("k").as("struct_k"),
+        expr("coalesce(from_json(props, 'map<string,int>'), " +
+          "cast(map() as map<string,int>))").as("m"))
+      .select(col("event_type"), col("struct_k"), col("m"),
+        (size(map_keys(col("m"))) + 1).as("n_keys"),
+        length(col("event_type")).as("etl"))
+    val kv = ev.select(col("event_type"), col("struct_k"), col("n_keys"),
+        explode(col("m")).as(Seq("pkey", "pval")))
+      .unionByName(ev.select(col("event_type"), col("struct_k"),
+        col("n_keys"), lit("et_len").as("pkey"), col("etl").as("pval")))
+    kv.groupBy(col("event_type"), col("pkey"))
       .agg(count(lit(1)).as("n"),
         sum(col("pval").cast("long")).as("sum_val"),
         min(col("pval")).as("min_val"),
@@ -521,7 +539,13 @@ object Q31MapJson extends GraftQuery {
   * engine-independent. */
 object Q32AsofJoin extends GraftQuery {
   val name = "q32_asof_join"
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared input prep for BOTH as-of tiers: purchases pre-reduced to
+    * max(value) per (user, ts), clicks selected. One definition, so
+    * the composition tier (q32) and the native tier (q32b) — which
+    * are pinned to agree row-for-row through one oracle — can never
+    * diverge in what they join. */
+  private[queries] def asofInputs(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("value"), col("event_type"))
@@ -529,13 +553,19 @@ object Q32AsofJoin extends GraftQuery {
       .groupBy(col("user_id"), col("ts_us"))
       .agg(max(col("value")).as("pval"))
     val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("value").as("click_value"))
+    (purchases, clicks)
+  }
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = asofInputs(spark, dir)
     val tagged = purchases
       .select(col("user_id"), col("ts_us"), lit(0).as("side"),
         lit(null).cast("bigint").as("event_id"),
         lit(null).cast("double").as("click_value"), col("pval"))
       .unionByName(clicks
         .select(col("user_id"), col("ts_us"), lit(1).as("side"),
-          col("event_id"), col("value").as("click_value"),
+          col("event_id"), col("click_value"),
           lit(null).cast("double").as("pval")))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -578,16 +608,9 @@ object Q32AsofJoin extends GraftQuery {
 object Q32bAsofJoinNative extends GraftQuery {
   val name = "q32b_asof_join_native"
   def run(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
-        col("value"), col("event_type"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"), col("ts_us"))
-      .agg(max(col("value")).as("pval"))
+    val (purchases0, clicks) = Q32AsofJoin.asofInputs(spark, dir)
+    val purchases = purchases0
       .select(col("user_id").as("p_user"), col("ts_us").as("pts"), col("pval"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id"), col("ts_us"),
-        col("value").as("click_value"))
     clicks
       .join(purchases,
         col("user_id") === col("p_user") && expr("graft_asof_le(pts, ts_us)"),

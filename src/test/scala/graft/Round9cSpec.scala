@@ -93,6 +93,31 @@ class Round9cSpec extends SparkSpec {
       (4L, 8L, 0L, 0.0)))      // 9 windows, w9 == w1 → 8 distinct, 0 shared
   }
 
+  // ---- q31 hardening -------------------------------------------------
+
+  test("q31: null props and a colliding et_len key survive (review pin)") {
+    // Before the round-9 review fix: the NULL-props row vanished
+    // through explode(null map) while the oracle kept it, and a props
+    // map already carrying 'et_len' made map_concat THROW
+    // (mapKeyDedupPolicy=EXCEPTION) where the oracle double-counts.
+    val dir = java.nio.file.Files.createTempDirectory("r9cq31").toString
+    val t = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    Seq(
+      (1L, t, 1L, "aa", 1.0, null.asInstanceOf[String]),
+      (2L, t, 1L, "bbb", 1.0, """{"et_len": 3}"""),
+      (3L, t, 1L, "cc", 1.0, """{"k": 5}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Q31MapJson.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(7))).toMap
+    assert(got.keySet === Set(("aa", "et_len"), ("bbb", "et_len"),
+      ("cc", "et_len"), ("cc", "k")))
+    assert(got(("aa", "et_len")) === ((1L, 2L, 1)))  // null props row kept
+    assert(got(("bbb", "et_len")) === ((2L, 6L, 2))) // collision: 3 + len
+    assert(got(("cc", "k")) === ((1L, 5L, 2)))
+  }
+
   // ---- q63 ----------------------------------------------------------
 
   test("q63: interpolation/ffill/bfill/min_by are exact on a crafted series") {
