@@ -76,20 +76,41 @@ case class NormalizeWord(child: Expression)
   * latter). Public API only: SparkSessionExtensions.injectFunction /
   * injectOptimizerRule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  /** Builders receive whatever argument list the parser produced, so
+    * each one must enforce its own arity: `children.head` on zero args
+    * is a raw IOOBE and extra args would be silently dropped. Wrong
+    * arity fails analysis with Spark's own WRONG_NUM_ARGS condition,
+    * same as a built-in. */
+  private def exact(name: String, n: Int)(children: Seq[Expression]): Unit =
+    if (children.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map("functionName" -> s"`$name`", "expectedNum" -> n.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_normalize_fast"),
       new ExpressionInfo(classOf[NormalizeWord].getName, "graft_normalize_fast"),
-      (children: Seq[Expression]) => NormalizeWord(children.head)))
+      (children: Seq[Expression]) => {
+        exact("graft_normalize_fast", 1)(children)
+        NormalizeWord(children.head)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_token_score"),
       new ExpressionInfo(classOf[HashedTokenScore].getName, "graft_token_score"),
-      (children: Seq[Expression]) => HashedTokenScore(children.head)))
+      (children: Seq[Expression]) => {
+        exact("graft_token_score", 1)(children)
+        HashedTokenScore(children.head)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_asof_le"),
       new ExpressionInfo(classOf[graft.plans.AsofLessEqual].getName, "graft_asof_le"),
-      (children: Seq[Expression]) =>
-        graft.plans.AsofLessEqual(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        exact("graft_asof_le", 2)(children)
+        graft.plans.AsofLessEqual(children(0), children(1))
+      }))
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
     ext.injectOptimizerRule(_ => graft.plans.AsofJoinRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

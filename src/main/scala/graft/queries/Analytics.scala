@@ -344,8 +344,16 @@ object Q63GapFill extends GraftQuery {
         col("value"), col("event_id"))
       .groupBy(col("user_id"), col("day"))
       .agg(min_by(col("value"), col("event_id")).as("reading"))
-    val Array(lo, hi) = daily.agg(min(col("day")), max(col("day")))
-      .head().toSeq.map(_.toString).toArray
+    // Guard the two driver scalars: an empty events table yields null
+    // bounds, and a null-interpolated sequence() would NPE — return
+    // the (empty) output shape instead of crashing.
+    val bounds = daily.agg(min(col("day")), max(col("day"))).head()
+    if (bounds.isNullAt(0) || bounds.isNullAt(1))
+      return daily.limit(0).select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("reading").cast("double").as("value"),
+        lit("observed").as("source"))
+    val Array(lo, hi) = bounds.toSeq.map(_.toString).toArray
     val spine = daily.select(col("user_id")).distinct()
       .select(col("user_id"), explode(expr(
         s"sequence(to_date('$lo'), to_date('$hi'), interval 1 day)")).as("day"))

@@ -206,7 +206,7 @@ object GraftCorpusScan {
     * would turn planning into minutes — the same reason Spark's
     * InMemoryFileIndex parallelizes its listing. FS objects are
     * cached per scheme and thread-safe; order is preserved. */
-  private[sources] def withLengths(entries: Seq[(String, Long)],
+  private[graft] def withLengths(entries: Seq[(String, Long)],
       conf: Configuration): Seq[(String, Long, Long)] = {
     def stat(p: String, id: Long): (String, Long, Long) = {
       val hp = new Path(p)
@@ -224,11 +224,15 @@ object GraftCorpusScan {
           t.setDaemon(true); t
         })
       try {
-        entries.map { case (p, id) =>
+        // .toVector forces the submit phase eagerly: if `entries` were
+        // a lazy Seq (view/LazyList), map-then-get would interleave
+        // submit/get one element at a time, serializing the very RPCs
+        // the pool exists to overlap.
+        entries.iterator.map { case (p, id) =>
           pool.submit(new java.util.concurrent.Callable[(String, Long, Long)] {
             override def call(): (String, Long, Long) = stat(p, id)
           })
-        }.map(f =>
+        }.toVector.map(f =>
           try f.get()
           catch { // surface the raw FS error, not the wrapper
             case e: java.util.concurrent.ExecutionException => throw e.getCause
