@@ -86,7 +86,7 @@ object Q57DeltaDedup extends GraftQuery {
       .orderBy(col("doc_id"))
   }
 
-  val oracle = Some(s"""
+  private[queries] val oracleSqlText = s"""
     WITH ${NorthStar.duckShingleCtes},
     ${NorthStar.duckMinhashPairCtes},
     hsx AS (SELECT doc_id, ${Q40TrainTestSplit.duckSplit} AS split, md5(text) AS th
@@ -119,5 +119,149 @@ object Q57DeltaDedup extends GraftQuery {
                LEFT JOIN near n ON d.doc_id = n.doc_id
     WHERE d.split = 'test'
     ORDER BY d.doc_id
-  """.trim)
+  """.trim
+
+  val oracle = Some(oracleSqlText)
+}
+
+/** Q57b — delta dedup against a PERSISTED signature store: the
+  * production shape of q57. q57 recomputes every corpus signature on
+  * every run; a real 100 TB ingest amortizes them — the corpus-side
+  * MinHash band rows (doc_id, sig, bkey) and exact-tier content
+  * hashes (doc_id, th) are written ONCE, bucketed by their join keys
+  * (band key / content hash), and each arriving delta only hashes
+  * ITSELF and joins against the store. Per-ingest cost is then
+  * O(delta) + a join whose store side reads pre-partitioned buckets
+  * with NO exchange (pay the corpus shuffle once at write time, reuse
+  * it every ingest — the q12c "persist the mergeable sketch" pattern
+  * applied to dedup). Round10Spec pins the posture: the incremental
+  * plan's only parquet scans are the two store tables, and the store
+  * side of the band join has no shuffle.
+  *
+  * The store tables embed a fingerprint of the corpus files
+  * (driver-side metadata only — names, lengths, mtimes) so a store
+  * built from different or regenerated data can never serve stale
+  * rows; Verify in a fresh JVM rebuilds because the in-memory catalog
+  * forgot the table, and repeated runs in one session reuse it.
+  *
+  * Same verdict semantics and SAME ORACLE as q57: signatures and
+  * banding geometry come from the shared [[Q18bDedupMinHash
+  * .signatures]] stage, the store join yields exactly the cross-split
+  * band-collision pairs q57's self-join yields, and the per-delta-doc
+  * best-base rule is identical — so equality with q57 holds by
+  * construction and the driver hash-checks it against the identical
+  * SQL. */
+object Q57bDeltaDedupStore extends GraftQuery {
+  val name = "q57b_delta_dedup_store"
+  private val prefix = "graft_sigstore"
+
+  /** Corpus fingerprint from file METADATA only (no data scan): a
+    * store keyed by (dir, file names, lengths, mtimes) goes stale
+    * exactly when the fixture is regenerated. */
+  private def fingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = fs.listStatus(p).filter(_.isFile)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$stats".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+  }
+
+  /** Build the corpus-side store if this fingerprint's tables are
+    * absent; returns (bandsTable, exactTable). Stale stores for other
+    * fingerprints are dropped first (bounded warehouse footprint). */
+  private[graft] def ensureStore(spark: SparkSession, dir: String): (String, String) = {
+    val fp = fingerprint(spark, dir)
+    val bandsT = s"${prefix}_bands_$fp"
+    val exactT = s"${prefix}_exact_$fp"
+    if (!spark.catalog.tableExists(bandsT) ||
+        !spark.catalog.tableExists(exactT)) {
+      import scala.jdk.CollectionConverters._
+      spark.catalog.listTables().collect()
+        .map(_.name).filter(t => t.startsWith(prefix) && t != bandsT && t != exactT)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val wh = java.nio.file.Paths.get(java.net.URI.create(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      if (java.nio.file.Files.isDirectory(wh))
+        java.nio.file.Files.list(wh).iterator().asScala.toSeq
+          .filter(d => d.getFileName.toString.startsWith(prefix) &&
+            d.getFileName.toString != bandsT && d.getFileName.toString != exactT)
+          .foreach(d => java.nio.file.Files.walk(d).iterator().asScala
+            .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_)))
+      val base = Tables.documents(spark, dir)
+        .filter(Q40TrainTestSplit.splitCol === "train")
+      graft.plans.Bucketing.writeBucketed(
+        base.select(col("doc_id"), md5(col("text")).as("th")),
+        exactT, "th", 16)
+      val sig = Q18bDedupMinHash.signatures(
+        base.select(col("doc_id"), expr(NorthStar.toksExpr).as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"),
+            expr(NorthStar.let("t", "t", NorthStar.shinglesExpr)).as("sh")))
+      val bands = sig.select(col("doc_id"), col("sig"),
+        explode(expr(NorthStar.let("sg", "sig",
+          NorthStar.bandKeysExpr("sg")))).as("bkey"))
+      graft.plans.Bucketing.writeBucketed(bands, bandsT, "bkey", 16)
+    }
+    (bandsT, exactT)
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (bandsT, exactT) = ensureStore(spark, dir)
+    // The delta frame is everything the incremental query reads from
+    // the corpus dir: one scan producing (doc_id, content hash,
+    // shingle set — null when <3 tokens, which still participates in
+    // the exact tier). localCheckpoint is the barrier: three plan
+    // branches (exact side, signature pipeline, final audit spine)
+    // would otherwise re-scan the delta three times. Delta-sized,
+    // never corpus-sized.
+    val delta = Tables.documents(spark, dir)
+      .filter(Q40TrainTestSplit.splitCol === "test")
+      .select(col("doc_id"), md5(col("text")).as("th"),
+        expr(NorthStar.toksExpr).as("t"))
+      .select(col("doc_id"), col("th"),
+        when(size(col("t")) >= 3,
+          expr(NorthStar.let("t", "t", NorthStar.shinglesExpr))).as("sh"))
+      .localCheckpoint()
+    val exact = delta.select(col("doc_id"), col("th"))
+      .join(spark.table(exactT).select(col("th"), col("doc_id").as("base_id")),
+        "th")
+      .groupBy(col("doc_id"))
+      .agg(min(col("base_id")).as("exact_base"))
+    val dbands = Q18bDedupMinHash.signatures(
+        delta.filter(col("sh").isNotNull).select(col("doc_id"), col("sh")))
+      .select(col("doc_id").as("delta_id"), col("sig").as("dsig"),
+        explode(expr(NorthStar.let("sg", "sig",
+          NorthStar.bandKeysExpr("sg")))).as("bkey"))
+    val bstore = spark.table(bandsT)
+      .select(col("bkey"), col("doc_id").as("cand_base"), col("sig").as("bsig"))
+    val near = dbands.join(bstore, "bkey")
+      .select(col("delta_id"), col("cand_base"), col("dsig"), col("bsig"))
+      .dropDuplicates("delta_id", "cand_base")
+      .select(col("delta_id"), col("cand_base"),
+        (expr(NorthStar.matchCountExpr("dsig", "bsig")).cast("double") / 32.0)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("delta_id"))
+        .orderBy(col("est_jaccard").desc, col("cand_base").asc)))
+      .filter(col("rk") === 1)
+      .select(col("delta_id").as("doc_id"), col("cand_base").as("near_base"),
+        col("est_jaccard").as("near_jac"))
+    delta.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_base").isNotNull, lit("exact_dup"))
+          .when(col("near_base").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("exact_base"), col("near_base")).as("base_id"),
+        when(col("exact_base").isNull, col("near_jac"))
+          .otherwise(lit(null).cast("double")).as("est_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Identical output contract to q57 — the oracle is shared. */
+  val oracle = Some(Q57DeltaDedup.oracleSqlText)
 }

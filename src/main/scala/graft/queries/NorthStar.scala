@@ -306,23 +306,32 @@ object Q18bDedupMinHash extends GraftQuery {
     * within-split and verifying them first just to discard them was
     * the near-tier's dominant wasted cost (round-9 review finding).
     * Output schema is unchanged — the label column never escapes. */
-  private[queries] def pairsFrom(
-      shingles: DataFrame, crossOnly: Option[DataFrame]): DataFrame = {
-    // Signature stage as explode + 32 flat codegen'd min aggregations
-    // (the q18c vote-sum pattern): each shingle becomes a row, is
-    // md5-hashed ONCE via native conv() (codegen'd — the interpreted
-    // 15-step fold was round 1's residual hot spot), and the 32
-    // arithmetic permutations reduce as min() columns in ONE
-    // whole-stage-codegen'd hash aggregation with map-side partial
-    // combine — round 3 evaluated them as 32 interpreted array_min
-    // passes over each doc's hash array. The DuckDB oracle computes
-    // the same VALUES with list folds; method need not match.
+  /** Signature stage — (doc_id, sig[32]) — as explode + 32 flat
+    * codegen'd min aggregations (the q18c vote-sum pattern): each
+    * shingle becomes a row, is md5-hashed ONCE via native conv()
+    * (codegen'd — the interpreted 15-step fold was round 1's residual
+    * hot spot), and the 32 arithmetic permutations reduce as min()
+    * columns in ONE whole-stage-codegen'd hash aggregation with
+    * map-side partial combine — round 3 evaluated them as 32
+    * interpreted array_min passes over each doc's hash array. The
+    * DuckDB oracle computes the same VALUES with list folds; method
+    * need not match. Shared by pairsFrom (self-join dedup) and q57b's
+    * persisted store (corpus side at write time, delta side per
+    * ingest) so the two tiers can never drift. */
+  private[queries] def signatures(shingles: DataFrame): DataFrame = {
     val shex = shingles.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), expr(NorthStar.shingleHashExpr("s")).as("h"))
     val permCols = (0 until 32).map { i =>
       min(expr(s"(((${NorthStar.MinhashA} * ${i + 1}) % ${NorthStar.MinhashP}) * h + " +
         s"((${NorthStar.MinhashB} * ${i + 1} + 7) % ${NorthStar.MinhashP})) % ${NorthStar.MinhashP}")).as(s"m$i")
     }
+    shex.groupBy(col("doc_id")).agg(permCols.head, permCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 32).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  private[queries] def pairsFrom(
+      shingles: DataFrame, crossOnly: Option[DataFrame]): DataFrame = {
     // The explicit repartition is the materialization barrier (sig is
     // referenced from both band-join sides + the verify columns). It
     // is NOT redundant: when the caller hands an already-doc_id-
@@ -330,10 +339,7 @@ object Q18bDedupMinHash extends GraftQuery {
     // no exchange of its own, and without any barrier the whole
     // signature pipeline re-runs per plan branch (measured 8 s → 30 s
     // for q18f). One tiny shuffle of (doc_id, 32×int64) rows.
-    val sig = shex.groupBy(col("doc_id")).agg(permCols.head, permCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until 32).map(i => col(s"m$i")): _*).as("sig"))
-      .repartition(col("doc_id"))
+    val sig = signatures(shingles).repartition(col("doc_id"))
     // sig rides along through the band join: Spark does not share DAG
     // subtrees, so separate sa/sb join branches would re-run the whole
     // signature pipeline twice more.
@@ -1357,7 +1363,17 @@ object Q46Decontaminate extends GraftQuery {
       "element_at(t,i+2), element_at(t,i+3), element_at(t,i+4))))"
   /** One pass over the corpus → (doc_id, split, gh) gram-hash rows;
     * `t` is let-bound so CollapseProject can't re-tokenize per gram
-    * index. Shared with the DF-capped variant. */
+    * index. Shared with the DF-capped variant.
+    *
+    * localCheckpoint is the materialization barrier (q57's pattern):
+    * `verdicts` filters this frame on BOTH sides of the train×test
+    * join and q46b's cap path adds a third reference, with different
+    * pushed filters each — exchange reuse can't apply, so without the
+    * barrier the tokenize + 5-gram explode + md5 corpus pass ran once
+    * PER BRANCH (2× in q46, 3× in q46b — a full duplicate corpus scan
+    * at 100 TB). What's stored is the gram-hash rows (doc_id, split,
+    * 32-hex gh — never the 5-word strings, never text), in
+    * MEMORY_AND_DISK blocks that spill rather than OOM. */
   private[graft] def gramFrame(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("split", Q40TrainTestSplit.splitCol)
@@ -1366,6 +1382,7 @@ object Q46Decontaminate extends GraftQuery {
       .select(col("doc_id"), col("split"),
         explode(expr(let("t", "t", fiveGramExpr))).as("g"))
       .select(col("doc_id"), col("split"), md5(col("g")).as("gh"))
+      .localCheckpoint()
   /** Train×test candidate join + per-train-doc verdict over any gram
     * frame (uncapped or DF-capped — the report contract is shared).
     * Unordered: q42b joins this on doc_id, where a pre-join sort would

@@ -46,6 +46,90 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q57b: incremental plan reads only the signature store — no corpus re-scan, no store-side shuffle") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    // Force a shuffled join so "zero exchange on the store side" is a
+    // real claim, not broadcast luck.
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = graft.queries.Q57bDeltaDedupStore.run(spark, sf01)
+      df.collect() // resolve adaptive stages to the final plan
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val scans = nodes.collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty, "expected parquet scans of the store tables")
+      assert(scans.forall(_.tableIdentifier.exists(
+          _.table.startsWith("graft_sigstore"))),
+        "incremental q57b must scan ONLY the persisted store, found:\n" +
+          scans.map(_.tableIdentifier).mkString("\n"))
+      // The band join's store side must be exchange-free (bucketed).
+      val bandJoins = nodes.filter {
+        case j: SortMergeJoinExec    => j.leftKeys.exists(_.toString.contains("bkey"))
+        case j: ShuffledHashJoinExec => j.leftKeys.exists(_.toString.contains("bkey"))
+        case j: BroadcastHashJoinExec => j.leftKeys.exists(_.toString.contains("bkey"))
+        case _ => false
+      }
+      assert(bandJoins.nonEmpty, "expected the band-key store join in the plan")
+      val storeSides = bandJoins.flatMap(_.children.filter(c =>
+        flatten(c).exists {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table.startsWith("graft_sigstore_bands"))
+          case _ => false
+        }))
+      assert(storeSides.nonEmpty, "band join must have the store scan on one side")
+      storeSides.foreach { side =>
+        val shuffles = flatten(side).collect { case s: ShuffleExchangeLike => s }
+        assert(shuffles.isEmpty,
+          s"store side of the band join must not shuffle, found: $shuffles")
+      }
+    }
+  }
+
+  test("q46/q46b: one corpus scan total — gram frame is checkpointed, not recomputed per branch") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    def docScans(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      flatten(df.queryExecution.executedPlan).count {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("documents"))
+        case _ => false
+      }
+    }
+    // The only corpus scan left in the final plan is the audit spine
+    // (doc_id column only); the gram pipeline sits behind the barrier.
+    assert(docScans(graft.queries.Q46Decontaminate.run(spark, sf)) == 1)
+    assert(docScans(graft.queries.Q46bDecontaminateDfCap.run(spark, sf)) == 1)
+  }
+
+  test("q57b matches q57 row for row (store path ≡ recompute path)") {
+    val a = graft.queries.Q57DeltaDedup.run(spark, sf).collect().toSeq
+    val b = graft.queries.Q57bDeltaDedupStore.run(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
   test("withLengths stats a lazy Seq fully in parallel (strict submit phase)") {
     // A lazy Seq used to interleave submit/get one element at a time
     // (serializing the stat RPCs); the strict submit phase must still
