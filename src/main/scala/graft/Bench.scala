@@ -67,7 +67,7 @@ object Bench {
       }
     val valid = firstPass.map(_._2).filter(_ >= 0).sorted
     val median = if (valid.isEmpty) 0.0 else valid(valid.length / 2)
-    val rerun = firstPass.filter { case (q, s) =>
+    val outliers = firstPass.filter { case (q, s) =>
         s > math.max(6.0, 4 * median) ||
           floors.get(q.name).exists(f => s > 3 * f)
       }
@@ -76,10 +76,26 @@ object Bench {
       .sortBy { case (q, s) =>
         -(s / math.max(floors.getOrElse(q.name, median), 0.1)) }
       .take(15)
-      .map { case (q, s) =>
+    // Round-9 lesson: an immediate re-run re-samples the SAME
+    // contended window (q46 reported 3.3x floor while the quiet truth
+    // was 1.0x). Let the machine settle before the second sample so
+    // the two samples come from different windows.
+    if (outliers.nonEmpty) Thread.sleep(20000)
+    val rerun = outliers.map { case (q, s) =>
         val r = time(q)
         q.name -> (if (r >= 0) math.min(s, r) else s)
       }.toMap
+    // Ambient-contention calibration, measured IN the re-run window:
+    // two cheap structurally-stable queries vs their quiet floors.
+    // ~1.0 → deviations in this JSON are real; >>1 → the driver can
+    // normalize (remaining spikes are the machine, not the code).
+    val calib: Option[Double] = {
+      val probes = SparkEntry.all
+        .filter(q => Set("q6_topk_customers", "q23_token_count")(q.name))
+        .flatMap(q => floors.get(q.name).map(f => math.max(time(q), 0.0) / f))
+        .filter(_ > 0).sorted
+      if (probes.isEmpty) None else Some(probes(probes.length / 2))
+    }
     val results = firstPass.map { case (q, s) =>
       q.name -> rerun.getOrElse(q.name, s)
     }
@@ -87,8 +103,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val calibJson = calib.map(c => f""","calibration":$c%.2f""").getOrElse("")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reruns":${rerun.size}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reruns":${rerun.size}$calibJson}"""
     println(line)
     // The line is >2 KB with ~70 queries and has been tail-truncated by
     // log capture in every round so far ("parsed": null in BENCH_r*) —
