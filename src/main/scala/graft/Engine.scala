@@ -26,6 +26,33 @@ object Engine {
     .config(NanosAsLong, "true")
     .config("spark.ui.enabled", "false")
 
+  /** SQL FRONT DOOR: register every fixture table of `dir` as a temp
+    * view so the whole pack is runnable as `spark.sql` TEXT — the
+    * engine is DataFrame-first, but a session built through
+    * [[configure]] already carries the graft extensions
+    * (`graft_normalize_fast`, `graft_token_score`, `graft_asof_le` +
+    * the as-of rewrite rule and native exec), so a SQL user gets the
+    * native functions and the custom operator with no code:
+    *
+    * {{{
+    *   val spark = Engine.session()
+    *   Engine.registerTables(spark, "/root/testdata/sf0.01")
+    *   spark.sql("""SELECT graft_normalize_fast(tok) w, count(*) n
+    *                FROM documents LATERAL VIEW explode(split(text,
+    *                '\\s+')) AS tok GROUP BY w""")
+    * }}}
+    *
+    * Views go through [[Tables]] so SQL reads the same canonicalized
+    * columns the DataFrame pack reads (`events.ts` ns→µs included).
+    * SqlFrontDoorSpec pins headline queries running as SQL text and
+    * matching their DataFrame twins row for row. */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
+
   /** Local session for tests / ad-hoc runs. */
   def session(cores: Int = 32): SparkSession = {
     val s = configure(

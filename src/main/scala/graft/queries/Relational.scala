@@ -544,7 +544,7 @@ object Q32AsofJoin extends GraftQuery {
     * the composition tier (q32) and the native tier (q32b) — which
     * are pinned to agree row-for-row through one oracle — can never
     * diverge in what they join. */
-  private[queries] def asofInputs(spark: SparkSession, dir: String)
+  private[graft] def asofInputs(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),

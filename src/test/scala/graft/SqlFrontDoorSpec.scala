@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** The SQL front door (Engine.registerTables): headline queries run
+  * as `spark.sql` TEXT over the registered fixture views and match
+  * their DataFrame twins ROW FOR ROW — including the decimal money
+  * paths (same Catalyst expressions either way, so equality is exact,
+  * not approximate) and the session extensions (native normalize
+  * function, as-of marker + rewrite + native exec) reached purely
+  * from SQL. */
+class SqlFrontDoorSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Row] =
+    df.collect().toSeq
+
+  test("fixture views register and q2 pricing summary runs as SQL text") {
+    Engine.registerTables(spark, sf)
+    val sql = spark.sql("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= CAST('1998-09-02' AS TIMESTAMP)
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+    assert(rows(sql) == rows(queries.Q2Agg.run(spark, sf)))
+  }
+
+  test("q3 join chain with broadcast hints runs as SQL text") {
+    Engine.registerTables(spark, sf)
+    val sql = spark.sql("""
+      SELECT /*+ BROADCAST(supplier, nation, region) */ n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name ASC""")
+    assert(rows(sql) == rows(queries.Q3JoinChain.run(spark, sf)))
+  }
+
+  test("q18 exact dedup runs as SQL text") {
+    Engine.registerTables(spark, sf)
+    val sql = spark.sql("""
+      SELECT md5(lower(text)) AS content_hash,
+             min(doc_id) AS keeper_doc_id,
+             count(*) AS n_copies,
+             array_join(sort_array(collect_set(doc_id)), ' ') AS doc_ids
+      FROM documents GROUP BY 1 ORDER BY keeper_doc_id""")
+    assert(rows(sql) == rows(queries.Q18DedupExact.run(spark, sf)))
+  }
+
+  test("native normalize expression reached from SQL: mini inverted index") {
+    Engine.registerTables(spark, sf)
+    val sql = spark.sql("""
+      SELECT w AS word, count(DISTINCT doc_id) AS df
+      FROM (SELECT doc_id, graft_normalize_fast(tok) AS w
+            FROM documents LATERAL VIEW explode(split(text, '\\s+')) AS tok)
+      WHERE w != ''
+      GROUP BY w ORDER BY df DESC, word LIMIT 20""")
+    val df = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .select(col("doc_id"), expr("graft_normalize_fast(tok)").as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("w").asc).limit(20)
+      .select(col("w").as("word"), col("df"))
+    assert(rows(sql) == rows(df))
+  }
+
+  test("as-of join marker + native exec reached from SQL text") {
+    val (purchases0, clicks) = queries.Q32AsofJoin.asofInputs(spark, sf)
+    purchases0.select(col("user_id").as("p_user"), col("ts_us").as("pts"),
+      col("pval")).createOrReplaceTempView("asof_purchases")
+    clicks.createOrReplaceTempView("asof_clicks")
+    try {
+      val sql = spark.sql("""
+        SELECT c.event_id, c.user_id, c.ts_us, c.click_value,
+               p.pts AS purchase_ts_us, p.pval AS purchase_value,
+               c.ts_us - p.pts AS gap_us
+        FROM asof_clicks c LEFT JOIN asof_purchases p
+          ON c.user_id = p.p_user AND graft_asof_le(p.pts, c.ts_us)
+        ORDER BY c.event_id""")
+      // The SQL text really went through the custom operator:
+      assert(sql.queryExecution.executedPlan.toString.contains("AsofJoin"),
+        "expected AsofJoinExec in the SQL plan")
+      assert(rows(sql) == rows(queries.Q32bAsofJoinNative.run(spark, sf)))
+    } finally {
+      spark.catalog.dropTempView("asof_purchases")
+      spark.catalog.dropTempView("asof_clicks")
+    }
+  }
+}
