@@ -38,20 +38,59 @@ object StreamQueries {
     * count is fixed into the checkpoint at first start — size it for
     * peak state there.) */
   private[graft] def runToBatch(spark: SparkSession, stream: DataFrame,
-                                mode: String): DataFrame = this.synchronized {
+                                mode: String): DataFrame =
+    runToBatch(spark, stream, mode, rocksdb = false)
+
+  /** State-store custom-metric names of the LAST completed run —
+    * how a test proves which provider actually engaged (RocksDB
+    * reports rocksdb* metrics; the default HDFS-backed store reports
+    * none of them). */
+  @volatile private[graft] var lastStateMetrics: Seq[String] = Nil
+
+  /** The delta-ingest streams (s11/s12) run under the RocksDB state
+    * store BY DEFAULT: their state grows with the ingest (one counter
+    * row per source is fine, but s12 keeps one row per delta doc —
+    * at real ingest rates that outgrows executor heap, which is
+    * exactly what the default HDFSBackedStateStore keeps resident).
+    * RocksDB spills to local disk. Opt out per session with
+    * `spark.graft.streaming.rocksdb=false` (fixture-scale benches of
+    * OTHER operators don't pay the native-store per-trigger cost).
+    * Round8Spec proved operator-result equality under the provider;
+    * Round10Spec pins s12's oracle equality + engagement through
+    * this default path and measures the per-trigger overhead
+    * (BASELINE.md note). */
+  private[graft] def rocksDefault(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.streaming.rocksdb").forall(_.toBoolean)
+
+  private[graft] def runToBatch(spark: SparkSession, stream: DataFrame,
+                                mode: String, rocksdb: Boolean): DataFrame = this.synchronized {
     // synchronized: the save/set/restore of the GLOBAL shuffle-
     // partitions conf is not re-entrant — two interleaved calls would
     // restore the scoped '8' as the session default for everything
     // after (review finding). Streaming runs are sequential anyway.
     val name = s"graft_stream_${runId.incrementAndGet()}"
     val partsKey = "spark.sql.shuffle.partitions"
+    val storeKey = "spark.sql.streaming.stateStore.providerClass"
     val before = spark.conf.get(partsKey)
+    val storeBefore = spark.conf.getOption(storeKey)
     spark.conf.set(partsKey, "8")
+    if (rocksdb) spark.conf.set(storeKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val q = stream.writeStream.format("memory").queryName(name)
         .outputMode(mode).start()
       try { q.processAllAvailable() } finally { q.stop() }
-    } finally spark.conf.set(partsKey, before)
+      import scala.jdk.CollectionConverters._
+      lastStateMetrics = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .flatMap(_.customMetrics.keySet.asScala)
+    } finally {
+      spark.conf.set(partsKey, before)
+      if (rocksdb) storeBefore match {
+        case Some(v) => spark.conf.set(storeKey, v)
+        case None    => spark.conf.unset(storeKey)
+      }
+    }
     // localCheckpoint then drop the view: the memory sink pins a full
     // result copy in the driver for the SESSION lifetime otherwise —
     // one leaked table per streaming run (bench: 12 queries × reruns).
@@ -379,7 +418,8 @@ object S11StreamCuration extends GraftQuery {
         .cast("long").as("toks_kept"))
 
   def run(spark: SparkSession, dir: String): DataFrame =
-    runToBatch(spark, dashboard(gated(docsStream(spark, dir))), "complete")
+    runToBatch(spark, dashboard(gated(docsStream(spark, dir))), "complete",
+        rocksdb = rocksDefault(spark))
       .orderBy(col("source"))
 
   val oracle = Some(raw"""
@@ -513,7 +553,7 @@ object S12StreamDeltaDedup extends GraftQuery {
     val best = exact.unionByName(near).unionByName(fresh)
       .groupBy(col("doc_id"))
       .agg(min(struct(col("pri"), col("negest"), col("base_id"))).as("b"))
-    runToBatch(spark, best, "complete")
+    runToBatch(spark, best, "complete", rocksdb = rocksDefault(spark))
       .select(col("doc_id"),
         when(col("b.pri") === 0, lit("exact_dup"))
           .when(col("b.pri") === 1, lit("near_dup"))

@@ -13,7 +13,7 @@ trait SparkSpec extends AnyFunSuite {
   /** Scope session confs to a block, restoring (or unsetting) after —
     * shared by the plan-posture specs that lower AQE/bloom
     * thresholds for fixture-scale data. */
-  def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
+  def withConfs[A](confs: (String, String)*)(body: => A): A = {
     val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     try { confs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
     finally old.foreach {
