@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join, LogicalPla
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.{BooleanType, DataType}
 
 /** The AS-OF join as a first-class operator — the (c)-tier rung of the
@@ -186,6 +187,24 @@ case class AsofJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  /** Custom SQL metrics — at 100 TB an operator is debugged from the
+    * UI, not from a rerun: match rate (matched vs null-extended) says
+    * whether the right stream actually covers the left keys, and
+    * pruned-vs-candidate says how much of the right side the merge
+    * walk discarded as stale versus buffered as an as-of candidate —
+    * a pruned-heavy profile means the right side should be
+    * pre-reduced before the join. */
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext,
+      "left rows with an as-of match"),
+    "numNullExtended" -> SQLMetrics.createMetric(sparkContext,
+      "left rows null-extended (no match)"),
+    "numPrunedRightRows" -> SQLMetrics.createMetric(sparkContext,
+      "right rows pruned (stale key / null time)"),
+    "numCandidateRightRows" -> SQLMetrics.createMetric(sparkContext,
+      "right rows buffered as as-of candidates"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
@@ -207,6 +226,11 @@ case class AsofJoinExec(
     val outAttrs = output
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
+    val numOutput = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatchedRows")
+    val numNullExt = longMetric("numNullExtended")
+    val numPruned = longMetric("numPrunedRightRows")
+    val numCandidates = longMetric("numCandidateRightRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeysExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeysExprs, rOut)
@@ -229,12 +253,15 @@ case class AsofJoinExec(
       var candRow: InternalRow = null
 
       lIter.map { l =>
+        numOutput += 1
         val lk = lKeyProj(l)
         if (lk.anyNull) {
+          numNullExt += 1
           resultProj(joined(l, nullRight))
         } else {
           val ltRow = lTimeProj(l)
           if (ltRow.isNullAt(0)) {
+            numNullExt += 1
             resultProj(joined(l, nullRight))
           } else {
             var done = false
@@ -243,20 +270,24 @@ case class AsofJoinExec(
               val rk = rKeyProj(r)
               val cmp = if (rk.anyNull) -1 else keyOrd.compare(rk, lk)
               if (cmp < 0) {
+                numPruned += 1
                 rBuf.next() // stale key (or null-keyed): discard
               } else if (cmp == 0) {
                 val rtRow = rTimeProj(r)
                 if (rtRow.isNullAt(0)) {
+                  numPruned += 1
                   rBuf.next() // null time never matches; nulls sort first
                 } else if (timeOrd.compare(rtRow, ltRow) <= 0) {
                   candKey = rk.copy()
                   candRow = r.copy()
+                  numCandidates += 1
                   rBuf.next()
                 } else done = true // future right row: stop
               } else done = true // right is past the left key
             }
             val hit = candRow != null && !candKey.anyNull &&
               keyOrd.compare(candKey, lk) == 0
+            if (hit) numMatched += 1 else numNullExt += 1
             resultProj(joined(l, if (hit) candRow else nullRight))
           }
         }

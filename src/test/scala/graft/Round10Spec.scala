@@ -160,6 +160,39 @@ class Round10Spec extends SparkSpec {
       f"rocksdb_warm=$tRocksWarm%.2fs heap=$tHeap%.2fs")
   }
 
+  test("AsofJoinExec exposes SQL metrics: output/match/prune accounting holds") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    // No trailing orderBy: a global sort's range-partition sampling
+    // executes the child once more and doubles every metric.
+    val (purchases0, clicks) = graft.queries.Q32AsofJoin.asofInputs(spark, sf)
+    val purchases = purchases0.select(col("user_id").as("p_user"),
+      col("ts_us").as("pts"), col("pval"))
+    val df = clicks.join(purchases,
+      col("user_id") === col("p_user") && expr("graft_asof_le(pts, ts_us)"),
+      "left")
+    val n = df.collect().length.toLong // execute THIS plan so its metrics fill
+    val exec = flatten(df.queryExecution.executedPlan)
+      .collectFirst { case a: graft.plans.AsofJoinExec => a }
+    assert(exec.isDefined, "expected AsofJoinExec in the executed plan")
+    val m = exec.get.metrics
+    assert(Set("numOutputRows", "numMatchedRows", "numNullExtended",
+      "numPrunedRightRows", "numCandidateRightRows").subsetOf(m.keySet))
+    assert(m("numOutputRows").value == n)
+    // every left row is either matched or null-extended, nothing else
+    assert(m("numMatchedRows").value + m("numNullExtended").value == n)
+    assert(m("numMatchedRows").value > 0, "fixture should produce matches")
+    assert(m("numCandidateRightRows").value > 0)
+  }
+
   test("withLengths stats a lazy Seq fully in parallel (strict submit phase)") {
     // A lazy Seq used to interleave submit/get one element at a time
     // (serializing the stat RPCs); the strict submit phase must still
