@@ -29,8 +29,38 @@ import graft.queries._
   */
 object ScaleBench {
   private val Scale10Dir = "/tmp/graft_scale10"
+  private val Scale100Dir = "/tmp/graft_scale100"
   private val Copies = 10
   private val IdOffset = 10000000L
+
+  /** Third decade (100×), documents only: the queries whose 10× ratio
+    * sits ≥2.2 are all text-side (q18d/q18f/q26/q58/q60), and a
+    * second hop is what separates structure (ratio grows again —
+    * superlinear term) from slack (ratio flattens toward ~10 — the
+    * fixed costs are amortized and the blocked joins are linear).
+    * Same bijective '#k' suffix transform as the 10× corpus, built in
+    * ONE pass via explode(sequence) rather than a 100-branch union.
+    * Disable with SPARK_GRAFT_SCALE100=0. */
+  private def synthesize100(spark: SparkSession, sfDir: String): Unit = {
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$Scale100Dir/documents.parquet"))) {
+      System.err.println(
+        s"[scalebench] REUSING existing $Scale100Dir — delete it to " +
+          s"regenerate from $sfDir")
+      return
+    }
+    Tables.documents(spark, sfDir)
+      .select(explode(expr("sequence(0, 99)")).as("k"),
+        col("doc_id"), col("text"), col("lang"), col("source"))
+      .select(
+        (col("doc_id") + col("k") * lit(IdOffset)).as("doc_id"),
+        expr("array_join(transform(filter(split(text, '\\\\s+'), " +
+          "t -> t != ''), x -> concat(x, '#', k)), ' ')").as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$Scale100Dir/documents.parquet")
+  }
 
   private def synthesize(spark: SparkSession, sfDir: String): Unit = {
     if (java.nio.file.Files.exists(
@@ -134,15 +164,33 @@ object ScaleBench {
     }
     val at1 = timed(sfDir)
     val at10 = timed(Scale10Dir)
+    // Third decade: only the ≥2.2-ratio text-side queries, min-of-2.
+    val deep: Seq[GraftQuery] = Seq(Q18dDedupNgram, Q18fDedupClusters,
+      Q26TfIdf, Q58TrainingShards, Q60RepeatedSpans)
+    val at100: Map[String, Double] =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE100", "1") == "0") Map.empty
+      else {
+        synthesize100(spark, sfDir)
+        val _ = time1(Q18DedupExact, Scale100Dir) // warmup on the big corpus
+        deep.map(q => q.name ->
+          math.min(time1(q, Scale100Dir), time1(q, Scale100Dir))).toMap
+      }
     spark.stop()
-    def row(m: Map[String, Double]) = family
+    def row(qs: Seq[GraftQuery], m: Map[String, Double]) = qs
       .map(q => "\"" + q.name + "\":" + f"${m(q.name)}%.3f")
       .mkString("{", ",", "}")
     val ratios = family.map(q =>
       "\"" + q.name + "\":" + f"${at10(q.name) / at1(q.name)}%.2f")
       .mkString("{", ",", "}")
-    println(s"""{"scale":"sf0.1","queries":${row(at1)}}""")
-    println(s"""{"scale":"sf0.1x10","queries":${row(at10)}}""")
+    println(s"""{"scale":"sf0.1","queries":${row(family, at1)}}""")
+    println(s"""{"scale":"sf0.1x10","queries":${row(family, at10)}}""")
     println(s"""{"ratio_10x":$ratios}""")
+    if (at100.nonEmpty) {
+      val r2 = deep.map(q =>
+        "\"" + q.name + "\":" + f"${at100(q.name) / at10(q.name)}%.2f")
+        .mkString("{", ",", "}")
+      println(s"""{"scale":"sf0.1x100","queries":${row(deep, at100)}}""")
+      println(s"""{"ratio_100x_vs_10x":$r2}""")
+    }
   }
 }
