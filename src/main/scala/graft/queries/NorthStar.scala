@@ -357,9 +357,16 @@ object Q18bDedupMinHash extends GraftQuery {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sa"), col("b.sig").as("sb"))
       .dropDuplicates("doc_a", "doc_b")
+      // Observability for the blocked join (the AsofJoinExec-metrics
+      // rule applied to the band pipeline): how many DISTINCT
+      // candidate pairs the banding admitted is THE number that says
+      // whether the blocking still holds at the current scale — it
+      // surfaces in observedMetrics/the SQL UI without a second run.
+      .observe("q18b_band_stats", count(lit(1)).as("candidate_pairs"))
       .select(col("doc_a"), col("doc_b"),
         (expr(matches).cast("double") / 32.0).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
+      .observe("q18b_verify_stats", count(lit(1)).as("verified_pairs"))
   }
   val oracle = Some(s"""
     WITH ${NorthStar.duckShingleCtes},

@@ -193,6 +193,23 @@ class Round10Spec extends SparkSpec {
     assert(m("numCandidateRightRows").value > 0)
   }
 
+  test("band join exposes candidate/verified counts via observed metrics") {
+    val df = graft.queries.Q18bDedupMinHash.run(spark, sf)
+    val n = df.collect().length.toLong
+    val om = df.queryExecution.observedMetrics
+    assert(om.contains("q18b_band_stats") && om.contains("q18b_verify_stats"),
+      s"expected band observations, got ${om.keySet}")
+    val candidates = om("q18b_band_stats").getAs[Long]("candidate_pairs")
+    val verified = om("q18b_verify_stats").getAs[Long]("verified_pairs")
+    // q18b's trailing global sort samples its child for range
+    // boundaries, so the observed subtree executes k>=1 times and the
+    // accumulated counts are exact k-multiples of one pass.
+    assert(verified > 0 && verified % n == 0,
+      s"verified=$verified must be a multiple of emitted pairs $n")
+    assert(candidates >= verified,
+      s"banding admitted $candidates, verify kept $verified")
+  }
+
   test("withLengths stats a lazy Seq fully in parallel (strict submit phase)") {
     // A lazy Seq used to interleave submit/get one element at a time
     // (serializing the stat RPCs); the strict submit phase must still
