@@ -37,7 +37,13 @@ object Bench {
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
           -1.0
       }
-    val firstPass = SparkEntry.all.map(q => q -> time(q))
+    // Optional comma-separated name filter (Verify's convention):
+    // floor a single new query without paying the full surface.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = only.fold(SparkEntry.all)(names =>
+      SparkEntry.all.filter(q => names(q.name)))
+    val firstPass = picked.map(q => q -> time(q))
     // Adaptive outlier re-run: a shared machine inflates co-scheduled
     // work non-uniformly (measured 2x total, 8x on multi-action
     // queries in round 4) and a single sample can't tell a spike from

@@ -124,7 +124,7 @@ object StreamQueries {
     S1Tumbling, S2Sliding, S3WatermarkLate, S4SessionWindow, S5Dedup,
     S6IncrementalIndex, S7StatefulProfiles, S8StreamStreamJoin,
     S9StreamStaticJoin, S10StreamStreamOuterJoin, S11StreamCuration,
-    S12StreamDeltaDedup)
+    S12StreamDeltaDedup, S12bStreamDeltaDedupStore)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -513,6 +513,48 @@ object S12StreamDeltaDedup extends GraftQuery {
     sigFrame(docs).filter(col("sig").isNotNull)
       .select(col("doc_id"), col("sig"), explode(expr(bandsExpr)).as("bkey"))
 
+  /** The three stateless branches + one stateful best-verdict agg
+    * over ANY corpus-side index pair — s12 hands a per-run
+    * checkpointed frame, s12b the persisted bucketed store tables.
+    * `baseHash`: (th, base_id); `baseBands`: (base_id, bsig, bkey). */
+  private[streaming] def verdictStream(delta: DataFrame,
+      baseHash: DataFrame, baseBands: DataFrame): DataFrame = {
+    val exact = delta.select(col("doc_id"), md5(col("text")).as("th"))
+      .join(baseHash, Seq("th"))
+      .select(col("doc_id"), lit(0).as("pri"), lit(0).as("negest"),
+        col("base_id"))
+    val near = bandFrame(delta)
+      .select(col("doc_id"), col("sig").as("dsig"), col("bkey"))
+      .join(baseBands, Seq("bkey"))
+      .select(col("doc_id"), col("base_id"),
+        expr(matchesExpr).as("matches"))
+      .filter(col("matches") >= 16) // est_jaccard >= 0.5
+      .select(col("doc_id"), lit(1).as("pri"),
+        (lit(32) - col("matches")).as("negest"), col("base_id"))
+    val fresh = delta.select(col("doc_id"), lit(2).as("pri"),
+      lit(0).as("negest"), lit(null).cast("long").as("base_id"))
+    exact.unionByName(near).unionByName(fresh)
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("pri"), col("negest"), col("base_id"))).as("b"))
+  }
+
+  /** Final-state rows → q57's audit contract. */
+  private[streaming] def formatVerdicts(best: DataFrame): DataFrame =
+    best.select(col("doc_id"),
+        when(col("b.pri") === 0, lit("exact_dup"))
+          .when(col("b.pri") === 1, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"),
+        col("b.base_id").as("base_id"),
+        when(col("b.pri") === 1,
+          (lit(32) - col("b.negest")).cast("double") / 32.0d)
+          .otherwise(lit(null).cast("double")).as("est_jaccard"))
+      .orderBy(col("doc_id"))
+
+  private[streaming] def deltaStream(spark: SparkSession, dir: String): DataFrame =
+    docsStream(spark, dir)
+      .withColumn("split", Q40TrainTestSplit.splitCol)
+      .filter(col("split") === "test")
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     val static = graft.Tables.documents(spark, dir)
       .withColumn("split", Q40TrainTestSplit.splitCol)
@@ -531,38 +573,42 @@ object S12StreamDeltaDedup extends GraftQuery {
     val baseBands = signed.filter(col("sig").isNotNull)
       .select(col("base_id"), col("sig").as("bsig"),
         explode(expr(bandsExpr)).as("bkey"))
-    val delta = docsStream(spark, dir)
-      .withColumn("split", Q40TrainTestSplit.splitCol)
-      .filter(col("split") === "test")
+    val best = verdictStream(deltaStream(spark, dir), baseHash, baseBands)
+    formatVerdicts(runToBatch(spark, best, "complete",
+      rocksdb = rocksDefault(spark)))
+  }
 
-    val exact = delta.select(col("doc_id"), md5(col("text")).as("th"))
-      .join(baseHash, Seq("th"))
-      .select(col("doc_id"), lit(0).as("pri"), lit(0).as("negest"),
-        col("base_id"))
-    val near = bandFrame(delta)
-      .select(col("doc_id"), col("sig").as("dsig"), col("bkey"))
-      .join(baseBands, Seq("bkey"))
-      .select(col("doc_id"), col("base_id"),
-        expr(matchesExpr).as("matches"))
-      .filter(col("matches") >= 16) // est_jaccard >= 0.5
-      .select(col("doc_id"), lit(1).as("pri"),
-        (lit(32) - col("matches")).as("negest"), col("base_id"))
-    val fresh = delta.select(col("doc_id"), lit(2).as("pri"),
-      lit(0).as("negest"), lit(null).cast("long").as("base_id"))
+  val oracle = Q57DeltaDedup.oracle
+}
 
-    val best = exact.unionByName(near).unionByName(fresh)
-      .groupBy(col("doc_id"))
-      .agg(min(struct(col("pri"), col("negest"), col("base_id"))).as("b"))
-    runToBatch(spark, best, "complete", rocksdb = rocksDefault(spark))
-      .select(col("doc_id"),
-        when(col("b.pri") === 0, lit("exact_dup"))
-          .when(col("b.pri") === 1, lit("near_dup"))
-          .otherwise(lit("new")).as("verdict"),
-        col("b.base_id").as("base_id"),
-        when(col("b.pri") === 1,
-          (lit(32) - col("b.negest")).cast("double") / 32.0d)
-          .otherwise(lit(null).cast("double")).as("est_jaccard"))
-      .orderBy(col("doc_id"))
+/** S12b — s12 against the PERSISTED signature store (q57b's tables):
+  * the full deploy shape of incremental ingest. s12's corpus index is
+  * a per-run `localCheckpoint` — rebuilt every run, dead with the
+  * JVM; here the stream-static joins read the bucketed store tables,
+  * which are built once, survive restarts, and serve every trigger
+  * AND every run. Per trigger the static side is a bucketed table
+  * scan (no corpus text ever re-read, no signatures ever recomputed);
+  * at 100 TB this is the difference between an ingest pipeline that
+  * starts in seconds and one that re-signs the corpus on every
+  * deploy. Same branches, same stateful verdict agg, same RocksDB
+  * default, and the SAME q57 oracle as s12 — batch store path (q57b),
+  * checkpoint stream path (s12) and store stream path (s12b) must all
+  * agree row for row. */
+object S12bStreamDeltaDedupStore extends GraftQuery {
+  import StreamQueries._
+  import graft.queries.{Q57bDeltaDedupStore, Q57DeltaDedup}
+  val name = "s12b_stream_delta_dedup_store"
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (bandsT, exactT) = Q57bDeltaDedupStore.ensureStore(spark, dir)
+    val baseHash = spark.table(exactT)
+      .select(col("th"), col("doc_id").as("base_id"))
+    val baseBands = spark.table(bandsT)
+      .select(col("doc_id").as("base_id"), col("sig").as("bsig"), col("bkey"))
+    val best = S12StreamDeltaDedup.verdictStream(
+      S12StreamDeltaDedup.deltaStream(spark, dir), baseHash, baseBands)
+    S12StreamDeltaDedup.formatVerdicts(runToBatch(spark, best, "complete",
+      rocksdb = rocksDefault(spark)))
   }
 
   val oracle = Q57DeltaDedup.oracle

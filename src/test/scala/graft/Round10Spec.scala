@@ -210,6 +210,14 @@ class Round10Spec extends SparkSpec {
       s"banding admitted $candidates, verify kept $verified")
   }
 
+  test("s12b (store-backed stream) == s12 (checkpoint stream) row for row") {
+    val viaStore = graft.streaming.S12bStreamDeltaDedupStore
+      .run(spark, sf).collect().toSeq
+    val viaCheckpoint = graft.streaming.S12StreamDeltaDedup
+      .run(spark, sf).collect().toSeq
+    assert(viaStore == viaCheckpoint && viaStore.nonEmpty)
+  }
+
   test("withLengths stats a lazy Seq fully in parallel (strict submit phase)") {
     // A lazy Seq used to interleave submit/get one element at a time
     // (serializing the stat RPCs); the strict submit phase must still
