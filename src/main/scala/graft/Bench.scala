@@ -95,12 +95,17 @@ object Bench {
     // two cheap structurally-stable queries vs their quiet floors.
     // ~1.0 → deviations in this JSON are real; >>1 → the driver can
     // normalize (remaining spikes are the machine, not the code).
+    // MIN of the probes, deliberately: with two samples a "median"
+    // is the max, and one transient spike on a sub-second probe would
+    // overstate contention — under which real code regressions get
+    // normalized away. Understating contention only makes the bench
+    // stricter on the code.
     val calib: Option[Double] = {
       val probes = SparkEntry.all
         .filter(q => Set("q6_topk_customers", "q23_token_count")(q.name))
         .flatMap(q => floors.get(q.name).map(f => math.max(time(q), 0.0) / f))
-        .filter(_ > 0).sorted
-      if (probes.isEmpty) None else Some(probes(probes.length / 2))
+        .filter(_ > 0)
+      if (probes.isEmpty) None else Some(probes.min)
     }
     val results = firstPass.map { case (q, s) =>
       q.name -> rerun.getOrElse(q.name, s)

@@ -42,11 +42,20 @@ object ScaleBench {
     * ONE pass via explode(sequence) rather than a 100-branch union.
     * Disable with SPARK_GRAFT_SCALE100=0. */
   private def synthesize100(spark: SparkSession, sfDir: String): Unit = {
-    if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$Scale100Dir/documents.parquet"))) {
-      System.err.println(
-        s"[scalebench] REUSING existing $Scale100Dir — delete it to " +
-          s"regenerate from $sfDir")
+    // Reuse keyed on a SOURCE fingerprint, not bare existence (the
+    // q57b ensureStore rule): a 100x corpus synthesized from an older
+    // or different fixture would silently corrupt the hop-2 ratios.
+    val fpFile = java.nio.file.Paths.get(s"$Scale100Dir/_source_fingerprint")
+    val srcFp = {
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      sfDir + "|" + fs.listStatus(p).filter(_.isFile)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString("|")
+    }
+    if (java.nio.file.Files.exists(fpFile) &&
+        new String(java.nio.file.Files.readAllBytes(fpFile), "UTF-8") == srcFp) {
+      System.err.println(s"[scalebench] reusing $Scale100Dir (fingerprint match)")
       return
     }
     Tables.documents(spark, sfDir)
@@ -60,6 +69,7 @@ object ScaleBench {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(64)
       .write.mode("overwrite").parquet(s"$Scale100Dir/documents.parquet")
+    java.nio.file.Files.write(fpFile, srcFp.getBytes("UTF-8"))
   }
 
   private def synthesize(spark: SparkSession, sfDir: String): Unit = {
@@ -153,14 +163,28 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     synthesize(spark, sfDir)
-    def time1(q: GraftQuery, dir: String): Double = {
-      val t0 = System.nanoTime()
-      q.run(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+    // Failure-contained like Bench.time: one OOM in a 100x-corpus run
+    // must cost that data point, not the whole multi-hop measurement
+    // (results only print at the end).
+    def time1(q: GraftQuery, dir: String): Double =
+      try {
+        val t0 = System.nanoTime()
+        q.run(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[scalebench] ${q.name} @ $dir FAILED: ${e.getMessage}")
+          -1.0
+      }
+    // min-of-2 that doesn't let a -1 failure masquerade as the floor
+    def best2(q: GraftQuery, dir: String): Double = {
+      val (a, b) = (time1(q, dir), time1(q, dir))
+      val ok = Seq(a, b).filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
     }
     def timed(dir: String): Map[String, Double] = {
       val _ = time1(Q18DedupExact, dir) // warmup
-      family.map(q => q.name -> math.min(time1(q, dir), time1(q, dir))).toMap
+      family.map(q => q.name -> best2(q, dir)).toMap
     }
     val at1 = timed(sfDir)
     val at10 = timed(Scale10Dir)
@@ -172,22 +196,23 @@ object ScaleBench {
       else {
         synthesize100(spark, sfDir)
         val _ = time1(Q18DedupExact, Scale100Dir) // warmup on the big corpus
-        deep.map(q => q.name ->
-          math.min(time1(q, Scale100Dir), time1(q, Scale100Dir))).toMap
+        deep.map(q => q.name -> best2(q, Scale100Dir)).toMap
       }
     spark.stop()
     def row(qs: Seq[GraftQuery], m: Map[String, Double]) = qs
       .map(q => "\"" + q.name + "\":" + f"${m(q.name)}%.3f")
       .mkString("{", ",", "}")
+    def ratio(num: Double, den: Double): Double =
+      if (num < 0 || den <= 0) -1.0 else num / den
     val ratios = family.map(q =>
-      "\"" + q.name + "\":" + f"${at10(q.name) / at1(q.name)}%.2f")
+      "\"" + q.name + "\":" + f"${ratio(at10(q.name), at1(q.name))}%.2f")
       .mkString("{", ",", "}")
     println(s"""{"scale":"sf0.1","queries":${row(family, at1)}}""")
     println(s"""{"scale":"sf0.1x10","queries":${row(family, at10)}}""")
     println(s"""{"ratio_10x":$ratios}""")
     if (at100.nonEmpty) {
       val r2 = deep.map(q =>
-        "\"" + q.name + "\":" + f"${at100(q.name) / at10(q.name)}%.2f")
+        "\"" + q.name + "\":" + f"${ratio(at100(q.name), at10(q.name))}%.2f")
         .mkString("{", ",", "}")
       println(s"""{"scale":"sf0.1x100","queries":${row(deep, at100)}}""")
       println(s"""{"ratio_100x_vs_10x":$r2}""")

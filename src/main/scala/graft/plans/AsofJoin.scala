@@ -193,7 +193,11 @@ case class AsofJoinExec(
     * pruned-vs-candidate says how much of the right side the merge
     * walk discarded as stale versus buffered as an as-of candidate —
     * a pruned-heavy profile means the right side should be
-    * pre-reduced before the join. */
+    * pre-reduced before the join. Like every accumulator-backed
+    * SQLMetric, counts sum over EXECUTIONS of this node: under a
+    * trailing global sort (q32b's orderBy), range-partition sampling
+    * runs the join once more and absolute counts read 2×; the RATIOS
+    * (match rate, pruned share) are execution-invariant. */
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"),
     "numMatchedRows" -> SQLMetrics.createMetric(sparkContext,

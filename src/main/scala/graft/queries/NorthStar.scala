@@ -358,10 +358,15 @@ object Q18bDedupMinHash extends GraftQuery {
         col("a.sig").as("sa"), col("b.sig").as("sb"))
       .dropDuplicates("doc_a", "doc_b")
       // Observability for the blocked join (the AsofJoinExec-metrics
-      // rule applied to the band pipeline): how many DISTINCT
-      // candidate pairs the banding admitted is THE number that says
-      // whether the blocking still holds at the current scale — it
-      // surfaces in observedMetrics/the SQL UI without a second run.
+      // rule applied to the band pipeline): candidate vs verified
+      // pair counts surface in observedMetrics/the SQL UI without a
+      // second run. CAVEAT (applies to any observe/SQLMetric below a
+      // global sort): a trailing orderBy's range-partition sampling
+      // re-executes this subtree, so absolute counts are an exact
+      // k-multiple of one pass (k = execution count, 2 under q18b's
+      // final sort). The candidate/verified RATIO — the blocking-
+      // health signal — is sampling-invariant; Round10Spec asserts
+      // the multiple structure explicitly.
       .observe("q18b_band_stats", count(lit(1)).as("candidate_pairs"))
       .select(col("doc_a"), col("doc_b"),
         (expr(matches).cast("double") / 32.0).as("est_jaccard"))

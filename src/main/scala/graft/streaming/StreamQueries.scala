@@ -60,7 +60,16 @@ object StreamQueries {
     * this default path and measures the per-trigger overhead
     * (BASELINE.md note). */
   private[graft] def rocksDefault(spark: SparkSession): Boolean =
-    spark.conf.getOption("spark.graft.streaming.rocksdb").forall(_.toBoolean)
+    spark.conf.getOption("spark.graft.streaming.rocksdb").forall {
+      // tolerant parse: the natural opt-out spellings must not turn
+      // into a plan-time crash from a raw String.toBoolean
+      _.trim.toLowerCase match {
+        case "false" | "0" | "off" | "no" => false
+        case "true" | "1" | "on" | "yes"  => true
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.streaming.rocksdb must be a boolean, got '$other'")
+      }
+    }
 
   private[graft] def runToBatch(spark: SparkSession, stream: DataFrame,
                                 mode: String, rocksdb: Boolean): DataFrame = this.synchronized {
@@ -76,6 +85,9 @@ object StreamQueries {
     spark.conf.set(partsKey, "8")
     if (rocksdb) spark.conf.set(storeKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Reset UP FRONT: a run that throws must not leave the PREVIOUS
+    // run's provider metrics as this run's apparent signal.
+    lastStateMetrics = Nil
     try {
       val q = stream.writeStream.format("memory").queryName(name)
         .outputMode(mode).start()
