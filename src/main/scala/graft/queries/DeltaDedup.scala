@@ -224,6 +224,39 @@ object Q57bDeltaDedupStore extends GraftQuery {
     (bandsT, exactT)
   }
 
+  /** The COMMIT step of an ingest: append the admitted ("new")
+    * documents' content hashes and band rows to the store, so the
+    * NEXT delta dedups against them too — without this, two arriving
+    * shards that duplicate each other (but nothing in the base
+    * corpus) would both be admitted. Delta-sized work: the admitted
+    * docs are hashed/signed once and appended through the SAME bucket
+    * spec the store was created with (Spark routes appended rows to
+    * their buckets, so the zero-exchange join posture survives the
+    * append). Mutating by design: the store is the LIVE corpus index
+    * — the dir fingerprint in the table name tracks the base
+    * snapshot it was seeded from, and admitted deltas accumulate on
+    * top (a production deployment would version or compact the store
+    * on its own schedule). Round10Spec drives a two-wave ingest:
+    * wave 2's copy of a wave-1-admitted doc is flagged against the
+    * UPDATED store. */
+  private[graft] def admit(spark: SparkSession, docs: DataFrame,
+      bandsT: String, exactT: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    docs.select(col("doc_id"), md5(col("text")).as("th"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(16, "th").sortBy("th").saveAsTable(exactT)
+    Q18bDedupMinHash.signatures(
+        docs.select(col("doc_id"), expr(NorthStar.toksExpr).as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"),
+            expr(NorthStar.let("t", "t", NorthStar.shinglesExpr)).as("sh")))
+      .select(col("doc_id"), col("sig"),
+        explode(expr(NorthStar.let("sg", "sig",
+          NorthStar.bandKeysExpr("sg")))).as("bkey"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(16, "bkey").sortBy("bkey").saveAsTable(bandsT)
+  }
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     val (bandsT, exactT) = ensureStore(spark, dir)
     // The delta frame is everything the incremental query reads from

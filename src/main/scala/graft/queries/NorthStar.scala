@@ -318,7 +318,7 @@ object Q18bDedupMinHash extends GraftQuery {
     * need not match. Shared by pairsFrom (self-join dedup) and q57b's
     * persisted store (corpus side at write time, delta side per
     * ingest) so the two tiers can never drift. */
-  private[queries] def signatures(shingles: DataFrame): DataFrame = {
+  private[graft] def signatures(shingles: DataFrame): DataFrame = {
     val shex = shingles.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), expr(NorthStar.shingleHashExpr("s")).as("h"))
     val permCols = (0 until 32).map { i =>

@@ -218,6 +218,52 @@ class Round10Spec extends SparkSpec {
     assert(viaStore == viaCheckpoint && viaStore.nonEmpty)
   }
 
+  test("two-wave ingest: admitted docs join the store and catch the next wave's dupes") {
+    import graft.queries.Q57bDeltaDedupStore
+    val dir = java.nio.file.Files.createTempDirectory("r10-ingest")
+    try {
+      // id 1 = train (seeds the store); id 8 = test (wave 1, novel).
+      val base = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "web", 46L),
+        (8L, "completely novel wave one document with fresh words here", "en", "web", 55L))
+      import spark.implicits._
+      base.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val (bandsT, exactT) = Q57bDeltaDedupStore.ensureStore(spark, dir.toString)
+      // Wave 1: doc 8 dedups 'new' against the seed store...
+      val w1 = Q57bDeltaDedupStore.run(spark, dir.toString).collect()
+      assert(w1.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((8L, "new")))
+      // ...and is ADMITTED (the commit step).
+      Q57bDeltaDedupStore.admit(spark,
+        Seq((8L, base(1)._2)).toDF("doc_id", "text"), bandsT, exactT)
+      // Wave 2: an exact copy and a near-variant of the admitted doc.
+      val exactCopy = base(1)._2
+      val nearCopy = base(1)._2 + " trailing"
+      // Exact tier: the copy's hash now hits the store.
+      val hit = spark.table(exactT)
+        .filter(col("th") === md5(lit(exactCopy))).collect()
+      assert(hit.map(_.getAs[Long]("doc_id")).toSeq == Seq(8L),
+        "admitted doc's content hash must be queryable in the store")
+      // Near tier: the variant's band keys collide with the admitted
+      // doc's appended band rows (>=1 shared band => candidate).
+      val w2bands = Seq((100L, nearCopy)).toDF("doc_id", "text")
+        .select(col("doc_id"), expr(graft.queries.NorthStar.toksExpr).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), expr(graft.queries.NorthStar.let("t", "t",
+          graft.queries.NorthStar.shinglesExpr)).as("sh"))
+      val cand = graft.queries.Q18bDedupMinHash.signatures(w2bands)
+        .select(col("doc_id"), explode(expr(graft.queries.NorthStar.let(
+          "sg", "sig", graft.queries.NorthStar.bandKeysExpr("sg")))).as("bkey"))
+        .join(spark.table(bandsT).select(col("bkey"),
+          col("doc_id").as("base_id")), "bkey")
+        .select(col("base_id")).distinct().collect()
+      assert(cand.map(_.getLong(0)).toSeq == Seq(8L),
+        "near-variant must band-collide with the admitted doc")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("withLengths stats a lazy Seq fully in parallel (strict submit phase)") {
     // A lazy Seq used to interleave submit/get one element at a time
     // (serializing the stat RPCs); the strict submit phase must still
