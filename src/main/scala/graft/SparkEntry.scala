@@ -10,7 +10,7 @@ object SparkEntry {
   val all: Seq[GraftQuery] = Seq(
     InvertedIndex, InvertedIndexUdaf, InvertedIndexNative
   ) ++ Relational.all ++ Analytics.all ++ NorthStar.all ++
-    Curation.all ++ Scoring.all ++ Graph.all ++
+    Curation.all ++ Scoring.all ++ Graph.all ++ Bpe.all ++
     Seq(graft.multimodal.Q25MultimodalFeatures) ++
     graft.streaming.StreamQueries.all
 

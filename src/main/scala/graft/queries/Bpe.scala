@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Q64 — BPE merge-rule learning: the tokenizer-TRAINING step of an
+  * LLM data pipeline (Sennrich et al. 2016). q62 measures vocabulary
+  * coverage; nothing in the surface so far LEARNS a vocabulary. This
+  * operator derives the first K byte-pair-encoding merge rules from
+  * the corpus: start from character symbols, repeatedly (1) count
+  * adjacent symbol pairs weighted by word frequency, (2) pick the
+  * most frequent pair (ties: left asc, right asc — a total order, so
+  * the trajectory is deterministic across runs AND engines), (3)
+  * replace its greedy left-to-right non-overlapping occurrences with
+  * the merged symbol in every word.
+  *
+  * Scale shape (why BPE distributes this way): the corpus is read
+  * ONCE to build the word-frequency table; every iteration after that
+  * is VOCABULARY-sized — a per-row merge fold (map-only) plus one
+  * pair-count aggregation (map-side-combined BIGINT sums), with
+  * exactly one O(1) driver scalar per iteration (the argmax pair —
+  * q62's driver-traffic rule). At 100 TB the word table is ~10⁷ rows
+  * regardless of corpus size, so K merges cost K vocabulary passes,
+  * not K corpus passes. Counts are exact BIGINTs: order-independent
+  * sums, no float argmax to drift between engines.
+  *
+  * The greedy merge is a per-row `aggregate` fold: append each symbol
+  * unless the accumulator's last element is `l` and the current is
+  * `r`. A fold CANNOT re-merge a just-merged element (its value is
+  * l||r, and l||r = l is impossible for nonempty r), so it is exactly
+  * the non-overlapping left-to-right scan of the reference algorithm;
+  * for the l = r case a run of n identical symbols pairs off as
+  * floor(n/2) merges — Round10bSpec pins that case and cross-checks
+  * random corpora against an in-memory reference implementation. The
+  * oracle expresses the same scan relationally (positions + runs of
+  * consecutive matches + odd-parity keep) since the two formulations
+  * are equivalent: for l ≠ r two adjacent matches are impossible, and
+  * for l = r greedy keeps exactly the odd-indexed matches of each run.
+  *
+  * Reference anchor: the per-word symbol fold generalizes the
+  * reference's per-word normalize step (src/main.cpp:191-208) from a
+  * fixed character filter to a learned segmentation.
+  */
+object Bpe {
+  val all: Seq[GraftQuery] = Seq(Q64BpeMerges, Q64bBpeEncode)
+}
+
+object Q64BpeMerges extends GraftQuery {
+  val name = "q64_bpe_merges"
+  /** Fixed merge budget — the contract, like q59's 5 iterations. */
+  val Merges = 6
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    learn(spark, dir)._1
+      .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** Learn the merge trajectory AND return the final word→symbols
+    * table (word, cnt, syms) — q64 surfaces the former, q64b encodes
+    * the corpus with the latter (a vocab-sized dictionary, so the
+    * apply step is a join, never a re-fold over the corpus). */
+  private[queries] def learn(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    // One corpus pass → (word, cnt, syms): q1's token/normalize
+    // definition, then word-frequency weights and initial character
+    // symbols.
+    // localCheckpoint per iteration: each step's argmax is an action,
+    // and without a barrier iteration k would replay folds 1..k-1 on
+    // top of the corpus scan (the q57 branch rule, iterated). Lazy
+    // (eager=false): the very next argmax action materializes it, so
+    // each iteration costs ONE job instead of a checkpoint job + an
+    // argmax job — same barrier, half the fixed scheduling overhead.
+    var words = Tables.documents(spark, dir)
+      .select(explode(expr(NorthStar.toksExpr)).as("tok"))
+      .select(lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"), expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"))
+      .localCheckpoint(false)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (k <- 1 to Merges if !exhausted) {
+      // zip_with of the array against its own tail: adjacent pairs
+      // without the sequence(1,0) descending-range trap on 1-symbol
+      // words (slice of length 0 is empty; sequence(1,0) is [1,0]).
+      val top = words
+        .select(col("cnt"), explode(expr(
+          "zip_with(slice(syms, 1, size(syms) - 1), " +
+            "slice(syms, 2, size(syms) - 1), " +
+            "(a, b) -> named_struct('l', a, 'r', b))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, l, r, l + r, n))
+        // Symbols are [a-z]+ by construction (q1 normalization), so the
+        // literals embed safely. CASE branches are lazy: element_at
+        // never sees an empty accumulator.
+        words = words.select(col("word"), col("cnt"), expr(
+          s"""aggregate(syms, CAST(array() AS array<string>), (acc, s) ->
+              CASE WHEN size(acc) = 0 THEN array(s)
+                   WHEN element_at(acc, -1) = '$l' AND s = '$r'
+                   THEN concat(slice(acc, 1, size(acc) - 1), array('${l + r}'))
+                   ELSE concat(acc, array(s)) END)""").as("syms"))
+          .localCheckpoint(false)
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  /** One unrolled iteration k of the relational formulation:
+    * pair counts via lead(), 1-row argmax, match flags, runs of
+    * consecutive matches (gaps-and-islands), odd-parity merge starts,
+    * rebuild with re-indexed positions. */
+  private def duckIter(k: Int): String = {
+    val p = k - 1
+    s"""pc$k AS (SELECT sym AS l, nx AS r, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM (SELECT cnt, sym, lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nx FROM s$p)
+      WHERE nx IS NOT NULL GROUP BY 1, 2),
+    b$k AS (SELECT l, r, n FROM pc$k ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+    m$k AS (SELECT wid, cnt, pos, sym,
+        lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nx,
+        coalesce(sym = b.l AND lead(sym) OVER (PARTITION BY wid ORDER BY pos) = b.r, FALSE) AS mt
+      FROM s$p LEFT JOIN b$k b ON TRUE),
+    g$k AS (SELECT wid, cnt, pos, sym, nx, mt,
+        pos - SUM(CASE WHEN mt THEN 1 ELSE 0 END) OVER (PARTITION BY wid ORDER BY pos) AS grp
+      FROM m$k),
+    k$k AS (SELECT wid, cnt, pos, sym, nx,
+        mt AND (row_number() OVER (PARTITION BY wid, mt, grp ORDER BY pos) % 2 = 1) AS st
+      FROM g$k),
+    s$k AS (SELECT wid, cnt, row_number() OVER (PARTITION BY wid ORDER BY pos) AS pos,
+        CASE WHEN st THEN sym || nx ELSE sym END AS sym
+      FROM (SELECT wid, cnt, pos, sym, nx, st,
+              coalesce(lag(st) OVER (PARTITION BY wid ORDER BY pos), FALSE) AS pst
+            FROM k$k)
+      WHERE NOT pst)"""
+  }
+
+  /** The full learning chain — word frequencies, per-position symbol
+    * table s0, and Merges unrolled iterations ending in s`Merges` (the
+    * final symbol table). Shared with q64b's encode oracle. The
+    * LEFT JOIN ON TRUE in each iteration makes exhaustion (empty
+    * argmax) carry s_{k-1} through unchanged, mirroring the Spark
+    * loop's early exit. */
+  private[queries] def duckChain: String =
+    s"""words AS (SELECT word, count(*) AS cnt FROM
+        (SELECT lower(regexp_replace(unnest(string_split_regex(text, '\\s+')), '[^a-zA-Z]', '', 'g')) AS word
+         FROM documents)
+      WHERE length(word) > 0 GROUP BY word),
+    s0 AS (SELECT word AS wid, cnt,
+        unnest(generate_series(1, length(word))) AS pos,
+        unnest(string_split(word, '')) AS sym
+      FROM words),
+    ${(1 to Merges).map(duckIter).mkString(",\n    ")}"""
+
+  val oracle = Some {
+    val rows = (1 to Merges).map { k =>
+      val head = if (k == 1)
+        "SELECT 1 AS merge_rank, l AS left_sym, r AS right_sym, l || r AS merged, n AS pair_count"
+      else s"SELECT $k, l, r, l || r, n"
+      s"$head FROM b$k"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH $duckChain
+    SELECT merge_rank, left_sym, right_sym, merged, pair_count FROM (
+      $rows)
+    ORDER BY merge_rank
+    """.trim
+  }
+}
+
+/** Q64b — BPE ENCODE: apply q64's learned merge rules to the corpus
+  * and report per-language tokenizer fertility (BPE tokens per word —
+  * the statistic tokenizer papers use to compare vocabularies across
+  * languages, and the capacity-planning number for a training run:
+  * total_bpe_tokens IS the token budget the corpus contributes).
+  *
+  * Scale shape — encode is a JOIN, never a re-fold: the learning loop
+  * already reduced every distinct word to its merged symbol sequence,
+  * so the corpus-scale step is one tokenize pass joined against the
+  * vocab-sized dictionary (word → token count). At 100 TB that is one
+  * equi-join of the token stream against ~10⁷ dictionary rows
+  * (shuffle-hash; small enough to beat re-running K folds over 100 TB
+  * by the corpus/vocab ratio). The inner join is lossless by
+  * construction: the dictionary was built from the same corpus pass,
+  * so every normalized word hits. Fertility is surfaced UNROUNDED —
+  * one IEEE division of two exact BIGINTs (the GraftQuery ratio rule).
+  *
+  * Reference anchor: the dictionary join generalizes the reference's
+  * reduce-side word lookup (src/main.cpp:260-279) from exact word
+  * counts to learned-subword counts.
+  */
+object Q64bBpeEncode extends GraftQuery {
+  val name = "q64b_bpe_encode"
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val dict = Q64BpeMerges.learn(spark, dir)._2
+      .select(col("word"), size(col("syms")).cast("long").as("ntok"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(expr(NorthStar.toksExpr)).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(dict, "word")
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_words"),
+        sum(col("ntok")).as("total_bpe_tokens"))
+      .withColumn("fertility",
+        col("total_bpe_tokens").cast("double") / col("total_words"))
+      .orderBy(col("lang"))
+  }
+
+  val oracle = Some {
+    s"""
+    WITH ${Q64BpeMerges.duckChain},
+    dict AS (SELECT wid AS word, CAST(count(*) AS BIGINT) AS ntok
+      FROM s${Q64BpeMerges.Merges} GROUP BY wid),
+    dw AS (SELECT doc_id, lang,
+        lower(regexp_replace(unnest(string_split_regex(text, '\\s+')), '[^a-zA-Z]', '', 'g')) AS word
+      FROM documents)
+    SELECT lang,
+      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      CAST(count(*) AS BIGINT) AS total_words,
+      CAST(sum(ntok) AS BIGINT) AS total_bpe_tokens,
+      CAST(sum(ntok) AS DOUBLE) / count(*) AS fertility
+    FROM dw JOIN dict USING (word)
+    WHERE length(word) > 0
+    GROUP BY lang
+    ORDER BY lang
+    """.trim
+  }
+}
