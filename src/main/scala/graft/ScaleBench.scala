@@ -150,6 +150,15 @@ object ScaleBench {
     // copies share zero span hashes): 10x spans into 10x distinct
     // keys — the uniform-key shuffle that must scale ~linearly
     Q60RepeatedSpans,
+    // q64 rides the shared-vocabulary property the hardest: the 10x
+    // corpus has 10x tokens but the SAME word set (suffixes are
+    // letter-stripped by the normalizer), so the learned trajectory is
+    // identical (counts x10, same argmax order) and every iteration
+    // touches the same vocab-sized frame — only the initial corpus
+    // scan grows, so the ratio must sit FAR below 10. q64b adds the
+    // corpus-sized encode join, so its ratio prices scan+join growth
+    // against the fixed learning loop
+    Q64BpeMerges, Q64bBpeEncode,
     // the composed end-to-end pipeline: its ratio prices the SUM of
     // the chain's scale behaviors (dominated by the q18f closure)
     Q58TrainingShards)
@@ -182,17 +191,24 @@ object ScaleBench {
       val ok = Seq(a, b).filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
     }
-    def timed(dir: String): Map[String, Double] = {
+    // Optional name filter (Bench's SPARK_GRAFT_BENCH_ONLY convention):
+    // curve a newly added query without re-measuring the family.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = only.fold(family)(names => family.filter(q => names(q.name)))
+    def timedPicked(dir: String): Map[String, Double] = {
       val _ = time1(Q18DedupExact, dir) // warmup
-      family.map(q => q.name -> best2(q, dir)).toMap
+      picked.map(q => q.name -> best2(q, dir)).toMap
     }
-    val at1 = timed(sfDir)
-    val at10 = timed(Scale10Dir)
+    val at1 = timedPicked(sfDir)
+    val at10 = timedPicked(Scale10Dir)
     // Third decade: only the ≥2.2-ratio text-side queries, min-of-2.
     val deep: Seq[GraftQuery] = Seq(Q18dDedupNgram, Q18fDedupClusters,
       Q26TfIdf, Q58TrainingShards, Q60RepeatedSpans)
+      .filter(q => only.forall(_(q.name)))
     val at100: Map[String, Double] =
-      if (sys.env.getOrElse("SPARK_GRAFT_SCALE100", "1") == "0") Map.empty
+      if (deep.isEmpty ||
+          sys.env.getOrElse("SPARK_GRAFT_SCALE100", "1") == "0") Map.empty
       else {
         synthesize100(spark, sfDir)
         val _ = time1(Q18DedupExact, Scale100Dir) // warmup on the big corpus
@@ -204,11 +220,11 @@ object ScaleBench {
       .mkString("{", ",", "}")
     def ratio(num: Double, den: Double): Double =
       if (num < 0 || den <= 0) -1.0 else num / den
-    val ratios = family.map(q =>
+    val ratios = picked.map(q =>
       "\"" + q.name + "\":" + f"${ratio(at10(q.name), at1(q.name))}%.2f")
       .mkString("{", ",", "}")
-    println(s"""{"scale":"sf0.1","queries":${row(family, at1)}}""")
-    println(s"""{"scale":"sf0.1x10","queries":${row(family, at10)}}""")
+    println(s"""{"scale":"sf0.1","queries":${row(picked, at1)}}""")
+    println(s"""{"scale":"sf0.1x10","queries":${row(picked, at10)}}""")
     println(s"""{"ratio_10x":$ratios}""")
     if (at100.nonEmpty) {
       val r2 = deep.map(q =>
