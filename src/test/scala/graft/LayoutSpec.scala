@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.plans.Layout
+
+/** Range-clustered layout: same rows, same query, measured row-group
+  * min/max skipping (see `plans/Layout.scala` for the 100 TB claim). */
+class LayoutSpec extends SparkSpec {
+
+  test("range-clustered write makes the scan decode only the matching value range") {
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString
+    // INT96 (Spark's default parquet timestamp encoding, kept for
+    // legacy interop) carries NO min/max statistics and cannot be
+    // translated to a parquet filter predicate — it silently disables
+    // everything this layout exists for. Write modern TIMESTAMP_MICROS;
+    // at 100 TB this one conf is the difference between skipping and
+    // decoding the corpus (first measured here: the INT96 run decoded
+    // all 15000 rows under BOTH layouts).
+    try withConfs(
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") {
+      // The fixture's orderdate reads as TIMESTAMP_NTZ; cast to LTZ —
+      // NTZ predicates never reach the parquet reader in this Spark
+      // version (pinned below), which would silently void the test.
+      val orders = Tables.orders(spark, sf01)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      val total = orders.count()
+
+      // Same rows twice: clustered by the predicate column vs an
+      // arrival-ordered stand-in (hash-shuffled by an unrelated key —
+      // every file ends up covering the full date range, the shape a
+      // raw ingest produces).
+      Layout.writeRangeClustered(orders, s"$dir/clustered", 16, "o_orderdate")
+      orders.repartition(16, col("o_custkey"))
+        .write.mode("overwrite").parquet(s"$dir/arrival")
+
+      // ~3 months of the fixture's 1995–2001 span (~3-4% of rows).
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-03-31").cast("timestamp")
+      def slice(path: String) = spark.read.parquet(path)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+
+      // The predicate must reach the parquet reader on BOTH layouts —
+      // the difference below is then attributable to layout alone.
+      Seq(s"$dir/clustered", s"$dir/arrival").foreach { p =>
+        val scan = slice(p).queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f
+        }
+        assert(scan.nonEmpty && scan.head.metadata("PushedFilters")
+            .contains("GreaterThanOrEqual(o_orderdate"),
+          s"range predicate not pushed for $p: ${scan.headOption.map(_.metadata)}")
+      }
+
+      // Identical results on both layouts (decimal sum: a double SUM
+      // is reduce-order-dependent, and the two layouts reduce in
+      // different orders by construction).
+      def key(path: String) = slice(path)
+        .agg(count(lit(1)),
+          sum(col("o_totalprice").cast("decimal(18,2)")),
+          min("o_orderkey"), max("o_orderkey")).collect().head.toSeq
+      assert(key(s"$dir/clustered") === key(s"$dir/arrival"))
+
+      val matching = slice(s"$dir/arrival").count()
+      assert(matching > 0 && matching < total / 10,
+        s"fixture slice not selective enough ($matching of $total) — test vacuous")
+
+      // The measurement: arrival order decodes everything (every row
+      // group's [min,max] spans the whole corpus timeline, so min/max
+      // stats skip nothing); the clustered layout decodes only the row
+      // groups whose range intersects the slice.
+      val decodedArrival = Layout.decodedRows(slice(s"$dir/arrival"))
+      val decodedClustered = Layout.decodedRows(slice(s"$dir/clustered"))
+      assert(decodedArrival === total,
+        s"expected the arrival layout to decode all $total rows, got $decodedArrival")
+      assert(decodedClustered >= matching,
+        s"decoded $decodedClustered < $matching matching rows — metric broken")
+      assert(decodedClustered * 4 <= decodedArrival,
+        s"clustered layout decoded $decodedClustered of $decodedArrival — no skipping")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
+  test("pinned: TIMESTAMP_NTZ range predicates do not reach the parquet reader") {
+    // Empirical pin of the Spark 4.1.2 gap Layout's Scaladoc documents:
+    // the identical clustered layout skips nothing when the clustering
+    // column is NTZ, because the predicate is never translated into a
+    // parquet FilterPredicate (stats are present — measured — and the
+    // Spark-side PushedFilters metadata still lists the filter). If a
+    // Spark upgrade makes this fail, the Layout Scaladoc note and the
+    // LTZ cast in the test above can both be dropped.
+    val dir = java.nio.file.Files.createTempDirectory("layout_ntz").toString
+    try withConfs(
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") {
+      val orders = Tables.orders(spark, sf01)
+        .select("o_orderkey", "o_orderdate") // NTZ as read from the fixture
+      val total = orders.count()
+      Layout.writeRangeClustered(orders, s"$dir/ntz", 16, "o_orderdate")
+      val slice = spark.read.parquet(s"$dir/ntz")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1996-03-31").cast("timestamp_ntz"))
+      assert(Layout.decodedRows(slice) === total,
+        "NTZ pushdown now works — drop this pin and Layout's NTZ caveat")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+}
