@@ -11,6 +11,7 @@ object SparkEntry {
     InvertedIndex, InvertedIndexUdaf, InvertedIndexNative
   ) ++ Relational.all ++ Analytics.all ++ NorthStar.all ++
     Curation.all ++ Scoring.all ++ Graph.all ++ Bpe.all ++
+    Seq(Q65IncrementalStats) ++
     Seq(graft.multimodal.Q25MultimodalFeatures) ++
     graft.streaming.StreamQueries.all
 

@@ -155,57 +155,13 @@ object Q57bDeltaDedupStore extends GraftQuery {
   val name = "q57b_delta_dedup_store"
   private val prefix = "graft_sigstore"
 
-  /** Corpus fingerprint from file METADATA only (no data scan): a
-    * store keyed by (dir, file names, lengths, mtimes) goes stale
-    * exactly when the fixture is regenerated. */
-  private def fingerprint(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stats = fs.listStatus(p).filter(_.isFile)
-      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted.mkString("|")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$stats".getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-  }
-
   /** Build the corpus-side store if this fingerprint's tables are
-    * absent; returns (bandsTable, exactTable). Table names carry a
-    * DIR tag plus the content fingerprint: stores for different
-    * corpus dirs coexist (alternating dirs in one session — the spec
-    * order — must NOT evict each other and re-pay the corpus scan),
-    * while a regenerated corpus changes the fingerprint under the
-    * same dir tag and the superseded store is dropped — eviction is
-    * scoped to the one dir whose store went stale, bounding warehouse
-    * growth without touching live stores. Synchronized: this is a
-    * single-JVM cache fill; without it two threads could race one
-    * thread's stale-store deletion against another's in-flight read.
-    * (Cross-PROCESS coordination is out of scope — a shared
-    * production warehouse would build the store in one writer job,
-    * not lazily from readers.) */
-  private[graft] def ensureStore(spark: SparkSession, dir: String): (String, String) = this.synchronized {
-    val dirTag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
-    val fp = fingerprint(spark, dir)
-    val bandsT = s"${prefix}_bands_${dirTag}_$fp"
-    val exactT = s"${prefix}_exact_${dirTag}_$fp"
-    if (!spark.catalog.tableExists(bandsT) ||
-        !spark.catalog.tableExists(exactT)) {
-      import scala.jdk.CollectionConverters._
-      def stale(t: String): Boolean =
-        (t.startsWith(s"${prefix}_bands_$dirTag") ||
-          t.startsWith(s"${prefix}_exact_$dirTag")) &&
-          t != bandsT && t != exactT
-      spark.catalog.listTables().collect()
-        .map(_.name).filter(stale)
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-      val wh = java.nio.file.Paths.get(java.net.URI.create(
-        spark.conf.get("spark.sql.warehouse.dir")).getPath)
-      if (java.nio.file.Files.isDirectory(wh))
-        java.nio.file.Files.list(wh).iterator().asScala.toSeq
-          .filter(d => stale(d.getFileName.toString))
-          .foreach(d => java.nio.file.Files.walk(d).iterator().asScala
-            .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_)))
+    * absent; returns (bandsTable, exactTable). Naming, staleness
+    * eviction, and synchronization live in [[graft.plans.Stores]]
+    * (the shared persisted-derived-store machinery). */
+  private[graft] def ensureStore(spark: SparkSession, dir: String): (String, String) = {
+    val names = graft.plans.Stores.ensure(
+        spark, prefix, dir, Seq("bands", "exact")) { case Seq(bandsT, exactT) =>
       val base = Tables.documents(spark, dir)
         .filter(Q40TrainTestSplit.splitCol === "train")
       graft.plans.Bucketing.writeBucketed(
@@ -221,7 +177,7 @@ object Q57bDeltaDedupStore extends GraftQuery {
           NorthStar.bandKeysExpr("sg")))).as("bkey"))
       graft.plans.Bucketing.writeBucketed(bands, bandsT, "bkey", 16)
     }
-    (bandsT, exactT)
+    (names(0), names(1))
   }
 
   /** The COMMIT step of an ingest: append the admitted ("new")
