@@ -8,15 +8,26 @@ import org.apache.spark.sql.SparkSession
   * - UTC session time zone (oracle parity; DuckDB renders UTC).
   * - AQE on: runtime shuffle coalescing + skew-join handling is the
   *   100 TB posture (SURVEY §4.2) and costs nothing at fixture scale.
-  * - `nanosAsLong`: the `events` fixture stores TIMESTAMP(NANOS),
-  *   which Spark 4.x refuses to read as a timestamp; reading it as a
-  *   raw Long and truncating to micros (Tables.events) matches
-  *   DuckDB's own ns→µs truncation bit-for-bit.
+  * - `nanosAsLong`: an `events` fixture generation that stores
+  *   TIMESTAMP(NANOS), which Spark 4.x refuses to read as a
+  *   timestamp, is read as a raw Long and truncated to micros
+  *   (Tables.events) matching DuckDB's own ns→µs truncation
+  *   bit-for-bit.
+  * - `inferTimestampNTZ=false`: the current fixture generation stores
+  *   TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4.x would
+  *   otherwise infer as TIMESTAMP_NTZ — a type `unix_micros`,
+  *   event-time watermarks, and parquet filter pushdown (LayoutSpec's
+  *   pinned gap) all reject. Disabling inference restores the
+  *   pre-3.4 read: INT64 micros surface as TIMESTAMP (LTZ) with the
+  *   stored value as epoch micros — under the UTC session time zone
+  *   that renders the exact wall clock DuckDB reads natively, so the
+  *   oracle parity is unchanged.
   * - shuffle.partitions defaults to the local core count, not 200 —
   *   at cluster scale this is a submit-time setting, never hardcoded.
   */
 object Engine {
   val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
+  val InferNTZ    = "spark.sql.parquet.inferTimestampNTZ.enabled"
 
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .withExtensions(new graft.functions.GraftExtensions)
@@ -24,6 +35,7 @@ object Engine {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config(NanosAsLong, "true")
+    .config(InferNTZ, "false")
     .config("spark.ui.enabled", "false")
 
   /** SQL FRONT DOOR: register every fixture table of `dir` as a temp

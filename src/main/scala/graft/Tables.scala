@@ -10,8 +10,15 @@ import org.apache.spark.sql.types.LongType
   * exactly with the DuckDB oracle's ns→µs truncation.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** All fixture reads force `inferTimestampNTZ=false` (see Engine):
+    * the fixture's INT64 micros timestamps are epoch-µs UTC and must
+    * surface as TIMESTAMP (LTZ), not TIMESTAMP_NTZ — set here as well
+    * as in Engine.configure so the loaders work on any session,
+    * including a driver-owned one. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set(Engine.InferNTZ, "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
@@ -23,15 +30,22 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events` with `ts` normalized to TimestampType (µs, UTC).
+  /** `events` with `ts` normalized to TimestampType (µs, UTC),
+    * whichever way the fixture generation encoded it:
     *
-    * The fixture stores TIMESTAMP(NANOS) which Spark 4.x cannot read
-    * natively; `spark.sql.legacy.parquet.nanosAsLong=true` surfaces it
-    * as a Long of epoch-nanos. `ts div 1000` is exact integer division
-    * (a double-rounded path would lose precision above 2^53 ns) and
-    * truncates toward zero exactly like DuckDB's ns→µs read path.
-    * Conf is (re)set here so the loader works on any session, including
-    * a driver-owned one that didn't go through Engine.configure.
+    * - TIMESTAMP(MICROS, isAdjustedToUTC=false) (current generation):
+    *   read as TIMESTAMP (LTZ) via `inferTimestampNTZ=false` in
+    *   [[load]] — the stored micros ARE the epoch micros.
+    * - TIMESTAMP(NANOS) (older generations): Spark 4.x cannot read it
+    *   natively; `spark.sql.legacy.parquet.nanosAsLong=true` surfaces
+    *   it as a Long of epoch-nanos. `ts div 1000` is exact integer
+    *   division (a double-rounded path would lose precision above
+    *   2^53 ns) and truncates toward zero exactly like DuckDB's
+    *   ns→µs read path.
+    *
+    * Confs are (re)set here so the loader works on any session,
+    * including a driver-owned one that didn't go through
+    * Engine.configure.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set(Engine.NanosAsLong, "true")

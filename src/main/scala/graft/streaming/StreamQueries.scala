@@ -115,6 +115,7 @@ object StreamQueries {
     * canonicalization as the batch loader (Tables.events). */
   private[graft] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set(Engine.NanosAsLong, "true")
+    spark.conf.set(Engine.InferNTZ, "false") // epoch-µs LTZ, as Tables.load
     val sch = spark.read.parquet(s"$dir/events.parquet").schema
     // Glob form: the file-stream source requires a directory basePath.
     val raw = spark.readStream.schema(sch).parquet(s"$dir/{events}.parquet")

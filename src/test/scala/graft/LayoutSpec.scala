@@ -20,9 +20,10 @@ class LayoutSpec extends SparkSpec {
     // all 15000 rows under BOTH layouts).
     try withConfs(
       "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") {
-      // The fixture's orderdate reads as TIMESTAMP_NTZ; cast to LTZ —
-      // NTZ predicates never reach the parquet reader in this Spark
-      // version (pinned below), which would silently void the test.
+      // Tables.load reads orderdate as LTZ (inferTimestampNTZ=false);
+      // the cast is a no-op belt-and-braces — an NTZ column here would
+      // silently void the test, because NTZ predicates never reach the
+      // parquet reader in this Spark version (pinned below).
       val orders = Tables.orders(spark, sf01)
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
         .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
@@ -91,10 +92,20 @@ class LayoutSpec extends SparkSpec {
     // Spark upgrade makes this fail, the Layout Scaladoc note and the
     // LTZ cast in the test above can both be dropped.
     val dir = java.nio.file.Files.createTempDirectory("layout_ntz").toString
+    // The engine reads all fixture timestamps as LTZ (inferTimestampNTZ
+    // =false, Engine/Tables); this pin needs a genuinely NTZ column, so
+    // re-enable inference locally and rebuild an NTZ frame by cast.
     try withConfs(
-      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") {
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+      Engine.InferNTZ -> "true") {
       val orders = Tables.orders(spark, sf01)
-        .select("o_orderkey", "o_orderdate") // NTZ as read from the fixture
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"))
+      // Tables.load just re-set inference off (its own contract);
+      // re-assert ON so the read-back below infers the written column
+      // as NTZ. Safe: the fixture relation's schema was captured
+      // eagerly at load. withConfs still restores the suite default.
+      spark.conf.set(Engine.InferNTZ, "true")
       val total = orders.count()
       Layout.writeRangeClustered(orders, s"$dir/ntz", 16, "o_orderdate")
       val slice = spark.read.parquet(s"$dir/ntz")
