@@ -19,7 +19,7 @@ object Analytics {
   val all: Seq[GraftQuery] = Seq(
     Q7bTopKAgg, Q35Unpivot, Q36StatsMoments, Q37DateSpine,
     Q38WindowDistribution, Q39FuzzyMatch, Q40TrainTestSplit, Q41ArgMax,
-    Q63GapFill)
+    Q63GapFill, Q66Scd2Dimension)
 }
 
 /** Q7b — q7's per-customer top-3 through the bounded typed
@@ -424,5 +424,79 @@ object Q63GapFill extends GraftQuery {
            WHEN prev_v IS NOT NULL THEN 'ffill'
            ELSE 'bfill' END AS source
     FROM w ORDER BY user_id, day
+  """.trim)
+}
+
+/** Q66 — SLOWLY-CHANGING-DIMENSION (type 2) BUILD from an event log:
+  * collapse each user's event stream into versioned dimension rows
+  * with effective-time ranges — (user_id, version, segment,
+  * [valid_from, valid_to)) where `segment` is the user's event_type
+  * and a new version opens exactly when it CHANGES. This is the
+  * standard warehouse ETL step the engine's as-of join (q32) consumes
+  * on the other side: q32 looks up "the dimension row in effect at
+  * time t"; q66 is how that dimension table is produced from raw
+  * events in the first place.
+  *
+  * Scale shape — change detection and range assembly are WINDOW
+  * functions over the SAME (user_id, ts-ordered) partitioning, never
+  * a self-join: one hash shuffle by user_id, one sort per window
+  * step, and the second/third windows (lead/row_number over the
+  * change rows) re-sort the already-partitioned filtered frame
+  * without a second exchange (Catalyst reuses the child
+  * distribution). At 100 TB the cost is one corpus shuffle — the
+  * minimum any per-user ordered computation pays — and no step's
+  * state exceeds a single user's rows. Determinism under timestamp
+  * ties: both engines order by (ts, event_id); event_id is unique, so
+  * the change sequence — and therefore every version row — is total-
+  * ordered and bit-stable.
+  *
+  * Rendering follows GraftQuery: effective bounds as epoch-µs longs
+  * (`valid_to_us` NULL on each user's current row — the open range),
+  * total ORDER BY (user_id, version).
+  *
+  * Reference anchor: the reference has no temporal model at all
+  * (src/main.cpp builds a static index in one shot); SCD2 is the
+  * incremental-world generalization its users would need first.
+  */
+object Q66Scd2Dimension extends GraftQuery {
+  val name = "q66_scd2_dimension"
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byTime))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(byTime))
+      .withColumn("version", row_number().over(byTime).cast("long"))
+      .select(col("user_id"),
+        col("version"),
+        col("event_type").as("segment"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val oracle = Some(raw"""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    s AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE prev IS NULL OR prev <> event_type),
+    v AS (
+      SELECT user_id, event_type, ts,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+      FROM s)
+    SELECT user_id, version, event_type AS segment,
+      epoch_us(ts) AS valid_from_us,
+      epoch_us(valid_to) AS valid_to_us,
+      (valid_to IS NULL) AS is_current
+    FROM v ORDER BY user_id, version
   """.trim)
 }

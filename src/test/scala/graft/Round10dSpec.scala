@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Q65IncrementalStats, Q66Scd2Dimension}
+import graft.streaming.S13StreamIncrementalStats
+
+/** Round-10 continuation: streaming MV maintenance (s13) and the SCD2
+  * dimension build (q66). */
+class Round10dSpec extends SparkSpec {
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case other                    => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  // ---------------------------------------------------------------- s13
+
+  test("s13: stream-maintained store equals the batch incremental path (q65)") {
+    val viaStream = S13StreamIncrementalStats.run(spark, sf01).collect()
+    val viaBatch  = Q65IncrementalStats.run(spark, sf01).collect()
+    assert(viaStream.toSeq === viaBatch.toSeq)
+  }
+
+  test("s13: run-scoped working tables do not leak into the catalog") {
+    S13StreamIncrementalStats.run(spark, sf01).collect()
+    val leaked = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_s13_store_"))
+    assert(leaked.isEmpty, s"leaked working tables: ${leaked.mkString(",")}")
+  }
+
+  test("s13: multi-epoch maintenance — one refresh per file-trigger, final state equals recompute") {
+    val dir = Files.createTempDirectory("s13_waves").toString
+    try {
+      // Three delta waves as three files; file-per-trigger forces one
+      // micro-batch (= one store refresh) per wave. min/max extremes
+      // land in different waves so the merge across epochs is load-
+      // bearing, not vacuous.
+      val waves = Seq(
+        Seq(("w1a", "src_a", "tiny"), ("w1b", "src_b", "alpha beta gamma")),
+        Seq(("w2a", "src_a", "a much longer document body with many more tokens than the others")),
+        Seq(("w3a", "src_b", "x"), ("w3b", "src_a", "mid sized doc here")))
+      import spark.implicits._
+      waves.zipWithIndex.foreach { case (rows, i) =>
+        rows.toDF("doc_id", "source", "text").repartition(1)
+          .write.parquet(s"$dir/delta/wave$i.parquet")
+      }
+      // Store seeded EMPTY (no base corpus): the final state must be
+      // exactly the three waves' recompute.
+      val statsT = "graft_s13_spec_store"
+      spark.sql(s"DROP TABLE IF EXISTS $statsT")
+      val empty = Seq.empty[(String, Long, Long, Long, Long, Long)]
+        .toDF("source", "n_docs", "sum_ws_tokens", "sum_chars",
+          "min_chars", "max_chars")
+      empty.write.format("parquet").saveAsTable(statsT)
+
+      val sch = spark.read.parquet(s"$dir/delta/wave0.parquet").schema
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/delta/*.parquet")
+      val applied = S13StreamIncrementalStats.maintain(spark, statsT, stream)
+      assert(applied === 3L, s"expected 3 refreshes (one per wave), got $applied")
+
+      val allDocs = spark.read.parquet(s"$dir/delta/*.parquet")
+      val direct = Q65IncrementalStats.merge(
+        Q65IncrementalStats.partials(allDocs)).collect()
+      val maintained = Q65IncrementalStats.merge(spark.table(statsT)).collect()
+      assert(maintained.toSeq === direct.toSeq)
+      // the cross-wave extremes actually crossed waves
+      val bySrc = maintained.map(r => r.getString(0) ->
+        (r.getLong(4), r.getLong(5))).toMap
+      assert(bySrc("src_a")._1 < bySrc("src_a")._2)
+      spark.sql(s"DROP TABLE IF EXISTS $statsT")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(Files.delete)
+    }
+  }
+
+  // ---------------------------------------------------------------- q66
+
+  test("q66: versions dense from 1, ranges tile, one open row per user, adjacent segments differ") {
+    val rows = Q66Scd2Dimension.run(spark, sf01).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to rs.length).toSeq,
+        s"user $u versions not dense")
+      // ranges tile: valid_to of version k == valid_from of k+1
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(4) === b.getLong(3),
+            s"user $u: version ${a.getLong(1)} does not abut ${b.getLong(1)}")
+          assert(a.getString(2) !== b.getString(2),
+            s"user $u: adjacent versions share segment — not a change point")
+        case _ =>
+      }
+      // exactly one open (current) row, and it is the last version
+      val open = sorted.filter(_.isNullAt(4))
+      assert(open.length === 1 && open.head.getLong(1) === sorted.last.getLong(1),
+        s"user $u: open-row invariant broken")
+      assert(sorted.forall(r => r.getBoolean(5) === r.isNullAt(4)))
+    }
+    // every user with at least one event has a dimension row
+    val nUsers = Tables.events(spark, sf01)
+      .select(countDistinct(col("user_id"))).head.getLong(0)
+    assert(byUser.size.toLong === nUsers)
+  }
+
+  test("q66: one data shuffle (hash by user_id), no join — the window chain reuses the partitioning") {
+    val df = Q66Scd2Dimension.run(spark, sf01)
+    df.collect()
+    val plan = flatten(df.queryExecution.executedPlan)
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("join")),
+      "SCD2 build must not plan a join")
+    val hashShuffles = plan.collect {
+      case s: ShuffleExchangeExec
+        if s.outputPartitioning.isInstanceOf[HashPartitioning] => s
+    }
+    assert(hashShuffles.size === 1,
+      s"expected exactly one hash shuffle, got ${hashShuffles.size}:\n" +
+        hashShuffles.mkString("\n"))
+  }
+}
