@@ -1,10 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** Range-clustered parquet layout — the scan-cost lever that remains
   * AFTER partition pruning (SURVEY §4.2 / "push down and prune").
@@ -57,6 +57,67 @@ object Layout {
     df.repartitionByRange(files, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Z-ORDER (multi-column) clustering: linear range clustering makes
+    * ONE column's predicates cheap and leaves every other column's
+    * min/max spanning the full domain (a layout clustered by x skips
+    * nothing for a y-only predicate — LayoutSpec measures exactly
+    * that). Interleaving the bit representations of ALL clustering
+    * columns into one sort key (Morton order) trades a little
+    * skipping on the leading column for real skipping on EVERY
+    * column: each file covers a small hyper-rectangle of the value
+    * space, so each column's per-file min/max interval is ~domain ×
+    * (files)^(-1/D) instead of the full domain.
+    *
+    * Column values are first mapped to `2^bits` QUANTILE buckets
+    * (equal-population, so skewed distributions still spread over the
+    * full bucket range — plain equal-width interleaving degenerates
+    * on skew), then the bucket indices are bit-interleaved. The
+    * quantile boundaries come from one `approxQuantile` pass per
+    * column at WRITE time — O(2^bits) driver scalars (q62's
+    * driver-traffic rule), amortized over every query after, the same
+    * pay-once economics as the range shuffle itself.
+    *
+    * The skipping mechanism is unchanged from linear clustering —
+    * parquet row-group min/max on the REAL columns; the z-value
+    * itself is dropped before the write. Nulls map to bucket 0 and
+    * cluster together at the low end. */
+  def writeZOrdered(df: DataFrame, path: String, files: Int,
+                    cols: Seq[String], bits: Int = 8): Unit = {
+    require(cols.size >= 2, "z-order needs at least two columns")
+    require(bits >= 1 && bits * cols.size <= 62, s"bits=$bits out of range")
+    val nb = (1 << bits) - 1 // boundary count per column
+    val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
+    val zv = zOrderValue(bits, cols.map { c =>
+      val bnds = df.select(col(c).cast("double").as(c))
+        .stat.approxQuantile(c, probs, 0.25 / (nb + 1))
+      quantileBucket(col(c), bnds)
+    })
+    df.withColumn("__graft_z", zv)
+      .repartitionByRange(files, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Bucket index of `c` against sorted boundaries: the number of
+    * boundaries ≤ value — a codegen'd array fold, no UDF. NULL → 0. */
+  private[graft] def quantileBucket(c: Column, bnds: Array[Double]): Column =
+    coalesce(
+      size(filter(lit(bnds.distinct.sorted),
+        b => c.cast("double") >= b)).cast("long"),
+      lit(0L))
+
+  /** Morton interleave: bit i of bucket j lands at position
+    * `i * D + j`. Buckets must fit in `bits` bits. */
+  private[graft] def zOrderValue(bits: Int, buckets: Seq[Column]): Column = {
+    val d = buckets.size
+    (0 until bits).flatMap { i =>
+      buckets.zipWithIndex.map { case (bk, j) =>
+        shiftleft(shiftright(bk, i).bitwiseAND(lit(1L)), i * d + j)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {

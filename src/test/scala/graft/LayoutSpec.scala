@@ -83,6 +83,59 @@ class LayoutSpec extends SparkSpec {
       new java.io.File(dir))
   }
 
+  test("z-order: a non-leading-column predicate skips under Morton layout, not under linear") {
+    val dir = java.nio.file.Files.createTempDirectory("layout_z").toString
+    try {
+      // 500×500 grid: x and y independent uniform — the adversarial
+      // case for linear clustering (y carries no information about x).
+      val grid = spark.range(250000).select(
+        (col("id") % 500).as("x"),
+        (col("id") / 500).cast("long").as("y"),
+        col("id").as("payload"))
+
+      // 64 z files: file boundaries come from SAMPLED range
+      // partitioning of the z value, so a file can straddle a Morton
+      // cell; finer files keep the straddle slack small relative to
+      // the per-column band width (measured: 16 files put the
+      // leading-column decode at ~52%, 64 at ~30%).
+      Layout.writeRangeClustered(grid, s"$dir/linear_x", 16, "x")
+      Layout.writeZOrdered(grid, s"$dir/zorder", 64, Seq("x", "y"))
+      grid.repartition(16, col("payload"))
+        .write.mode("overwrite").parquet(s"$dir/arrival")
+
+      // y-only slice (10% of rows): linear-by-x knows nothing about y
+      // — every file's y min/max spans the full domain — while each
+      // z-ordered file covers a narrow y band.
+      def slice(path: String) = spark.read.parquet(path)
+        .filter(col("y") >= 300 && col("y") < 350)
+      def key(path: String) = slice(path)
+        .agg(count(lit(1)), sum(col("payload")), min(col("x")), max(col("x")))
+        .collect().head.toSeq
+      assert(key(s"$dir/zorder") === key(s"$dir/arrival"))
+      assert(key(s"$dir/linear_x") === key(s"$dir/arrival"))
+
+      val total = grid.count()
+      val decodedArrival = Layout.decodedRows(slice(s"$dir/arrival"))
+      val decodedLinear  = Layout.decodedRows(slice(s"$dir/linear_x"))
+      val decodedZ       = Layout.decodedRows(slice(s"$dir/zorder"))
+      assert(decodedArrival === total)
+      assert(decodedLinear === total,
+        s"linear-by-x unexpectedly skipped for a y predicate ($decodedLinear of $total)")
+      assert(decodedZ * 2 <= total,
+        s"z-order decoded $decodedZ of $total — no multi-column skipping")
+
+      // The leading column keeps (coarser) skipping too: an x slice
+      // still collapses under z-order, just less tightly than under
+      // its dedicated linear layout.
+      def xslice(path: String) = spark.read.parquet(path)
+        .filter(col("x") >= 300 && col("x") < 350)
+      val zx = Layout.decodedRows(xslice(s"$dir/zorder"))
+      assert(zx * 2 <= total,
+        s"z-order decoded $zx of $total for the leading column — lost x skipping")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
   test("pinned: TIMESTAMP_NTZ range predicates do not reach the parquet reader") {
     // Empirical pin of the Spark 4.1.2 gap Layout's Scaladoc documents:
     // the identical clustered layout skips nothing when the clustering
