@@ -19,7 +19,7 @@ object Analytics {
   val all: Seq[GraftQuery] = Seq(
     Q7bTopKAgg, Q35Unpivot, Q36StatsMoments, Q37DateSpine,
     Q38WindowDistribution, Q39FuzzyMatch, Q40TrainTestSplit, Q41ArgMax,
-    Q63GapFill, Q66Scd2Dimension)
+    Q63GapFill, Q66Scd2Dimension, Q67RollingWindow)
 }
 
 /** Q7b — q7's per-customer top-3 through the bounded typed
@@ -498,5 +498,66 @@ object Q66Scd2Dimension extends GraftQuery {
       epoch_us(valid_to) AS valid_to_us,
       (valid_to IS NULL) AS is_current
     FROM v ORDER BY user_id, version
+  """.trim)
+}
+
+/** Q67 — interval-bounded rolling aggregates: per-customer 7-day
+  * rolling order count and revenue, one row per order — the RANGE
+  * window-frame family (value-bounded, peer-inclusive) that none of
+  * the ROWS-frame queries (q8's running sum, q38's distributions)
+  * exercise. A RANGE frame is the correct tool when the window is
+  * defined by TIME, not by row count: two orders on the same
+  * timestamp are peers and must see the same frame (a ROWS frame
+  * would split them by arbitrary physical order), and gaps wider
+  * than the interval naturally empty the frame.
+  *
+  * Scale shape: one hash shuffle by customer + one sort by time —
+  * the same minimum q66 pays; Spark's WindowExec maintains the
+  * sliding frame with two monotone pointers per partition (each row
+  * enters and leaves the frame once — O(rows), not O(rows ×
+  * frame)). Engine parity: the frame is expressed over epoch-µs
+  * BIGINTs with an exact integer bound (7 days = 604_800_000_000 µs)
+  * in BOTH engines — never over engine-specific interval arithmetic
+  * — and both ends are peer-inclusive, so the row sets are identical
+  * by construction; revenue accumulates in DECIMAL(18,2) (order-
+  * independent) and surfaces as double via the q36 VARCHAR-roundtrip
+  * convention.
+  */
+object Q67RollingWindow extends GraftQuery {
+  val name = "q67_rolling_window"
+  private val SevenDaysUs = 7L * 24 * 3600 * 1000000L
+
+  /** The windowed core over any (o_custkey, o_orderdate, o_orderkey,
+    * o_totalprice) frame — factored so the spec can drive crafted
+    * peer/boundary fixtures through the exact production window. */
+  private[graft] def rolling(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od_us"))
+      .rangeBetween(-SevenDaysUs, Window.currentRow)
+    orders
+      .select(col("o_custkey"), unix_micros(col("o_orderdate")).as("od_us"),
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("rev_7d", sum(col("price")).over(w).cast("double"))
+      .select(col("o_custkey"), col("od_us"), col("o_orderkey"),
+        col("n_7d"), col("rev_7d"))
+      .orderBy(col("o_custkey"), col("od_us"), col("o_orderkey"))
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    rolling(Tables.orders(spark, dir))
+
+  val oracle = Some(s"""
+    WITH o AS (
+      SELECT o_custkey, epoch_us(o_orderdate) AS od_us, o_orderkey,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders)
+    SELECT o_custkey, od_us, o_orderkey,
+      count(*) OVER w AS n_7d,
+      CAST(CAST(SUM(price) OVER w AS VARCHAR) AS DOUBLE) AS rev_7d
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY od_us
+      RANGE BETWEEN $SevenDaysUs PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, od_us, o_orderkey
   """.trim)
 }

@@ -118,6 +118,35 @@ class Round10dSpec extends SparkSpec {
     assert(byUser.size.toLong === nUsers)
   }
 
+  // ---------------------------------------------------------------- q67
+
+  test("q67: RANGE frame — peers share frames, the 7-day bound is inclusive, 1µs past it is out") {
+    import spark.implicits._
+    val day = 86400000000L // µs
+    val t0 = 1600000000000000L
+    val mk = (us: Long) => new java.sql.Timestamp(us / 1000)
+    // customer 1: two PEER orders at t0 (same timestamp), one exactly
+    // 7 days later (inclusive bound), one 7 days + 1µs after the
+    // peers (exclusive). customer 2: isolated order (frame of one).
+    val orders = Seq(
+      (1L, mk(t0), 101L, 10.0),
+      (1L, mk(t0), 102L, 20.0),
+      (1L, mk(t0 + 7 * day), 103L, 40.0),
+      (1L, mk(t0 + 7 * day + 1000), 104L, 80.0),
+      (2L, mk(t0), 201L, 5.0))
+      .toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val out = graft.queries.Q67RollingWindow.rolling(orders).collect()
+      .map(r => r.getLong(2) -> (r.getLong(3), r.getDouble(4))).toMap
+    // peers see each other symmetrically — both frames are {101,102}
+    assert(out(101L) === ((2L, 30.0)))
+    assert(out(102L) === ((2L, 30.0)))
+    // exactly 7 days back reaches the peers (RANGE bound inclusive)
+    assert(out(103L) === ((3L, 70.0)))
+    // 1µs past the bound drops them; 103 (1µs earlier) stays
+    assert(out(104L) === ((2L, 120.0)))
+    assert(out(201L) === ((1L, 5.0)))
+  }
+
   test("q66: one data shuffle (hash by user_id), no join — the window chain reuses the partitioning") {
     val df = Q66Scd2Dimension.run(spark, sf01)
     df.collect()
