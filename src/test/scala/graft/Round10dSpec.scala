@@ -118,6 +118,37 @@ class Round10dSpec extends SparkSpec {
     assert(byUser.size.toLong === nUsers)
   }
 
+  test("q66 ⋈ as-of: the native as-of lookup against the SCD2 dimension equals interval containment") {
+    // The composition the SCD2 table exists for: "which segment was
+    // user u in at time t" — answered two independent ways, which
+    // must agree for EVERY event because q66's ranges tile:
+    //  (a) the native as-of operator (max valid_from ≤ t per user),
+    //  (b) a direct interval-containment join (from ≤ t < to).
+    val dim = graft.queries.Q66Scd2Dimension.run(spark, sf01)
+      .select(col("user_id").as("d_user"), col("segment"),
+        col("valid_from_us"), col("valid_to_us"))
+      .localCheckpoint(true)
+    val lookups = Tables.events(spark, sf01)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+    val viaAsof = lookups.join(dim,
+        col("user_id") === col("d_user") &&
+          expr("graft_asof_le(valid_from_us, t_us)"), "left")
+      .select(col("event_id"), col("segment"))
+    val viaInterval = lookups.join(dim,
+        col("user_id") === col("d_user") &&
+          col("valid_from_us") <= col("t_us") &&
+          (col("valid_to_us").isNull || col("t_us") < col("valid_to_us")))
+      .select(col("event_id"), col("segment"))
+    // tiling ⇒ containment matches each event exactly once, and no
+    // event precedes its user's first version (its own event opened it)
+    val n = lookups.count()
+    assert(viaInterval.count() === n)
+    assert(viaAsof.filter(col("segment").isNull).count() === 0)
+    val diff = viaAsof.as("a").join(viaInterval.as("b"), Seq("event_id"))
+      .filter(col("a.segment") =!= col("b.segment")).count()
+    assert(diff === 0, "as-of pick diverged from interval containment")
+  }
+
   // ---------------------------------------------------------------- q67
 
   test("q67: RANGE frame — peers share frames, the 7-day bound is inclusive, 1µs past it is out") {
