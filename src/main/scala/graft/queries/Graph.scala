@@ -26,7 +26,8 @@ import graft.Tables
   */
 object Graph {
   val all: Seq[GraftQuery] =
-    Seq(Q59GraphPagerank, Q60RepeatedSpans, Q62VocabCoverage)
+    Seq(Q59GraphPagerank, Q60RepeatedSpans, Q62VocabCoverage,
+      Q68HeavyHitters)
 }
 
 /** Q59 — PageRank over the customer↔supplier graph, 5 iterations,
@@ -300,5 +301,107 @@ object Q62VocabCoverage extends GraftQuery {
       CAST(SUM(c) OVER (ORDER BY c DESC, word ROWS UNBOUNDED PRECEDING)
         AS DOUBLE) / SUM(c) OVER () AS cum_frac
     FROM counts ORDER BY c DESC, word
+  """.trim)
+}
+
+/** Q68 — HEAVY HITTERS (frequent items) by sketch-then-verify: every
+  * word whose corpus frequency strictly exceeds N/k, with its EXACT
+  * count — the frequency-sketch member of the approximate family
+  * (q12b = cardinality, q30b = quantiles), in the two-pass shape that
+  * makes approximation yield an exact answer.
+  *
+  * Why not `groupBy(word).count().filter(...)`: at web scale the
+  * full-vocabulary shuffle IS the cost (q62 pays it deliberately —
+  * coverage needs every type). Heavy hitters don't: a Misra-Gries
+  * summary with k counters per PARTITION guarantees that any word
+  * with global frequency > N/k survives in at least one partition
+  * (pigeonhole: it cannot be below the local threshold everywhere),
+  * so pass 1 emits ≤ k·P candidate words from a map-only scan with
+  * NO shuffle, and pass 2 aggregates the corpus over a BROADCAST
+  * candidate set — shuffle cardinality ≤ k·P instead of |vocab|.
+  * The candidate SET depends on partitioning (MG survivors are
+  * order-sensitive); the OUTPUT does not: superset-of-heavy-hitters
+  * is guaranteed, and exact verification discards the rest — the
+  * determinism burden sits entirely on pass 2's exact integer
+  * counts. The final filter compares exact BIGINTs cross-multiplied
+  * (n·k > N) — no division to disagree on.
+  *
+  * mapPartitions is the (d)-tier rung used for what it is genuinely
+  * for (q62's rule): a bounded per-partition accumulator no
+  * key-partitioned aggregation expresses — MG's decrement step
+  * couples ALL k counters, so it is not a per-key combine.
+  *
+  * Oracle: the full-vocabulary GROUP BY with the same cross-
+  * multiplied threshold — "sketch+verify equals brute force" is the
+  * driver's hash gate, the q65 framing applied to frequency.
+  */
+object Q68HeavyHitters extends GraftQuery {
+  val name = "q68_heavy_hitters"
+  /** Fixture-scale k: the synthetic 31-word vocabulary straddles the
+    * N/30 threshold, so both verdicts are exercised at every SF. */
+  private[graft] val K = 30
+
+  /** Misra-Gries survivors of one partition: at most k words, every
+    * word with partition frequency > (partition size)/k guaranteed
+    * present. */
+  private[graft] def misraGries(words: Iterator[String], k: Int): Iterator[String] = {
+    val counters = new scala.collection.mutable.HashMap[String, Long]
+    words.foreach { w =>
+      if (counters.contains(w)) counters(w) += 1L
+      else if (counters.size < k) counters(w) = 1L
+      else {
+        // decrement-all step; drop zeros. Amortized O(1) per token:
+        // each decrement pays back one prior increment.
+        val dead = new scala.collection.mutable.ArrayBuffer[String]
+        counters.keysIterator.foreach { key =>
+          val c = counters(key) - 1L
+          if (c == 0L) dead += key else counters(key) = c
+        }
+        dead.foreach(counters.remove)
+      }
+    }
+    counters.keysIterator
+  }
+
+  /** Exact heavy hitters of any one-column word frame. */
+  private[graft] def heavyHitters(words: DataFrame, k: Int): DataFrame = {
+    import words.sparkSession.implicits._
+    val ws = words.select(col("word").cast("string")).as[String]
+    val candidates = ws.mapPartitions(it => misraGries(it, k))
+      .distinct().toDF("word")
+    // One verify pass: candidate words keep their identity, the rest
+    // collapse into one overflow bucket — so the SAME aggregation
+    // yields every candidate's exact count AND (via a global window
+    // over the aggregated frame — ≤ k·P + 1 rows, bounded by the
+    // SKETCH size, not the data, so the single-partition window q62
+    // refuses at data scale is fine here) the exact total N. Single
+    // plan branch: the corpus is scanned once, spec-pinned.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ws.toDF("word")
+      .join(broadcast(candidates.withColumn("cand", lit(true))),
+        Seq("word"), "left")
+      .select(when(col("cand"), col("word")).otherwise(lit(null)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(w))
+      .filter(col("word").isNotNull && col("n") * k > col("total"))
+      .select(col("word"), col("n"), col("total"))
+      .orderBy(col("n").desc, col("word"))
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(
+      Tables.documents(spark, dir)
+        .select(explode(expr(NorthStar.toksExpr)).as("word")), K)
+
+  val oracle = Some(raw"""
+    WITH t AS (
+      SELECT unnest(${NorthStar.duckToks}) AS word FROM documents),
+    c AS (SELECT word, count(*) AS n FROM t GROUP BY word),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT word, n, total FROM c, tot
+    WHERE n * $K > total
+    ORDER BY n DESC, word
   """.trim)
 }

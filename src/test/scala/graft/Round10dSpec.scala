@@ -149,6 +149,71 @@ class Round10dSpec extends SparkSpec {
     assert(diff === 0, "as-of pick diverged from interval containment")
   }
 
+  // ---------------------------------------------------------------- q68
+
+  test("q68: MG unit — a word above the local threshold always survives") {
+    import graft.queries.Q68HeavyHitters.misraGries
+    // 100 tokens, k=4: 'hot' (30 > 100/4) must survive any order;
+    // adversarial order = hot tokens first (maximally decremented).
+    val noise = (1 to 70).map(i => s"n$i")
+    val hot = Seq.fill(30)("hot")
+    assert(misraGries((hot ++ noise).iterator, 4).contains("hot"))
+    assert(misraGries((noise ++ hot).iterator, 4).contains("hot"))
+    assert(misraGries(scala.util.Random.shuffle(hot ++ noise).iterator, 4)
+      .contains("hot"))
+  }
+
+  test("q68: sketch+verify equals brute force on high-cardinality skew, at any partitioning") {
+    import spark.implicits._
+    import graft.queries.Q68HeavyHitters.heavyHitters
+    val k = 50
+    // 3 genuinely heavy words + ~20k distinct noise words; heavy
+    // counts chosen so each exceeds N/50 while no noise word comes
+    // close (each noise word appears ≤ 3 times).
+    val heavy = Seq.fill(3000)("alpha") ++ Seq.fill(2500)("beta") ++
+      Seq.fill(2000)("gamma")
+    val noise = (1 to 60000).map(i => s"noise${i % 20000}")
+    val words = heavy ++ noise // N = 67500; N/k = 1350
+    val brute = words.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 * k > words.size).toSeq
+      .sortBy { case (w, n) => (-n, w) }
+    for (parts <- Seq(2, 16)) {
+      // sorted layout clusters each heavy word into few partitions;
+      // shuffled spreads it — the guarantee must hold under both
+      for (layout <- Seq(words.sorted, scala.util.Random.shuffle(words))) {
+        val df = layout.toDF("word").repartition(parts)
+        val got = heavyHitters(df, k).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        assert(got.toSeq === brute,
+          s"mismatch at parts=$parts")
+        assert(got.forall(_ => true)) // shape anchor
+      }
+    }
+  }
+
+  test("q68: verify pass — candidates attach by broadcast, corpus scanned once in the plan") {
+    val df = graft.queries.Q68HeavyHitters.run(spark, sf01)
+    df.collect()
+    val plan = flatten(df.queryExecution.executedPlan)
+    assert(plan.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "candidate set must attach by broadcast")
+    // exactly the two honest passes: the MG candidate scan (inside
+    // the broadcast subtree) + the verify scan — and nothing more
+    val docScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("documents")) => f
+    }
+    assert(docScans.size === 2,
+      s"expected MG pass + verify pass (2 documents scans), saw ${docScans.size}")
+    // the isNotNull filter must NOT have pushed below the global
+    // window — the overflow bucket has to be inside `total`
+    val totals = df.select(col("total")).distinct().collect()
+    val exactN = Tables.documents(spark, sf01)
+      .select(explode(expr(graft.queries.NorthStar.toksExpr))).count()
+    assert(totals.length === 1 && totals.head.getLong(0) === exactN,
+      "total must count ALL tokens, including non-candidates")
+  }
+
   // ---------------------------------------------------------------- q67
 
   test("q67: RANGE frame — peers share frames, the 7-day bound is inclusive, 1µs past it is out") {
