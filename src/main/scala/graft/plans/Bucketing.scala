@@ -56,6 +56,63 @@ object Bucketing {
                     key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  /** COMPACT an append-mode bucketed table back to one file per
+    * bucket, preserving the bucket spec — the operational counterpart
+    * of the q57b store lifecycle: every `Append` through `bucketBy`
+    * (e.g. the signature store's per-ingest `admit`) adds at least
+    * one new file per touched bucket, so a long-lived store
+    * accumulates files linearly in INGESTS while its data grows only
+    * with the CORPUS. Left alone, that is the classic small-file
+    * spiral: the zero-exchange bucketed join stays zero-exchange but
+    * pays ingest-count×(open+footer) per bucket instead of one
+    * sequential read.
+    *
+    * Shape: read the current table, force exactly one task per bucket
+    * — `repartition(buckets, key)` uses the same murmur3-pmod hash as
+    * the bucket spec, so each task holds precisely one bucket's rows
+    * — write to a staging table through the same `bucketBy`, then
+    * swap via catalog rename. The swap is the publish point: readers
+    * see the old table until the rename; a crash before it leaves the
+    * staging table to be dropped/rebuilt, never a half-compacted
+    * store (the GraftLetterSink commit discipline applied to
+    * maintenance). Production systems compact per-partition/bucket
+    * incrementally; at any scale the invariants are the ones the spec
+    * pins — row equality, bucket-spec preservation (join still plans
+    * no Exchange), and file count collapsing to `buckets`. */
+  def compact(spark: SparkSession, table: String, key: String,
+              buckets: Int): Unit = {
+    val staging = table + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    // Shuffle-FREE compaction: force the bucketed scan (auto bucketed
+    // scan would otherwise read one partition per small FILE, since a
+    // bare write "needs" no distribution — measured: 63 output files
+    // instead of 8), so the source arrives as one partition per
+    // bucket and the matching repartition is optimized away — each
+    // task streams one bucket's small files into one new file. The
+    // repartition stays as the correctness net for a bucket-count
+    // CHANGE, where it becomes a real (and then necessary) shuffle.
+    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    try writeBucketed(
+      spark.table(table).repartition(buckets, col(key)),
+      staging, key, buckets)
+    finally spark.conf.set(k, saved)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
+  /** Parquet data-file count of a managed table's location — the
+    * compaction metric. */
+  def dataFileCount(spark: SparkSession, table: String): Int = {
+    val wh = java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = java.nio.file.Paths.get(wh, table)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(loc).iterator().asScala
+      .count(p => p.getFileName.toString.endsWith(".parquet"))
+  }
+
   /** groupBy(key).sum(valueCol) via salted two-phase aggregation. */
   def saltedSum(df: DataFrame, key: String, valueCol: String,
                 salts: Int): DataFrame =

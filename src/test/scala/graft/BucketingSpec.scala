@@ -76,4 +76,46 @@ class BucketingSpec extends SparkSpec {
     assert(salted.map(r => (r.getString(0), r.getDecimal(1))).toSeq ===
       direct.map(r => (r.getString(0), r.getDecimal(1))).toSeq)
   }
+
+  test("compact: append-grown bucketed table collapses to one file per bucket, rows and co-location preserved") {
+    import spark.implicits._
+    val t = "b_compact_store"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // initial write + three append waves: the q57b admit shape —
+    // every wave adds files to every touched bucket
+    def wave(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (s"key$i", i.toLong)).toDF("k", "v")
+    Bucketing.writeBucketed(wave(0, 400), t, "k", 8)
+    for (w <- 1 to 3)
+      wave(w * 400, w * 400 + 400).write
+        .mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(8, "k").sortBy("k").format("parquet").saveAsTable(t)
+    val before = Bucketing.dataFileCount(spark, t)
+    assert(before > 8, s"appends produced only $before files — test vacuous")
+    val rowsBefore = spark.table(t).orderBy("k").collect()
+
+    Bucketing.compact(spark, t, "k", 8)
+
+    assert(Bucketing.dataFileCount(spark, t) === 8,
+      "compaction must leave exactly one file per bucket")
+    assert(spark.table(t).orderBy("k").collect() === rowsBefore)
+    assert(spark.catalog.listTables().collect()
+      .forall(!_.name.contains("__compacting")), "staging table leaked")
+
+    // bucket spec preserved: a co-located join against another
+    // 8-bucket table still plans zero Exchange
+    Bucketing.writeBucketed(wave(0, 1600), "b_compact_dim", "k", 8)
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = Bucketing.colocatedJoin(spark, t, "b_compact_dim", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+        s"compacted table lost co-location:\n$plan")
+      assert(joined.count() === 1600L)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql("DROP TABLE IF EXISTS b_compact_dim")
+  }
+
 }
