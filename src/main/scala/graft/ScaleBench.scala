@@ -159,6 +159,12 @@ object ScaleBench {
     // corpus-sized encode join, so its ratio prices scan+join growth
     // against the fixed learning loop
     Q64BpeMerges, Q64bBpeEncode,
+    // q68 is the sketch-bounded counterpoint to q26's full-vocab
+    // shuffle: 10x tokens, same 31-word vocabulary, and the verify
+    // shuffle stays <= k*P+1 rows regardless of corpus size — both
+    // passes are map-heavy scans, so the ratio must track the scan
+    // (linear-in-slack), never the vocabulary
+    Q68HeavyHitters,
     // the composed end-to-end pipeline: its ratio prices the SUM of
     // the chain's scale behaviors (dominated by the q18f closure)
     Q58TrainingShards)
