@@ -12,7 +12,8 @@ object SparkEntry {
   ) ++ Relational.all ++ Analytics.all ++ NorthStar.all ++
     Curation.all ++ Scoring.all ++ Graph.all ++ Bpe.all ++
     Seq(Q65IncrementalStats) ++
-    Seq(graft.multimodal.Q25MultimodalFeatures) ++
+    Seq(graft.multimodal.Q25MultimodalFeatures,
+      graft.multimodal.Q25bAudioFeatures) ++
     graft.streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -132,3 +132,91 @@ object Q25MultimodalFeatures extends GraftQuery {
     FROM m ORDER BY media_id
   """.trim)
 }
+
+/** Q25b — AUDIO feature extraction through the same batched codec
+  * plumbing: 'wav'-format media rows (the modality-dispatch filter a
+  * real pipeline applies before binding an audio decoder) decoded as
+  * unsigned 8-bit PCM centered at 128, reduced per clip to sample
+  * count, energy, zero-crossing count, peak amplitude and
+  * 1024-sample window count.
+  *
+  * Determinism is designed in the q36/q53 style: every accumulator is
+  * an EXACT integer (Σs², crossings, peak — order-independent,
+  * engine-exact); the only float, rms, is derived at the end as
+  * sqrt(one IEEE division), both operations correctly rounded, so the
+  * value is bit-identical in any engine. That makes the whole
+  * mapPartitions decode path hash-checkable by the DuckDB oracle,
+  * which replays the arithmetic per character (the synthetic payload
+  * is ASCII, so text position == byte) — unlike q25's
+  * mean_intensity, nothing here is spec-only.
+  *
+  * At 100 TB the shape is the one that matters: a map-only batched
+  * pass (codec work per batch, not per row), no shuffle until the
+  * final ORDER BY; real audio swaps FakeCodec for a PCM/opus binding
+  * and the frame changes from bytes to samples — the plumbing,
+  * batching and exact-integer feature contract stay. */
+object Q25bAudioFeatures extends GraftQuery {
+  import Multimodal._
+  val name = "q25b_audio_features"
+  val WindowSamples = 1024
+
+  final case class AudioFeatures(media_id: Long, n_samples: Long,
+    sum_sq: Long, zero_crossings: Long, peak: Int, n_windows: Long,
+    rms: Double)
+
+  private[graft] def extractAudio(media: Dataset[MediaRow],
+      codec: MediaCodec = FakeCodec,
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val d = codec.decode(r.payload, r.meta)
+          var n = 0L; var sumSq = 0L; var zc = 0L
+          var peak = 0; var prev = 0
+          d.pixels.foreach { p =>
+            val s = p - 128
+            n += 1; sumSq += s.toLong * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            if (n > 1 && prev * s < 0) zc += 1
+            prev = s
+          }
+          AudioFeatures(r.media_id, n, sumSq, zc, peak,
+            (n + WindowSamples - 1) / WindowSamples,
+            if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n))
+        }
+      }
+    }
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wav = mediaTable(spark, dir)
+      .filter(col("meta.format") === "wav").as[MediaRow]
+    extractAudio(wav).toDF().orderBy(col("media_id"))
+  }
+
+  /** Per-character replay of the PCM arithmetic (ASCII payload ⇒ text
+    * position == byte); crossings via lag over sample index. */
+  val oracle = Some(s"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text FROM documents
+      WHERE CAST(doc_id % 3 AS INT) = 2),
+    b AS (
+      SELECT media_id, i, ascii(substr(text, CAST(i AS INT), 1)) - 128 AS s
+      FROM m, unnest(range(1, length(text) + 1)) AS t(i)),
+    z AS (
+      SELECT media_id, i, s,
+        lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+      FROM b)
+    SELECT media_id,
+      count(*) AS n_samples,
+      CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+      CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+      CAST(MAX(abs(s)) AS INT) AS peak,
+      (count(*) + ${WindowSamples - 1}) // $WindowSamples AS n_windows,
+      CASE WHEN count(*) = 0 THEN 0.0
+           ELSE sqrt(CAST(SUM(s * s) AS DOUBLE) / count(*)) END AS rms
+    FROM z GROUP BY media_id ORDER BY media_id
+  """.trim)
+}

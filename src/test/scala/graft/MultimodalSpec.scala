@@ -58,4 +58,43 @@ class MultimodalSpec extends SparkSpec {
     val d2 = FakeCodec.decode(Array[Byte](1), MediaMeta("png", 8, 8, 3))
     assert(d2.frames === Seq(0, 1, 2)) // step = 1
   }
+
+  test("q25b audio: exact-integer features on crafted PCM, hand-derived") {
+    import spark.implicits._
+    import graft.multimodal.Q25bAudioFeatures
+    // samples (byte-128): [10, -20, 30, 0, -5] — crossings at
+    // 10→-20, -20→30, 30→0 is NOT one (product 0), 0→-5 is not one;
+    // peak 30; sum_sq = 100+400+900+0+25 = 1425
+    val payload = Array[Byte](138.toByte, 108.toByte, 158.toByte,
+      128.toByte, 123.toByte)
+    val media = Seq(MediaRow(1L, payload, MediaMeta("wav", 16, 16, 1)),
+      MediaRow(2L, Array.empty[Byte], MediaMeta("wav", 16, 16, 1)))
+      .toDS()
+    val out = Q25bAudioFeatures.extractAudio(media).collect()
+      .map(f => f.media_id -> f).toMap
+    val f1 = out(1L)
+    assert(f1.n_samples === 5L)
+    assert(f1.sum_sq === 1425L)
+    assert(f1.zero_crossings === 2L)
+    assert(f1.peak === 30)
+    assert(f1.n_windows === 1L)
+    assert(f1.rms === math.sqrt(1425.0 / 5))
+    // empty clip: all-zero features, rms guard takes the 0.0 branch
+    val f2 = out(2L)
+    assert(f2.n_samples === 0L && f2.sum_sq === 0L && f2.peak === 0 &&
+      f2.zero_crossings === 0L && f2.n_windows === 0L && f2.rms === 0.0)
+  }
+
+  test("q25b audio: window count rounds up at the 1024-sample boundary") {
+    import spark.implicits._
+    import graft.multimodal.Q25bAudioFeatures
+    val sizes = Seq(1023, 1024, 1025)
+    val media = sizes.zipWithIndex.map { case (n, i) =>
+      MediaRow(i.toLong, Array.fill(n)(128.toByte), MediaMeta("wav", 16, 16, 1))
+    }.toDS()
+    val got = Q25bAudioFeatures.extractAudio(media).collect()
+      .map(f => f.media_id -> f.n_windows).toMap
+    assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 2L))
+  }
+
 }
