@@ -78,7 +78,9 @@ object Bucketing {
     * maintenance). Production systems compact per-partition/bucket
     * incrementally; at any scale the invariants are the ones the spec
     * pins — row equality, bucket-spec preservation (join still plans
-    * no Exchange), and file count collapsing to `buckets`. */
+    * no Exchange), and file count collapsing to AT MOST `buckets`
+    * (a bucket no key hashes to writes no file; readers treat the
+    * missing file as the empty bucket it is). */
   def compact(spark: SparkSession, table: String, key: String,
               buckets: Int): Unit = {
     val staging = table + "__compacting"

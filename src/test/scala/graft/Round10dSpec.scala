@@ -149,6 +149,50 @@ class Round10dSpec extends SparkSpec {
     assert(diff === 0, "as-of pick diverged from interval containment")
   }
 
+  test("q57b store survives compaction: results identical, files collapse, bucket spec kept") {
+    import graft.queries.Q57bDeltaDedupStore
+    import graft.plans.Bucketing
+    val dir = Files.createTempDirectory("r10d-compact")
+    try {
+      import spark.implicits._
+      // 1,2 = train (md5-split): seed store; several admit waves then
+      // grow the band/hash tables' file counts.
+      Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "web", 46L),
+        (8L, "completely novel wave one document with fresh words here", "en", "web", 55L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val (bandsT, exactT) = Q57bDeltaDedupStore.ensureStore(spark, dir.toString)
+      for (w <- 1 to 4)
+        Q57bDeltaDedupStore.admit(spark,
+          Seq((100L + w, s"admitted wave $w doc with its own distinct words number $w"))
+            .toDF("doc_id", "text"), bandsT, exactT)
+      val filesBefore = Bucketing.dataFileCount(spark, bandsT)
+      assert(filesBefore > 16, s"appends left only $filesBefore files — vacuous")
+      val before = Q57bDeltaDedupStore.run(spark, dir.toString).collect().toSeq
+
+      Bucketing.compact(spark, bandsT, "bkey", 16)
+      Bucketing.compact(spark, exactT, "th", 16)
+
+      // at most one file per bucket — a bucket no key hashes to
+      // writes no file at all (the reader treats it as empty)
+      val bandFiles = Bucketing.dataFileCount(spark, bandsT)
+      val exactFiles = Bucketing.dataFileCount(spark, exactT)
+      assert(bandFiles <= 16 && bandFiles < filesBefore,
+        s"bands: $bandFiles files (was $filesBefore)")
+      assert(exactFiles <= 16)
+      assert(Q57bDeltaDedupStore.run(spark, dir.toString).collect().toSeq === before)
+      // the rewritten tables still carry the bucket spec the
+      // zero-exchange join posture depends on
+      for ((t, k) <- Seq(bandsT -> "bkey", exactT -> "th")) {
+        val desc = spark.sql(s"DESCRIBE EXTENDED $t").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(desc.get("Num Buckets").contains("16"), s"$t lost buckets")
+        assert(desc.get("Bucket Columns").exists(_.contains(k)), s"$t lost key")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   // ---------------------------------------------------------------- q68
 
   test("q68: MG unit — a word above the local threshold always survives") {

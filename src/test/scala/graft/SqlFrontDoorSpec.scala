@@ -103,4 +103,45 @@ class SqlFrontDoorSpec extends SparkSpec {
       spark.catalog.dropTempView("asof_clicks")
     }
   }
+
+  test("q66 SCD2 build runs as SQL text (window change-detection chain)") {
+    Engine.registerTables(spark, sf)
+    val sql = spark.sql("""
+      WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      s AS (
+        SELECT user_id, event_type, ts, event_id FROM o
+        WHERE prev IS NULL OR prev <> event_type),
+      v AS (
+        SELECT user_id, event_type, ts,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+        FROM s)
+      SELECT user_id, version, event_type AS segment,
+        unix_micros(ts) AS valid_from_us,
+        unix_micros(valid_to) AS valid_to_us,
+        (valid_to IS NULL) AS is_current
+      FROM v ORDER BY user_id, version""")
+    assert(rows(sql) == rows(queries.Q66Scd2Dimension.run(spark, sf)))
+  }
+
+  test("q67 RANGE frame runs as SQL text (numeric range window)") {
+    Engine.registerTables(spark, sf)
+    val sql = spark.sql("""
+      WITH o AS (
+        SELECT o_custkey, unix_micros(o_orderdate) AS od_us, o_orderkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders)
+      SELECT o_custkey, od_us, o_orderkey,
+        count(*) OVER w AS n_7d,
+        CAST(SUM(price) OVER w AS DOUBLE) AS rev_7d
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY od_us
+        RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, od_us, o_orderkey""")
+    assert(rows(sql) == rows(queries.Q67RollingWindow.run(spark, sf)))
+  }
+
 }
