@@ -193,7 +193,14 @@ object Q25bAudioFeatures extends GraftQuery {
     import spark.implicits._
     val wav = mediaTable(spark, dir)
       .filter(col("meta.format") === "wav").as[MediaRow]
-    extractAudio(wav).toDF().orderBy(col("media_id"))
+    // Zero-length clips are DROPPED from the report (the oracle's
+    // per-character unnest yields no rows for them, and a clip with
+    // no samples has no features worth a row); extractAudio itself
+    // still handles them — its all-zero row is the codec-path
+    // contract MultimodalSpec pins for composing callers.
+    extractAudio(wav).toDF()
+      .filter(col("n_samples") > 0)
+      .orderBy(col("media_id"))
   }
 
   /** Per-character replay of the PCM arithmetic (ASCII payload ⇒ text

@@ -71,11 +71,16 @@ object Bucketing {
     * — `repartition(buckets, key)` uses the same murmur3-pmod hash as
     * the bucket spec, so each task holds precisely one bucket's rows
     * — write to a staging table through the same `bucketBy`, then
-    * swap via catalog rename. The swap is the publish point: readers
-    * see the old table until the rename; a crash before it leaves the
-    * staging table to be dropped/rebuilt, never a half-compacted
-    * store (the GraftLetterSink commit discipline applied to
-    * maintenance). Production systems compact per-partition/bucket
+    * swap via catalog renames (retire old → publish new → drop
+    * retired). Half-compacted data is never published, and no swap
+    * step destroys the only copy: a crash mid-swap leaves both the
+    * retired and staging tables intact on disk, recoverable by
+    * re-running compact — though in this non-transactional session
+    * catalog the published NAME can be briefly unbound between the
+    * two renames (a metastore with atomic rename-swap closes that
+    * window; the invariant this code owns is no data loss and no
+    * partial publish — the GraftLetterSink commit discipline applied
+    * to maintenance). Production systems compact per-partition/bucket
     * incrementally; at any scale the invariants are the ones the spec
     * pins — row equality, bucket-spec preservation (join still plans
     * no Exchange), and file count collapsing to AT MOST `buckets`
@@ -84,7 +89,6 @@ object Bucketing {
   def compact(spark: SparkSession, table: String, key: String,
               buckets: Int): Unit = {
     val staging = table + "__compacting"
-    spark.sql(s"DROP TABLE IF EXISTS $staging")
     // Shuffle-FREE compaction: force the bucketed scan (auto bucketed
     // scan would otherwise read one partition per small FILE, since a
     // bare write "needs" no distribution — measured: 63 output files
@@ -100,8 +104,11 @@ object Bucketing {
       spark.table(table).repartition(buckets, col(key)),
       staging, key, buckets)
     finally spark.conf.set(k, saved)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val retired = table + "__retired"
+    Stores.dropManaged(spark, retired) // incl. a dead JVM's orphan dir
+    spark.sql(s"ALTER TABLE $table RENAME TO $retired")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    spark.sql(s"DROP TABLE IF EXISTS $retired")
   }
 
   /** Parquet data-file count of a managed table's location — the

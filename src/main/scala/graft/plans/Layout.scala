@@ -88,10 +88,13 @@ object Layout {
     require(bits >= 1 && bits * cols.size <= 62, s"bits=$bits out of range")
     val nb = (1 << bits) - 1 // boundary count per column
     val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
-    val zv = zOrderValue(bits, cols.map { c =>
-      val bnds = df.select(col(c).cast("double").as(c))
-        .stat.approxQuantile(c, probs, 0.25 / (nb + 1))
-      quantileBucket(col(c), bnds)
+    // ONE boundary pass for all columns (the multi-column
+    // approxQuantile overload) — D sequential scans would pay D−1
+    // redundant corpus reads at the scale this layout targets.
+    val bnds = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .stat.approxQuantile(cols.toArray, probs, 0.25 / (nb + 1))
+    val zv = zOrderValue(bits, cols.zip(bnds).map {
+      case (c, b) => quantileBucket(col(c), b)
     })
     df.withColumn("__graft_z", zv)
       .repartitionByRange(files, col("__graft_z"))

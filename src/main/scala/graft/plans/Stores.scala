@@ -20,6 +20,23 @@ import org.apache.spark.sql.SparkSession
   */
 object Stores {
 
+  /** Drop a managed table AND clear its warehouse directory if a dead
+    * JVM left one behind: the in-memory catalog forgets tables across
+    * JVMs while the warehouse persists, and both CREATE TABLE and
+    * ALTER ... RENAME refuse a pre-existing destination location.
+    * The safe preamble for any run-scoped/staging managed table. */
+  def dropManaged(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = java.nio.file.Paths.get(java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val loc = wh.resolve(table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Corpus fingerprint from file METADATA only (no data scan): a
     * store keyed by (dir, file names, lengths, mtimes) goes stale
     * exactly when the fixture is regenerated. */

@@ -692,6 +692,10 @@ object S13StreamIncrementalStats extends GraftQuery {
     // train-only (q65's contract); re-running s13 must not find its
     // own previous refreshes and double-count the delta.
     val runT = s"graft_s13_store_${s13Run.incrementAndGet()}"
+    // dropManaged first: the counter restarts per JVM, so a killed
+    // run's orphaned warehouse dir under the same name would fail the
+    // CREATE with LOCATION_ALREADY_EXISTS (the writeBucketed hazard).
+    graft.plans.Stores.dropManaged(spark, runT)
     spark.table(base).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(runT)
     try {

@@ -1,8 +1,6 @@
 package graft
 
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 import graft.queries.Q65IncrementalStats
 
@@ -12,15 +10,6 @@ import graft.queries.Q65IncrementalStats
 class Round10cSpec extends SparkSpec {
   import spark.implicits._
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec        => Seq(q.plan)
-      case r: ReusedExchangeExec    => Seq(r.child)
-      case other                    => other.children
-    }
-    p +: kids.flatMap(flatten)
-  }
 
   test("q65: incremental merge equals the direct full-corpus aggregation") {
     val direct = Tables.documents(spark, sf01)
@@ -45,7 +34,7 @@ class Round10cSpec extends SparkSpec {
     Q65IncrementalStats.run(spark, sf01).collect() // store warm
     val df = Q65IncrementalStats.run(spark, sf01)
     df.collect()
-    val scans = flatten(df.queryExecution.executedPlan)
+    val scans = flattenPlan(df.queryExecution.executedPlan)
       .collect { case f: FileSourceScanExec => f }
     val (storeScans, docScans) = scans.partition(
       _.tableIdentifier.exists(_.table.startsWith("graft_aggstore")))

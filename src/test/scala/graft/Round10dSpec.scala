@@ -2,9 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.functions._
 
@@ -15,15 +13,6 @@ import graft.streaming.S13StreamIncrementalStats
   * dimension build (q66). */
 class Round10dSpec extends SparkSpec {
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec        => Seq(q.plan)
-      case r: ReusedExchangeExec    => Seq(r.child)
-      case other                    => other.children
-    }
-    p +: kids.flatMap(flatten)
-  }
 
   // ---------------------------------------------------------------- s13
 
@@ -228,9 +217,8 @@ class Round10dSpec extends SparkSpec {
         val df = layout.toDF("word").repartition(parts)
         val got = heavyHitters(df, k).collect()
           .map(r => (r.getString(0), r.getLong(1)))
-        assert(got.toSeq === brute,
-          s"mismatch at parts=$parts")
-        assert(got.forall(_ => true)) // shape anchor
+        assert(got.toSeq === brute, s"mismatch at parts=$parts")
+        assert(got.nonEmpty, "heavy-hitter fixture produced no output — vacuous")
       }
     }
   }
@@ -238,7 +226,7 @@ class Round10dSpec extends SparkSpec {
   test("q68: verify pass — candidates attach by broadcast, corpus scanned once in the plan") {
     val df = graft.queries.Q68HeavyHitters.run(spark, sf01)
     df.collect()
-    val plan = flatten(df.queryExecution.executedPlan)
+    val plan = flattenPlan(df.queryExecution.executedPlan)
     assert(plan.exists(_.nodeName.contains("BroadcastHashJoin")),
       "candidate set must attach by broadcast")
     // exactly the two honest passes: the MG candidate scan (inside
@@ -290,7 +278,7 @@ class Round10dSpec extends SparkSpec {
   test("q66: one data shuffle (hash by user_id), no join — the window chain reuses the partitioning") {
     val df = Q66Scd2Dimension.run(spark, sf01)
     df.collect()
-    val plan = flatten(df.queryExecution.executedPlan)
+    val plan = flattenPlan(df.queryExecution.executedPlan)
     assert(!plan.exists(_.nodeName.toLowerCase.contains("join")),
       "SCD2 build must not plan a join")
     val hashShuffles = plan.collect {

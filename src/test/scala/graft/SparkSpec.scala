@@ -1,6 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared session for all suites (one JVM-wide session; `lazy val`
@@ -9,6 +12,20 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Engine.session(cores = 8)
   val sf  = "/root/testdata/sf0.001"
   val sf01 = "/root/testdata/sf0.01"
+
+  /** Flatten an executed plan through the adaptive wrappers
+    * (AdaptiveSparkPlanExec / QueryStageExec / ReusedExchangeExec) —
+    * the shared walker every plan-posture assertion uses, so a
+    * Spark-version change to adaptive node shapes is fixed ONCE. */
+  def flattenPlan(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case other                    => other.children
+    }
+    p +: kids.flatMap(flattenPlan)
+  }
 
   /** Scope session confs to a block, restoring (or unsetting) after —
     * shared by the plan-posture specs that lower AQE/bloom
