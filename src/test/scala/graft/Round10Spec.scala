@@ -51,15 +51,6 @@ class Round10Spec extends SparkSpec {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec        => Seq(q.plan)
-        case r: ReusedExchangeExec    => Seq(r.child)
-        case other                    => other.children
-      }
-      p +: kids.flatMap(flatten)
-    }
     // Force a shuffled join so "zero exchange on the store side" is a
     // real claim, not broadcast luck.
     withConfs(
@@ -67,7 +58,7 @@ class Round10Spec extends SparkSpec {
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
       val df = graft.queries.Q57bDeltaDedupStore.run(spark, sf01)
       df.collect() // resolve adaptive stages to the final plan
-      val nodes = flatten(df.queryExecution.executedPlan)
+      val nodes = flattenPlan(df.queryExecution.executedPlan)
       val scans = nodes.collect { case f: FileSourceScanExec => f }
       assert(scans.nonEmpty, "expected parquet scans of the store tables")
       assert(scans.forall(_.tableIdentifier.exists(
@@ -83,14 +74,14 @@ class Round10Spec extends SparkSpec {
       }
       assert(bandJoins.nonEmpty, "expected the band-key store join in the plan")
       val storeSides = bandJoins.flatMap(_.children.filter(c =>
-        flatten(c).exists {
+        flattenPlan(c).exists {
           case f: FileSourceScanExec =>
             f.tableIdentifier.exists(_.table.startsWith("graft_sigstore_bands"))
           case _ => false
         }))
       assert(storeSides.nonEmpty, "band join must have the store scan on one side")
       storeSides.foreach { side =>
-        val shuffles = flatten(side).collect { case s: ShuffleExchangeLike => s }
+        val shuffles = flattenPlan(side).collect { case s: ShuffleExchangeLike => s }
         assert(shuffles.isEmpty,
           s"store side of the band join must not shuffle, found: $shuffles")
       }
@@ -101,18 +92,9 @@ class Round10Spec extends SparkSpec {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec        => Seq(q.plan)
-        case r: ReusedExchangeExec    => Seq(r.child)
-        case other                    => other.children
-      }
-      p +: kids.flatMap(flatten)
-    }
     def docScans(df: org.apache.spark.sql.DataFrame): Int = {
       df.collect()
-      flatten(df.queryExecution.executedPlan).count {
+      flattenPlan(df.queryExecution.executedPlan).count {
         case f: FileSourceScanExec =>
           f.relation.location.rootPaths.exists(_.toString.contains("documents"))
         case _ => false
@@ -163,14 +145,6 @@ class Round10Spec extends SparkSpec {
   test("AsofJoinExec exposes SQL metrics: output/match/prune accounting holds") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec        => Seq(q.plan)
-        case other                    => other.children
-      }
-      p +: kids.flatMap(flatten)
-    }
     // No trailing orderBy: a global sort's range-partition sampling
     // executes the child once more and doubles every metric.
     val (purchases0, clicks) = graft.queries.Q32AsofJoin.asofInputs(spark, sf)
@@ -180,7 +154,7 @@ class Round10Spec extends SparkSpec {
       col("user_id") === col("p_user") && expr("graft_asof_le(pts, ts_us)"),
       "left")
     val n = df.collect().length.toLong // execute THIS plan so its metrics fill
-    val exec = flatten(df.queryExecution.executedPlan)
+    val exec = flattenPlan(df.queryExecution.executedPlan)
       .collectFirst { case a: graft.plans.AsofJoinExec => a }
     assert(exec.isDefined, "expected AsofJoinExec in the executed plan")
     val m = exec.get.metrics
