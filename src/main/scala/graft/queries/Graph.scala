@@ -27,7 +27,7 @@ import graft.Tables
 object Graph {
   val all: Seq[GraftQuery] =
     Seq(Q59GraphPagerank, Q60RepeatedSpans, Q62VocabCoverage,
-      Q68HeavyHitters)
+      Q68HeavyHitters, Q69ScoreDeciles)
 }
 
 /** Q59 — PageRank over the customer↔supplier graph, 5 iterations,
@@ -403,5 +403,90 @@ object Q68HeavyHitters extends GraftQuery {
     SELECT word, n, total FROM c, tot
     WHERE n * $K > total
     ORDER BY n DESC, word
+  """.trim)
+}
+
+/** Q69 — SCORE-DECILE CALIBRATION: every document assigned its exact
+  * global quality-score decile, reported as per-decile count and
+  * score bounds — the threshold-setting step between scoring (q55's
+  * classifier, q54's perplexity) and filtering (q42's gates): "keep
+  * the top 30%" needs the score DISTRIBUTION's exact cut structure,
+  * not a guessed absolute threshold.
+  *
+  * The score here is deliberately self-contained and bit-portable —
+  * whitespace-token count over character count, one IEEE division of
+  * exact integers per doc — so the operator's real content is the
+  * RANKING machinery: decile = ((rank−1)·10) div N over the total
+  * order (score, doc_id), and a global row rank is exactly the
+  * single-partition-window trap q62 documents. Same cure, applied at
+  * ROW scale rather than aggregate scale: range-repartition by the
+  * rank order, per-partition counts to the driver (O(P) scalars),
+  * local row-number + broadcast offset — both passes fully parallel.
+  * Ties in score cross decile boundaries by doc_id order
+  * identically in both engines, so even boundary rows hash-match;
+  * the integer decile formula has no float to disagree on.
+  *
+  * At 100 TB: two passes over (doc_id, score) pairs — narrow rows,
+  * range-partitioned — plus one bounded-cardinality aggregation; no
+  * single-task stage anywhere. (approx_percentile boundaries + a
+  * broadcast bucket join is the sketch-tier alternative when ±ε
+  * cuts suffice — q30b's trade, not taken here because the oracle
+  * gate wants exact.)
+  */
+object Q69ScoreDeciles extends GraftQuery {
+  val name = "q69_score_deciles"
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        (size(expr(NorthStar.toksExpr)).cast("double") /
+          length(col("text"))).as("score"))
+    val parted = scored
+      .repartitionByRange(col("score"), col("doc_id"))
+      .sortWithinPartitions(col("score"), col("doc_id"))
+      .as[(Long, Double)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-partition row counts — O(P) driver scalars
+      val counts = parted.mapPartitions { it =>
+        Iterator((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
+      }.collect().toMap
+      val n = counts.valuesIterator.sum
+      val offsets = {
+        val p = parted.rdd.getNumPartitions
+        val arr = new Array[Long](p)
+        var acc = 0L
+        for (i <- 0 until p) { arr(i) = acc; acc += counts.getOrElse(i, 0L) }
+        arr
+      }
+      // pass 2: local row-number + broadcast offset → exact rank
+      parted.mapPartitions { it =>
+        var rank = offsets(org.apache.spark.TaskContext.getPartitionId())
+        it.map { case (id, s) => rank += 1; (id, s, (rank - 1) * 10 / n) }
+      }.toDF("doc_id", "score", "decile")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("decile"))
+        .localCheckpoint(true)
+    } finally parted.unpersist()
+  }
+
+  val oracle = Some(raw"""
+    WITH s AS (
+      SELECT doc_id,
+        CAST(len(${NorthStar.duckToks}) AS DOUBLE) / length(text) AS score
+      FROM documents WHERE length(text) > 0),
+    r AS (
+      SELECT doc_id, score,
+        row_number() OVER (ORDER BY score, doc_id) AS rk,
+        count(*) OVER () AS n
+      FROM s)
+    SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
+      count(*) AS n_docs, min(score) AS min_score, max(score) AS max_score
+    FROM r GROUP BY 1 ORDER BY 1
   """.trim)
 }

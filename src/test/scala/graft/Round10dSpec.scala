@@ -289,4 +289,42 @@ class Round10dSpec extends SparkSpec {
       s"expected exactly one hash shuffle, got ${hashShuffles.size}:\n" +
         hashShuffles.mkString("\n"))
   }
+
+  // ---------------------------------------------------------------- q69
+
+  test("q69: deciles tile N docs evenly, bounds are monotone, and the two-pass rank equals the window spelling") {
+    import org.apache.spark.sql.expressions.Window
+    val out = graft.queries.Q69ScoreDeciles.run(spark, sf01).collect()
+    assert(out.map(_.getLong(0)).toSeq === (0L to 9L))
+    val sizes = out.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"uneven deciles: ${sizes.mkString(",")}")
+    val n = Tables.documents(spark, sf01)
+      .filter(length(col("text")) > 0).count()
+    assert(sizes.sum === n)
+    // monotone bounds (equality allowed: score ties may straddle a
+    // boundary, split deterministically by doc_id)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2),
+        s"decile ${a.getLong(0)} max > decile ${b.getLong(0)} min")
+    case _ => }
+    // the machinery proof (q62's pattern at row scale): the
+    // distributed two-pass rank must equal the single-partition
+    // global-window spelling it exists to avoid
+    val scored = Tables.documents(spark, sf01)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        (size(expr(graft.queries.NorthStar.toksExpr)).cast("double") /
+          length(col("text"))).as("score"))
+    val viaWindow = scored
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score"), col("doc_id"))))
+      .withColumn("decile", (col("rk") - 1) * 10 / lit(n))
+      .select((col("decile").cast("long")).as("decile"), col("score"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .orderBy(col("decile")).collect()
+    assert(out.toSeq === viaWindow.toSeq)
+  }
+
 }
