@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Q64BpeMerges, Q64cBpeMergesLocal}
+
+/** Round 11: q64c driver-local BPE learning — trajectory identity with
+  * q64's Spark-iterative loop, incremental-structure cross-check at
+  * K ≥ 120 against a naive full-recount reference, and exhaustion
+  * semantics. */
+class Round11Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r11bpe").toString
+    rows.map { case (id, text) => (id, text, "en", "s", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def cleanup(dir: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+
+  /** Naive full-recount BPE (rebuilds every pair count each
+    * iteration) — the published algorithm transcribed directly,
+    * independent of q64c's incremental pair-count maintenance. */
+  private def naiveBpe(freq: Map[String, Long], k: Int)
+      : (Seq[(Int, String, String, String, Long)], Map[String, Int]) = {
+    var words = freq.toSeq.map { case (w, c) => (w, w.map(_.toString).toVector, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to k if !exhausted) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((_, syms, c) <- words; j <- 0 until syms.length - 1)
+        pc((syms(j), syms(j + 1))) = pc.getOrElse((syms(j), syms(j + 1)), 0L) + c
+      if (pc.isEmpty) exhausted = true
+      else {
+        val ((l, r), n) = pc.toSeq.sortBy { case ((a, b), m) => (-m, a, b) }.head
+        out += ((i, l, r, l + r, n))
+        words = words.map { case (w, syms, c) =>
+          val b = Vector.newBuilder[String]; var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+              b += (l + r); j += 2
+            } else { b += syms(j); j += 1 }
+          }
+          (w, b.result(), c)
+        }
+      }
+    }
+    (out.toSeq, words.map { case (w, syms, _) => w -> syms.length }.toMap)
+  }
+
+  private def runRows(dir: String): Seq[(Int, String, String, String, Long)] =
+    Q64cBpeMergesLocal.run(spark, dir).collect().toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+
+  test("q64c: driver-local trajectory equals the hand-derived Sennrich-example trajectory (and q64's)") {
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val dir = writeDocs(Seq((1L, text)))
+    try {
+      val want = Seq(
+        (1, "e", "s", "es", 9L),
+        (2, "es", "t", "est", 9L),
+        (3, "l", "o", "lo", 7L),
+        (4, "lo", "w", "low", 7L),
+        (5, "e", "w", "ew", 6L),
+        (6, "ew", "est", "ewest", 6L))
+      assert(runRows(dir) == want)
+      // Trajectory identity with the Spark-iterative tier on the same
+      // corpus — the two formulations share the oracle because they
+      // share the answer.
+      val sparkTier = Q64BpeMerges.run(spark, dir).collect().toSeq
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+          r.getLong(4)))
+      assert(sparkTier == want)
+    } finally cleanup(dir)
+  }
+
+  test("q64c: identical-symbol runs pair off non-overlapping, learning exhausts cleanly") {
+    val text = (Seq.fill(3)("aaaa") ++ Seq.fill(2)("aaa")).mkString(" ")
+    val dir = writeDocs(Seq((1L, text)))
+    try {
+      assert(runRows(dir) == Seq(
+        (1, "a", "a", "aa", 13L),
+        (2, "aa", "aa", "aaaa", 3L),
+        (3, "aa", "a", "aaa", 2L)))
+    } finally cleanup(dir)
+  }
+
+  test("q64c: incremental pair-count maintenance matches the naive recount at K = 150") {
+    // Pure in-memory cross-check — the incremental structure (delta
+    // updates + inverted index + ordered tree) against the naive
+    // rebuild, deep into the trajectory where stale counts, missed
+    // membership updates, or tie-break drift would have compounded.
+    val rnd = new scala.util.Random(1311)
+    for (trial <- 1 to 3) {
+      val alphabet = "abcd"
+      val vocab = (1 to 400).map { _ =>
+        val len = 1 + rnd.nextInt(10)
+        (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.distinct
+      val freq = vocab.map(w => w -> (1L + rnd.nextInt(50))).toMap
+      val k = 150
+      val (gotTraj, gotTok) = Q64cBpeMergesLocal.learnInMemory(freq.toSeq.sortBy(_._1), k)
+      val (wantTraj, wantTok) = naiveBpe(freq, k)
+      assert(gotTraj == wantTraj, s"trial $trial trajectory diverged")
+      assert(gotTok == wantTok, s"trial $trial final tokenization diverged")
+    }
+  }
+
+  test("q64c: per-merge cost is incremental — later merges touch few words") {
+    // Not a wall-clock assertion (those live in ScaleBench): assert
+    // the STRUCTURAL property that makes K≈30k viable — the learner
+    // completes a merge budget 25× q64's on a realistic vocabulary in
+    // one call, and the trajectory prefix is stable under k (merge i
+    // does not depend on the budget).
+    val docs = Tables.documents(spark, sf)
+    val freq = graft.queries.Bpe.wordFreq(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(docs.count() > 0 && freq.nonEmpty)
+    val k = 150
+    val (traj, tok) = Q64cBpeMergesLocal.learnInMemory(freq, k)
+    // The fixture vocabulary may exhaust before k merges (every word
+    // reduced to a single symbol) — that IS the terminal state of BPE
+    // learning; otherwise the full budget must be spent.
+    assert(traj.length == k || tok.values.forall(_ == 1),
+      s"stopped at ${traj.length} merges without exhausting the vocabulary")
+    assert(traj.length >= 50, s"fixture trajectory too short: ${traj.length}")
+    // Prefix stability: the first 6 merges of the K=150 run ARE q64's
+    // 6-merge trajectory (the driver-facing oracle contract).
+    val (short, _) = Q64cBpeMergesLocal.learnInMemory(freq, 6)
+    assert(traj.take(6) == short)
+    // Counts are non-increasing along the trajectory (each merge
+    // consumes the current max).
+    val counts = traj.map(_._5)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // Every learned token is reachable: final tokenization lengths
+    // are bounded by word length and at least 1.
+    assert(tok.forall { case (w, n) => n >= 1 && n <= w.length })
+  }
+}
