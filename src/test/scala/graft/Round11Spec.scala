@@ -141,4 +141,22 @@ class Round11Spec extends SparkSpec {
     // are bounded by word length and at least 1.
     assert(tok.forall { case (w, n) => n >= 1 && n <= w.length })
   }
+
+  test("s11 runs on the heap state store (bounded per-source state), not the RocksDB ingest default") {
+    // r10 verdict: s11's dashboard state is bounded by source
+    // cardinality — paying RocksDB's native per-trigger cost there
+    // bought nothing but a 2.6× floor breach. The RocksDB default is
+    // scoped to streams whose state grows with the stream (s12/s12b);
+    // s11 must stay on the heap store even with the default ON.
+    import graft.streaming.{StreamQueries, S11StreamCuration}
+    val rows = S11StreamCuration.run(spark, sf).collect().toSeq
+    assert(rows.nonEmpty)
+    assert(!StreamQueries.lastStateMetrics.exists(_.toLowerCase.contains("rocksdb")),
+      s"s11 engaged RocksDB: ${StreamQueries.lastStateMetrics}")
+    // And the result is still the batch dashboard (the oracle shape).
+    val batch = S11StreamCuration.dashboard(
+      S11StreamCuration.gated(Tables.documents(spark, sf)))
+      .orderBy(col("source")).collect().toSeq
+    assert(rows == batch)
+  }
 }
