@@ -13,7 +13,9 @@ object SparkEntry {
     Curation.all ++ Scoring.all ++ Graph.all ++ Bpe.all ++
     Seq(Q65IncrementalStats) ++
     Seq(graft.multimodal.Q25MultimodalFeatures,
-      graft.multimodal.Q25bAudioFeatures) ++
+      graft.multimodal.Q25bAudioFeatures,
+      graft.multimodal.Q25cImageFeatures,
+      graft.multimodal.Q25dImageNearDup) ++
     graft.streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

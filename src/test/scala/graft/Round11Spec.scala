@@ -142,6 +142,66 @@ class Round11Spec extends SparkSpec {
     assert(tok.forall { case (w, n) => n >= 1 && n <= w.length })
   }
 
+  // ---- q25c/q25d image modality --------------------------------------
+
+  test("q25c: PNG encode/decode roundtrip is bit-exact and dims come from the decoded image") {
+    import graft.multimodal.Q25cImageFeatures
+    val text = "the quick brown fox jumps over the lazy dog " * 3
+    // doc_id 3: doc_id % 3 == 0 -> png tier.
+    val dir = writeDocs(Seq((3L, text.trim)))
+    try {
+      val rows = Q25cImageFeatures.imageTable(spark, dir).collect()
+      assert(rows.length == 1)
+      val r = rows(0)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      assert((img.getWidth, img.getHeight) == ((r.width, r.height)))
+      val bytes = text.trim.getBytes("UTF-8")
+      val raster = img.getRaster
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        assert(raster.getSample(x, y, 0) ==
+          (bytes((y * img.getWidth + x) % bytes.length) & 0xff),
+          s"pixel ($x,$y) lost in the PNG roundtrip")
+      // And the features frame reports the decoded dims.
+      val f = Q25cImageFeatures.run(spark, dir).collect()(0)
+      assert((f.getInt(1), f.getInt(2)) == ((r.width, r.height)))
+      assert(f.getString(3).length == 16 &&
+        f.getString(3).forall("0123456789abcdef".contains(_)))
+    } finally cleanup(dir)
+  }
+
+  test("q25d: a crafted off-grid single-pixel edit is a hamming-0 near-dup pair; an unrelated image is not") {
+    import graft.multimodal.{Q25cImageFeatures, Q25dImageNearDup}
+    import Q25cImageFeatures.{GridW, GridH}
+    val base = ("content dedup finds perceptually identical images even when " +
+      "bytes differ slightly in places the fingerprint does not sample ") * 2
+    val textA = base.trim
+    val len = textA.length
+    val (w, h) = (16 + len % 64, 16 + len % 48)
+    // Positions the 9x8 grid samples (the only ones dHash can see).
+    val sampled = (for (gy <- 0 until GridH; gx <- 0 until GridW)
+      yield ((gy * h / GridH) * w + gx * w / GridW) % len).toSet
+    val off = (0 until len).find(i => !sampled.contains(i) && textA(i) != 'x').get
+    val textB = textA.updated(off, 'x')
+    assert(textA != textB && textB.length == len)
+    // Unrelated image: same length (same dims) but reversed content.
+    val textC = textA.reverse
+    // ids 3, 6, 9: all in the png tier (doc_id % 3 == 0).
+    val dir = writeDocs(Seq((3L, textA), (6L, textB), (9L, textC)))
+    try {
+      val feats = Q25cImageFeatures.extractImageFeatures(
+        Q25cImageFeatures.imageTable(spark, dir)).toDF()
+      val byId = feats.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(byId(3L) == byId(6L), "off-grid edit must not change the dHash")
+      assert(byId(3L) != byId(9L), "reversed content must change the dHash")
+      val pairs = Q25dImageNearDup.nearDupPairs(
+        feats.select(col("media_id"), col("dhash")))
+        .orderBy(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(pairs == Seq((3L, 6L, 0L)),
+        s"expected exactly the crafted near-dup pair, got $pairs")
+    } finally cleanup(dir)
+  }
+
   test("s11 runs on the heap state store (bounded per-source state), not the RocksDB ingest default") {
     // r10 verdict: s11's dashboard state is bounded by source
     // cardinality — paying RocksDB's native per-trigger cost there
