@@ -38,12 +38,7 @@ object Bucketing {
     // the create fails with LOCATION_ALREADY_EXISTS.
     val wh = java.net.URI.create(
       spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = java.nio.file.Paths.get(wh, table)
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    Stores.deleteTree(java.nio.file.Paths.get(wh, table))
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
@@ -74,21 +69,27 @@ object Bucketing {
     * swap via catalog renames (retire old → publish new → drop
     * retired). Half-compacted data is never published, and no swap
     * step destroys the only copy: a crash mid-swap leaves both the
-    * retired and staging tables intact on disk, recoverable by
-    * re-running compact — though in this non-transactional session
-    * catalog the published NAME can be briefly unbound between the
-    * two renames (a metastore with atomic rename-swap closes that
-    * window; the invariant this code owns is no data loss and no
-    * partial publish — the GraftLetterSink commit discipline applied
-    * to maintenance). Production systems compact per-partition/bucket
-    * incrementally; at any scale the invariants are the ones the spec
-    * pins — row equality, bucket-spec preservation (join still plans
-    * no Exchange), and file count collapsing to AT MOST `buckets`
+    * retired and staging tables intact on disk, and RE-RUNNING
+    * compact recovers — a recovery preamble republishes the surviving
+    * complete copy first (crash between the two renames: staging is
+    * complete because the first rename only runs after the staging
+    * write committed; same-JVM it is a catalog rename, cross-JVM the
+    * surviving directory is rewritten through `writeBucketed`) —
+    * though in this non-transactional session catalog the published
+    * NAME can be briefly unbound between the two renames (a metastore
+    * with atomic rename-swap closes that window; the invariant this
+    * code owns is no data loss and no partial publish — the
+    * GraftLetterSink commit discipline applied to maintenance).
+    * Production systems compact per-partition/bucket incrementally;
+    * at any scale the invariants are the ones the spec pins — row
+    * equality, bucket-spec preservation (join still plans no
+    * Exchange), and file count collapsing to AT MOST `buckets`
     * (a bucket no key hashes to writes no file; readers treat the
     * missing file as the empty bucket it is). */
   def compact(spark: SparkSession, table: String, key: String,
               buckets: Int): Unit = {
     val staging = table + "__compacting"
+    recoverCompact(spark, table, key, buckets)
     // Shuffle-FREE compaction: force the bucketed scan (auto bucketed
     // scan would otherwise read one partition per small FILE, since a
     // bare write "needs" no distribution — measured: 63 output files
@@ -111,6 +112,43 @@ object Bucketing {
     spark.sql(s"DROP TABLE IF EXISTS $retired")
   }
 
+  /** Recovery preamble for [[compact]]: if a previous compact crashed
+    * between "retire old" and "publish new", the published name is
+    * unbound while BOTH the retired and staging copies survive — and
+    * the staging copy is complete (the first rename only runs after
+    * the staging write committed). Republish it: same-JVM via the
+    * pending catalog rename; after a JVM death (empty in-memory
+    * catalog, only warehouse directories left) by rewriting the
+    * surviving directory through `writeBucketed` (rare crash path —
+    * one extra bucketed write buys staying on managed tables). A
+    * crash DURING the staging write needs nothing: `table` is still
+    * bound, and `writeBucketed` drops the partial staging copy. */
+  private def recoverCompact(spark: SparkSession, table: String,
+                             key: String, buckets: Int): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val staging = table + "__compacting"
+      val retired = table + "__retired"
+      if (spark.catalog.tableExists(staging)) {
+        spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+        Stores.dropManaged(spark, retired)
+      } else if (spark.catalog.tableExists(retired)) {
+        // Crash after dropping staging's binding but before publish —
+        // the retired copy is the only one left.
+        spark.sql(s"ALTER TABLE $retired RENAME TO $table")
+      } else {
+        val wh = java.net.URI.create(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath
+        def dirOf(t: String) = java.nio.file.Paths.get(wh, t)
+        val src = Seq(staging, retired).map(dirOf)
+          .find(java.nio.file.Files.isDirectory(_))
+        src.foreach { d =>
+          val df = spark.read.parquet(d.toString)
+          writeBucketed(df, table, key, buckets)
+          Seq(staging, retired).map(dirOf).foreach(Stores.deleteTree)
+        }
+      }
+    }
+
   /** Parquet data-file count of a managed table's location — the
     * compaction metric. */
   def dataFileCount(spark: SparkSession, table: String): Int = {
@@ -118,8 +156,10 @@ object Bucketing {
       spark.conf.get("spark.sql.warehouse.dir")).getPath
     val loc = java.nio.file.Paths.get(wh, table)
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(loc).iterator().asScala
+    val s = java.nio.file.Files.walk(loc)
+    try s.iterator().asScala
       .count(p => p.getFileName.toString.endsWith(".parquet"))
+    finally s.close()
   }
 
   /** groupBy(key).sum(valueCol) via salted two-phase aggregation. */

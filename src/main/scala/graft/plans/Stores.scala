@@ -1,5 +1,8 @@
 package graft.plans
 
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+
 import org.apache.spark.sql.SparkSession
 
 /** Shared machinery for PERSISTED derived stores (the q57b pattern):
@@ -14,11 +17,57 @@ import org.apache.spark.sql.SparkSession
   *
   * Used by the signature store (`Q57bDeltaDedupStore` — bucketed band
   * rows + content hashes) and the incremental-aggregate store
-  * (`Q65IncrementalStats` — mergeable per-key partials). Synchronized
-  * single-JVM cache fill; a shared production warehouse would build
-  * stores in one writer job, not lazily from readers.
+  * (`Q65IncrementalStats` — mergeable per-key partials).
+  *
+  * CROSS-PROCESS BUILD PROTOCOL (round 11): two sessions sharing a
+  * warehouse must not race `build`. The critical section is guarded
+  * twice — a JVM-level monitor (same-process threads) and an OS-level
+  * advisory file lock (`<prefix>_<tag>.lock`, `FileChannel.lock` —
+  * blocks across processes and is released by the OS if the holder
+  * dies). Build completion is recorded by an atomically-moved COMMIT
+  * MARKER (`<prefix>_<tag>_<fp>.committed` — fingerprint-named, so a
+  * marker can never vouch for a different corpus snapshot). Under the
+  * lock the state machine is:
+  *  - tables bound in this catalog + marker present → serve;
+  *  - marker present + data directories present but unbound (a fresh
+  *    process reading a store another process committed) → BIND the
+  *    existing data as external tables (schema inferred from the
+  *    parquet, bucket spec re-declared from the caller's `buckets`) —
+  *    no rebuild, both processes read the SAME files;
+  *  - no marker (nothing built, or a crashed half-build left orphan
+  *    directories) → evict orphans + stale incarnations, `build`,
+  *    then commit the marker.
+  * The marker is deleted before any rebuild/eviction, so a crash
+  * inside `build` leaves "no marker + orphans" — the state the next
+  * `ensure` (any process) recovers from deterministically.
   */
 object Stores {
+
+  /** Walk a directory bottom-up and delete it; the `Files.walk`
+    * stream is materialized and CLOSED before deleting (leaked
+    * directory handles accumulate in a long-lived JVM otherwise). */
+  private[graft] def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val paths = {
+        val s = Files.walk(p)
+        try s.iterator().asScala.toVector finally s.close()
+      }
+      paths.reverse.foreach(Files.deleteIfExists(_))
+    }
+
+  /** List a directory's entries with the stream closed. */
+  private def listDir(p: Path): Seq[Path] =
+    if (!Files.isDirectory(p)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(p)
+      try s.iterator().asScala.toVector finally s.close()
+    }
+
+  private def warehouse(spark: SparkSession): Path =
+    Paths.get(java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
 
   /** Drop a managed table AND clear its warehouse directory if a dead
     * JVM left one behind: the in-memory catalog forgets tables across
@@ -27,14 +76,7 @@ object Stores {
     * The safe preamble for any run-scoped/staging managed table. */
   def dropManaged(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = java.nio.file.Paths.get(java.net.URI.create(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath)
-    val loc = wh.resolve(table)
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    deleteTree(warehouse(spark).resolve(table))
   }
 
   /** Corpus fingerprint from file METADATA only (no data scan): a
@@ -56,44 +98,87 @@ object Stores {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
 
+  /** Register a committed store directory another process built as an
+    * external table: schema inferred from the parquet files, bucket
+    * spec re-declared (Spark reads bucket ids from the file names, so
+    * the zero-exchange join posture survives the re-bind; appends
+    * through the same `bucketBy` keep routing correctly). */
+  private def bind(spark: SparkSession, name: String, loc: Path,
+                   bucket: Option[(String, Int)]): Unit = {
+    val schema = spark.read.parquet(loc.toString).schema.toDDL
+    val cluster = bucket.map { case (k, n) =>
+      s"CLUSTERED BY ($k) SORTED BY ($k) INTO $n BUCKETS" }.getOrElse("")
+    spark.sql(s"CREATE TABLE $name ($schema) USING parquet $cluster " +
+      s"LOCATION '${loc.toUri}'")
+  }
+
   /** Resolve the fingerprinted table names for `kinds` under `prefix`
-    * for this (dir, corpus-files) snapshot; if any is absent, evict
-    * every stale same-dir-tag incarnation (catalog AND orphaned
-    * warehouse directories — the in-memory catalog forgets tables
-    * across JVMs but the warehouse persists) and invoke `build` with
-    * the names to create them. Returns the names in `kinds` order. */
+    * for this (dir, corpus-files) snapshot; bind or build them if
+    * this catalog doesn't serve them yet (see the protocol above).
+    * `buckets` maps a kind to its (key, numBuckets) spec so a re-bind
+    * preserves the bucketed layout. Returns the names in `kinds`
+    * order. */
   def ensure(spark: SparkSession, prefix: String, dir: String,
-             kinds: Seq[String])(build: Seq[String] => Unit): Seq[String] =
+             kinds: Seq[String],
+             buckets: Map[String, (String, Int)] = Map.empty)
+            (build: Seq[String] => Unit): Seq[String] =
     this.synchronized {
       val tag = dirTag(dir)
       val fp = fingerprint(spark, dir)
       val names = kinds.map(k => s"${prefix}_${k}_${tag}_$fp")
-      if (!names.forall(spark.catalog.tableExists)) {
-        import scala.jdk.CollectionConverters._
-        def stale(t: String): Boolean =
-          kinds.exists(k => t.startsWith(s"${prefix}_${k}_$tag")) &&
-            !names.contains(t)
-        spark.catalog.listTables().collect()
-          .map(_.name).filter(stale)
-          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-        val wh = java.nio.file.Paths.get(java.net.URI.create(
-          spark.conf.get("spark.sql.warehouse.dir")).getPath)
-        if (java.nio.file.Files.isDirectory(wh))
-          java.nio.file.Files.list(wh).iterator().asScala.toSeq
-            // Clear stale incarnations AND current-name orphans: a
-            // previous JVM's warehouse directory survives while the
-            // in-memory catalog forgets the table, and CREATE TABLE AS
-            // refuses a pre-existing managed location even under
-            // Overwrite (LOCATION_ALREADY_EXISTS). A current-name
-            // orphan is only ever a dead JVM's store for this same
-            // fingerprint — rebuilding it here is the point.
-            .filter(d => stale(d.getFileName.toString) ||
-              (names.contains(d.getFileName.toString) &&
-                !spark.catalog.tableExists(d.getFileName.toString)))
-            .foreach(d => java.nio.file.Files.walk(d).iterator().asScala
-              .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_)))
-        build(names)
-      }
+      val wh = warehouse(spark)
+      val marker = wh.resolve(s"${prefix}_${tag}_$fp.committed")
+      if (names.forall(spark.catalog.tableExists) && Files.exists(marker))
+        return names
+      Files.createDirectories(wh)
+      val lockPath = wh.resolve(s"${prefix}_$tag.lock")
+      val ch = FileChannel.open(lockPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until any other process's build ends
+        try {
+          // Re-check under the lock: another process may have
+          // committed while this one waited.
+          if (!(names.forall(spark.catalog.tableExists) && Files.exists(marker))) {
+            def stale(t: String): Boolean =
+              kinds.exists(k => t.startsWith(s"${prefix}_${k}_$tag")) &&
+                !names.contains(t)
+            // Evict stale same-dir-tag incarnations: catalog entries,
+            // warehouse directories, and their markers.
+            spark.catalog.listTables().collect()
+              .map(_.name).filter(stale)
+              .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+            listDir(wh).foreach { d =>
+              val n = d.getFileName.toString
+              if (stale(n) || (n.startsWith(s"${prefix}_$tag") &&
+                  n.endsWith(".committed") && n != marker.getFileName.toString))
+                deleteTree(d)
+            }
+            val unbound = names.filterNot(spark.catalog.tableExists)
+            if (Files.exists(marker) &&
+                names.forall(n => Files.isDirectory(wh.resolve(n)))) {
+              // Committed by another process — bind, don't rebuild.
+              unbound.foreach { n =>
+                bind(spark, n, wh.resolve(n),
+                  buckets.get(kinds(names.indexOf(n))))
+              }
+            } else {
+              // Nothing committed for this fingerprint: clear any
+              // half-built orphans (a dead JVM's uncommitted dirs, or
+              // a bound-but-unmarked table from a crash between
+              // CREATE and commit), build, then commit.
+              Files.deleteIfExists(marker)
+              names.filter(spark.catalog.tableExists)
+                .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+              names.map(wh.resolve(_)).foreach(deleteTree)
+              build(names)
+              val tmp = Files.createTempFile(wh, marker.getFileName.toString, ".tmp")
+              Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
+                StandardCopyOption.REPLACE_EXISTING)
+            }
+          }
+        } finally lock.release()
+      } finally ch.close()
       names
     }
 }

@@ -161,7 +161,9 @@ object Q57bDeltaDedupStore extends GraftQuery {
     * (the shared persisted-derived-store machinery). */
   private[graft] def ensureStore(spark: SparkSession, dir: String): (String, String) = {
     val names = graft.plans.Stores.ensure(
-        spark, prefix, dir, Seq("bands", "exact")) { case Seq(bandsT, exactT) =>
+        spark, prefix, dir, Seq("bands", "exact"),
+        buckets = Map("bands" -> (("bkey", 16)), "exact" -> (("th", 16)))) {
+        case Seq(bandsT, exactT) =>
       val base = Tables.documents(spark, dir)
         .filter(Q40TrainTestSplit.splitCol === "train")
       graft.plans.Bucketing.writeBucketed(
