@@ -14,10 +14,27 @@ object Tables {
     * the fixture's INT64 micros timestamps are epoch-µs UTC and must
     * surface as TIMESTAMP (LTZ), not TIMESTAMP_NTZ — set here as well
     * as in Engine.configure so the loaders work on any session,
-    * including a driver-owned one. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set(Engine.InferNTZ, "false")
-    spark.read.parquet(s"$dir/$name.parquet")
+    * including a driver-owned one. The conf is SCOPED to the read
+    * (parquet schema inference is eager at `spark.read.parquet`), so
+    * a caller reading genuinely-NTZ parquet after a fixture load
+    * keeps its own inference setting. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    withConf(spark, Engine.InferNTZ, "false") {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** Set a conf for the duration of `body`, restoring (or unsetting)
+    * after. Fixture loads are session-sequential, so the save/restore
+    * is not racing concurrent conf writers. */
+  private def withConf[A](spark: SparkSession, key: String, value: String)
+                         (body: => A): A = {
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
@@ -45,7 +62,11 @@ object Tables {
     *
     * Confs are (re)set here so the loader works on any session,
     * including a driver-owned one that didn't go through
-    * Engine.configure.
+    * Engine.configure. `nanosAsLong` stays session-persistent (NOT
+    * scoped like [[load]]'s NTZ pin): the legacy nanos read path
+    * cannot be validated against the current micros fixture, and the
+    * conf's only effect is surfacing otherwise-UNREADABLE NANOS
+    * columns as Long — a benign global footprint.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set(Engine.NanosAsLong, "true")

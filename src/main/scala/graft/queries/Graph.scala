@@ -363,10 +363,16 @@ object Q68HeavyHitters extends GraftQuery {
     counters.keysIterator
   }
 
-  /** Exact heavy hitters of any one-column word frame. */
+  /** Exact heavy hitters of any one-column word frame. NULL words are
+    * dropped up front: the overflow bucket below uses null as its
+    * sentinel, so an unfiltered null key would silently merge with
+    * the non-candidate mass (and could never match the candidate
+    * equi-join) — a caller whose nulls are data must encode them
+    * first. */
   private[graft] def heavyHitters(words: DataFrame, k: Int): DataFrame = {
     import words.sparkSession.implicits._
-    val ws = words.select(col("word").cast("string")).as[String]
+    val ws = words.select(col("word").cast("string"))
+      .filter(col("word").isNotNull).as[String]
     val candidates = ws.mapPartitions(it => misraGries(it, k))
       .distinct().toDF("word")
     // One verify pass: candidate words keep their identity, the rest

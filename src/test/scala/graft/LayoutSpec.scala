@@ -154,11 +154,9 @@ class LayoutSpec extends SparkSpec {
       val orders = Tables.orders(spark, sf01)
         .select(col("o_orderkey"),
           col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"))
-      // Tables.load just re-set inference off (its own contract);
-      // re-assert ON so the read-back below infers the written column
-      // as NTZ. Safe: the fixture relation's schema was captured
-      // eagerly at load. withConfs still restores the suite default.
-      spark.conf.set(Engine.InferNTZ, "true")
+      // Tables.load scopes its inference-off pin to the fixture read
+      // (round 11), so the withConfs override above still governs the
+      // NTZ read-back below.
       val total = orders.count()
       Layout.writeRangeClustered(orders, s"$dir/ntz", 16, "o_orderdate")
       val slice = spark.read.parquet(s"$dir/ntz")
