@@ -955,9 +955,18 @@ object Q19cAnnSparkMl extends GraftQuery {
 object Q19dAnnIvf extends GraftQuery {
   import NorthStar._
   val name = "q19d_ann_ivf"
-  private val K = 16
-  private val NProbe = 4
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] val K = 16
+  private[graft] val NProbe = 4
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    ivf(spark, dir, NProbe)
+
+  /** The probe knob exposed: scan cost ≈ n·(nProbe/K) against recall.
+    * AnnIvfSpec measures the recall/latency curve at 2/4/8/16 probes
+    * (monotone by construction under a fixed seed: more probes only
+    * ever ADD candidate lists) — the 100 TB operating trade-off is
+    * picked there, not guessed. */
+  private[graft] def ivf(spark: SparkSession, dir: String, nProbe: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.{Vector, Vectors}
@@ -971,7 +980,7 @@ object Q19dAnnIvf extends GraftQuery {
       .head().getAs[Vector]("features") // O(1) driver value: the query key
     val probe = model.clusterCenters.zipWithIndex // k rows on the driver
       .map { case (c, i) => (i, Vectors.sqdist(c, qVec)) }
-      .sortBy(_._2).take(NProbe).map(_._1).toSeq
+      .sortBy(_._2).take(nProbe).map(_._1).toSeq
     val cand = assigned
       .filter(col("vec_id") =!= 0 && col("list_id").isin(probe: _*))
     val ex = cand.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))

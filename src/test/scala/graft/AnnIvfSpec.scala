@@ -29,4 +29,29 @@ class AnnIvfSpec extends SparkSpec {
     val recall = (approx & exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall; approx=$approx exact=$exact")
   }
+
+  test("q19d probe curve: recall is monotone in nProbe and exact at full probe (the 100 TB knob)") {
+    // The operating trade-off documented as a measured curve, not a
+    // guess: scan cost grows ~linearly with nProbe (n·nProbe/K
+    // candidates), recall can only grow (a fixed seed fixes the
+    // lists; more probes only ADD candidate lists), and probing all
+    // K lists IS the exact scan, so recall must reach 1.0 there.
+    val exact = Q19SimilarityTopK.run(spark, sf01)
+      .select("vec_id").as[Long].collect().toSet
+    val curve = Seq(2, 4, 8, 16).map { p =>
+      val t0 = System.nanoTime()
+      val ids = Q19dAnnIvf.ivf(spark, sf01, p)
+        .select("vec_id").as[Long].collect().toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = (ids & exact).size.toDouble / exact.size
+      info(f"nProbe=$p%2d recall=$recall%.2f latency=$sec%.2fs")
+      (p, recall)
+    }
+    val recalls = curve.map(_._2)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in nProbe: $curve")
+    assert(recalls.last == 1.0,
+      s"probing all $curve lists must equal the exact top-k")
+    assert(recalls.head >= 0.3, s"2-probe recall collapsed: $curve")
+  }
 }
