@@ -65,11 +65,18 @@ object Engine {
     Tables.events(spark, dir).createOrReplaceTempView("events")
   }
 
-  /** Local session for tests / ad-hoc runs. */
+  /** Local session for tests / ad-hoc runs. `local[n, 2]` allows ONE
+    * task retry — the cluster posture (where `spark.task.maxFailures`
+    * defaults to 4 and retries/speculative attempts are routine)
+    * rather than local mode's fail-job-on-first-error default, so
+    * read-path determinism under retry is actually exercised
+    * (Round11cSpec kills corpus-source tasks mid-read and byte-checks
+    * the golden output). Deterministic failures still fail the job —
+    * both attempts throw. */
   def session(cores: Int = 32): SparkSession = {
     val s = configure(
       SparkSession.builder()
-        .master(s"local[$cores]")
+        .master(s"local[$cores, 2]")
         .appName("graft")
         .config("spark.sql.shuffle.partitions", cores.toString)
     ).getOrCreate()
