@@ -112,6 +112,19 @@ object Stores {
       s"LOCATION '${loc.toUri}'")
   }
 
+  /** Operational eviction: drop EVERY incarnation under `prefix` —
+    * catalog entries, warehouse directories, commit markers, lock
+    * files. The cold-start lever for measurements (ScaleBench's
+    * build-vs-serve split) and for decommissioning a store family. */
+  def evict(spark: SparkSession, prefix: String): Unit = this.synchronized {
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix + "_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    listDir(warehouse(spark))
+      .filter(_.getFileName.toString.startsWith(prefix + "_"))
+      .foreach(deleteTree)
+  }
+
   /** Resolve the fingerprinted table names for `kinds` under `prefix`
     * for this (dir, corpus-files) snapshot; bind or build them if
     * this catalog doesn't serve them yet (see the protocol above).
