@@ -175,6 +175,13 @@ object ScaleBench {
     // q69's two-pass exact rank: both passes are corpus scans with
     // O(P)-scalar driver traffic, so the ratio must track the scan
     Q69ScoreDeciles,
+    // the image tier: q25c is the map-only batched codec pass (PNG
+    // encode+decode per image — per-row CPU, must scale ~linearly in
+    // images once slack is gone); q25d adds the banded self-join on
+    // 16-hex hashes — candidate growth is the thing to watch: 10x
+    // images into 8 one-byte bands means denser buckets, so its
+    // ratio prices the LSH bucket-collision profile at scale
+    graft.multimodal.Q25cImageFeatures, graft.multimodal.Q25dImageNearDup,
     // the composed end-to-end pipeline: its ratio prices the SUM of
     // the chain's scale behaviors (dominated by the q18f closure)
     Q58TrainingShards)
@@ -245,11 +252,26 @@ object ScaleBench {
       val refresh = t1(Q65IncrementalStats.refresh(spark, statsT, delta))
       graft.plans.Stores.evict(spark, "graft_sigstore")
       graft.plans.Stores.evict(spark, "graft_aggstore")
+      // Image near-dup band-width knob: the 16-bit-band variant
+      // prices the 256×-tighter buckets against q25d's 8-bit default
+      // (same verify, same surfaced frame shape) — the candidate-
+      // density lever for large image corpora.
+      val wide = t1 {
+        import graft.multimodal.{Q25cImageFeatures, Q25dImageNearDup}
+        Q25dImageNearDup.verifiedCandidates(
+            Q25cImageFeatures.extractImageFeatures(
+              Q25cImageFeatures.imageTable(spark, dir)).toDF()
+              .select(col("media_id"), col("dhash")), bandBits = 16)
+          .orderBy(col("hamming"), col("id_a"), col("id_b"))
+          .limit(Q25dImageNearDup.TopPairs)
+          .write.format("noop").mode("overwrite").save()
+      }
       Map("q57b_store_build" -> build, "q57b_store_serve" -> serve,
-        "q65_store_build" -> statsBuild, "q65_refresh" -> refresh)
+        "q65_store_build" -> statsBuild, "q65_refresh" -> refresh,
+        "q25d_bands16" -> wide)
     }
     val storeNames = Seq("q57b_store_build", "q57b_store_serve",
-      "q65_store_build", "q65_refresh")
+      "q65_store_build", "q65_refresh", "q25d_bands16")
     val wantStores = only.forall(names => storeNames.exists(names))
     val (st1, st10) =
       if (wantStores) (storePoints(sfDir), storePoints(Scale10Dir))

@@ -430,12 +430,29 @@ object Q25dImageNearDup extends GraftQuery {
 
   /** Banded candidates + exact-Hamming verify over an arbitrary
     * (media_id, dhash) frame — shared by the driver entry and the
-    * crafted-fixture spec. */
-  private[graft] def verifiedCandidates(feats: DataFrame): DataFrame = {
-    // One row per (band, byte-key) bucket.
+    * crafted-fixture spec.
+    *
+    * `bandBits` is the SCALE knob (measured in BASELINE's round-11
+    * image rows): with b-bit bands the LSH guarantee covers every
+    * pair with Hamming < 64/b (pigeonhole — fewer differing bits
+    * than bands forces one clean band), while bucket keys take 2^b
+    * values per band, so candidate density falls ~2^b-fold as b
+    * grows. 8-bit bands (default) guarantee recall through
+    * Hamming 7 — what the ≤6 near-dup threshold needs; 16-bit bands
+    * guarantee only Hamming ≤ 3 but cut bucket occupancy 256×, the
+    * right trade when the corpus is large and the dedup bar is
+    * near-exact. Must divide 64 and align to hex digits (4). */
+  private[graft] def verifiedCandidates(feats: DataFrame,
+      bandBits: Int = 8): DataFrame = {
+    require(bandBits % 4 == 0 && 64 % bandBits == 0,
+      s"bandBits must be a hex-aligned divisor of 64, got $bandBits")
+    val nBands = 64 / bandBits
+    val hexPerBand = bandBits / 4
+    // One row per (band, key) bucket.
     val bands = feats.select(col("media_id"), col("dhash"),
-      explode(expr(s"transform(sequence(0, ${Bands - 1}), " +
-        "b -> named_struct('band', b, 'key', substring(dhash, b * 2 + 1, 2)))"))
+      explode(expr(s"transform(sequence(0, ${nBands - 1}), " +
+        s"b -> named_struct('band', b, " +
+        s"'key', substring(dhash, b * $hexPerBand + 1, $hexPerBand)))"))
         .as("bk"))
       .select(col("media_id"), col("dhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))

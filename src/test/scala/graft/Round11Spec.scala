@@ -199,6 +199,16 @@ class Round11Spec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       assert(pairs == Seq((3L, 6L, 0L)),
         s"expected exactly the crafted near-dup pair, got $pairs")
+      // Band-width knob: a 16-bit band match is two adjacent 8-bit
+      // band matches, so the wide-band candidate set is a SUBSET of
+      // the default's — tighter buckets can only drop pairs — and an
+      // identical-hash pair (all bands match at any width) survives.
+      val hashes = feats.select(col("media_id"), col("dhash"))
+      def pairSet(bits: Int) = Q25dImageNearDup.verifiedCandidates(hashes, bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (narrow, wide) = (pairSet(8), pairSet(16))
+      assert(wide.subsetOf(narrow), s"wide $wide not within narrow $narrow")
+      assert(wide.contains((3L, 6L)), "identical pair must survive any band width")
     } finally cleanup(dir)
   }
 
