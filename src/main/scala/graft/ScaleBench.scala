@@ -280,14 +280,22 @@ object ScaleBench {
     val deep: Seq[GraftQuery] = Seq(Q18dDedupNgram, Q18fDedupClusters,
       Q26TfIdf, Q58TrainingShards, Q60RepeatedSpans)
       .filter(q => only.forall(_(q.name)))
+    val scale100Enabled = sys.env.getOrElse("SPARK_GRAFT_SCALE100", "1") != "0"
     val at100: Map[String, Double] =
-      if (deep.isEmpty ||
-          sys.env.getOrElse("SPARK_GRAFT_SCALE100", "1") == "0") Map.empty
+      if (deep.isEmpty || !scale100Enabled) Map.empty
       else {
         synthesize100(spark, sfDir)
         val _ = time1(Q18DedupExact, Scale100Dir) // warmup on the big corpus
         deep.map(q => q.name -> best2(q, Scale100Dir)).toMap
       }
+    // Store lifecycle's third decade: the build is the ONE point
+    // designed to scale with the corpus — at 1×/10× it is still
+    // fixed-cost-dominated, so the 100× hop is where "pay-once
+    // O(corpus) build vs flat O(delta) serve/refresh" becomes a
+    // measured contrast rather than a design claim.
+    val st100: Map[String, Double] =
+      if (!wantStores || !scale100Enabled) Map.empty
+      else { synthesize100(spark, sfDir); storePoints(Scale100Dir) }
     spark.stop()
     def row(qs: Seq[GraftQuery], m: Map[String, Double]) = qs
       .map(q => "\"" + q.name + "\":" + f"${m(q.name)}%.3f")
@@ -309,6 +317,13 @@ object ScaleBench {
       println(s"""{"scale_stores":"sf0.1","points":${srow(st1)}}""")
       println(s"""{"scale_stores":"sf0.1x10","points":${srow(st10)}}""")
       println(s"""{"store_ratio_10x":$sratio}""")
+      if (st100.nonEmpty) {
+        val r100 = storeNames
+          .map(n => "\"" + n + "\":" + f"${ratio(st100(n), st10(n))}%.2f")
+          .mkString("{", ",", "}")
+        println(s"""{"scale_stores":"sf0.1x100","points":${srow(st100)}}""")
+        println(s"""{"store_ratio_100x_vs_10x":$r100}""")
+      }
     }
     if (at100.nonEmpty) {
       val r2 = deep.map(q =>
