@@ -43,7 +43,8 @@ import graft.Tables
   * fixed character filter to a learned segmentation.
   */
 object Bpe {
-  val all: Seq[GraftQuery] = Seq(Q64BpeMerges, Q64bBpeEncode, Q64cBpeMergesLocal)
+  val all: Seq[GraftQuery] =
+    Seq(Q64BpeMerges, Q64bBpeEncode, Q64cBpeMergesLocal, Q64dBpeEncodeLocal)
 
   /** The ONE corpus-scale step of BPE learning: token/normalize (q1's
     * definition) and the word-frequency reduction. Everything after
@@ -209,9 +210,11 @@ object Q64BpeMerges extends GraftQuery {
 object Q64bBpeEncode extends GraftQuery {
   val name = "q64b_bpe_encode"
 
-  def run(spark: SparkSession, dir: String): DataFrame = {
-    val dict = Q64BpeMerges.learn(spark, dir)._2
-      .select(col("word"), size(col("syms")).cast("long").as("ntok"))
+  /** The corpus-scale encode step shared by both learning tiers: one
+    * tokenize pass equi-joined against a (word, ntok) dictionary,
+    * reduced to per-language fertility. */
+  private[queries] def fertility(spark: SparkSession, dir: String,
+      dict: DataFrame): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), explode(expr(NorthStar.toksExpr)).as("tok"))
       .select(col("doc_id"), col("lang"),
@@ -226,7 +229,11 @@ object Q64bBpeEncode extends GraftQuery {
       .withColumn("fertility",
         col("total_bpe_tokens").cast("double") / col("total_words"))
       .orderBy(col("lang"))
-  }
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    fertility(spark, dir,
+      Q64BpeMerges.learn(spark, dir)._2
+        .select(col("word"), size(col("syms")).cast("long").as("ntok")))
 
   val oracle = Some {
     s"""
@@ -388,4 +395,30 @@ object Q64cBpeMergesLocal extends GraftQuery {
     }
     (out.toSeq, words.indices.map(i => words(i) -> syms(i).length).toMap)
   }
+}
+
+/** Q64d — the PRODUCTION tokenizer pipeline end-to-end: q64c's
+  * driver-local learning tier feeding q64b's corpus-scale encode
+  * join, with the dictionary BROADCAST back to the executors (it is
+  * vocab-sized by construction — the same bound that justified the
+  * collect). This is the full deploy shape: one corpus scan → bounded
+  * collect → in-memory trajectory (no per-merge jobs) → broadcast
+  * (word, ntok) dictionary → one tokenize-and-join pass over the
+  * corpus. Same fertility table as q64b — SHARES its oracle: the two
+  * learning tiers must be indistinguishable downstream, and the hash
+  * gate holds them to it. */
+object Q64dBpeEncodeLocal extends GraftQuery {
+  val name = "q64d_bpe_encode_local"
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val freq = Bpe.wordFreq(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ntok = Q64cBpeMergesLocal.learnInMemory(freq, Q64BpeMerges.Merges)._2
+    val dict = broadcast(
+      ntok.toSeq.map { case (w, n) => (w, n.toLong) }.toDF("word", "ntok"))
+    Q64bBpeEncode.fertility(spark, dir, dict)
+  }
+
+  val oracle: Option[String] = Q64bBpeEncode.oracle
 }

@@ -255,6 +255,20 @@ class Round11Spec extends SparkSpec {
     assert(sec < 120.0, f"in-memory learning too slow: $sec%.1fs")
   }
 
+  test("q64d: the production path (local learn + broadcast encode) equals q64b and broadcasts the dictionary") {
+    import graft.queries.{Q64bBpeEncode, Q64dBpeEncodeLocal}
+    val a = Q64dBpeEncodeLocal.run(spark, sf)
+    val b = Q64bBpeEncode.run(spark, sf)
+    assert(a.collect().toSeq.map(_.toSeq) == b.collect().toSeq.map(_.toSeq),
+      "the two learning tiers must be indistinguishable downstream")
+    // Plan posture: the vocab-sized dictionary rides a broadcast hash
+    // join — the corpus-side tokenize pass must not shuffle to meet it.
+    val plan = flattenPlan(a.queryExecution.executedPlan)
+    assert(plan.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "dictionary join must be broadcast:\n" + a.queryExecution.executedPlan)
+  }
+
   test("s11 runs on the heap state store (bounded per-source state), not the RocksDB ingest default") {
     // r10 verdict: s11's dashboard state is bounded by source
     // cardinality — paying RocksDB's native per-trigger cost there
