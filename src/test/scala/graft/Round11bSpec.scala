@@ -171,6 +171,71 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("the REAL signature store binds across a catalog death: no rebuild, zero-exchange posture intact") {
+    import graft.queries.Q57bDeltaDedupStore
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    Stores.evict(spark, "graft_sigstore")
+    val (bandsT, exactT) = Q57bDeltaDedupStore.ensureStore(spark, sf01)
+    val want = Q57bDeltaDedupStore.run(spark, sf01).collect().toSeq.map(_.toSeq)
+    // Kill the catalog's knowledge of the store while data + marker
+    // survive (the fresh-process state), via stash/drop/restore.
+    val stash = Files.createTempDirectory("r11sig")
+    for (t <- Seq(bandsT, exactT)) {
+      org.apache.commons.io.FileUtils.copyDirectory(
+        wh.resolve(t).toFile, stash.resolve(t).toFile)
+      spark.sql(s"DROP TABLE $t")
+      org.apache.commons.io.FileUtils.copyDirectory(
+        stash.resolve(t).toFile, wh.resolve(t).toFile)
+    }
+    try {
+      def listing(t: String): Seq[(String, Long, Long)] = {
+        import scala.jdk.CollectionConverters._
+        val s = Files.walk(wh.resolve(t))
+        try s.iterator().asScala.filter(Files.isRegularFile(_)).toVector
+          .map(p => (p.getFileName.toString, Files.size(p),
+            Files.getLastModifiedTime(p).toMillis)).sortBy(_._1)
+        finally s.close()
+      }
+      val before = Seq(bandsT, exactT).map(listing)
+      val (b2, e2) = Q57bDeltaDedupStore.ensureStore(spark, sf01)
+      assert((b2, e2) == ((bandsT, exactT)))
+      assert(Seq(bandsT, exactT).map(listing) == before,
+        "bind must serve the committed files untouched, not rebuild them")
+      // Same rows, and the band join's store side still exchange-free
+      // under forced shuffled joins — the bucket spec survived the
+      // external re-bind.
+      withConfs(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+        val df = Q57bDeltaDedupStore.run(spark, sf01)
+        assert(df.collect().toSeq.map(_.toSeq) == want)
+        val nodes = flattenPlan(df.queryExecution.executedPlan)
+        val bandJoins = nodes.filter {
+          case j: SortMergeJoinExec     => j.leftKeys.exists(_.toString.contains("bkey"))
+          case j: ShuffledHashJoinExec  => j.leftKeys.exists(_.toString.contains("bkey"))
+          case j: BroadcastHashJoinExec => j.leftKeys.exists(_.toString.contains("bkey"))
+          case _ => false
+        }
+        assert(bandJoins.nonEmpty, "expected the band-key store join")
+        val storeSides = bandJoins.flatMap(_.children.filter(c =>
+          flattenPlan(c).exists {
+            case f: FileSourceScanExec =>
+              f.tableIdentifier.exists(_.table.startsWith("graft_sigstore_bands"))
+            case _ => false
+          }))
+        assert(storeSides.nonEmpty)
+        storeSides.foreach { side =>
+          assert(flattenPlan(side).collect {
+            case s: ShuffleExchangeLike => s }.isEmpty,
+            "store side of the band join must stay exchange-free after bind")
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(stash.toFile)
+    } finally Stores.evict(spark, "graft_sigstore")
+  }
+
   test("compact: crash between the two publish renames is recovered by the next compact") {
     val table = s"r11compact_${System.nanoTime()}"
     val staging = table + "__compacting"
