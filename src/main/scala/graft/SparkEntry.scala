@@ -15,7 +15,8 @@ object SparkEntry {
     Seq(graft.multimodal.Q25MultimodalFeatures,
       graft.multimodal.Q25bAudioFeatures,
       graft.multimodal.Q25cImageFeatures,
-      graft.multimodal.Q25dImageNearDup) ++
+      graft.multimodal.Q25dImageNearDup,
+      graft.multimodal.Q25eVideoScenes) ++
     graft.streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

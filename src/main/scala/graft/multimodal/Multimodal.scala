@@ -508,3 +508,149 @@ object Q25dImageNearDup extends GraftQuery {
     LIMIT $TopPairs
   """.trim)
 }
+
+/** Q25e — VIDEO modality: frame sampling + per-frame perceptual
+  * fingerprints + hash-distance SCENE-CUT detection, completing the
+  * image/audio/video triad over the same batched codec plumbing.
+  *
+  * The fixture synthesizes a deterministic multi-frame grayscale
+  * stream per class-1 media row (n_frames from the media metadata):
+  * frames hold STILL — pixel (x, y) of frame f samples the payload at
+  * (y·w + x + 7919·offIdx(f)) mod len — except at deterministic CUT
+  * frames ((doc_id·31 + f) mod 7 == 0 advances offIdx), where the
+  * whole raster jumps to a new payload region. That is the shape real
+  * footage has (long static scenes, sharp cuts), and it makes the
+  * OPERATOR do real work: scene changes are detected from the
+  * per-frame grid-sampled dHash (q25c's fingerprint applied per
+  * frame) by adjacent-frame Hamming distance ≥ [[SceneHamming]] — the
+  * standard shot-boundary heuristic — not by reading the cut schedule.
+  * Within a scene adjacent hashes are IDENTICAL (distance 0); across
+  * a cut two independent 64-bit fingerprints land ≥ the threshold with
+  * overwhelming probability, and the oracle computes the SAME
+  * hash-distance decision, so the gate is exact either way.
+  *
+  * Decode is the stub tier (q25's contract — raw frame-major rasters;
+  * a real deployment binds an mpeg demuxer in the codec slot); the
+  * Spark-side plumbing — frame iteration, per-frame fingerprints,
+  * adjacent-frame comparison, batched mapPartitions, integer-exact
+  * features — is real and hash-checked end to end.
+  *
+  * 100 TB posture: map-only batched pass (one task decodes its own
+  * videos; per-video output is 4 scalars), no shuffle before the
+  * final ORDER BY; frame loop is per-row CPU bounded by n_frames. */
+object Q25eVideoScenes extends GraftQuery {
+  import Multimodal._
+  import Q25cImageFeatures.{GridW, GridH}
+  val name = "q25e_video_scenes"
+  /** Adjacent-frame Hamming threshold for a scene cut (bits of 64). */
+  val SceneHamming = 10
+  /** Offset stride between scenes — coprime with fixture lengths. */
+  val SceneStride = 7919
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(expr("CAST(media_id % 3 AS INT) = 1") && length(col("payload")) > 0)
+      .select(col("media_id"), col("payload"),
+        col("meta.width").as("w"), col("meta.height").as("h"),
+        col("meta.n_frames").as("nf"))
+      .as[(Long, Array[Byte], Int, Int, Int)]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.map { case (id, bytes, w, h, nf) =>
+            val len = bytes.length
+            // Per-frame 8 hash bytes from the sampled grid.
+            var offIdx = 0
+            var prev: Array[Int] = null
+            var changes = 0L
+            var maxHam = 0L
+            var f = 0
+            while (f < nf) {
+              if (f > 0 && (id * 31 + f) % 7 == 0) offIdx += 1
+              val hb = new Array[Int](GridH)
+              var gy = 0
+              while (gy < GridH) {
+                val sy = gy * h / GridH
+                var b = 0
+                var gx = 0
+                while (gx < GridW - 1) {
+                  val p0 = bytes(((sy * w + gx * w / GridW) + SceneStride * offIdx) % len) & 0xff
+                  val p1 = bytes(((sy * w + (gx + 1) * w / GridW) + SceneStride * offIdx) % len) & 0xff
+                  if (p1 > p0) b |= (1 << gx)
+                  gx += 1
+                }
+                hb(gy) = b
+                gy += 1
+              }
+              if (prev != null) {
+                var ham = 0L
+                var i = 0
+                while (i < GridH) {
+                  ham += java.lang.Integer.bitCount(prev(i) ^ hb(i)); i += 1
+                }
+                if (ham >= SceneHamming) changes += 1
+                if (ham > maxHam) maxHam = ham
+              }
+              prev = hb
+              f += 1
+            }
+            (id, nf.toLong, changes, maxHam)
+          }
+        }
+      }
+      .toDF("media_id", "n_frames", "n_scene_changes", "max_adj_hamming")
+      .orderBy(col("media_id"))
+  }
+
+  /** Relational replay: frames × grid samples with the windowed cut
+    * index, per-frame hash bytes via lead(), adjacent-frame Hamming
+    * via a self-join on (media_id, gy, f−1). */
+  val oracle = Some(s"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+        CAST(16 + (n_chars % 64) AS INT) AS w,
+        CAST(16 + (n_chars % 48) AS INT) AS h,
+        CAST(1 + (doc_id % 30) AS INT) AS nf
+      FROM documents
+      WHERE CAST(doc_id % 3 AS INT) = 1 AND length(text) > 0),
+    fr AS (
+      SELECT media_id, text, w, h, nf, CAST(t.f AS INT) AS f,
+        CAST(SUM(CASE WHEN t.f > 0 AND (media_id * 31 + t.f) % 7 = 0
+                 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY media_id ORDER BY t.f) AS INT) AS offidx
+      FROM m, unnest(range(0, nf)) t(f)),
+    g AS (SELECT gx, gy FROM unnest(range(0, $GridW)) t(gx),
+                             unnest(range(0, $GridH)) u(gy)),
+    s AS (
+      SELECT media_id, f, gy, gx,
+        ascii(substr(text,
+          CAST((((gy * h) // $GridH) * w + ((gx * w) // $GridW)
+            + $SceneStride * offidx) AS INT) % length(text) + 1, 1)) AS p
+      FROM fr, g),
+    d AS (
+      SELECT media_id, f, gy, gx, p,
+        lead(p) OVER (PARTITION BY media_id, f, gy ORDER BY gx) AS np
+      FROM s),
+    by_row AS (
+      SELECT media_id, f, gy,
+        CAST(SUM(CASE WHEN np > p THEN 1 << CAST(gx AS INT) ELSE 0 END) AS INT) AS b
+      FROM d WHERE gx < ${GridW - 1} GROUP BY media_id, f, gy),
+    adj AS (
+      SELECT a.media_id, a.f,
+        CAST(SUM(bit_count(xor(a.b, p.b))) AS BIGINT) AS ham
+      FROM by_row a JOIN by_row p
+        ON p.media_id = a.media_id AND p.gy = a.gy AND p.f = a.f - 1
+      GROUP BY a.media_id, a.f),
+    agg AS (
+      SELECT media_id,
+        CAST(SUM(CASE WHEN ham >= $SceneHamming THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_scene_changes,
+        CAST(MAX(ham) AS BIGINT) AS max_adj_hamming
+      FROM adj GROUP BY media_id)
+    SELECT m.media_id, CAST(m.nf AS BIGINT) AS n_frames,
+      coalesce(a.n_scene_changes, 0) AS n_scene_changes,
+      coalesce(a.max_adj_hamming, 0) AS max_adj_hamming
+    FROM m LEFT JOIN agg a ON a.media_id = m.media_id
+    ORDER BY m.media_id
+  """.trim)
+}

@@ -255,6 +255,36 @@ class Round11Spec extends SparkSpec {
     assert(sec < 120.0, f"in-memory learning too slow: $sec%.1fs")
   }
 
+  test("q25e: hash-distance scene detection recovers the deterministic cut schedule") {
+    import graft.multimodal.Q25eVideoScenes
+    // Class-1 media ids (doc_id % 3 == 1) with known cut schedules:
+    // cuts advance at f ≥ 1 where (id·31 + f) % 7 == 0, n_frames =
+    // 1 + id % 30. id 4 → 5 frames, one cut (f=2); id 7 → 8 frames,
+    // one cut (f=7); id 31 → 2 frames, no cut (a still).
+    val text = ("video fixtures hold still between cuts and jump to a new " +
+      "payload region at each cut frame ") * 4
+    val ids = Seq(4L, 7L, 31L)
+    val dir = writeDocs(ids.map(id => (id, text.trim)))
+    try {
+      val rows = Q25eVideoScenes.run(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val schedule = ids.map { id =>
+        val nf = 1 + (id % 30)
+        id -> (1L until nf).count(f => (id * 31 + f) % 7 == 0).toLong
+      }.toMap
+      assert(schedule == Map(4L -> 1L, 7L -> 1L, 31L -> 0L)) // pin the arithmetic
+      ids.foreach { id =>
+        val (nf, changes, maxHam) = rows(id)
+        assert(nf == 1 + (id % 30))
+        assert(changes == schedule(id),
+          s"id $id: detector found $changes cuts, schedule has ${schedule(id)}")
+        if (schedule(id) == 0)
+          assert(maxHam == 0, s"a still video must have identical frame hashes")
+        else assert(maxHam >= Q25eVideoScenes.SceneHamming)
+      }
+    } finally cleanup(dir)
+  }
+
   test("q64d: the production path (local learn + broadcast encode) equals q64b and broadcasts the dictionary") {
     import graft.queries.{Q64bBpeEncode, Q64dBpeEncodeLocal}
     val a = Q64dBpeEncodeLocal.run(spark, sf)
