@@ -44,7 +44,8 @@ import graft.Tables
   */
 object Bpe {
   val all: Seq[GraftQuery] =
-    Seq(Q64BpeMerges, Q64bBpeEncode, Q64cBpeMergesLocal, Q64dBpeEncodeLocal)
+    Seq(Q64BpeMerges, Q64bBpeEncode, Q64cBpeMergesLocal, Q64dBpeEncodeLocal,
+      Q64eBpeEncodeStore)
 
   /** The ONE corpus-scale step of BPE learning: token/normalize (q1's
     * definition) and the word-frequency reduction. Everything after
@@ -418,6 +419,47 @@ object Q64dBpeEncodeLocal extends GraftQuery {
     val dict = broadcast(
       ntok.toSeq.map { case (w, n) => (w, n.toLong) }.toDF("word", "ntok"))
     Q64bBpeEncode.fertility(spark, dir, dict)
+  }
+
+  val oracle: Option[String] = Q64bBpeEncode.oracle
+}
+
+/** Q64e — PERSISTED tokenizer vocabulary: the q57b/q65 store
+  * lifecycle applied to the tokenizer artifact. q64d still re-learns
+  * the trajectory on every run; a production pipeline trains the
+  * tokenizer ONCE per corpus snapshot and every encode job — batch or
+  * streaming, today or next month — reads the stored vocabulary. The
+  * (word, ntok) table is built through `plans/Stores` (fingerprint-
+  * named, cross-process file-lock + commit-marker protocol, bind-from-
+  * marker for fresh catalogs), so regenerated corpora can never serve
+  * a stale vocabulary and two sessions sharing the warehouse train at
+  * most once. The encode is q64b's corpus-scale join against the
+  * store table (broadcast — the store is vocab-sized). SHARES q64b's
+  * oracle: recompute tier (q64b), in-memory tier (q64d) and store
+  * tier (q64e) must be row-identical, and the hash gate holds all
+  * three to it. */
+object Q64eBpeEncodeStore extends GraftQuery {
+  val name = "q64e_bpe_encode_store"
+  private val prefix = "graft_bpestore"
+
+  /** Build (or reuse) the persisted vocabulary for this corpus
+    * fingerprint; returns the table name. */
+  private[graft] def ensureVocab(spark: SparkSession, dir: String): String =
+    graft.plans.Stores.ensure(spark, prefix, dir, Seq("vocab")) {
+      case Seq(vocabT) =>
+        import spark.implicits._
+        val freq = Bpe.wordFreq(spark, dir).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        val ntok = Q64cBpeMergesLocal.learnInMemory(freq, Q64BpeMerges.Merges)._2
+        ntok.toSeq.map { case (w, n) => (w, n.toLong) }
+          .toDF("word", "ntok")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(vocabT)
+    }.head
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val vocabT = ensureVocab(spark, dir)
+    Q64bBpeEncode.fertility(spark, dir, broadcast(spark.table(vocabT)))
   }
 
   val oracle: Option[String] = Q64bBpeEncode.oracle

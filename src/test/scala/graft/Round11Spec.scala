@@ -299,6 +299,32 @@ class Round11Spec extends SparkSpec {
       "dictionary join must be broadcast:\n" + a.queryExecution.executedPlan)
   }
 
+  test("q64e: the persisted vocabulary is trained once per corpus fingerprint and re-served untouched") {
+    import graft.queries.{Q64bBpeEncode, Q64eBpeEncodeStore}
+    graft.plans.Stores.evict(spark, "graft_bpestore")
+    try {
+      val first = Q64eBpeEncodeStore.run(spark, sf).collect().toSeq.map(_.toSeq)
+      val vocabT = Q64eBpeEncodeStore.ensureVocab(spark, sf)
+      val wh = java.nio.file.Paths.get(java.net.URI.create(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      def listing() = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(wh.resolve(vocabT))
+        try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .toVector.map(p => (p.getFileName.toString,
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)).sortBy(_._1)
+        finally s.close()
+      }
+      val before = listing()
+      // Second run: same rows, store files untouched (no retrain).
+      val second = Q64eBpeEncodeStore.run(spark, sf).collect().toSeq.map(_.toSeq)
+      assert(second == first)
+      assert(listing() == before, "re-run must serve the stored vocabulary, not retrain")
+      // And all three encode tiers agree (the shared-oracle contract).
+      assert(first == Q64bBpeEncode.run(spark, sf).collect().toSeq.map(_.toSeq))
+    } finally graft.plans.Stores.evict(spark, "graft_bpestore")
+  }
+
   test("s11 runs on the heap state store (bounded per-source state), not the RocksDB ingest default") {
     // r10 verdict: s11's dashboard state is bounded by source
     // cardinality — paying RocksDB's native per-trigger cost there
