@@ -16,7 +16,8 @@ object SparkEntry {
       graft.multimodal.Q25bAudioFeatures,
       graft.multimodal.Q25cImageFeatures,
       graft.multimodal.Q25dImageNearDup,
-      graft.multimodal.Q25eVideoScenes) ++
+      graft.multimodal.Q25eVideoScenes,
+      graft.multimodal.Q25fImageDedupStore) ++
     graft.streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

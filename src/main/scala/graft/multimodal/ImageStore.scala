@@ -1,0 +1,154 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{GraftQuery, Q40TrainTestSplit}
+
+/** Q25f — IMAGE DELTA DEDUP against a PERSISTED dHash store: the
+  * q57b/s12b store lifecycle applied to the image modality. The
+  * corpus-side (train-split) images are fingerprinted ONCE — decoded
+  * through the real PNG codec path, reduced to 64-bit dHashes, banded
+  * at the width [[Q25dImageNearDup.bandBitsFor]] picks for the
+  * near-dup threshold, and written bucketed by band key — and every
+  * arriving image shard (the test split standing in for "the incoming
+  * crawl") only hashes ITSELF and joins the store: per-ingest cost is
+  * O(delta) + a join whose store side reads pre-partitioned buckets
+  * with no exchange.
+  *
+  * Verdict semantics (image-native — ONE perceptual tier, unlike
+  * q57's exact/near text pair, because Hamming 0 IS the exact case):
+  * each delta image's best base is the stored image at minimum
+  * Hamming distance (ties to the lowest base id) within
+  * [[Q25dImageNearDup.MaxHamming]]; anything without such a base is
+  * `new` and kept in the audit. The banded join is exhaustive for
+  * this threshold by pigeonhole (Hamming ≤ 6 < 8 bands forces a clean
+  * band), so the ORACLE replays the decision over ALL test×train
+  * pairs — the hash gate checks the LSH recall guarantee itself, not
+  * just the arithmetic.
+  *
+  * 100 TB posture: the store holds 8 × 18-byte rows per image (never
+  * pixels); the delta pays one batched decode of its own files and a
+  * band equi-join against bucketed parquet; the stateful side of the
+  * verdict is one struct row per delta image. Cites the reference's
+  * dedup contract only in spirit — no such operator exists in
+  * /root/reference (409-line word-count engine). */
+object Q25fImageDedupStore extends GraftQuery {
+  import Q25cImageFeatures.extractImageFeatures
+  import Q25dImageNearDup.{bandBitsFor, hammingExpr, MaxHamming}
+
+  val name = "q25f_image_dedup_store"
+  private val prefix = "graft_imgstore"
+
+  /** Policy-picked band geometry for the ≤ [[MaxHamming]] threshold. */
+  private val bandBits = bandBitsFor(MaxHamming)
+  private val nBands = 64 / bandBits
+  private val hexPerBand = bandBits / 4
+
+  /** One row per (band, key) bucket of each hash; the band index is
+    * part of the key so band 0's byte can never collide with band
+    * 1's. */
+  private[graft] def bandRows(feats: DataFrame): DataFrame =
+    feats.select(col("media_id"), col("dhash"),
+      explode(expr(s"transform(sequence(0, ${nBands - 1}), " +
+        s"b -> concat(cast(b as string), ':', " +
+        s"substring(dhash, b * $hexPerBand + 1, $hexPerBand)))")).as("bkey"))
+
+  /** Build (or bind/serve) the fingerprinted band store for this
+    * corpus snapshot; returns the bands table name. Naming, staleness
+    * eviction, cross-process locking live in [[graft.plans.Stores]]. */
+  private[graft] def ensureStore(spark: SparkSession, dir: String): String = {
+    val names = graft.plans.Stores.ensure(
+        spark, prefix, dir, Seq("bands"),
+        buckets = Map("bands" -> (("bkey", 16)))) { case Seq(bandsT) =>
+      val feats = extractImageFeatures(Q25cImageFeatures.imageFrames(
+          Multimodal.mediaTable(spark, dir)
+            .filter(Q40TrainTestSplit.splitColOf("media_id") === "train")))
+        .toDF().select(col("media_id"), col("dhash"))
+      graft.plans.Bucketing.writeBucketed(bandRows(feats), bandsT, "bkey", 16)
+    }
+    names.head
+  }
+
+  /** The store read frame: (bkey, base_id, base_dhash). */
+  private[graft] def storeFrame(spark: SparkSession, bandsT: String): DataFrame =
+    spark.table(bandsT).select(col("bkey"),
+      col("media_id").as("base_id"), col("dhash").as("base_dhash"))
+
+  /** Banded candidates + exact-Hamming verify + best-base pick over
+    * any delta feature frame — batch (q25f) or STREAMING (s14): the
+    * candidate and fresh branches are stateless stream-static joins /
+    * projections, and the single stateful operator is the
+    * min-of-struct aggregation, exactly the s12 shape. */
+  private[graft] def verdictFrame(deltaFeats: DataFrame,
+      store: DataFrame): DataFrame = {
+    val cands = bandRows(deltaFeats)
+      .join(store, Seq("bkey"))
+      .withColumn("hamming",
+        expr(hammingExpr("dhash", "base_dhash")).cast("long"))
+      .filter(col("hamming") <= MaxHamming)
+      .select(col("media_id"), lit(0).as("pri"), col("hamming"),
+        col("base_id"))
+    val fresh = deltaFeats.select(col("media_id"), lit(1).as("pri"),
+      lit(0L).as("hamming"), lit(null).cast("long").as("base_id"))
+    cands.unionByName(fresh)
+      .groupBy(col("media_id"))
+      .agg(min(struct(col("pri"), col("hamming"), col("base_id"))).as("b"))
+  }
+
+  /** Final-state rows → the audit contract. */
+  private[graft] def formatVerdicts(best: DataFrame): DataFrame =
+    best.select(col("media_id"),
+        when(col("b.pri") === 0, lit("dup")).otherwise(lit("new"))
+          .as("verdict"),
+        col("b.base_id").as("base_id"),
+        when(col("b.pri") === 0, col("b.hamming"))
+          .otherwise(lit(null).cast("long")).as("hamming"))
+      .orderBy(col("media_id"))
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val store = storeFrame(spark, ensureStore(spark, dir))
+    // Delta-sized: the test split's own images through the real codec
+    // path, checkpointed narrow (id + 16 hex chars) because the
+    // feature frame feeds two plan branches (candidates + fresh) and
+    // each would otherwise re-run the PNG encode/decode pass.
+    val deltaFeats = extractImageFeatures(Q25cImageFeatures.imageFrames(
+        Multimodal.mediaTable(spark, dir)
+          .filter(Q40TrainTestSplit.splitColOf("media_id") === "test")))
+      .toDF().select(col("media_id"), col("dhash"))
+      .localCheckpoint()
+    formatVerdicts(verdictFrame(deltaFeats, store))
+  }
+
+  /** ALL-PAIRS relational replay (stronger than the banded plan: the
+    * operator must agree with the exhaustive decision, proving its
+    * LSH recall guarantee at this threshold). Reuses q25c's
+    * text-replay hash bytes. */
+  val oracle = Some(s"""
+    WITH ${Q25cImageFeatures.duckChain},
+    sp AS (
+      SELECT media_id,
+        CASE WHEN instr('0123456789abcdef',
+               substr(md5(CAST(media_id AS VARCHAR)), 32, 1)) - 1 < 13
+             THEN 'train' ELSE 'test' END AS split
+      FROM m),
+    ham AS (
+      SELECT dx.media_id, bx.media_id AS base_id,
+        CAST(SUM(bit_count(xor(x.b, y.b))) AS BIGINT) AS hamming
+      FROM sp dx JOIN sp bx ON dx.split = 'test' AND bx.split = 'train'
+      JOIN by_row x ON x.media_id = dx.media_id
+      JOIN by_row y ON y.media_id = bx.media_id AND y.gy = x.gy
+      GROUP BY dx.media_id, bx.media_id),
+    best AS (
+      SELECT media_id, base_id, hamming,
+        row_number() OVER (PARTITION BY media_id
+          ORDER BY hamming, base_id) AS rk
+      FROM ham WHERE hamming <= $MaxHamming)
+    SELECT t.media_id,
+      CASE WHEN b.base_id IS NOT NULL THEN 'dup' ELSE 'new' END AS verdict,
+      b.base_id, b.hamming
+    FROM (SELECT media_id FROM sp WHERE split = 'test') t
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.media_id = t.media_id
+    ORDER BY t.media_id
+  """.trim)
+}

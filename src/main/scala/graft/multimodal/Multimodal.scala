@@ -53,7 +53,14 @@ object Multimodal {
     * fixtures carry no binary columns): payload = UTF-8 bytes of the
     * text, metadata derived from doc_id/n_chars. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    mediaFrame(Tables.documents(spark, dir))
+
+  /** Frame-based synthesis over ANY documents frame — batch (the
+    * fixture table) or STREAMING (s14's ingest source): the select is
+    * stateless, so the same media schema rides a `readStream` frame
+    * unchanged. */
+  def mediaFrame(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("payload"),
       struct(
@@ -273,9 +280,17 @@ object Q25cImageFeatures extends GraftQuery {
     * Batched like the decode side: one encoder context per batch
     * group, the mapInPandas shape. */
   private[graft] def imageTable(spark: SparkSession, dir: String,
+      batchSize: Int = 64): Dataset[ImageRow] =
+    imageFrames(Multimodal.mediaTable(spark, dir), batchSize)
+
+  /** Frame-based synthesis over ANY media frame (batch or streaming —
+    * the mapPartitions encode step is stateless, so s14 runs it per
+    * micro-batch on the ingest stream unchanged). */
+  private[graft] def imageFrames(media: DataFrame,
       batchSize: Int = 64): Dataset[ImageRow] = {
+    val spark = media.sparkSession
     import spark.implicits._
-    mediaTable(spark, dir)
+    media
       .filter(col("meta.format") === "png" && length(col("payload")) > 0)
       .select(col("media_id"), col("payload"),
         col("meta.width").as("width"), col("meta.height").as("height"))
@@ -428,6 +443,35 @@ object Q25dImageNearDup extends GraftQuery {
   /** Closest-candidates surfaced by the driver-facing frame. */
   val TopPairs = 25
 
+  /** BAND-WIDTH POLICY (the round-11 operating knob made a rule): the
+    * WIDEST hex-aligned band width whose pigeonhole guarantee still
+    * covers `maxHamming` — with 64/b bands, a pair differing in fewer
+    * bits than there are bands must share one clean band, so recall
+    * through `maxHamming` needs 64/b ≥ maxHamming + 1; and wider
+    * bands are strictly cheaper (bucket keys take 2^b values per
+    * band, so candidate density falls ~2^b-fold — measured 2× at 10×
+    * scale for 16-bit vs 8-bit in BASELINE's round-11 image rows).
+    * maxHamming 0 → 64 (one band: exact hash equality — near-dup
+    * degrades to exact dedup, as it should), ≤3 → 16, ≤7 → 8,
+    * ≤15 → 4. Beyond 15 no 4-bit-aligned width can guarantee recall
+    * (64/4 = 16 bands is the ceiling) — callers must loosen the
+    * threshold or move to a multi-probe scheme. */
+  def bandBitsFor(maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"no hex-aligned band width guarantees recall past Hamming 15, got $maxHamming")
+    Seq(64, 32, 16, 8, 4).find(b => 64 / b >= maxHamming + 1).get
+  }
+
+  /** Exact 64-bit Hamming distance between two 16-hex-digit hashes,
+    * as a codegen-friendly SQL expression (byte-wise conv + xor +
+    * bit_count — no UDF). Shared by the q25d verify stage and the
+    * q25f/s14 store joins. */
+  private[graft] def hammingExpr(a: String, b: String): String =
+    (0 until Bands).map { i =>
+      s"bit_count(CAST(conv(substring($a, ${i * 2 + 1}, 2), 16, 10) AS BIGINT) ^ " +
+        s"CAST(conv(substring($b, ${i * 2 + 1}, 2), 16, 10) AS BIGINT))"
+    }.mkString(" + ")
+
   /** Banded candidates + exact-Hamming verify over an arbitrary
     * (media_id, dhash) frame — shared by the driver entry and the
     * crafted-fixture spec.
@@ -460,10 +504,7 @@ object Q25dImageNearDup extends GraftQuery {
       col("band"), col("key"))
     val b = bands.select(col("media_id").as("id_b"), col("dhash").as("hb"),
       col("band"), col("key"))
-    val hammingSql = (0 until Bands).map { i =>
-      s"bit_count(CAST(conv(substring(ha, ${i * 2 + 1}, 2), 16, 10) AS BIGINT) ^ " +
-        s"CAST(conv(substring(hb, ${i * 2 + 1}, 2), 16, 10) AS BIGINT))"
-    }.mkString(" + ")
+    val hammingSql = hammingExpr("ha", "hb")
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("ha"), col("hb"))
@@ -473,9 +514,13 @@ object Q25dImageNearDup extends GraftQuery {
   }
 
   /** The production near-dup filter: verified candidates at
-    * Hamming ≤ [[MaxHamming]]. */
+    * Hamming ≤ [[MaxHamming]], banded at the width [[bandBitsFor]]
+    * picks for that threshold — the policy, not a hand-set default,
+    * so tightening the threshold automatically buys the cheaper
+    * wider bands while the pigeonhole recall guarantee holds. */
   private[graft] def nearDupPairs(feats: DataFrame): DataFrame =
-    verifiedCandidates(feats).filter(col("hamming") <= MaxHamming)
+    verifiedCandidates(feats, bandBitsFor(MaxHamming))
+      .filter(col("hamming") <= MaxHamming)
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val feats = extractImageFeatures(imageTable(spark, dir)).toDF()

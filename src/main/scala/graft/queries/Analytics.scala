@@ -227,9 +227,13 @@ object Q40TrainTestSplit extends GraftQuery {
   val name = "q40_train_test_split"
   /** The split key, shared with q46's decontamination pass: train iff
     * the last md5(doc_id) nibble < 13. */
-  private[graft] def splitCol: org.apache.spark.sql.Column = {
+  private[graft] def splitCol: org.apache.spark.sql.Column =
+    splitColOf("doc_id")
+  /** Same split key over any id column carrying doc ids (q25f/s14
+    * apply it to `media_id`, which IS the doc id by synthesis). */
+  private[graft] def splitColOf(idCol: String): org.apache.spark.sql.Column = {
     val nib = expr(
-      "locate(substring(md5(cast(doc_id as string)), 32, 1), '0123456789abcdef') - 1")
+      s"locate(substring(md5(cast($idCol as string)), 32, 1), '0123456789abcdef') - 1")
     when(nib < 13, lit("train")).otherwise(lit("test"))
   }
   /** DuckDB mirror of [[splitCol]] (instr/locate swap arg order). */

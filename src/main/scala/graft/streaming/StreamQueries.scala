@@ -143,7 +143,7 @@ object StreamQueries {
     S6IncrementalIndex, S7StatefulProfiles, S8StreamStreamJoin,
     S9StreamStaticJoin, S10StreamStreamOuterJoin, S11StreamCuration,
     S12StreamDeltaDedup, S12bStreamDeltaDedupStore,
-    S13StreamIncrementalStats)
+    S13StreamIncrementalStats, S14StreamImageDedupStore)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -717,4 +717,42 @@ object S13StreamIncrementalStats extends GraftQuery {
   }
 
   val oracle = Q65IncrementalStats.oracle
+}
+
+/** S14 — STREAMING IMAGE-DEDUP INGEST against the persisted dHash
+  * store (q25f's table): the s12b lifecycle applied to the image
+  * modality. Arriving images (the test-split png tier of the document
+  * stream) are decoded through the REAL PNG codec path per
+  * micro-batch — the synthesis + `ImageIO` mapPartitions steps are
+  * stateless, so the exact batch operators run on the streaming frame
+  * unchanged — then banded and joined against the bucketed store (a
+  * stream-static join reading pre-partitioned parquet; no image is
+  * ever re-hashed corpus-side), and the single stateful operator is
+  * the per-image best-base struct aggregation. State grows with the
+  * ingest (one verdict row per arriving image), so the stream runs
+  * under the RocksDB default like s12/s12b — the s13 rule.
+  *
+  * Shares q25f's ALL-PAIRS oracle: the streamed banded verdicts must
+  * equal the exhaustive batch decision — recall guarantee, store
+  * correctness, and stream plumbing in one hash gate. */
+object S14StreamImageDedupStore extends GraftQuery {
+  import StreamQueries._
+  import graft.multimodal.{Multimodal, Q25cImageFeatures, Q25fImageDedupStore}
+  import graft.queries.Q40TrainTestSplit
+  val name = "s14_stream_image_dedup_store"
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val store = Q25fImageDedupStore.storeFrame(spark,
+      Q25fImageDedupStore.ensureStore(spark, dir))
+    val deltaFeats = Q25cImageFeatures.extractImageFeatures(
+        Q25cImageFeatures.imageFrames(
+          Multimodal.mediaFrame(docsStream(spark, dir))
+            .filter(Q40TrainTestSplit.splitColOf("media_id") === "test")))
+      .toDF().select(col("media_id"), col("dhash"))
+    val best = Q25fImageDedupStore.verdictFrame(deltaFeats, store)
+    Q25fImageDedupStore.formatVerdicts(runToBatch(spark, best, "complete",
+      rocksdb = rocksDefault(spark)))
+  }
+
+  val oracle = Q25fImageDedupStore.oracle
 }

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.{Q25cImageFeatures, Q25dImageNearDup, Q25fImageDedupStore}
+import graft.streaming.{S14StreamImageDedupStore, StreamQueries}
+
+/** Round 11 (continuation): the persisted image-dedup store lifecycle
+  * (q25f batch + s14 streaming), the band-width policy, and store
+  * marker GC. */
+class Round11dSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r11img").toString
+    rows.map { case (id, text) => (id, text, "en", "s", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def cleanup(dir: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+
+  test("band-width policy: widest hex-aligned width whose pigeonhole guarantee covers the threshold") {
+    // 64/b bands must exceed the allowed Hamming distance.
+    assert(Q25dImageNearDup.bandBitsFor(0) == 64) // exact hash equality
+    assert(Q25dImageNearDup.bandBitsFor(1) == 32)
+    assert(Q25dImageNearDup.bandBitsFor(3) == 16)
+    assert(Q25dImageNearDup.bandBitsFor(4) == 8)
+    assert(Q25dImageNearDup.bandBitsFor(6) == 8) // q25d's operating point
+    assert(Q25dImageNearDup.bandBitsFor(7) == 8)
+    assert(Q25dImageNearDup.bandBitsFor(8) == 4)
+    assert(Q25dImageNearDup.bandBitsFor(15) == 4)
+    intercept[IllegalArgumentException](Q25dImageNearDup.bandBitsFor(16))
+    intercept[IllegalArgumentException](Q25dImageNearDup.bandBitsFor(-1))
+  }
+
+  test("q25f: crafted delta — near-dup resolves to the LOWEST matching base, unrelated image is new") {
+    // Train png tier: ids 3 and 6 (both hold the same content — the
+    // tie the best-base rule must break toward the lower id); test
+    // png tier: id 24 (an off-grid single-pixel edit of the train
+    // content → dHash-identical → dup at Hamming 0) and id 30 (the
+    // reversed text → unrelated).
+    import Q25cImageFeatures.{GridW, GridH}
+    val base = ("content dedup finds perceptually identical images even when " +
+      "bytes differ slightly in places the fingerprint does not sample ") * 2
+    val textA = base.trim
+    val len = textA.length
+    val (w, h) = (16 + len % 64, 16 + len % 48)
+    val sampled = (for (gy <- 0 until GridH; gx <- 0 until GridW)
+      yield ((gy * h / GridH) * w + gx * w / GridW) % len).toSet
+    val off = (0 until len).find(i => !sampled.contains(i) && textA(i) != 'x').get
+    val textB = textA.updated(off, 'x')
+    val dir = writeDocs(Seq((3L, textA), (6L, textA), (24L, textB),
+      (30L, textA.reverse)))
+    try {
+      graft.plans.Stores.evict(spark, "graft_imgstore")
+      val got = Q25fImageDedupStore.run(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+      assert(got == Seq((24L, "dup", 3L, 0L), (30L, "new", -1L, -1L)),
+        s"unexpected verdicts: $got")
+      // And the streaming twin agrees row for row on the same store.
+      val s14 = S14StreamImageDedupStore.run(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+      assert(s14 == got, s"s14 diverged from q25f: $s14 vs $got")
+      // State grows with the ingest → the RocksDB default applies.
+      assert(StreamQueries.lastStateMetrics
+          .exists(_.toLowerCase.contains("rocksdb")),
+        s"s14 must engage RocksDB, got: ${StreamQueries.lastStateMetrics}")
+    } finally {
+      graft.plans.Stores.evict(spark, "graft_imgstore")
+      cleanup(dir)
+    }
+  }
+
+  test("q25f: incremental plan reads only the image store — no corpus-side rehash, no store-side shuffle") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      graft.plans.Stores.evict(spark, "graft_imgstore")
+      try {
+        val df = Q25fImageDedupStore.run(spark, sf)
+        df.collect()
+        val nodes = flattenPlan(df.queryExecution.executedPlan)
+        val scans = nodes.collect { case f: FileSourceScanExec => f }
+        assert(scans.nonEmpty, "expected parquet scans of the store table")
+        assert(scans.forall(_.tableIdentifier.exists(
+            _.table.startsWith("graft_imgstore"))),
+          "q25f's delta plan must scan ONLY the persisted store (the " +
+            "delta features sit behind a checkpoint), found:\n" +
+            scans.map(_.tableIdentifier).mkString("\n"))
+        val bandJoins = nodes.filter {
+          case j: SortMergeJoinExec     => j.leftKeys.exists(_.toString.contains("bkey"))
+          case j: ShuffledHashJoinExec  => j.leftKeys.exists(_.toString.contains("bkey"))
+          case j: BroadcastHashJoinExec => j.leftKeys.exists(_.toString.contains("bkey"))
+          case _ => false
+        }
+        assert(bandJoins.nonEmpty, "expected the band-key store join")
+        val storeSides = bandJoins.flatMap(_.children.filter(c =>
+          flattenPlan(c).exists {
+            case f: FileSourceScanExec =>
+              f.tableIdentifier.exists(_.table.startsWith("graft_imgstore_bands"))
+            case _ => false
+          }))
+        assert(storeSides.nonEmpty, "band join must have the store scan on one side")
+        storeSides.foreach { side =>
+          val shuffles = flattenPlan(side).collect { case s: ShuffleExchangeLike => s }
+          assert(shuffles.isEmpty,
+            s"store side of the band join must not shuffle, found: $shuffles")
+        }
+      } finally graft.plans.Stores.evict(spark, "graft_imgstore")
+    }
+  }
+
+  test("q25f: the store is built once per corpus fingerprint and re-served untouched") {
+    graft.plans.Stores.evict(spark, "graft_imgstore")
+    try {
+      val first = Q25fImageDedupStore.run(spark, sf).collect().toSeq.map(_.toSeq)
+      val bandsT = Q25fImageDedupStore.ensureStore(spark, sf)
+      val wh = java.nio.file.Paths.get(java.net.URI.create(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      def listing() = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(wh.resolve(bandsT))
+        try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .toVector.map(p => (p.getFileName.toString,
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)).sortBy(_._1)
+        finally s.close()
+      }
+      val before = listing()
+      val second = Q25fImageDedupStore.run(spark, sf).collect().toSeq.map(_.toSeq)
+      assert(second == first)
+      assert(listing() == before,
+        "re-run must serve the stored hashes, not re-decode the corpus")
+    } finally graft.plans.Stores.evict(spark, "graft_imgstore")
+  }
+}
