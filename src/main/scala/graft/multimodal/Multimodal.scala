@@ -574,15 +574,22 @@ object Q25dImageNearDup extends GraftQuery {
   * overwhelming probability, and the oracle computes the SAME
   * hash-distance decision, so the gate is exact either way.
   *
-  * Decode is the stub tier (q25's contract — raw frame-major rasters;
-  * a real deployment binds an mpeg demuxer in the codec slot); the
-  * Spark-side plumbing — frame iteration, per-frame fingerprints,
-  * adjacent-frame comparison, batched mapPartitions, integer-exact
-  * features — is real and hash-checked end to end.
+  * Decode runs through a REAL codec (round-11 upgrade of the stub
+  * rung): the fixture synthesizes a length-prefixed MULTI-FRAME-PNG
+  * CONTAINER per video — every frame is a genuine PNG, encoded with
+  * `javax.imageio` from the scheduled raster — and the detector
+  * demuxes the container and `ImageIO.read`s every frame back before
+  * fingerprinting it. The cut schedule is applied at SYNTHESIS time
+  * only; the detector sees nothing but decoded pixels — it cannot
+  * read the schedule, it must find it. (A deployment with real
+  * footage swaps the container split for an mpeg demuxer binding in
+  * the same codec slot; PNG losslessness is what lets the relational
+  * oracle replay the roundtrip bit-exactly, the q25c argument.)
   *
-  * 100 TB posture: map-only batched pass (one task decodes its own
-  * videos; per-video output is 4 scalars), no shuffle before the
-  * final ORDER BY; frame loop is per-row CPU bounded by n_frames. */
+  * 100 TB posture: map-only batched pass (one task encodes/decodes
+  * its own videos; per-video output is 4 scalars), no shuffle before
+  * the final ORDER BY; frame loop is per-row CPU bounded by
+  * n_frames. */
 object Q25eVideoScenes extends GraftQuery {
   import Multimodal._
   import Q25cImageFeatures.{GridW, GridH}
@@ -592,7 +599,40 @@ object Q25eVideoScenes extends GraftQuery {
   /** Offset stride between scenes — coprime with fixture lengths. */
   val SceneStride = 7919
 
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  /** Length-prefixed PNG frame container: `[len: 4-byte BE][png]`
+    * repeated — the simplest container in which every frame is a real
+    * codec artifact. */
+  private[graft] def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    frames.foreach { f => d.writeInt(f.length); d.write(f) }
+    d.flush()
+    out.toByteArray
+  }
+
+  private[graft] def unpackFrames(container: Array[Byte]): Seq[Array[Byte]] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(container))
+    val b = Seq.newBuilder[Array[Byte]]
+    while (in.available() > 0) {
+      val n = in.readInt()
+      val f = new Array[Byte](n)
+      in.readFully(f)
+      b += f
+    }
+    b.result()
+  }
+
+  /** Crafted-video fixture: one multi-frame-PNG container per class-1
+    * media row. Frames hold STILL — pixel (x, y) of frame f samples
+    * the payload at (y·w + x + 7919·offIdx(f)) mod len — except at
+    * deterministic CUT frames ((media_id·31 + f) mod 7 == 0 advances
+    * offIdx), where the whole raster jumps to a new payload region:
+    * the shape real footage has (long static scenes, sharp cuts).
+    * Real `javax.imageio` encode per frame; batched like the decode
+    * side. */
+  private[graft] def videoTable(spark: SparkSession, dir: String,
+      batchSize: Int = 64): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
       .filter(expr("CAST(media_id % 3 AS INT) = 1") && length(col("payload")) > 0)
@@ -601,17 +641,53 @@ object Q25eVideoScenes extends GraftQuery {
         col("meta.n_frames").as("nf"))
       .as[(Long, Array[Byte], Int, Int, Int)]
       .mapPartitions { rows =>
-        rows.grouped(64).flatMap { batch =>
+        rows.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, bytes, w, h, nf) =>
             val len = bytes.length
-            // Per-frame 8 hash bytes from the sampled grid.
             var offIdx = 0
+            val frames = (0 until nf).map { f =>
+              if (f > 0 && (id * 31 + f) % 7 == 0) offIdx += 1
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val raster = img.getRaster
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  raster.setSample(x, y, 0,
+                    bytes((y * w + x + SceneStride * offIdx) % len) & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", out)
+              out.toByteArray
+            }
+            (id, packFrames(frames), nf)
+          }
+        }
+      }
+      .toDF("media_id", "container", "n_frames")
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoTable(spark, dir)
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap { batch =>
+          batch.map { case (id, container, nf) =>
+            // Demux + real decode, then per-frame grid dHash from the
+            // DECODED raster — the detector's only input.
             var prev: Array[Int] = null
             var changes = 0L
             var maxHam = 0L
-            var f = 0
-            while (f < nf) {
-              if (f > 0 && (id * 31 + f) % 7 == 0) offIdx += 1
+            unpackFrames(container).foreach { fb =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(fb))
+              val (w, h) = (img.getWidth, img.getHeight)
+              val raster = img.getRaster
               val hb = new Array[Int](GridH)
               var gy = 0
               while (gy < GridH) {
@@ -619,8 +695,8 @@ object Q25eVideoScenes extends GraftQuery {
                 var b = 0
                 var gx = 0
                 while (gx < GridW - 1) {
-                  val p0 = bytes(((sy * w + gx * w / GridW) + SceneStride * offIdx) % len) & 0xff
-                  val p1 = bytes(((sy * w + (gx + 1) * w / GridW) + SceneStride * offIdx) % len) & 0xff
+                  val p0 = raster.getSample(gx * w / GridW, sy, 0)
+                  val p1 = raster.getSample((gx + 1) * w / GridW, sy, 0)
                   if (p1 > p0) b |= (1 << gx)
                   gx += 1
                 }
@@ -637,7 +713,6 @@ object Q25eVideoScenes extends GraftQuery {
                 if (ham > maxHam) maxHam = ham
               }
               prev = hb
-              f += 1
             }
             (id, nf.toLong, changes, maxHam)
           }

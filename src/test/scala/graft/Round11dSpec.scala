@@ -119,6 +119,36 @@ class Round11dSpec extends SparkSpec {
     }
   }
 
+  test("q25e: the video container holds one REAL PNG per frame and the detector is blind to the schedule") {
+    import graft.multimodal.Q25eVideoScenes
+    val text = ("video fixtures hold still between cuts and jump to a new " +
+      "payload region at each cut frame ") * 4
+    // id 4 → 5 frames, one cut at f=2 ((4·31+2) % 7 == 0).
+    val dir = writeDocs(Seq((4L, text.trim)))
+    try {
+      val vids = Q25eVideoScenes.videoTable(spark, dir).collect()
+      assert(vids.length == 1)
+      val container = vids(0).getAs[Array[Byte]]("container")
+      val frames = Q25eVideoScenes.unpackFrames(container)
+      assert(frames.length == 5, s"expected 5 frames, got ${frames.length}")
+      val pngMagic = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt).map(_.toByte)
+      frames.zipWithIndex.foreach { case (fb, i) =>
+        assert(fb.take(4).sameElements(pngMagic), s"frame $i is not a PNG")
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+        assert(img != null && img.getWidth > 0, s"frame $i failed to decode")
+      }
+      // Frames 0-1 are the first scene, 2-4 the second: PNG bytes
+      // within a scene are identical stills, and differ across the cut.
+      assert(frames(0).sameElements(frames(1)))
+      assert(frames(2).sameElements(frames(3)) && frames(3).sameElements(frames(4)))
+      assert(!frames(1).sameElements(frames(2)), "the cut must change the frame")
+      // The detector (decoding only — no schedule access) finds it.
+      val r = Q25eVideoScenes.run(spark, dir).collect()(0)
+      assert((r.getLong(1), r.getLong(2)) == ((5L, 1L)))
+      assert(r.getLong(3) >= Q25eVideoScenes.SceneHamming)
+    } finally cleanup(dir)
+  }
+
   test("q25f: the store is built once per corpus fingerprint and re-served untouched") {
     graft.plans.Stores.evict(spark, "graft_imgstore")
     try {
