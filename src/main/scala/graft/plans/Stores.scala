@@ -125,6 +125,43 @@ object Stores {
       .foreach(deleteTree)
   }
 
+  /** GARBAGE-COLLECT orphaned coordination files under `prefix`: a
+    * commit marker whose data directories are all gone (a family
+    * removed by hand, or a corpus decommissioned so no `ensure` will
+    * ever resolve its dir tag again) and lock files whose tag has
+    * neither a marker nor a data directory left. [[evict]] removes a
+    * family wholesale; this sweep closes the residual case where
+    * ONLY a marker + lock pair survives — the one warehouse-growth
+    * leak the round-10 protocol left open. Like `evict`, must not
+    * run concurrently with a build for the same prefix (a deleted
+    * lock file would let a new builder lock a fresh inode while the
+    * old holder still holds the orphaned one). */
+  def gcMarkers(spark: SparkSession, prefix: String): Unit = this.synchronized {
+    val wh = warehouse(spark)
+    def entries() = listDir(wh).map(_.getFileName.toString)
+    val names = entries()
+    // marker: <prefix>_<tag>_<fp>.committed ; data: <prefix>_<kind>_<tag>_<fp>
+    names.filter(n => n.startsWith(prefix + "_") && n.endsWith(".committed"))
+      .foreach { mn =>
+        mn.stripSuffix(".committed").stripPrefix(prefix + "_")
+          .split("_") match {
+          case Array(tag, fp) =>
+            val hasData = names.exists(n => n.startsWith(prefix + "_") &&
+              n.endsWith(s"_${tag}_$fp") && !n.endsWith(".committed"))
+            if (!hasData) Files.deleteIfExists(wh.resolve(mn))
+          case _ => () // not a marker this protocol wrote
+        }
+      }
+    val after = entries()
+    after.filter(n => n.startsWith(prefix + "_") && n.endsWith(".lock"))
+      .foreach { ln =>
+        val tag = ln.stripSuffix(".lock").stripPrefix(prefix + "_")
+        val live = after.exists(n => n != ln && n.startsWith(prefix + "_") &&
+          n.contains(s"_${tag}_"))
+        if (!live) Files.deleteIfExists(wh.resolve(ln))
+      }
+  }
+
   /** Resolve the fingerprinted table names for `kinds` under `prefix`
     * for this (dir, corpus-files) snapshot; bind or build them if
     * this catalog doesn't serve them yet (see the protocol above).

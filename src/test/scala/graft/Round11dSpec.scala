@@ -171,4 +171,49 @@ class Round11dSpec extends SparkSpec {
         "re-run must serve the stored hashes, not re-decode the corpus")
     } finally graft.plans.Stores.evict(spark, "graft_imgstore")
   }
+
+  test("Stores.gcMarkers sweeps orphaned marker+lock pairs and leaves live stores untouched") {
+    import graft.plans.Stores
+    val prefix = "graft_imgstore"
+    Stores.evict(spark, prefix)
+    val text = ("garbage collection removes the coordination residue of a " +
+      "decommissioned corpus without touching live stores ") * 2
+    val dir2 = writeDocs(Seq((3L, text.trim)))
+    try {
+      val live = Q25fImageDedupStore.ensureStore(spark, sf)
+      val dead = Q25fImageDedupStore.ensureStore(spark, dir2)
+      assert(live != dead, "different dirs must tag different stores")
+      val wh = java.nio.file.Paths.get(java.net.URI.create(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      def names() = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(wh)
+        try s.iterator().asScala.map(_.getFileName.toString).toVector
+        finally s.close()
+      }
+      val deadTag = dead.stripPrefix(s"${prefix}_bands_").split("_")(0)
+      val liveTag = live.stripPrefix(s"${prefix}_bands_").split("_")(0)
+      // Decommission dir2's store the "abandoned" way: catalog entry
+      // and data dir go, marker + lock stay — the residual gc closes.
+      spark.sql(s"DROP TABLE IF EXISTS $dead")
+      Stores.deleteTree(wh.resolve(dead))
+      assert(names().exists(n => n.contains(deadTag) && n.endsWith(".committed")),
+        "precondition: the orphaned marker must exist before gc")
+      Stores.gcMarkers(spark, prefix)
+      val after = names()
+      assert(!after.exists(n => n.contains(deadTag)),
+        s"gc must remove the dead tag's marker and lock, left: " +
+          after.filter(_.contains(deadTag)).mkString(","))
+      // The live family keeps data + marker (+ its lock), and a
+      // subsequent ensure re-serves without rebuilding.
+      assert(after.contains(live), "live data dir must survive gc")
+      assert(after.exists(n => n.contains(liveTag) && n.endsWith(".committed")),
+        "live marker must survive gc")
+      assert(Q25fImageDedupStore.ensureStore(spark, sf) == live)
+      assert(spark.catalog.tableExists(live))
+    } finally {
+      Stores.evict(spark, prefix)
+      cleanup(dir2)
+    }
+  }
 }
