@@ -75,7 +75,7 @@ object Q64BpeMerges extends GraftQuery {
     * table (word, cnt, syms) — q64 surfaces the former, q64b encodes
     * the corpus with the latter (a vocab-sized dictionary, so the
     * apply step is a join, never a re-fold over the corpus). */
-  private[queries] def learn(spark: SparkSession, dir: String)
+  private[graft] def learn(spark: SparkSession, dir: String)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     // One corpus pass → (word, cnt, syms): q1's token/normalize
     // definition, then word-frequency weights and initial character

@@ -144,4 +144,58 @@ class SqlFrontDoorSpec extends SparkSpec {
     assert(rows(sql) == rows(queries.Q67RollingWindow.run(spark, sf)))
   }
 
+  test("q25d banded near-dup join runs as SQL text over a registered hash view") {
+    // The codec tier (mapPartitions PNG decode) can never be SQL
+    // text; everything DOWNSTREAM of the hash frame can — banding
+    // explode, bucket self-join, Hamming verify, top-k. Register the
+    // feature frame and drive the whole join from SQL.
+    import graft.multimodal.{Q25cImageFeatures, Q25dImageNearDup}
+    Q25cImageFeatures.extractImageFeatures(
+        Q25cImageFeatures.imageTable(spark, sf)).toDF()
+      .select(col("media_id"), col("dhash"))
+      .localCheckpoint() // one codec pass feeding both plans below
+      .createOrReplaceTempView("image_hashes")
+    val ham = Q25dImageNearDup.hammingExpr("ha", "hb")
+    val sql = spark.sql(s"""
+      WITH bands AS (
+        SELECT media_id, dhash, bk.band AS band, bk.key AS key
+        FROM image_hashes
+        LATERAL VIEW explode(transform(sequence(0, 7),
+          b -> named_struct('band', b,
+            'key', substring(dhash, b * 2 + 1, 2)))) t AS bk),
+      cand AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+          a.dhash AS ha, b.dhash AS hb
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.media_id < b.media_id)
+      SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming
+      FROM cand ORDER BY hamming, id_a, id_b LIMIT ${Q25dImageNearDup.TopPairs}""")
+    assert(rows(sql) == rows(Q25dImageNearDup.run(spark, sf)))
+    spark.catalog.dropTempView("image_hashes")
+  }
+
+  test("q64b dictionary encode join runs as SQL text over a registered vocab view") {
+    // Same split: the learn loop stays an engine operator; the
+    // corpus-scale ENCODE (tokenize → normalize → dictionary join →
+    // fertility) is plain SQL once the learned vocab is a view.
+    Engine.registerTables(spark, sf)
+    queries.Q64BpeMerges.learn(spark, sf)._2
+      .select(col("word"), size(col("syms")).cast("long").as("ntok"))
+      .createOrReplaceTempView("bpe_dict")
+    val sql = spark.sql(s"""
+      SELECT lang,
+        count(DISTINCT doc_id) AS n_docs,
+        count(*) AS total_words,
+        sum(ntok) AS total_bpe_tokens,
+        CAST(sum(ntok) AS DOUBLE) / count(*) AS fertility
+      FROM (
+        SELECT doc_id, lang, lower(regexp_replace(tok, '[^a-zA-Z]', '')) AS word
+        FROM documents
+        LATERAL VIEW explode(${queries.NorthStar.toksExpr}) t AS tok) w
+      JOIN bpe_dict USING (word)
+      WHERE length(word) > 0
+      GROUP BY lang ORDER BY lang""")
+    assert(rows(sql) == rows(queries.Q64bBpeEncode.run(spark, sf)))
+    spark.catalog.dropTempView("bpe_dict")
+  }
 }
