@@ -75,6 +75,21 @@ object Q25fImageDedupStore extends GraftQuery {
     spark.table(bandsT).select(col("bkey"),
       col("media_id").as("base_id"), col("dhash").as("base_dhash"))
 
+  /** The COMMIT step of an image ingest: append the admitted ("new")
+    * images' band rows to the store, so the NEXT delta dedups against
+    * them too — two arriving shards that duplicate each other (but
+    * nothing in the base corpus) must not both be admitted (q57b's
+    * `admit` contract applied to the image modality). Delta-sized:
+    * the admitted hashes are banded once and routed through the SAME
+    * bucket spec the store was created with, so the zero-exchange
+    * join posture survives the append; `Bucketing.compact` bounds the
+    * resulting file growth on the store's own schedule. */
+  private[graft] def admit(spark: SparkSession, feats: DataFrame,
+      bandsT: String): Unit =
+    bandRows(feats)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .bucketBy(16, "bkey").sortBy("bkey").saveAsTable(bandsT)
+
   /** Banded candidates + exact-Hamming verify + best-base pick over
     * any delta feature frame — batch (q25f) or STREAMING (s14): the
     * candidate and fresh branches are stateless stream-static joins /

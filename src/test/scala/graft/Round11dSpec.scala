@@ -172,6 +172,48 @@ class Round11dSpec extends SparkSpec {
     } finally graft.plans.Stores.evict(spark, "graft_imgstore")
   }
 
+  test("two-wave image ingest: admitted images join the store and catch the next wave's near-dups") {
+    import graft.multimodal.Multimodal
+    import Q25cImageFeatures.{extractImageFeatures, imageFrames, GridW, GridH}
+    val textA = ("the seed corpus image content that wave one must not " +
+      "collide with because its pixels are unrelated ") * 2
+    val textB = ("a completely novel wave one image whose fingerprint meets " +
+      "nothing in the seeded store at all ") * 2
+    // id 3 = train png (seeds the store); id 24 = test png (wave 1).
+    val dir = writeDocs(Seq((3L, textA.trim), (24L, textB.trim)))
+    graft.plans.Stores.evict(spark, "graft_imgstore")
+    try {
+      val bandsT = Q25fImageDedupStore.ensureStore(spark, dir)
+      val w1 = Q25fImageDedupStore.run(spark, dir).collect()
+      assert(w1.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((24L, "new")), "wave 1 must be novel against the seed store")
+      // Commit step: wave 1's accepted image joins the store.
+      def featsOf(rows: Seq[(Long, String)]) =
+        extractImageFeatures(imageFrames(Multimodal.mediaFrame(
+          rows.map { case (id, t) => (id, t, t.length.toLong) }
+            .toDF("doc_id", "text", "n_chars"))))
+          .toDF().select(col("media_id"), col("dhash"))
+      Q25fImageDedupStore.admit(spark, featsOf(Seq((24L, textB.trim))), bandsT)
+      // Wave 2: an off-grid single-pixel edit of wave 1's content —
+      // dHash-identical — must now flag as a dup of the ADMITTED id.
+      val tb = textB.trim
+      val (w, h) = (16 + tb.length % 64, 16 + tb.length % 48)
+      val sampled = (for (gy <- 0 until GridH; gx <- 0 until GridW)
+        yield ((gy * h / GridH) * w + gx * w / GridW) % tb.length).toSet
+      val off = (0 until tb.length).find(i => !sampled.contains(i) && tb(i) != 'x').get
+      val w2 = Q25fImageDedupStore.formatVerdicts(
+        Q25fImageDedupStore.verdictFrame(
+          featsOf(Seq((102L, tb.updated(off, 'x')))),
+          Q25fImageDedupStore.storeFrame(spark, bandsT))).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(w2 == Seq((102L, "dup", 24L, 0L)),
+        s"wave 2 must dup against the admitted image, got $w2")
+    } finally {
+      graft.plans.Stores.evict(spark, "graft_imgstore")
+      cleanup(dir)
+    }
+  }
+
   test("Stores.gcMarkers sweeps orphaned marker+lock pairs and leaves live stores untouched") {
     import graft.plans.Stores
     val prefix = "graft_imgstore"
