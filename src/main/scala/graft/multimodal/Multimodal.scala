@@ -645,8 +645,13 @@ object Q25eVideoScenes extends GraftQuery {
           batch.map { case (id, bytes, w, h, nf) =>
             val len = bytes.length
             var offIdx = 0
-            val frames = (0 until nf).map { f =>
-              if (f > 0 && (id * 31 + f) % 7 == 0) offIdx += 1
+            // Frames within a scene are IDENTICAL stills, so encode
+            // once per scene offset and reuse the PNG bytes — the
+            // container is byte-identical, the encode cost drops from
+            // O(frames) to O(scenes). (The DETECTOR still decodes
+            // every frame — it cannot know frames repeat.)
+            val encoded = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+            def still(off: Int): Array[Byte] = encoded.getOrElseUpdate(off, {
               val img = new java.awt.image.BufferedImage(
                 w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
               val raster = img.getRaster
@@ -655,7 +660,7 @@ object Q25eVideoScenes extends GraftQuery {
                 var x = 0
                 while (x < w) {
                   raster.setSample(x, y, 0,
-                    bytes((y * w + x + SceneStride * offIdx) % len) & 0xff)
+                    bytes((y * w + x + SceneStride * off) % len) & 0xff)
                   x += 1
                 }
                 y += 1
@@ -663,6 +668,10 @@ object Q25eVideoScenes extends GraftQuery {
               val out = new java.io.ByteArrayOutputStream()
               javax.imageio.ImageIO.write(img, "png", out)
               out.toByteArray
+            })
+            val frames = (0 until nf).map { f =>
+              if (f > 0 && (id * 31 + f) % 7 == 0) offIdx += 1
+              still(offIdx)
             }
             (id, packFrames(frames), nf)
           }
