@@ -429,11 +429,17 @@ object Q25cImageFeatures extends GraftQuery {
   *
   * 100 TB posture: band explode is ×8 on 16-byte rows (not on
   * images); the self-join shuffles only (band, byte)-keyed hash rows;
-  * per-bucket skew is bounded because a bucket key is one byte of a
-  * gradient fingerprint (256 values per band spread by image
-  * content); verification is a map-side exact popcount on the joined
-  * pair, and the top-k is TakeOrderedAndProject (per-partition heaps,
-  * never a global sort) — the q18b candidate/verify split exactly. */
+  * verification is a map-side exact popcount on the joined pair, and
+  * the top-k is TakeOrderedAndProject (per-partition heaps, never a
+  * global sort) — the q18b candidate/verify split exactly. KNOWN
+  * HAZARD (measured at 100× in ScaleBench): bucket occupancy is only
+  * as good as the corpus's hash entropy — exact re-uploads (identical
+  * hashes) make within-bucket pairs grow with occupancy². For the
+  * PAIR-ENUMERATING surface here the mitigations are the
+  * [[bandBitsFor]] width knob and pre-collapsing exact duplicates
+  * upstream; the ingest operator (q25f/s14) bakes that collapse in —
+  * its store and delta join are DISTINCT-HASH sized by construction
+  * ([[Q25fImageDedupStore.collapse]]). */
 object Q25dImageNearDup extends GraftQuery {
   import Q25cImageFeatures._
   val name = "q25d_image_neardup"

@@ -208,6 +208,21 @@ class Round11dSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
       assert(w2 == Seq((102L, "dup", 24L, 0L)),
         s"wave 2 must dup against the admitted image, got $w2")
+      // The generic store compaction applies to the image store too:
+      // at most one file per NON-EMPTY bucket after append growth
+      // (this crafted store holds 2 hashes — most buckets are empty),
+      // verdicts unchanged.
+      val filesBefore = graft.plans.Bucketing.dataFileCount(spark, bandsT)
+      graft.plans.Bucketing.compact(spark, bandsT, "bkey", 16)
+      val filesAfter = graft.plans.Bucketing.dataFileCount(spark, bandsT)
+      assert(filesAfter <= 16 && filesAfter <= filesBefore,
+        s"compact must bound files to one per bucket, $filesBefore -> $filesAfter")
+      val w2c = Q25fImageDedupStore.formatVerdicts(
+        Q25fImageDedupStore.verdictFrame(
+          featsOf(Seq((102L, tb.updated(off, 'x')))),
+          Q25fImageDedupStore.storeFrame(spark, bandsT))).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(w2c == w2, "compaction must not change verdicts")
     } finally {
       graft.plans.Stores.evict(spark, "graft_imgstore")
       cleanup(dir)
