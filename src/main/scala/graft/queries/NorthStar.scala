@@ -57,6 +57,33 @@ object NorthStar {
   private[graft] def matchCountExpr(a: String, b: String): String = (1 to 32)
     .map(i => s"IF(element_at($a, $i) = element_at($b, $i), 1, 0)")
     .mkString(" + ")
+  /** Embedding dimension — fixed by the fixture schema (FIXTURES.md:
+    * `embedding ARRAY<FLOAT>` dim 64); at scale the dimension is
+    * likewise known at plan time, so the per-pair arithmetic can be a
+    * flat codegen'd expression instead of an interpreted HOF. */
+  private[queries] val EmbDim = 64
+  /** Flat [[EmbDim]]-term product sum — whole-stage-codegen'd, same
+    * pattern as q18b's 32-term match count and q18c's bit_count/xor
+    * (the interpreted aggregate(zip_with(...)) fold this replaces was
+    * the last interpreted-HOF verify stage). Left-associative `+`
+    * chains add the identical IEEE products in the identical order as
+    * the DuckDB oracle's list_reduce fold, so results stay bit-equal.
+    *
+    * Used for PER-PAIR dot products only: the expression runs once per
+    * candidate pair (billions at 100 TB — codegen is the scale path),
+    * while the per-row norm runs exactly once per vector and stays an
+    * O(d) HOF fold ([[embNorm2Expr]]) — measured at sf0.1, flattening
+    * the norm too only added ~0.8 s of constant optimizer/codegen-
+    * compile time with no execution win. Shared by q18e and q70. */
+  private[queries] def flatDotExpr(a: String, b: String): String =
+    (1 to EmbDim).map(i =>
+      s"cast(element_at($a, $i) as double) * cast(element_at($b, $i) as double)")
+      .mkString(" + ")
+  /** Squared L2 norm of the `embedding` column as a per-row HOF fold
+    * (identical element order in both engines ⇒ bit-equal). */
+  private[queries] val embNorm2Expr =
+    "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), " +
+      "cast(0 as double), (acc, p) -> acc + p)"
 
   /** Whitespace tokens, empties dropped (reference tokenizer, R4/R6). */
   private[graft] val toksExpr = "filter(split(text, '\\\\s+'), t -> t != '')"
@@ -767,30 +794,10 @@ object Q18eDedupEmbedding extends GraftQuery {
     * `embedding ARRAY<FLOAT>` dim 64); at scale the dimension is
     * likewise known at plan time, so the per-pair arithmetic can be a
     * flat codegen'd expression instead of an interpreted HOF. */
-  private val Dim = 64
   private val bucketExpr =
     "concat_ws('', transform(slice(embedding, 1, 16), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"
-  /** Flat Dim-term product sum — whole-stage-codegen'd, same pattern
-    * as q18b's 32-term match count and q18c's bit_count/xor (the
-    * interpreted aggregate(zip_with(...)) fold this replaces was the
-    * last interpreted-HOF verify stage). Left-associative `+` chains
-    * add the identical IEEE products in the identical order as the
-    * DuckDB oracle's list_reduce fold, so results stay bit-equal.
-    *
-    * Used for the PER-PAIR dot product only: that expression runs
-    * once per candidate pair (billions at 100 TB — codegen is the
-    * scale path), while the per-row norm runs exactly once per vector
-    * and stays an O(d) HOF fold — measured at sf0.1, flattening the
-    * norm too only added ~0.8 s of constant optimizer/codegen-compile
-    * time with no execution win. */
-  private def flatDot(a: String, b: String): String =
-    (1 to Dim).map(i =>
-      s"cast(element_at($a, $i) as double) * cast(element_at($b, $i) as double)")
-      .mkString(" + ")
-  private val n2Expr =
-    "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), " +
-      "cast(0 as double), (acc, p) -> acc + p)"
-  private val dotExpr = flatDot("ea", "eb")
+  private val n2Expr = NorthStar.embNorm2Expr
+  private val dotExpr = NorthStar.flatDotExpr("ea", "eb")
   def run(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val n2 = e.select(col("vec_id"), expr(n2Expr).as("n2"))
