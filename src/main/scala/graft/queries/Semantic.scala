@@ -58,7 +58,7 @@ object Q70SemanticDedup extends GraftQuery {
 
   /** The operator over an arbitrary (vec_id, embedding) frame —
     * specs feed crafted fixtures through this. */
-  private[queries] def semanticDedup(e: DataFrame, k: Int = K,
+  private[graft] def semanticDedup(e: DataFrame, k: Int = K,
       tau: Double = Tau): DataFrame = {
     val n2 = e.select(col("vec_id"), col("embedding"),
       expr(embNorm2Expr).as("n2"))

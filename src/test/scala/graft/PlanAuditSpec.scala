@@ -23,11 +23,12 @@ class PlanAuditSpec extends SparkSpec {
     }
 
   /** Queries whose plan legitimately carries a BroadcastNestedLoopJoin:
-    * all are 1-row broadcast attachments (q19's query vector, q54's
-    * vocabulary scalar) — a constant, not a data-sized build side. */
+    * all are constant-sized broadcast attachments (q19's 1-row query
+    * vector, q54's vocabulary scalar, q70's K=8-row centroid table) —
+    * a constant, never a data-sized build side. */
   private val oneRowBroadcasts = Set(
     "q19_similarity_topk", "q19b_ann_lsh", "q19d_ann_ivf",
-    "q54_lm_perplexity")
+    "q54_lm_perplexity", "q70_semantic_dedup")
 
   test("query names are unique — the driver contract is a Map") {
     val names = SparkEntry.all.map(_.name)

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Q70SemanticDedup
+
+/** Round-11 continuation: q70 semantic dedup (SemDedup shape). */
+class Round11eSpec extends SparkSpec {
+
+  test("q70: crafted corpus — exact and near dups drop against the lowest id, seeds survive") {
+    import spark.implicits._
+    // ids 0..7 are one-hot seeds (the K lowest ids become centroids);
+    // id 8 duplicates id 3 exactly; id 9 is id 3 plus a small
+    // off-axis component (cos ≈ 0.995 to seed 3).
+    def unit(i: Int): Seq[Float] = Seq.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
+    val rows = (0 until 8).map(i => (i.toLong, unit(i))) ++ Seq(
+      (8L, unit(3)),
+      (9L, Seq.tabulate(64)(j =>
+        if (j == 3) 1.0f else if (j == 10) 0.1f else 0.0f)))
+    val out = Q70SemanticDedup.semanticDedup(rows.toDF("vec_id", "embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3))))
+      .toMap
+    assert(out(8L) == ((3L, "drop", 3L)), s"exact dup must drop to id 3: ${out(8L)}")
+    assert(out(9L) == ((3L, "drop", 3L)), s"near dup must drop to id 3: ${out(9L)}")
+    (0 until 8).foreach { i =>
+      assert(out(i.toLong)._1 == i.toLong && out(i.toLong)._2 == "keep",
+        s"seed $i must keep in its own cluster: ${out(i.toLong)}")
+    }
+  }
+
+  test("q70: fixture invariants — min id per cluster keeps; every drop re-verifies by exact cosine") {
+    val out = Q70SemanticDedup.run(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val keeps = out.count(_._3 == "keep")
+    val drops = out.count(_._3 == "drop")
+    assert(keeps > 0 && drops > 0,
+      s"fixture must exercise both verdicts, got keep=$keeps drop=$drops")
+    // The min vec_id of every cluster has no lower same-cluster id to
+    // dominate it — it MUST survive.
+    out.groupBy(_._2).foreach { case (cluster, members) =>
+      val m = members.minBy(_._1)
+      assert(m._3 == "keep", s"cluster $cluster min id ${m._1} must keep")
+    }
+    // Re-verify every drop in the driver: dom_id is lower, lives in
+    // the SAME cluster, and the exact cosine clears the threshold.
+    val clusterOf = out.map(r => r._1 -> r._2).toMap
+    val vecs = Tables.embeddings(spark, sf01).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    out.filter(_._3 == "drop").foreach { case (id, cluster, _, dom) =>
+      assert(dom >= 0 && dom < id, s"drop $id needs a lower dom_id, got $dom")
+      assert(clusterOf(dom) == cluster,
+        s"dom $dom of $id must share cluster $cluster, got ${clusterOf(dom)}")
+      val c = cos(vecs(dom), vecs(id))
+      assert(c >= Q70SemanticDedup.Tau - 1e-9,
+        s"drop $id: cos($dom, $id) = $c below tau ${Q70SemanticDedup.Tau}")
+    }
+  }
+
+  test("q70: assignment is a broadcast pass — no data-sized shuffle before the cluster join") {
+    val plan = Q70SemanticDedup.run(spark, sf01)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"centroids must broadcast, got:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "no cartesian product")
+  }
+}
