@@ -17,7 +17,8 @@ object SparkEntry {
       graft.multimodal.Q25cImageFeatures,
       graft.multimodal.Q25dImageNearDup,
       graft.multimodal.Q25eVideoScenes,
-      graft.multimodal.Q25fImageDedupStore) ++
+      graft.multimodal.Q25fImageDedupStore,
+      graft.multimodal.Q25gAudioNearDup) ++
     graft.streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -789,3 +789,128 @@ object Q25eVideoScenes extends GraftQuery {
     ORDER BY m.media_id
   """.trim)
 }
+
+/** Q25g — AUDIO near-dup via banded energy-contour fingerprints: the
+  * perceptual-dedup recipe (q25c→q25d for images) applied to the
+  * audio modality, completing the modality dedup matrix (text q18*,
+  * image q25d/q25f, audio here).
+  *
+  * Fingerprint: the clip is cut into 65 equal time segments; each
+  * segment's energy is an EXACT integer (Σs² over its samples — the
+  * q25b determinism contract: order-independent integer accumulators,
+  * engine-exact), and bit k of the 64-bit hash is "segment k+1 is
+  * louder than segment k" — the sign of the energy DELTA, i.e. dHash
+  * on the energy contour (the shape Chromaprint-family fingerprints
+  * quantize; a real binding would swap spectral bands in for raw
+  * energy and nothing downstream would change). Time-normalized
+  * segmentation makes the fingerprint length-invariant, so re-encodes
+  * and small trims of the same material stay near each other in
+  * Hamming space.
+  *
+  * Near-dup: the hex hash feeds the SAME banded candidate + exact-
+  * Hamming verify machinery as images ([[Q25dImageNearDup
+  * .verifiedCandidates]] — one implementation, two modalities), so
+  * the LSH recall guarantee, the band-width policy knob and the plan
+  * posture (8 16-byte band rows per clip, equi-join, map-side
+  * popcount verify, TakeOrderedAndProject top-k) are all inherited,
+  * already plan-audited and scale-measured.
+  *
+  * 100 TB posture: the codec pass is the map-only batched
+  * mapPartitions shape (q25b); only (media_id, 16-hex) rows shuffle.
+  * The DuckDB oracle replays segmentation, energies, bits and the
+  * band join per character, so the whole fingerprint+join pipeline is
+  * hash-checked end to end. */
+object Q25gAudioNearDup extends GraftQuery {
+  import Multimodal._
+  val name = "q25g_audio_neardup"
+  /** 65 segments ⇒ 64 energy deltas ⇒ a 64-bit hash. */
+  val Segments = 65
+  val TopPairs = 25
+
+  final case class AudioFp(media_id: Long, ahash: String)
+
+  /** Batched decode + energy-contour dHash; zero-sample clips carry
+    * no contour and are dropped (the q25b empty-clip rule). */
+  private[graft] def extractFingerprints(media: Dataset[MediaRow],
+      codec: MediaCodec = FakeCodec,
+      batchSize: Int = 64): Dataset[AudioFp] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val d = codec.decode(r.payload, r.meta)
+          val n = d.pixels.length
+          if (n == 0) None
+          else {
+            val e = new Array[Long](Segments)
+            var i = 0
+            while (i < n) {
+              val s = d.pixels(i) - 128
+              e((i.toLong * Segments / n).toInt) += s.toLong * s
+              i += 1
+            }
+            val bytes = new Array[Int](8)
+            var k = 0
+            while (k < 64) {
+              if (e(k + 1) > e(k)) bytes(k / 8) |= 1 << (k % 8)
+              k += 1
+            }
+            Some(AudioFp(r.media_id, bytes.map(b => f"$b%02x").mkString))
+          }
+        }
+      }
+    }
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wav = mediaTable(spark, dir)
+      .filter(col("meta.format") === "wav").as[MediaRow]
+    val feats = extractFingerprints(wav).toDF()
+      .select(col("media_id"), col("ahash").as("dhash"))
+    Q25dImageNearDup.verifiedCandidates(feats)
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+      .limit(TopPairs)
+  }
+
+  /** Per-character replay: segment index is exact integer math over
+    * the 1-based character position; empty segments (clips shorter
+    * than 65 samples) join in as energy 0, as in the Scala array. */
+  val oracle = Some(s"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text FROM documents
+      WHERE CAST(doc_id % 3 AS INT) = 2 AND length(text) > 0),
+    smp AS (
+      SELECT media_id, ((i - 1) * $Segments) // length(text) AS k,
+        ascii(substr(text, CAST(i AS INT), 1)) - 128 AS s
+      FROM m, unnest(range(1, length(text) + 1)) AS t(i)),
+    segs AS (SELECT media_id, k FROM m, unnest(range(0, $Segments)) AS t(k)),
+    e AS (
+      SELECT g.media_id, g.k, COALESCE(SUM(smp.s * smp.s), 0) AS e
+      FROM segs g LEFT JOIN smp ON smp.media_id = g.media_id AND smp.k = g.k
+      GROUP BY g.media_id, g.k),
+    bits AS (
+      SELECT media_id, k,
+        CASE WHEN lead(e) OVER (PARTITION BY media_id ORDER BY k) > e
+             THEN 1 ELSE 0 END AS bit
+      FROM e),
+    by_row AS (
+      SELECT media_id, k // 8 AS bi,
+        CAST(SUM(bit << CAST(k % 8 AS INT)) AS INT) AS b
+      FROM bits WHERE k < 64 GROUP BY media_id, k // 8),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b
+      FROM by_row a JOIN by_row b2 ON a.bi = b2.bi AND a.b = b2.b
+      WHERE a.media_id < b2.media_id),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+        CAST(SUM(bit_count(xor(x.b, y.b))) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN by_row x ON x.media_id = c.id_a
+      JOIN by_row y ON y.media_id = c.id_b AND y.bi = x.bi
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b, hamming FROM ham
+    ORDER BY hamming, id_a, id_b
+    LIMIT $TopPairs
+  """.trim)
+}

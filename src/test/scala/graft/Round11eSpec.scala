@@ -72,4 +72,64 @@ class Round11eSpec extends SparkSpec {
       s"centroids must broadcast, got:\n$plan")
     assert(!plan.contains("CartesianProduct"), "no cartesian product")
   }
+
+  import graft.multimodal.{Multimodal, Q25gAudioNearDup}
+  import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+
+  private def wavRows(rows: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    spark.createDataset(rows.map { case (id, p) =>
+      MediaRow(id, p, MediaMeta("wav", 16, 16, 1))
+    })
+  }
+
+  test("q25g: exact re-encode surfaces at hamming 0; a time-stretched copy stays near") {
+    import spark.implicits._
+    // A deterministic "waveform": energy rises and falls so the
+    // contour has structure (not all-equal segments).
+    val base = Array.tabulate(650)(i =>
+      (128 + ((i % 130) - 65) * math.max(1, i / 130)).min(255).max(0).toByte)
+    val dup = base.clone()
+    // Time-stretch: every sample doubled — same material, 2x length.
+    // The 65-segment grid is length-normalized, so the energy contour
+    // (and hence the hash) is nearly preserved.
+    val stretched = base.flatMap(b => Array(b, b))
+    val noise = Array.tabulate(650)(i => (((i * 131) ^ (i >> 3)) % 256).toByte)
+    val fps = Q25gAudioNearDup.extractFingerprints(
+        wavRows(Seq((1L, base), (2L, dup), (3L, stretched), (4L, noise))))
+      .collect().map(f => f.media_id -> f.ahash).toMap
+    assert(fps(1L) == fps(2L), "identical payloads must hash identically")
+    def ham(a: String, b: String): Int = (0 until 8).map { j =>
+      java.lang.Long.bitCount(
+        java.lang.Long.parseLong(a.substring(j * 2, j * 2 + 2), 16) ^
+          java.lang.Long.parseLong(b.substring(j * 2, j * 2 + 2), 16))
+    }.sum
+    val stretchHam = ham(fps(1L), fps(3L))
+    assert(stretchHam <= 8,
+      s"time-stretched copy must stay near in Hamming space, got $stretchHam")
+    assert(ham(fps(1L), fps(4L)) > stretchHam,
+      "unrelated material must sit farther than the stretch")
+    // The verified-candidate join surfaces the exact pair at hamming 0
+    // (identical hashes share every band — the LSH guarantee's floor).
+    val feats = Q25gAudioNearDup.extractFingerprints(
+        wavRows(Seq((1L, base), (2L, dup), (3L, stretched), (4L, noise))))
+      .toDF().select(col("media_id"), col("ahash").as("dhash"))
+    val pairs = graft.multimodal.Q25dImageNearDup.verifiedCandidates(feats)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L, s"exact pair must verify at 0: $pairs")
+    if (stretchHam <= 7)
+      assert(pairs.contains((1L, 3L)),
+        s"hamming-$stretchHam pair must be recalled by 8-bit bands (pigeonhole): $pairs")
+  }
+
+  test("q25g: zero-sample clips are dropped, short clips fingerprint deterministically") {
+    val fps = Q25gAudioNearDup.extractFingerprints(wavRows(Seq(
+        (1L, Array.empty[Byte]),
+        (2L, Array[Byte](10, 20)),
+        (3L, Array[Byte](10, 20)))))
+      .collect().map(f => f.media_id -> f.ahash).toMap
+    assert(!fps.contains(1L), "empty clip carries no contour")
+    assert(fps(2L) == fps(3L) && fps(2L).length == 16,
+      s"short clips must still hash (empty segments = energy 0): $fps")
+  }
 }
