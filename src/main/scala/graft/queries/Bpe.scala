@@ -211,12 +211,17 @@ object Q64BpeMerges extends GraftQuery {
 object Q64bBpeEncode extends GraftQuery {
   val name = "q64b_bpe_encode"
 
-  /** The corpus-scale encode step shared by both learning tiers: one
-    * tokenize pass equi-joined against a (word, ntok) dictionary,
-    * reduced to per-language fertility. */
-  private[queries] def fertility(spark: SparkSession, dir: String,
+  /** Per-language MERGEABLE encode partials of an arbitrary frame of
+    * document rows against a (word, ntok) dictionary: one tokenize
+    * pass equi-joined with the dictionary, reduced to exact BIGINT
+    * counts. Mergeable across disjoint document sets by plain SUM
+    * (docs are row-atomic, so per-set distinct-doc counts add) — the
+    * q65 partials contract, which is what lets s15 maintain the same
+    * statistics per ingest epoch; fertility is derived AFTER the
+    * final merge ([[finishFertility]]), never averaged per side. */
+  private[graft] def encodePartials(docs: DataFrame,
       dict: DataFrame): DataFrame =
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("lang"), explode(expr(NorthStar.toksExpr)).as("tok"))
       .select(col("doc_id"), col("lang"),
         lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
@@ -227,9 +232,23 @@ object Q64bBpeEncode extends GraftQuery {
         countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("total_words"),
         sum(col("ntok")).as("total_bpe_tokens"))
+
+  /** Merge partial rows to one row per language and attach the
+    * derived fertility (one IEEE division of merged exact BIGINTs —
+    * the GraftQuery ratio rule). */
+  private[graft] def finishFertility(parts: DataFrame): DataFrame =
+    parts.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_words")).as("total_words"),
+        sum(col("total_bpe_tokens")).as("total_bpe_tokens"))
       .withColumn("fertility",
         col("total_bpe_tokens").cast("double") / col("total_words"))
       .orderBy(col("lang"))
+
+  /** The corpus-scale encode step shared by the learning tiers. */
+  private[queries] def fertility(spark: SparkSession, dir: String,
+      dict: DataFrame): DataFrame =
+    finishFertility(encodePartials(Tables.documents(spark, dir), dict))
 
   def run(spark: SparkSession, dir: String): DataFrame =
     fertility(spark, dir,

@@ -143,7 +143,8 @@ object StreamQueries {
     S6IncrementalIndex, S7StatefulProfiles, S8StreamStreamJoin,
     S9StreamStaticJoin, S10StreamStreamOuterJoin, S11StreamCuration,
     S12StreamDeltaDedup, S12bStreamDeltaDedupStore,
-    S13StreamIncrementalStats, S14StreamImageDedupStore)
+    S13StreamIncrementalStats, S14StreamImageDedupStore,
+    S15StreamBpeEncodeStore)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -755,4 +756,91 @@ object S14StreamImageDedupStore extends GraftQuery {
   }
 
   val oracle = Q25fImageDedupStore.oracle
+}
+
+/** S15 — STREAMING TOKENIZER ENCODE against the persisted vocabulary
+  * (q64e's store): the tokenizer-artifact lifecycle closed end to
+  * end. The vocabulary is trained ONCE per corpus fingerprint
+  * (q64c's driver-local learner through `plans/Stores`); every
+  * arriving micro-batch of documents is encoded by the SAME
+  * broadcast dictionary join as the batch tiers
+  * (`Q64bBpeEncode.encodePartials` — one implementation, so the
+  * batch recompute (q64b), in-memory (q64d), store (q64e) and
+  * streaming (s15) paths cannot drift), and the per-epoch partials
+  * are appended to a run-scoped working table; the report is the
+  * merged partials with fertility derived after the final merge.
+  *
+  * The streaming query itself is STATELESS (foreachBatch, no state
+  * store — the partials table is the state), the s13 rule: encode
+  * telemetry is shared, restart-surviving reporting state, so it
+  * belongs in a persisted table the stream refreshes per epoch, not
+  * in an executor state store. Mergeability is exact: documents are
+  * row-atomic per batch, so per-batch distinct-doc counts and token
+  * sums ADD — the q65 partials algebra, which is why a multi-epoch
+  * ingest equals the one-shot batch encode bit for bit (Round11eSpec
+  * drives file-per-trigger epochs; the driver's hash gate holds s15
+  * to q64b's full-corpus oracle).
+  *
+  * 100 TB posture: per trigger the work is O(batch) — tokenize,
+  * broadcast-join the vocab-sized dictionary, reduce to a
+  * languages-cardinality partial row set; nothing is ever re-encoded
+  * and the trained artifact is never re-learned. */
+object S15StreamBpeEncodeStore extends GraftQuery {
+  import StreamQueries._
+  import graft.queries.{Q64bBpeEncode, Q64eBpeEncodeStore}
+  val name = "s15_stream_bpe_encode_store"
+  private val s15Run = new AtomicInteger(0)
+
+  /** Drive `docs` (a streaming frame of document rows) to completion,
+    * appending one encode-partial row set per non-empty micro-batch
+    * to `partialsT`; returns the number of epochs applied. */
+  private[graft] def maintain(spark: SparkSession, partialsT: String,
+      dict: DataFrame, docs: DataFrame): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = docs.writeStream
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Q64bBpeEncode.encodePartials(batch, dict)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .format("parquet").saveAsTable(partialsT)
+          batches.incrementAndGet()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
+  /** Encode an arbitrary document stream against this corpus
+    * snapshot's persisted vocabulary; shared by `run` and the
+    * multi-epoch spec. */
+  private[graft] def encodeStream(spark: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    val dict = broadcast(spark.table(
+      Q64eBpeEncodeStore.ensureVocab(spark, dir)))
+    val runT = s"graft_s15_partials_${s15Run.incrementAndGet()}"
+    graft.plans.Stores.dropManaged(spark, runT)
+    // Pin the table + schema up front (an empty stream must still
+    // report an empty frame, not a missing-table error).
+    Q64bBpeEncode.encodePartials(
+        spark.table(s"parquet.`$dir/documents.parquet`").limit(0), dict)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(runT)
+    try {
+      maintain(spark, runT, dict, docs)
+      Q64bBpeEncode.finishFertility(spark.table(runT))
+        .localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    encodeStream(spark, dir, docsStream(spark, dir))
+
+  /** The stream over the full corpus must equal q64b's one-shot
+    * batch encode — recompute, store and streaming tiers share one
+    * hash gate. */
+  val oracle: Option[String] = Q64bBpeEncode.oracle
 }

@@ -132,4 +132,45 @@ class Round11eSpec extends SparkSpec {
     assert(fps(2L) == fps(3L) && fps(2L).length == 16,
       s"short clips must still hash (empty segments = energy 0): $fps")
   }
+
+  test("s15: multi-epoch file-per-trigger ingest equals the one-shot batch encode") {
+    import graft.queries.{Q64bBpeEncode, Q64eBpeEncodeStore}
+    import graft.streaming.S15StreamBpeEncodeStore
+    val dir = java.nio.file.Files.createTempDirectory("s15spec")
+    try {
+      // Three parquet files + maxFilesPerTrigger=1 force >= 3 epochs;
+      // every epoch appends its own partial rows, so the final merge
+      // exercises real cross-epoch summation, not a 1-batch identity.
+      Tables.documents(spark, sf).repartition(3)
+        .write.parquet(s"$dir/delta")
+      val sch = spark.read.parquet(s"$dir/delta").schema
+      val docs = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/delta/*.parquet")
+      val dict = org.apache.spark.sql.functions.broadcast(
+        spark.table(Q64eBpeEncodeStore.ensureVocab(spark, sf)))
+      val runT = "graft_s15spec_partials"
+      graft.plans.Stores.dropManaged(spark, runT)
+      Q64bBpeEncode.encodePartials(Tables.documents(spark, sf).limit(0), dict)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(runT)
+      try {
+        val epochs = S15StreamBpeEncodeStore.maintain(spark, runT, dict, docs)
+        assert(epochs >= 3, s"file-per-trigger must yield >=3 epochs, got $epochs")
+        val perLang = spark.table(runT).groupBy("lang").count()
+          .collect().map(_.getLong(1))
+        assert(perLang.exists(_ > 1),
+          "at least one language must carry partials from multiple epochs")
+        val got = Q64bBpeEncode.finishFertility(spark.table(runT))
+          .collect().map(_.toString).toSeq
+        val expect = Q64eBpeEncodeStore.run(spark, sf)
+          .collect().map(_.toString).toSeq
+        assert(got == expect, s"stream-merged encode must equal batch:\n$got\n$expect")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      val paths = try s.iterator().asScala.toVector finally s.close()
+      paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
