@@ -56,18 +56,26 @@ object Q70SemanticDedup extends GraftQuery {
   /** Within-cluster near-dup cosine threshold. */
   val Tau = 0.3
 
-  /** The operator over an arbitrary (vec_id, embedding) frame —
-    * specs feed crafted fixtures through this. */
-  private[graft] def semanticDedup(e: DataFrame, k: Int = K,
-      tau: Double = Tau): DataFrame = {
-    val n2 = e.select(col("vec_id"), col("embedding"),
-      expr(embNorm2Expr).as("n2"))
-    val cent = n2.orderBy(col("vec_id")).limit(k)
+  /** (vec_id, embedding, n2) — norms attached once per vector. */
+  private[queries] def withN2(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"), expr(embNorm2Expr).as("n2"))
+
+  /** Deterministic seed centroids: the K lowest vec_ids of the
+    * indexed frame (Lloyd iteration 0 with first-K init). */
+  private[queries] def centroidsOf(n2: DataFrame, k: Int): DataFrame =
+    n2.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         col("n2").as("cn2"))
-    // max(struct(cos, -cid)) = highest cosine, min cid on ties — a
-    // partial-aggregating argmax (map-side combine), not a window sort.
-    val assign = n2.crossJoin(broadcast(cent))
+
+  /** Nearest-centroid assignment by cosine: broadcast the K-row
+    * centroid table, codegen'd flat dot per (vector, centroid), and
+    * max(struct(cos, -cid)) = highest cosine with min-cid tie-break —
+    * a partial-aggregating argmax (map-side combine), not a window
+    * sort. Shared by q70, the q70b store build and the q70b/s16
+    * delta side, so assignment semantics cannot drift. */
+  private[queries] def assignClusters(n2: DataFrame,
+      cent: DataFrame): DataFrame =
+    n2.crossJoin(broadcast(cent))
       .select(col("vec_id"),
         (expr(flatDotExpr("embedding", "ce")) /
           (sqrt(col("n2")) * sqrt(col("cn2")))).as("cos"),
@@ -75,6 +83,13 @@ object Q70SemanticDedup extends GraftQuery {
       .groupBy(col("vec_id"))
       .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("m"))
       .select(col("vec_id"), (-col("m.ncid")).as("cluster"))
+
+  /** The operator over an arbitrary (vec_id, embedding) frame —
+    * specs feed crafted fixtures through this. */
+  private[graft] def semanticDedup(e: DataFrame, k: Int = K,
+      tau: Double = Tau): DataFrame = {
+    val n2 = withN2(e)
+    val assign = assignClusters(n2, centroidsOf(n2, k))
     val withVec = assign.join(n2, "vec_id")
     val a = withVec.select(col("cluster"), col("vec_id").as("va"),
       col("embedding").as("ea"), col("n2").as("n2a"))
@@ -130,6 +145,160 @@ object Q70SemanticDedup extends GraftQuery {
       CASE WHEN d.dom_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
       d.dom_id
     FROM assign a LEFT JOIN doms d ON d.vb = a.vec_id
+    ORDER BY a.vec_id
+  """.trim)
+}
+
+/** Q70b — SEMANTIC DELTA DEDUP against a PERSISTED cluster store: the
+  * q57b/q25f store lifecycle applied to the embedding family, closing
+  * the dedup matrix's store column (text q57b, image q25f, semantic
+  * here). The indexed corpus (q40's train split) is assigned ONCE per
+  * corpus fingerprint — seed centroids from the train split's K
+  * lowest vec_ids, every train vector's (cluster, embedding, norm)
+  * row written bucketed by cluster — and each arriving delta (the
+  * test split standing in for "the incoming batch") assigns only
+  * ITSELF against the broadcast stored centroids and joins the store
+  * buckets on the cluster key: per-ingest cost O(delta) + a join
+  * whose candidate space is Σ|cluster| × |delta-cluster|, never
+  * all-pairs.
+  *
+  * Verdict semantics (q70's rule, directed at the store): a delta
+  * vector is `dup` iff SOME stored vector in its cluster has
+  * cos ≥ τ; `dom_id` is the smallest such base id; otherwise `new`.
+  * Assignment, cosine and tie-break are the SAME factored functions
+  * q70 uses ([[Q70SemanticDedup.assignClusters]], the codegen'd
+  * flat-dot) — the batch-global, store-batch and store-stream tiers
+  * cannot drift.
+  *
+  * 100 TB posture: the store holds one (cluster, 64-float, norm) row
+  * per indexed vector — written once, bucketed by the join key, no
+  * re-embedding or re-assignment of the corpus ever again; the delta
+  * pays one broadcast argmax + one bucketed join; K scales with the
+  * corpus to bound cluster size (the q70 knob). */
+object Q70bSemanticDedupStore extends GraftQuery {
+  import Q70SemanticDedup.{assignClusters, centroidsOf, withN2, K, Tau}
+  import NorthStar.flatDotExpr
+  val name = "q70b_semantic_dedup_store"
+  private val prefix = "graft_semstore"
+
+  /** Build (or bind/serve) the fingerprinted centroid + assignment
+    * tables for this corpus snapshot; returns (centroidsT, assignT). */
+  private[graft] def ensureStore(spark: SparkSession,
+      dir: String): (String, String) = {
+    val names = graft.plans.Stores.ensure(
+        spark, prefix, dir, Seq("cent", "assign"),
+        buckets = Map("assign" -> ("cluster", 16))) {
+      case Seq(centT, assignT) =>
+        val train = withN2(Tables.embeddings(spark, dir)
+          .filter(Q40TrainTestSplit.splitColOf("vec_id") === "train"))
+        centroidsOf(train, K)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(centT)
+        val assigned = assignClusters(train, spark.table(centT))
+          .join(train, "vec_id")
+          .select(col("cluster"), col("vec_id").as("base_id"),
+            col("embedding").as("be"), col("n2").as("bn2"))
+        graft.plans.Bucketing.writeBucketed(assigned, assignT, "cluster", 16)
+    }
+    (names(0), names(1))
+  }
+
+  /** Verdicts for an arbitrary delta (vec_id, embedding, n2, cluster)
+    * frame against the stored assignment rows — batch (q70b) and
+    * per-epoch streaming (s16) share this. */
+  private[graft] def verdictFrame(deltaAssigned: DataFrame,
+      store: DataFrame): DataFrame = {
+    val cands = deltaAssigned.join(store, Seq("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        (expr(flatDotExpr("embedding", "be")) /
+          (sqrt(col("n2")) * sqrt(col("bn2")))).as("cos"),
+        col("base_id"))
+      .filter(col("cos") >= Tau)
+      .select(col("vec_id"), lit(0).as("pri"), col("base_id"))
+    val fresh = deltaAssigned.select(col("vec_id"), lit(1).as("pri"),
+      lit(null).cast("long").as("base_id"))
+    cands.unionByName(fresh)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("pri"), col("base_id"))).as("b"))
+  }
+
+  /** Assign a delta embedding frame against the stored centroids and
+    * carry the vectors alongside. */
+  private[graft] def assignDelta(delta: DataFrame,
+      cent: DataFrame): DataFrame =
+    assignClusters(delta, cent).join(delta, "vec_id")
+
+  private[graft] def formatVerdicts(best: DataFrame,
+      deltaAssigned: DataFrame): DataFrame =
+    best
+      .join(deltaAssigned.select(col("vec_id"), col("cluster")), "vec_id")
+      .select(col("vec_id"), col("cluster"),
+        when(col("b.pri") === 0, lit("dup")).otherwise(lit("new"))
+          .as("verdict"),
+        col("b.base_id").as("dom_id"))
+
+  /** One delta ingest — raw (vec_id, embedding) rows to UNORDERED
+    * verdict rows against the stored centroids + assignments; batch
+    * (q70b) and per-epoch streaming (s16) share this, so the two
+    * ingest tiers cannot drift. */
+  private[graft] def ingest(delta: DataFrame, cent: DataFrame,
+      store: DataFrame): DataFrame = {
+    val assigned = assignDelta(withN2(delta).localCheckpoint(), cent)
+    formatVerdicts(verdictFrame(assigned, store), assigned)
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (centT, assignT) = ensureStore(spark, dir)
+    ingest(
+        Tables.embeddings(spark, dir)
+          .filter(Q40TrainTestSplit.splitColOf("vec_id") === "test"),
+        spark.table(centT), spark.table(assignT))
+      .orderBy(col("vec_id"))
+  }
+
+  private val duckSplitVec =
+    "CASE WHEN instr('0123456789abcdef', " +
+      "substr(md5(CAST(vec_id AS VARCHAR)), 32, 1)) - 1 < 13 " +
+      "THEN 'train' ELSE 'test' END"
+
+  /** ALL-PAIRS relational replay of the train→test decision (the
+    * store is an artifact; the semantics are pairs×threshold) —
+    * shared with s16. */
+  val oracle = Some(s"""
+    WITH e AS (SELECT vec_id, embedding, $duckSplitVec AS split
+      FROM embeddings),
+    n2 AS (SELECT vec_id, embedding, split,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+          (acc, p) -> acc + p) AS n2 FROM e),
+    cent AS (SELECT vec_id AS cid, embedding AS ce, n2 AS cn2
+             FROM n2 WHERE split = 'train' ORDER BY vec_id LIMIT $K),
+    scored AS (SELECT v.vec_id, v.split, c.cid,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(1, len(v.embedding)+1),
+            i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))),
+          (acc, p) -> acc + p) / (sqrt(v.n2) * sqrt(c.cn2)) AS cos
+      FROM n2 v, cent c),
+    assign AS (SELECT vec_id, split, cid AS cluster FROM (
+        SELECT vec_id, split, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(1, len(ea.embedding)+1),
+            i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))),
+          (acc, p) -> acc + p) / (sqrt(ea.n2) * sqrt(eb.n2)) AS cos
+      FROM assign a JOIN assign b
+        ON a.cluster = b.cluster AND a.split = 'train' AND b.split = 'test'
+      JOIN n2 ea ON ea.vec_id = a.vec_id
+      JOIN n2 eb ON eb.vec_id = b.vec_id),
+    doms AS (SELECT vb, min(va) AS dom_id FROM pairs
+             WHERE cos >= $Tau GROUP BY vb)
+    SELECT a.vec_id, a.cluster,
+      CASE WHEN d.dom_id IS NULL THEN 'new' ELSE 'dup' END AS verdict,
+      d.dom_id
+    FROM (SELECT vec_id, cluster FROM assign WHERE split = 'test') a
+    LEFT JOIN doms d ON d.vb = a.vec_id
     ORDER BY a.vec_id
   """.trim)
 }

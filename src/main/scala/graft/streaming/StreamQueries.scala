@@ -144,7 +144,7 @@ object StreamQueries {
     S9StreamStaticJoin, S10StreamStreamOuterJoin, S11StreamCuration,
     S12StreamDeltaDedup, S12bStreamDeltaDedupStore,
     S13StreamIncrementalStats, S14StreamImageDedupStore,
-    S15StreamBpeEncodeStore)
+    S15StreamBpeEncodeStore, S16StreamSemanticDedupStore)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -843,4 +843,82 @@ object S15StreamBpeEncodeStore extends GraftQuery {
     * batch encode — recompute, store and streaming tiers share one
     * hash gate. */
   val oracle: Option[String] = Q64bBpeEncode.oracle
+}
+
+/** S16 — STREAMING SEMANTIC-DEDUP INGEST against the persisted
+  * cluster store (q70b's tables): the store-stream column of the
+  * dedup matrix for the EMBEDDING family (text s12b, image s14,
+  * semantic here). Arriving delta vectors (the test split of the
+  * embeddings stream) are assigned per micro-batch against the
+  * broadcast stored centroids and verdict-joined against the
+  * bucketed assignment store by the SAME `Q70bSemanticDedupStore
+  * .ingest` function the batch tier runs — one implementation, so
+  * the batch-store and stream-store tiers cannot drift.
+  *
+  * Unlike s12/s14 (whose best-base aggregation is kept in stream
+  * state under the RocksDB default), the semantic verdict needs NO
+  * cross-trigger state at all: each delta vector's verdict is a pure
+  * function of (vector, store) — candidates live in the same
+  * micro-batch as the vector by construction. So the stream is
+  * STATELESS (foreachBatch appends each epoch's verdict frame to a
+  * run-scoped audit table — the s13 rule: shared, restart-surviving
+  * results belong in a persisted table, and the right amount of
+  * executor state is none).
+  *
+  * Shares q70b's ALL-PAIRS oracle: the per-epoch streamed verdicts
+  * must equal the exhaustive train×test decision — cluster-recall,
+  * store correctness and stream plumbing in one hash gate. */
+object S16StreamSemanticDedupStore extends GraftQuery {
+  import StreamQueries._
+  import graft.queries.{Q40TrainTestSplit, Q70bSemanticDedupStore}
+  val name = "s16_stream_semantic_dedup_store"
+  private val s16Run = new AtomicInteger(0)
+
+  /** Drive a delta embedding stream to completion, appending one
+    * verdict frame per non-empty micro-batch; returns epochs run. */
+  private[graft] def maintain(spark: SparkSession, verdictsT: String,
+      cent: DataFrame, store: DataFrame, delta: DataFrame): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = delta.writeStream
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Q70bSemanticDedupStore.ingest(batch, cent, store)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .format("parquet").saveAsTable(verdictsT)
+          batches.incrementAndGet()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
+  private[graft] def embeddingsStream(spark: SparkSession,
+      dir: String): DataFrame = {
+    val sch = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(sch).parquet(s"$dir/{embeddings}.parquet")
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (centT, assignT) = Q70bSemanticDedupStore.ensureStore(spark, dir)
+    val cent = spark.table(centT)
+    val store = spark.table(assignT)
+    val runT = s"graft_s16_verdicts_${s16Run.incrementAndGet()}"
+    graft.plans.Stores.dropManaged(spark, runT)
+    Q70bSemanticDedupStore.ingest(
+        spark.read.parquet(s"$dir/embeddings.parquet").limit(0), cent, store)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(runT)
+    try {
+      maintain(spark, runT, cent, store,
+        embeddingsStream(spark, dir)
+          .filter(Q40TrainTestSplit.splitColOf("vec_id") === "test"))
+      spark.table(runT).orderBy(col("vec_id")).localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
+  }
+
+  val oracle: Option[String] = Q70bSemanticDedupStore.oracle
 }

@@ -133,6 +133,86 @@ class Round11eSpec extends SparkSpec {
       s"short clips must still hash (empty segments = energy 0): $fps")
   }
 
+  test("q70b: store-served delta verdicts equal an independent all-pairs driver replay") {
+    import graft.queries.Q70bSemanticDedupStore
+    val out = Q70bSemanticDedupStore.run(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq.sortBy(_._1)
+    // Independent replay in the driver: same seed-centroid rule, same
+    // fold order (left-assoc sums match the codegen'd flat dot), same
+    // min-cid/min-id tie-breaks.
+    def split(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if ("0123456789abcdef".indexOf(h(31)) < 13) "train" else "test"
+    }
+    val vecs = Tables.embeddings(spark, sf01).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    def n2(v: Array[Float]): Double = {
+      var s = 0.0; v.foreach(x => s = s + x.toDouble * x.toDouble); s
+    }
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s = s + a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) / (math.sqrt(n2(vecs(a))) * math.sqrt(n2(vecs(b))))
+    val train = vecs.keys.filter(split(_) == "train").toSeq.sorted
+    val cent = train.take(Q70SemanticDedup.K)
+    def cluster(id: Long): Long =
+      cent.map(c => (cos(id, c), c)).maxBy { case (c0, cid) => (c0, -cid) }._2
+    val trainByCluster = train.groupBy(cluster)
+    val expect = vecs.keys.filter(split(_) == "test").toSeq.sorted.map { id =>
+      val cl = cluster(id)
+      val doms = trainByCluster.getOrElse(cl, Nil)
+        .filter(t => cos(t, id) >= Q70SemanticDedup.Tau)
+      if (doms.isEmpty) (id, cl, "new", -1L)
+      else (id, cl, "dup", doms.min)
+    }
+    assert(out == expect, s"store path diverges from the all-pairs replay")
+    assert(out.exists(_._3 == "dup") && out.exists(_._3 == "new"),
+      "fixture must exercise both verdicts")
+  }
+
+  test("s16: multi-epoch streamed ingest equals the batch store path") {
+    import graft.queries.{Q40TrainTestSplit, Q70bSemanticDedupStore}
+    import graft.streaming.S16StreamSemanticDedupStore
+    val dir = java.nio.file.Files.createTempDirectory("s16spec")
+    try {
+      Tables.embeddings(spark, sf01)
+        .filter(Q40TrainTestSplit.splitColOf("vec_id") === "test")
+        .repartition(3).write.parquet(s"$dir/delta")
+      val sch = spark.read.parquet(s"$dir/delta").schema
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/delta/*.parquet")
+      val (centT, assignT) = Q70bSemanticDedupStore.ensureStore(spark, sf01)
+      val runT = "graft_s16spec_verdicts"
+      graft.plans.Stores.dropManaged(spark, runT)
+      Q70bSemanticDedupStore.ingest(
+          Tables.embeddings(spark, sf01).limit(0),
+          spark.table(centT), spark.table(assignT))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(runT)
+      try {
+        val epochs = S16StreamSemanticDedupStore.maintain(spark, runT,
+          spark.table(centT), spark.table(assignT), stream)
+        assert(epochs >= 3, s"file-per-trigger must yield >=3 epochs, got $epochs")
+        val got = spark.table(runT).orderBy(org.apache.spark.sql.functions.col("vec_id"))
+          .collect().map(_.toString).toSeq
+        val expect = Q70bSemanticDedupStore.run(spark, sf01)
+          .collect().map(_.toString).toSeq
+        assert(got == expect, "streamed verdicts must equal the batch store path")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      val paths = try s.iterator().asScala.toVector finally s.close()
+      paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("s15: multi-epoch file-per-trigger ingest equals the one-shot batch encode") {
     import graft.queries.{Q64bBpeEncode, Q64eBpeEncodeStore}
     import graft.streaming.S15StreamBpeEncodeStore
