@@ -288,6 +288,34 @@ object ScaleBench {
     val (st1, st10) =
       if (wantStores) (storePoints(sfDir), storePoints(Scale10Dir))
       else (Map.empty[String, Double], Map.empty[String, Double])
+    // Semantic-dedup K knob (q70): within-cluster pairs are ~n²/K, so
+    // a FIXED K turns 10× data into 100× pair work — K must scale
+    // with the corpus to bound cluster size (the documented operating
+    // rule, measured here the way bandBits' table measures the image
+    // knob). k_fixed keeps K=8 at both scales (the superlinear
+    // posture); k_scaled grows K with the data (bounded clusters ⇒
+    // pair growth ~linear). Same verdicts are NOT expected across K —
+    // the knob trades candidate recall for cost, like nProbe/bandBits.
+    val semNames = Seq("q70_k_fixed", "q70_k_scaled")
+    val wantSem = only.forall(names => semNames.exists(names))
+    def semPoint(dir: String, k: Int): Double = {
+      def once(): Double =
+        try {
+          val t0 = System.nanoTime()
+          Q70SemanticDedup.semanticDedup(Tables.embeddings(spark, dir), k)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[scalebench] q70 k=$k @ $dir FAILED: ${e.getMessage}")
+          -1.0 }
+      val ok = Seq(once(), once()).filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    val sem: Map[String, (Double, Double)] =
+      if (!wantSem) Map.empty
+      else Map(
+        "q70_k_fixed" -> ((semPoint(sfDir, 8), semPoint(Scale10Dir, 8))),
+        "q70_k_scaled" -> ((semPoint(sfDir, 8), semPoint(Scale10Dir, 80))))
     // Third decade: only the ≥2.2-ratio text-side queries, min-of-2.
     val deep: Seq[GraftQuery] = Seq(Q18dDedupNgram, Q18fDedupClusters,
       Q26TfIdf, Q58TrainingShards, Q60RepeatedSpans)
@@ -336,6 +364,16 @@ object ScaleBench {
         println(s"""{"scale_stores":"sf0.1x100","points":${srow(st100)}}""")
         println(s"""{"store_ratio_100x_vs_10x":$r100}""")
       }
+    }
+    if (sem.nonEmpty) {
+      def srow(f: ((Double, Double)) => Double) = semNames
+        .map(n => "\"" + n + "\":" + f"${f(sem(n))}%.3f").mkString("{", ",", "}")
+      val sr = semNames
+        .map(n => "\"" + n + "\":" + f"${ratio(sem(n)._2, sem(n)._1)}%.2f")
+        .mkString("{", ",", "}")
+      println(s"""{"scale_semantic":"sf0.1","points":${srow(_._1)}}""")
+      println(s"""{"scale_semantic":"sf0.1x10","points":${srow(_._2)}}""")
+      println(s"""{"semantic_ratio_10x":$sr}""")
     }
     if (at100.nonEmpty) {
       val r2 = deep.map(q =>

@@ -11,7 +11,8 @@ object SparkEntry {
     InvertedIndex, InvertedIndexUdaf, InvertedIndexNative
   ) ++ Relational.all ++ Analytics.all ++ NorthStar.all ++
     Curation.all ++ Scoring.all ++ Graph.all ++ Bpe.all ++
-    Seq(Q65IncrementalStats, Q70SemanticDedup, Q70bSemanticDedupStore) ++
+    Seq(Q65IncrementalStats, Q70SemanticDedup, Q70bSemanticDedupStore,
+      Q70cSemanticDedupTrained) ++
     Seq(graft.multimodal.Q25MultimodalFeatures,
       graft.multimodal.Q25bAudioFeatures,
       graft.multimodal.Q25cImageFeatures,

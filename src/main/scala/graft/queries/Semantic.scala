@@ -89,7 +89,21 @@ object Q70SemanticDedup extends GraftQuery {
   private[graft] def semanticDedup(e: DataFrame, k: Int = K,
       tau: Double = Tau): DataFrame = {
     val n2 = withN2(e)
-    val assign = assignClusters(n2, centroidsOf(n2, k))
+    dedupWithCentroids(n2, centroidsOf(n2, k), tau)
+  }
+
+  /** Assignment + within-cluster prune against an ARBITRARY centroid
+    * frame (cid, ce, cn2) — q70 passes seed centroids, q70c passes
+    * trained KMeans centers; the prune semantics are this one
+    * function either way. */
+  private[graft] def dedupWithCentroids(n2: DataFrame, cent: DataFrame,
+      tau: Double): DataFrame = {
+    // Checkpointed: the assignment feeds three plan branches (both
+    // pair sides + the final verdict attach), each of which would
+    // otherwise re-run the crossJoin+argmax pass; the frame is two
+    // scalars per vector. At deploy scale this is the persisted
+    // assignment table q70b builds.
+    val assign = assignClusters(n2, cent).localCheckpoint()
     val withVec = assign.join(n2, "vec_id")
     val a = withVec.select(col("cluster"), col("vec_id").as("va"),
       col("embedding").as("ea"), col("n2").as("n2a"))
@@ -301,4 +315,58 @@ object Q70bSemanticDedupStore extends GraftQuery {
     LEFT JOIN doms d ON d.vb = a.vec_id
     ORDER BY a.vec_id
   """.trim)
+}
+
+/** Q70c — semantic dedup with TRAINED centroids: the production
+  * clustering tier for q70's prune. q70's seed centroids make the
+  * operator oracle-replayable, but arbitrary seeds cluster the space
+  * arbitrarily — two near-dups straddling a seed boundary are never
+  * compared (a candidate-RECALL miss, the one thing assignment
+  * quality controls). This tier fits a seeded spark.ml KMeans
+  * (distributed Lloyd — the q19d quantizer with the same fixed seed)
+  * and hands its centers to the SAME `dedupWithCentroids` prune, so
+  * verdict semantics are untouched: every drop still re-verifies by
+  * exact cosine ≥ τ against a same-cluster lower id.
+  *
+  * Correctness posture is the q19c/q19d one — no DuckDB oracle
+  * (KMeans' float iterations are not relationally replayable);
+  * instead spec gates: seeded determinism, the q70 soundness
+  * invariants (driver-re-verified drops, min-id survival), and a
+  * measured candidate-recall comparison against the exhaustive
+  * all-pairs ground truth alongside the seed tier (Round11eSpec
+  * prints both, asserts the trained tier's floor).
+  *
+  * 100 TB posture: the fit is one distributed pass per Lloyd
+  * iteration over (vec, K) distances (or a corpus sample — centroid
+  * quality, not verdict soundness, is all that degrades); the prune
+  * is q70's cluster-bounded join. K remains the operating knob. */
+object Q70cSemanticDedupTrained extends GraftQuery {
+  import Q70SemanticDedup.{dedupWithCentroids, withN2, K, Tau}
+  val name = "q70c_semantic_dedup_trained"
+
+  /** Seeded KMeans centers as a (cid, ce, cn2) centroid frame. */
+  private[graft] def trainedCentroids(e: DataFrame): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = e.sparkSession
+    import spark.implicits._
+    val feats = e.select(col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(K).setSeed(42).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("cluster").fit(feats)
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val arr = c.toArray
+      (i.toLong, arr, arr.map(x => x * x).sum)
+    }.toSeq.toDF("cid", "ce", "cn2")
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    dedupWithCentroids(withN2(e), trainedCentroids(e), Tau)
+  }
+
+  /** KMeans float iterations are not relationally replayable — the
+    * driver records a rows-only check; the recall/soundness gates
+    * live in Round11eSpec. */
+  val oracle: Option[String] = None
 }

@@ -133,6 +133,51 @@ class Round11eSpec extends SparkSpec {
       s"short clips must still hash (empty segments = energy 0): $fps")
   }
 
+  test("q70c: trained-centroid tier is seeded-deterministic, sound, and recalls at least half the ground-truth drops") {
+    import graft.queries.Q70cSemanticDedupTrained
+    val out1 = Q70cSemanticDedupTrained.run(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    val out2 = Q70cSemanticDedupTrained.run(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(out1 == out2, "fixed seed must make the trained tier deterministic")
+    val vecs = Tables.embeddings(spark, sf01).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // Soundness: every drop re-verifies (same-cluster handled by the
+    // operator; the exact cosine and id-order are checkable here).
+    val clusterOf = out1.map(r => r._1 -> r._2).toMap
+    out1.filter(_._3 == "drop").foreach { case (id, cl, _, dom) =>
+      assert(dom >= 0 && dom < id && clusterOf(dom) == cl,
+        s"drop $id: dom $dom must be a lower same-cluster id")
+      assert(cos(vecs(dom), vecs(id)) >= graft.queries.Q70SemanticDedup.Tau - 1e-9,
+        s"drop $id fails exact re-verification against $dom")
+    }
+    // Candidate recall vs the exhaustive ground truth (any vector
+    // with SOME lower-id partner at cos >= tau anywhere is droppable).
+    val ids = vecs.keys.toSeq.sorted
+    val droppable = ids.filter(j =>
+      ids.exists(i => i < j && cos(vecs(i), vecs(j)) >= graft.queries.Q70SemanticDedup.Tau)).toSet
+    def recallOf(out: Seq[(Long, Long, String, Long)]): Double =
+      out.count(r => r._3 == "drop" && droppable(r._1)).toDouble / droppable.size
+    val trained = recallOf(out1)
+    val seeded = recallOf(
+      graft.queries.Q70SemanticDedup.run(spark, sf01).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2) match { case "drop" => "drop"; case v => v },
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq)
+    info(f"candidate recall vs all-pairs ground truth (${droppable.size} droppable): " +
+      f"trained=$trained%.2f seeded=$seeded%.2f")
+    assert(trained >= 0.5, f"trained-centroid recall $trained%.2f below the 0.5 gate")
+  }
+
   test("q70b: store-served delta verdicts equal an independent all-pairs driver replay") {
     import graft.queries.Q70bSemanticDedupStore
     val out = Q70bSemanticDedupStore.run(spark, sf01).collect()
