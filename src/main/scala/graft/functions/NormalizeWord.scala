@@ -105,6 +105,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HashedTokenScore(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        exact("graft_dot", 2)(children)
+        ArrayDotProduct(children(0), children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_asof_le"),
       new ExpressionInfo(classOf[graft.plans.AsofLessEqual].getName, "graft_asof_le"),
       (children: Seq[Expression]) => {

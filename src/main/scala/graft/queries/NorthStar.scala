@@ -62,28 +62,26 @@ object NorthStar {
     * likewise known at plan time, so the per-pair arithmetic can be a
     * flat codegen'd expression instead of an interpreted HOF. */
   private[queries] val EmbDim = 64
-  /** Flat [[EmbDim]]-term product sum — whole-stage-codegen'd, same
-    * pattern as q18b's 32-term match count and q18c's bit_count/xor
-    * (the interpreted aggregate(zip_with(...)) fold this replaces was
-    * the last interpreted-HOF verify stage). Left-associative `+`
-    * chains add the identical IEEE products in the identical order as
-    * the DuckDB oracle's list_reduce fold, so results stay bit-equal.
-    *
-    * Used for PER-PAIR dot products only: the expression runs once per
-    * candidate pair (billions at 100 TB — codegen is the scale path),
-    * while the per-row norm runs exactly once per vector and stays an
-    * O(d) HOF fold ([[embNorm2Expr]]) — measured at sf0.1, flattening
-    * the norm too only added ~0.8 s of constant optimizer/codegen-
-    * compile time with no execution win. Shared by q18e and q70. */
+  /** Per-pair embedding dot product — the NATIVE looped expression
+    * (`graft_dot`, `functions/ArrayDot.scala`): ascending-index
+    * left-associative `sum += (double) a[i] * (double) b[i]`, the
+    * same IEEE products in the same order as the DuckDB oracles'
+    * list_reduce folds, so results stay bit-equal. Two spellings
+    * preceded it, both measured slower: an interpreted
+    * aggregate(zip_with(...)) HOF, then a flat [[EmbDim]]-term
+    * element_at chain — correct and nominally codegen'd, but once
+    * Catalyst pushes a `cos >= τ` filter into a pair-join CONDITION
+    * the unrolled chain blows the JVM's ~8 KB JIT method limit and
+    * every candidate pair pays interpreted bytecode (~10 µs/pair,
+    * the round-11 q70 plan audit). The loop JITs; the join condition
+    * stays hot. Shared by q18e and the q70 family. */
   private[queries] def flatDotExpr(a: String, b: String): String =
-    (1 to EmbDim).map(i =>
-      s"cast(element_at($a, $i) as double) * cast(element_at($b, $i) as double)")
-      .mkString(" + ")
-  /** Squared L2 norm of the `embedding` column as a per-row HOF fold
-    * (identical element order in both engines ⇒ bit-equal). */
-  private[queries] val embNorm2Expr =
-    "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), " +
-      "cast(0 as double), (acc, p) -> acc + p)"
+    s"graft_dot($a, $b)"
+  /** Squared L2 norm of the `embedding` column: the same native loop
+    * against itself — identical arithmetic (float widened exactly,
+    * same order) to the HOF fold it replaces, minus the interpreted
+    * lambda evaluation per row. */
+  private[queries] val embNorm2Expr = "graft_dot(embedding, embedding)"
 
   /** Whitespace tokens, empties dropped (reference tokenizer, R4/R6). */
   private[graft] val toksExpr = "filter(split(text, '\\\\s+'), t -> t != '')"

@@ -133,6 +133,39 @@ class Round11eSpec extends SparkSpec {
       s"short clips must still hash (empty segments = energy 0): $fps")
   }
 
+  test("graft_dot: bit-equal to the unrolled element_at chain, with the chain's null semantics") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // Fixture pairs: every vector against its successor — real floats,
+    // both expressions evaluated side by side in one projection.
+    val a = Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), col("embedding").as("ea"))
+    val b = Tables.embeddings(spark, sf01)
+      .select((col("vec_id") - 1).as("vec_id"), col("embedding").as("eb"))
+    val chain = (1 to 64).map(i =>
+      s"cast(element_at(ea, $i) as double) * cast(element_at(eb, $i) as double)")
+      .mkString(" + ")
+    val rows = a.join(b, "vec_id")
+      .select(expr("graft_dot(ea, eb)").as("native"), expr(chain).as("chain"))
+      .collect()
+    assert(rows.length > 400)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"native ${r.getDouble(0)} != chain ${r.getDouble(1)}")
+    }
+    // Edge cases mirror the chain: null array, null element, length
+    // mismatch -> null; float x double mixes compute.
+    def one(sql: String) = spark.sql(s"SELECT $sql AS v").head()
+    assert(one("graft_dot(cast(null as array<float>), array(1.0f))").isNullAt(0))
+    assert(one("graft_dot(array(1.0f, cast(null as float)), array(1.0f, 2.0f))").isNullAt(0))
+    assert(one("graft_dot(array(1.0f), array(1.0f, 2.0f))").isNullAt(0))
+    assert(one("graft_dot(array(2.0f, 3.0f), array(cast(4.0 as double), cast(0.5 as double)))")
+      .getDouble(0) == 9.5)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(array('x'), array(1.0f))").collect()
+    }
+  }
+
   test("q70c: trained-centroid tier is seeded-deterministic, sound, and recalls at least half the ground-truth drops") {
     import graft.queries.Q70cSemanticDedupTrained
     val out1 = Q70cSemanticDedupTrained.run(spark, sf01).collect()
