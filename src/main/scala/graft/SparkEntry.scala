@@ -12,7 +12,7 @@ object SparkEntry {
   ) ++ Relational.all ++ Analytics.all ++ NorthStar.all ++
     Curation.all ++ Scoring.all ++ Graph.all ++ Bpe.all ++
     Seq(Q65IncrementalStats, Q70SemanticDedup, Q70bSemanticDedupStore,
-      Q70cSemanticDedupTrained) ++
+      Q70cSemanticDedupTrained, Q71MultimodalCuration) ++
     Seq(graft.multimodal.Q25MultimodalFeatures,
       graft.multimodal.Q25bAudioFeatures,
       graft.multimodal.Q25cImageFeatures,

@@ -375,7 +375,7 @@ object Q25cImageFeatures extends GraftQuery {
     * byte == character code at (sy·w + sx) mod len). `by_row` ends
     * with one (media_id, gy, byte) row per grid row — the hash bytes
     * both this oracle and q25d's banded join consume. */
-  private[multimodal] val duckChain: String = s"""m AS (
+  private[graft] val duckChain: String = s"""m AS (
       SELECT doc_id AS media_id, text,
         CAST(16 + (n_chars % 64) AS INT) AS w,
         CAST(16 + (n_chars % 48) AS INT) AS h

@@ -83,3 +83,117 @@ object Q58TrainingShards extends GraftQuery {
     FROM sh8 GROUP BY lang, shard_id ORDER BY lang, shard_id
   """.trim)
 }
+
+/** Q71 — MULTIMODAL curation: the cross-modality admission decision
+  * in ONE declarative plan — the q58 composition idea applied across
+  * modalities instead of along the text assembly tail. Every document
+  * gets one verdict row with the per-gate evidence:
+  *
+  *  - `text_ok`   — s11's ingest admission gates (PII-free, ≥ q42's
+  *                  token floor), the SAME pattern constants;
+  *  - `text_dup`  — q18's exact rule: not the min doc_id of its
+  *                  md5(lower(text)) group;
+  *  - `image_dup` — for the png tier: a LOWER-id image sits within
+  *                  Hamming [[graft.multimodal.Q25dImageNearDup
+  *                  .MaxHamming]] — q25d's banded candidates + exact
+  *                  verify at the policy-picked band width
+  *                  (`nearDupPairs`), the q25f decision without the
+  *                  store (the composed audit reads one corpus);
+  *  - `sem_dup`   — q70's semantic drop (vec_id is the doc's
+  *                  embedding id by fixture construction);
+  *  - `keep`      — text_ok ∧ ¬text_dup ∧ ¬image_dup ∧ ¬sem_dup.
+  *
+  * Every gate is the FACTORED production operator (zero drift: the
+  * image gate is `nearDupPairs`, the semantic gate is q70's own run,
+  * the text gates share s11/q42's constants), and every gate is
+  * replayed relationally by the oracle — the whole multimodal
+  * decision is hash-checked end to end, codec path included.
+  *
+  * Scale shape (the q42b rule): each expensive signal reads the
+  * corpus once and joins back on doc_id — the text gates are map-only
+  * over the documents scan, the dup gates are the already-audited
+  * banded/blocked joins, and the final assembly is doc_id-keyed
+  * hash joins with the two sparse dup sets left-joined. No signal
+  * ever re-reads another's input. */
+object Q71MultimodalCuration extends GraftQuery {
+  import graft.multimodal.{Q25cImageFeatures, Q25dImageNearDup}
+  val name = "q71_multimodal_curation"
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val textOk = docs.select(col("doc_id"),
+      ((size(regexp_extract_all(col("text"), lit(Curation.EmailPat), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(Curation.PhonePat), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(Curation.Ipv4Pat), lit(0)))) === 0 &&
+        size(expr(NorthStar.toksExpr)) >= Q42CorpusClean.MinTokens).as("text_ok"))
+    val thash = docs.select(col("doc_id"), md5(lower(col("text"))).as("th"))
+    val textDup = thash
+      .join(thash.groupBy(col("th")).agg(min(col("doc_id")).as("keeper")), "th")
+      .select(col("doc_id"), (col("doc_id") =!= col("keeper")).as("text_dup"))
+    val imgDup = Q25dImageNearDup.nearDupPairs(
+        Q25cImageFeatures.extractImageFeatures(
+            Q25cImageFeatures.imageTable(spark, dir)).toDF()
+          .select(col("media_id"), col("dhash")))
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("image_dup", lit(true))
+    val semDup = Q70SemanticDedup.run(spark, dir)
+      .filter(col("verdict") === "drop")
+      .select(col("vec_id").as("doc_id"), lit(true).as("sem_dup"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(textOk, "doc_id")
+      .join(textDup, "doc_id")
+      .join(imgDup, Seq("doc_id"), "left")
+      .join(semDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("text_ok"), col("text_dup"),
+        coalesce(col("image_dup"), lit(false)).as("image_dup"),
+        coalesce(col("sem_dup"), lit(false)).as("sem_dup"))
+      .withColumn("keep", col("text_ok") && !col("text_dup") &&
+        !col("image_dup") && !col("sem_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oracle = Some(s"""
+    WITH gate AS (
+      SELECT doc_id,
+        (CAST(length(regexp_extract_all(text, '${Curation.EmailPat}'))
+            + length(regexp_extract_all(text, '${Curation.PhonePat}'))
+            + length(regexp_extract_all(text, '${Curation.Ipv4Pat}')) AS BIGINT) = 0
+         AND CAST(len(${NorthStar.duckToks}) AS BIGINT) >= ${Q42CorpusClean.MinTokens})
+          AS text_ok
+      FROM documents),
+    thash AS (SELECT doc_id, md5(lower(text)) AS th FROM documents),
+    tdup AS (
+      SELECT t.doc_id, t.doc_id <> k.keeper AS text_dup
+      FROM thash t JOIN (SELECT th, min(doc_id) AS keeper
+                         FROM thash GROUP BY th) k ON k.th = t.th),
+    ${Q25cImageFeatures.duckChain},
+    ibands AS (SELECT media_id, gy AS bi, b FROM by_row),
+    icand AS (
+      SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b
+      FROM ibands a JOIN ibands b2 ON a.bi = b2.bi AND a.b = b2.b
+      WHERE a.media_id < b2.media_id),
+    iham AS (
+      SELECT c.id_a, c.id_b,
+        CAST(SUM(bit_count(xor(x.b, y.b))) AS BIGINT) AS hamming
+      FROM icand c
+      JOIN by_row x ON x.media_id = c.id_a
+      JOIN by_row y ON y.media_id = c.id_b AND y.gy = x.gy
+      GROUP BY c.id_a, c.id_b),
+    idup AS (SELECT DISTINCT id_b AS doc_id FROM iham
+             WHERE hamming <= ${Q25dImageNearDup.MaxHamming}),
+    ${Q70SemanticDedup.duckChain},
+    sdup AS (SELECT vb AS doc_id FROM doms)
+    SELECT d.doc_id, d.lang, d.source, g.text_ok, t.text_dup,
+      (i.doc_id IS NOT NULL) AS image_dup,
+      (s.doc_id IS NOT NULL) AS sem_dup,
+      (g.text_ok AND NOT t.text_dup AND i.doc_id IS NULL AND s.doc_id IS NULL)
+        AS keep
+    FROM documents d
+    JOIN gate g ON g.doc_id = d.doc_id
+    JOIN tdup t ON t.doc_id = d.doc_id
+    LEFT JOIN idup i ON i.doc_id = d.doc_id
+    LEFT JOIN sdup s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+  """.trim)
+}

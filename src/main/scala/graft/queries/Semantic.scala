@@ -128,8 +128,9 @@ object Q70SemanticDedup extends GraftQuery {
   def run(spark: SparkSession, dir: String): DataFrame =
     semanticDedup(Tables.embeddings(spark, dir))
 
-  val oracle = Some(s"""
-    WITH n2 AS (SELECT vec_id, embedding,
+  /** The assignment+prune CTE chain (through `assign` and `doms`) —
+    * shared by this oracle and q71's composed replay. */
+  private[graft] val duckChain: String = s"""n2 AS (SELECT vec_id, embedding,
         list_reduce(list_prepend(CAST(0 AS DOUBLE),
           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
           (acc, p) -> acc + p) AS n2 FROM embeddings),
@@ -154,7 +155,10 @@ object Q70SemanticDedup extends GraftQuery {
       JOIN n2 ea ON ea.vec_id = a.vec_id
       JOIN n2 eb ON eb.vec_id = b.vec_id),
     doms AS (SELECT vb, min(va) AS dom_id FROM pairs
-             WHERE cos >= $Tau GROUP BY vb)
+             WHERE cos >= $Tau GROUP BY vb)"""
+
+  val oracle = Some(s"""
+    WITH $duckChain
     SELECT a.vec_id, a.cluster,
       CASE WHEN d.dom_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
       d.dom_id

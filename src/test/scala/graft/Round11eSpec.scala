@@ -291,6 +291,64 @@ class Round11eSpec extends SparkSpec {
     }
   }
 
+  test("q71: crafted corpus fires every gate — text dup, PII, image near-dup, semantic dup") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val clean = (n: Int, seed: String) =>
+      (1 to 20).map(i => s"$seed$i word$i").mkString(" ").take(n).padTo(n, 'x')
+    // Doc 3 vs 6: same length (same sampled grid), one character
+    // flipped at an index the 9x8 grid never samples -> dhash equal,
+    // texts different: an IMAGE near-dup that is not a text dup.
+    val base3 = clean(200, "img")
+    val L = base3.length
+    val (w, h) = (16 + L % 64, 16 + L % 48)
+    val sampled = (for (gy <- 0 until 8; gx <- 0 until 9)
+      yield ((gy * h / 8) * w + (gx * w / 9)) % L).toSet
+    val off = (0 until L).find(i => !sampled(i) && base3(i) != 'Q').get
+    val text6 = base3.updated(off, 'Q')
+    val docs = Seq(
+      (0L, clean(180, "alpha"), "en", "src0"),
+      (1L, clean(180, "alpha"), "en", "src1"),            // exact text dup of 0
+      (2L, clean(170, "beta") + " mail me a@b.com", "en", "src0"), // PII
+      (3L, base3, "en", "src0"),
+      (4L, clean(190, "gamma"), "de", "src1"),
+      (5L, clean(210, "delta"), "fr", "src0"),
+      (6L, text6, "en", "src1"),                          // image near-dup of 3
+      (7L, clean(220, "epsi"), "es", "src0"),
+      (8L, clean(230, "zeta"), "en", "src1"),
+      (9L, clean(240, "eta"), "zh", "src0"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def unit(i: Int): Seq[Float] = Seq.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
+    val embs = ((0 until 8).map(i => (i.toLong, unit(i), 0)) ++ Seq(
+      (8L, unit(3), 0),                                   // semantic dup (dom 3)
+      (9L, Seq.fill(64)(0.125f), 0)))                     // spread: cos 1/8 < tau
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("q71spec")
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      embs.write.parquet(s"$dir/embeddings.parquet")
+      val out = graft.queries.Q71MultimodalCuration.run(spark, dir.toString)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))).toMap
+      // (text_ok, text_dup, image_dup, sem_dup, keep)
+      assert(out(0L) == ((true, false, false, false, true)))
+      assert(out(1L) == ((true, true, false, false, false)), s"doc 1: ${out(1L)}")
+      assert(out(2L)._1 == false && out(2L)._5 == false, s"doc 2: ${out(2L)}")
+      assert(out(3L) == ((true, false, false, false, true)), s"doc 3: ${out(3L)}")
+      assert(out(6L) == ((true, false, true, false, false)), s"doc 6: ${out(6L)}")
+      assert(out(8L) == ((true, false, false, true, false)), s"doc 8: ${out(8L)}")
+      Seq(4L, 5L, 7L, 9L).foreach(id =>
+        assert(out(id)._5, s"doc $id must keep: ${out(id)}"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      val paths = try s.iterator().asScala.toVector finally s.close()
+      paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("s15: multi-epoch file-per-trigger ingest equals the one-shot batch encode") {
     import graft.queries.{Q64bBpeEncode, Q64eBpeEncodeStore}
     import graft.streaming.S15StreamBpeEncodeStore
