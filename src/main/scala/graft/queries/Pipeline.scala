@@ -136,7 +136,7 @@ object Q71MultimodalCuration extends GraftQuery {
           .select(col("media_id"), col("dhash")))
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("image_dup", lit(true))
-    val semDup = Q70SemanticDedup.run(spark, dir)
+    val semDup = Q70SemanticDedup.semanticDedup(Tables.embeddings(spark, dir))
       .filter(col("verdict") === "drop")
       .select(col("vec_id").as("doc_id"), lit(true).as("sem_dup"))
     docs.select(col("doc_id"), col("lang"), col("source"))

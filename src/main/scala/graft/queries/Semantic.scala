@@ -117,16 +117,18 @@ object Q70SemanticDedup extends GraftQuery {
           (sqrt(col("n2a")) * sqrt(col("n2b")))).as("cos"))
       .filter(col("cos") >= tau)
       .groupBy(col("vb")).agg(min(col("va")).as("dom_id"))
+    // UNORDERED: the driver-facing queries add the total order; the
+    // composed consumers (q71's doc_id join, ScaleBench's noop sink)
+    // would only throw a global range-exchange away.
     assign.join(doms, assign("vec_id") === doms("vb"), "left")
       .select(col("vec_id"), col("cluster"),
         when(col("dom_id").isNull, lit("keep")).otherwise(lit("drop"))
           .as("verdict"),
         col("dom_id"))
-      .orderBy(col("vec_id"))
   }
 
   def run(spark: SparkSession, dir: String): DataFrame =
-    semanticDedup(Tables.embeddings(spark, dir))
+    semanticDedup(Tables.embeddings(spark, dir)).orderBy(col("vec_id"))
 
   /** The assignment+prune CTE chain (through `assign` and `doms`) —
     * shared by this oracle and q71's composed replay. */
@@ -279,11 +281,11 @@ object Q70bSemanticDedupStore extends GraftQuery {
       "substr(md5(CAST(vec_id AS VARCHAR)), 32, 1)) - 1 < 13 " +
       "THEN 'train' ELSE 'test' END"
 
-  /** ALL-PAIRS relational replay of the train→test decision (the
-    * store is an artifact; the semantics are pairs×threshold) —
-    * shared with s16. */
-  val oracle = Some(s"""
-    WITH e AS (SELECT vec_id, embedding, $duckSplitVec AS split
+  /** The train→test delta-dedup CTE chain (through `assign` and
+    * `doms`) — shared by this oracle, s16's, and s17's composed
+    * replay. */
+  private[graft] val duckDeltaChain: String = s"""e AS (
+      SELECT vec_id, embedding, $duckSplitVec AS split
       FROM embeddings),
     n2 AS (SELECT vec_id, embedding, split,
         list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -311,7 +313,13 @@ object Q70bSemanticDedupStore extends GraftQuery {
       JOIN n2 ea ON ea.vec_id = a.vec_id
       JOIN n2 eb ON eb.vec_id = b.vec_id),
     doms AS (SELECT vb, min(va) AS dom_id FROM pairs
-             WHERE cos >= $Tau GROUP BY vb)
+             WHERE cos >= $Tau GROUP BY vb)"""
+
+  /** ALL-PAIRS relational replay of the train→test decision (the
+    * store is an artifact; the semantics are pairs×threshold) —
+    * shared with s16. */
+  val oracle = Some(s"""
+    WITH $duckDeltaChain
     SELECT a.vec_id, a.cluster,
       CASE WHEN d.dom_id IS NULL THEN 'new' ELSE 'dup' END AS verdict,
       d.dom_id
@@ -367,6 +375,7 @@ object Q70cSemanticDedupTrained extends GraftQuery {
   def run(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     dedupWithCentroids(withN2(e), trainedCentroids(e), Tau)
+      .orderBy(col("vec_id"))
   }
 
   /** KMeans float iterations are not relationally replayable — the

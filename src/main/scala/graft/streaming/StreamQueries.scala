@@ -144,7 +144,8 @@ object StreamQueries {
     S9StreamStaticJoin, S10StreamStreamOuterJoin, S11StreamCuration,
     S12StreamDeltaDedup, S12bStreamDeltaDedupStore,
     S13StreamIncrementalStats, S14StreamImageDedupStore,
-    S15StreamBpeEncodeStore, S16StreamSemanticDedupStore)
+    S15StreamBpeEncodeStore, S16StreamSemanticDedupStore,
+    S17StreamMultimodalAdmission)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -921,4 +922,155 @@ object S16StreamSemanticDedupStore extends GraftQuery {
   }
 
   val oracle: Option[String] = Q70bSemanticDedupStore.oracle
+}
+
+/** S17 — STREAMING MULTIMODAL ADMISSION: q71's cross-modality
+  * decision at INGEST TIME, against the persisted stores — the
+  * capstone composition of the store column. Arriving documents (the
+  * test split) pass three gates per micro-batch: s11's text
+  * admission (PII-free, token floor — stateless map), the image
+  * delta-dedup against q25f's banded dHash store (the real PNG codec
+  * runs per batch; `verdictFrame` is the same function s14 streams),
+  * and the semantic delta-dedup against q70b's cluster store (the
+  * same `ingest` s16 streams, over the batch's embeddings). One
+  * admission row per document: admit ⇔ text_ok ∧ ¬image_dup ∧
+  * ¬sem_dup.
+  *
+  * Every gate is a pure function of (row, stores), so the stream is
+  * STATELESS (foreachBatch appends per-epoch admission frames — the
+  * s16 rationale, now across three gates at once), and every gate is
+  * the FACTORED production operator: this query contains no
+  * decision logic of its own, only the composition.
+  *
+  * The oracle replays all three decisions relationally over the
+  * test split (text gates + exhaustive train×test image Hamming +
+  * the q70b delta chain) — the full multimodal admission pipeline,
+  * codec path and store recall guarantees included, in one hash
+  * gate. */
+object S17StreamMultimodalAdmission extends GraftQuery {
+  import StreamQueries._
+  import graft.multimodal.{Multimodal, Q25cImageFeatures, Q25dImageNearDup, Q25fImageDedupStore}
+  import graft.queries.{Curation, NorthStar, Q40TrainTestSplit, Q42CorpusClean, Q70bSemanticDedupStore}
+  val name = "s17_stream_multimodal_admission"
+  private val s17Run = new AtomicInteger(0)
+
+  /** One micro-batch of raw document rows → admission verdicts
+    * against the two persisted stores. */
+  private[graft] def admitBatch(docs: DataFrame, imgStore: DataFrame,
+      cent: DataFrame, semStore: DataFrame, embs: DataFrame): DataFrame = {
+    val gates = docs.select(col("doc_id"),
+      ((size(regexp_extract_all(col("text"), lit(Curation.EmailPat), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(Curation.PhonePat), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(Curation.Ipv4Pat), lit(0)))) === 0 &&
+        size(expr(NorthStar.toksExpr)) >= Q42CorpusClean.MinTokens).as("text_ok"))
+    val feats = Q25cImageFeatures.extractImageFeatures(
+        Q25cImageFeatures.imageFrames(Multimodal.mediaFrame(docs)))
+      .toDF().select(col("media_id"), col("dhash"))
+    val imgDup = Q25fImageDedupStore.formatVerdicts(
+        Q25fImageDedupStore.verdictFrame(feats, imgStore))
+      .filter(col("verdict") === "dup")
+      .select(col("media_id").as("doc_id"), lit(true).as("image_dup"))
+    val semDup = Q70bSemanticDedupStore.ingest(
+        embs.join(docs.select(col("doc_id").as("vec_id")), "vec_id"),
+        cent, semStore)
+      .filter(col("verdict") === "dup")
+      .select(col("vec_id").as("doc_id"), lit(true).as("sem_dup"))
+    gates
+      .join(imgDup, Seq("doc_id"), "left")
+      .join(semDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text_ok"),
+        coalesce(col("image_dup"), lit(false)).as("image_dup"),
+        coalesce(col("sem_dup"), lit(false)).as("sem_dup"))
+      .withColumn("admit",
+        col("text_ok") && !col("image_dup") && !col("sem_dup"))
+  }
+
+  /** Drive a delta document stream to completion, appending one
+    * admission frame per non-empty micro-batch; returns epochs. */
+  private[graft] def maintain(spark: SparkSession, verdictsT: String,
+      imgStore: DataFrame, cent: DataFrame, semStore: DataFrame,
+      embs: DataFrame, docs: DataFrame): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = docs.writeStream
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          admitBatch(batch, imgStore, cent, semStore, embs)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .format("parquet").saveAsTable(verdictsT)
+          batches.incrementAndGet()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val imgStore = Q25fImageDedupStore.storeFrame(spark,
+      Q25fImageDedupStore.ensureStore(spark, dir))
+    val (centT, assignT) = Q70bSemanticDedupStore.ensureStore(spark, dir)
+    val (cent, semStore) = (spark.table(centT), spark.table(assignT))
+    val embs = graft.Tables.embeddings(spark, dir)
+    val runT = s"graft_s17_verdicts_${s17Run.incrementAndGet()}"
+    graft.plans.Stores.dropManaged(spark, runT)
+    admitBatch(spark.read.parquet(s"$dir/documents.parquet").limit(0),
+        imgStore, cent, semStore, embs)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(runT)
+    try {
+      maintain(spark, runT, imgStore, cent, semStore, embs,
+        docsStream(spark, dir)
+          .filter(Q40TrainTestSplit.splitCol === "test"))
+      spark.table(runT).orderBy(col("doc_id")).localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
+  }
+
+  private val duckSplitDoc =
+    "CASE WHEN instr('0123456789abcdef', " +
+      "substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 13 " +
+      "THEN 'train' ELSE 'test' END"
+
+  val oracle = Some(s"""
+    WITH del AS (
+      SELECT doc_id, text FROM documents
+      WHERE ($duckSplitDoc) = 'test'),
+    gate AS (
+      SELECT doc_id,
+        (CAST(length(regexp_extract_all(text, '${Curation.EmailPat}'))
+            + length(regexp_extract_all(text, '${Curation.PhonePat}'))
+            + length(regexp_extract_all(text, '${Curation.Ipv4Pat}')) AS BIGINT) = 0
+         AND CAST(len(${NorthStar.duckToks}) AS BIGINT) >= ${Q42CorpusClean.MinTokens})
+          AS text_ok
+      FROM del),
+    ${Q25cImageFeatures.duckChain},
+    isp AS (
+      SELECT media_id,
+        CASE WHEN instr('0123456789abcdef',
+               substr(md5(CAST(media_id AS VARCHAR)), 32, 1)) - 1 < 13
+             THEN 'train' ELSE 'test' END AS split
+      FROM m),
+    iham AS (
+      SELECT dx.media_id,
+        CAST(SUM(bit_count(xor(x.b, y.b))) AS BIGINT) AS hamming
+      FROM isp dx JOIN isp bx ON dx.split = 'test' AND bx.split = 'train'
+      JOIN by_row x ON x.media_id = dx.media_id
+      JOIN by_row y ON y.media_id = bx.media_id AND y.gy = x.gy
+      GROUP BY dx.media_id, bx.media_id),
+    idup AS (SELECT DISTINCT media_id AS doc_id FROM iham
+             WHERE hamming <= ${Q25dImageNearDup.MaxHamming}),
+    ${Q70bSemanticDedupStore.duckDeltaChain},
+    sdup AS (SELECT vb AS doc_id FROM doms)
+    SELECT dl.doc_id, ga.text_ok,
+      (i.doc_id IS NOT NULL) AS image_dup,
+      (sd.doc_id IS NOT NULL) AS sem_dup,
+      (ga.text_ok AND i.doc_id IS NULL AND sd.doc_id IS NULL) AS admit
+    FROM del dl
+    JOIN gate ga ON ga.doc_id = dl.doc_id
+    LEFT JOIN idup i ON i.doc_id = dl.doc_id
+    LEFT JOIN sdup sd ON sd.doc_id = dl.doc_id
+    ORDER BY dl.doc_id
+  """.trim)
 }

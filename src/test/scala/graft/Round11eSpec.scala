@@ -349,6 +349,52 @@ class Round11eSpec extends SparkSpec {
     }
   }
 
+  test("s17: multi-epoch streamed admission equals a one-shot batch pass over the full delta") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.{Q40TrainTestSplit, Q70bSemanticDedupStore}
+    import graft.multimodal.Q25fImageDedupStore
+    import graft.streaming.S17StreamMultimodalAdmission
+    val dir = java.nio.file.Files.createTempDirectory("s17spec")
+    try {
+      val delta = Tables.documents(spark, sf01)
+        .filter(Q40TrainTestSplit.splitCol === "test")
+      delta.repartition(3).write.parquet(s"$dir/delta")
+      val sch = spark.read.parquet(s"$dir/delta").schema
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/delta/*.parquet")
+      val imgStore = Q25fImageDedupStore.storeFrame(spark,
+        Q25fImageDedupStore.ensureStore(spark, sf01))
+      val (centT, assignT) = Q70bSemanticDedupStore.ensureStore(spark, sf01)
+      val embs = Tables.embeddings(spark, sf01)
+      val runT = "graft_s17spec_verdicts"
+      graft.plans.Stores.dropManaged(spark, runT)
+      S17StreamMultimodalAdmission.admitBatch(delta.limit(0), imgStore,
+          spark.table(centT), spark.table(assignT), embs)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(runT)
+      try {
+        val epochs = S17StreamMultimodalAdmission.maintain(spark, runT,
+          imgStore, spark.table(centT), spark.table(assignT), embs, stream)
+        assert(epochs >= 3, s"file-per-trigger must yield >=3 epochs, got $epochs")
+        val got = spark.table(runT).orderBy(col("doc_id"))
+          .collect().map(_.toString).toSeq
+        val expect = S17StreamMultimodalAdmission.admitBatch(delta, imgStore,
+            spark.table(centT), spark.table(assignT), embs)
+          .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+        assert(got == expect, "streamed admissions must equal the one-shot pass")
+        val rows = spark.table(runT).collect()
+        assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
+          "fixture must admit some and reject some")
+        assert(rows.exists(_.getBoolean(3)), "semantic gate must fire at sf0.01")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      val paths = try s.iterator().asScala.toVector finally s.close()
+      paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("s15: multi-epoch file-per-trigger ingest equals the one-shot batch encode") {
     import graft.queries.{Q64bBpeEncode, Q64eBpeEncodeStore}
     import graft.streaming.S15StreamBpeEncodeStore
