@@ -79,4 +79,30 @@ class PropertySpec extends SparkSpec {
       assert(viaAgg == expect && merged == expect)
     }
   }
+
+  test("graft_dot == in-memory left fold on random float vectors (incl. empty)") {
+    // The native expression's contract: ascending-index
+    // left-associative double accumulation — raw-bits equality
+    // against a driver-side loop over the same floats, across random
+    // lengths 0..80 and magnitudes spanning denormal-adjacent to 1e6.
+    val fGen: Gen[Float] = Gen.oneOf(
+      Gen.chooseNum(-1e6f, 1e6f),
+      Gen.chooseNum(-1e-6f, 1e-6f),
+      Gen.oneOf(0.0f, -0.0f, 1.0f, -1.0f, 3.4e38f, -3.4e38f))
+    val pairGen: Gen[(List[Float], List[Float])] =
+      Gen.chooseNum(0, 80).flatMap(n =>
+        for { a <- Gen.listOfN(n, fGen); b <- Gen.listOfN(n, fGen) } yield (a, b))
+    val ps = samples(pairGen, 60).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+    val got = ps.toDF("id", "a", "b")
+      .selectExpr("id", "graft_dot(a, b) AS dot")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ps.foreach { case (id, a, b) =>
+      var sum = 0.0; var i = 0
+      while (i < a.length) { sum += a(i).toDouble * b(i).toDouble; i += 1 }
+      assert(java.lang.Double.doubleToRawLongBits(got(id)) ==
+        java.lang.Double.doubleToRawLongBits(sum),
+        s"pair $id (len ${a.length}): native ${got(id)} != fold $sum")
+    }
+  }
 }

@@ -174,6 +174,44 @@ class SqlFrontDoorSpec extends SparkSpec {
     spark.catalog.dropTempView("image_hashes")
   }
 
+
+  test("q70 semantic dedup runs as SQL text through the native graft_dot") {
+    // The WHOLE operator — norms, centroid seed, cosine argmax
+    // assignment, within-cluster prune — as one SQL string, with the
+    // injected native expression doing every dot product. The window
+    // argmax (rn = 1, cos DESC, cid) must pick the same winner as the
+    // DataFrame twin's max(struct(cos, -cid)): the doubles are
+    // bit-equal (same graft_dot), so the orders agree.
+    Engine.registerTables(spark, sf)
+    import graft.queries.Q70SemanticDedup.{K, Tau}
+    val sql = spark.sql(s"""
+      WITH n2 AS (SELECT vec_id, embedding,
+          graft_dot(embedding, embedding) AS n2 FROM embeddings),
+      cent AS (SELECT vec_id AS cid, embedding AS ce, n2 AS cn2
+               FROM n2 ORDER BY vec_id LIMIT $K),
+      scored AS (SELECT v.vec_id, c.cid,
+          graft_dot(v.embedding, c.ce) / (sqrt(v.n2) * sqrt(c.cn2)) AS cos
+        FROM n2 v CROSS JOIN cent c),
+      assign AS (SELECT vec_id, cluster FROM (
+          SELECT vec_id, cid AS cluster,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+          FROM scored) WHERE rn = 1),
+      av AS (SELECT a.cluster, a.vec_id, n.embedding, n.n2
+             FROM assign a JOIN n2 n ON n.vec_id = a.vec_id),
+      doms AS (SELECT b.vec_id AS vb, min(a.vec_id) AS dom_id
+               FROM av a JOIN av b
+                 ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+               WHERE graft_dot(a.embedding, b.embedding)
+                       / (sqrt(a.n2) * sqrt(b.n2)) >= $Tau
+               GROUP BY b.vec_id)
+      SELECT a.vec_id, a.cluster,
+        CASE WHEN d.dom_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+        d.dom_id
+      FROM assign a LEFT JOIN doms d ON d.vb = a.vec_id
+      ORDER BY a.vec_id""")
+    assert(rows(sql) == rows(queries.Q70SemanticDedup.run(spark, sf)))
+  }
+
   test("q64b dictionary encode join runs as SQL text over a registered vocab view") {
     // Same split: the learn loop stays an engine operator; the
     // corpus-scale ENCODE (tokenize → normalize → dictionary join →
