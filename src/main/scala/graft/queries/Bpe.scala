@@ -45,14 +45,19 @@ import graft.Tables
 object Bpe {
   val all: Seq[GraftQuery] =
     Seq(Q64BpeMerges, Q64bBpeEncode, Q64cBpeMergesLocal, Q64dBpeEncodeLocal,
-      Q64eBpeEncodeStore)
+      Q64eBpeEncodeStore, Q64fVocabDrift)
 
   /** The ONE corpus-scale step of BPE learning: token/normalize (q1's
     * definition) and the word-frequency reduction. Everything after
     * this frame is vocabulary-sized. Shared by the Spark-iterative
     * learner (q64) and the driver-local learner (q64c). */
   private[graft] def wordFreq(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    wordFreqOf(Tables.documents(spark, dir))
+
+  /** Same reduction over an arbitrary documents frame (q64f trains
+    * on the train split only). */
+  private[graft] def wordFreqOf(docs: DataFrame): DataFrame =
+    docs
       .select(explode(expr(NorthStar.toksExpr)).as("tok"))
       .select(lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
       .filter(length(col("word")) > 0)
@@ -160,10 +165,14 @@ object Q64BpeMerges extends GraftQuery {
     * LEFT JOIN ON TRUE in each iteration makes exhaustion (empty
     * argmax) carry s_{k-1} through unchanged, mirroring the Spark
     * loop's early exit. */
-  private[queries] def duckChain: String =
+  private[queries] def duckChain: String = duckChainOver("TRUE")
+
+  /** Same chain with the source documents filtered — q64f learns on
+    * the train split only. */
+  private[queries] def duckChainOver(where: String): String =
     s"""words AS (SELECT word, count(*) AS cnt FROM
         (SELECT lower(regexp_replace(unnest(string_split_regex(text, '\\s+')), '[^a-zA-Z]', '', 'g')) AS word
-         FROM documents)
+         FROM documents WHERE $where)
       WHERE length(word) > 0 GROUP BY word),
     s0 AS (SELECT word AS wid, cnt,
         unnest(generate_series(1, length(word))) AS pos,
@@ -482,4 +491,118 @@ object Q64eBpeEncodeStore extends GraftQuery {
   }
 
   val oracle: Option[String] = Q64bBpeEncode.oracle
+}
+
+/** Q64f — VOCABULARY DRIFT / retrain trigger: the operational query
+  * that decides when a persisted tokenizer (q64e's store) should be
+  * retrained, closing the loop the store lifecycle leaves open (a
+  * fingerprint flip rebuilds on ANY corpus change; a production
+  * pipeline retrains on MEANINGFUL drift). Two signals per language,
+  * both measured against the vocabulary learned from the INDEXED
+  * corpus (the train split) and applied to the arriving delta (the
+  * test split):
+  *
+  *  - `oov_rate` — fraction of delta words absent from the trained
+  *    vocabulary. The loud signal at deploy (new domains, new
+  *    languages); the fixture's splits share one vocabulary, so it
+  *    reads 0 here and the oracle checks exactly that.
+  *  - `rel_drift` — relative change of tokenizer fertility on the
+  *    delta's in-vocabulary words vs the train split's own fertility:
+  *    the word MIX shifting under a fixed segmentation (s15's
+  *    fertility trend, reduced to a decision). Live on the fixture
+  *    (0.002–0.02 across languages), so the threshold splits the
+  *    verdicts and the retrain flag is a real, hash-checked decision.
+  *
+  * Determinism: fertilities are single IEEE divisions of exact
+  * BIGINTs; rel_drift is abs/div over those bit-equal doubles;
+  * retrain compares them to literal thresholds — all engine-exact.
+  *
+  * 100 TB posture: one tokenize pass per side (train side priced once
+  * per snapshot in production — it IS q64e's stored fertility),
+  * broadcast dictionary join, per-language aggregation. The learn
+  * step is q64c's driver-local tier over the train-split vocabulary. */
+object Q64fVocabDrift extends GraftQuery {
+  val name = "q64f_vocab_drift"
+  /** Relative fertility-drift retrain trigger (fixture-calibrated so
+    * both verdicts occur; a deployment tunes it like q25d's bandBits). */
+  val DriftThreshold = 0.01
+  /** OOV-rate retrain trigger. */
+  val OovThreshold = 0.01
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(Q40TrainTestSplit.splitCol === "train")
+    val test = docs.filter(Q40TrainTestSplit.splitCol === "test")
+    val freq = Bpe.wordFreqOf(train).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ntok = Q64cBpeMergesLocal.learnInMemory(freq, Q64BpeMerges.Merges)._2
+    val dict = broadcast(ntok.toSeq.map { case (w, n) => (w, n.toLong) }
+      .toDF("word", "ntok"))
+    def words(d: DataFrame) = d
+      .select(col("lang"), explode(expr(NorthStar.toksExpr)).as("tok"))
+      .select(col("lang"),
+        lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
+      .filter(length(col("word")) > 0)
+    // Train side: the dictionary was learned from these words, so the
+    // inner join is lossless and count(*) is the full word count.
+    val trainStats = words(train).join(dict, "word")
+      .groupBy(col("lang"))
+      .agg((sum(col("ntok")).cast("double") / count(lit(1)))
+        .as("train_fertility"))
+    val deltaStats = words(test).join(dict, Seq("word"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("delta_words"),
+        sum(when(col("ntok").isNull, 1L).otherwise(0L)).as("oov_words"),
+        sum(coalesce(col("ntok"), lit(0L))).as("invocab_ntok"),
+        sum(when(col("ntok").isNull, 0L).otherwise(1L)).as("invocab_words"))
+    trainStats.join(deltaStats, "lang")
+      .select(col("lang"), col("train_fertility"),
+        (col("invocab_ntok").cast("double") / col("invocab_words"))
+          .as("delta_fertility"),
+        (col("oov_words").cast("double") / col("delta_words")).as("oov_rate"),
+        col("delta_words"), col("oov_words"))
+      .withColumn("rel_drift",
+        abs(col("delta_fertility") - col("train_fertility"))
+          / col("train_fertility"))
+      .withColumn("retrain",
+        col("oov_rate") > OovThreshold || col("rel_drift") > DriftThreshold)
+      .orderBy(col("lang"))
+  }
+
+  val oracle = Some {
+    val sK = s"s${Q64BpeMerges.Merges}"
+    s"""
+    WITH ${Q64BpeMerges.duckChainOver(s"(${Q40TrainTestSplit.duckSplit}) = 'train'")},
+    dict AS (SELECT wid AS word, CAST(count(*) AS BIGINT) AS ntok
+             FROM $sK GROUP BY wid),
+    d AS (SELECT lang, text, ${Q40TrainTestSplit.duckSplit} AS split
+          FROM documents),
+    w AS (SELECT lang, split,
+        lower(regexp_replace(unnest(string_split_regex(text, '\\s+')), '[^a-zA-Z]', '', 'g')) AS word
+      FROM d),
+    ww AS (SELECT * FROM w WHERE length(word) > 0),
+    tr AS (SELECT lang,
+        CAST(SUM(ntok) AS DOUBLE) / count(*) AS train_fertility
+      FROM ww JOIN dict USING (word) WHERE split = 'train' GROUP BY lang),
+    de AS (SELECT lang,
+        CAST(count(*) AS BIGINT) AS delta_words,
+        CAST(SUM(CASE WHEN dict.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_words,
+        CAST(SUM(CASE WHEN dict.word IS NULL THEN 0 ELSE ntok END) AS BIGINT) AS invocab_ntok,
+        CAST(SUM(CASE WHEN dict.word IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS invocab_words
+      FROM ww LEFT JOIN dict ON dict.word = ww.word
+      WHERE split = 'test' GROUP BY lang)
+    SELECT tr.lang, tr.train_fertility,
+      CAST(invocab_ntok AS DOUBLE) / invocab_words AS delta_fertility,
+      CAST(oov_words AS DOUBLE) / delta_words AS oov_rate,
+      delta_words, oov_words,
+      abs((CAST(invocab_ntok AS DOUBLE) / invocab_words) - tr.train_fertility)
+        / tr.train_fertility AS rel_drift,
+      (CAST(oov_words AS DOUBLE) / delta_words > $OovThreshold
+        OR abs((CAST(invocab_ntok AS DOUBLE) / invocab_words) - tr.train_fertility)
+             / tr.train_fertility > $DriftThreshold) AS retrain
+    FROM tr JOIN de ON de.lang = tr.lang
+    ORDER BY tr.lang
+    """.trim
+  }
 }

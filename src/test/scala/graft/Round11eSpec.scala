@@ -349,6 +349,41 @@ class Round11eSpec extends SparkSpec {
     }
   }
 
+  test("q64f: an unseen delta word raises oov_rate and forces retrain") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def split(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if ("0123456789abcdef".indexOf(h(31)) < 13) "train" else "test"
+    }
+    val trainIds = LazyList.from(0).map(_.toLong).filter(split(_) == "train").take(6).toList
+    val testId = LazyList.from(0).map(_.toLong).filter(split(_) == "test").head
+    val trainText = "alpha beta gamma delta alpha beta " * 4
+    val testText = "alpha beta zzzzunseen gamma"
+    val docs = (trainIds.map(id => (id, trainText.trim, "en", "src0")) :+
+      ((testId, testText, "en", "src0")))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("q64fspec")
+    try {
+      docs.write.parquet(s"$dir/documents.parquet")
+      val out = graft.queries.Q64fVocabDrift.run(spark, dir.toString)
+        .filter(col("lang") === "en").head()
+      val oov = out.getLong(out.fieldIndex("oov_words"))
+      val rate = out.getDouble(out.fieldIndex("oov_rate"))
+      val retrain = out.getBoolean(out.fieldIndex("retrain"))
+      assert(oov == 1L, s"exactly the unseen word is OOV, got $oov")
+      assert(rate == 0.25, s"1 of 4 delta words, got $rate")
+      assert(retrain, "an OOV spike must force retrain")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      val paths = try s.iterator().asScala.toVector finally s.close()
+      paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("s17: multi-epoch streamed admission equals a one-shot batch pass over the full delta") {
     import org.apache.spark.sql.functions.col
     import graft.queries.{Q40TrainTestSplit, Q70bSemanticDedupStore}
