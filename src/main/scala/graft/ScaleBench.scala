@@ -256,14 +256,21 @@ object ScaleBench {
       // prices the 256×-tighter buckets against q25d's 8-bit default
       // (same verify, same surfaced frame shape) — the candidate-
       // density lever for large image corpora.
+      // Since the round-11 continuation this is the ADAPTIVE top-k
+      // surface (topPairs): the hamming-0 profile routes corpora
+      // with ≥ k reachable exact-dup pairs (the 100× corpus's ~13k
+      // hash groups qualify) to the bounded slice + within-join
+      // plan, and provably-thin corpora (sf0.1/10×: distinct
+      // hashes) to plain enumeration, whose duplication term the
+      // same profile bounds at k·N. DiagBands carries the crafted
+      // crossover table (enum dies by disk at 1600-member groups;
+      // bounded flat at 1.3–5.2 s across all severities).
       val wide = t1 {
         import graft.multimodal.{Q25cImageFeatures, Q25dImageNearDup}
-        Q25dImageNearDup.verifiedCandidates(
+        Q25dImageNearDup.topPairs(
             Q25cImageFeatures.extractImageFeatures(
               Q25cImageFeatures.imageTable(spark, dir)).toDF()
               .select(col("media_id"), col("dhash")), bandBits = 16)
-          .orderBy(col("hamming"), col("id_a"), col("id_b"))
-          .limit(Q25dImageNearDup.TopPairs)
           .write.format("noop").mode("overwrite").save()
       }
       // Image-store lifecycle (q25f): build pays the train-split

@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -528,12 +529,121 @@ object Q25dImageNearDup extends GraftQuery {
     verifiedCandidates(feats, bandBitsFor(MaxHamming))
       .filter(col("hamming") <= MaxHamming)
 
+  /** The k CLOSEST verified pairs — [[verifiedCandidates]]' top-k
+    * surface WITHOUT enumerating the pair space. The retired-17.2 s
+    * correction (BASELINE third decade) showed any pair-enumerating
+    * plan pays Σg² over exact-dup hash groups regardless of band
+    * width; this construction is distinct-hash-sized everywhere and
+    * still provably exact for the top-k:
+    *
+    * BOUND (the slice rule): a pair can sit in the global top-k only
+    * if EACH endpoint is among the k+1 smallest ids of its own hash
+    * group — if endpoint e has ≥ k+1 smaller same-group members m,
+    * each (m, other-endpoint) is a distinct pair with the same
+    * hamming (hamming is hash-determined) and a smaller id_a, so ≥
+    * k+1 pairs precede it in (hamming, id_a, id_b) order. Hence:
+    *  - within-group (hamming 0) candidates: pairs among each
+    *    group's k+1 smallest members — ≤ C(k+1, 2) per group;
+    *  - cross-group candidates: the banded join runs over DISTINCT
+    *    hashes (one row per group — the q25f collapse), and each
+    *    verified hash pair expands to member pairs of the two
+    *    (k+1)-slices — ≤ (k+1)² per hash pair, orientation by id.
+    * A global TakeOrderedAndProject finishes. Recall is inherited
+    * from the banding (identical hashes share every band; distinct
+    * hashes keep the pigeonhole guarantee on the rep join).
+    *
+    * HAMMING-0 SHORT-CIRCUIT: every same-hash pair (hamming 0)
+    * precedes every cross-hash pair (hamming ≥ 1) in the output
+    * order, so if the slices alone supply ≥ k within pairs — a
+    * scalar known from the same multiplicity profile the slicing
+    * needs, Σ C(min(g, k+1), 2) — the top-k is entirely within-group
+    * and the rep enumeration + expansion joins are provably dead
+    * weight. This is not a corner case but the COMMON dispatched
+    * case: one group over k+1 members already supplies C(k+1,2) ≥ k
+    * pairs, so whenever [[topPairs]] routes here the cross branch is
+    * skipped. The full construction only runs for corpora whose
+    * duplication is too thin to fill the top-k with exact dups —
+    * where its expansion terms are small by the same thinness. */
+  /** Exact count of same-hash pairs REACHABLE through the k+1
+    * slices: Σ over hash groups of C(min(g, k+1), 2) — one
+    * map-side-combined agg, one scalar. ≥ k means the global top-k
+    * is entirely hamming-0 ([[closestPairs]] short-circuits); < k
+    * PROVES every group has < k+1 members (a single (k+1)-group
+    * already supplies C(k+1,2) ≥ k pairs), so enumeration's Σg²
+    * duplication term is bounded by k·N — linear, safe. That scalar
+    * is therefore a complete dispatch rule, not a tuned constant. */
+  private def slicedWithinPairs(feats: DataFrame, k: Int): Long =
+    feats.groupBy(col("dhash")).count()
+      .agg(coalesce(sum(expr(
+        s"least(count, ${k + 1}) * (least(count, ${k + 1}) - 1) div 2")),
+        lit(0L))).head().getLong(0)
+
+  private[graft] def closestPairs(feats: DataFrame, bandBits: Int = 8,
+      k: Int = TopPairs, knownWithin: Option[Long] = None): DataFrame = {
+    val withinCount = knownWithin.getOrElse(slicedWithinPairs(feats, k))
+    val w = Window.partitionBy(col("dhash")).orderBy(col("media_id"))
+    val sliced = feats
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k + 1)
+      .select(col("media_id"), col("dhash"))
+      .localCheckpoint() // feeds the within pairs + both expansion sides
+    val within = sliced.as("x")
+      .join(sliced.as("y"), Seq("dhash"))
+      .filter(col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        lit(0L).as("hamming"))
+    if (withinCount >= k)
+      within.orderBy(col("id_a"), col("id_b")).limit(k)
+    else {
+      val reps = sliced.groupBy(col("dhash"))
+        .agg(min(col("media_id")).as("media_id"))
+        .select(col("media_id"), col("dhash"))
+      val hashPairs = verifiedCandidates(reps, bandBits)
+        .join(reps.select(col("media_id").as("id_a"), col("dhash").as("ha")), "id_a")
+        .join(reps.select(col("media_id").as("id_b"), col("dhash").as("hb")), "id_b")
+        .select(col("ha"), col("hb"), col("hamming"))
+      val cross = hashPairs
+        .join(sliced.select(col("dhash").as("ha"), col("media_id").as("ma")), "ha")
+        .join(sliced.select(col("dhash").as("hb"), col("media_id").as("mb")), "hb")
+        .select(least(col("ma"), col("mb")).as("id_a"),
+          greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
+      within.unionByName(cross)
+        .orderBy(col("hamming"), col("id_a"), col("id_b"))
+        .limit(k)
+    }
+  }
+
+  /** The production top-k near-dup surface: ONE cheap multiplicity
+    * profile ([[slicedWithinPairs]] — map-side-combined count per
+    * hash, one scalar to the driver) makes the dispatch PROOF-driven
+    * rather than threshold-tuned:
+    *  - ≥ k reachable hamming-0 pairs → [[closestPairs]], which
+    *    short-circuits to the slice + within-join plan (the top-k is
+    *    entirely exact-dup pairs; enumeration here pays Σg² over
+    *    dup groups — measured 37 GB of shuffle spill and a dead
+    *    disk at crafted 1600-member groups, DiagBands);
+    *  - < k → every group has < k+1 members, so enumeration's
+    *    duplication term is ≤ k·N (linear, safe) while the bounded
+    *    construction's window + expansion joins are pure overhead
+    *    (measured 39.4 s vs 7.8 s join-only at 100× on this corpus's
+    *    thin clusters).
+    * Both arms are provably the same k rows (Round11eSpec pins both
+    * against brute force), so the dispatch is invisible to the
+    * oracle. */
+  private[graft] def topPairs(feats: DataFrame, bandBits: Int = 8,
+      k: Int = TopPairs): DataFrame = {
+    val pinned = feats.localCheckpoint()
+    if (slicedWithinPairs(pinned, k) >= k)
+      closestPairs(pinned, bandBits, k)
+    else
+      verifiedCandidates(pinned, bandBits)
+        .orderBy(col("hamming"), col("id_a"), col("id_b"))
+        .limit(k)
+  }
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     val feats = extractImageFeatures(imageTable(spark, dir)).toDF()
       .select(col("media_id"), col("dhash"))
-    verifiedCandidates(feats)
-      .orderBy(col("hamming"), col("id_a"), col("id_b"))
-      .limit(TopPairs)
+    topPairs(feats)
   }
 
   /** Same banding + Hamming verify over the oracle-side hash bytes:
@@ -868,9 +978,7 @@ object Q25gAudioNearDup extends GraftQuery {
       .filter(col("meta.format") === "wav").as[MediaRow]
     val feats = extractFingerprints(wav).toDF()
       .select(col("media_id"), col("ahash").as("dhash"))
-    Q25dImageNearDup.verifiedCandidates(feats)
-      .orderBy(col("hamming"), col("id_a"), col("id_b"))
-      .limit(TopPairs)
+    Q25dImageNearDup.topPairs(feats, k = TopPairs)
   }
 
   /** Per-character replay: segment index is exact integer math over

@@ -349,6 +349,65 @@ class Round11eSpec extends SparkSpec {
     }
   }
 
+  test("closestPairs == brute-force pair enumeration on a hash-clustered corpus") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.multimodal.Q25dImageNearDup
+    // Three exact-dup groups of 40 (ids interleaved across groups, so
+    // the per-group (k+1)-slices are NOT id prefixes of the corpus),
+    // two of them 1 bit apart (share 7 of 8 bands), the third
+    // band-disjoint — the shape whose pair space (3×780 within +
+    // 1600 cross) the bounded construction must top-k exactly.
+    val h0 = "0000000000000000"
+    val h1 = "0000000000000001"
+    val hf = "ffffffffffffffff"
+    val rows = (0 until 120).map(i =>
+      (i.toLong, Seq(h0, h1, hf)(i % 3)))
+    val df = rows.toDF("media_id", "dhash")
+    Seq(25, 5, 1).foreach { k =>
+      val brute = Q25dImageNearDup.verifiedCandidates(df)
+        .orderBy(col("hamming"), col("id_a"), col("id_b")).limit(k)
+        .collect().map(_.toString).toSeq
+      val fast = Q25dImageNearDup.closestPairs(df, k = k)
+        .collect().map(_.toString).toSeq
+      assert(fast == brute, s"k=$k: bounded surface diverges\n$fast\n$brute")
+      // The adaptive surface: this clustered corpus always carries
+      // ≥ k reachable hamming-0 pairs, so every k routes to the
+      // bounded arm (the thin corpus below exercises the other arm).
+      val adaptive = Q25dImageNearDup.topPairs(df, k = k)
+        .collect().map(_.toString).toSeq
+      assert(adaptive == brute, s"k=$k: adaptive dispatch diverges")
+    }
+    // Sanity on the shape itself: hamming-0 pairs exist and dominate
+    // the head; the band-disjoint group never pairs with the others.
+    val top = Q25dImageNearDup.closestPairs(df, k = 25).collect()
+    assert(top.forall(_.getLong(2) == 0L), "head must be the exact-dup pairs")
+
+    // THIN duplication (within pairs < k): the hamming-0 short-circuit
+    // must NOT fire, and the full rep-enumeration + slice-expansion
+    // branch must still equal brute force — two 2-member groups one
+    // bit apart (4 cross member-pairs at hamming 1, 2 within pairs)
+    // plus band-decorrelated singletons.
+    val thin = (Seq(
+      (0L, h0), (1L, h0), (2L, h1), (3L, h1)) ++
+      (4L until 12L).map(i => (i, f"${DiagBands.mix(i * 7 + 3)}%016x")))
+      .toDF("media_id", "dhash")
+    val bruteThin = Q25dImageNearDup.verifiedCandidates(thin)
+      .orderBy(col("hamming"), col("id_a"), col("id_b")).limit(25)
+      .collect().map(_.toString).toSeq
+    val fastThin = Q25dImageNearDup.closestPairs(thin, k = 25)
+      .collect().map(_.toString).toSeq
+    assert(fastThin == bruteThin, "thin-duplication full branch diverges")
+    // And topPairs' profile routes this corpus (2 reachable hamming-0
+    // pairs < k) to the enumeration arm — same rows again.
+    val thinAdaptive = Q25dImageNearDup.topPairs(thin, k = 25)
+      .collect().map(_.toString).toSeq
+    assert(thinAdaptive == bruteThin, "thin-corpus enumeration arm diverges")
+    assert(bruteThin.take(6) == Seq("[0,1,0]", "[2,3,0]",
+      "[0,2,1]", "[0,3,1]", "[1,2,1]", "[1,3,1]"),
+      s"fixture must carry both within and cross pairs: $bruteThin")
+  }
+
   test("q64f: an unseen delta word raises oov_rate and forces retrain") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
