@@ -529,6 +529,20 @@ object Q25dImageNearDup extends GraftQuery {
     verifiedCandidates(feats, bandBitsFor(MaxHamming))
       .filter(col("hamming") <= MaxHamming)
 
+  /** Exact count of same-hash pairs REACHABLE through the k+1
+    * slices: Σ over hash groups of C(min(g, k+1), 2) — one
+    * map-side-combined agg, one scalar. ≥ k means the global top-k
+    * is entirely hamming-0 ([[closestPairs]] short-circuits); < k
+    * PROVES every group has < k+1 members (a single (k+1)-group
+    * already supplies C(k+1,2) ≥ k pairs), so enumeration's Σg²
+    * duplication term is bounded by k·N — linear, safe. That scalar
+    * is therefore a complete dispatch rule, not a tuned constant. */
+  private def slicedWithinPairs(feats: DataFrame, k: Int): Long =
+    feats.groupBy(col("dhash")).count()
+      .agg(coalesce(sum(expr(
+        s"least(count, ${k + 1}) * (least(count, ${k + 1}) - 1) div 2")),
+        lit(0L))).head().getLong(0)
+
   /** The k CLOSEST verified pairs — [[verifiedCandidates]]' top-k
     * surface WITHOUT enumerating the pair space. The retired-17.2 s
     * correction (BASELINE third decade) showed any pair-enumerating
@@ -564,20 +578,6 @@ object Q25dImageNearDup extends GraftQuery {
     * skipped. The full construction only runs for corpora whose
     * duplication is too thin to fill the top-k with exact dups —
     * where its expansion terms are small by the same thinness. */
-  /** Exact count of same-hash pairs REACHABLE through the k+1
-    * slices: Σ over hash groups of C(min(g, k+1), 2) — one
-    * map-side-combined agg, one scalar. ≥ k means the global top-k
-    * is entirely hamming-0 ([[closestPairs]] short-circuits); < k
-    * PROVES every group has < k+1 members (a single (k+1)-group
-    * already supplies C(k+1,2) ≥ k pairs), so enumeration's Σg²
-    * duplication term is bounded by k·N — linear, safe. That scalar
-    * is therefore a complete dispatch rule, not a tuned constant. */
-  private def slicedWithinPairs(feats: DataFrame, k: Int): Long =
-    feats.groupBy(col("dhash")).count()
-      .agg(coalesce(sum(expr(
-        s"least(count, ${k + 1}) * (least(count, ${k + 1}) - 1) div 2")),
-        lit(0L))).head().getLong(0)
-
   private[graft] def closestPairs(feats: DataFrame, bandBits: Int = 8,
       k: Int = TopPairs, knownWithin: Option[Long] = None): DataFrame = {
     val withinCount = knownWithin.getOrElse(slicedWithinPairs(feats, k))
