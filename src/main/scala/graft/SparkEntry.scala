@@ -19,7 +19,8 @@ object SparkEntry {
       graft.multimodal.Q25dImageNearDup,
       graft.multimodal.Q25eVideoScenes,
       graft.multimodal.Q25fImageDedupStore,
-      graft.multimodal.Q25gAudioNearDup) ++
+      graft.multimodal.Q25gAudioNearDup,
+      graft.multimodal.Q25hAudioDedupStore) ++
     graft.streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,210 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{GraftQuery, Q40TrainTestSplit}
+
+/** Generic persisted BANDED-HASH dedup store — the q57b/s12b store
+  * lifecycle over ANY 64-bit perceptual-hash family, factored out of
+  * the image store (q25f) so the audio tier (q25h) is an
+  * instantiation, not a near-copy. Everything modality-specific —
+  * how a (media_id, dhash) feature frame is produced, and the oracle
+  * that replays it — stays with the instantiating operator; the
+  * store machinery (banding geometry from the Hamming threshold,
+  * lossless exact-dup collapse, bucketed build, delta-sized admit,
+  * banded verdict join, audit formatting) is hash-family-agnostic
+  * because every step consumes only the 16-hex fingerprint.
+  *
+  * 100 TB posture (inherited by every instantiation): the store
+  * holds `64/bandBits` short rows per DISTINCT corpus hash (never
+  * media bytes); a delta ingest fingerprints only itself and joins
+  * pre-bucketed parquet with no store-side exchange; the stateful
+  * verdict side is one struct row per delta item. */
+private[graft] final class BandedHashStore(
+    val prefix: String, val maxHamming: Int) {
+  import Q25dImageNearDup.{bandBitsFor, hammingExpr}
+
+  /** Policy-picked band geometry for the ≤ [[maxHamming]] threshold. */
+  private val bandBits = bandBitsFor(maxHamming)
+  private val nBands = 64 / bandBits
+  private val hexPerBand = bandBits / 4
+
+  /** One row per (band, key) bucket of each hash; the band index is
+    * part of the key so band 0's byte can never collide with band
+    * 1's. */
+  private[graft] def bandRows(feats: DataFrame): DataFrame =
+    feats.select(col("media_id"), col("dhash"),
+      explode(expr(s"transform(sequence(0, ${nBands - 1}), " +
+        s"b -> concat(cast(b as string), ':', " +
+        s"substring(dhash, b * $hexPerBand + 1, $hexPerBand)))")).as("bkey"))
+
+  /** EXACT-DUP COLLAPSE before the near-dup join: Hamming distance
+    * is a function of the HASH alone and the best-base rule is
+    * min(hamming, base_id), so a group sharing one hash is losslessly
+    * one row carrying the group's min id — the structural answer to
+    * exact re-uploads, measured 3.2× on the image store's 100× serve
+    * (BASELINE third decade). */
+  private[graft] def collapse(feats: DataFrame): DataFrame =
+    feats.groupBy(col("dhash"))
+      .agg(min(col("media_id")).as("media_id"))
+      .select(col("media_id"), col("dhash"))
+
+  /** Build (or bind) the fingerprinted band store for this corpus
+    * snapshot; `corpus` is evaluated only on a cold build. Naming,
+    * staleness eviction, cross-process locking live in
+    * [[graft.plans.Stores]]. */
+  private[graft] def ensureStore(spark: SparkSession, dir: String)(
+      corpus: => DataFrame): String = {
+    val names = graft.plans.Stores.ensure(
+        spark, prefix, dir, Seq("bands"),
+        buckets = Map("bands" -> (("bkey", 16)))) { case Seq(bandsT) =>
+      graft.plans.Bucketing.writeBucketed(
+        bandRows(collapse(corpus)), bandsT, "bkey", 16)
+    }
+    names.head
+  }
+
+  /** The store read frame: (bkey, base_id, base_dhash). */
+  private[graft] def storeFrame(spark: SparkSession, bandsT: String): DataFrame =
+    spark.table(bandsT).select(col("bkey"),
+      col("media_id").as("base_id"), col("dhash").as("base_dhash"))
+
+  /** The COMMIT step of an ingest: append the admitted ("new") items'
+    * band rows so the NEXT delta dedups against them too — two
+    * arriving shards that duplicate each other (but nothing in the
+    * base corpus) must not both be admitted. Delta-sized; routed
+    * through the SAME bucket spec the store was created with, so the
+    * zero-exchange join posture survives the append;
+    * `Bucketing.compact` bounds file growth. */
+  private[graft] def admit(feats: DataFrame, bandsT: String): Unit =
+    bandRows(collapse(feats))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .bucketBy(16, "bkey").sortBy("bkey").saveAsTable(bandsT)
+
+  /** Banded candidates + exact-Hamming verify + best-base pick over
+    * any delta feature frame — batch or STREAMING: the candidate and
+    * fresh branches are stateless stream-static joins / projections,
+    * and the single stateful operator is the min-of-struct
+    * aggregation, exactly the s12 shape. */
+  private[graft] def verdictFrame(deltaFeats: DataFrame,
+      store: DataFrame): DataFrame = {
+    val cands = bandRows(deltaFeats)
+      .join(store, Seq("bkey"))
+      .withColumn("hamming",
+        expr(hammingExpr("dhash", "base_dhash")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("media_id"), lit(0).as("pri"), col("hamming"),
+        col("base_id"))
+    val fresh = deltaFeats.select(col("media_id"), lit(1).as("pri"),
+      lit(0L).as("hamming"), lit(null).cast("long").as("base_id"))
+    cands.unionByName(fresh)
+      .groupBy(col("media_id"))
+      .agg(min(struct(col("pri"), col("hamming"), col("base_id"))).as("b"))
+  }
+
+  /** Final-state rows → the audit contract. */
+  private[graft] def formatVerdicts(best: DataFrame): DataFrame =
+    best.select(col("media_id"),
+        when(col("b.pri") === 0, lit("dup")).otherwise(lit("new"))
+          .as("verdict"),
+        col("b.base_id").as("base_id"),
+        when(col("b.pri") === 0, col("b.hamming"))
+          .otherwise(lit(null).cast("long")).as("hamming"))
+      .orderBy(col("media_id"))
+
+  /** The full batch ingest: train-split store vs test-split delta,
+    * delta-side collapsed too (the banded join runs once per DISTINCT
+    * delta hash; the per-hash verdict re-attaches to every item by
+    * one hash equi-join). `deltaFeats` must be pinned (checkpointed)
+    * by the caller if its fingerprint pass is expensive — it feeds
+    * two plan branches. */
+  private[graft] def runVerdicts(spark: SparkSession, bandsT: String,
+      deltaFeats: DataFrame): DataFrame = {
+    val store = storeFrame(spark, bandsT)
+    val best = verdictFrame(collapse(deltaFeats), store)
+      .select(col("b"), col("media_id").as("rep_id"))
+    val byHash = deltaFeats.as("d")
+      .join(collapse(deltaFeats).select(col("dhash"),
+        col("media_id").as("rep_id")), "dhash")
+      .join(best, "rep_id")
+      .select(col("d.media_id").as("media_id"), col("b"))
+    formatVerdicts(byHash)
+  }
+}
+
+/** Q25h — AUDIO DELTA DEDUP against a PERSISTED fingerprint store:
+  * [[BandedHashStore]] instantiated over q25g's energy-contour
+  * fingerprints, closing the modality dedup matrix's store column
+  * for audio (text q57b/s12b, image q25f/s14, audio here). The
+  * train-split clips are decoded and fingerprinted ONCE per corpus
+  * snapshot; every arriving clip shard fingerprints only ITSELF and
+  * joins the bucketed store — per-ingest cost O(delta), zero
+  * store-side exchange.
+  *
+  * Verdict semantics are the image store's, hash-family-swapped:
+  * best base = stored clip at minimum Hamming (ties to lowest base
+  * id) within the ≤ 6 threshold, `new` otherwise; the banded join is
+  * exhaustive for the threshold by pigeonhole, so the ORACLE replays
+  * the decision over ALL test×train pairs — the hash gate checks the
+  * LSH recall guarantee itself. Zero-sample clips carry no
+  * fingerprint and stay out of the audit (q25g's empty-clip rule,
+  * mirrored by the oracle's `length(text) > 0` filter). */
+object Q25hAudioDedupStore extends GraftQuery {
+  import Multimodal._
+  import Q25gAudioNearDup.extractFingerprints
+
+  val name = "q25h_audio_dedup_store"
+  private[graft] val store =
+    new BandedHashStore("graft_audstore", Q25dImageNearDup.MaxHamming)
+
+  /** Fingerprints of one split's wav clips, as the store's
+    * (media_id, dhash) contract. */
+  private[graft] def featsOf(spark: SparkSession, dir: String,
+      split: String): DataFrame = {
+    import spark.implicits._
+    extractFingerprints(mediaTable(spark, dir)
+        .filter(col("meta.format") === "wav" &&
+          Q40TrainTestSplit.splitColOf("media_id") === split)
+        .as[MediaRow]).toDF()
+      .select(col("media_id"), col("ahash").as("dhash"))
+  }
+
+  private[graft] def ensureStore(spark: SparkSession, dir: String): String =
+    store.ensureStore(spark, dir)(featsOf(spark, dir, "train"))
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    store.runVerdicts(spark, ensureStore(spark, dir),
+      featsOf(spark, dir, "test").localCheckpoint())
+
+  /** ALL-PAIRS relational replay over the shared fingerprint chain —
+    * recall guarantee + store correctness + collapse losslessness in
+    * one hash gate, like q25f's. */
+  val oracle = Some(s"""
+    WITH ${Q25gAudioNearDup.duckFpChain},
+    sp AS (
+      SELECT media_id,
+        CASE WHEN instr('0123456789abcdef',
+               substr(md5(CAST(media_id AS VARCHAR)), 32, 1)) - 1 < 13
+             THEN 'train' ELSE 'test' END AS split
+      FROM m),
+    ham AS (
+      SELECT dx.media_id, bx.media_id AS base_id,
+        CAST(SUM(bit_count(xor(x.b, y.b))) AS BIGINT) AS hamming
+      FROM sp dx JOIN sp bx ON dx.split = 'test' AND bx.split = 'train'
+      JOIN by_row x ON x.media_id = dx.media_id
+      JOIN by_row y ON y.media_id = bx.media_id AND y.bi = x.bi
+      GROUP BY dx.media_id, bx.media_id),
+    best AS (
+      SELECT media_id, base_id, hamming,
+        row_number() OVER (PARTITION BY media_id
+          ORDER BY hamming, base_id) AS rk
+      FROM ham WHERE hamming <= ${Q25dImageNearDup.MaxHamming})
+    SELECT t.media_id,
+      CASE WHEN b.base_id IS NOT NULL THEN 'dup' ELSE 'new' END AS verdict,
+      b.base_id, b.hamming
+    FROM (SELECT media_id FROM sp WHERE split = 'test') t
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.media_id = t.media_id
+    ORDER BY t.media_id
+  """.trim)
+}

@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 import graft.queries.{GraftQuery, Q40TrainTestSplit}
 
 /** Q25f — IMAGE DELTA DEDUP against a PERSISTED dHash store: the
-  * q57b/s12b store lifecycle applied to the image modality. The
-  * corpus-side (train-split) images are fingerprinted ONCE — decoded
-  * through the real PNG codec path, reduced to 64-bit dHashes, banded
-  * at the width [[Q25dImageNearDup.bandBitsFor]] picks for the
-  * near-dup threshold, and written bucketed by band key — and every
-  * arriving image shard (the test split standing in for "the incoming
-  * crawl") only hashes ITSELF and joins the store: per-ingest cost is
+  * q57b/s12b store lifecycle applied to the image modality, as a
+  * [[BandedHashStore]] instantiation (the machinery was factored
+  * there when the audio tier q25h landed — one implementation, N
+  * hash families). The corpus-side (train-split) images are
+  * fingerprinted ONCE — decoded through the real PNG codec path,
+  * reduced to 64-bit dHashes, banded at the width
+  * [[Q25dImageNearDup.bandBitsFor]] picks for the near-dup
+  * threshold, and written bucketed by band key — and every arriving
+  * image shard (the test split standing in for "the incoming crawl")
+  * only hashes ITSELF and joins the store: per-ingest cost is
   * O(delta) + a join whose store side reads pre-partitioned buckets
   * with no exchange.
   *
@@ -35,118 +38,68 @@ import graft.queries.{GraftQuery, Q40TrainTestSplit}
   * /root/reference (409-line word-count engine). */
 object Q25fImageDedupStore extends GraftQuery {
   import Q25cImageFeatures.extractImageFeatures
-  import Q25dImageNearDup.{bandBitsFor, hammingExpr, MaxHamming}
+  import Q25dImageNearDup.MaxHamming
 
   val name = "q25f_image_dedup_store"
-  private val prefix = "graft_imgstore"
+  private[graft] val store = new BandedHashStore("graft_imgstore", MaxHamming)
 
-  /** Policy-picked band geometry for the ≤ [[MaxHamming]] threshold. */
-  private val bandBits = bandBitsFor(MaxHamming)
-  private val nBands = 64 / bandBits
-  private val hexPerBand = bandBits / 4
-
-  /** One row per (band, key) bucket of each hash; the band index is
-    * part of the key so band 0's byte can never collide with band
-    * 1's. */
+  /** One row per (band, key) bucket of each hash (see
+    * [[BandedHashStore.bandRows]]). */
   private[graft] def bandRows(feats: DataFrame): DataFrame =
-    feats.select(col("media_id"), col("dhash"),
-      explode(expr(s"transform(sequence(0, ${nBands - 1}), " +
-        s"b -> concat(cast(b as string), ':', " +
-        s"substring(dhash, b * $hexPerBand + 1, $hexPerBand)))")).as("bkey"))
+    store.bandRows(feats)
 
   /** EXACT-DUP COLLAPSE before the near-dup join (the q18 staging —
     * "dedupe exactly, then near-dup the survivors" — applied at the
-    * hash level): Hamming distance is a function of the HASH alone,
-    * and the best-base rule is min(hamming, base_id), so a group of
-    * images sharing one dhash is losslessly represented by a single
-    * row carrying the group's min id. This is not an optimization of
-    * the synthetic fixture but the structural answer to a real
-    * corpus shape: image corpora are full of exact re-uploads (same
-    * bytes, same fingerprint), and without the collapse every one of
-    * them lands in every band bucket its hash touches — the measured
-    * 100×-scale serve explosion (ScaleBench: 167k images with 13k
-    * distinct hashes drove bucket occupancy to 8k rows and the
-    * banded join to 111 s; collapsed, the join is distinct-hash
-    * sized). */
+    * hash level; [[BandedHashStore.collapse]]). Not an optimization
+    * of the synthetic fixture but the structural answer to a real
+    * corpus shape: image corpora are full of exact re-uploads, and
+    * without the collapse every one lands in every band bucket its
+    * hash touches — the measured 100×-scale serve explosion
+    * (ScaleBench: 167k images with 13k distinct hashes drove bucket
+    * occupancy to 8k rows and the banded join to 111 s; collapsed,
+    * the join is distinct-hash sized). */
   private[graft] def collapse(feats: DataFrame): DataFrame =
-    feats.groupBy(col("dhash"))
-      .agg(min(col("media_id")).as("media_id"))
-      .select(col("media_id"), col("dhash"))
+    store.collapse(feats)
+
+  /** The train split's feature frame (real PNG codec pass). */
+  private def trainFeats(spark: SparkSession, dir: String): DataFrame =
+    extractImageFeatures(Q25cImageFeatures.imageFrames(
+        Multimodal.mediaTable(spark, dir)
+          .filter(Q40TrainTestSplit.splitColOf("media_id") === "train")))
+      .toDF().select(col("media_id"), col("dhash"))
 
   /** Build (or bind/serve) the fingerprinted band store for this
     * corpus snapshot; returns the bands table name. One row per
-    * DISTINCT corpus hash (see [[collapse]]). Naming, staleness
-    * eviction, cross-process locking live in [[graft.plans.Stores]]. */
-  private[graft] def ensureStore(spark: SparkSession, dir: String): String = {
-    val names = graft.plans.Stores.ensure(
-        spark, prefix, dir, Seq("bands"),
-        buckets = Map("bands" -> (("bkey", 16)))) { case Seq(bandsT) =>
-      val feats = extractImageFeatures(Q25cImageFeatures.imageFrames(
-          Multimodal.mediaTable(spark, dir)
-            .filter(Q40TrainTestSplit.splitColOf("media_id") === "train")))
-        .toDF().select(col("media_id"), col("dhash"))
-      graft.plans.Bucketing.writeBucketed(
-        bandRows(collapse(feats)), bandsT, "bkey", 16)
-    }
-    names.head
-  }
+    * DISTINCT corpus hash (see [[collapse]]). */
+  private[graft] def ensureStore(spark: SparkSession, dir: String): String =
+    store.ensureStore(spark, dir)(trainFeats(spark, dir))
 
   /** The store read frame: (bkey, base_id, base_dhash). */
   private[graft] def storeFrame(spark: SparkSession, bandsT: String): DataFrame =
-    spark.table(bandsT).select(col("bkey"),
-      col("media_id").as("base_id"), col("dhash").as("base_dhash"))
+    store.storeFrame(spark, bandsT)
 
-  /** The COMMIT step of an image ingest: append the admitted ("new")
-    * images' band rows to the store, so the NEXT delta dedups against
-    * them too — two arriving shards that duplicate each other (but
-    * nothing in the base corpus) must not both be admitted (q57b's
-    * `admit` contract applied to the image modality). Delta-sized:
-    * the admitted hashes are banded once and routed through the SAME
-    * bucket spec the store was created with, so the zero-exchange
-    * join posture survives the append; `Bucketing.compact` bounds the
-    * resulting file growth on the store's own schedule. */
+  /** The COMMIT step of an image ingest ([[BandedHashStore.admit]]):
+    * append the admitted ("new") images' band rows to the store, so
+    * the NEXT delta dedups against them too. Collapsed like the
+    * build (an admitted hash already in the store just adds a second
+    * row — min-struct still picks the lower id, and compact bounds
+    * the growth). */
   private[graft] def admit(spark: SparkSession, feats: DataFrame,
       bandsT: String): Unit =
-    // Collapsed like the build (an admitted hash already in the store
-    // just adds a second row for it — min-struct still picks the
-    // lower id, and compact bounds the growth).
-    bandRows(collapse(feats))
-      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
-      .bucketBy(16, "bkey").sortBy("bkey").saveAsTable(bandsT)
+    store.admit(feats, bandsT)
 
   /** Banded candidates + exact-Hamming verify + best-base pick over
-    * any delta feature frame — batch (q25f) or STREAMING (s14): the
-    * candidate and fresh branches are stateless stream-static joins /
-    * projections, and the single stateful operator is the
-    * min-of-struct aggregation, exactly the s12 shape. */
+    * any delta feature frame — batch (q25f) or STREAMING (s14); see
+    * [[BandedHashStore.verdictFrame]]. */
   private[graft] def verdictFrame(deltaFeats: DataFrame,
-      store: DataFrame): DataFrame = {
-    val cands = bandRows(deltaFeats)
-      .join(store, Seq("bkey"))
-      .withColumn("hamming",
-        expr(hammingExpr("dhash", "base_dhash")).cast("long"))
-      .filter(col("hamming") <= MaxHamming)
-      .select(col("media_id"), lit(0).as("pri"), col("hamming"),
-        col("base_id"))
-    val fresh = deltaFeats.select(col("media_id"), lit(1).as("pri"),
-      lit(0L).as("hamming"), lit(null).cast("long").as("base_id"))
-    cands.unionByName(fresh)
-      .groupBy(col("media_id"))
-      .agg(min(struct(col("pri"), col("hamming"), col("base_id"))).as("b"))
-  }
+      storeF: DataFrame): DataFrame =
+    store.verdictFrame(deltaFeats, storeF)
 
   /** Final-state rows → the audit contract. */
   private[graft] def formatVerdicts(best: DataFrame): DataFrame =
-    best.select(col("media_id"),
-        when(col("b.pri") === 0, lit("dup")).otherwise(lit("new"))
-          .as("verdict"),
-        col("b.base_id").as("base_id"),
-        when(col("b.pri") === 0, col("b.hamming"))
-          .otherwise(lit(null).cast("long")).as("hamming"))
-      .orderBy(col("media_id"))
+    store.formatVerdicts(best)
 
   def run(spark: SparkSession, dir: String): DataFrame = {
-    val store = storeFrame(spark, ensureStore(spark, dir))
     // Delta-sized: the test split's own images through the real codec
     // path, checkpointed narrow (id + 16 hex chars) because the
     // feature frame feeds two plan branches (hash reps + the verdict
@@ -157,18 +110,7 @@ object Q25fImageDedupStore extends GraftQuery {
           .filter(Q40TrainTestSplit.splitColOf("media_id") === "test")))
       .toDF().select(col("media_id"), col("dhash"))
       .localCheckpoint()
-    // Delta-side collapse too (batch only — the streaming twin keeps
-    // per-image rows to stay a single stateful operator): the banded
-    // join runs once per DISTINCT delta hash, and the per-hash
-    // verdict re-attaches to every image by one hash equi-join.
-    val best = verdictFrame(collapse(deltaFeats), store)
-      .select(col("b"), col("media_id").as("rep_id"))
-    val byHash = deltaFeats.as("d")
-      .join(collapse(deltaFeats).select(col("dhash"),
-        col("media_id").as("rep_id")), "dhash")
-      .join(best, "rep_id")
-      .select(col("d.media_id").as("media_id"), col("b"))
-    formatVerdicts(byHash)
+    store.runVerdicts(spark, ensureStore(spark, dir), deltaFeats)
   }
 
   /** ALL-PAIRS relational replay (stronger than the banded plan: the

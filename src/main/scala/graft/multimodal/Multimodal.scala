@@ -981,11 +981,13 @@ object Q25gAudioNearDup extends GraftQuery {
     Q25dImageNearDup.topPairs(feats, k = TopPairs)
   }
 
-  /** Per-character replay: segment index is exact integer math over
-    * the 1-based character position; empty segments (clips shorter
-    * than 65 samples) join in as energy 0, as in the Scala array. */
-  val oracle = Some(s"""
-    WITH m AS (
+  /** The fingerprint replay chain (m → by_row), shared with the
+    * audio store's all-pairs oracle ([[Q25hAudioDedupStore]]) the way
+    * [[Q25cImageFeatures.duckChain]] serves q25d/q25f: segment index
+    * is exact integer math over the 1-based character position; empty
+    * segments (clips shorter than 65 samples) join in as energy 0, as
+    * in the Scala array. */
+  private[multimodal] val duckFpChain = s"""m AS (
       SELECT doc_id AS media_id, text FROM documents
       WHERE CAST(doc_id % 3 AS INT) = 2 AND length(text) > 0),
     smp AS (
@@ -1005,7 +1007,11 @@ object Q25gAudioNearDup extends GraftQuery {
     by_row AS (
       SELECT media_id, k // 8 AS bi,
         CAST(SUM(bit << CAST(k % 8 AS INT)) AS INT) AS b
-      FROM bits WHERE k < 64 GROUP BY media_id, k // 8),
+      FROM bits WHERE k < 64 GROUP BY media_id, k // 8)"""
+
+  /** Per-character replay over [[duckFpChain]]. */
+  val oracle = Some(s"""
+    WITH $duckFpChain,
     cand AS (
       SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b
       FROM by_row a JOIN by_row b2 ON a.bi = b2.bi AND a.b = b2.b

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.multimodal.{Multimodal, Q25dImageNearDup, Q25gAudioNearDup, Q25hAudioDedupStore}
+
+/** Round 11 (continuation): the persisted AUDIO-dedup store (q25h) —
+  * the [[graft.multimodal.BandedHashStore]] generalization
+  * instantiated over q25g's energy-contour fingerprints. The generic
+  * machinery's plan posture (store-side zero exchange, delta-only
+  * scans) is pinned by the image twin in Round11dSpec — same code —
+  * so these tests pin what is NEW: the audio feature binding, the
+  * verdict semantics on crafted clips, and the admit lifecycle. */
+class Round11fSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r11aud").toString
+    rows.map { case (id, text) => (id, text, "en", "s", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def cleanup(dir: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+
+  /** The q40 split key, replayed in-JVM so the crafted fixture can
+    * pick wav ids (≡ 2 mod 3) landing on the split it needs. */
+  private def splitOf(id: Long): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if ("0123456789abcdef".indexOf(md5.last) < 13) "train" else "test"
+  }
+  private def wavIds(split: String): Iterator[Long] =
+    Iterator.iterate(2L)(_ + 3).filter(splitOf(_) == split)
+
+  private def featsOf(rows: Seq[(Long, String)]): DataFrame =
+    Q25gAudioNearDup.extractFingerprints(
+        Multimodal.mediaFrame(
+            rows.map { case (id, t) => (id, t, t.length.toLong) }
+              .toDF("doc_id", "text", "n_chars"))
+          .filter(col("meta.format") === "wav").as[Multimodal.MediaRow])
+      .toDF().select(col("media_id"), col("ahash").as("dhash"))
+
+  private def ham(a: String, b: String): Int = (0 until 8).map { j =>
+    java.lang.Long.bitCount(
+      java.lang.Long.parseLong(a.substring(j * 2, j * 2 + 2), 16) ^
+        java.lang.Long.parseLong(b.substring(j * 2, j * 2 + 2), 16))
+  }.sum
+
+  test("q25h: crafted delta — exact re-encode dups to the LOWEST base, unrelated clip is new") {
+    // Structured "waveform" text: energy rises and falls per segment
+    // so the contour has many bits set (asserted below — an
+    // unstructured clip would hash near all-zeros and alias it).
+    val clipA = ("audio material with a rising and falling energy line " +
+      "zzZZZZzzzz aaAAAAaaaa ") * 6
+    val noise = "x" * clipA.length // flat contour — all deltas 0
+    val Seq(t1, t2) = wavIds("train").take(2).toSeq
+    val Seq(d1, d2) = wavIds("test").take(2).toSeq
+    // Precondition: the crafted contours are genuinely far apart.
+    val fp = featsOf(Seq((t1, clipA), (d2, noise))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ham(fp(t1), fp(d2)) > Q25dImageNearDup.MaxHamming,
+      s"fixture aliasing: noise clip landed within the threshold of clipA")
+    val dir = writeDocs(Seq((t1, clipA), (t2, clipA), (d1, clipA), (d2, noise)))
+    graft.plans.Stores.evict(spark, "graft_audstore")
+    try {
+      val df = Q25hAudioDedupStore.run(spark, dir)
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq.sortBy(_._1)
+      assert(got == Seq((d1, "dup", math.min(t1, t2), 0L), (d2, "new", -1L, -1L))
+          .sortBy(_._1),
+        s"unexpected verdicts: $got (t1=$t1 t2=$t2 d1=$d1 d2=$d2)")
+      // The delta plan reads ONLY the persisted audio store (the
+      // delta fingerprints sit behind a checkpoint) — the generic
+      // posture, bound to the audio prefix.
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val scans = flattenPlan(df.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty && scans.forall(_.tableIdentifier.exists(
+          _.table.startsWith("graft_audstore"))),
+        s"q25h's delta plan must scan only the audio store, found: " +
+          scans.flatMap(_.tableIdentifier).mkString(", "))
+    } finally {
+      graft.plans.Stores.evict(spark, "graft_audstore")
+      cleanup(dir)
+    }
+  }
+
+  test("two-wave audio ingest: admitted clips join the store and catch the next wave's dups") {
+    val seed = ("the seeded corpus clip with its own energy envelope " +
+      "mmMMMMmmmm ooOOOOoooo ") * 6
+    val novel = ("a wave one clip unlike anything seeded qqqqQQQQqq " +
+      "ttTTttTTtt eeEEEEeeee ") * 6
+    val Seq(t1) = wavIds("train").take(1).toSeq
+    val Seq(d1) = wavIds("test").take(1).toSeq
+    val fp = featsOf(Seq((t1, seed), (d1, novel))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ham(fp(t1), fp(d1)) > Q25dImageNearDup.MaxHamming,
+      "fixture aliasing: wave-1 clip landed within the seed's threshold")
+    val dir = writeDocs(Seq((t1, seed), (d1, novel)))
+    graft.plans.Stores.evict(spark, "graft_audstore")
+    try {
+      val bandsT = Q25hAudioDedupStore.ensureStore(spark, dir)
+      val w1 = Q25hAudioDedupStore.run(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(w1 == Seq((d1, "new")), s"wave 1 must be novel, got $w1")
+      // Commit: wave 1's accepted clip joins the store; wave 2's
+      // exact re-encode (same material, fresh id) must dup to it.
+      Q25hAudioDedupStore.store.admit(featsOf(Seq((d1, novel))), bandsT)
+      val w2id = wavIds("test").drop(1).next()
+      val w2 = Q25hAudioDedupStore.store.formatVerdicts(
+          Q25hAudioDedupStore.store.verdictFrame(
+            featsOf(Seq((w2id, novel))),
+            Q25hAudioDedupStore.store.storeFrame(spark, bandsT))).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(w2 == Seq((w2id, "dup", d1, 0L)),
+        s"wave 2 must dup against the admitted clip, got $w2")
+      // Compaction bounds append growth, verdicts unchanged.
+      graft.plans.Bucketing.compact(spark, bandsT, "bkey", 16)
+      val w2c = Q25hAudioDedupStore.store.formatVerdicts(
+          Q25hAudioDedupStore.store.verdictFrame(
+            featsOf(Seq((w2id, novel))),
+            Q25hAudioDedupStore.store.storeFrame(spark, bandsT))).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(w2c == w2, "compaction must not change verdicts")
+    } finally {
+      graft.plans.Stores.evict(spark, "graft_audstore")
+      cleanup(dir)
+    }
+  }
+}
