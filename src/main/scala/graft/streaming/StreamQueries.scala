@@ -145,7 +145,7 @@ object StreamQueries {
     S12StreamDeltaDedup, S12bStreamDeltaDedupStore,
     S13StreamIncrementalStats, S14StreamImageDedupStore,
     S15StreamBpeEncodeStore, S16StreamSemanticDedupStore,
-    S17StreamMultimodalAdmission)
+    S17StreamMultimodalAdmission, S18StreamAudioDedupStore)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -1073,4 +1073,45 @@ object S17StreamMultimodalAdmission extends GraftQuery {
     LEFT JOIN sdup sd ON sd.doc_id = dl.doc_id
     ORDER BY dl.doc_id
   """.trim)
+}
+
+/** S18 — STREAMING AUDIO-DEDUP INGEST against the persisted
+  * fingerprint store (q25h's table): s14's lifecycle with the hash
+  * family swapped, completing the modality dedup matrix's STREAM
+  * column for audio. Arriving clips (the test-split wav tier of the
+  * document stream) are fingerprinted per micro-batch — the
+  * synthesis + energy-contour mapPartitions steps are stateless, so
+  * the exact batch operators ride the streaming frame unchanged —
+  * then banded and joined against the bucketed store by the SAME
+  * generic `BandedHashStore.verdictFrame` the batch path and the
+  * image twin use (three consumers, one implementation: the paths
+  * cannot drift); the single stateful operator is the per-clip
+  * best-base struct aggregation. State grows with the ingest, so the
+  * RocksDB default applies (the s13 rule).
+  *
+  * Shares q25h's ALL-PAIRS oracle: the streamed banded verdicts must
+  * equal the exhaustive batch decision — recall guarantee, store
+  * correctness, and stream plumbing in one hash gate. */
+object S18StreamAudioDedupStore extends GraftQuery {
+  import StreamQueries._
+  import graft.multimodal.{Multimodal, Q25gAudioNearDup, Q25hAudioDedupStore}
+  import graft.queries.Q40TrainTestSplit
+  val name = "s18_stream_audio_dedup_store"
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val store = Q25hAudioDedupStore.store.storeFrame(spark,
+      Q25hAudioDedupStore.ensureStore(spark, dir))
+    val deltaFeats = Q25gAudioNearDup.extractFingerprints(
+        Multimodal.mediaFrame(docsStream(spark, dir))
+          .filter(col("meta.format") === "wav" &&
+            Q40TrainTestSplit.splitColOf("media_id") === "test")
+          .as[Multimodal.MediaRow])
+      .toDF().select(col("media_id"), col("ahash").as("dhash"))
+    val best = Q25hAudioDedupStore.store.verdictFrame(deltaFeats, store)
+    Q25hAudioDedupStore.store.formatVerdicts(
+      runToBatch(spark, best, "complete", rocksdb = rocksDefault(spark)))
+  }
+
+  val oracle = Q25hAudioDedupStore.oracle
 }

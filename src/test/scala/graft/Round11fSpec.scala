@@ -84,6 +84,17 @@ class Round11fSpec extends SparkSpec {
           _.table.startsWith("graft_audstore"))),
         s"q25h's delta plan must scan only the audio store, found: " +
           scans.flatMap(_.tableIdentifier).mkString(", "))
+      // The streaming twin agrees row for row on the same store, and
+      // its growing verdict state engages the RocksDB default.
+      import graft.streaming.{S18StreamAudioDedupStore, StreamQueries}
+      val s18 = S18StreamAudioDedupStore.run(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq.sortBy(_._1)
+      assert(s18 == got, s"s18 diverged from q25h: $s18 vs $got")
+      assert(StreamQueries.lastStateMetrics
+          .exists(_.toLowerCase.contains("rocksdb")),
+        s"s18 must engage RocksDB, got: ${StreamQueries.lastStateMetrics}")
     } finally {
       graft.plans.Stores.evict(spark, "graft_audstore")
       cleanup(dir)
