@@ -268,7 +268,7 @@ object NorthStar {
   val all: Seq[GraftQuery] = Seq(
     Q18DedupExact, Q18bDedupMinHash, Q18cDedupSimHash, Q18dDedupNgram,
     Q18eDedupEmbedding, Q18fDedupClusters, Q19SimilarityTopK, Q19bAnnLsh,
-    Q19cAnnSparkMl, Q19dAnnIvf, Q20TopTermsPerLang, Q21LanguageId,
+    Q19cAnnSparkMl, Q19dAnnIvf, Q19eAnnIvfStore, Q20TopTermsPerLang, Q21LanguageId,
     Q22QualityScore, Q23TokenCount, Q24Fingerprint, Q26TfIdf,
     Q42CorpusClean, Q42bCorpusCleanFull, Q43TopBigrams, Q44SourceCap,
     Q45TokenPacking,
@@ -988,6 +988,15 @@ object Q19dAnnIvf extends GraftQuery {
       .sortBy(_._2).take(nProbe).map(_._1).toSeq
     val cand = assigned
       .filter(col("vec_id") =!= 0 && col("list_id").isin(probe: _*))
+    exactCosineTopK(spark, dir, cand)
+  }
+
+  /** Exact decimal cosine + top-10 over a candidate frame, against
+    * the vec-0 query — the q19 arithmetic shared verbatim by the
+    * recompute (q19d) and persisted-store (q19e) tiers, so their
+    * row-identity spec gates the STORE, never the math. */
+  private[graft] def exactCosineTopK(spark: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
     val ex = cand.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("vec_id"), col("pos"), dec(col("x")).as("x"))
     val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
@@ -1003,6 +1012,87 @@ object Q19dAnnIvf extends GraftQuery {
           (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(10)
+  }
+  val oracle = None
+}
+
+/** Q19e — PERSISTED IVF ANN index: q19d's coarse quantizer through
+  * the `plans/Stores` lifecycle, closing the STORE column of the
+  * similarity-search family the way q57b/q25f/q25h close the dedup
+  * matrix's. At 100 TB nobody re-clusters the corpus per query —
+  * the index is built ONCE per corpus fingerprint and every query
+  * serves from it:
+  *
+  *  - `centroids` table: K rows (list_id, centroid as array<double>)
+  *    — the quantizer's whole output; reading it to the driver is
+  *    O(K), and the spark.ml MODEL is no longer needed at serve time
+  *    (the store IS the model).
+  *  - `lists` table: (vec_id, embedding) PARTITIONED BY list_id —
+  *    q19d's Scaladoc promise ("at scale a write-time partition
+  *    column") made real: a query probing nProbe of K lists prunes
+  *    K−nProbe partitions at the SCAN, never reading them
+  *    (plan-asserted: partition filters present, selected-partition
+  *    count == nProbe).
+  *
+  * Serve: O(K) driver sqdist picks the nProbe nearest lists, the
+  * pruned scan feeds the SAME exact-cosine arithmetic as q19d
+  * (`exactCosineTopK`), so the store tier is row-identical to the
+  * recompute tier by construction — AnnIvfSpec pins exactly that,
+  * plus build-once (store files untouched on re-serve). Rows-only
+  * driver check like q19c/q19d (KMeans float iterations are not
+  * relationally replayable); recall inherits q19d's measured
+  * probe-curve. */
+object Q19eAnnIvfStore extends GraftQuery {
+  import NorthStar._
+  val name = "q19e_ann_ivf_store"
+  private val prefix = "graft_annstore"
+
+  /** Build (or bind) the persisted index: one seeded KMeans fit per
+    * corpus fingerprint, then only tables. */
+  private[graft] def ensureStore(spark: SparkSession, dir: String): (String, String) = {
+    val names = graft.plans.Stores.ensure(
+        spark, prefix, dir, Seq("centroids", "lists")) {
+      case Seq(centT, listsT) =>
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        import spark.implicits._
+        val e = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"),
+            array_to_vector(col("embedding").cast("array<double>")).as("features"))
+        val model = new KMeans().setK(Q19dAnnIvf.K).setSeed(42).setMaxIter(20)
+          .setFeaturesCol("features").setPredictionCol("list_id").fit(e)
+        model.clusterCenters.zipWithIndex
+          .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+          .toDF("list_id", "centroid")
+          .write.format("parquet").saveAsTable(centT)
+        model.transform(e)
+          .select(col("list_id"), col("vec_id"), col("embedding"))
+          .write.format("parquet").partitionBy("list_id").saveAsTable(listsT)
+    }
+    (names(0), names(1))
+  }
+
+  /** Probe the persisted index: O(K) centroid rows to the driver,
+    * partition-pruned candidate scan, exact cosine within. */
+  private[graft] def query(spark: SparkSession, dir: String,
+      centT: String, listsT: String, nProbe: Int): DataFrame = {
+    val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    val probe = spark.table(centT).collect() // K rows: the whole quantizer
+      .map { r =>
+        val c = r.getSeq[Double](1)
+        val d2 = c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+        (r.getInt(0), d2)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+    val cand = spark.table(listsT)
+      .filter(col("list_id").isin(probe: _*) && col("vec_id") =!= 0)
+    Q19dAnnIvf.exactCosineTopK(spark, dir, cand)
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (centT, listsT) = ensureStore(spark, dir)
+    query(spark, dir, centT, listsT, Q19dAnnIvf.NProbe)
   }
   val oracle = None
 }

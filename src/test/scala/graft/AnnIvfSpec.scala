@@ -54,4 +54,52 @@ class AnnIvfSpec extends SparkSpec {
       s"probing all $curve lists must equal the exact top-k")
     assert(recalls.head >= 0.3, s"2-probe recall collapsed: $curve")
   }
+
+  test("q19e: the persisted index serves q19d's rows without refitting, with partition-pruned list scans") {
+    import graft.queries.Q19eAnnIvfStore
+    graft.plans.Stores.evict(spark, "graft_annstore")
+    try {
+      // Store tier ≡ recompute tier: same seed, same K, same exact-
+      // cosine arithmetic — the spec gates the STORE, never the math.
+      val fromStore = Q19eAnnIvfStore.run(spark, sf01).collect().map(_.toSeq).toSeq
+      val recompute = Q19dAnnIvf.run(spark, sf01).collect().map(_.toSeq).toSeq
+      assert(fromStore == recompute,
+        s"store tier diverged from q19d:\n$fromStore\n$recompute")
+      // Build-once: a re-serve leaves the store files untouched (no
+      // KMeans refit, no rewrite).
+      val (centT, listsT) = Q19eAnnIvfStore.ensureStore(spark, sf01)
+      val wh = java.nio.file.Paths.get(java.net.URI.create(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      def listing(t: String) = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(wh.resolve(t))
+        try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .toVector.map(p => (p.toString,
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)).sorted
+        finally s.close()
+      }
+      val before = (listing(centT), listing(listsT))
+      val again = Q19eAnnIvfStore.run(spark, sf01).collect().map(_.toSeq).toSeq
+      assert(again == fromStore)
+      assert((listing(centT), listing(listsT)) == before,
+        "re-serve must not refit or rewrite the index")
+      // The probe scan PRUNES the unprobed lists at the partition
+      // level: nProbe of K partitions selected, the rest never read.
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val df = Q19eAnnIvfStore.query(spark, sf01, centT, listsT,
+        Q19dAnnIvf.NProbe)
+      df.collect()
+      val listScans = flattenPlan(df.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == listsT) => f }
+      assert(listScans.nonEmpty, "expected a scan of the lists table")
+      listScans.foreach { f =>
+        assert(f.partitionFilters.nonEmpty,
+          s"list_id must be a partition filter, got: ${f.partitionFilters}")
+        assert(f.selectedPartitions.partitionCount == Q19dAnnIvf.NProbe,
+          s"scan must read exactly nProbe partitions, read " +
+            s"${f.selectedPartitions.partitionCount} of ${Q19dAnnIvf.K}")
+      }
+    } finally graft.plans.Stores.evict(spark, "graft_annstore")
+  }
 }
