@@ -181,7 +181,7 @@ object Q25hAudioDedupStore extends GraftQuery {
     * recall guarantee + store correctness + collapse losslessness in
     * one hash gate, like q25f's. */
   val oracle = Some(s"""
-    WITH ${Q25gAudioNearDup.duckFpChain},
+    WITH ${Q25gAudioNearDup.duckFpChain()},
     sp AS (
       SELECT media_id,
         CASE WHEN instr('0123456789abcdef',

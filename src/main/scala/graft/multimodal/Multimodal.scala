@@ -982,36 +982,38 @@ object Q25gAudioNearDup extends GraftQuery {
   }
 
   /** The fingerprint replay chain (m → by_row), shared with the
-    * audio store's all-pairs oracle ([[Q25hAudioDedupStore]]) the way
-    * [[Q25cImageFeatures.duckChain]] serves q25d/q25f: segment index
-    * is exact integer math over the 1-based character position; empty
-    * segments (clips shorter than 65 samples) join in as energy 0, as
-    * in the Scala array. */
-  private[multimodal] val duckFpChain = s"""m AS (
+    * audio store's all-pairs oracle ([[Q25hAudioDedupStore]]) and
+    * q71's audio gate the way [[Q25cImageFeatures.duckChain]] serves
+    * q25d/q25f: segment index is exact integer math over the 1-based
+    * character position; empty segments (clips shorter than 65
+    * samples) join in as energy 0, as in the Scala array. The `p`
+    * prefix namespaces every CTE so the chain can sit next to the
+    * image chain in one composed oracle (q71). */
+  private[graft] def duckFpChain(p: String = ""): String = s"""${p}m AS (
       SELECT doc_id AS media_id, text FROM documents
       WHERE CAST(doc_id % 3 AS INT) = 2 AND length(text) > 0),
-    smp AS (
+    ${p}smp AS (
       SELECT media_id, ((i - 1) * $Segments) // length(text) AS k,
         ascii(substr(text, CAST(i AS INT), 1)) - 128 AS s
-      FROM m, unnest(range(1, length(text) + 1)) AS t(i)),
-    segs AS (SELECT media_id, k FROM m, unnest(range(0, $Segments)) AS t(k)),
-    e AS (
+      FROM ${p}m, unnest(range(1, length(text) + 1)) AS t(i)),
+    ${p}segs AS (SELECT media_id, k FROM ${p}m, unnest(range(0, $Segments)) AS t(k)),
+    ${p}e AS (
       SELECT g.media_id, g.k, COALESCE(SUM(smp.s * smp.s), 0) AS e
-      FROM segs g LEFT JOIN smp ON smp.media_id = g.media_id AND smp.k = g.k
+      FROM ${p}segs g LEFT JOIN ${p}smp smp ON smp.media_id = g.media_id AND smp.k = g.k
       GROUP BY g.media_id, g.k),
-    bits AS (
+    ${p}bits AS (
       SELECT media_id, k,
         CASE WHEN lead(e) OVER (PARTITION BY media_id ORDER BY k) > e
              THEN 1 ELSE 0 END AS bit
-      FROM e),
-    by_row AS (
+      FROM ${p}e),
+    ${p}by_row AS (
       SELECT media_id, k // 8 AS bi,
         CAST(SUM(bit << CAST(k % 8 AS INT)) AS INT) AS b
-      FROM bits WHERE k < 64 GROUP BY media_id, k // 8)"""
+      FROM ${p}bits WHERE k < 64 GROUP BY media_id, k // 8)"""
 
   /** Per-character replay over [[duckFpChain]]. */
   val oracle = Some(s"""
-    WITH $duckFpChain,
+    WITH ${duckFpChain()},
     cand AS (
       SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b
       FROM by_row a JOIN by_row b2 ON a.bi = b2.bi AND a.b = b2.b

@@ -101,7 +101,13 @@ object Q58TrainingShards extends GraftQuery {
   *                  store (the composed audit reads one corpus);
   *  - `sem_dup`   — q70's semantic drop (vec_id is the doc's
   *                  embedding id by fixture construction);
-  *  - `keep`      — text_ok ∧ ¬text_dup ∧ ¬image_dup ∧ ¬sem_dup.
+  *  - `audio_dup` — for the wav tier: a LOWER-id clip within the
+  *                  same Hamming threshold over q25g's energy-contour
+  *                  fingerprints — the identical `nearDupPairs`
+  *                  decision, hash family swapped (round-11 cont.,
+  *                  when q25h closed the audio store column);
+  *  - `keep`      — text_ok ∧ ¬text_dup ∧ ¬image_dup ∧ ¬sem_dup
+  *                  ∧ ¬audio_dup.
   *
   * Every gate is the FACTORED production operator (zero drift: the
   * image gate is `nearDupPairs`, the semantic gate is q70's own run,
@@ -139,17 +145,30 @@ object Q71MultimodalCuration extends GraftQuery {
     val semDup = Q70SemanticDedup.semanticDedup(Tables.embeddings(spark, dir))
       .filter(col("verdict") === "drop")
       .select(col("vec_id").as("doc_id"), lit(true).as("sem_dup"))
+    val audDup = {
+      import spark.implicits._
+      Q25dImageNearDup.nearDupPairs(
+          graft.multimodal.Q25gAudioNearDup.extractFingerprints(
+              graft.multimodal.Multimodal.mediaTable(spark, dir)
+                .filter(col("meta.format") === "wav")
+                .as[graft.multimodal.Multimodal.MediaRow]).toDF()
+            .select(col("media_id"), col("ahash").as("dhash")))
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("audio_dup", lit(true))
+    }
     docs.select(col("doc_id"), col("lang"), col("source"))
       .join(textOk, "doc_id")
       .join(textDup, "doc_id")
       .join(imgDup, Seq("doc_id"), "left")
       .join(semDup, Seq("doc_id"), "left")
+      .join(audDup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("source"),
         col("text_ok"), col("text_dup"),
         coalesce(col("image_dup"), lit(false)).as("image_dup"),
-        coalesce(col("sem_dup"), lit(false)).as("sem_dup"))
+        coalesce(col("sem_dup"), lit(false)).as("sem_dup"),
+        coalesce(col("audio_dup"), lit(false)).as("audio_dup"))
       .withColumn("keep", col("text_ok") && !col("text_dup") &&
-        !col("image_dup") && !col("sem_dup"))
+        !col("image_dup") && !col("sem_dup") && !col("audio_dup"))
       .orderBy(col("doc_id"))
   }
 
@@ -183,17 +202,33 @@ object Q71MultimodalCuration extends GraftQuery {
     idup AS (SELECT DISTINCT id_b AS doc_id FROM iham
              WHERE hamming <= ${Q25dImageNearDup.MaxHamming}),
     ${Q70SemanticDedup.duckChain},
-    sdup AS (SELECT vb AS doc_id FROM doms)
+    sdup AS (SELECT vb AS doc_id FROM doms),
+    ${graft.multimodal.Q25gAudioNearDup.duckFpChain("a")},
+    acand AS (
+      SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b
+      FROM aby_row x JOIN aby_row y ON x.bi = y.bi AND x.b = y.b
+      WHERE x.media_id < y.media_id),
+    aham AS (
+      SELECT c.id_a, c.id_b,
+        CAST(SUM(bit_count(xor(x.b, y.b))) AS BIGINT) AS hamming
+      FROM acand c
+      JOIN aby_row x ON x.media_id = c.id_a
+      JOIN aby_row y ON y.media_id = c.id_b AND y.bi = x.bi
+      GROUP BY c.id_a, c.id_b),
+    adup AS (SELECT DISTINCT id_b AS doc_id FROM aham
+             WHERE hamming <= ${Q25dImageNearDup.MaxHamming})
     SELECT d.doc_id, d.lang, d.source, g.text_ok, t.text_dup,
       (i.doc_id IS NOT NULL) AS image_dup,
       (s.doc_id IS NOT NULL) AS sem_dup,
-      (g.text_ok AND NOT t.text_dup AND i.doc_id IS NULL AND s.doc_id IS NULL)
-        AS keep
+      (au.doc_id IS NOT NULL) AS audio_dup,
+      (g.text_ok AND NOT t.text_dup AND i.doc_id IS NULL AND s.doc_id IS NULL
+        AND au.doc_id IS NULL) AS keep
     FROM documents d
     JOIN gate g ON g.doc_id = d.doc_id
     JOIN tdup t ON t.doc_id = d.doc_id
     LEFT JOIN idup i ON i.doc_id = d.doc_id
     LEFT JOIN sdup s ON s.doc_id = d.doc_id
+    LEFT JOIN adup au ON au.doc_id = d.doc_id
     ORDER BY d.doc_id
   """.trim)
 }

@@ -291,7 +291,7 @@ class Round11eSpec extends SparkSpec {
     }
   }
 
-  test("q71: crafted corpus fires every gate — text dup, PII, image near-dup, semantic dup") {
+  test("q71: crafted corpus fires every gate — text dup, PII, image near-dup, semantic dup, audio near-dup") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val clean = (n: Int, seed: String) =>
@@ -306,17 +306,28 @@ class Round11eSpec extends SparkSpec {
       yield ((gy * h / 8) * w + (gx * w / 9)) % L).toSet
     val off = (0 until L).find(i => !sampled(i) && base3(i) != 'Q').get
     val text6 = base3.updated(off, 'Q')
+    // Doc 5 vs 11 (both wav by id % 3): two ADJACENT differing chars
+    // sharing one 65-segment bucket, swapped — per-segment energy is
+    // an order-free Σs², so the contour hash is IDENTICAL while the
+    // text differs: an AUDIO near-dup that is not a text dup (the
+    // image off-grid trick, audio-shaped).
+    val base5 = clean(210, "delta")
+    val L5 = base5.length
+    val sw = (0 until L5 - 1).find(i =>
+      (i * 65) / L5 == ((i + 1) * 65) / L5 && base5(i) != base5(i + 1)).get
+    val text11 = base5.updated(sw, base5(sw + 1)).updated(sw + 1, base5(sw))
     val docs = Seq(
       (0L, clean(180, "alpha"), "en", "src0"),
       (1L, clean(180, "alpha"), "en", "src1"),            // exact text dup of 0
       (2L, clean(170, "beta") + " mail me a@b.com", "en", "src0"), // PII
       (3L, base3, "en", "src0"),
       (4L, clean(190, "gamma"), "de", "src1"),
-      (5L, clean(210, "delta"), "fr", "src0"),
+      (5L, base5, "fr", "src0"),
       (6L, text6, "en", "src1"),                          // image near-dup of 3
       (7L, clean(220, "epsi"), "es", "src0"),
       (8L, clean(230, "zeta"), "en", "src1"),
-      (9L, clean(240, "eta"), "zh", "src0"))
+      (9L, clean(240, "eta"), "zh", "src0"),
+      (11L, text11, "fr", "src1"))                        // audio near-dup of 5
       .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     def unit(i: Int): Seq[Float] = Seq.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
@@ -331,16 +342,19 @@ class Round11eSpec extends SparkSpec {
       val out = graft.queries.Q71MultimodalCuration.run(spark, dir.toString)
         .collect()
         .map(r => r.getLong(0) -> ((r.getBoolean(3), r.getBoolean(4),
-          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))).toMap
-      // (text_ok, text_dup, image_dup, sem_dup, keep)
-      assert(out(0L) == ((true, false, false, false, true)))
-      assert(out(1L) == ((true, true, false, false, false)), s"doc 1: ${out(1L)}")
-      assert(out(2L)._1 == false && out(2L)._5 == false, s"doc 2: ${out(2L)}")
-      assert(out(3L) == ((true, false, false, false, true)), s"doc 3: ${out(3L)}")
-      assert(out(6L) == ((true, false, true, false, false)), s"doc 6: ${out(6L)}")
-      assert(out(8L) == ((true, false, false, true, false)), s"doc 8: ${out(8L)}")
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+          r.getBoolean(8)))).toMap
+      // (text_ok, text_dup, image_dup, sem_dup, audio_dup, keep)
+      assert(out(0L) == ((true, false, false, false, false, true)))
+      assert(out(1L) == ((true, true, false, false, false, false)), s"doc 1: ${out(1L)}")
+      assert(out(2L)._1 == false && out(2L)._6 == false, s"doc 2: ${out(2L)}")
+      assert(out(3L) == ((true, false, false, false, false, true)), s"doc 3: ${out(3L)}")
+      assert(out(6L) == ((true, false, true, false, false, false)), s"doc 6: ${out(6L)}")
+      assert(out(8L) == ((true, false, false, true, false, false)), s"doc 8: ${out(8L)}")
+      assert(out(11L) == ((true, false, false, false, true, false)),
+        s"doc 11 must be an audio near-dup (not a text dup): ${out(11L)}")
       Seq(4L, 5L, 7L, 9L).foreach(id =>
-        assert(out(id)._5, s"doc $id must keep: ${out(id)}"))
+        assert(out(id)._6, s"doc $id must keep: ${out(id)}"))
     } finally {
       import scala.jdk.CollectionConverters._
       val s = java.nio.file.Files.walk(dir)
