@@ -927,37 +927,42 @@ object S16StreamSemanticDedupStore extends GraftQuery {
 /** S17 — STREAMING MULTIMODAL ADMISSION: q71's cross-modality
   * decision at INGEST TIME, against the persisted stores — the
   * capstone composition of the store column. Arriving documents (the
-  * test split) pass three gates per micro-batch: s11's text
+  * test split) pass four gates per micro-batch: s11's text
   * admission (PII-free, token floor — stateless map), the image
   * delta-dedup against q25f's banded dHash store (the real PNG codec
   * runs per batch; `verdictFrame` is the same function s14 streams),
-  * and the semantic delta-dedup against q70b's cluster store (the
-  * same `ingest` s16 streams, over the batch's embeddings). One
-  * admission row per document: admit ⇔ text_ok ∧ ¬image_dup ∧
-  * ¬sem_dup.
+  * the semantic delta-dedup against q70b's cluster store (the
+  * same `ingest` s16 streams, over the batch's embeddings), and —
+  * since q25h landed (round-11 cont.) — the audio delta-dedup
+  * against the persisted fingerprint store (the same generic
+  * `verdictFrame` s18 streams). One admission row per document:
+  * admit ⇔ text_ok ∧ ¬image_dup ∧ ¬sem_dup ∧ ¬audio_dup.
   *
   * Every gate is a pure function of (row, stores), so the stream is
   * STATELESS (foreachBatch appends per-epoch admission frames — the
-  * s16 rationale, now across three gates at once), and every gate is
+  * s16 rationale, now across four gates at once), and every gate is
   * the FACTORED production operator: this query contains no
   * decision logic of its own, only the composition.
   *
-  * The oracle replays all three decisions relationally over the
-  * test split (text gates + exhaustive train×test image Hamming +
-  * the q70b delta chain) — the full multimodal admission pipeline,
-  * codec path and store recall guarantees included, in one hash
-  * gate. */
+  * The oracle replays all four decisions relationally over the
+  * test split (text gates + exhaustive train×test image and audio
+  * Hamming + the q70b delta chain) — the full multimodal admission
+  * pipeline, codec path and store recall guarantees included, in
+  * one hash gate. */
 object S17StreamMultimodalAdmission extends GraftQuery {
   import StreamQueries._
-  import graft.multimodal.{Multimodal, Q25cImageFeatures, Q25dImageNearDup, Q25fImageDedupStore}
+  import graft.multimodal.{Multimodal, Q25cImageFeatures, Q25dImageNearDup, Q25fImageDedupStore, Q25hAudioDedupStore}
   import graft.queries.{Curation, NorthStar, Q40TrainTestSplit, Q42CorpusClean, Q70bSemanticDedupStore}
   val name = "s17_stream_multimodal_admission"
   private val s17Run = new AtomicInteger(0)
 
   /** One micro-batch of raw document rows → admission verdicts
-    * against the two persisted stores. */
+    * against the three persisted stores (image, semantic, audio —
+    * the audio gate landed with q25h, round-11 continuation). */
   private[graft] def admitBatch(docs: DataFrame, imgStore: DataFrame,
-      cent: DataFrame, semStore: DataFrame, embs: DataFrame): DataFrame = {
+      cent: DataFrame, semStore: DataFrame, embs: DataFrame,
+      audStore: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val gates = docs.select(col("doc_id"),
       ((size(regexp_extract_all(col("text"), lit(Curation.EmailPat), lit(0))) +
         size(regexp_extract_all(col("text"), lit(Curation.PhonePat), lit(0))) +
@@ -975,28 +980,40 @@ object S17StreamMultimodalAdmission extends GraftQuery {
         cent, semStore)
       .filter(col("verdict") === "dup")
       .select(col("vec_id").as("doc_id"), lit(true).as("sem_dup"))
+    val audFeats = graft.multimodal.Q25gAudioNearDup.extractFingerprints(
+        Multimodal.mediaFrame(docs)
+          .filter(col("meta.format") === "wav")
+          .as[Multimodal.MediaRow]).toDF()
+      .select(col("media_id"), col("ahash").as("dhash"))
+    val audDup = Q25hAudioDedupStore.store.formatVerdicts(
+        Q25hAudioDedupStore.store.verdictFrame(audFeats, audStore))
+      .filter(col("verdict") === "dup")
+      .select(col("media_id").as("doc_id"), lit(true).as("audio_dup"))
     gates
       .join(imgDup, Seq("doc_id"), "left")
       .join(semDup, Seq("doc_id"), "left")
+      .join(audDup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("text_ok"),
         coalesce(col("image_dup"), lit(false)).as("image_dup"),
-        coalesce(col("sem_dup"), lit(false)).as("sem_dup"))
+        coalesce(col("sem_dup"), lit(false)).as("sem_dup"),
+        coalesce(col("audio_dup"), lit(false)).as("audio_dup"))
       .withColumn("admit",
-        col("text_ok") && !col("image_dup") && !col("sem_dup"))
+        col("text_ok") && !col("image_dup") && !col("sem_dup") &&
+          !col("audio_dup"))
   }
 
   /** Drive a delta document stream to completion, appending one
     * admission frame per non-empty micro-batch; returns epochs. */
   private[graft] def maintain(spark: SparkSession, verdictsT: String,
       imgStore: DataFrame, cent: DataFrame, semStore: DataFrame,
-      embs: DataFrame, docs: DataFrame): Long = {
+      embs: DataFrame, audStore: DataFrame, docs: DataFrame): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
     val q = docs.writeStream
       .outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          admitBatch(batch, imgStore, cent, semStore, embs)
+          admitBatch(batch, imgStore, cent, semStore, embs, audStore)
             .write.mode(org.apache.spark.sql.SaveMode.Append)
             .format("parquet").saveAsTable(verdictsT)
           batches.incrementAndGet()
@@ -1014,14 +1031,16 @@ object S17StreamMultimodalAdmission extends GraftQuery {
     val (centT, assignT) = Q70bSemanticDedupStore.ensureStore(spark, dir)
     val (cent, semStore) = (spark.table(centT), spark.table(assignT))
     val embs = graft.Tables.embeddings(spark, dir)
+    val audStore = Q25hAudioDedupStore.store.storeFrame(spark,
+      Q25hAudioDedupStore.ensureStore(spark, dir))
     val runT = s"graft_s17_verdicts_${s17Run.incrementAndGet()}"
     graft.plans.Stores.dropManaged(spark, runT)
     admitBatch(spark.read.parquet(s"$dir/documents.parquet").limit(0),
-        imgStore, cent, semStore, embs)
+        imgStore, cent, semStore, embs, audStore)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(runT)
     try {
-      maintain(spark, runT, imgStore, cent, semStore, embs,
+      maintain(spark, runT, imgStore, cent, semStore, embs, audStore,
         docsStream(spark, dir)
           .filter(Q40TrainTestSplit.splitCol === "test"))
       spark.table(runT).orderBy(col("doc_id")).localCheckpoint(true)
@@ -1062,15 +1081,34 @@ object S17StreamMultimodalAdmission extends GraftQuery {
     idup AS (SELECT DISTINCT media_id AS doc_id FROM iham
              WHERE hamming <= ${Q25dImageNearDup.MaxHamming}),
     ${Q70bSemanticDedupStore.duckDeltaChain},
-    sdup AS (SELECT vb AS doc_id FROM doms)
+    sdup AS (SELECT vb AS doc_id FROM doms),
+    ${graft.multimodal.Q25gAudioNearDup.duckFpChain("a")},
+    asp AS (
+      SELECT media_id,
+        CASE WHEN instr('0123456789abcdef',
+               substr(md5(CAST(media_id AS VARCHAR)), 32, 1)) - 1 < 13
+             THEN 'train' ELSE 'test' END AS split
+      FROM am),
+    aham AS (
+      SELECT dx.media_id,
+        CAST(SUM(bit_count(xor(x.b, y.b))) AS BIGINT) AS hamming
+      FROM asp dx JOIN asp bx ON dx.split = 'test' AND bx.split = 'train'
+      JOIN aby_row x ON x.media_id = dx.media_id
+      JOIN aby_row y ON y.media_id = bx.media_id AND y.bi = x.bi
+      GROUP BY dx.media_id, bx.media_id),
+    adup AS (SELECT DISTINCT media_id AS doc_id FROM aham
+             WHERE hamming <= ${Q25dImageNearDup.MaxHamming})
     SELECT dl.doc_id, ga.text_ok,
       (i.doc_id IS NOT NULL) AS image_dup,
       (sd.doc_id IS NOT NULL) AS sem_dup,
-      (ga.text_ok AND i.doc_id IS NULL AND sd.doc_id IS NULL) AS admit
+      (au.doc_id IS NOT NULL) AS audio_dup,
+      (ga.text_ok AND i.doc_id IS NULL AND sd.doc_id IS NULL
+        AND au.doc_id IS NULL) AS admit
     FROM del dl
     JOIN gate ga ON ga.doc_id = dl.doc_id
     LEFT JOIN idup i ON i.doc_id = dl.doc_id
     LEFT JOIN sdup sd ON sd.doc_id = dl.doc_id
+    LEFT JOIN adup au ON au.doc_id = dl.doc_id
     ORDER BY dl.doc_id
   """.trim)
 }
