@@ -283,14 +283,44 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save())
       val imgServe = math.min(imgServeOnce(), imgServeOnce())
       graft.plans.Stores.evict(spark, "graft_imgstore")
+      // Audio-store lifecycle (q25h): the image split without the PNG
+      // codec term — build fingerprints the train-split wav tier once,
+      // serve prices a delta ingest against the bucketed store.
+      graft.plans.Stores.evict(spark, "graft_audstore")
+      val audBuild = t1(graft.multimodal.Q25hAudioDedupStore.ensureStore(spark, dir))
+      def audServeOnce() = t1(graft.multimodal.Q25hAudioDedupStore.run(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+      val audServe = math.min(audServeOnce(), audServeOnce())
+      graft.plans.Stores.evict(spark, "graft_audstore")
+      // ANN-index lifecycle (q19e): build pays the one KMeans fit +
+      // partitioned write; serve prices a probe against the bound
+      // index (pruned scan + exact cosine). The synthesized 100×
+      // corpus carries no embeddings table — those points report -1
+      // there rather than faking a ratio.
+      val (annBuild, annServe) =
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$dir/embeddings.parquet"))) (-1.0, -1.0)
+        else {
+          graft.plans.Stores.evict(spark, "graft_annstore")
+          val b = t1(Q19eAnnIvfStore.ensureStore(spark, dir))
+          def s1() = t1(Q19eAnnIvfStore.run(spark, dir)
+            .write.format("noop").mode("overwrite").save())
+          val s = math.min(s1(), s1())
+          graft.plans.Stores.evict(spark, "graft_annstore")
+          (b, s)
+        }
       Map("q57b_store_build" -> build, "q57b_store_serve" -> serve,
         "q65_store_build" -> statsBuild, "q65_refresh" -> refresh,
         "q25d_bands16" -> wide,
-        "q25f_store_build" -> imgBuild, "q25f_store_serve" -> imgServe)
+        "q25f_store_build" -> imgBuild, "q25f_store_serve" -> imgServe,
+        "q25h_store_build" -> audBuild, "q25h_store_serve" -> audServe,
+        "q19e_store_build" -> annBuild, "q19e_store_serve" -> annServe)
     }
     val storeNames = Seq("q57b_store_build", "q57b_store_serve",
       "q65_store_build", "q65_refresh", "q25d_bands16",
-      "q25f_store_build", "q25f_store_serve")
+      "q25f_store_build", "q25f_store_serve",
+      "q25h_store_build", "q25h_store_serve",
+      "q19e_store_build", "q19e_store_serve")
     val wantStores = only.forall(names => storeNames.exists(names))
     val (st1, st10) =
       if (wantStores) (storePoints(sfDir), storePoints(Scale10Dir))

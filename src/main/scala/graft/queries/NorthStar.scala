@@ -1049,16 +1049,29 @@ object Q19eAnnIvfStore extends GraftQuery {
 
   /** Build (or bind) the persisted index: one seeded KMeans fit per
     * corpus fingerprint, then only tables. */
-  private[graft] def ensureStore(spark: SparkSession, dir: String): (String, String) = {
+  private[graft] def ensureStore(spark: SparkSession, dir: String): (String, String) =
+    ensureStoreAt(spark, dir, prefix, trainOnly = false)
+
+  /** s19's variant: the index holds only the TRAIN-split vectors, so
+    * the test split is a genuine arriving delta for the ingest tier. */
+  private[graft] def ensureTrainStore(spark: SparkSession, dir: String): (String, String) =
+    ensureStoreAt(spark, dir, "graft_s19index", trainOnly = true)
+
+  private def ensureStoreAt(spark: SparkSession, dir: String,
+      pfx: String, trainOnly: Boolean): (String, String) = {
     val names = graft.plans.Stores.ensure(
-        spark, prefix, dir, Seq("centroids", "lists")) {
+        spark, pfx, dir, Seq("centroids", "lists")) {
       case Seq(centT, listsT) =>
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
         import spark.implicits._
-        val e = Tables.embeddings(spark, dir)
-          .select(col("vec_id"), col("embedding"),
-            array_to_vector(col("embedding").cast("array<double>")).as("features"))
+        val base = Tables.embeddings(spark, dir)
+        val src =
+          if (trainOnly)
+            base.filter(Q40TrainTestSplit.splitColOf("vec_id") === "train")
+          else base
+        val e = src.select(col("vec_id"), col("embedding"),
+          array_to_vector(col("embedding").cast("array<double>")).as("features"))
         val model = new KMeans().setK(Q19dAnnIvf.K).setSeed(42).setMaxIter(20)
           .setFeaturesCol("features").setPredictionCol("list_id").fit(e)
         model.clusterCenters.zipWithIndex
@@ -1093,6 +1106,36 @@ object Q19eAnnIvfStore extends GraftQuery {
   def run(spark: SparkSession, dir: String): DataFrame = {
     val (centT, listsT) = ensureStore(spark, dir)
     query(spark, dir, centT, listsT, Q19dAnnIvf.NProbe)
+  }
+
+  /** Nearest-STORED-centroid assignment for arriving vectors — the
+    * ADMIT half of the IVF insertion contract (inserts never move
+    * centroids; a meaningful quantizer drift is a rebuild, exactly
+    * the q64f retrain split): a K-row broadcast of the centroids
+    * table, per-vector squared-distance fold, min-of-struct argmax
+    * (ties to the lowest list — a total order, so the assignment is
+    * engine- and partitioning-independent). Map-only per vector. */
+  private[graft] def assign(spark: SparkSession, centT: String,
+      vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(spark.table(centT)
+        .select(col("list_id").as("c_list"), col("centroid"))))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(cast(embedding as array<double>), centroid, " +
+          "(x, c) -> (x - c) * (x - c)), 0D, (acc, v) -> acc + v)"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("c_list"), col("embedding"))).as("b"))
+      .select(col("vec_id"), col("b.embedding").as("embedding"),
+        col("b.c_list").as("list_id"))
+
+  /** Append assigned vectors to a lists table THROUGH its partition
+    * column (positional insert in the table's own field order), so
+    * the pruned-scan serve posture survives every ingest. */
+  private[graft] def appendToLists(spark: SparkSession, listsT: String,
+      assigned: DataFrame): Unit = {
+    val order = spark.table(listsT).schema.fieldNames.toSeq
+    assigned.select(order.map(col): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(listsT)
   }
   val oracle = None
 }

@@ -134,6 +134,11 @@ object StreamQueries {
     spark.readStream.schema(sch).parquet(s"$dir/{documents}.parquet")
   }
 
+  private[graft] def embsStream(spark: SparkSession, dir: String): DataFrame = {
+    val sch = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(sch).parquet(s"$dir/{embeddings}.parquet")
+  }
+
   /** DuckDB: events.ts is TIMESTAMP(NANOS); epoch µs by exact integer
     * division — matches Tables.events' `ts div 1000`. */
   private[streaming] val duckUs = "epoch_ns(ts) // 1000"
@@ -145,7 +150,8 @@ object StreamQueries {
     S12StreamDeltaDedup, S12bStreamDeltaDedupStore,
     S13StreamIncrementalStats, S14StreamImageDedupStore,
     S15StreamBpeEncodeStore, S16StreamSemanticDedupStore,
-    S17StreamMultimodalAdmission, S18StreamAudioDedupStore)
+    S17StreamMultimodalAdmission, S18StreamAudioDedupStore,
+    S19StreamAnnIngest)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -1152,4 +1158,72 @@ object S18StreamAudioDedupStore extends GraftQuery {
   }
 
   val oracle = Q25hAudioDedupStore.oracle
+}
+
+/** S19 — STREAMING ANN INGEST: the ADMIT step of the persisted IVF
+  * index (q19e), closing the ANN store's lifecycle the way `admit`
+  * closes q25f/q25h's. The quantizer is FROZEN — the standard IVF
+  * insertion contract: each arriving micro-batch of embeddings is
+  * routed to its nearest STORED centroid (K-row broadcast +
+  * squared-distance fold + min-of-struct argmax, map-only) and
+  * appended to the lists table THROUGH its partition column, so the
+  * serve path's pruned-scan posture survives every epoch; a
+  * meaningful quantizer drift is a REBUILD, the q64f retrain split.
+  *
+  * The index here holds the train-split vectors (so the test split
+  * is a genuine arriving delta); epochs append into a run-scoped
+  * working copy — the fingerprinted base index stays train-only, the
+  * s13 re-run rule. The stream is STATELESS (foreachBatch; the
+  * partitioned table is the state). Rows-only driver check like the
+  * rest of the ANN family (assignments depend on the fitted
+  * centroids); Round11fSpec pins stream ≡ one-shot batch ingest,
+  * driver-recomputed nearest-centroid agreement, partition routing,
+  * and that a post-ingest query FINDS an ingested vector. */
+object S19StreamAnnIngest extends GraftQuery {
+  import StreamQueries._
+  import graft.queries.{Q19eAnnIvfStore, Q40TrainTestSplit}
+  val name = "s19_stream_ann_ingest"
+  private val s19Run = new AtomicInteger(0)
+
+  /** Drive an embedding stream to completion, assigning + appending
+    * per non-empty micro-batch; returns epochs. */
+  private[graft] def maintain(spark: SparkSession, centT: String,
+      listsT: String, vecs: DataFrame): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = vecs.writeStream
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Q19eAnnIvfStore.appendToLists(spark, listsT,
+            Q19eAnnIvfStore.assign(spark, centT, batch))
+          batches.incrementAndGet()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (centT, listsT) = Q19eAnnIvfStore.ensureTrainStore(spark, dir)
+    val runT = s"graft_s19_lists_${s19Run.incrementAndGet()}"
+    graft.plans.Stores.dropManaged(spark, runT)
+    spark.table(listsT)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").partitionBy("list_id").saveAsTable(runT)
+    try {
+      maintain(spark, centT, runT, embsStream(spark, dir)
+        .filter(Q40TrainTestSplit.splitColOf("vec_id") === "test"))
+      // Report the routed deltas FROM the store (the table is the
+      // state); checkpoint before dropping the table the plan reads.
+      spark.table(runT)
+        .filter(Q40TrainTestSplit.splitColOf("vec_id") === "test")
+        .select(col("vec_id"), col("list_id").cast("int").as("list_id"))
+        .orderBy(col("vec_id")).localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
+  }
+
+  val oracle: Option[String] = None
 }

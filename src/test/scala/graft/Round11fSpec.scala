@@ -143,4 +143,69 @@ class Round11fSpec extends SparkSpec {
       cleanup(dir)
     }
   }
+
+  test("s19: streamed ANN ingest routes deltas to their true nearest centroid and a query then finds them") {
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    import graft.queries.{Q19dAnnIvf, Q19eAnnIvfStore, Q40TrainTestSplit}
+    import graft.streaming.S19StreamAnnIngest
+    graft.plans.Stores.evict(spark, "graft_s19index")
+    val tmp = java.nio.file.Files.createTempDirectory("s19spec").toString
+    try {
+      // Stream ≡ one-shot batch ingest: run s19 (multi-epoch ingest
+      // into a run-scoped copy), then recompute the assignment in one
+      // batch call — identical rows.
+      val streamed = S19StreamAnnIngest.run(spark, sf01).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      val (centT, _) = Q19eAnnIvfStore.ensureTrainStore(spark, sf01)
+      val oneShot = Q19eAnnIvfStore.assign(spark, centT,
+          Tables.embeddings(spark, sf01)
+            .filter(Q40TrainTestSplit.splitColOf("vec_id") === "test"))
+        .select(col("vec_id"), col("list_id").cast("int").as("list_id"))
+        .orderBy(col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(streamed.nonEmpty && streamed == oneShot,
+        s"streamed ingest diverged from the one-shot assignment")
+      // Every routed list is the DRIVER-recomputed nearest centroid
+      // (exact doubles both sides, lowest-list tie-break).
+      val cents = spark.table(centT).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val vecs = Tables.embeddings(spark, sf01)
+        .filter(Q40TrainTestSplit.splitColOf("vec_id") === "test")
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      streamed.foreach { case (vid, lid) =>
+        val v = vecs(vid)
+        val best = cents.toSeq.map { case (c, arr) =>
+          (arr.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+        }.min
+        assert(lid == best._2,
+          s"vec $vid routed to $lid, nearest stored centroid is $best")
+      }
+      // Post-ingest serve: rebuild the working table the way s19 does,
+      // ingest one batch, and the FULL-probe query (exact scan) must
+      // surface the ingested duplicate of the query vector at cos 1.0.
+      val runT = "graft_s19spec_lists"
+      graft.plans.Stores.dropManaged(spark, runT)
+      val (_, listsT) = Q19eAnnIvfStore.ensureTrainStore(spark, sf01)
+      spark.table(listsT).write.format("parquet")
+        .partitionBy("list_id").saveAsTable(runT)
+      try {
+        val qVec = Tables.embeddings(spark, sf01)
+          .filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0)
+        import spark.implicits._
+        val clone = Seq((900001L, qVec, 0)).toDF("vec_id", "embedding", "label")
+        Q19eAnnIvfStore.appendToLists(spark, runT,
+          Q19eAnnIvfStore.assign(spark, centT, clone))
+        val hits = Q19eAnnIvfStore.query(spark, sf01, centT, runT,
+            Q19dAnnIvf.K) // full probe: recall 1.0 by construction
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(hits.get(900001L).contains(1.0),
+          s"ingested clone of the query vector must surface at cos 1.0: $hits")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
+    } finally {
+      graft.plans.Stores.evict(spark, "graft_s19index")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
