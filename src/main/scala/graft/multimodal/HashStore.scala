@@ -17,10 +17,11 @@ import graft.queries.{GraftQuery, Q40TrainTestSplit}
   * because every step consumes only the 16-hex fingerprint.
   *
   * 100 TB posture (inherited by every instantiation): the store
-  * holds `64/bandBits` short rows per DISTINCT corpus hash (never
-  * media bytes); a delta ingest fingerprints only itself and joins
-  * pre-bucketed parquet with no store-side exchange; the stateful
-  * verdict side is one struct row per delta item. */
+  * holds C(nBands, 2) short rows per DISTINCT corpus hash (never
+  * media bytes — the band-PAIR layout, see [[bandRows]]); a delta
+  * ingest fingerprints only itself and joins pre-bucketed parquet
+  * with no store-side exchange; the stateful verdict side is one
+  * struct row per delta item. */
 private[graft] final class BandedHashStore(
     val prefix: String, val maxHamming: Int) {
   import Q25dImageNearDup.{bandBitsFor, hammingExpr}
@@ -30,14 +31,32 @@ private[graft] final class BandedHashStore(
   private val nBands = 64 / bandBits
   private val hexPerBand = bandBits / 4
 
-  /** One row per (band, key) bucket of each hash; the band index is
-    * part of the key so band 0's byte can never collide with band
-    * 1's. */
+  /** The store buckets on band PAIRS (the LSH AND-construction, r=2):
+    * C(nBands, 2) buckets per hash, each keyed by BOTH band
+    * substrings. Pigeonhole: ≤ nBands−2 differing bits leave ≥ 2
+    * clean bands, so every pair within [[maxHamming]] still shares
+    * the bucket of its clean pair — recall holds through EXACTLY the
+    * contract threshold (single bands covered nBands−1, one more
+    * than needed, and paid for the slack: 8-bit keys over a
+    * LOW-ENTROPY fingerprint family — audio contours of similar
+    * docs — drove bucket occupancy² to 41 M candidate pairs and a
+    * 165 s serve at the 100× corpus; 16-bit pair keys cut per-bucket
+    * collision ~256× for 3.5× more store rows). */
+  require(maxHamming <= nBands - 2,
+    s"pair-band recall covers Hamming <= ${nBands - 2}, got $maxHamming")
+  private[graft] val bandPairs: Seq[(Int, Int)] =
+    for { i <- 0 until nBands; j <- (i + 1) until nBands } yield (i, j)
+
+  /** One row per (band-pair, key) bucket of each hash; the pair index
+    * is part of the key so pair (0,1)'s bytes can never collide with
+    * pair (2,3)'s. */
   private[graft] def bandRows(feats: DataFrame): DataFrame =
     feats.select(col("media_id"), col("dhash"),
-      explode(expr(s"transform(sequence(0, ${nBands - 1}), " +
-        s"b -> concat(cast(b as string), ':', " +
-        s"substring(dhash, b * $hexPerBand + 1, $hexPerBand)))")).as("bkey"))
+      explode(array(bandPairs.zipWithIndex.map { case ((i, j), p) =>
+        concat(lit(s"$p:"),
+          substring(col("dhash"), i * hexPerBand + 1, hexPerBand),
+          substring(col("dhash"), j * hexPerBand + 1, hexPerBand))
+      }: _*)).as("bkey"))
 
   /** EXACT-DUP COLLAPSE before the near-dup join: Hamming distance
     * is a function of the HASH alone and the best-base rule is
@@ -58,7 +77,8 @@ private[graft] final class BandedHashStore(
       corpus: => DataFrame): String = {
     val names = graft.plans.Stores.ensure(
         spark, prefix, dir, Seq("bands"),
-        buckets = Map("bands" -> (("bkey", 16)))) { case Seq(bandsT) =>
+        buckets = Map("bands" -> (("bkey", 16))),
+        layoutVersion = "2" /* band-PAIR buckets */) { case Seq(bandsT) =>
       graft.plans.Bucketing.writeBucketed(
         bandRows(collapse(corpus)), bandsT, "bkey", 16)
     }
@@ -87,10 +107,32 @@ private[graft] final class BandedHashStore(
     * fresh branches are stateless stream-static joins / projections,
     * and the single stateful operator is the min-of-struct
     * aggregation, exactly the s12 shape. */
+  /** Band-join candidates with FIRST-SHARED-PAIR dedup: a (delta,
+    * base) pair that agrees on k bands collides in C(k, 2) buckets —
+    * up to C(nBands, 2) duplicate verify rows per candidate under
+    * heavy similarity. Keeping only the row whose bucket IS the
+    * first band pair the two hashes share (a pure function of the
+    * two hashes already in the row — stateless, so the streaming
+    * twins inherit it; exactly one row per pair survives because a
+    * colliding pair shares ≥ 1 clean pair) cuts the expensive
+    * Hamming verify to one evaluation per pair. */
+  private[graft] def candidates(deltaFeats: DataFrame,
+      store: DataFrame): DataFrame = {
+    val firstShared = bandPairs.map { case (i, j) =>
+      s"(substring(dhash, ${i * hexPerBand + 1}, $hexPerBand) = " +
+        s"substring(base_dhash, ${i * hexPerBand + 1}, $hexPerBand) AND " +
+        s"substring(dhash, ${j * hexPerBand + 1}, $hexPerBand) = " +
+        s"substring(base_dhash, ${j * hexPerBand + 1}, $hexPerBand))"
+    }.mkString("array(", ", ", ")")
+    bandRows(deltaFeats)
+      .join(store, Seq("bkey"))
+      .filter(expr(
+        s"cast(split(bkey, ':')[0] as int) + 1 = array_position($firstShared, true)"))
+  }
+
   private[graft] def verdictFrame(deltaFeats: DataFrame,
       store: DataFrame): DataFrame = {
-    val cands = bandRows(deltaFeats)
-      .join(store, Seq("bkey"))
+    val cands = candidates(deltaFeats, store)
       .withColumn("hamming",
         expr(hammingExpr("dhash", "base_dhash")).cast("long"))
       .filter(col("hamming") <= maxHamming)

@@ -25,17 +25,19 @@ import graft.queries.{GraftQuery, Q40TrainTestSplit}
   * Hamming distance (ties to the lowest base id) within
   * [[Q25dImageNearDup.MaxHamming]]; anything without such a base is
   * `new` and kept in the audit. The banded join is exhaustive for
-  * this threshold by pigeonhole (Hamming ≤ 6 < 8 bands forces a clean
-  * band), so the ORACLE replays the decision over ALL test×train
-  * pairs — the hash gate checks the LSH recall guarantee itself, not
-  * just the arithmetic.
+  * this threshold by pigeonhole (Hamming ≤ 6 over 8 bands leaves ≥ 2
+  * clean bands — the band-PAIR buckets of [[BandedHashStore]]), so
+  * the ORACLE replays the decision over ALL test×train pairs — the
+  * hash gate checks the LSH recall guarantee itself, not just the
+  * arithmetic.
   *
-  * 100 TB posture: the store holds 8 × 18-byte rows per image (never
-  * pixels); the delta pays one batched decode of its own files and a
-  * band equi-join against bucketed parquet; the stateful side of the
-  * verdict is one struct row per delta image. Cites the reference's
-  * dedup contract only in spirit — no such operator exists in
-  * /root/reference (409-line word-count engine). */
+  * 100 TB posture: the store holds C(8,2)=28 short rows per DISTINCT
+  * image hash (never pixels); the delta pays one batched decode of
+  * its own files and a band-pair equi-join against bucketed parquet;
+  * the stateful side of the verdict is one struct row per delta
+  * image. Cites the reference's dedup contract only in spirit — no
+  * such operator exists in /root/reference (409-line word-count
+  * engine). */
 object Q25fImageDedupStore extends GraftQuery {
   import Q25cImageFeatures.extractImageFeatures
   import Q25dImageNearDup.MaxHamming

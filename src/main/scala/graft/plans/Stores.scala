@@ -170,11 +170,17 @@ object Stores {
     * order. */
   def ensure(spark: SparkSession, prefix: String, dir: String,
              kinds: Seq[String],
-             buckets: Map[String, (String, Int)] = Map.empty)
+             buckets: Map[String, (String, Int)] = Map.empty,
+             layoutVersion: String = "")
             (build: Seq[String] => Unit): Seq[String] =
     this.synchronized {
       val tag = dirTag(dir)
-      val fp = fingerprint(spark, dir)
+      // A LAYOUT version participates in the fingerprint: a code
+      // change to the store's on-disk shape must behave exactly like
+      // a corpus change — the stale-incarnation sweep below then
+      // retires the old layout instead of binding it.
+      val fp = fingerprint(spark, dir) +
+        (if (layoutVersion.isEmpty) "" else s"v$layoutVersion")
       val names = kinds.map(k => s"${prefix}_${k}_${tag}_$fp")
       val wh = warehouse(spark)
       val marker = wh.resolve(s"${prefix}_${tag}_$fp.committed")

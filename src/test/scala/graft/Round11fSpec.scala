@@ -144,6 +144,27 @@ class Round11fSpec extends SparkSpec {
     }
   }
 
+  test("candidates: one verify row per colliding pair even when hashes share many bands") {
+    import spark.implicits._
+    val st = graft.multimodal.Q25hAudioDedupStore.store
+    // Base vs deltas: d1 differs in the LAST band only (shares bands
+    // 0-6 -> naive banding emits 7 rows), d2 is identical (shares all
+    // 8), d3 shares no band at all (never a candidate).
+    val base = "00000000000000ff"
+    val d1   = "0000000000000011"
+    val d2   = base
+    val d3   = "1122334455667788"
+    val store = st.bandRows(Seq((100L, base)).toDF("media_id", "dhash"))
+      .select(col("bkey"), col("media_id").as("base_id"),
+        col("dhash").as("base_dhash"))
+    val delta = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("media_id", "dhash")
+    val got = st.candidates(delta, store)
+      .select(col("media_id"), col("base_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((1L, 100L), (2L, 100L)),
+      s"exactly one candidate row per colliding pair, got $got")
+  }
+
   test("s19: streamed ANN ingest routes deltas to their true nearest centroid and a query then finds them") {
     import org.apache.spark.sql.functions.{broadcast => _, _}
     import graft.queries.{Q19dAnnIvf, Q19eAnnIvfStore, Q40TrainTestSplit}
