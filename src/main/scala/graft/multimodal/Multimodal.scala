@@ -492,7 +492,18 @@ object Q25dImageNearDup extends GraftQuery {
     * Hamming 7 — what the ≤6 near-dup threshold needs; 16-bit bands
     * guarantee only Hamming ≤ 3 but cut bucket occupancy 256×, the
     * right trade when the corpus is large and the dedup bar is
-    * near-exact. Must divide 64 and align to hex digits (4). */
+    * near-exact. Must divide 64 and align to hex digits (4).
+    *
+    * LOW-ENTROPY HAZARD (measured on the audio family, BASELINE
+    * round-11 store table): when a fingerprint family makes similar
+    * documents share many band VALUES without being Hamming-close,
+    * single-band buckets collide far beyond the near-dup set. The
+    * store ops ([[graft.multimodal.BandedHashStore]]) bucket on band
+    * PAIRS for exactly this reason (recall to nBands−2 by
+    * pigeonhole, ~2^b× lower collision); this query-side surface
+    * keeps single bands because its contract covers Hamming ≤
+    * nBands−1 and its fixture families are high-entropy — switch a
+    * low-entropy family at scale to the store path. */
   private[graft] def verifiedCandidates(feats: DataFrame,
       bandBits: Int = 8): DataFrame = {
     require(bandBits % 4 == 0 && 64 % bandBits == 0,

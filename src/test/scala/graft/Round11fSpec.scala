@@ -165,6 +165,44 @@ class Round11fSpec extends SparkSpec {
       s"exactly one candidate row per colliding pair, got $got")
   }
 
+  test("band-pair recall property: every pair within the contract threshold shares a bucket") {
+    import spark.implicits._
+    // Deterministic pseudo-random 64-bit hashes + <= 6 random bit
+    // flips: the pigeonhole argument (<= nBands-2 differing bits
+    // leave >= 2 clean bands => one shared band-pair bucket) checked
+    // over 200 adversarial cases, including flips clustered into few
+    // bands and spread across many.
+    val st = graft.multimodal.Q25hAudioDedupStore.store
+    val cases = (0 until 200).map { t =>
+      var h = DiagBands.mix(t * 31 + 7)
+      val flips = t % 7 // 0..6 differing bits
+      var h2 = h
+      (0 until flips).foreach { f =>
+        val bit = ((DiagBands.mix(t * 131 + f) % 64) + 64) % 64
+        h2 ^= 1L << bit.toInt
+      }
+      (t.toLong * 2, f"$h%016x", t.toLong * 2 + 1, f"$h2%016x")
+    }
+    val store = st.bandRows(
+        cases.map(c => (c._1, c._2)).toDF("media_id", "dhash"))
+      .select(col("bkey"), col("media_id").as("base_id"),
+        col("dhash").as("base_dhash"))
+    val delta = cases.map(c => (c._3, c._4)).toDF("media_id", "dhash")
+    val found = st.candidates(delta, store)
+      .select(col("media_id"), col("base_id")).collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toSet
+    cases.foreach { case (bid, h, did, h2) =>
+      // NOTE: flips can cancel (same bit twice), so recompute the
+      // true Hamming; the guarantee applies at <= 6.
+      val ham = java.lang.Long.bitCount(
+        java.lang.Long.parseUnsignedLong(h, 16) ^
+          java.lang.Long.parseUnsignedLong(h2, 16))
+      if (ham <= 6)
+        assert(found.contains((bid, did)),
+          s"pair at Hamming $ham missed by the band-pair buckets: $h vs $h2")
+    }
+  }
+
   test("s19: streamed ANN ingest routes deltas to their true nearest centroid and a query then finds them") {
     import org.apache.spark.sql.functions.{broadcast => _, _}
     import graft.queries.{Q19dAnnIvf, Q19eAnnIvfStore, Q40TrainTestSplit}
