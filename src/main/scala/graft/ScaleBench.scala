@@ -53,8 +53,34 @@ object ScaleBench {
         .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
         .sorted.mkString("|")
     }
+    // 100× embeddings (third-decade points for the ANN store): 100
+    // bijective norm-preserving copies — rotate by k mod dim, negate
+    // the second fifty — so distance structure scales honestly, like
+    // the 10× recipe. Written by its own guard so a Scale100Dir
+    // synthesized before this table existed gains it without a doc
+    // rewrite.
+    def writeEmbs100(): Unit = {
+      val embs = Tables.embeddings(spark, sfDir)
+      (0 until 100).map { k =>
+        val r = k % 64
+        val rotSql =
+          if (r == 0) "embedding"
+          else s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+            s"slice(embedding, 1, $r))"
+        embs.select(
+          (col("vec_id") + lit(k.toLong * IdOffset)).as("vec_id"),
+          expr(if (k < 50) rotSql else s"transform($rotSql, x -> -x)")
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$Scale100Dir/embeddings.parquet")
+    }
     if (java.nio.file.Files.exists(fpFile) &&
         new String(java.nio.file.Files.readAllBytes(fpFile), "UTF-8") == srcFp) {
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$Scale100Dir/embeddings.parquet")))
+        writeEmbs100()
       System.err.println(s"[scalebench] reusing $Scale100Dir (fingerprint match)")
       return
     }
@@ -69,6 +95,7 @@ object ScaleBench {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(64)
       .write.mode("overwrite").parquet(s"$Scale100Dir/documents.parquet")
+    writeEmbs100()
     java.nio.file.Files.write(fpFile, srcFp.getBytes("UTF-8"))
   }
 

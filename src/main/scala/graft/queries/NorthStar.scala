@@ -268,7 +268,8 @@ object NorthStar {
   val all: Seq[GraftQuery] = Seq(
     Q18DedupExact, Q18bDedupMinHash, Q18cDedupSimHash, Q18dDedupNgram,
     Q18eDedupEmbedding, Q18fDedupClusters, Q19SimilarityTopK, Q19bAnnLsh,
-    Q19cAnnSparkMl, Q19dAnnIvf, Q19eAnnIvfStore, Q20TopTermsPerLang, Q21LanguageId,
+    Q19cAnnSparkMl, Q19dAnnIvf, Q19eAnnIvfStore, Q19fAnnRebalance,
+    Q20TopTermsPerLang, Q21LanguageId,
     Q22QualityScore, Q23TokenCount, Q24Fingerprint, Q26TfIdf,
     Q42CorpusClean, Q42bCorpusCleanFull, Q43TopBigrams, Q44SourceCap,
     Q45TokenPacking,
@@ -1136,6 +1137,61 @@ object Q19eAnnIvfStore extends GraftQuery {
     val order = spark.table(listsT).schema.fieldNames.toSeq
     assigned.select(order.map(col): _*)
       .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(listsT)
+  }
+  val oracle = None
+}
+
+/** Q19f — IVF list balance / REBALANCE TRIGGER: the operational query
+  * that closes the ANN index's quantizer-drift loop — q64f's
+  * retrain-on-meaningful-drift split applied to the similarity
+  * family. s19's insertion contract freezes the centroids, so under
+  * distribution drift the list-size histogram skews and probe cost
+  * stops tracking nProbe/K (one bloated list costs like a full
+  * scan); the retrain signal is the occupancy skew of the PERSISTED
+  * lists table — read from the index, never from a re-clustering.
+  *
+  * Output: one row per list (empty lists included via the centroids
+  * table — a starved list is drift evidence too) with its occupancy
+  * and share, plus the global verdict: retrain ⇔ max occupancy ×
+  * K > [[SkewFactor]] × total (an exact-BIGINT cross-multiplication,
+  * q68's threshold discipline — no float compare can drift it).
+  * Rebuild = `Stores.evict` + `ensureStore` (the layout-version /
+  * fingerprint machinery guarantees the new index retires the old).
+  * Scale shape: one count-per-partition aggregate over the lists
+  * table + a K-row window — O(index), no vector math at all.
+  * Rows-only like the rest of the ANN family (list ids come from the
+  * fitted quantizer); spec gates determinism, the driver-recomputed
+  * verdict, and a crafted skewed ingest tripping the trigger. */
+object Q19fAnnRebalance extends GraftQuery {
+  val name = "q19f_ann_rebalance"
+  /** Max-over-mean occupancy ratio beyond which probe-cost math is
+    * off by the same factor — the retrain bar. */
+  val SkewFactor = 4L
+
+  /** The balance frame over any (centroids, lists) pair — shared by
+    * the driver entry and the crafted-skew spec. */
+  private[graft] def balanceFrame(spark: SparkSession, centT: String,
+      listsT: String): DataFrame = {
+    val occ = spark.table(listsT)
+      .groupBy(col("list_id").cast("int").as("list_id"))
+      .agg(count(lit(1)).as("n"))
+    val k = lit(Q19dAnnIvf.K.toLong)
+    val w = Window.partitionBy(lit(1))
+    spark.table(centT).select(col("list_id"))
+      .join(occ, Seq("list_id"), "left")
+      .select(col("list_id"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("max_n", max(col("n")).over(w))
+      .select(col("list_id"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 4)
+          .as("share"),
+        (col("max_n") * k > lit(SkewFactor) * col("total")).as("retrain"))
+      .orderBy(col("list_id"))
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (centT, listsT) = Q19eAnnIvfStore.ensureStore(spark, dir)
+    balanceFrame(spark, centT, listsT)
   }
   val oracle = None
 }

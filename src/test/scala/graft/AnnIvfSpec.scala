@@ -102,4 +102,49 @@ class AnnIvfSpec extends SparkSpec {
       }
     } finally graft.plans.Stores.evict(spark, "graft_annstore")
   }
+
+  test("q19f: balance frame matches a driver recount; a skewed ingest trips the retrain trigger") {
+    import graft.queries.{Q19eAnnIvfStore, Q19fAnnRebalance}
+    graft.plans.Stores.evict(spark, "graft_annstore")
+    try {
+      val (centT, listsT) = Q19eAnnIvfStore.ensureStore(spark, sf01)
+      val rows = Q19fAnnRebalance.run(spark, sf01).collect()
+      assert(rows.length == Q19dAnnIvf.K, "one row per list, empty included")
+      // Driver recount straight off the lists table.
+      val occ = spark.table(listsT).groupBy("list_id").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val total = occ.values.sum
+      val maxN = occ.values.max
+      val expectRetrain =
+        maxN * Q19dAnnIvf.K > Q19fAnnRebalance.SkewFactor * total
+      rows.foreach { r =>
+        val (lid, n) = (r.getInt(0), r.getLong(1))
+        assert(n == occ.getOrElse(lid, 0L), s"list $lid occupancy")
+        assert(r.getBoolean(3) == expectRetrain, s"verdict on list $lid")
+      }
+      assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-6,
+        "shares must sum to 1")
+      // Crafted drift: clone one corpus vector HEAVILY into a working
+      // copy — occupancy concentrates in its list and the exact
+      // cross-multiplied threshold must trip.
+      val runT = "graft_q19fspec_lists"
+      graft.plans.Stores.dropManaged(spark, runT)
+      spark.table(listsT).write.format("parquet")
+        .partitionBy("list_id").saveAsTable(runT)
+      try {
+        import spark.implicits._
+        val v = Tables.embeddings(spark, sf01).filter(col("vec_id") === 1)
+          .head().getSeq[Float](1)
+        val clones = (0 until (total * 4).toInt)
+          .map(i => (800000L + i, v, 0)).toDF("vec_id", "embedding", "label")
+        Q19eAnnIvfStore.appendToLists(spark, runT,
+          Q19eAnnIvfStore.assign(spark, centT, clones))
+        val drifted = Q19fAnnRebalance.balanceFrame(spark, centT, runT)
+          .collect()
+        assert(drifted.forall(_.getBoolean(3)),
+          s"4x-cloned ingest must trip the retrain trigger: " +
+            drifted.map(r => (r.getInt(0), r.getLong(1))).mkString(","))
+      } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
+    } finally graft.plans.Stores.evict(spark, "graft_annstore")
+  }
 }
