@@ -1183,7 +1183,10 @@ object Q19fAnnRebalance extends GraftQuery {
       .withColumn("total", sum(col("n")).over(w))
       .withColumn("max_n", max(col("n")).over(w))
       .select(col("list_id"), col("n"),
-        round(col("n").cast("double") / col("total").cast("double"), 4)
+        // zero-guarded like q63's empty-input rule: an empty index
+        // reports 0.0 shares and retrain=false, never NaN.
+        when(col("total") === 0, lit(0.0)).otherwise(
+          round(col("n").cast("double") / col("total").cast("double"), 4))
           .as("share"),
         (col("max_n") * k > lit(SkewFactor) * col("total")).as("retrain"))
       .orderBy(col("list_id"))
