@@ -10,7 +10,7 @@ object SparkEntry {
   val all: Seq[GraftQuery] = Seq(
     InvertedIndex, InvertedIndexUdaf, InvertedIndexNative
   ) ++ Relational.all ++ Analytics.all ++ NorthStar.all ++
-    Curation.all ++ Scoring.all ++ Graph.all ++ Bpe.all ++
+    Curation.all ++ Html.all ++ Scoring.all ++ Graph.all ++ Bpe.all ++
     Seq(Q65IncrementalStats, Q70SemanticDedup, Q70bSemanticDedupStore,
       Q70cSemanticDedupTrained, Q71MultimodalCuration) ++
     Seq(graft.multimodal.Q25MultimodalFeatures,

@@ -90,17 +90,30 @@ private[graft] final class BandedHashStore(
     spark.table(bandsT).select(col("bkey"),
       col("media_id").as("base_id"), col("dhash").as("base_dhash"))
 
-  /** The COMMIT step of an ingest: append the admitted ("new") items'
-    * band rows so the NEXT delta dedups against them too — two
-    * arriving shards that duplicate each other (but nothing in the
-    * base corpus) must not both be admitted. Delta-sized; routed
-    * through the SAME bucket spec the store was created with, so the
-    * zero-exchange join posture survives the append;
-    * `Bucketing.compact` bounds file growth. */
-  private[graft] def admit(feats: DataFrame, bandsT: String): Unit =
-    bandRows(collapse(feats))
+  /** The COMMIT step of an ingest: append band rows so the NEXT
+    * delta dedups against them too — two arriving shards that
+    * duplicate each other (but nothing in the base corpus) must not
+    * both be admitted. CONTRACT: `feats` must be the items to append
+    * verbatim — pass `verdicts` (this delta's [[verdictFrame]]
+    * output) to have the `verdict == 'new'` filter applied here;
+    * without it the caller must pre-filter, because appending a
+    * raw delta re-inserts dup hashes (store growth, and a dup row
+    * with a lower media_id would shift future best-base picks).
+    * Delta-sized; routed through the SAME bucket spec the store was
+    * created with, so the zero-exchange join posture survives the
+    * append; `Bucketing.compact` bounds file growth. */
+  private[graft] def admit(feats: DataFrame, bandsT: String,
+      verdicts: Option[DataFrame] = None): Unit = {
+    val toAppend = verdicts match {
+      case Some(v) => feats.join(
+        v.filter(col("verdict") === "new").select(col("media_id")),
+        Seq("media_id"), "left_semi")
+      case None => feats
+    }
+    bandRows(collapse(toAppend))
       .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
       .bucketBy(16, "bkey").sortBy("bkey").saveAsTable(bandsT)
+  }
 
   /** Banded candidates + exact-Hamming verify + best-base pick over
     * any delta feature frame — batch or STREAMING: the candidate and

@@ -81,14 +81,14 @@ object Q25fImageDedupStore extends GraftQuery {
     store.storeFrame(spark, bandsT)
 
   /** The COMMIT step of an image ingest ([[BandedHashStore.admit]]):
-    * append the admitted ("new") images' band rows to the store, so
-    * the NEXT delta dedups against them too. Collapsed like the
-    * build (an admitted hash already in the store just adds a second
-    * row — min-struct still picks the lower id, and compact bounds
-    * the growth). */
+    * append band rows to the store, so the NEXT delta dedups against
+    * them too. CONTRACT (inherited): `feats` must already be the
+    * admitted ("new") items, or `verdicts` must be supplied so the
+    * `verdict == 'new'` filter is applied here. Collapsed like the
+    * build; compact bounds the growth. */
   private[graft] def admit(spark: SparkSession, feats: DataFrame,
-      bandsT: String): Unit =
-    store.admit(feats, bandsT)
+      bandsT: String, verdicts: Option[DataFrame] = None): Unit =
+    store.admit(feats, bandsT, verdicts)
 
   /** Banded candidates + exact-Hamming verify + best-base pick over
     * any delta feature frame — batch (q25f) or STREAMING (s14); see

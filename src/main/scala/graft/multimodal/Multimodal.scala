@@ -643,8 +643,9 @@ object Q25dImageNearDup extends GraftQuery {
   private[graft] def topPairs(feats: DataFrame, bandBits: Int = 8,
       k: Int = TopPairs): DataFrame = {
     val pinned = feats.localCheckpoint()
-    if (slicedWithinPairs(pinned, k) >= k)
-      closestPairs(pinned, bandBits, k)
+    val n = slicedWithinPairs(pinned, k)
+    if (n >= k)
+      closestPairs(pinned, bandBits, k, knownWithin = Some(n))
     else
       verifiedCandidates(pinned, bandBits)
         .orderBy(col("hamming"), col("id_a"), col("id_b"))

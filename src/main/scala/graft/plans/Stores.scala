@@ -132,10 +132,10 @@ object Stores {
     * neither a marker nor a data directory left. [[evict]] removes a
     * family wholesale; this sweep closes the residual case where
     * ONLY a marker + lock pair survives — the one warehouse-growth
-    * leak the round-10 protocol left open. Like `evict`, must not
-    * run concurrently with a build for the same prefix (a deleted
-    * lock file would let a new builder lock a fresh inode while the
-    * old holder still holds the orphaned one). */
+    * leak the round-10 protocol left open. Safe to run concurrently
+    * with builds: each lock file is deleted only under its own
+    * `tryLock` (a held lock — an active builder — makes the sweep
+    * skip that tag), so a live builder's inode is never orphaned. */
   def gcMarkers(spark: SparkSession, prefix: String): Unit = this.synchronized {
     val wh = warehouse(spark)
     def entries() = listDir(wh).map(_.getFileName.toString)
@@ -156,9 +156,27 @@ object Stores {
     after.filter(n => n.startsWith(prefix + "_") && n.endsWith(".lock"))
       .foreach { ln =>
         val tag = ln.stripSuffix(".lock").stripPrefix(prefix + "_")
-        val live = after.exists(n => n != ln && n.startsWith(prefix + "_") &&
-          n.contains(s"_${tag}_"))
-        if (!live) Files.deleteIfExists(wh.resolve(ln))
+        // Acquire the lock BEFORE deleting: deleting a lock file out
+        // from under a live builder would let the next `ensure` lock
+        // a fresh inode while the old holder still holds the orphaned
+        // one — two "exclusive" builds at once. tryLock (non-blocking)
+        // because a held lock means the tag is in active use: skip it,
+        // this sweep only removes genuinely orphaned coordination
+        // files. Deleting while holding the lock is safe (POSIX
+        // unlink; the inode lives until release).
+        val ch = FileChannel.open(wh.resolve(ln),
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        try {
+          val lock = ch.tryLock()
+          if (lock != null) {
+            try {
+              val now = entries()
+              val live = now.exists(n => n != ln && n.startsWith(prefix + "_") &&
+                n.contains(s"_${tag}_"))
+              if (!live) Files.deleteIfExists(wh.resolve(ln))
+            } finally lock.release()
+          }
+        } finally ch.close()
       }
   }
 
@@ -166,12 +184,17 @@ object Stores {
     * for this (dir, corpus-files) snapshot; bind or build them if
     * this catalog doesn't serve them yet (see the protocol above).
     * `buckets` maps a kind to its (key, numBuckets) spec so a re-bind
-    * preserves the bucketed layout. Returns the names in `kinds`
-    * order. */
+    * preserves the bucketed layout. `fpTables` names the SOURCE files
+    * whose metadata keys the fingerprint — a store derived from
+    * embeddings.parquet must go stale when embeddings.parquet is
+    * regenerated even if documents.parquet is untouched (the backfill
+    * hazard: an old index silently served against new vectors).
+    * Returns the names in `kinds` order. */
   def ensure(spark: SparkSession, prefix: String, dir: String,
              kinds: Seq[String],
              buckets: Map[String, (String, Int)] = Map.empty,
-             layoutVersion: String = "")
+             layoutVersion: String = "",
+             fpTables: Seq[String] = Seq("documents.parquet"))
             (build: Seq[String] => Unit): Seq[String] =
     this.synchronized {
       val tag = dirTag(dir)
@@ -179,7 +202,7 @@ object Stores {
       // change to the store's on-disk shape must behave exactly like
       // a corpus change — the stale-incarnation sweep below then
       // retires the old layout instead of binding it.
-      val fp = fingerprint(spark, dir) +
+      val fp = fpTables.map(t => fingerprint(spark, dir, t)).mkString +
         (if (layoutVersion.isEmpty) "" else s"v$layoutVersion")
       val names = kinds.map(k => s"${prefix}_${k}_${tag}_$fp")
       val wh = warehouse(spark)

@@ -1061,7 +1061,8 @@ object Q19eAnnIvfStore extends GraftQuery {
   private def ensureStoreAt(spark: SparkSession, dir: String,
       pfx: String, trainOnly: Boolean): (String, String) = {
     val names = graft.plans.Stores.ensure(
-        spark, pfx, dir, Seq("centroids", "lists")) {
+        spark, pfx, dir, Seq("centroids", "lists"),
+        fpTables = Seq("embeddings.parquet")) {
       case Seq(centT, listsT) =>
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector

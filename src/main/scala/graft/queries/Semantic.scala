@@ -207,7 +207,8 @@ object Q70bSemanticDedupStore extends GraftQuery {
       dir: String): (String, String) = {
     val names = graft.plans.Stores.ensure(
         spark, prefix, dir, Seq("cent", "assign"),
-        buckets = Map("assign" -> ("cluster", 16))) {
+        buckets = Map("assign" -> ("cluster", 16)),
+        fpTables = Seq("embeddings.parquet")) {
       case Seq(centT, assignT) =>
         val train = withN2(Tables.embeddings(spark, dir)
           .filter(Q40TrainTestSplit.splitColOf("vec_id") === "train"))

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Q72HtmlExtract
+
+/** Round 12: the HTML → text front end (q72). The sf-corpus behavior
+  * is oracle-gated; these tests pin what the oracle can't — a KNOWN
+  * hand-written page producing a KNOWN extraction, and each gate's
+  * discriminating block in isolation. */
+class Round12Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def extractOne(html: String): (Long, Long, String) = {
+    val r = Q72HtmlExtract.extract(
+        Seq((0L, html)).toDF("doc_id", "html"))
+      .select(col("n_blocks"), col("n_kept"), col("extracted"))
+      .head()
+    (r.getLong(0), r.getLong(1), r.getString(2))
+  }
+
+  test("q72: known page → known text") {
+    val html =
+      "<html><head><title>the little page</title>" +
+        "<style>body { margin: 0; }</style>" +
+        "<script>if (a < b) { f(); }</script></head><body>" +
+        "<div><a href=\"/\">home</a> <a href=\"/shop\">shop now</a></div>" +
+        "<p>the quick brown fox jumps over the lazy dog near the river bank</p>" +
+        "<p>a second paragraph of honest prose with a single " +
+        "<a href=\"/ref\">reference link</a> inside it</p>" +
+        "<p>ok</p>" +
+        "<div>copyright 2024 example corporation rights reserved worldwide</div>" +
+        "</body></html>"
+    val (nBlocks, nKept, extracted) = extractOne(html)
+    // blocks: title, nav, p1, p2, "ok", copyright (the trailing
+    // </body></html> fragment strips to empty and is not counted)
+    assert(nBlocks === 6L)
+    assert(nKept === 2L)
+    assert(extracted ===
+      "the quick brown fox jumps over the lazy dog near the river bank " +
+      "a second paragraph of honest prose with a single reference link inside it")
+  }
+
+  test("q72: each gate removes exactly its discriminating block") {
+    // long enough + no links, but ZERO stopwords → stopword gate
+    val (_, k1, _) = extractOne(
+      "<p>copyright notice example corporation rights reserved</p>")
+    assert(k1 === 0L)
+    // prose with one stopword in <33 words → kept
+    val (_, k2, _) = extractOne(
+      "<p>prose with the function word carried along nicely here</p>")
+    assert(k2 === 1L)
+    // mostly anchor text → link-density gate (plain 34 chars, 26 in <a>)
+    val (_, k3, _) = extractOne(
+      "<p>the <a href=\"/x\">navigation chrome anchors</a> row</p>")
+    assert(k3 === 0L)
+    // under MinChars → length gate
+    val (_, k4, _) = extractOne("<p>the tiny one</p>")
+    assert(k4 === 0L)
+  }
+
+  test("q72: script and style subtrees are deleted, not extracted") {
+    val (_, _, extracted) = extractOne(
+      "<script>var kw = 'the spark table join';</script>" +
+        "<style>p { color: the-red; }</style>" +
+        "<p>the surviving paragraph has plenty of honest words</p>")
+    assert(extracted === "the surviving paragraph has plenty of honest words")
+    assert(!extracted.contains("spark table"))
+  }
+
+  test("q72: empty page and tag-only page extract to empty") {
+    assert(extractOne("") === ((0L, 0L, "")))
+    assert(extractOne("<div><br/></div><p> </p>") === ((0L, 0L, "")))
+  }
+
+  test("q72: plan is map-only — no exchange before the final sort") {
+    val df = Q72HtmlExtract.run(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // exactly the one range-partitioning exchange the global ORDER BY
+    // needs; no aggregation/join exchange anywhere
+    val shuffles = flattenPlan(plan).collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1)
+  }
+}
