@@ -65,7 +65,7 @@ object Stores {
       try s.iterator().asScala.toVector finally s.close()
     }
 
-  private def warehouse(spark: SparkSession): Path =
+  private[graft] def warehouse(spark: SparkSession): Path =
     Paths.get(java.net.URI.create(
       spark.conf.get("spark.sql.warehouse.dir")).getPath)
 

@@ -1160,14 +1160,27 @@ object Q19eAnnIvfStore extends GraftQuery {
   * fingerprint machinery guarantees the new index retires the old).
   * Scale shape: one count-per-partition aggregate over the lists
   * table + a K-row window — O(index), no vector math at all.
-  * Rows-only like the rest of the ANN family (list ids come from the
-  * fitted quantizer); spec gates determinism, the driver-recomputed
-  * verdict, and a crafted skewed ingest tripping the trigger. */
+  *
+  * ORACLE (round 12): unlike the rest of the ANN family, the verdict
+  * is pure integer arithmetic over the PERSISTED tables — the KMeans
+  * fit isn't relationally replayable, but the fitted assignments on
+  * disk are plain parquet DuckDB can read. [[run]] snapshots the two
+  * fingerprinted tables' id columns to stable warehouse paths and
+  * records them; [[oracle]] (a def) then replays the occupancy
+  * aggregate + window + cross-multiplied threshold over the snapshot
+  * — Verify dumps oracle_sql.json AFTER running the queries, so the
+  * path is always this run's. Before any run the oracle is absent
+  * (rows-only fallback, same as before). Spec still gates
+  * determinism and the crafted-skew trigger. */
 object Q19fAnnRebalance extends GraftQuery {
   val name = "q19f_ann_rebalance"
   /** Max-over-mean occupancy ratio beyond which probe-cost math is
     * off by the same factor — the retrain bar. */
   val SkewFactor = 4L
+
+  /** Absolute snapshot dirs (centroids, lists) of the last [[run]] —
+    * the oracle bridge described above. */
+  @volatile private var snapshot: Option[(String, String)] = None
 
   /** The balance frame over any (centroids, lists) pair — shared by
     * the driver entry and the crafted-skew spec. */
@@ -1185,9 +1198,12 @@ object Q19fAnnRebalance extends GraftQuery {
       .withColumn("max_n", max(col("n")).over(w))
       .select(col("list_id"), col("n"),
         // zero-guarded like q63's empty-input rule: an empty index
-        // reports 0.0 shares and retrain=false, never NaN.
+        // reports 0.0 shares and retrain=false, never NaN. UNROUNDED
+        // per the GraftQuery ratio rule: one IEEE division of two
+        // exact integers is bit-deterministic across engines, while
+        // ROUND on it is the halfway-point hazard.
         when(col("total") === 0, lit(0.0)).otherwise(
-          round(col("n").cast("double") / col("total").cast("double"), 4))
+          col("n").cast("double") / col("total").cast("double"))
           .as("share"),
         (col("max_n") * k > lit(SkewFactor) * col("total")).as("retrain"))
       .orderBy(col("list_id"))
@@ -1195,9 +1211,34 @@ object Q19fAnnRebalance extends GraftQuery {
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val (centT, listsT) = Q19eAnnIvfStore.ensureStore(spark, dir)
+    val wh = graft.plans.Stores.warehouse(spark)
+    val (centSnap, listsSnap) =
+      (wh.resolve("graft_q19f_cent_snap").toAbsolutePath.toString,
+        wh.resolve("graft_q19f_lists_snap").toAbsolutePath.toString)
+    spark.table(centT).select(col("list_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(centSnap)
+    spark.table(listsT).select(col("list_id").cast("int").as("list_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(listsSnap)
+    snapshot = Some((centSnap, listsSnap))
     balanceFrame(spark, centT, listsT)
   }
-  val oracle = None
+
+  def oracle: Option[String] = snapshot.map { case (centSnap, listsSnap) =>
+    s"""
+    WITH occ AS (
+      SELECT c.list_id AS list_id, count(l.list_id) AS n
+      FROM read_parquet('$centSnap/*.parquet') c
+      LEFT JOIN read_parquet('$listsSnap/*.parquet') l ON c.list_id = l.list_id
+      GROUP BY c.list_id),
+    t AS (SELECT list_id, n, sum(n) OVER () AS total, max(n) OVER () AS max_n
+          FROM occ)
+    SELECT list_id, CAST(n AS BIGINT) AS n,
+      CASE WHEN total = 0 THEN 0.0
+           ELSE CAST(n AS DOUBLE) / CAST(total AS DOUBLE) END AS share,
+      (max_n * ${Q19dAnnIvf.K} > $SkewFactor * total) AS retrain
+    FROM t ORDER BY list_id
+    """.trim
+  }
 }
 
 /** Q26 — TF-IDF top terms per document: the query the inverted index
