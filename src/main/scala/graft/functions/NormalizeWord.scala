@@ -112,6 +112,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayDotProduct(children(0), children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        exact("graft_nfc", 1)(children)
+        UnicodeNormalize(children.head, java.text.Normalizer.Form.NFC)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfkc"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_nfkc"),
+      (children: Seq[Expression]) => {
+        exact("graft_nfkc", 1)(children)
+        UnicodeNormalize(children.head, java.text.Normalizer.Form.NFKC)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_asof_le"),
       new ExpressionInfo(classOf[graft.plans.AsofLessEqual].getName, "graft_asof_le"),
       (children: Seq[Expression]) => {

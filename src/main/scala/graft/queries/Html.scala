@@ -158,7 +158,9 @@ object Q72HtmlExtract extends GraftQuery {
   }
 }
 
-/** The HTML front-end family. */
+/** The raw-text front-end family: markup extraction + unicode
+  * canonicalization — the two passes that turn crawl bytes into the
+  * clean `documents.text` column every downstream operator assumes. */
 object Html {
-  val all: Seq[GraftQuery] = Seq(Q72HtmlExtract)
+  val all: Seq[GraftQuery] = Seq(Q72HtmlExtract, Q73UnicodeNormalize)
 }

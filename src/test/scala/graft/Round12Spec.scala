@@ -72,6 +72,66 @@ class Round12Spec extends SparkSpec {
     assert(extractOne("<div><br/></div><p> </p>") === ((0L, 0L, "")))
   }
 
+  test("q73: NFKC-only cases pin against known strings") {
+    // The oracle can only check NFC (DuckDB has no NFKC); these are
+    // the compatibility-composition cases the hash gate can't see.
+    val rows = Seq(
+      // fullwidth A B C -> ASCII under NFKC only
+      ("\uff21\uff22\uff23", "\uff21\uff22\uff23", "ABC"),
+      // fi ligature expands under NFKC only
+      ("\ufb01le", "\ufb01le", "file"),
+      // decomposed e + U+0301: BOTH forms compose it
+      ("cafe\u0301", "caf\u00e9", "caf\u00e9"),
+      // precomposed: both invariant
+      ("caf\u00e9", "caf\u00e9", "caf\u00e9"),
+      // circled digit one -> '1' under NFKC only
+      ("\u2460", "\u2460", "1"),
+      ("", "", ""))
+    rows.foreach { case (raw, nfc, nfkc) =>
+      val r = Seq(raw).toDF("s")
+        .select(expr("graft_nfc(s)"), expr("graft_nfkc(s)")).head()
+      assert(r.getString(0) === nfc, s"NFC of ${raw.map(_.toInt)}")
+      assert(r.getString(1) === nfkc, s"NFKC of ${raw.map(_.toInt)}")
+    }
+  }
+
+  test("q73: interpreted eval matches codegen path; null propagates") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val inputs = Seq("café", "ＡＢ", "ﬁ", "plain", "")
+    for (s <- inputs;
+         form <- Seq(java.text.Normalizer.Form.NFC, java.text.Normalizer.Form.NFKC)) {
+      val e = graft.functions.UnicodeNormalize(
+        Literal(UTF8String.fromString(s), StringType), form)
+      val interpreted = e.eval(null).asInstanceOf[UTF8String].toString
+      val fn = s"graft_${form.name.toLowerCase}"
+      val viaDf = Seq(s).toDF("t").select(expr(s"$fn(t)")).as[String].head()
+      assert(interpreted === viaDf, s"$fn('${s.map(_.toInt)}')")
+    }
+    val r = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "s")
+      .select(expr("graft_nfc(s)")).collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("q73: script counters agree with a JVM-side recount on the fixture suffixes") {
+    import graft.queries.Q73UnicodeNormalize.RawSuffixes
+    val df = RawSuffixes.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "raw")
+    val counted = df.select(
+      (length(col("raw")) - length(regexp_replace(col("raw"), "\\p{IsGreek}", "")))
+        .cast("long").as("greek"),
+      (length(col("raw")) - length(regexp_replace(col("raw"), "\\p{Mn}", "")))
+        .cast("long").as("marks")).collect()
+    val expected = RawSuffixes.map { s =>
+      (s.count(c => Character.UnicodeScript.of(c) == Character.UnicodeScript.GREEK).toLong,
+       s.count(c => Character.getType(c) == Character.NON_SPACING_MARK).toLong)
+    }
+    counted.zip(expected).foreach { case (r, (g, m)) =>
+      assert(r.getLong(0) === g); assert(r.getLong(1) === m)
+    }
+  }
+
   test("q72: plan is map-only — no exchange before the final sort") {
     val df = Q72HtmlExtract.run(spark, sf)
     val plan = df.queryExecution.executedPlan
