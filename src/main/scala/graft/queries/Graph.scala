@@ -26,8 +26,8 @@ import graft.Tables
   */
 object Graph {
   val all: Seq[GraftQuery] =
-    Seq(Q59GraphPagerank, Q60RepeatedSpans, Q62VocabCoverage,
-      Q68HeavyHitters, Q69ScoreDeciles)
+    Seq(Q59GraphPagerank, Q60RepeatedSpans, Q60bLongestSharedSpans,
+      Q62VocabCoverage, Q68HeavyHitters, Q69ScoreDeciles)
 }
 
 /** Q59 — PageRank over the customer↔supplier graph, 5 iterations,
@@ -219,6 +219,104 @@ object Q60RepeatedSpans extends GraftQuery {
         / COUNT(*) AS shared_span_frac
     FROM spans s JOIN byspan b ON s.span_h = b.span_h
     GROUP BY s.doc_id ORDER BY s.doc_id
+  """.trim)
+}
+
+/** Q60b — LONGEST shared token spans (variable length): q60 scores
+  * documents by the FRACTION of fixed-width windows that recur
+  * cross-doc; this surfaces the actual duplicated regions. A
+  * reflowed 40-token footer is 33 overlapping shared 8-token
+  * windows — useful as a score, useless as an excision target. The
+  * classic coalescing observation (Lee et al. 2022's substring dedup,
+  * PAPERS.md — here at window granularity so it stays a hash join,
+  * never a suffix array): a maximal run of CONSECUTIVE shared
+  * window-starts i..j is exactly one duplicated span of tokens
+  * [i, j+W−1], so window-chain coalescing is gaps-and-islands over
+  * the shared start positions — `grp = i − row_number()` per doc,
+  * then min/max per (doc, grp). Output: one row per maximal span
+  * with its 1-based token start, token length, and text (sliced
+  * back from the ORIGINAL token array — layout-independent excision
+  * coordinates).
+  *
+  * "Shared" matches q60: the window occurs in ≥ 2 DISTINCT docs
+  * (intra-doc repeats are q47's signal, not dedup evidence);
+  * position-level rows force a countDistinct where q60's per-doc
+  * pre-dedup made count(*) sufficient.
+  *
+  * Scale: the same one-corpus-scan + uniform-hash shuffle as q60
+  * (positions carry (doc_id, i, 32-char md5); the frequency side is
+  * pre-aggregated to one row per hash, so a mega-shared footer
+  * amplifies nothing), plus one doc_id-partitioned window (islands)
+  * and one doc_id equi-join to slice span text — every key uniform,
+  * no driver materialization. */
+object Q60bLongestSharedSpans extends GraftQuery {
+  val name = "q60b_longest_shared_spans"
+  import Q60RepeatedSpans.Width
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    longestSpans(Tables.documents(spark, dir))
+
+  /** Frame-based surface (doc_id + text) — Round12Spec feeds the
+    * crafted reflowed-footer corpus through this. */
+  private[graft] def longestSpans(docs: DataFrame): DataFrame = {
+    val w = Width
+    val toks = docs
+      .select(col("doc_id"), expr(NorthStar.toksExpr).as("t"))
+      .filter(size(col("t")) >= w)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pos = toks
+        .select(col("doc_id"), col("t"),
+          explode(expr(s"sequence(1, size(t) - ${w - 1})")).as("i"))
+        .select(col("doc_id"), col("i"),
+          expr(s"md5(concat_ws(' ', slice(t, i, $w)))").as("span_h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val bySpan = pos.groupBy("span_h")
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+        val shared = pos.join(bySpan, "span_h")
+          .filter(col("n_docs") >= 2)
+          .select(col("doc_id"), col("i"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("i"))
+        val islands = shared
+          .withColumn("grp", col("i") - row_number().over(win))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(min(col("i")).as("span_start"),
+            (max(col("i")) - min(col("i")) + w).as("span_len"))
+        islands.join(toks, "doc_id")
+          .select(col("doc_id"),
+            col("span_start").cast("long").as("span_start"),
+            col("span_len").cast("long").as("span_len"),
+            expr("concat_ws(' ', slice(t, span_start, span_len))").as("span_text"))
+          .orderBy(col("doc_id"), col("span_start"))
+          .localCheckpoint(true)
+      } finally pos.unpersist()
+    } finally toks.unpersist()
+  }
+
+  val oracle = Some(s"""
+    WITH tt AS (SELECT doc_id, ${NorthStar.duckToks} AS t FROM documents),
+    wi AS (SELECT doc_id, t, unnest(range(1, len(t) - ${Width - 2})) AS i
+           FROM tt WHERE len(t) >= $Width),
+    pos AS (SELECT doc_id, i,
+            md5(array_to_string(t[i:i+${Width - 1}], ' ')) AS span_h FROM wi),
+    byspan AS (SELECT span_h, COUNT(DISTINCT doc_id) AS n_docs
+               FROM pos GROUP BY span_h),
+    shared AS (SELECT p.doc_id, p.i FROM pos p
+               JOIN byspan b ON p.span_h = b.span_h WHERE b.n_docs >= 2),
+    isl AS (SELECT doc_id, i,
+            i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+            FROM shared),
+    sp AS (SELECT doc_id, MIN(i) AS span_start,
+           MAX(i) - MIN(i) + $Width AS span_len
+           FROM isl GROUP BY doc_id, grp)
+    SELECT sp.doc_id,
+      CAST(span_start AS BIGINT) AS span_start,
+      CAST(span_len AS BIGINT) AS span_len,
+      array_to_string(t[span_start:span_start + span_len - 1], ' ') AS span_text
+    FROM sp JOIN tt ON sp.doc_id = tt.doc_id
+    ORDER BY sp.doc_id, span_start
   """.trim)
 }
 

@@ -132,6 +132,36 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("q60b: a reflowed 40-token footer is ONE span, not 33 windows") {
+    import graft.queries.Q60bLongestSharedSpans
+    val footer = (1 to 40).map(i => s"f$i").mkString(" ")
+    // Same 40 tokens, reflowed across lines in doc 1 — q49's line
+    // hashes miss it; the span coalescer must report ONE maximal
+    // island of token length 40 in each doc, with the footer text.
+    val reflowed = (1 to 40).map(i => s"f$i")
+      .grouped(7).map(_.mkString(" ")).mkString("\n")
+    val body0 = (1 to 30).map(i => s"a$i").mkString(" ")
+    val body1 = (1 to 30).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$body0 $footer"),
+      (1L, s"$body1\n$reflowed"),
+      (2L, (1 to 50).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Q60bLongestSharedSpans.longestSpans(docs).collect()
+    assert(rows.length === 2, s"one span per sharing doc: ${rows.mkString(";")}")
+    rows.foreach { r =>
+      assert(r.getLong(1) === 31L, "span starts at token 31 in both docs")
+      assert(r.getLong(2) === 40L, "coalesced to the full footer length")
+      assert(r.getString(3) === footer, "span text is the footer, reflow-independent")
+    }
+    // intra-doc repetition alone must NOT produce a span
+    val intra = Seq(
+      (0L, ((1 to 10) ++ (1 to 10)).map(i => s"w$i").mkString(" ")),
+      (1L, (1 to 20).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Q60bLongestSharedSpans.longestSpans(intra).count() === 0L)
+  }
+
   test("q72: plan is map-only — no exchange before the final sort") {
     val df = Q72HtmlExtract.run(spark, sf)
     val plan = df.queryExecution.executedPlan
