@@ -30,7 +30,8 @@ object Scoring {
       raw"t_ -> lower(regexp_replace(t_, '[^a-zA-Z]', '', 'g'))), x_ -> x_ <> '')"
 
   val all: Seq[GraftQuery] = Seq(Q54LmPerplexity, Q55ClassifierScore,
-    Q56ChunkWindows, Q57DeltaDedup, Q57bDeltaDedupStore, Q58TrainingShards)
+    Q55bTrainedClassifier, Q56ChunkWindows, Q57DeltaDedup,
+    Q57bDeltaDedupStore, Q58TrainingShards)
 }
 
 /** Q56 — context-window chunking: split every document's token stream

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Q55b — the TRAINED quality classifier: q55's serving shape with a
+  * real weight table instead of the Knuth-scramble stand-in, closing
+  * the documented gap in [[graft.functions.HashedTokenScore]] ("swap
+  * in a real element_at(weights, h) lookup to deploy").
+  *
+  * Lifecycle (the q57b/q64e store pattern):
+  *  - TRAIN (once per corpus fingerprint, persisted via
+  *    [[graft.plans.Stores]]): hashed bag-of-words features — the
+  *    SAME rolling hash `graft_token_score` computes ((acc·31+byte)
+  *    mod 1000003), folded to [[Dim]] buckets — into a seeded
+  *    spark.ml logistic regression against q61's Gopher verdict as
+  *    the label (status == 'kept'; the Gopher rules are the
+  *    heuristic teacher, the classifier is the smooth student —
+  *    exactly the quality-classifier bootstrap public pipelines
+  *    describe). Nonzero coefficients land in a (fid, w) weight
+  *    table, the intercept at fid = −1. The vector-assembly UDF
+  *    exists ONLY in this one-time build path.
+  *  - SERVE (every call): explode per-token feature ids, count per
+  *    (doc, fid), BROADCAST-join the weight table (≤ Dim+1 rows —
+  *    never a shuffle), one aggregation to the margin, sigmoid to a
+  *    probability. UDF-free, codegen-friendly, one doc-keyed
+  *    aggregation — the 100 TB shape.
+  *
+  * ROWS-ONLY by design (q19c posture): L-BFGS coefficients are not
+  * relationally replayable. Round12Spec gates (a) same-session
+  * determinism of the served frame, (b) an AUC floor on the q40 TEST
+  * split — the model must actually rank held-out Gopher verdicts,
+  * not memorize — and (c) the serve plan's broadcast posture. q55
+  * remains the hash-green arithmetic gate of the serving shape. */
+object Q55bTrainedClassifier extends GraftQuery {
+  val name = "q55b_classifier_trained"
+  /** Weight-table size: the 1000003-bucket rolling hash folded to a
+    * broadcast-friendly table (collisions are part of the hashing
+    * trick's contract, identical at train and serve). */
+  val Dim = 4096
+  private val prefix = "graft_clfstore"
+
+  /** Per-token feature ids of `text` — Round9bSpec's HOF spelling of
+    * graft_token_score's tokenizer + rolling hash, folded mod [[Dim]]. */
+  private[graft] val fidsExpr: String =
+    "transform(" +
+      "filter(transform(split(text, '\\\\s+'), t_ -> graft_normalize_fast(t_)), x_ -> x_ != ''), " +
+      "t_ -> cast(aggregate(transform(filter(split(t_, ''), c_ -> c_ != ''), " +
+      "c_ -> cast(ascii(c_) as bigint)), cast(0 as bigint), " +
+      s"(a_, x_) -> (a_ * 31 + x_) % 1000003) % $Dim as int))"
+
+  /** q61's verdict as a 0/1 label column. */
+  private[graft] def labels(spark: SparkSession, dir: String): DataFrame =
+    Q61GopherRules.run(spark, dir)
+      .select(col("doc_id"),
+        (col("status") === "kept").cast("double").as("label"))
+
+  /** Build (or bind) the fingerprinted weight table; returns its
+    * name. Schema: (fid INT, w DOUBLE) — nonzero coefficients plus
+    * the intercept at fid = −1. */
+  private[graft] def ensureStore(spark: SparkSession, dir: String): String = {
+    val names = graft.plans.Stores.ensure(spark, prefix, dir, Seq("weights")) {
+      case Seq(weightsT) =>
+        import org.apache.spark.ml.classification.LogisticRegression
+        import org.apache.spark.ml.linalg.Vectors
+        import spark.implicits._
+        val d = Dim
+        val toVec = udf((fids: Seq[Int]) => {
+          val m = scala.collection.mutable.HashMap.empty[Int, Double]
+          fids.foreach(f => m(f) = m.getOrElse(f, 0.0) + 1.0)
+          Vectors.sparse(d, m.toSeq.sortBy(_._1))
+        })
+        val train = Tables.documents(spark, dir)
+          .filter(Q40TrainTestSplit.splitCol === "train")
+          .select(col("doc_id"), expr(fidsExpr).as("fids"))
+          .join(labels(spark, dir), "doc_id")
+          .select(toVec(col("fids")).as("features"), col("label"))
+        val model = new LogisticRegression()
+          .setMaxIter(50).setRegParam(0.01).setStandardization(false)
+          .setFeaturesCol("features").setLabelCol("label")
+          .fit(train)
+        val rows = model.coefficients.toArray.zipWithIndex
+          .collect { case (w, i) if w != 0.0 => (i, w) }
+          .toSeq :+ (-1, model.intercept)
+        rows.toDF("fid", "w")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(weightsT)
+    }
+    names.head
+  }
+
+  /** Serve `docs` (doc_id, text) against a bound weight table — the
+    * UDF-free broadcast-join path Round12Spec plan-asserts. */
+  private[graft] def serve(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val intercept = broadcast(weights.filter(col("fid") === -1)
+      .select(col("w").as("b0")))
+    val perDoc = docs
+      .select(col("doc_id"), explode_outer(expr(fidsExpr)).as("fid"))
+      .groupBy(col("doc_id"), col("fid"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(weights.filter(col("fid") >= 0)), Seq("fid"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("cnt") * col("w"), lit(0.0))).as("dot"))
+      .crossJoin(intercept)
+      .select(col("doc_id"), (col("dot") + col("b0")).as("margin"))
+    perDoc.select(col("doc_id"),
+      (lit(1.0) / (lit(1.0) + exp(-col("margin")))).as("prob"),
+      (col("margin") >= 0).as("pred"))
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val weightsT = ensureStore(spark, dir)
+    serve(Tables.documents(spark, dir), spark.table(weightsT))
+      .join(labels(spark, dir)
+        .select(col("doc_id"), (col("label") === 1.0).as("label")), "doc_id")
+      .select(col("doc_id"), col("prob"), col("pred"), col("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** L-BFGS coefficients are not relationally replayable — rows-only
+    * with spec-side determinism + AUC-floor gates (q19c posture). */
+  val oracle = None
+}

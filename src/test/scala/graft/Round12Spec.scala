@@ -162,6 +162,41 @@ class Round12Spec extends SparkSpec {
     assert(Q60bLongestSharedSpans.longestSpans(intra).count() === 0L)
   }
 
+  test("q55b: same-session determinism; AUC floor on the held-out split") {
+    import graft.queries.{Q55bTrainedClassifier, Q40TrainTestSplit}
+    val a = Q55bTrainedClassifier.run(spark, sf01).collect()
+    val b = Q55bTrainedClassifier.run(spark, sf01).collect()
+    assert(a.toSeq === b.toSeq, "served frame must be stable within a session")
+    // AUC (Mann-Whitney) of prob vs the Gopher label on q40's TEST
+    // split — the model must RANK held-out verdicts, not memorize.
+    // Measured 0.964 at sf0.01; floor 0.8 leaves honest headroom.
+    val test = Q55bTrainedClassifier.run(spark, sf01)
+      .withColumn("sp", Q40TrainTestSplit.splitColOf("doc_id"))
+      .filter(col("sp") === "test")
+      .select(col("prob"), col("label")).collect()
+      .map(r => (r.getDouble(0), r.getBoolean(1)))
+    val pos = test.filter(_._2).map(_._1)
+    val neg = test.filterNot(_._2).map(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty, "test split must carry both classes")
+    val auc = pos.iterator.map(p =>
+      neg.count(_ < p) + 0.5 * neg.count(_ == p)).sum / (pos.length.toDouble * neg.length)
+    assert(auc >= 0.8, s"held-out AUC $auc below floor")
+  }
+
+  test("q55b: serve path is broadcast-joined, never shuffle-joined") {
+    import graft.queries.Q55bTrainedClassifier
+    val weightsT = Q55bTrainedClassifier.ensureStore(spark, sf01)
+    val plan = Q55bTrainedClassifier
+      .serve(Tables.documents(spark, sf01), spark.table(weightsT))
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val flat = flattenPlan(plan)
+    assert(flat.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "weight lookup must be a broadcast hash join")
+    assert(!flat.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "no shuffle join anywhere in the serve path")
+  }
+
   test("q72: plan is map-only — no exchange before the final sort") {
     val df = Q72HtmlExtract.run(spark, sf)
     val plan = df.queryExecution.executedPlan
