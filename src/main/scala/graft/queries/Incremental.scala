@@ -57,16 +57,21 @@ object Q65IncrementalStats extends GraftQuery {
         min(col("chars")).as("min_chars"),
         max(col("chars")).as("max_chars"))
 
-  /** Merge partial rows (store ∪ delta) to one row per source and
-    * attach the derived mean — from the MERGED exact sums, never by
-    * averaging per-side averages. */
-  private[graft] def merge(parts: DataFrame): DataFrame =
+  /** The partial-merge algebra alone (one row per source, exact
+    * BIGINTs) — shared by [[merge]], [[refresh]], [[refreshEpoch]]. */
+  private def combine(parts: DataFrame): DataFrame =
     parts.groupBy(col("source"))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("sum_ws_tokens")).as("sum_ws_tokens"),
         sum(col("sum_chars")).as("sum_chars"),
         min(col("min_chars")).as("min_chars"),
         max(col("max_chars")).as("max_chars"))
+
+  /** Merge partial rows (store ∪ delta) to one row per source and
+    * attach the derived mean — from the MERGED exact sums, never by
+    * averaging per-side averages. */
+  private[graft] def merge(parts: DataFrame): DataFrame =
+    combine(parts)
       .withColumn("avg_ws_tokens",
         col("sum_ws_tokens").cast("double") / col("n_docs"))
       .orderBy(col("source"))
@@ -88,16 +93,56 @@ object Q65IncrementalStats extends GraftQuery {
       deltaDocs: DataFrame): Unit = {
     val merged = spark.table(statsT)
       .unionByName(partials(deltaDocs))
-      .groupBy(col("source"))
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("sum_ws_tokens")).as("sum_ws_tokens"),
-        sum(col("sum_chars")).as("sum_chars"),
-        min(col("min_chars")).as("min_chars"),
-        max(col("max_chars")).as("max_chars"))
+      .transform(combine)
       .localCheckpoint()
     merged.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(statsT)
   }
+
+  /** Reserved source key of the epoch-marker row an epoch-guarded
+    * store carries (real sources are `src0…src19`; [[merge]] callers
+    * on guarded tables filter it out). Its `n_docs` column holds the
+    * last APPLIED foreachBatch epoch id. */
+  private[graft] val EpochKey = "__epoch__"
+
+  /** Last epoch recorded in `statsT`, −1 if the table is unguarded
+    * (fresh working copy) — 1-row driver read, O(store) scan of a
+    * sources-cardinality table. */
+  private[graft] def lastEpoch(spark: SparkSession, statsT: String): Long =
+    spark.table(statsT).filter(col("source") === EpochKey)
+      .select(col("n_docs")).collect()
+      .headOption.map(_.getLong(0)).getOrElse(-1L)
+
+  /** EPOCH-IDEMPOTENT refresh — the foreachBatch exactly-once
+    * contract made real, not just documented: the applied epoch id
+    * rides in the SAME table overwrite as the merged partials (a
+    * marker row under [[EpochKey]]), so "partials applied" and
+    * "epoch recorded" are one commit — there is no window where a
+    * crash leaves one without the other. A replayed micro-batch
+    * (stream killed after the sink applied epoch N but before the
+    * checkpoint commit; restart re-delivers N) is recognized by
+    * `epochId <= lastEpoch` and SKIPPED, so at-least-once delivery +
+    * this sink = exactly-once store contents. Returns whether the
+    * refresh was applied (false = replay skipped). Round12Spec kills
+    * the commit record of a finished epoch and restarts from the
+    * checkpoint to pin the no-double-count guarantee. */
+  private[graft] def refreshEpoch(spark: SparkSession, statsT: String,
+      deltaDocs: DataFrame, epochId: Long): Boolean =
+    if (epochId <= lastEpoch(spark, statsT)) false
+    else {
+      val data = spark.table(statsT).filter(col("source") =!= EpochKey)
+      val sentinel = spark.range(1).select(
+        lit(EpochKey).as("source"), lit(epochId).as("n_docs"),
+        lit(0L).as("sum_ws_tokens"), lit(0L).as("sum_chars"),
+        lit(0L).as("min_chars"), lit(0L).as("max_chars"))
+      val merged = data.unionByName(partials(deltaDocs))
+        .transform(combine)
+        .unionByName(sentinel)
+        .localCheckpoint()
+      merged.write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(statsT)
+      true
+    }
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val statsT = ensureStore(spark, dir)

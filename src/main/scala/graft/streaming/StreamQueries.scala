@@ -659,13 +659,14 @@ object S12bStreamDeltaDedupStore extends GraftQuery {
   * This is the deploy split for 100 TB reporting: bounded hot state
   * (per-source counters) can live in the stream (s11); unbounded or
   * shared state belongs in a transactional store the stream refreshes
-  * per epoch. Exactly-once at fixture scale comes free from
-  * AvailableNow + a run-scoped working table; a production deployment
-  * makes the refresh idempotent by recording the last-applied epoch
-  * id in the same transactional commit as the merged partials, so a
-  * replayed micro-batch is recognized and skipped (the standard
-  * foreachBatch contract — at-least-once delivery + idempotent sink =
-  * exactly-once).
+  * per epoch. The refresh is EPOCH-IDEMPOTENT (round 12): the
+  * last-applied epoch id commits in the same table overwrite as the
+  * merged partials (`Q65IncrementalStats.refreshEpoch`), so a
+  * replayed micro-batch is recognized and skipped — the standard
+  * foreachBatch contract (at-least-once delivery + idempotent sink =
+  * exactly-once), enforced and failure-injection-tested by
+  * Round12Spec (kill the epoch's commit record, restart from the
+  * checkpoint, assert no double count).
   *
   * The working table starts as a copy of q65's fingerprinted
   * train-split store (built once per corpus, shared with the batch
@@ -682,20 +683,30 @@ object S13StreamIncrementalStats extends GraftQuery {
   private val s13Run = new AtomicInteger(0)
 
   /** Drive `delta` (a streaming frame of document rows) to completion,
-    * refreshing store table `statsT` once per non-empty micro-batch.
-    * Returns the number of refreshes applied (spec-asserted under a
-    * file-per-trigger source to prove the multi-epoch path). */
+    * refreshing store table `statsT` once per non-empty micro-batch
+    * through the EPOCH-GUARDED refresh ([[Q65IncrementalStats
+    * .refreshEpoch]]): the applied epoch id commits atomically with
+    * the merged partials, so a micro-batch replayed after a crash
+    * (killed between sink apply and checkpoint commit) is recognized
+    * and skipped — at-least-once delivery + idempotent sink =
+    * exactly-once store contents, now enforced, not just documented.
+    * `checkpoint` pins the location so Round12Spec can kill a commit
+    * record and restart into a genuine replay; None = run-scoped temp
+    * checkpoint (the batch-surface default). Returns the number of
+    * refreshes APPLIED (replays don't count). */
   private[graft] def maintain(spark: SparkSession, statsT: String,
-      delta: DataFrame): Long = {
+      delta: DataFrame, checkpoint: Option[String] = None): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
-    val q = delta.writeStream
+    val writer0 = delta.writeStream
       .outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          Q65IncrementalStats.refresh(spark, statsT, batch)
+    val writer = checkpoint.fold(writer0)(c =>
+      writer0.option("checkpointLocation", c))
+    val q = writer
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty &&
+            Q65IncrementalStats.refreshEpoch(spark, statsT, batch, epochId))
           batches.incrementAndGet()
-        }
         ()
       }
       .start()
@@ -718,9 +729,11 @@ object S13StreamIncrementalStats extends GraftQuery {
     try {
       maintain(spark, runT,
         docsStream(spark, dir).filter(Q40TrainTestSplit.splitCol === "test"))
-      // Report from the store alone; checkpoint before dropping the
-      // table the plan reads from.
-      Q65IncrementalStats.merge(spark.table(runT)).localCheckpoint(true)
+      // Report from the store alone (epoch marker excluded);
+      // checkpoint before dropping the table the plan reads from.
+      Q65IncrementalStats.merge(spark.table(runT)
+          .filter(col("source") =!= Q65IncrementalStats.EpochKey))
+        .localCheckpoint(true)
     } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
   }
 

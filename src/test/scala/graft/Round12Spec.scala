@@ -197,6 +197,84 @@ class Round12Spec extends SparkSpec {
       "no shuffle join anywhere in the serve path")
   }
 
+  test("s13: killed-epoch replay after restart does NOT double-count (exactly-once injection)") {
+    import graft.queries.Q65IncrementalStats
+    import graft.streaming.S13StreamIncrementalStats
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("s13inject").toString
+    try {
+      // Three single-file waves => three epochs under maxFilesPerTrigger=1.
+      val waves = Seq(
+        Seq(("a1", "src_a", "one two three"), ("b1", "src_b", "four")),
+        Seq(("a2", "src_a", "five six")),
+        Seq(("b2", "src_b", "seven eight nine ten")))
+      waves.zipWithIndex.foreach { case (rows, i) =>
+        rows.toDF("doc_id", "source", "text").repartition(1)
+          .write.parquet(s"$dir/delta/wave$i.parquet")
+      }
+      val statsT = "graft_s13inject_store"
+      graft.plans.Stores.dropManaged(spark, statsT)
+      Seq.empty[(String, Long, Long, Long, Long, Long)]
+        .toDF("source", "n_docs", "sum_ws_tokens", "sum_chars",
+          "min_chars", "max_chars")
+        .write.format("parquet").saveAsTable(statsT)
+      val ckpt = s"$dir/ckpt"
+      def stream() = {
+        val sch = spark.read.parquet(s"$dir/delta/wave0.parquet").schema
+        spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/delta/*.parquet")
+      }
+      try {
+        val applied = S13StreamIncrementalStats.maintain(
+          spark, statsT, stream(), checkpoint = Some(ckpt))
+        assert(applied === 3L, s"expected 3 applied epochs, got $applied")
+        val after = spark.table(statsT)
+          .filter(col("source") =!= Q65IncrementalStats.EpochKey)
+          .collect().map(_.toString).sorted.toSeq
+
+        // FAILURE INJECTION: delete the LAST epoch's commit record —
+        // exactly the on-disk state of a stream killed after the sink
+        // applied the batch but before the checkpoint committed. A
+        // restart from this checkpoint re-delivers that epoch
+        // (at-least-once); the epoch-guarded sink must skip it.
+        val commits = Paths.get(ckpt, "commits")
+        import scala.jdk.CollectionConverters._
+        val lastCommit = Files.list(commits).iterator().asScala.toSeq
+          .filter(p => p.getFileName.toString.forall(_.isDigit))
+          .maxBy(_.getFileName.toString.toLong)
+        Files.delete(lastCommit)
+        // the local checksum FS keeps a .N.crc sibling; a crashed
+        // commit would have written neither
+        Files.deleteIfExists(
+          commits.resolve(s".${lastCommit.getFileName}.crc"))
+
+        val replayApplied = S13StreamIncrementalStats.maintain(
+          spark, statsT, stream(), checkpoint = Some(ckpt))
+        assert(replayApplied === 0L,
+          s"replayed epoch must be skipped, but $replayApplied were applied")
+        val afterReplay = spark.table(statsT)
+          .filter(col("source") =!= Q65IncrementalStats.EpochKey)
+          .collect().map(_.toString).sorted.toSeq
+        assert(afterReplay === after, "store changed across a replayed epoch")
+
+        // And the final state is the recompute — nothing lost either.
+        val direct = Q65IncrementalStats.merge(Q65IncrementalStats.partials(
+            spark.read.parquet(s"$dir/delta/*.parquet")))
+          .collect().map(_.toString).toSeq
+        val maintained = Q65IncrementalStats.merge(spark.table(statsT)
+            .filter(col("source") =!= Q65IncrementalStats.EpochKey))
+          .collect().map(_.toString).toSeq
+        assert(maintained === direct)
+
+        // Direct double-apply guard (the unit form of the same claim).
+        val batch = spark.read.parquet(s"$dir/delta/wave1.parquet")
+        assert(!Q65IncrementalStats.refreshEpoch(spark, statsT, batch, 1L),
+          "epoch at or below the recorded high-water mark must be skipped")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $statsT")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("q72: plan is map-only — no exchange before the final sort") {
     val df = Q72HtmlExtract.run(spark, sf)
     val plan = df.queryExecution.executedPlan
