@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Q19dAnnIvf, Q19eAnnIvfStore, Q70bSemanticDedupStore, Q70SemanticDedup}
+
+/** Round 12 — SQL front door over the PERSISTED STORES (VERDICT r11
+  * item 10): the round-11 store families' serve paths, hand-written
+  * as `spark.sql` TEXT over the bound store tables + fixture views,
+  * row-for-row equal to their DataFrame twins. SqlParitySpec
+  * auto-sweeps every Spark-parseable oracle; SqlFrontDoorSpec covers
+  * the headline batch shapes; this closes the store-serve surface a
+  * SQL user would actually hit: "query the ANN index by text",
+  * "dedup a delta against the semantic store by text" — both through
+  * the registered native function (`graft_dot`) with no Scala.
+  *
+  * The remaining non-twinned surface is classified, with reasons, in
+  * the final test — every SparkEntry query must fall in exactly one
+  * documented class, so a new query forces a conscious
+  * classification rather than silently joining an unchecked pile. */
+class Round12SqlSpec extends SparkSpec {
+
+  private def canonRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString)
+
+  test("q19e: the IVF index probe runs as pure SQL text over the store tables") {
+    Engine.registerTables(spark, sf01)
+    val (centT, listsT) = Q19eAnnIvfStore.ensureStore(spark, sf01)
+    val sql = s"""
+      WITH q AS (SELECT cast(embedding as array<double>) AS qe
+                 FROM embeddings WHERE vec_id = 0),
+      ranked AS (
+        SELECT c.list_id,
+          row_number() OVER (ORDER BY
+            aggregate(zip_with(c.centroid, q.qe, (x, y) -> (x - y) * (x - y)),
+              0D, (acc, v) -> acc + v) ASC, c.list_id ASC) AS rk
+        FROM $centT c CROSS JOIN q),
+      cand AS (
+        SELECT l.vec_id, l.embedding
+        FROM $listsT l JOIN ranked ON l.list_id = ranked.list_id
+        WHERE ranked.rk <= ${Q19dAnnIvf.NProbe} AND l.vec_id <> 0),
+      ex AS (
+        SELECT vec_id, pos, cast(x as decimal(18,10)) AS x
+        FROM cand LATERAL VIEW posexplode(embedding) t AS pos, x),
+      qx AS (
+        SELECT pos, cast(x as decimal(18,10)) AS qx
+        FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x
+        WHERE vec_id = 0),
+      qn AS (SELECT sum(qx * qx) AS qn2 FROM qx),
+      dots AS (
+        SELECT ex.vec_id, sum(ex.x * qx.qx) AS dot, sum(ex.x * ex.x) AS n2
+        FROM ex JOIN qx ON ex.pos = qx.pos GROUP BY ex.vec_id)
+      SELECT vec_id,
+        round(cast(dot as double) /
+          (sqrt(cast(n2 as double)) * sqrt(cast(qn2 as double))), 4) AS cosine
+      FROM dots CROSS JOIN qn
+      ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """
+    val viaSql = canonRows(spark.sql(sql))
+    val viaDf = canonRows(Q19eAnnIvfStore.run(spark, sf01))
+    assert(viaSql === viaDf)
+  }
+
+  test("q70b: the semantic-store delta dedup runs as pure SQL text over the store tables") {
+    Engine.registerTables(spark, sf01)
+    val (centT, assignT) = Q70bSemanticDedupStore.ensureStore(spark, sf01)
+    val split =
+      "CASE WHEN locate(substring(md5(cast(vec_id as string)), 32, 1), " +
+        "'0123456789abcdef') - 1 < 13 THEN 'train' ELSE 'test' END"
+    val sql = s"""
+      WITH delta AS (
+        SELECT vec_id, embedding, graft_dot(embedding, embedding) AS n2
+        FROM embeddings WHERE ($split) = 'test'),
+      assigned AS (
+        SELECT vec_id, embedding, n2, -m.ncid AS cluster
+        FROM (
+          SELECT d.vec_id, d.embedding, d.n2,
+            max(named_struct(
+              'cos', graft_dot(d.embedding, c.ce) / (sqrt(d.n2) * sqrt(c.cn2)),
+              'ncid', -c.cid)) AS m
+          FROM delta d CROSS JOIN $centT c
+          GROUP BY d.vec_id, d.embedding, d.n2)),
+      cands AS (
+        SELECT a.vec_id, 0 AS pri, s.base_id
+        FROM assigned a JOIN $assignT s ON a.cluster = s.cluster
+        WHERE graft_dot(a.embedding, s.be) / (sqrt(a.n2) * sqrt(s.bn2))
+              >= ${Q70SemanticDedup.Tau}),
+      best AS (
+        SELECT vec_id, min(named_struct('pri', pri, 'base_id', base_id)) AS b
+        FROM (SELECT vec_id, pri, base_id FROM cands
+              UNION ALL
+              SELECT vec_id, 1 AS pri, cast(null as bigint) AS base_id
+              FROM assigned)
+        GROUP BY vec_id)
+      SELECT best.vec_id, assigned.cluster,
+        CASE WHEN best.b.pri = 0 THEN 'dup' ELSE 'new' END AS verdict,
+        best.b.base_id AS dom_id
+      FROM best JOIN assigned ON best.vec_id = assigned.vec_id
+      ORDER BY best.vec_id
+    """
+    val viaSql = canonRows(spark.sql(sql))
+    val viaDf = canonRows(Q70bSemanticDedupStore.run(spark, sf01))
+    assert(viaSql === viaDf)
+  }
+
+  /** The pinned TOTAL classification of the SQL-front-door surface:
+    * every SparkEntry query falls in exactly one class. A new query
+    * fails this test until it is consciously classified — there is
+    * no silent "not covered" pile. */
+  test("SQL front-door coverage: every query classified, with reasons") {
+    // (A) auto-swept: the DuckDB oracle text is ALSO valid Spark SQL;
+    // SqlParitySpec executes it against the DataFrame twin per run.
+    val autoSwept = Set(
+      "q5_semi_anti_join", "q7_window_rank_orders", "q7b_topk_per_key_agg",
+      "q11_set_ops", "q12_distinct_agg", "q12c_hll_sketch_union",
+      "q38_window_distribution", "q39_fuzzy_match",
+      "q50_pii_redact") // parses; runtime-excluded (regexp flags arg)
+    // (B) hand-written Spark-SQL twins with row-for-row parity:
+    // SqlFrontDoorSpec (batch shapes) + this spec (store serves).
+    val sqlTwinned = Set(
+      "q2_agg_pricing_summary", "q3_join_revenue_by_nation",
+      "q18_dedup_exact", "q1_inverted_index", "q1b_inverted_index_udaf",
+      "q1c_inverted_index_native", "q32_asof_join", "q32b_asof_join_native",
+      "q66_scd2_dimension", "q67_rolling_window", "q25d_image_neardup",
+      "q70_semantic_dedup", "q64b_bpe_encode",
+      "q19e_ann_ivf_store", "q70b_semantic_dedup_store")
+    // (C) SQL-expressible, not individually twinned: single-plan
+    // relational/HOF shapes whose Spark-SQL spelling is a mechanical
+    // dialect translation of the DuckDB oracle (every construct —
+    // windows, grouping sets, HOF lambdas, banded joins, decimal
+    // chains, store-table reads — has a parity-pinned representative
+    // in A/B). The DuckDB oracle itself remains the correctness gate.
+    val sqlExpressible = Set(
+      "q4_broadcast_join_brand", "q6_topk_customers",
+      "q8_window_running_sum", "q9_rollup_orders", "q10_cube_lineitem",
+      "q12b_approx_distinct", "q13_scalar_functions", "q14_json_extract",
+      "q15_array_hof_stats", "q16_range_join_shipping", "q17_sessionize",
+      "q18b_dedup_minhash", "q18c_dedup_simhash", "q18d_dedup_ngram",
+      "q18e_dedup_embedding", "q19_similarity_topk", "q19b_ann_lsh",
+      "q19f_ann_rebalance", "q20_top_terms_per_lang", "q21_language_id",
+      "q22_quality_score", "q23_token_count", "q24_fingerprint",
+      "q26_tfidf_top_terms", "q27_outer_join", "q28_pivot",
+      "q29_scalar_subquery", "q30_percentiles", "q30b_approx_percentiles",
+      "q31_map_json", "q33_grouping_sets", "q34_salted_skew_join",
+      "q35_unpivot_measures", "q36_stats_moments", "q37_date_spine",
+      "q40_train_test_split", "q41_argmax_per_group", "q42_corpus_clean",
+      "q42b_corpus_clean_full", "q43_top_bigrams", "q44_source_cap",
+      "q45_token_packing", "q46_decontaminate", "q46b_decontaminate_dfcap",
+      "q47_repetition", "q48_mix_sample", "q49_cross_doc_paragraphs",
+      "q51_url_domains", "q52_mix_interleave", "q53_token_entropy",
+      "q54_lm_perplexity", "q55_classifier_score", "q56_chunk_windows",
+      "q57_delta_dedup", "q57b_delta_dedup_store", "q58_training_shards",
+      "q60_repeated_spans", "q60b_longest_shared_spans", "q61_gopher_rules",
+      "q63_gap_fill", "q64d_bpe_encode_local", "q64e_bpe_encode_store",
+      "q64f_vocab_drift", "q65_incremental_stats", "q72_html_extract",
+      "q73_unicode_normalize")
+    // (D) driver-coordinated iteration / per-partition accumulators:
+    // no single SQL statement computes these (a pagerank loop, BPE
+    // merge loops, two-pass prefix sums, Misra-Gries coupled
+    // counters, label-propagation convergence).
+    val driverIteration = Set(
+      "q59_graph_pagerank", "q62_vocab_coverage", "q68_heavy_hitters",
+      "q69_score_deciles", "q64_bpe_merges", "q64c_bpe_merges_local",
+      "q18f_dedup_clusters")
+    // (E) spark.ml training inside the plan: SQL has no spelling for
+    // the fit (serve paths ARE SQL-twinned where persisted — q19e,
+    // q70b above).
+    val mlTrained = Set(
+      "q19c_ann_sparkml", "q19d_ann_ivf", "q70c_semantic_dedup_trained",
+      "q55b_classifier_trained")
+    // (F) binary-codec mapPartitions (ImageIO/PCM decode) feeding the
+    // relational tail — the decode step has no SQL form; the banded
+    // tail's SQL shape is twinned via q25d.
+    val codecBound = Set(
+      "q25_multimodal_features", "q25b_audio_features",
+      "q25c_image_features", "q25e_video_scenes",
+      "q25f_image_dedup_store", "q25g_audio_neardup",
+      "q25h_audio_dedup_store", "q71_multimodal_curation")
+    // (G) streaming: driven by writeStream/foreachBatch, not sql()
+    // text (Spark streaming SQL would need STREAM table refs the
+    // engine deliberately keeps behind the DataFrame API).
+    val streaming = SparkEntry.all.map(_.name)
+      .filter(_.matches("^s\\d+[a-z]?_.*")).toSet
+
+    val classes = Seq(
+      "autoSwept" -> autoSwept, "sqlTwinned" -> sqlTwinned,
+      "sqlExpressible" -> sqlExpressible,
+      "driverIteration" -> driverIteration, "mlTrained" -> mlTrained,
+      "codecBound" -> codecBound, "streaming" -> streaming)
+    val allNames = SparkEntry.all.map(_.name).toSet
+    val union = classes.flatMap(_._2).toSet
+    val unclassified = allNames -- union
+    assert(unclassified.isEmpty,
+      s"unclassified queries (add to a class, with its reason): " +
+        unclassified.toSeq.sorted.mkString(", "))
+    val phantom = union -- allNames
+    assert(phantom.isEmpty,
+      s"classified names that no longer exist: ${phantom.toSeq.sorted.mkString(", ")}")
+    classes.combinations(2).foreach { case Seq((na, a), (nb, b)) =>
+      val overlap = a intersect b
+      assert(overlap.isEmpty, s"$na ∩ $nb: ${overlap.toSeq.sorted.mkString(", ")}")
+    }
+  }
+}
