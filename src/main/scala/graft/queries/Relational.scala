@@ -919,8 +919,16 @@ object Q33GroupingSets extends GraftQuery {
   * so one hot custkey's rows land on 16 tasks instead of one. The
   * salt never reaches the aggregate, so the result is exactly the
   * plain join the oracle computes. This is the manual fallback for
-  * single-key skew beyond what AQE's skew-join splitting handles;
-  * BucketingSpec plan-asserts the salted-aggregation twin. */
+  * single-key skew beyond what AQE's skew-join splitting handles —
+  * measured (BASELINE round-12, DiagSkew): when AQE CAN split, it
+  * beats this salt 1.7–2.4× (it splits only hot partitions; salting
+  * replicates the build side ×16 for every key), so the plain join
+  * under the session's AQE default is the first choice; the salt
+  * earns its keep when a downstream aggregation keys on the join key
+  * and OptimizeSkewedJoin declines the split (skew=false, 1.4–1.9×
+  * for salt + two-level agg) — both behaviors pinned by
+  * SkewJoinSpec. BucketingSpec plan-asserts the salted-aggregation
+  * twin. */
 object Q34SaltedJoin extends GraftQuery {
   import Relational._
   private val Salts = 16
