@@ -76,6 +76,57 @@ object StreamQueries {
       }
     }
 
+  /** EPOCH-GUARDED append maintenance for the stateless append-model
+    * streams (s15/s16/s17): drive `src` to completion, appending
+    * `frame(batch)` per non-empty micro-batch to `tableT` with the
+    * epoch id riding IN the appended rows (`_epoch`). The parquet
+    * job commit makes "epoch rows visible ⇒ that epoch's append
+    * fully committed", so a micro-batch replayed after a crash
+    * (killed between sink apply and checkpoint commit) is recognized
+    * by its own rows' presence and SKIPPED — s13's exactly-once
+    * contract (`Q65IncrementalStats.refreshEpoch`) in append form,
+    * where the guard needs no separate marker because an append
+    * carries its own evidence. Priming writes must tag `_epoch` = −1;
+    * readers drop the column ([[epochless]]). `checkpoint` pins the
+    * location so the injection spec can force a genuine replay; None
+    * = run-scoped temp checkpoint. Returns epochs APPLIED (replays
+    * don't count). */
+  private[graft] def maintainAppend(spark: SparkSession, tableT: String,
+      src: DataFrame, checkpoint: Option[String] = None)
+      (frame: DataFrame => DataFrame): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val w0 = src.writeStream
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val w = checkpoint.fold(w0)(c => w0.option("checkpointLocation", c))
+    val q = w.foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // refreshTable BEFORE the guard read: the appends run on the
+        // micro-batch session clone, whose saveAsTable invalidates
+        // ITS relation cache, not this outer session's — without the
+        // refresh the guard's first (pre-append) read pins an empty
+        // file listing and every later check replays against it.
+        spark.catalog.refreshTable(tableT)
+        if (!batch.isEmpty &&
+            spark.table(tableT).filter(col("_epoch") === epochId).isEmpty) {
+          frame(batch).withColumn("_epoch", lit(epochId))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .format("parquet").saveAsTable(tableT)
+          batches.incrementAndGet()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // the last guard refresh predates the last append — leave the
+    // outer session's view fresh for the caller's result read
+    spark.catalog.refreshTable(tableT)
+    batches.get()
+  }
+
+  /** Strip the epoch-guard tag before a guarded table feeds a
+    * result/merge frame. */
+  private[graft] def epochless(df: DataFrame): DataFrame = df.drop("_epoch")
+
   private[graft] def runToBatch(spark: SparkSession, stream: DataFrame,
                                 mode: String, rocksdb: Boolean): DataFrame = this.synchronized {
     // synchronized: the save/set/restore of the GLOBAL shuffle-
@@ -813,26 +864,14 @@ object S15StreamBpeEncodeStore extends GraftQuery {
 
   /** Drive `docs` (a streaming frame of document rows) to completion,
     * appending one encode-partial row set per non-empty micro-batch
-    * to `partialsT`; returns the number of epochs applied. */
+    * to `partialsT` through the epoch guard ([[StreamQueries
+    * .maintainAppend]] — a replayed micro-batch is recognized and
+    * skipped); returns the number of epochs APPLIED. */
   private[graft] def maintain(spark: SparkSession, partialsT: String,
-      dict: DataFrame, docs: DataFrame): Long = {
-    val batches = new java.util.concurrent.atomic.AtomicLong(0)
-    val q = docs.writeStream
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          Q64bBpeEncode.encodePartials(batch, dict)
-            .write.mode(org.apache.spark.sql.SaveMode.Append)
-            .format("parquet").saveAsTable(partialsT)
-          batches.incrementAndGet()
-        }
-        ()
-      }
-      .start()
-    q.awaitTermination()
-    batches.get()
-  }
+      dict: DataFrame, docs: DataFrame,
+      checkpoint: Option[String] = None): Long =
+    maintainAppend(spark, partialsT, docs, checkpoint)(
+      Q64bBpeEncode.encodePartials(_, dict))
 
   /** Encode an arbitrary document stream against this corpus
     * snapshot's persisted vocabulary; shared by `run` and the
@@ -847,11 +886,12 @@ object S15StreamBpeEncodeStore extends GraftQuery {
     // report an empty frame, not a missing-table error).
     Q64bBpeEncode.encodePartials(
         spark.table(s"parquet.`$dir/documents.parquet`").limit(0), dict)
+      .withColumn("_epoch", lit(-1L))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(runT)
     try {
       maintain(spark, runT, dict, docs)
-      Q64bBpeEncode.finishFertility(spark.table(runT))
+      Q64bBpeEncode.finishFertility(epochless(spark.table(runT)))
         .localCheckpoint(true)
     } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
   }
@@ -895,26 +935,13 @@ object S16StreamSemanticDedupStore extends GraftQuery {
   private val s16Run = new AtomicInteger(0)
 
   /** Drive a delta embedding stream to completion, appending one
-    * verdict frame per non-empty micro-batch; returns epochs run. */
+    * verdict frame per non-empty micro-batch through the epoch guard
+    * ([[StreamQueries.maintainAppend]]); returns epochs APPLIED. */
   private[graft] def maintain(spark: SparkSession, verdictsT: String,
-      cent: DataFrame, store: DataFrame, delta: DataFrame): Long = {
-    val batches = new java.util.concurrent.atomic.AtomicLong(0)
-    val q = delta.writeStream
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          Q70bSemanticDedupStore.ingest(batch, cent, store)
-            .write.mode(org.apache.spark.sql.SaveMode.Append)
-            .format("parquet").saveAsTable(verdictsT)
-          batches.incrementAndGet()
-        }
-        ()
-      }
-      .start()
-    q.awaitTermination()
-    batches.get()
-  }
+      cent: DataFrame, store: DataFrame, delta: DataFrame,
+      checkpoint: Option[String] = None): Long =
+    maintainAppend(spark, verdictsT, delta, checkpoint)(
+      Q70bSemanticDedupStore.ingest(_, cent, store))
 
   private[graft] def embeddingsStream(spark: SparkSession,
       dir: String): DataFrame = {
@@ -930,13 +957,14 @@ object S16StreamSemanticDedupStore extends GraftQuery {
     graft.plans.Stores.dropManaged(spark, runT)
     Q70bSemanticDedupStore.ingest(
         spark.read.parquet(s"$dir/embeddings.parquet").limit(0), cent, store)
+      .withColumn("_epoch", lit(-1L))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(runT)
     try {
       maintain(spark, runT, cent, store,
         embeddingsStream(spark, dir)
           .filter(Q40TrainTestSplit.splitColOf("vec_id") === "test"))
-      spark.table(runT).orderBy(col("vec_id")).localCheckpoint(true)
+      epochless(spark.table(runT)).orderBy(col("vec_id")).localCheckpoint(true)
     } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
   }
 
@@ -1022,27 +1050,15 @@ object S17StreamMultimodalAdmission extends GraftQuery {
   }
 
   /** Drive a delta document stream to completion, appending one
-    * admission frame per non-empty micro-batch; returns epochs. */
+    * admission frame per non-empty micro-batch through the epoch
+    * guard ([[StreamQueries.maintainAppend]]); returns epochs
+    * APPLIED. */
   private[graft] def maintain(spark: SparkSession, verdictsT: String,
       imgStore: DataFrame, cent: DataFrame, semStore: DataFrame,
-      embs: DataFrame, audStore: DataFrame, docs: DataFrame): Long = {
-    val batches = new java.util.concurrent.atomic.AtomicLong(0)
-    val q = docs.writeStream
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          admitBatch(batch, imgStore, cent, semStore, embs, audStore)
-            .write.mode(org.apache.spark.sql.SaveMode.Append)
-            .format("parquet").saveAsTable(verdictsT)
-          batches.incrementAndGet()
-        }
-        ()
-      }
-      .start()
-    q.awaitTermination()
-    batches.get()
-  }
+      embs: DataFrame, audStore: DataFrame, docs: DataFrame,
+      checkpoint: Option[String] = None): Long =
+    maintainAppend(spark, verdictsT, docs, checkpoint)(
+      admitBatch(_, imgStore, cent, semStore, embs, audStore))
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val imgStore = Q25fImageDedupStore.storeFrame(spark,
@@ -1056,13 +1072,14 @@ object S17StreamMultimodalAdmission extends GraftQuery {
     graft.plans.Stores.dropManaged(spark, runT)
     admitBatch(spark.read.parquet(s"$dir/documents.parquet").limit(0),
         imgStore, cent, semStore, embs, audStore)
+      .withColumn("_epoch", lit(-1L))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(runT)
     try {
       maintain(spark, runT, imgStore, cent, semStore, embs, audStore,
         docsStream(spark, dir)
           .filter(Q40TrainTestSplit.splitCol === "test"))
-      spark.table(runT).orderBy(col("doc_id")).localCheckpoint(true)
+      epochless(spark.table(runT)).orderBy(col("doc_id")).localCheckpoint(true)
     } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
   }
 

@@ -271,13 +271,15 @@ class Round11eSpec extends SparkSpec {
       Q70bSemanticDedupStore.ingest(
           Tables.embeddings(spark, sf01).limit(0),
           spark.table(centT), spark.table(assignT))
+        .withColumn("_epoch", org.apache.spark.sql.functions.lit(-1L))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").saveAsTable(runT)
       try {
         val epochs = S16StreamSemanticDedupStore.maintain(spark, runT,
           spark.table(centT), spark.table(assignT), stream)
         assert(epochs >= 3, s"file-per-trigger must yield >=3 epochs, got $epochs")
-        val got = spark.table(runT).orderBy(org.apache.spark.sql.functions.col("vec_id"))
+        val got = spark.table(runT).drop("_epoch")
+          .orderBy(org.apache.spark.sql.functions.col("vec_id"))
           .collect().map(_.toString).toSeq
         val expect = Q70bSemanticDedupStore.run(spark, sf01)
           .collect().map(_.toString).toSeq
@@ -480,6 +482,7 @@ class Round11eSpec extends SparkSpec {
       graft.plans.Stores.dropManaged(spark, runT)
       S17StreamMultimodalAdmission.admitBatch(delta.limit(0), imgStore,
           spark.table(centT), spark.table(assignT), embs, audStore)
+        .withColumn("_epoch", org.apache.spark.sql.functions.lit(-1L))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").saveAsTable(runT)
       try {
@@ -487,13 +490,13 @@ class Round11eSpec extends SparkSpec {
           imgStore, spark.table(centT), spark.table(assignT), embs, audStore,
           stream)
         assert(epochs >= 3, s"file-per-trigger must yield >=3 epochs, got $epochs")
-        val got = spark.table(runT).orderBy(col("doc_id"))
+        val got = spark.table(runT).drop("_epoch").orderBy(col("doc_id"))
           .collect().map(_.toString).toSeq
         val expect = S17StreamMultimodalAdmission.admitBatch(delta, imgStore,
             spark.table(centT), spark.table(assignT), embs, audStore)
           .orderBy(col("doc_id")).collect().map(_.toString).toSeq
         assert(got == expect, "streamed admissions must equal the one-shot pass")
-        val rows = spark.table(runT).collect()
+        val rows = spark.table(runT).drop("_epoch").collect()
         assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)),
           "fixture must admit some and reject some")
         assert(rows.exists(_.getBoolean(3)), "semantic gate must fire at sf0.01")
@@ -530,6 +533,7 @@ class Round11eSpec extends SparkSpec {
       val runT = "graft_s15spec_partials"
       graft.plans.Stores.dropManaged(spark, runT)
       Q64bBpeEncode.encodePartials(Tables.documents(spark, sf).limit(0), dict)
+        .withColumn("_epoch", org.apache.spark.sql.functions.lit(-1L))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").saveAsTable(runT)
       try {
@@ -539,7 +543,7 @@ class Round11eSpec extends SparkSpec {
           .collect().map(_.getLong(1))
         assert(perLang.exists(_ > 1),
           "at least one language must carry partials from multiple epochs")
-        val got = Q64bBpeEncode.finishFertility(spark.table(runT))
+        val got = Q64bBpeEncode.finishFertility(spark.table(runT).drop("_epoch"))
           .collect().map(_.toString).toSeq
         val expect = Q64eBpeEncodeStore.run(spark, sf)
           .collect().map(_.toString).toSeq

@@ -275,6 +275,63 @@ class Round12Spec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("s15: killed-epoch replay does NOT double-append (append-model injection)") {
+    import graft.queries.{Q64bBpeEncode, Q64eBpeEncodeStore}
+    import graft.streaming.S15StreamBpeEncodeStore
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("s15inject").toString
+    try {
+      Tables.documents(spark, sf).repartition(3)
+        .write.parquet(s"$dir/delta")
+      val sch = spark.read.parquet(s"$dir/delta").schema
+      def stream() = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/delta/*.parquet")
+      val dict = broadcast(
+        spark.table(Q64eBpeEncodeStore.ensureVocab(spark, sf)))
+      val runT = "graft_s15inject_partials"
+      graft.plans.Stores.dropManaged(spark, runT)
+      Q64bBpeEncode.encodePartials(Tables.documents(spark, sf).limit(0), dict)
+        .withColumn("_epoch", lit(-1L))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(runT)
+      val ckpt = s"$dir/ckpt"
+      try {
+        val applied = S15StreamBpeEncodeStore.maintain(
+          spark, runT, dict, stream(), checkpoint = Some(ckpt))
+        assert(applied === 3L, s"expected 3 applied epochs, got $applied")
+        val after = spark.table(runT).collect().map(_.toString).sorted.toSeq
+
+        // Kill the last epoch's commit record: the append for that
+        // epoch is on disk (its _epoch-tagged rows), the checkpoint
+        // says it never ran — the replayed delivery must be
+        // recognized by its own rows and skipped, not re-appended.
+        import scala.jdk.CollectionConverters._
+        val commits = Paths.get(ckpt, "commits")
+        val lastCommit = Files.list(commits).iterator().asScala.toSeq
+          .filter(p => p.getFileName.toString.forall(_.isDigit))
+          .maxBy(_.getFileName.toString.toLong)
+        Files.delete(lastCommit)
+        Files.deleteIfExists(
+          commits.resolve(s".${lastCommit.getFileName}.crc"))
+
+        val replayApplied = S15StreamBpeEncodeStore.maintain(
+          spark, runT, dict, stream(), checkpoint = Some(ckpt))
+        assert(replayApplied === 0L,
+          s"replayed epoch must be skipped, but $replayApplied were applied")
+        val afterReplay = spark.table(runT).collect().map(_.toString).sorted.toSeq
+        assert(afterReplay === after, "partials double-appended on replay")
+        // and nothing lost: merged result equals the batch encode
+        val got = Q64bBpeEncode.finishFertility(
+            spark.table(runT).drop("_epoch"))
+          .collect().map(_.toString).toSeq
+        val expect = Q64eBpeEncodeStore.run(spark, sf)
+          .collect().map(_.toString).toSeq
+        assert(got === expect)
+      } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("q72: plan is map-only — no exchange before the final sort") {
     val df = Q72HtmlExtract.run(spark, sf)
     val plan = df.queryExecution.executedPlan
