@@ -30,6 +30,7 @@ import graft.queries._
 object ScaleBench {
   private val Scale10Dir = "/tmp/graft_scale10"
   private val Scale100Dir = "/tmp/graft_scale100"
+  private val Scale1000Dir = "/tmp/graft_scale1000"
   private val Copies = 10
   private val IdOffset = 10000000L
 
@@ -41,11 +42,22 @@ object ScaleBench {
     * Same bijective '#k' suffix transform as the 10× corpus, built in
     * ONE pass via explode(sequence) rather than a 100-branch union.
     * Disable with SPARK_GRAFT_SCALE100=0. */
-  private def synthesize100(spark: SparkSession, sfDir: String): Unit = {
+  private def synthesize100(spark: SparkSession, sfDir: String): Unit =
+    synthesizeNx(spark, sfDir, Scale100Dir, 100)
+
+  /** Fourth decade (1000×): the same bijective recipes, one more hop
+    * — the occupancy²/Σg² fixes were tuned ON the third decade, so
+    * this is the decade that confirms them PAST their tuning point.
+    * ~1.3 GB on disk; opt-in via SPARK_GRAFT_SCALE1000=1. */
+  private def synthesize1000(spark: SparkSession, sfDir: String): Unit =
+    synthesizeNx(spark, sfDir, Scale1000Dir, 1000)
+
+  private def synthesizeNx(spark: SparkSession, sfDir: String,
+      scaleDir: String, copies: Int): Unit = {
     // Reuse keyed on a SOURCE fingerprint, not bare existence (the
     // q57b ensureStore rule): a 100x corpus synthesized from an older
     // or different fixture would silently corrupt the hop-2 ratios.
-    val fpFile = java.nio.file.Paths.get(s"$Scale100Dir/_source_fingerprint")
+    val fpFile = java.nio.file.Paths.get(s"$scaleDir/_source_fingerprint")
     val srcFp = {
       val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -53,15 +65,15 @@ object ScaleBench {
         .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
         .sorted.mkString("|")
     }
-    // 100× embeddings (third-decade points for the ANN store): 100
+    // N× embeddings (deep-decade points for the ANN store): N
     // bijective norm-preserving copies — rotate by k mod dim, negate
-    // the second fifty — so distance structure scales honestly, like
-    // the 10× recipe. Written by its own guard so a Scale100Dir
+    // the second half — so distance structure scales honestly, like
+    // the 10× recipe. Written by its own guard so a scale dir
     // synthesized before this table existed gains it without a doc
     // rewrite.
-    def writeEmbs100(): Unit = {
+    def writeEmbsN(): Unit = {
       val embs = Tables.embeddings(spark, sfDir)
-      (0 until 100).map { k =>
+      (0 until copies).map { k =>
         val r = k % 64
         val rotSql =
           if (r == 0) "embedding"
@@ -69,23 +81,23 @@ object ScaleBench {
             s"slice(embedding, 1, $r))"
         embs.select(
           (col("vec_id") + lit(k.toLong * IdOffset)).as("vec_id"),
-          expr(if (k < 50) rotSql else s"transform($rotSql, x -> -x)")
+          expr(if (k < copies / 2) rotSql else s"transform($rotSql, x -> -x)")
             .as("embedding"),
           col("label"))
       }.reduce(_ unionAll _)
-        .repartition(16)
-        .write.mode("overwrite").parquet(s"$Scale100Dir/embeddings.parquet")
+        .repartition(if (copies >= 1000) 64 else 16)
+        .write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
     }
     if (java.nio.file.Files.exists(fpFile) &&
         new String(java.nio.file.Files.readAllBytes(fpFile), "UTF-8") == srcFp) {
       if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$Scale100Dir/embeddings.parquet")))
-        writeEmbs100()
-      System.err.println(s"[scalebench] reusing $Scale100Dir (fingerprint match)")
+          java.nio.file.Paths.get(s"$scaleDir/embeddings.parquet")))
+        writeEmbsN()
+      System.err.println(s"[scalebench] reusing $scaleDir (fingerprint match)")
       return
     }
     Tables.documents(spark, sfDir)
-      .select(explode(expr("sequence(0, 99)")).as("k"),
+      .select(explode(expr(s"sequence(0, ${copies - 1})")).as("k"),
         col("doc_id"), col("text"), col("lang"), col("source"))
       .select(
         (col("doc_id") + col("k") * lit(IdOffset)).as("doc_id"),
@@ -93,9 +105,9 @@ object ScaleBench {
           "t -> t != ''), x -> concat(x, '#', k)), ' ')").as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .repartition(64)
-      .write.mode("overwrite").parquet(s"$Scale100Dir/documents.parquet")
-    writeEmbs100()
+      .repartition(if (copies >= 1000) 256 else 64)
+      .write.mode("overwrite").parquet(s"$scaleDir/documents.parquet")
+    writeEmbsN()
     java.nio.file.Files.write(fpFile, srcFp.getBytes("UTF-8"))
   }
 
@@ -400,6 +412,14 @@ object ScaleBench {
     val st100: Map[String, Double] =
       if (!wantStores || !scale100Enabled) Map.empty
       else { synthesize100(spark, sfDir); storePoints(Scale100Dir) }
+    // Fourth decade (opt-in: a full store-family pass at 1000×
+    // costs tens of minutes, dominated by the image/audio codec
+    // terms): the hop that confirms the occupancy²/Σg² fixes PAST
+    // the decade they were tuned on.
+    val st1000: Map[String, Double] =
+      if (!wantStores ||
+          sys.env.getOrElse("SPARK_GRAFT_SCALE1000", "0") != "1") Map.empty
+      else { synthesize1000(spark, sfDir); storePoints(Scale1000Dir) }
     spark.stop()
     def row(qs: Seq[GraftQuery], m: Map[String, Double]) = qs
       .map(q => "\"" + q.name + "\":" + f"${m(q.name)}%.3f")
@@ -427,6 +447,13 @@ object ScaleBench {
           .mkString("{", ",", "}")
         println(s"""{"scale_stores":"sf0.1x100","points":${srow(st100)}}""")
         println(s"""{"store_ratio_100x_vs_10x":$r100}""")
+      }
+      if (st1000.nonEmpty) {
+        val r1000 = storeNames
+          .map(n => "\"" + n + "\":" + f"${ratio(st1000(n), st100.getOrElse(n, -1.0))}%.2f")
+          .mkString("{", ",", "}")
+        println(s"""{"scale_stores":"sf0.1x1000","points":${srow(st1000)}}""")
+        println(s"""{"store_ratio_1000x_vs_100x":$r1000}""")
       }
     }
     if (sem.nonEmpty) {
