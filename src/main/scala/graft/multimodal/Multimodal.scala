@@ -32,6 +32,22 @@ object Multimodal {
   /** What a decoder returns: a frame-major intensity raster. */
   final case class Decoded(pixels: Array[Int], frames: Seq[Int])
 
+  /** EXECUTOR-SIDE ImageIO posture, called at the top of every codec
+    * mapPartitions closure: the JDK defaults `ImageIO.read(stream)` /
+    * `write(..., stream)` to a DISK-backed stream cache — one temp
+    * file created and deleted in `java.io.tmpdir` per call. Per-item
+    * that cost is invisible at small scale but it is the fourth
+    * decade's measured superlinear term (ScaleBench 1000×: the PNG
+    * pass degraded from 86 to 189 µs/image — ~2 temp-file churns per
+    * image × 3.3M calls × 32 threads contending on one tmp dir; with
+    * the cache off the pass is in-memory and returned to linear —
+    * decomposition in DiagDecade4 / BASELINE round-12). JVM-global
+    * and idempotent, so calling once per partition is free; lives
+    * here (not driver-side session setup) because on a real cluster
+    * the flag must be set in EXECUTOR JVMs. */
+  private[multimodal] def configureImageIo(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Codec contract — a real implementation would bind an image/audio
     * library here. */
   trait MediaCodec extends Serializable {
@@ -297,6 +313,7 @@ object Q25cImageFeatures extends GraftQuery {
         col("meta.width").as("width"), col("meta.height").as("height"))
       .as[(Long, Array[Byte], Int, Int)]
       .mapPartitions { rows =>
+        Multimodal.configureImageIo()
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, bytes, w, h) =>
             val img = new java.awt.image.BufferedImage(
@@ -348,6 +365,7 @@ object Q25cImageFeatures extends GraftQuery {
       batchSize: Int = 64): Dataset[ImageFeatures] = {
     import images.sparkSession.implicits._
     images.mapPartitions { rows =>
+      Multimodal.configureImageIo()
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val img = javax.imageio.ImageIO.read(
@@ -769,6 +787,7 @@ object Q25eVideoScenes extends GraftQuery {
         col("meta.n_frames").as("nf"))
       .as[(Long, Array[Byte], Int, Int, Int)]
       .mapPartitions { rows =>
+        Multimodal.configureImageIo()
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, bytes, w, h, nf) =>
             val len = bytes.length
@@ -813,6 +832,7 @@ object Q25eVideoScenes extends GraftQuery {
     videoTable(spark, dir)
       .as[(Long, Array[Byte], Int)]
       .mapPartitions { rows =>
+        Multimodal.configureImageIo()
         rows.grouped(64).flatMap { batch =>
           batch.map { case (id, container, nf) =>
             // Demux + real decode, then per-frame grid dHash from the
