@@ -43,7 +43,7 @@ object Curation {
 
   val all: Seq[GraftQuery] = Seq(
     Q50PiiRedact, Q51UrlDomains, Q52MixInterleave, Q53TokenEntropy,
-    Q61GopherRules)
+    Q61GopherRules, Q61bGopherRepetition)
 }
 
 /** Q50 — PII redaction: count and mask emails, phone numbers and IPv4
@@ -379,6 +379,303 @@ object Q61GopherRules extends GraftQuery {
            WHEN n_stopwords < 2 THEN 'stopwords'
            ELSE 'kept' END AS status
     FROM f ORDER BY doc_id
+  """.trim
+  }
+}
+
+/** Q61b — the REPETITION half of the Gopher/MassiveText filter set
+  * (Rae et al. 2021, "Scaling Language Models", Appendix A1.2),
+  * completing q61's quality half: q47 carries two of the
+  * thirteen published repetition signals (duplicate-line fraction,
+  * top-bigram COUNT share); this operator computes the full set —
+  *
+  *  - duplicate line / paragraph fraction: share of line (paragraph)
+  *    occurrences that repeat an earlier identical one;
+  *  - duplicate line / paragraph CHARACTER fraction: share of line
+  *    (paragraph) characters sitting in those repeat occurrences;
+  *  - top n-gram character fraction, n ∈ {2,3,4}: share of word
+  *    characters covered by occurrences of the single most frequent
+  *    word n-gram (ties → lexicographically smallest, q47's rule;
+  *    overlapping occurrences count fully, as published);
+  *  - duplicate n-gram character fraction, n ∈ {5..10}: share of word
+  *    characters at token positions covered by ANY occurrence of a
+  *    word n-gram that appears more than once (a position coverage
+  *    mask, so overlapping duplicates never double-count a token).
+  *
+  * `status` applies the paper's thresholds in table order (dup-line
+  * 0.30, dup-paragraph 0.30, their char variants 0.20, top-{2,3,4}
+  * 0.20/0.18/0.16, dup-{5..10} 0.15 down to 0.10) and names the first
+  * failing rule, composing with q61's quality `status` the way the
+  * published pipeline runs both banks.
+  *
+  * Shape: entirely per-row higher-order-function work over ONE
+  * projection — map-only at 100 TB, no shuffle before the final
+  * doc_id sort. Every shared array (`t_`, `lns_`, `prs_`, per-n gram
+  * arrays, sorted twins, dup sets) is let()-bound so CollapseProject
+  * cannot re-evaluate it per reference; the dup tier short-circuits
+  * to 0 when the doc has no duplicated n-gram (the common case), so
+  * the O(tokens·n) coverage fold runs only on repetitive docs. The
+  * duplicate detector is the sorted-adjacent zip (q47's run trick):
+  * multiset duplicates == equal neighbors after array_sort, no
+  * per-doc groupBy. Char fractions are single IEEE divisions of
+  * exact integers, surfaced UNROUNDED (the q55 rule), zero-guarded.
+  *
+  * The fixture corpus is single-line (q47's note), so the line and
+  * paragraph tiers read 0 there and their liveness is pinned on a
+  * crafted multi-line corpus in GopherRepetitionSpec; the n-gram
+  * tiers are live on the fixture and hash-gated. The oracle replays
+  * the whole contract RELATIONALLY (unnest with positions → count →
+  * join-back coverage mask → sum), an independent implementation.
+  */
+object Q61bGopherRepetition extends GraftQuery {
+  import NorthStar.let
+  val name = "q61b_gopher_repetition"
+
+  /** (n, max char fraction) for the top-n-gram rules (A1.2 order). */
+  private[queries] val TopRules = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  /** (n, max char fraction) for the duplicate-n-gram rules. */
+  private[queries] val DupRules =
+    Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+  private[queries] val MaxDupLineFrac = 0.30
+  private[queries] val MaxDupParaFrac = 0.30
+  private[queries] val MaxDupLineCharFrac = 0.20
+  private[queries] val MaxDupParaCharFrac = 0.20
+
+  /** Blank-line-separated paragraphs, trimmed, empties dropped (the
+    * same trim semantics as linesExpr — both engines strip spaces). */
+  private val parasExpr =
+    "filter(transform(split(text, '\n\n'), p_ -> trim(p_)), p_ -> p_ != '')"
+
+  /** Word n-grams of the bound token array `t_`, joined with ' ' so
+    * length(gram) − (n−1) is exactly the sum of its token lengths. */
+  private def gramsExpr(n: Int) =
+    s"transform(sequence(1, size(t_) - ${n - 1}), gi_ -> " +
+      s"array_join(slice(t_, gi_, $n), ' '))"
+
+  /** Sum of character lengths over all elements of `arr`. */
+  private def totChars(arr: String) =
+    s"aggregate($arr, cast(0 as bigint), (ca_, cx_) -> ca_ + length(cx_))"
+
+  /** q47's sorted-run fold generalized to the bound array `g_`:
+    * (count, value) of the most frequent element, first max run in
+    * sorted order == lexicographically smallest argmax. */
+  private val topFold =
+    "aggregate(array_sort(g_), " +
+      "named_struct('prev', '', 'run', 0, 'best', 0, 'arg', ''), " +
+      "(acc, x_) -> element_at(transform(" +
+      "array(IF(x_ = acc.prev, acc.run + 1, 1)), r_ -> named_struct(" +
+      "'prev', x_, 'run', r_, " +
+      "'best', IF(r_ > acc.best, r_, acc.best), " +
+      "'arg', IF(r_ > acc.best, x_, acc.arg))), 1))"
+
+  /** The all-distinct fast path skips the O(T log T) interpreted
+    * sort-fold: with every count 1, the argmax tie breaks to the
+    * smallest gram (= array_min) with count 1 — the exact fold
+    * result. array_distinct is one hashed O(T) pass, so the common
+    * unrepetitive doc pays O(T), not a lambda-interpreted sort. */
+  private def topFracExpr(n: Int) =
+    s"IF(size(t_) >= $n, " +
+      let("g_", gramsExpr(n),
+        "IF(size(array_distinct(g_)) = size(g_), " +
+          s"cast(length(array_min(g_)) - ${n - 1} as double) / wch_, " +
+          let("tp_", topFold,
+            s"cast(tp_.best as double) * (length(tp_.arg) - ${n - 1}) / wch_") +
+          ")") +
+      ", cast(0 as double))"
+
+  /** Values with multiplicity ≥ 2 in the bound sorted array `sg_`:
+    * equal-neighbor zip, distinct'd. */
+  private val dupSetExpr =
+    "array_distinct(filter(zip_with(" +
+      "slice(sg_, 1, size(sg_) - 1), slice(sg_, 2, size(sg_) - 1), " +
+      "(da_, db_) -> IF(da_ = db_, db_, NULL)), dx_ -> dx_ IS NOT NULL))"
+
+  /** Char fraction of token positions covered by any occurrence of a
+    * duplicated n-gram: for position j, some gram start i in
+    * [j−n+1, j] (clamped to valid starts) is in the dup set. */
+  /** Coverage fraction for n, assuming the caller has already
+    * established a duplicated n-gram MAY exist (`t_` has ≥ n tokens
+    * and the doc duplicates some 5-gram — a duplicated n-gram for
+    * n > 5 contains duplicated 5-grams, so `hd5_` soundly gates the
+    * whole tier). The inner distinct check still short-circuits the
+    * sort and the O(tokens·n) coverage fold when THIS n has no
+    * duplicate. */
+  private def dupFracExpr(n: Int) = {
+    val guard = s"size(t_) >= $n AND hd5_"
+    s"IF($guard, " +
+      let("g_", gramsExpr(n),
+        "IF(size(array_distinct(g_)) = size(g_), cast(0 as double), " +
+          let("sg_", "array_sort(g_)", let("d_", dupSetExpr,
+            "cast(aggregate(sequence(1, size(t_)), cast(0 as bigint), " +
+              "(ja_, j_) -> ja_ + IF(exists(sequence(" +
+              s"greatest(1, j_ - ${n - 1}), least(j_, size(g_))), " +
+              "i_ -> array_contains(d_, element_at(g_, i_))), " +
+              "cast(length(element_at(t_, j_)) as bigint), " +
+              "cast(0 as bigint))) as double) / wch_")) +
+          ")") +
+      ", cast(0 as double))"
+  }
+
+  /** Chars in repeat occurrences of `arr`'s elements (each value with
+    * count c contributes (c−1)·len): equal-neighbor lengths after
+    * sort. Requires size ≥ 1 (callers guard empty). */
+  private def repChars(arr: String) =
+    let("rs_", s"array_sort($arr)",
+      "aggregate(zip_with(slice(rs_, 1, size(rs_) - 1), " +
+        "slice(rs_, 2, size(rs_) - 1), " +
+        "(ra_, rb_) -> IF(ra_ = rb_, cast(length(rb_) as bigint), " +
+        "cast(0 as bigint))), cast(0 as bigint), (sa_, sx_) -> sa_ + sx_)")
+
+  /** frac + char-frac pair for a line-like array bound as `arr`. */
+  private def dupPairExprs(arr: String, chBind: String): (String, String) = {
+    val frac = s"IF(size($arr) = 0, cast(0 as double), " +
+      s"cast(size($arr) - size(array_distinct($arr)) as double) / size($arr))"
+    val charFrac = s"IF(size($arr) = 0, cast(0 as double), " +
+      let(chBind, totChars(arr),
+        s"IF($chBind = 0, cast(0 as double), " +
+          s"cast(${repChars(arr)} as double) / $chBind)") + ")"
+    (frac, charFrac)
+  }
+
+  private[graft] def signals(docs: DataFrame): DataFrame = {
+    val (lFrac, lCharFrac) = dupPairExprs("lns_", "lch_")
+    val (pFrac, pCharFrac) = dupPairExprs("prs_", "pch_")
+    val fields = Seq(
+      "'n_lines'" -> "size(lns_)",
+      "'dup_line_frac'" -> lFrac,
+      "'dup_line_char_frac'" -> lCharFrac,
+      "'n_paras'" -> "size(prs_)",
+      "'dup_para_frac'" -> pFrac,
+      "'dup_para_char_frac'" -> pCharFrac) ++
+      TopRules.map { case (n, _) =>
+        s"'top${n}_char_frac'" -> topFracExpr(n) } ++
+      DupRules.map { case (n, _) =>
+        s"'dup${n}_char_frac'" -> dupFracExpr(n) }
+    val struct = fields.map { case (k, v) => s"$k, $v" }
+      .mkString("named_struct(", ", ", ")")
+    // hd5_ — "some 5-gram duplicates": bound ONCE per doc, it gates
+    // every dup-{5..10} field (a duplicated longer gram contains
+    // duplicated 5-grams), so the common unrepetitive doc pays one
+    // gram build + one hashed distinct for the whole dup tier.
+    val hasDup5 = s"IF(size(t_) >= 5, ${let("g5_", gramsExpr(5),
+      "size(array_distinct(g5_)) < size(g5_)")}, false)"
+    val body = let("t_", NorthStar.toksExpr,
+      let("wch_", totChars("t_"),
+        let("lns_", NorthStar.linesExpr, let("prs_", parasExpr,
+          let("hd5_", hasDup5, struct)))))
+    val statusCol = {
+      val base = when(col("dup_line_frac") > MaxDupLineFrac, lit("dup_lines"))
+        .when(col("dup_para_frac") > MaxDupParaFrac, lit("dup_paragraphs"))
+        .when(col("dup_line_char_frac") > MaxDupLineCharFrac,
+          lit("dup_line_chars"))
+        .when(col("dup_para_char_frac") > MaxDupParaCharFrac,
+          lit("dup_para_chars"))
+      val withTop = TopRules.foldLeft(base) { case (acc, (n, thr)) =>
+        acc.when(col(s"top${n}_char_frac") > thr, lit(s"top_${n}gram")) }
+      DupRules.foldLeft(withTop) { case (acc, (n, thr)) =>
+        acc.when(col(s"dup${n}_char_frac") > thr, lit(s"dup_${n}gram")) }
+        .otherwise(lit("kept"))
+    }
+    docs.select(col("doc_id"), inline(array(expr(body))))
+      .withColumn("status", statusCol)
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    signals(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  val oracle = Some {
+    val duckParas = "list_filter(list_transform(string_split(text, " +
+      "chr(10) || chr(10)), p_ -> trim(p_)), p_ -> p_ <> '')"
+    def gl(n: Int) =
+      s"list_transform(range(1, len(t) - ${n - 2}), k_ -> " +
+        s"array_to_string(t[k_:k_ + ${n - 1}], ' '))"
+    val topCtes = TopRules.map { case (n, _) =>
+      s"""g$n AS (SELECT doc_id, unnest(gl) AS gram FROM (
+        SELECT doc_id, ${gl(n)} AS gl FROM base WHERE len(t) >= $n)),
+      c$n AS (SELECT doc_id, gram, count(*) AS c FROM g$n GROUP BY 1, 2),
+      m$n AS (SELECT doc_id, max(c) AS mc FROM c$n GROUP BY 1),
+      a$n AS (SELECT c.doc_id, max(c.c) AS mc, min(c.gram) AS arg
+              FROM c$n c JOIN m$n m ON c.doc_id = m.doc_id AND c.c = m.mc
+              GROUP BY 1)""" }.mkString(",\n      ")
+    val dupCtes = DupRules.map { case (n, _) =>
+      s"""l$n AS (SELECT doc_id, gl, unnest(range(1, len(gl) + 1)) AS i FROM (
+        SELECT doc_id, ${gl(n)} AS gl FROM base WHERE len(t) >= $n)),
+      gi$n AS (SELECT doc_id, i, gl[i] AS gram FROM l$n),
+      d$n AS (SELECT doc_id, gram FROM (
+        SELECT doc_id, gram, count(*) AS c FROM gi$n GROUP BY 1, 2)
+        WHERE c >= 2),
+      o$n AS (SELECT g.doc_id, g.i FROM gi$n g
+              JOIN d$n d ON g.doc_id = d.doc_id AND g.gram = d.gram),
+      cv$n AS (SELECT DISTINCT w.doc_id, w.j, w.wl FROM tokw w JOIN o$n o
+               ON w.doc_id = o.doc_id AND w.j BETWEEN o.i AND o.i + ${n - 1}),
+      ch$n AS (SELECT doc_id, SUM(wl) AS ch FROM cv$n GROUP BY 1)""" }
+      .mkString(",\n      ")
+    def lineTier(src: String, a: String) =
+      s"""${a}u AS (SELECT doc_id, unnest($src) AS v FROM base),
+      ${a}c AS (SELECT doc_id, v, count(*) AS c FROM ${a}u GROUP BY 1, 2),
+      ${a}t AS (SELECT doc_id, SUM(c) AS n_total, SUM(c - 1) AS n_rep,
+                SUM(c * length(v)) AS tot_ch,
+                SUM((c - 1) * length(v)) AS rep_ch
+                FROM ${a}c GROUP BY 1)"""
+    val topSel = TopRules.map { case (n, _) =>
+      s"""CASE WHEN w.wch = 0 OR a$n.mc IS NULL THEN 0.0
+        ELSE CAST(a$n.mc AS DOUBLE) * (length(a$n.arg) - ${n - 1}) / w.wch
+        END AS top${n}_char_frac""" }.mkString(",\n        ")
+    val dupSel = DupRules.map { case (n, _) =>
+      s"""CASE WHEN w.wch = 0 THEN 0.0
+        ELSE CAST(COALESCE(ch$n.ch, 0) AS DOUBLE) / w.wch
+        END AS dup${n}_char_frac""" }.mkString(",\n        ")
+    val topJoins = TopRules.map { case (n, _) =>
+      s"LEFT JOIN a$n ON w.doc_id = a$n.doc_id" }.mkString("\n      ")
+    val dupJoins = DupRules.map { case (n, _) =>
+      s"LEFT JOIN ch$n ON w.doc_id = ch$n.doc_id" }.mkString("\n      ")
+    val statusCase = (
+      Seq(
+        s"WHEN dup_line_frac > $MaxDupLineFrac THEN 'dup_lines'",
+        s"WHEN dup_para_frac > $MaxDupParaFrac THEN 'dup_paragraphs'",
+        s"WHEN dup_line_char_frac > $MaxDupLineCharFrac THEN 'dup_line_chars'",
+        s"WHEN dup_para_char_frac > $MaxDupParaCharFrac THEN 'dup_para_chars'") ++
+      TopRules.map { case (n, thr) =>
+        s"WHEN top${n}_char_frac > $thr THEN 'top_${n}gram'" } ++
+      DupRules.map { case (n, thr) =>
+        s"WHEN dup${n}_char_frac > $thr THEN 'dup_${n}gram'" }
+      ).mkString("\n        ")
+    raw"""
+    WITH base AS (SELECT doc_id, ${NorthStar.duckToks} AS t,
+        ${NorthStar.duckLines} AS lns, $duckParas AS prs FROM documents),
+      wc AS (SELECT doc_id,
+        CAST(COALESCE(list_sum(list_transform(t, x_ -> length(x_))), 0)
+          AS BIGINT) AS wch FROM base),
+      tokp AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS j FROM base),
+      tokw AS (SELECT doc_id, j, length(t[j]) AS wl FROM tokp),
+      ${lineTier("lns", "ln")},
+      ${lineTier("prs", "pr")},
+      $topCtes,
+      $dupCtes,
+      fin AS (SELECT w.doc_id,
+        CAST(COALESCE(lnt.n_total, 0) AS INT) AS n_lines,
+        CASE WHEN COALESCE(lnt.n_total, 0) = 0 THEN 0.0
+          ELSE CAST(lnt.n_rep AS DOUBLE) / lnt.n_total END AS dup_line_frac,
+        CASE WHEN COALESCE(lnt.tot_ch, 0) = 0 THEN 0.0
+          ELSE CAST(lnt.rep_ch AS DOUBLE) / lnt.tot_ch
+          END AS dup_line_char_frac,
+        CAST(COALESCE(prt.n_total, 0) AS INT) AS n_paras,
+        CASE WHEN COALESCE(prt.n_total, 0) = 0 THEN 0.0
+          ELSE CAST(prt.n_rep AS DOUBLE) / prt.n_total END AS dup_para_frac,
+        CASE WHEN COALESCE(prt.tot_ch, 0) = 0 THEN 0.0
+          ELSE CAST(prt.rep_ch AS DOUBLE) / prt.tot_ch
+          END AS dup_para_char_frac,
+        $topSel,
+        $dupSel
+      FROM wc w
+      LEFT JOIN lnt ON w.doc_id = lnt.doc_id
+      LEFT JOIN prt ON w.doc_id = prt.doc_id
+      $topJoins
+      $dupJoins)
+    SELECT fin.*, CASE
+        $statusCase
+        ELSE 'kept' END AS status
+    FROM fin ORDER BY doc_id
   """.trim
   }
 }
