@@ -27,7 +27,8 @@ import graft.Tables
 object Graph {
   val all: Seq[GraftQuery] =
     Seq(Q59GraphPagerank, Q60RepeatedSpans, Q60bLongestSharedSpans,
-      Q62VocabCoverage, Q68HeavyHitters, Q69ScoreDeciles)
+      Q60cExciseDuplicates, Q62VocabCoverage, Q68HeavyHitters,
+      Q69ScoreDeciles)
 }
 
 /** Q59 — PageRank over the customer↔supplier graph, 5 iterations,
@@ -592,5 +593,124 @@ object Q69ScoreDeciles extends GraftQuery {
     SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
       count(*) AS n_docs, min(score) AS min_score, max(score) AS max_score
     FROM r GROUP BY 1 ORDER BY 1
+  """.trim)
+}
+
+/** Q60c — duplicate-span EXCISION: the rewrite step of the substring
+  * dedup pipeline. q60 scores documents and q60b surfaces the maximal
+  * duplicated regions; this produces the deduplicated CORPUS — the
+  * artifact a training run actually consumes (Lee et al. 2022: train
+  * on the corpus with all-but-one occurrence of each duplicated
+  * substring removed; here at the family's fixed window granularity
+  * so it stays a hash aggregation, never a suffix array).
+  *
+  * Contract: for every [[Q60RepeatedSpans.Width]]-token window
+  * occurring more than once in the corpus (ALL occurrences counted —
+  * unlike q60/q60b's cross-doc-only "shared", excision also removes
+  * intra-doc repeats, exactly what ExactSubstr does), the occurrence
+  * with the globally least (doc_id, position) is the KEEPER; every
+  * other occurrence marks its token positions for removal. A doc's
+  * kept text is its surviving tokens in original order, space-joined
+  * (the family's layout-independent token space). Overlapping
+  * removals can't double-delete: removal is a position MASK (q61b's
+  * coverage idea), not per-window splicing.
+  *
+  * Scale posture: one corpus scan explodes to (doc_id, i, md5) rows;
+  * ONE shuffle aggregates each span hash to (n_occ, keeper) — the
+  * frequency side is one row per hash, so a mega-shared footer
+  * amplifies nothing; the removals join back on the uniform hash key;
+  * ONE more shuffle collects removal starts per doc (bounded by the
+  * doc's own window count — per-doc state, never corpus-wide); the
+  * mask + reassembly is per-row HOF work. The keeper choice is
+  * `min_by(struct(doc_id, i))` inside the same aggregation — no
+  * window-over-hash pass, so a hash with millions of occurrences
+  * still reduces map-side.
+  */
+object Q60cExciseDuplicates extends GraftQuery {
+  val name = "q60c_excise_duplicates"
+  import Q60RepeatedSpans.Width
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    excise(Tables.documents(spark, dir))
+
+  /** Frame-based surface (doc_id + text) for crafted-corpus specs. */
+  private[graft] def excise(docs: DataFrame): DataFrame = {
+    val w = Width
+    val toks = docs
+      .select(col("doc_id"), expr(NorthStar.toksExpr).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pos = toks
+        .filter(size(col("t")) >= w)
+        .select(col("doc_id"), col("t"))
+        .select(col("doc_id"),
+          explode(expr(s"sequence(1, size(t) - ${w - 1})")).as("i"),
+          col("t"))
+        .select(col("doc_id"), col("i"),
+          expr(s"md5(concat_ws(' ', slice(t, i, $w)))").as("span_h"))
+      val bySpan = pos.groupBy("span_h")
+        .agg(count(lit(1)).as("n_occ"),
+          min(struct(col("doc_id"), col("i"))).as("keeper"))
+        .filter(col("n_occ") >= 2)
+      val removalStarts = pos.join(bySpan, "span_h")
+        .filter(!(col("doc_id") === col("keeper.doc_id") &&
+          col("i") === col("keeper.i")))
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(col("i"))).as("starts"))
+      toks.join(removalStarts, Seq("doc_id"), "left")
+        .withColumn("starts", coalesce(col("starts"),
+          expr("cast(array() as array<int>)")))
+        .withColumn("kept", expr(
+          // position mask: token j survives unless some removal
+          // start covers it; empty-doc guard dodges the descending
+          // sequence(1, 0) (ANSI posture, q61b's rule)
+          s"""IF(size(t) = 0, cast(array() as array<string>),
+             transform(filter(sequence(1, size(t)),
+               j_ -> NOT exists(starts,
+                 s_ -> j_ >= s_ AND j_ <= s_ + ${w - 1})),
+               j_ -> element_at(t, j_)))"""))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+          when(size(col("t")) === 0, lit(0.0))
+            .otherwise((size(col("t")) - size(col("kept"))).cast("double") /
+              size(col("t"))).as("removed_frac"),
+          concat_ws(" ", col("kept")).as("cleaned_text"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally toks.unpersist()
+  }
+
+  val oracle = Some(s"""
+    WITH tt AS (SELECT doc_id, ${NorthStar.duckToks} AS t FROM documents),
+    wi AS (SELECT doc_id, t, unnest(range(1, len(t) - ${Width - 2})) AS i
+           FROM tt WHERE len(t) >= $Width),
+    pos AS (SELECT doc_id, i,
+            md5(array_to_string(t[i:i+${Width - 1}], ' ')) AS span_h FROM wi),
+    ranked AS (SELECT doc_id, i,
+               row_number() OVER (PARTITION BY span_h
+                                  ORDER BY doc_id, i) AS rn,
+               count(*) OVER (PARTITION BY span_h) AS n_occ FROM pos),
+    rem AS (SELECT doc_id, i FROM ranked WHERE n_occ >= 2 AND rn > 1),
+    tokp AS (SELECT doc_id, t[j] AS w, j FROM
+             (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS j FROM tt)),
+    cov AS (SELECT DISTINCT p.doc_id, p.j FROM tokp p JOIN rem r
+            ON p.doc_id = r.doc_id
+            AND p.j BETWEEN r.i AND r.i + ${Width - 1}),
+    keptagg AS (SELECT p.doc_id,
+                COUNT(*) AS n_kept,
+                COALESCE(string_agg(p.w, ' ' ORDER BY p.j), '') AS cleaned
+                FROM tokp p LEFT JOIN cov c
+                ON p.doc_id = c.doc_id AND p.j = c.j
+                WHERE c.j IS NULL GROUP BY p.doc_id)
+    SELECT tt.doc_id,
+      CAST(len(tt.t) AS BIGINT) AS n_tokens,
+      CAST(len(tt.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+      CASE WHEN len(tt.t) = 0 THEN 0.0
+        ELSE CAST(len(tt.t) - COALESCE(k.n_kept, 0) AS DOUBLE) / len(tt.t)
+        END AS removed_frac,
+      COALESCE(k.cleaned, '') AS cleaned_text
+    FROM tt LEFT JOIN keptagg k ON tt.doc_id = k.doc_id
+    ORDER BY tt.doc_id
   """.trim)
 }
