@@ -86,8 +86,10 @@ object Q72HtmlExtract extends GraftQuery {
 
   /** Extraction over an input frame carrying (doc_id, html) — the
     * production surface; [[run]] wires the synthesized fixture in,
-    * Round12Spec feeds hand-written pages. */
-  private[graft] def extract(pages: DataFrame): DataFrame =
+    * Round12Spec feeds hand-written pages, and q72b passes its parsed
+    * WARC record columns through `passthrough`. */
+  private[graft] def extract(pages: DataFrame,
+      passthrough: Seq[String] = Nil): DataFrame =
     pages
       .withColumn("blocks",
         split(regexp_replace(col("html"), DropPat, " "), BlockPat))
@@ -105,11 +107,11 @@ object Q72HtmlExtract extends GraftQuery {
           AND s.link_chars * 3 <= length(s.plain)
           AND size(filter(split(s.plain, ' '), w -> array_contains($stopArr, w))) * 33
               >= size(split(s.plain, ' ')))"""))
-      .select(
-        col("doc_id"),
-        size(col("nonempty")).cast("long").as("n_blocks"),
-        size(col("kept")).cast("long").as("n_kept"),
-        expr("array_join(transform(kept, s -> s.plain), ' ')").as("extracted"))
+      .select(col("doc_id") +: passthrough.map(col) :+
+        size(col("nonempty")).cast("long").as("n_blocks") :+
+        size(col("kept")).cast("long").as("n_kept") :+
+        expr("array_join(transform(kept, s -> s.plain), ' ')")
+          .as("extracted"): _*)
       .orderBy(col("doc_id"))
 
   def run(spark: SparkSession, dir: String): DataFrame =
@@ -158,9 +160,194 @@ object Q72HtmlExtract extends GraftQuery {
   }
 }
 
+/** Q72b — WARC container front end: q72 assumes loose HTML pages, but
+  * crawl corpora arrive as WARC archives (ISO 28500) — many records
+  * per file, each framed by a header block and an exact
+  * `Content-Length` byte count. This operator parses the records out
+  * of archive blobs with a LENGTH-DRIVEN scan (offset walk: read
+  * header to its blank line, take Content-Length, slice the payload,
+  * hop the record separator) — never a delimiter split, because a
+  * payload may legally CONTAIN `WARC/1.0` or `Content-Length:` lines
+  * (the fixture plants exactly that decoy in every doc_id % 7 == 0
+  * page, so a split-based parser hash-fails) — then splits each HTTP
+  * response payload at its own blank line and feeds the HTML body
+  * through q72's block gates.
+  *
+  * The corpus ships no WARC files, so archives are synthesized INSIDE
+  * the query (the q72/q25c pattern): one archive per
+  * (source, doc_id div [[Q72bWarcExtract.ArchiveChunk]]) bucket —
+  * bounded records per archive, archive COUNT grows with the corpus,
+  * so parallelism is per-archive exactly as a real crawl job's
+  * one-task-per-WARC-file is — with records concatenated in doc_id
+  * order (sorted struct collect, deterministic). The synthesis is
+  * ASCII, so Content-Length in chars equals the spec's bytes; the
+  * 100 TB path reads real archives through a binary DSv2 scan with
+  * the same walk.
+  *
+  * The oracle does NOT re-parse: it replays what a CORRECT parser
+  * must emit — per document, the known URI/status and q72's block
+  * rules over the same synthesized page (decoy included) — so any
+  * mis-framing anywhere in an archive (one wrong offset corrupts
+  * every later record) breaks the hash. Parser correctness on
+  * adversarial framing is additionally pinned by WarcSpec on
+  * hand-written archives.
+  *
+  * Shape: one groupBy to assemble archives (fixture-only cost), then
+  * per-row fold + explode + q72's per-row gates; one final sort. The
+  * offset walk is O(archive length): locate() stops at the first
+  * match and each payload is sliced once.
+  */
+object Q72bWarcExtract extends GraftQuery {
+  val name = "q72b_warc_extract"
+  import Q72HtmlExtract.htmlSql
+
+  /** Records per archive bucket (bounds the per-task fold). */
+  val ArchiveChunk = 100
+
+  private val CRLF = "\r\n"
+  /** Page fixture + the framing decoy: doc_id % 7 == 0 pages carry a
+    * literal WARC header inside their payload. The decoy block also
+    * exercises q72's stopword gate (0 stopwords → dropped), so it
+    * never pollutes `extracted` — but it DOES count in n_blocks. */
+  private[graft] val pageSql =
+    s"""concat($htmlSql, case when doc_id % 7 = 0
+       then concat('<p>WARC/1.0', chr(13), chr(10),
+                   'Content-Length: 7 decoy</p>')
+       else '' end)""".replaceAll("\\s+", " ").trim
+
+  /** One WARC response record for (doc_id, page): WARC header with
+    * exact Content-Length over an HTTP/1.1 response, record closed by
+    * a double CRLF (the spec's two-newline separator). */
+  private[graft] val recordSql =
+    s"""concat(
+      'WARC/1.0$CRLF',
+      'WARC-Type: response$CRLF',
+      'WARC-Target-URI: http://example.org/doc/', doc_id, '$CRLF',
+      'Content-Length: ', length(concat(
+        'HTTP/1.1 200 OK${CRLF}Content-Type: text/html$CRLF$CRLF', page)),
+      '$CRLF$CRLF',
+      'HTTP/1.1 200 OK${CRLF}Content-Type: text/html$CRLF$CRLF', page,
+      '$CRLF$CRLF')"""
+
+  /** The length-driven record walk over a bound archive string `w_`:
+    * an aggregate fold of at most nrec_ steps (nrec_ counts
+    * 'WARC/1.0' substrings — an UPPER bound, decoys only add no-op
+    * steps), each step guarded against malformed tails (missing
+    * blank line, missing Content-Length → stop advancing). */
+  private def parseFold = {
+    import NorthStar.let
+    val sep = s"'$CRLF$CRLF'"
+    val recType =
+      "array<struct<uri: string, http_status: int, html: string>>"
+    val step =
+      let("he_", s"locate($sep, w_, st.off)",
+        "IF(he_ = 0, st, " +
+          let("hdr_", "substring(w_, st.off, he_ - st.off)",
+            let("cl_", "cast(nullif(regexp_extract(hdr_, " +
+              "'Content-Length: ([0-9]+)', 1), '') as int)",
+              "IF(cl_ IS NULL, st, " +
+                let("pay_", "substring(w_, he_ + 4, cl_)",
+                  let("be_", s"locate($sep, pay_)",
+                    "named_struct('off', he_ + 4 + cl_ + 4, " +
+                      "'recs', concat(st.recs, array(named_struct(" +
+                      "'uri', regexp_extract(hdr_, " +
+                      "'WARC-Target-URI: ([a-z0-9:/.]+)', 1), " +
+                      "'http_status', cast(nullif(regexp_extract(pay_, " +
+                      "'HTTP/1.1 ([0-9]+)', 1), '') as int), " +
+                      "'html', IF(be_ = 0, '', substring(pay_, be_ + 4))" +
+                      "))))")) + ")")) + ")")
+    let("w_", "warc",
+      let("nrec_",
+        "cast((length(w_) - length(replace(w_, 'WARC/1.0', ''))) / 8 as int)",
+        "IF(nrec_ = 0, cast(array() as " + recType + "), " +
+          "aggregate(sequence(1, nrec_), named_struct('off', 1, " +
+          "'recs', cast(array() as " + recType + ")), " +
+          s"(st, k_) -> IF(st.off + 3 > length(w_), st, $step), " +
+          "st -> st.recs))"))
+  }
+
+  /** Archive blobs → one row per parsed record (uri, status, html). */
+  private[graft] def parseArchives(archives: DataFrame): DataFrame =
+    archives
+      .select(explode(expr(parseFold)).as("rec"))
+      .select(col("rec.uri").as("uri"),
+        col("rec.http_status").as("http_status"),
+        col("rec.html").as("html"))
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val archives = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), expr(pageSql).as("page"))
+      .select(col("doc_id"), col("source"), expr(recordSql).as("rec"))
+      .groupBy(col("source"),
+        expr(s"doc_id div $ArchiveChunk").as("chunk"))
+      .agg(concat_ws("", expr(
+        "transform(array_sort(collect_list(struct(doc_id, rec))), " +
+          "x_ -> x_.rec)")).as("warc"))
+    val records = parseArchives(archives)
+      .withColumn("doc_id",
+        expr("cast(regexp_extract(uri, 'doc/([0-9]+)', 1) as bigint)"))
+    Q72HtmlExtract.extract(records, Seq("uri", "http_status"))
+  }
+
+  /** Replays the CONTRACT, not the parser: the known per-doc URI and
+    * status plus q72's gate chain over the same decoy-carrying page —
+    * one mis-framed record anywhere breaks a later record's row. */
+  val oracle = Some {
+    val stopList = Q72HtmlExtract.Stopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val duckPage =
+      s"""concat($htmlSql, CASE WHEN doc_id % 7 = 0
+         THEN concat('<p>WARC/1.0', chr(13), chr(10),
+                     'Content-Length: 7 decoy</p>')
+         ELSE '' END)""".replaceAll("\\s+", " ").trim
+    s"""
+    WITH pages AS (
+      SELECT doc_id,
+        'http://example.org/doc/' || doc_id AS uri,
+        200 AS http_status,
+        $duckPage AS html
+      FROM documents),
+    segmented AS (
+      SELECT doc_id, uri, http_status,
+        list_transform(
+          regexp_split_to_array(
+            regexp_replace(html, '${Q72HtmlExtract.DropPat}', ' ', 'g'),
+            '${Q72HtmlExtract.BlockPat}'),
+          b -> struct_pack(
+            plain := trim(regexp_replace(regexp_replace(b,
+              '${Q72HtmlExtract.TagPat}', ' ', 'g'), ' +', ' ', 'g')),
+            link_chars := coalesce(list_sum(
+              list_transform(regexp_extract_all(b,
+                '${Q72HtmlExtract.AnchorPat}', 1), t -> length(t))), 0)))
+          AS bstats
+      FROM pages),
+    scored AS (
+      SELECT doc_id, uri, http_status,
+        list_filter(bstats, s -> length(s.plain) > 0) AS nonempty
+      FROM segmented),
+    kept AS (
+      SELECT doc_id, uri, http_status, nonempty,
+        list_filter(nonempty, s ->
+          length(s.plain) >= ${Q72HtmlExtract.MinChars}
+          AND s.link_chars * 3 <= length(s.plain)
+          AND len(list_filter(string_split(s.plain, ' '),
+                w -> list_contains($stopList, w))) * 33
+              >= len(string_split(s.plain, ' '))) AS keep
+      FROM scored)
+    SELECT doc_id, uri, http_status,
+      CAST(len(nonempty) AS BIGINT) AS n_blocks,
+      CAST(len(keep) AS BIGINT) AS n_kept,
+      coalesce(array_to_string(list_transform(keep, s -> s.plain), ' '), '')
+        AS extracted
+    FROM kept ORDER BY doc_id
+    """.trim
+  }
+}
+
 /** The raw-text front-end family: markup extraction + unicode
   * canonicalization — the two passes that turn crawl bytes into the
   * clean `documents.text` column every downstream operator assumes. */
 object Html {
-  val all: Seq[GraftQuery] = Seq(Q72HtmlExtract, Q73UnicodeNormalize)
+  val all: Seq[GraftQuery] =
+    Seq(Q72HtmlExtract, Q72bWarcExtract, Q73UnicodeNormalize)
 }
