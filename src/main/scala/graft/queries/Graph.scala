@@ -27,8 +27,8 @@ import graft.Tables
 object Graph {
   val all: Seq[GraftQuery] =
     Seq(Q59GraphPagerank, Q60RepeatedSpans, Q60bLongestSharedSpans,
-      Q60cExciseDuplicates, Q62VocabCoverage, Q68HeavyHitters,
-      Q69ScoreDeciles)
+      Q60cExciseDuplicates, Q60dExciseStore, Q62VocabCoverage,
+      Q68HeavyHitters, Q69ScoreDeciles)
 }
 
 /** Q59 — PageRank over the customer↔supplier graph, 5 iterations,
@@ -635,50 +635,68 @@ object Q60cExciseDuplicates extends GraftQuery {
 
   /** Frame-based surface (doc_id + text) for crafted-corpus specs. */
   private[graft] def excise(docs: DataFrame): DataFrame = {
-    val w = Width
     val toks = docs
       .select(col("doc_id"), expr(NorthStar.toksExpr).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val pos = toks
-        .filter(size(col("t")) >= w)
-        .select(col("doc_id"), col("t"))
-        .select(col("doc_id"),
-          explode(expr(s"sequence(1, size(t) - ${w - 1})")).as("i"),
-          col("t"))
-        .select(col("doc_id"), col("i"),
-          expr(s"md5(concat_ws(' ', slice(t, i, $w)))").as("span_h"))
+      val pos = spanPositions(toks)
       val bySpan = pos.groupBy("span_h")
         .agg(count(lit(1)).as("n_occ"),
           min(struct(col("doc_id"), col("i"))).as("keeper"))
         .filter(col("n_occ") >= 2)
-      val removalStarts = pos.join(bySpan, "span_h")
+      val removals = pos.join(bySpan, "span_h")
         .filter(!(col("doc_id") === col("keeper.doc_id") &&
           col("i") === col("keeper.i")))
-        .groupBy("doc_id")
-        .agg(array_sort(collect_list(col("i"))).as("starts"))
-      toks.join(removalStarts, Seq("doc_id"), "left")
-        .withColumn("starts", coalesce(col("starts"),
-          expr("cast(array() as array<int>)")))
-        .withColumn("kept", expr(
-          // position mask: token j survives unless some removal
-          // start covers it; empty-doc guard dodges the descending
-          // sequence(1, 0) (ANSI posture, q61b's rule)
-          s"""IF(size(t) = 0, cast(array() as array<string>),
-             transform(filter(sequence(1, size(t)),
-               j_ -> NOT exists(starts,
-                 s_ -> j_ >= s_ AND j_ <= s_ + ${w - 1})),
-               j_ -> element_at(t, j_)))"""))
-        .select(col("doc_id"),
-          size(col("t")).cast("long").as("n_tokens"),
-          (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
-          when(size(col("t")) === 0, lit(0.0))
-            .otherwise((size(col("t")) - size(col("kept"))).cast("double") /
-              size(col("t"))).as("removed_frac"),
-          concat_ws(" ", col("kept")).as("cleaned_text"))
-        .orderBy(col("doc_id"))
-        .localCheckpoint(true)
+        .select(col("doc_id"), col("i"))
+      reassemble(toks, removals)
     } finally toks.unpersist()
+  }
+
+  /** Window-start positions with span hashes over a token frame
+    * (doc_id, t): one row per width-window occurrence. Shared with
+    * q60d's store tier. */
+  private[graft] def spanPositions(toks: DataFrame): DataFrame = {
+    val w = Width
+    toks
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, size(t) - ${w - 1})")).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("i"),
+        expr(s"md5(concat_ws(' ', slice(t, i, $w)))").as("span_h"))
+  }
+
+  /** Shared excision tail: apply removal window-starts (doc_id, i) to
+    * a token frame (doc_id, t) — per-doc starts collect (bounded by
+    * the doc's own window count), position mask, reassembly. q60d's
+    * store tier reuses this with its own removal rule. */
+  private[graft] def reassemble(toks: DataFrame,
+      removals: DataFrame): DataFrame = {
+    val w = Width
+    val removalStarts = removals
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("i"))).as("starts"))
+    toks.join(removalStarts, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"),
+        expr("cast(array() as array<int>)")))
+      .withColumn("kept", expr(
+        // position mask: token j survives unless some removal
+        // start covers it; empty-doc guard dodges the descending
+        // sequence(1, 0) (ANSI posture, q61b's rule)
+        s"""IF(size(t) = 0, cast(array() as array<string>),
+           transform(filter(sequence(1, size(t)),
+             j_ -> NOT exists(starts,
+               s_ -> j_ >= s_ AND j_ <= s_ + ${w - 1})),
+             j_ -> element_at(t, j_)))"""))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+        when(size(col("t")) === 0, lit(0.0))
+          .otherwise((size(col("t")) - size(col("kept"))).cast("double") /
+            size(col("t"))).as("removed_frac"),
+        concat_ws(" ", col("kept")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
   }
 
   val oracle = Some(s"""
@@ -712,5 +730,142 @@ object Q60cExciseDuplicates extends GraftQuery {
       COALESCE(k.cleaned, '') AS cleaned_text
     FROM tt LEFT JOIN keptagg k ON tt.doc_id = k.doc_id
     ORDER BY tt.doc_id
+  """.trim)
+}
+
+/** Q60d — excision against a PERSISTED span store: the production
+  * shape of q60c for incremental ingest. q60c recomputes every corpus
+  * window on every run; a real ingest amortizes them — the base
+  * corpus's DISTINCT window hashes are written once, bucketed by
+  * span_h, and each arriving delta hashes only ITSELF and joins the
+  * store with no store-side exchange (the q57b posture). Per-ingest
+  * cost is O(delta windows).
+  *
+  * Contract (deliberately NOT q60c-over-the-union restricted to the
+  * delta): the base corpus is IMMUTABLE at ingest time, so a delta
+  * occurrence is excised iff its window hash exists ANYWHERE in the
+  * base (regardless of doc_id order — the base always wins where
+  * q60c's global (doc_id, i) argmin could let a low-numbered delta
+  * doc beat a high-numbered base doc), OR an earlier delta occurrence
+  * (by (doc_id, i)) has the same hash (intra-delta first-occurrence
+  * dedup, q60c's rule applied within the shard). The oracle replays
+  * exactly this from `documents` + the q40 split, so the store path
+  * is hash-gated end to end, cleaned text included.
+  *
+  * [[admit]] is the ingest COMMIT: append the delta's surviving
+  * (not-previously-present) hashes so the NEXT shard dedups against
+  * them — without it, two shards duplicating each other but nothing
+  * in the base would both be admitted. Windows created by excision's
+  * new token adjacencies are deliberately NOT indexed (batch
+  * ExactSubstr has the same between-snapshots behavior); a compaction
+  * re-runs q60c.
+  */
+object Q60dExciseStore extends GraftQuery {
+  val name = "q60d_excise_store"
+  private val prefix = "graft_spanstore"
+
+  /** Build (once per corpus fingerprint) the bucketed distinct-hash
+    * store of the TRAIN split's windows; returns the table name. */
+  private[graft] def ensureStore(spark: SparkSession, dir: String): String =
+    graft.plans.Stores.ensure(spark, prefix, dir, Seq("spans"),
+      buckets = Map("spans" -> (("span_h", 16)))) { case Seq(spansT) =>
+      val base = Tables.documents(spark, dir)
+        .filter(Q40TrainTestSplit.splitCol === "train")
+        .select(col("doc_id"), expr(NorthStar.toksExpr).as("t"))
+      graft.plans.Bucketing.writeBucketed(
+        Q60cExciseDuplicates.spanPositions(base)
+          .select(col("span_h")).distinct(),
+        spansT, "span_h", 16)
+    }.head
+
+  /** Ingest commit: append the delta's hashes that were NOT in the
+    * store (exactly the ones whose first occurrence survived), routed
+    * through the same bucket spec so the zero-exchange serve posture
+    * survives the append. */
+  private[graft] def admit(spark: SparkSession, docs: DataFrame,
+      spansT: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    Q60cExciseDuplicates.spanPositions(
+        docs.select(col("doc_id"), expr(NorthStar.toksExpr).as("t")))
+      .select(col("span_h")).distinct()
+      .join(spark.table(spansT), Seq("span_h"), "left_anti")
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(16, "span_h").sortBy("span_h").saveAsTable(spansT)
+  }
+
+  /** Serve a delta frame (doc_id, text) against an existing store
+    * table — the composable surface run() and the two-wave spec
+    * share. */
+  private[graft] def serve(spark: SparkSession, docs: DataFrame,
+      spansT: String): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), expr(NorthStar.toksExpr).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dpos = Q60cExciseDuplicates.spanPositions(toks)
+      val store = spark.table(spansT)
+        .select(col("span_h"), lit(true).as("in_store"))
+      // the left join and the intra-delta first-occurrence window
+      // share the span_h hash partitioning (store side bucketed: no
+      // exchange there; delta side shuffles once)
+      val ranked = dpos.join(store, Seq("span_h"), "left")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("span_h"))
+            .orderBy(col("doc_id"), col("i"))))
+      val removals = ranked
+        .filter(col("in_store").isNotNull || col("rn") > 1)
+        .select(col("doc_id"), col("i"))
+      Q60cExciseDuplicates.reassemble(toks, removals)
+    } finally toks.unpersist()
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val spansT = ensureStore(spark, dir)
+    serve(spark,
+      Tables.documents(spark, dir)
+        .filter(Q40TrainTestSplit.splitCol === "test")
+        .select(col("doc_id"), col("text")),
+      spansT)
+  }
+
+  val oracle = Some(s"""
+    WITH tt AS (SELECT doc_id, ${Q40TrainTestSplit.duckSplit} AS split,
+        ${NorthStar.duckToks} AS t FROM documents),
+    wi AS (SELECT doc_id, split, t,
+           unnest(range(1, len(t) - ${Q60RepeatedSpans.Width - 2})) AS i
+           FROM tt WHERE len(t) >= ${Q60RepeatedSpans.Width}),
+    pos AS (SELECT doc_id, split, i,
+            md5(array_to_string(t[i:i+${Q60RepeatedSpans.Width - 1}], ' '))
+              AS span_h FROM wi),
+    basehash AS (SELECT DISTINCT span_h FROM pos WHERE split = 'train'),
+    dpos AS (SELECT doc_id, i, span_h FROM pos WHERE split = 'test'),
+    ranked AS (SELECT doc_id, i, span_h,
+               row_number() OVER (PARTITION BY span_h
+                                  ORDER BY doc_id, i) AS rn FROM dpos),
+    rem AS (SELECT r.doc_id, r.i FROM ranked r
+            LEFT JOIN basehash b ON r.span_h = b.span_h
+            WHERE b.span_h IS NOT NULL OR r.rn > 1),
+    dtt AS (SELECT doc_id, t FROM tt WHERE split = 'test'),
+    tokp AS (SELECT doc_id, t[j] AS w, j FROM
+             (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS j FROM dtt)),
+    cov AS (SELECT DISTINCT p.doc_id, p.j FROM tokp p JOIN rem r
+            ON p.doc_id = r.doc_id
+            AND p.j BETWEEN r.i AND r.i + ${Q60RepeatedSpans.Width - 1}),
+    keptagg AS (SELECT p.doc_id,
+                COUNT(*) AS n_kept,
+                COALESCE(string_agg(p.w, ' ' ORDER BY p.j), '') AS cleaned
+                FROM tokp p LEFT JOIN cov c
+                ON p.doc_id = c.doc_id AND p.j = c.j
+                WHERE c.j IS NULL GROUP BY p.doc_id)
+    SELECT dtt.doc_id,
+      CAST(len(dtt.t) AS BIGINT) AS n_tokens,
+      CAST(len(dtt.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+      CASE WHEN len(dtt.t) = 0 THEN 0.0
+        ELSE CAST(len(dtt.t) - COALESCE(k.n_kept, 0) AS DOUBLE) / len(dtt.t)
+        END AS removed_frac,
+      COALESCE(k.cleaned, '') AS cleaned_text
+    FROM dtt LEFT JOIN keptagg k ON dtt.doc_id = k.doc_id
+    ORDER BY dtt.doc_id
   """.trim)
 }
