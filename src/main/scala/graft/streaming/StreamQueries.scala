@@ -202,7 +202,7 @@ object StreamQueries {
     S13StreamIncrementalStats, S14StreamImageDedupStore,
     S15StreamBpeEncodeStore, S16StreamSemanticDedupStore,
     S17StreamMultimodalAdmission, S18StreamAudioDedupStore,
-    S19StreamAnnIngest)
+    S19StreamAnnIngest, S20StreamExcise)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -1256,4 +1256,74 @@ object S19StreamAnnIngest extends GraftQuery {
   }
 
   val oracle: Option[String] = None
+}
+
+/** S20 — STREAMING excision ingest against q60d's persisted span
+  * store: the substring-dedup family's streaming tier, completing its
+  * recompute (q60c) / store (q60d) / stream column. Per micro-batch,
+  * arriving delta docs explode to window positions (stateless),
+  * stream-static LEFT-join the bucketed span store (no corpus-side
+  * re-hash, the s12b posture); the one stateful aggregation groups by
+  * span hash and keeps (keeper occurrence, all occurrences, store-hit
+  * count) — ORDER-INDEPENDENT state, so the verdict is identical
+  * however the delta is split across triggers: intra-delta
+  * first-occurrence precedence is decided by the (doc_id, i) MIN over
+  * the whole stream, not by arrival order. After the stream drains,
+  * the final state resolves to removal starts (occurrence ≠ keeper OR
+  * hash in store) and q60c's shared mask/reassembly runs as one batch
+  * over the delta — exactly q60d's contract, so q60d's oracle gates
+  * this path row-identically (cleaned text included).
+  *
+  * State per span hash is its delta occurrence list — bounded by the
+  * shard's own multiplicity (a production shard's repeats of ONE
+  * window are few; the base corpus's occurrences never enter state) —
+  * and state grows with the shard ⇒ RocksDB default (the s13 rule).
+  */
+object S20StreamExcise extends GraftQuery {
+  import StreamQueries._
+  import graft.queries.{Q60cExciseDuplicates, Q60dExciseStore, Q40TrainTestSplit}
+  val name = "s20_stream_excise"
+
+  /** The stream pipeline over any (doc_id, text) delta stream +
+    * static twin — the composable surface run() and the multi-epoch
+    * spec share. */
+  private[graft] def exciseStream(spark: SparkSession,
+      deltaStream: DataFrame, deltaStatic: DataFrame,
+      spansT: String): DataFrame = {
+    val store = spark.table(spansT)
+      .select(col("span_h"), lit(true).as("in_store"))
+    val dpos = Q60cExciseDuplicates.spanPositions(
+      deltaStream.select(col("doc_id"),
+        expr(graft.queries.NorthStar.toksExpr).as("t")))
+    val state = dpos.join(store, Seq("span_h"), "left")
+      .groupBy(col("span_h"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("keeper"),
+        collect_list(struct(col("doc_id"), col("i"))).as("occs"),
+        count(col("in_store")).as("n_store"))
+    val finalState = runToBatch(spark, state, "complete",
+      rocksdb = rocksDefault(spark))
+    val removals = finalState
+      .select(col("keeper"), col("n_store"), explode(col("occs")).as("o"))
+      .filter(col("n_store") > 0 ||
+        !(col("o.doc_id") === col("keeper.doc_id") &&
+          col("o.i") === col("keeper.i")))
+      .select(col("o.doc_id").as("doc_id"), col("o.i").as("i"))
+    val toks = deltaStatic
+      .select(col("doc_id"), expr(graft.queries.NorthStar.toksExpr).as("t"))
+    Q60cExciseDuplicates.reassemble(toks, removals)
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val spansT = Q60dExciseStore.ensureStore(spark, dir)
+    exciseStream(spark,
+      docsStream(spark, dir)
+        .withColumn("split", Q40TrainTestSplit.splitCol)
+        .filter(col("split") === "test"),
+      graft.Tables.documents(spark, dir)
+        .filter(Q40TrainTestSplit.splitCol === "test"),
+      spansT)
+  }
+
+  /** Same contract as the batch store path — the oracle is shared. */
+  val oracle = Q60dExciseStore.oracle
 }

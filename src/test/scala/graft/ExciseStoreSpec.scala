@@ -96,4 +96,40 @@ class ExciseStoreSpec extends SparkSpec {
     assert(out(200L) === 0L, "first occurrence keeps")
     assert(out(201L) === 8L, "second occurrence excises")
   }
+
+  test("s20: multi-epoch stream == one-shot batch serve, order-independent keeper") {
+    val dir = java.nio.file.Files.createTempDirectory("s20_waves").toString
+    try {
+      import spark.implicits._
+      val spansT = Q60dExciseStore.ensureStore(spark, sf01)
+      // The shared span arrives in wave 0 carried by the HIGHER
+      // doc_id and in wave 2 by the LOWER: the keeper must be the
+      // (doc_id, i) minimum, not the first arrival.
+      val shared = (1 to 8).map(i => s"crosswave$i").mkString(" ")
+      val waves = Seq(
+        Seq((300L, s"w0a w0b $shared")),
+        Seq((250L, (1 to 9).map(i => s"lone$i").mkString(" "))),
+        Seq((100L, s"$shared w2tail")))
+      waves.zipWithIndex.foreach { case (rows, i) =>
+        rows.toDF("doc_id", "text").repartition(1)
+          .write.parquet(s"$dir/delta/wave$i.parquet")
+      }
+      val sch = spark.read.parquet(s"$dir/delta/wave0.parquet").schema
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/delta/*.parquet")
+      val static = spark.read.parquet(s"$dir/delta/*.parquet")
+      val streamed = graft.streaming.S20StreamExcise
+        .exciseStream(spark, stream, static, spansT).collect().toSeq
+      val batch = Q60dExciseStore.serve(spark, static, spansT)
+        .collect().toSeq
+      assert(streamed === batch)
+      val byId = streamed.map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(byId(100L) === 0L, "lower doc_id keeps even though it arrived last")
+      assert(byId(300L) === 8L, "higher doc_id excises even though it arrived first")
+      assert(byId(250L) === 0L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
 }
