@@ -348,7 +348,22 @@ object ScaleBench {
           graft.plans.Stores.evict(spark, "graft_annstore")
           (b, s)
         }
+      // Excision lifecycle (q60c/q60d, round 12): the full-corpus
+      // rewrite prices the window explode + global hash agg + mask
+      // reassembly; the store split prices build (train-split distinct
+      // hashes, bucketed once) vs serve (delta-only hash + zero-
+      // exchange store join + intra-delta window).
+      val excFull = t1(Q60cExciseDuplicates.run(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+      graft.plans.Stores.evict(spark, "graft_spanstore")
+      val excBuild = t1(Q60dExciseStore.ensureStore(spark, dir))
+      def excServeOnce() = t1(Q60dExciseStore.run(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+      val excServe = math.min(excServeOnce(), excServeOnce())
+      graft.plans.Stores.evict(spark, "graft_spanstore")
       Map("q57b_store_build" -> build, "q57b_store_serve" -> serve,
+        "q60c_full_excise" -> excFull,
+        "q60d_store_build" -> excBuild, "q60d_store_serve" -> excServe,
         "q65_store_build" -> statsBuild, "q65_refresh" -> refresh,
         "q25d_bands16" -> wide,
         "q25f_store_build" -> imgBuild, "q25f_store_serve" -> imgServe,
@@ -356,6 +371,7 @@ object ScaleBench {
         "q19e_store_build" -> annBuild, "q19e_store_serve" -> annServe)
     }
     val storeNames = Seq("q57b_store_build", "q57b_store_serve",
+      "q60c_full_excise", "q60d_store_build", "q60d_store_serve",
       "q65_store_build", "q65_refresh", "q25d_bands16",
       "q25f_store_build", "q25f_store_serve",
       "q25h_store_build", "q25h_store_serve",
