@@ -90,6 +90,12 @@ object Q72HtmlExtract extends GraftQuery {
     * WARC record columns through `passthrough`. */
   private[graft] def extract(pages: DataFrame,
       passthrough: Seq[String] = Nil): DataFrame =
+    extractCols(pages, passthrough).orderBy(col("doc_id"))
+
+  /** The gate chain without the final sort — streaming callers (s21)
+    * run it per micro-batch, where a global ORDER BY is illegal. */
+  private[graft] def extractCols(pages: DataFrame,
+      passthrough: Seq[String] = Nil): DataFrame =
     pages
       .withColumn("blocks",
         split(regexp_replace(col("html"), DropPat, " "), BlockPat))
@@ -112,7 +118,6 @@ object Q72HtmlExtract extends GraftQuery {
         size(col("kept")).cast("long").as("n_kept") :+
         expr("array_join(transform(kept, s -> s.plain), ' ')")
           .as("extracted"): _*)
-      .orderBy(col("doc_id"))
 
   def run(spark: SparkSession, dir: String): DataFrame =
     extract(Tables.documents(spark, dir)

@@ -202,7 +202,7 @@ object StreamQueries {
     S13StreamIncrementalStats, S14StreamImageDedupStore,
     S15StreamBpeEncodeStore, S16StreamSemanticDedupStore,
     S17StreamMultimodalAdmission, S18StreamAudioDedupStore,
-    S19StreamAnnIngest, S20StreamExcise)
+    S19StreamAnnIngest, S20StreamExcise, S21StreamWarc)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -1326,4 +1326,44 @@ object S20StreamExcise extends GraftQuery {
 
   /** Same contract as the batch store path — the oracle is shared. */
   val oracle = Q60dExciseStore.oracle
+}
+
+/** S21 — STREAMING WARC ingest: q72b's container front end at ingest
+  * time, completing the raw-web family's stream tier (a real crawl
+  * pipeline consumes WARC files as they LAND, not as a batch). The
+  * whole pipeline is stateless — record synthesis (the q72b fixture
+  * riding the stream unchanged, the s14 synthesis rule), the
+  * LENGTH-driven framing walk, the HTTP payload split, and q72's
+  * block gates all run per micro-batch in append mode with zero
+  * state — so the stream is trivially exactly-once under replay and
+  * its output is the batch contract row for row: q72b's oracle gates
+  * this path unchanged (archive packing never affects per-record
+  * output). Multi-record in-stream framing (one FILE per trigger,
+  * several records per file, decoys included) is pinned by WarcSpec's
+  * streaming case via [[warcStream]].
+  */
+object S21StreamWarc extends GraftQuery {
+  import StreamQueries._
+  import graft.queries.{Q72HtmlExtract, Q72bWarcExtract}
+  val name = "s21_stream_warc"
+
+  /** Gate chain over ANY (warc) archive stream — the composable
+    * surface run() and the multi-record spec share. */
+  private[graft] def warcStream(archives: DataFrame): DataFrame =
+    Q72HtmlExtract.extractCols(
+      Q72bWarcExtract.parseArchives(archives)
+        .withColumn("doc_id",
+          expr("cast(regexp_extract(uri, 'doc/([0-9]+)', 1) as bigint)")),
+      Seq("uri", "http_status"))
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val stream = docsStream(spark, dir)
+      .select(col("doc_id"), expr(Q72bWarcExtract.pageSql).as("page"))
+      .select(expr(Q72bWarcExtract.recordSql).as("warc"))
+    runToBatch(spark, warcStream(stream), "append")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Same per-record contract as the batch container path. */
+  val oracle = Q72bWarcExtract.oracle
 }

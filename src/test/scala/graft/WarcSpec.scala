@@ -67,4 +67,38 @@ class WarcSpec extends SparkSpec {
       record("http://a.example/1", "<p>gone</p>", "HTTP/1.1 404 Not Found"))
     assert(rows(0).getInt(1) === 404)
   }
+
+  test("s21: multi-record archives frame correctly per file-trigger epoch") {
+    val dir = java.nio.file.Files.createTempDirectory("s21_warc").toString
+    try {
+      // Two archive FILES, two records each, a decoy in the first
+      // record of each — one file per trigger, so each micro-batch
+      // must length-frame a multi-record blob.
+      val decoy = s"WARC/1.0${CRLF}Content-Length: 5$CRLF${CRLF}decoy"
+      def body(i: Int) =
+        s"<p>the honest prose of record number $i carries along</p>"
+      val files = Seq(
+        record("http://example.org/doc/1", s"<p>x $decoy</p>" ) +
+          record("http://example.org/doc/2", body(2)),
+        record("http://example.org/doc/3", body(3)) +
+          record("http://example.org/doc/4", body(4)))
+      files.zipWithIndex.foreach { case (warc, i) =>
+        Seq(warc).toDF("warc").repartition(1)
+          .write.parquet(s"$dir/arch/f$i.parquet")
+      }
+      val sch = spark.read.parquet(s"$dir/arch/f0.parquet").schema
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/arch/*.parquet")
+      val out = graft.streaming.StreamQueries.runToBatch(spark,
+          graft.streaming.S21StreamWarc.warcStream(stream), "append")
+        .orderBy("doc_id").collect()
+      assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+      // records 2..4 pass the gates; record 1's decoy block fails them
+      assert(out.drop(1).forall(_.getLong(
+        out(1).fieldIndex("n_kept")) === 1L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
 }
