@@ -149,10 +149,12 @@ class Round12SqlSpec extends SparkSpec {
       "q51_url_domains", "q52_mix_interleave", "q53_token_entropy",
       "q54_lm_perplexity", "q55_classifier_score", "q56_chunk_windows",
       "q57_delta_dedup", "q57b_delta_dedup_store", "q58_training_shards",
-      "q60_repeated_spans", "q60b_longest_shared_spans", "q61_gopher_rules",
+      "q60_repeated_spans", "q60b_longest_shared_spans",
+      "q60c_excise_duplicates", "q60d_excise_store", "q61_gopher_rules",
+      "q61b_gopher_repetition",
       "q63_gap_fill", "q64d_bpe_encode_local", "q64e_bpe_encode_store",
       "q64f_vocab_drift", "q65_incremental_stats", "q72_html_extract",
-      "q73_unicode_normalize")
+      "q72b_warc_extract", "q73_unicode_normalize")
     // (D) driver-coordinated iteration / per-partition accumulators:
     // no single SQL statement computes these (a pagerank loop, BPE
     // merge loops, two-pass prefix sums, Misra-Gries coupled
