@@ -45,7 +45,7 @@ import graft.Tables
 object Bpe {
   val all: Seq[GraftQuery] =
     Seq(Q64BpeMerges, Q64bBpeEncode, Q64cBpeMergesLocal, Q64dBpeEncodeLocal,
-      Q64eBpeEncodeStore, Q64fVocabDrift)
+      Q64eBpeEncodeStore, Q64fVocabDrift, Q64gWordpieceEncode)
 
   /** The ONE corpus-scale step of BPE learning: token/normalize (q1's
     * definition) and the word-frequency reduction. Everything after
@@ -604,5 +604,145 @@ object Q64fVocabDrift extends GraftQuery {
     FROM tr JOIN de ON de.lang = tr.lang
     ORDER BY tr.lang
     """.trim
+  }
+}
+
+/** Q64g — WordPiece encode (Wu et al. 2016; the BERT tokenizer): the
+  * OTHER major published subword tokenizer beside BPE, with a
+  * fundamentally different encode rule — greedy LONGEST-MATCH-FIRST
+  * against a piece vocabulary (word-initial pieces vs `##`
+  * continuation pieces), with whole-word `[UNK]` fallback when no
+  * piece matches at some position — where q64b/d/e replay a learned
+  * MERGE sequence. Completing the tokenizer family with it matters
+  * because the two algorithms fail differently: BPE always produces
+  * SOME segmentation; WordPiece's [UNK] is a data-quality signal of
+  * its own.
+  *
+  * The vocabulary is a pinned config artifact (as in production — a
+  * vocab ships with the model; training it is q64's business): chosen
+  * so the fixture exercises every decision — whole-word longest match
+  * beating a shorter prefix ('table' over 'tab'+'##le', both
+  * present), multi-piece splits through both multi-char and
+  * single-char continuations, and a real [UNK] ('dup': 'd' matches,
+  * then no continuation covers 'u' — deliberate hole).
+  *
+  * Per word the encode is one bounded fold (≤ word length steps, each
+  * step probing piece lengths longest-first via one array_contains on
+  * the constant-folded vocab literal); per doc it is a transform over
+  * the token array — map-only, no shuffle before the final sort, the
+  * q64b posture without even a broadcast join (the vocab rides in the
+  * plan as a literal; a production-sized vocab would move to q64e's
+  * broadcast-store form). The oracle replays the greedy loop
+  * RELATIONALLY: distinct words × an unrolled 10-step
+  * longest-match-per-position chain (max fixture word is 8 chars;
+  * each matching step advances ≥ 1), then joins back per document.
+  */
+object Q64gWordpieceEncode extends GraftQuery {
+  val name = "q64g_wordpiece_encode"
+
+  /** Word-initial pieces (matched at position 1, emitted bare). */
+  private[queries] val InitPieces = Seq(
+    "a", "b", "c", "d", "f", "g", "m", "o", "q", "s", "v",
+    "the", "tab", "table", "data", "hash", "join", "key", "line",
+    "part", "row", "scan", "slow", "small", "sort", "spark",
+    "cust", "val", "win")
+  /** Continuation pieces (matched past position 1, emitted with ##).
+    * No 'u' coverage by design — 'dup' must hit [UNK]. */
+  private[queries] val ContPieces = Seq(
+    "a", "d", "e", "g", "i", "l", "m", "o", "r", "t",
+    "atch", "ast", "dow", "ector", "erge", "le", "olumn", "omer",
+    "roup", "tream", "ue", "uery")
+  /** Longest piece is 5 chars; probe one past it. */
+  private val MaxProbe = 6
+
+  private def arr(ps: Seq[String]) =
+    ps.map(p => s"'$p'").mkString("array(", ", ", ")")
+
+  /** Greedy fold over one word bound as `w_`. */
+  private def encodeWordExpr: String = {
+    val init = arr(InitPieces)
+    val cont = arr(ContPieces)
+    val step =
+      "element_at(transform(array(" +
+        "array_max(filter(transform(" +
+        s"sequence(1, least($MaxProbe, length(w_) - st.pos + 1)), " +
+        s"l_ -> IF(array_contains(IF(st.pos > 1, $cont, $init), " +
+        "substring(w_, st.pos, l_)), l_, NULL)), " +
+        "x_ -> x_ IS NOT NULL))), ml_ -> " +
+        "IF(ml_ IS NULL, " +
+        "named_struct('pos', st.pos, 'acc', st.acc, 'unk', true), " +
+        "named_struct('pos', st.pos + ml_, " +
+        "'acc', concat(st.acc, IF(st.acc = '', '', ' '), " +
+        "IF(st.pos > 1, '##', ''), substring(w_, st.pos, ml_)), " +
+        "'unk', false))), 1)"
+    "aggregate(sequence(1, length(w_)), " +
+      "named_struct('pos', 1, 'acc', '', 'unk', false), " +
+      s"(st, k_) -> IF(st.unk OR st.pos > length(w_), st, $step), " +
+      "st -> IF(st.unk, '[UNK]', st.acc))"
+  }
+
+  private[graft] def encode(docs: DataFrame): DataFrame = {
+    import NorthStar.let
+    val body = let("t_", NorthStar.toksExpr,
+      let("enc_", s"transform(t_, w_ -> $encodeWordExpr)",
+        "named_struct(" +
+          "'n_words', cast(size(t_) as bigint), " +
+          "'n_pieces', aggregate(enc_, cast(0 as bigint), " +
+          "(pa_, pe_) -> pa_ + size(split(pe_, ' '))), " +
+          "'n_unk', cast(size(filter(enc_, e_ -> e_ = '[UNK]')) as bigint), " +
+          "'encoded', array_join(enc_, ' '))"))
+    docs.select(col("doc_id"), inline(array(expr(body))))
+      .orderBy(col("doc_id"))
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    encode(Tables.documents(spark, dir))
+
+  val oracle = Some {
+    val Steps = 10
+    val vals = (InitPieces.map(p => s"('$p', 0)") ++
+      ContPieces.map(p => s"('$p', 1)")).mkString(", ")
+    val steps = (1 to Steps).map { k =>
+      s"""c$k AS (SELECT s.w, s.pos, s.acc, s.unk, max(length(v.piece)) AS ml
+        FROM s${k - 1} s LEFT JOIN v
+          ON v.cont = CASE WHEN s.pos > 1 THEN 1 ELSE 0 END
+         AND s.pos <= length(s.w) AND NOT s.unk
+         AND substr(s.w, s.pos, length(v.piece)) = v.piece
+        GROUP BY 1, 2, 3, 4),
+      s$k AS (SELECT w,
+        CASE WHEN unk OR pos > length(w) OR ml IS NULL THEN pos
+             ELSE pos + ml END AS pos,
+        CASE WHEN unk OR pos > length(w) OR ml IS NULL THEN acc
+             ELSE acc || CASE WHEN acc = '' THEN '' ELSE ' ' END ||
+                  CASE WHEN pos > 1 THEN '##' ELSE '' END ||
+                  substr(w, pos, ml) END AS acc,
+        CASE WHEN unk THEN true
+             WHEN pos > length(w) THEN false
+             WHEN ml IS NULL THEN true ELSE false END AS unk
+        FROM c$k)""" }.mkString(",\n      ")
+    s"""
+    WITH base AS (SELECT doc_id, ${NorthStar.duckToks} AS t FROM documents),
+    wt AS (SELECT doc_id, t[wi] AS w, wi FROM
+           (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS wi FROM base)),
+    v AS (SELECT * FROM (VALUES $vals) AS t(piece, cont)),
+    s0 AS (SELECT DISTINCT w, 1 AS pos, '' AS acc, false AS unk FROM wt),
+    $steps,
+    enc AS (SELECT w, CASE WHEN unk OR pos <= length(w) THEN '[UNK]'
+            ELSE acc END AS ew FROM s$Steps),
+    perdoc AS (SELECT wt.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_words,
+      CAST(SUM(len(string_split(e.ew, ' '))) AS BIGINT) AS n_pieces,
+      CAST(SUM(CASE WHEN e.ew = '[UNK]' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_unk,
+      string_agg(e.ew, ' ' ORDER BY wt.wi) AS encoded
+      FROM wt JOIN enc e ON wt.w = e.w GROUP BY wt.doc_id)
+    SELECT b.doc_id,
+      COALESCE(p.n_words, 0) AS n_words,
+      COALESCE(p.n_pieces, 0) AS n_pieces,
+      COALESCE(p.n_unk, 0) AS n_unk,
+      COALESCE(p.encoded, '') AS encoded
+    FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id
+    ORDER BY b.doc_id
+  """.trim
   }
 }
