@@ -669,24 +669,60 @@ object Q60cExciseDuplicates extends GraftQuery {
   /** Shared excision tail: apply removal window-starts (doc_id, i) to
     * a token frame (doc_id, t) — per-doc starts collect (bounded by
     * the doc's own window count), position mask, reassembly. q60d's
-    * store tier reuses this with its own removal rule. */
+    * store tier reuses this with its own removal rule.
+    *
+    * The materialization barrier sits on the SMALL side: the per-doc
+    * removal starts are localCheckpoint'ed (they are the derived
+    * state — removal-hit-sized, never corpus-sized), which both cuts
+    * the window/join lineage and lets the caller drop its token
+    * cache; the corpus-sized OUTPUT is returned as a lazy plan (one
+    * fresh map-only tokenize scan + the checkpointed starts) and
+    * STREAMS to whatever sink consumes it. Checkpointing the output
+    * itself was measured fatal at the fourth decade: 5M rewritten
+    * documents materialized as deserialized heap objects OOM'd an
+    * 8 GB driver, while this shape runs the same point in bounded
+    * memory — the q62 scalar-only-driver-state rule applied to
+    * row-shaped state. */
   private[graft] def reassemble(toks: DataFrame,
       removals: DataFrame): DataFrame = {
     val w = Width
-    val removalStarts = removals
+    // Overlapping/adjacent removal windows coalesce into MAXIMAL
+    // spans BEFORE the per-doc collect (q60b's gaps-and-islands,
+    // interval form): a fully-duplicated region is one (start, end)
+    // struct instead of ~region-length starts. This is what made the
+    // fourth decade run — collect_list of raw starts built
+    // corpus-scale object buffers inside ObjectHashAggregate and
+    // OOM'd the 8 GB single-JVM heap at 5M docs, while the coalesced
+    // spans are bounded by the count of DISJOINT duplicated regions
+    // per doc. The islands window and the final groupBy share the
+    // doc_id hash partitioning (one shuffle).
+    val W = org.apache.spark.sql.expressions.Window
+    val win = W.partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = removals
+      .withColumn("prev_end", max(col("i") + lit(w - 1)).over(
+        win.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("i") > col("prev_end") + 1, 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(
+        win.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + lit(w - 1)).as("e"))
+    val removalSpans = spans
       .groupBy("doc_id")
-      .agg(array_sort(collect_list(col("i"))).as("starts"))
-    toks.join(removalStarts, Seq("doc_id"), "left")
-      .withColumn("starts", coalesce(col("starts"),
-        expr("cast(array() as array<int>)")))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+      .localCheckpoint(true)
+    toks.join(removalSpans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        expr("cast(array() as array<struct<s: int, e: int>>)")))
       .withColumn("kept", expr(
-        // position mask: token j survives unless some removal
-        // start covers it; empty-doc guard dodges the descending
+        // position mask: token j survives unless a coalesced span
+        // covers it; empty-doc guard dodges the descending
         // sequence(1, 0) (ANSI posture, q61b's rule)
         s"""IF(size(t) = 0, cast(array() as array<string>),
            transform(filter(sequence(1, size(t)),
-             j_ -> NOT exists(starts,
-               s_ -> j_ >= s_ AND j_ <= s_ + ${w - 1})),
+             j_ -> NOT exists(spans,
+               sp_ -> j_ >= sp_.s AND j_ <= sp_.e)),
              j_ -> element_at(t, j_)))"""))
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
@@ -696,7 +732,6 @@ object Q60cExciseDuplicates extends GraftQuery {
             size(col("t"))).as("removed_frac"),
         concat_ws(" ", col("kept")).as("cleaned_text"))
       .orderBy(col("doc_id"))
-      .localCheckpoint(true)
   }
 
   val oracle = Some(s"""
