@@ -465,8 +465,11 @@ object ScaleBench {
         println(s"""{"store_ratio_100x_vs_10x":$r100}""")
       }
       if (st1000.nonEmpty) {
-        val r1000 = storeNames
-          .map(n => "\"" + n + "\":" + f"${ratio(st1000(n), st100.getOrElse(n, -1.0))}%.2f")
+        // Ratio rows only for names with a REAL 100x denominator: a
+        // 1000x-only run (SCALE1000=1, SCALE100=0) must not print
+        // negative nonsense ratios from a defaulted denominator.
+        val r1000 = storeNames.filter(st100.contains)
+          .map(n => "\"" + n + "\":" + f"${ratio(st1000(n), st100(n))}%.2f")
           .mkString("{", ",", "}")
         println(s"""{"scale_stores":"sf0.1x1000","points":${srow(st1000)}}""")
         println(s"""{"store_ratio_1000x_vs_100x":$r1000}""")

@@ -56,6 +56,29 @@ object Stores {
       paths.reverse.foreach(Files.deleteIfExists(_))
     }
 
+  /** Verify a freshly acquired lock still guards what `path` names
+    * (the OPEN-BEFORE-LOCK window, ADVICE r12): between an actor's
+    * open and lock, a concurrent sweep holding `tryLock` may unlink
+    * the path — the actor then holds a lock on an ORPHANED inode
+    * while a later `ensure` creates and locks a fresh file, giving
+    * two "exclusive" holders. Handshake: write a unique token through
+    * OUR channel (which addresses the locked inode) and read the PATH
+    * back; equality proves path and inode still coincide. Advisory
+    * locks never block the path read; a torn read of another writer's
+    * token just reports false — the caller retries (ensure) or skips
+    * (gcMarkers), both safe. */
+  private def ownsPath(ch: FileChannel, path: Path): Boolean = {
+    val token = java.util.UUID.randomUUID().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    ch.truncate(0)
+    ch.write(java.nio.ByteBuffer.wrap(token), 0)
+    ch.force(false)
+    val onPath =
+      try Files.readAllBytes(path)
+      catch { case _: java.io.IOException => Array.empty[Byte] }
+    java.util.Arrays.equals(onPath, token)
+  }
+
   /** List a directory's entries with the stream closed. */
   private def listDir(p: Path): Seq[Path] =
     if (!Files.isDirectory(p)) Nil
@@ -135,7 +158,10 @@ object Stores {
     * leak the round-10 protocol left open. Safe to run concurrently
     * with builds: each lock file is deleted only under its own
     * `tryLock` (a held lock — an active builder — makes the sweep
-    * skip that tag), so a live builder's inode is never orphaned. */
+    * skip that tag) AND only after the [[ownsPath]] handshake proves
+    * the locked inode is still what the path names — so neither a
+    * live builder's inode nor a fresh lock file another `ensure`
+    * just created can be unlinked out from under its holder. */
   def gcMarkers(spark: SparkSession, prefix: String): Unit = this.synchronized {
     val wh = warehouse(spark)
     def entries() = listDir(wh).map(_.getFileName.toString)
@@ -173,7 +199,12 @@ object Stores {
               val now = entries()
               val live = now.exists(n => n != ln && n.startsWith(prefix + "_") &&
                 n.contains(s"_${tag}_"))
-              if (!live) Files.deleteIfExists(wh.resolve(ln))
+              // ownsPath: if a concurrent sweep unlinked this path
+              // after our open, the path may now be a DIFFERENT
+              // process's fresh lock file — deleting it would orphan
+              // that holder. Skip unless inode and path still agree.
+              if (!live && ownsPath(ch, wh.resolve(ln)))
+                Files.deleteIfExists(wh.resolve(ln))
             } finally lock.release()
           }
         } finally ch.close()
@@ -211,10 +242,22 @@ object Stores {
         return names
       Files.createDirectories(wh)
       val lockPath = wh.resolve(s"${prefix}_$tag.lock")
-      val ch = FileChannel.open(lockPath,
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      // Acquire with the [[ownsPath]] handshake: a sweep may have
+      // unlinked the path between our open and lock — retry on a
+      // fresh channel until the locked inode is the path's inode.
+      var ch: FileChannel = null
+      var lock: java.nio.channels.FileLock = null
+      var spins = 0
+      while (lock == null) {
+        spins += 1
+        require(spins <= 1000, s"lock handshake livelock on $lockPath")
+        ch = FileChannel.open(lockPath,
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        val l = ch.lock() // blocks until any other process's build ends
+        if (ownsPath(ch, lockPath)) lock = l
+        else { l.release(); ch.close() }
+      }
       try {
-        val lock = ch.lock() // blocks until any other process's build ends
         try {
           // Re-check under the lock: another process may have
           // committed while this one waited.

@@ -655,6 +655,16 @@ object Q64gWordpieceEncode extends GraftQuery {
   /** Longest piece is 5 chars; probe one past it. */
   private val MaxProbe = 6
 
+  /** Steps the oracle unrolls. The Spark side folds length(word)
+    * steps; the oracle is only equivalent for words of ≤ this many
+    * chars (each matching step advances ≥ 1 position — a longer word
+    * segmented char-by-char would leave the oracle's fold unfinished
+    * and emit [UNK] where Spark encodes it). WordpieceSpec pins the
+    * corpus-side invariant (max token length ≤ OracleSteps) so a
+    * fixture change fails loudly at the assertion rather than as an
+    * opaque oracle hash mismatch. */
+  private[graft] val OracleSteps = 10
+
   private def arr(ps: Seq[String]) =
     ps.map(p => s"'$p'").mkString("array(", ", ", ")")
 
@@ -699,7 +709,7 @@ object Q64gWordpieceEncode extends GraftQuery {
     encode(Tables.documents(spark, dir))
 
   val oracle = Some {
-    val Steps = 10
+    val Steps = OracleSteps
     val vals = (InitPieces.map(p => s"('$p', 0)") ++
       ContPieces.map(p => s"('$p', 1)")).mkString(", ")
     val steps = (1 to Steps).map { k =>

@@ -79,21 +79,32 @@ object StreamQueries {
   /** EPOCH-GUARDED append maintenance for the stateless append-model
     * streams (s15/s16/s17): drive `src` to completion, appending
     * `frame(batch)` per non-empty micro-batch to `tableT` with the
-    * epoch id riding IN the appended rows (`_epoch`). The parquet
-    * job commit makes "epoch rows visible ⇒ that epoch's append
-    * fully committed", so a micro-batch replayed after a crash
-    * (killed between sink apply and checkpoint commit) is recognized
-    * by its own rows' presence and SKIPPED — s13's exactly-once
-    * contract (`Q65IncrementalStats.refreshEpoch`) in append form,
-    * where the guard needs no separate marker because an append
-    * carries its own evidence. Priming writes must tag `_epoch` = −1;
-    * readers drop the column ([[epochless]]). `checkpoint` pins the
-    * location so the injection spec can force a genuine replay; None
-    * = run-scoped temp checkpoint. Returns epochs APPLIED (replays
-    * don't count). */
+    * epoch id riding IN the appended rows (`_epoch`), and the commit
+    * recorded in a SEPARATE one-row-per-epoch marker table
+    * (`tableT`_epochs) written AFTER the data append. The marker is
+    * the guard — NOT the data rows — because a parquet job commit is
+    * a sequence of task-file renames, not atomic: a crash mid-commit
+    * can leave a PARTIAL epoch visible, and a rows-presence guard
+    * would then skip the rest of that epoch (silent loss, ADVICE
+    * r12). The marker append is one task writing one file, so its
+    * visibility IS atomic (a single rename). Replay cases:
+    * marker present → the data append completed before the marker
+    * did → skip; marker absent but epoch rows present → a crashed
+    * attempt left partial (or complete-but-unmarked) data → scrub
+    * that epoch's rows and re-apply. This is s13's exactly-once
+    * contract (`Q65IncrementalStats.refreshEpoch`) in append form.
+    * Priming writes must tag `_epoch` = −1; readers drop the column
+    * ([[epochless]]). `checkpoint` pins the location so the
+    * injection spec can force a genuine replay; None = run-scoped
+    * temp checkpoint. Returns epochs APPLIED (replays don't count). */
   private[graft] def maintainAppend(spark: SparkSession, tableT: String,
       src: DataFrame, checkpoint: Option[String] = None)
       (frame: DataFrame => DataFrame): Long = {
+    val markerT = epochMarkerTable(tableT)
+    if (!spark.catalog.tableExists(markerT))
+      spark.range(1).select(lit(-1L).as("_epoch")).repartition(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(markerT)
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
     val w0 = src.writeStream
       .outputMode("update")
@@ -106,11 +117,31 @@ object StreamQueries {
         // refresh the guard's first (pre-append) read pins an empty
         // file listing and every later check replays against it.
         spark.catalog.refreshTable(tableT)
+        spark.catalog.refreshTable(markerT)
         if (!batch.isEmpty &&
-            spark.table(tableT).filter(col("_epoch") === epochId).isEmpty) {
+            spark.table(markerT).filter(col("_epoch") === epochId).isEmpty) {
+          // No marker for this epoch. If data rows exist anyway, a
+          // crashed attempt died between (some of) the data renames
+          // and the marker write — scrub them and re-apply, instead
+          // of trusting a possibly-partial append. Rare (crash-replay
+          // only), so the full rewrite is acceptable; the rewrite
+          // shares the overwrite-model stores' crash posture.
+          if (!spark.table(tableT)
+                .filter(col("_epoch") === epochId).isEmpty) {
+            val keep = spark.table(tableT)
+              .filter(col("_epoch") =!= epochId).localCheckpoint(true)
+            keep.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .format("parquet").saveAsTable(tableT)
+            spark.catalog.refreshTable(tableT)
+          }
           frame(batch).withColumn("_epoch", lit(epochId))
             .write.mode(org.apache.spark.sql.SaveMode.Append)
             .format("parquet").saveAsTable(tableT)
+          // Commit LAST, as one single-file append: visible ⇒ the
+          // data append above fully committed.
+          spark.range(1).select(lit(epochId).as("_epoch")).repartition(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .format("parquet").saveAsTable(markerT)
           batches.incrementAndGet()
         }
         ()
@@ -122,6 +153,12 @@ object StreamQueries {
     spark.catalog.refreshTable(tableT)
     batches.get()
   }
+
+  /** The one-row-per-epoch commit-marker table paired with an
+    * append-model table (see [[maintainAppend]]). Run-scoped like its
+    * data table; `Stores.dropManaged(runT)` sweeps both. */
+  private[graft] def epochMarkerTable(tableT: String): String =
+    tableT + "_epochs"
 
   /** Strip the epoch-guard tag before a guarded table feeds a
     * result/merge frame. */
@@ -893,7 +930,10 @@ object S15StreamBpeEncodeStore extends GraftQuery {
       maintain(spark, runT, dict, docs)
       Q64bBpeEncode.finishFertility(epochless(spark.table(runT)))
         .localCheckpoint(true)
-    } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $runT")
+      spark.sql(s"DROP TABLE IF EXISTS ${epochMarkerTable(runT)}")
+    }
   }
 
   def run(spark: SparkSession, dir: String): DataFrame =
@@ -965,7 +1005,10 @@ object S16StreamSemanticDedupStore extends GraftQuery {
         embeddingsStream(spark, dir)
           .filter(Q40TrainTestSplit.splitColOf("vec_id") === "test"))
       epochless(spark.table(runT)).orderBy(col("vec_id")).localCheckpoint(true)
-    } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $runT")
+      spark.sql(s"DROP TABLE IF EXISTS ${epochMarkerTable(runT)}")
+    }
   }
 
   val oracle: Option[String] = Q70bSemanticDedupStore.oracle
@@ -1080,7 +1123,10 @@ object S17StreamMultimodalAdmission extends GraftQuery {
         docsStream(spark, dir)
           .filter(Q40TrainTestSplit.splitCol === "test"))
       epochless(spark.table(runT)).orderBy(col("doc_id")).localCheckpoint(true)
-    } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $runT")
+      spark.sql(s"DROP TABLE IF EXISTS ${epochMarkerTable(runT)}")
+    }
   }
 
   private val duckSplitDoc =

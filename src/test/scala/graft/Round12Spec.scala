@@ -327,7 +327,11 @@ class Round12Spec extends SparkSpec {
         val expect = Q64eBpeEncodeStore.run(spark, sf)
           .collect().map(_.toString).toSeq
         assert(got === expect)
-      } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS $runT")
+        spark.sql(s"DROP TABLE IF EXISTS " +
+          graft.streaming.StreamQueries.epochMarkerTable(runT))
+      }
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }

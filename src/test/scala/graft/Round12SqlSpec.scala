@@ -154,7 +154,10 @@ class Round12SqlSpec extends SparkSpec {
       "q61b_gopher_repetition",
       "q63_gap_fill", "q64d_bpe_encode_local", "q64e_bpe_encode_store",
       "q64f_vocab_drift", "q65_incremental_stats", "q72_html_extract",
-      "q72b_warc_extract", "q73_unicode_normalize")
+      "q72b_warc_extract", "q73_unicode_normalize",
+      // q64g: the DuckDB oracle is a mechanical relational unroll of the
+      // greedy longest-piece fold (bounded steps) — squarely class C.
+      "q64g_wordpiece_encode")
     // (D) driver-coordinated iteration / per-partition accumulators:
     // no single SQL statement computes these (a pagerank loop, BPE
     // merge loops, two-pass prefix sums, Misra-Gries coupled

@@ -38,6 +38,23 @@ class WordpieceSpec extends SparkSpec {
     assert(enc("zzz") === "[UNK]")
   }
 
+  test("q64g: oracle unroll depth covers the corpus (max token ≤ OracleSteps)") {
+    // The DuckDB oracle unrolls OracleSteps greedy steps while Spark
+    // folds length(word) steps; they agree only while every corpus
+    // token fits in the unroll (ADVICE r12). Pin the invariant at the
+    // larger oracle scale so a fixture regeneration with longer words
+    // fails HERE, not as an opaque oracle hash mismatch.
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq(sf, sf01)) {
+      val maxLen = spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(expr(graft.queries.NorthStar.toksExpr)).as("t"))
+        .agg(max(length(col("t")))).head().getInt(0)
+      assert(maxLen <= Q64gWordpieceEncode.OracleSteps,
+        s"$dir: max token length $maxLen exceeds the oracle's " +
+          s"${Q64gWordpieceEncode.OracleSteps}-step unroll — raise OracleSteps")
+    }
+  }
+
   test("q64g: counts — words, pieces, unks; empty doc is all zeros") {
     val r = one("customer filter dup")
     assert(r.getLong(r.fieldIndex("n_words")) === 3L)
