@@ -267,7 +267,8 @@ object NorthStar {
   // this object's own init would otherwise capture them as null.
   val all: Seq[GraftQuery] = Seq(
     Q18DedupExact, Q18bDedupMinHash, Q18cDedupSimHash, Q18dDedupNgram,
-    Q18eDedupEmbedding, Q18fDedupClusters, Q19SimilarityTopK, Q19bAnnLsh,
+    Q18eDedupEmbedding, Q18fDedupClusters, Q18gDedupLabelsStore,
+    Q19SimilarityTopK, Q19bAnnLsh,
     Q19cAnnSparkMl, Q19dAnnIvf, Q19eAnnIvfStore, Q19fAnnRebalance,
     Q20TopTermsPerLang, Q21LanguageId,
     Q22QualityScore, Q23TokenCount, Q24Fingerprint, Q26TfIdf,
@@ -540,7 +541,12 @@ object Q42CorpusClean extends GraftQuery {
     * assembly tail (q58) can take exactly the docs the audit keeps. */
   private[graft] def statusByDoc(spark: SparkSession, dir: String,
       withContamination: Boolean): DataFrame = {
-    val victims = Q18fDedupClusters.labels(spark, dir)
+    // The dup gate reads the PERSISTED labels store (q18g) — the
+    // closure is computed once per corpus snapshot, not once per
+    // consumer (q42, q42b, and q58 all flow through here; before the
+    // store each re-ran the full pair+closure pipeline). Round13Spec
+    // plan-asserts this frame is a bucketed store scan.
+    val victims = Q18gDedupLabelsStore.labels(spark, dir)
       .filter(col("id") =!= col("lbl"))
       .select(col("id").as("doc_id"), lit(true).as("is_dup"))
     val scored = Q22QualityScore.scored(spark, dir)

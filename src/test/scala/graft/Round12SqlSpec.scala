@@ -157,7 +157,10 @@ class Round12SqlSpec extends SparkSpec {
       "q72b_warc_extract", "q73_unicode_normalize",
       // q64g: the DuckDB oracle is a mechanical relational unroll of the
       // greedy longest-piece fold (bounded steps) — squarely class C.
-      "q64g_wordpiece_encode")
+      "q64g_wordpiece_encode",
+      // q18g: the serve is one groupBy over the persisted labels table
+      // (the q19e/q70b store-serve shape, without even a join).
+      "q18g_dedup_labels_store")
     // (D) driver-coordinated iteration / per-partition accumulators:
     // no single SQL statement computes these (a pagerank loop, BPE
     // merge loops, two-pass prefix sums, Misra-Gries coupled
