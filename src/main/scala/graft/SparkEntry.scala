@@ -20,7 +20,9 @@ object SparkEntry {
       graft.multimodal.Q25eVideoScenes,
       graft.multimodal.Q25fImageDedupStore,
       graft.multimodal.Q25gAudioNearDup,
-      graft.multimodal.Q25hAudioDedupStore) ++
+      graft.multimodal.Q25hAudioDedupStore,
+      graft.multimodal.Q25iVideoNearDup,
+      graft.multimodal.Q25jVideoDedupStore) ++
     graft.streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

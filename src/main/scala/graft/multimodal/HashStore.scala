@@ -263,3 +263,77 @@ object Q25hAudioDedupStore extends GraftQuery {
     ORDER BY t.media_id
   """.trim)
 }
+
+/** Q25j — VIDEO DELTA DEDUP against a PERSISTED fingerprint store:
+  * [[BandedHashStore]] instantiated over q25i's temporal-pooled
+  * frame fingerprints, closing the modality dedup matrix's STORE
+  * column for video (text q57b/s12b, image q25f/s14, audio
+  * q25h/s18, video here + s22). The train-split videos are demuxed,
+  * decoded and fingerprinted ONCE per corpus snapshot; every
+  * arriving video shard fingerprints only ITSELF and joins the
+  * bucketed store — per-ingest cost O(delta), zero store-side
+  * exchange.
+  *
+  * Verdict semantics are the image/audio stores', hash-family-
+  * swapped: best base = stored video at minimum Hamming (ties to
+  * lowest base id) within the ≤ 6 threshold, `new` otherwise; the
+  * pair-banded join is exhaustive for the threshold by pigeonhole,
+  * so the ORACLE replays the decision over ALL test×train pairs —
+  * the hash gate checks the LSH recall guarantee itself. Empty
+  * payloads carry no frames and stay out of the audit (q25e's
+  * synthesis rule, mirrored by the oracle's `length(text) > 0`
+  * filter). */
+object Q25jVideoDedupStore extends GraftQuery {
+  import Multimodal._
+  import Q25iVideoNearDup.extractFingerprints
+
+  val name = "q25j_video_dedup_store"
+  private[graft] val store =
+    new BandedHashStore("graft_vidstore", Q25dImageNearDup.MaxHamming)
+
+  /** Fingerprints of one split's videos, as the store's
+    * (media_id, dhash) contract. */
+  private[graft] def featsOf(spark: SparkSession, dir: String,
+      split: String): DataFrame =
+    extractFingerprints(Q25eVideoScenes.videoFrames(
+      mediaTable(spark, dir)
+        .filter(Q40TrainTestSplit.splitColOf("media_id") === split)))
+
+  private[graft] def ensureStore(spark: SparkSession, dir: String): String =
+    store.ensureStore(spark, dir)(featsOf(spark, dir, "train"))
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    store.runVerdicts(spark, ensureStore(spark, dir),
+      featsOf(spark, dir, "test").localCheckpoint())
+
+  /** ALL-PAIRS relational replay over the shared fingerprint chain —
+    * recall guarantee + store correctness + collapse losslessness in
+    * one hash gate, like q25f's and q25h's. */
+  val oracle = Some(s"""
+    WITH ${Q25iVideoNearDup.duckFpChain()},
+    sp AS (
+      SELECT media_id,
+        CASE WHEN instr('0123456789abcdef',
+               substr(md5(CAST(media_id AS VARCHAR)), 32, 1)) - 1 < 13
+             THEN 'train' ELSE 'test' END AS split
+      FROM m),
+    ham AS (
+      SELECT dx.media_id, bx.media_id AS base_id,
+        CAST(SUM(bit_count(xor(x.b, y.b))) AS BIGINT) AS hamming
+      FROM sp dx JOIN sp bx ON dx.split = 'test' AND bx.split = 'train'
+      JOIN by_row x ON x.media_id = dx.media_id
+      JOIN by_row y ON y.media_id = bx.media_id AND y.bi = x.bi
+      GROUP BY dx.media_id, bx.media_id),
+    best AS (
+      SELECT media_id, base_id, hamming,
+        row_number() OVER (PARTITION BY media_id
+          ORDER BY hamming, base_id) AS rk
+      FROM ham WHERE hamming <= ${Q25dImageNearDup.MaxHamming})
+    SELECT t.media_id,
+      CASE WHEN b.base_id IS NOT NULL THEN 'dup' ELSE 'new' END AS verdict,
+      b.base_id, b.hamming
+    FROM (SELECT media_id FROM sp WHERE split = 'test') t
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.media_id = t.media_id
+    ORDER BY t.media_id
+  """.trim)
+}

@@ -778,9 +778,18 @@ object Q25eVideoScenes extends GraftQuery {
     * Real `javax.imageio` encode per frame; batched like the decode
     * side. */
   private[graft] def videoTable(spark: SparkSession, dir: String,
+      batchSize: Int = 64): DataFrame =
+    videoFrames(mediaTable(spark, dir), batchSize)
+
+  /** Frame-based synthesis over ANY media frame — batch (the fixture
+    * table) or STREAMING (s22's ingest source): filter + select +
+    * mapPartitions are all stateless, so the same container schema
+    * rides a `readStream` frame unchanged (the `imageFrames` rule). */
+  private[graft] def videoFrames(media: DataFrame,
       batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    mediaTable(spark, dir)
+    media
       .filter(expr("CAST(media_id % 3 AS INT) = 1") && length(col("payload")) > 0)
       .select(col("media_id"), col("payload"),
         col("meta.width").as("w"), col("meta.height").as("h"),
@@ -1044,6 +1053,168 @@ object Q25gAudioNearDup extends GraftQuery {
       FROM ${p}bits WHERE k < 64 GROUP BY media_id, k // 8)"""
 
   /** Per-character replay over [[duckFpChain]]. */
+  val oracle = Some(s"""
+    WITH ${duckFpChain()},
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b
+      FROM by_row a JOIN by_row b2 ON a.bi = b2.bi AND a.b = b2.b
+      WHERE a.media_id < b2.media_id),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+        CAST(SUM(bit_count(xor(x.b, y.b))) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN by_row x ON x.media_id = c.id_a
+      JOIN by_row y ON y.media_id = c.id_b AND y.bi = x.bi
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b, hamming FROM ham
+    ORDER BY hamming, id_a, id_b
+    LIMIT $TopPairs
+  """.trim)
+}
+
+/** Q25i — VIDEO near-dup via temporal-pooled frame fingerprints:
+  * the perceptual-dedup recipe (q25c→q25d for images, q25g for
+  * audio) applied to the video modality, completing the modality
+  * NEAR-DUP matrix (text q18*, image q25d, audio q25g, video here).
+  *
+  * Fingerprint: the standard temporal-mean signature — every frame
+  * is DECODED through the real codec path (demux q25e's PNG
+  * container, `ImageIO.read` per frame), the decoded rasters are
+  * pooled pixel-wise over time at the q25c grid points (an exact
+  * integer SUM per grid cell; comparisons on sums equal comparisons
+  * on means since the frame count divides out), and the pooled
+  * raster is dHashed with the image geometry (bit gx of byte gy =
+  * pooled(gx+1, gy) > pooled(gx, gy)). Temporal pooling is what
+  * production video fingerprints (TMK-family) reduce to at their
+  * coarsest level: re-encodes, frame drops and small trims move the
+  * temporal mean very little, so they stay Hamming-close, while the
+  * spatial dHash keeps the signature content-sensitive for any
+  * frame count (a single-frame video degrades exactly to its image
+  * dHash — the right limit).
+  *
+  * Near-dup: the 16-hex hash feeds the SAME banded candidate +
+  * exact-Hamming verify machinery as images and audio
+  * ([[Q25dImageNearDup.topPairs]] — one implementation, three
+  * modalities), so the LSH recall guarantee, the band-width policy
+  * knob and the plan posture (8 16-byte band rows per video,
+  * equi-join, map-side popcount verify, TakeOrderedAndProject
+  * top-k) are all inherited, already plan-audited and
+  * scale-measured.
+  *
+  * 100 TB posture: the codec pass is the map-only batched
+  * mapPartitions shape (one task demuxes/decodes its own videos;
+  * per-video output is a 16-hex string); only (media_id, hash) rows
+  * shuffle. The DuckDB oracle replays frame schedule, grid samples,
+  * temporal sums, bits and the band join per character, so the
+  * whole fingerprint+join pipeline is hash-checked end to end. */
+object Q25iVideoNearDup extends GraftQuery {
+  import Multimodal._
+  import Q25cImageFeatures.{GridW, GridH}
+  val name = "q25i_video_neardup"
+  val TopPairs = 25
+
+  /** Batched demux + per-frame real decode + temporal-sum dHash over
+    * ANY (media_id, container) frame — batch or streaming (the map
+    * is stateless, the s22 rule). */
+  private[graft] def extractFingerprints(videos: DataFrame,
+      batchSize: Int = 64): DataFrame = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.select(col("media_id"), col("container"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        Multimodal.configureImageIo()
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, container) =>
+            // Pool the DECODED rasters over time at the grid points:
+            // exact integer sums, order-independent, engine-exact.
+            val sums = new Array[Long](GridH * GridW)
+            Q25eVideoScenes.unpackFrames(container).foreach { fb =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(fb))
+              val (w, h) = (img.getWidth, img.getHeight)
+              val raster = img.getRaster
+              var gy = 0
+              while (gy < GridH) {
+                val sy = gy * h / GridH
+                var gx = 0
+                while (gx < GridW) {
+                  sums(gy * GridW + gx) +=
+                    raster.getSample(gx * w / GridW, sy, 0)
+                  gx += 1
+                }
+                gy += 1
+              }
+            }
+            // q25c's dHash geometry over the pooled raster: one byte
+            // per grid row, bit gx = pooled(gx+1) > pooled(gx).
+            val sb = new StringBuilder(16)
+            var gy = 0
+            while (gy < GridH) {
+              var b = 0
+              var gx = 0
+              while (gx < GridW - 1) {
+                if (sums(gy * GridW + gx + 1) > sums(gy * GridW + gx))
+                  b |= (1 << gx)
+                gx += 1
+              }
+              sb.append(f"$b%02x")
+              gy += 1
+            }
+            (id, sb.toString)
+          }
+        }
+      }
+      .toDF("media_id", "dhash")
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Q25dImageNearDup.topPairs(
+      extractFingerprints(Q25eVideoScenes.videoTable(spark, dir)),
+      k = TopPairs)
+
+  /** The fingerprint replay chain (m → by_row), shared with the
+    * video store's all-pairs oracle ([[Q25jVideoDedupStore]]) the
+    * way [[Q25gAudioNearDup.duckFpChain]] serves q25h: the frame
+    * schedule is q25e's windowed cut index, the grid positions are
+    * q25c's integer-division samples (PNG is lossless and the
+    * fixture ASCII, so decoded sample == text byte), and the
+    * temporal pool is an exact integer SUM over frames. The `p`
+    * prefix namespaces every CTE so the chain can compose. */
+  private[graft] def duckFpChain(p: String = ""): String = s"""${p}m AS (
+      SELECT doc_id AS media_id, text,
+        CAST(16 + (n_chars % 64) AS INT) AS w,
+        CAST(16 + (n_chars % 48) AS INT) AS h,
+        CAST(1 + (doc_id % 30) AS INT) AS nf
+      FROM documents
+      WHERE CAST(doc_id % 3 AS INT) = 1 AND length(text) > 0),
+    ${p}fr AS (
+      SELECT media_id, text, w, h, nf, CAST(t.f AS INT) AS f,
+        CAST(SUM(CASE WHEN t.f > 0 AND (media_id * 31 + t.f) % 7 = 0
+                 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY media_id ORDER BY t.f) AS INT) AS offidx
+      FROM ${p}m, unnest(range(0, nf)) t(f)),
+    ${p}g AS (SELECT gx, gy FROM unnest(range(0, ${GridW})) t(gx),
+                             unnest(range(0, ${GridH})) u(gy)),
+    ${p}s AS (
+      SELECT media_id, gy, gx,
+        SUM(ascii(substr(text,
+          CAST((((gy * h) // ${GridH}) * w + ((gx * w) // ${GridW})
+            + ${Q25eVideoScenes.SceneStride} * offidx) AS INT)
+            % length(text) + 1, 1))) AS sp
+      FROM ${p}fr, ${p}g GROUP BY media_id, gy, gx),
+    ${p}d AS (
+      SELECT media_id, gy, gx, sp,
+        lead(sp) OVER (PARTITION BY media_id, gy ORDER BY gx) AS nsp
+      FROM ${p}s),
+    ${p}by_row AS (
+      SELECT media_id, gy AS bi,
+        CAST(SUM(CASE WHEN nsp > sp THEN 1 << CAST(gx AS INT) ELSE 0 END)
+          AS INT) AS b
+      FROM ${p}d WHERE gx < ${GridW - 1} GROUP BY media_id, gy)"""
+
+  /** Per-character replay over [[duckFpChain]] + the banded
+    * candidate/verify tail (q25g's oracle shape). */
   val oracle = Some(s"""
     WITH ${duckFpChain()},
     cand AS (

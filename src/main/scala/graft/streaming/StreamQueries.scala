@@ -239,7 +239,8 @@ object StreamQueries {
     S13StreamIncrementalStats, S14StreamImageDedupStore,
     S15StreamBpeEncodeStore, S16StreamSemanticDedupStore,
     S17StreamMultimodalAdmission, S18StreamAudioDedupStore,
-    S19StreamAnnIngest, S20StreamExcise, S21StreamWarc)
+    S19StreamAnnIngest, S20StreamExcise, S21StreamWarc,
+    S22StreamVideoDedupStore)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -1412,4 +1413,46 @@ object S21StreamWarc extends GraftQuery {
 
   /** Same per-record contract as the batch container path. */
   val oracle = Q72bWarcExtract.oracle
+}
+
+/** S22 — STREAMING VIDEO-DEDUP INGEST against the persisted
+  * fingerprint store (q25j's table): s14/s18's lifecycle with the
+  * hash family swapped, completing the modality dedup matrix's
+  * STREAM column for video (the matrix is now full: text
+  * s12/s12b, image s14, audio s18, video here). Arriving videos
+  * (the test-split class-1 tier of the document stream) are
+  * synthesized, demuxed, decoded and fingerprinted per micro-batch —
+  * the container synthesis + temporal-pool mapPartitions steps are
+  * stateless, so the exact batch operators ride the streaming frame
+  * unchanged — then pair-banded and joined against the bucketed
+  * store by the SAME generic `BandedHashStore.verdictFrame` the
+  * batch path and the image/audio twins use (four consumers, one
+  * implementation: the paths cannot drift); the single stateful
+  * operator is the per-video best-base struct aggregation. State
+  * grows with the ingest, so the RocksDB default applies (the s13
+  * rule).
+  *
+  * Shares q25j's ALL-PAIRS oracle: the streamed banded verdicts must
+  * equal the exhaustive batch decision — recall guarantee, store
+  * correctness, and stream plumbing in one hash gate. */
+object S22StreamVideoDedupStore extends GraftQuery {
+  import StreamQueries._
+  import graft.multimodal.{Multimodal, Q25eVideoScenes, Q25iVideoNearDup,
+    Q25jVideoDedupStore}
+  import graft.queries.Q40TrainTestSplit
+  val name = "s22_stream_video_dedup_store"
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val store = Q25jVideoDedupStore.store.storeFrame(spark,
+      Q25jVideoDedupStore.ensureStore(spark, dir))
+    val deltaFeats = Q25iVideoNearDup.extractFingerprints(
+      Q25eVideoScenes.videoFrames(
+        Multimodal.mediaFrame(docsStream(spark, dir))
+          .filter(Q40TrainTestSplit.splitColOf("media_id") === "test")))
+    val best = Q25jVideoDedupStore.store.verdictFrame(deltaFeats, store)
+    Q25jVideoDedupStore.store.formatVerdicts(
+      runToBatch(spark, best, "complete", rocksdb = rocksDefault(spark)))
+  }
+
+  val oracle = Q25jVideoDedupStore.oracle
 }

@@ -182,7 +182,12 @@ class Round12SqlSpec extends SparkSpec {
       "q25_multimodal_features", "q25b_audio_features",
       "q25c_image_features", "q25e_video_scenes",
       "q25f_image_dedup_store", "q25g_audio_neardup",
-      "q25h_audio_dedup_store", "q71_multimodal_curation")
+      "q25h_audio_dedup_store", "q71_multimodal_curation",
+      // q25i/q25j (round 13): the video demux+decode+temporal-pool
+      // fingerprint is an ImageIO mapPartitions pass, like the rest
+      // of the q25 family; the banded tail's SQL shape is twinned
+      // via q25d.
+      "q25i_video_neardup", "q25j_video_dedup_store")
     // (G) streaming: driven by writeStream/foreachBatch, not sql()
     // text (Spark streaming SQL would need STREAM table refs the
     // engine deliberately keeps behind the DataFrame API).
