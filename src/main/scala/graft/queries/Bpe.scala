@@ -45,7 +45,8 @@ import graft.Tables
 object Bpe {
   val all: Seq[GraftQuery] =
     Seq(Q64BpeMerges, Q64bBpeEncode, Q64cBpeMergesLocal, Q64dBpeEncodeLocal,
-      Q64eBpeEncodeStore, Q64fVocabDrift, Q64gWordpieceEncode)
+      Q64eBpeEncodeStore, Q64fVocabDrift, Q64gWordpieceEncode,
+      Q64hUnigramVocab, Q64iUnigramEncode)
 
   /** The ONE corpus-scale step of BPE learning: token/normalize (q1's
     * definition) and the word-frequency reduction. Everything after
@@ -750,6 +751,316 @@ object Q64gWordpieceEncode extends GraftQuery {
       COALESCE(p.n_words, 0) AS n_words,
       COALESCE(p.n_pieces, 0) AS n_pieces,
       COALESCE(p.n_unk, 0) AS n_unk,
+      COALESCE(p.encoded, '') AS encoded
+    FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id
+    ORDER BY b.doc_id
+  """.trim
+  }
+}
+
+/** Q64h — UNIGRAM-LM tokenizer TRAINING (Kudo 2018; the SentencePiece
+  * algorithm): the third major published subword family, completing
+  * the tokenizer matrix (BPE q64*, WordPiece q64g, Unigram here +
+  * q64i encode). Unigram fails differently from both: it is a
+  * PROBABILISTIC segmenter — a piece inventory with unigram
+  * probabilities under which encode picks the max-likelihood
+  * segmentation by Viterbi DP — where BPE replays a merge trajectory
+  * and WordPiece greedily longest-matches.
+  *
+  * This is the HARD-EM (Viterbi-EM) variant of Kudo's trainer, the
+  * standard deterministic simplification: seed a large candidate
+  * inventory from frequent substrings, then iterate (E) Viterbi-
+  * segment every distinct word under the current piece scores and
+  * (M) re-estimate each piece's count from the segmentations,
+  * dropping multi-char pieces that won no occurrences (the prune
+  * step; single chars are never pruned — they are the coverage
+  * floor, as in the paper). Soft EM's marginalization over all
+  * segmentations would put FLOATS in the trajectory's argmaxes;
+  * hard EM keeps every E-step decision an integer comparison, which
+  * is what lets a relational oracle replay training EXACTLY.
+  *
+  * DETERMINISM (the engine-exactness contract): piece scores are
+  * QUANTIZED integer log-probs — q(p) = floor(1e6·ln(cnt+1)) −
+  * floor(1e6·ln(T)), T = Σ(cnt+1) over the retained inventory
+  * (add-one smoothing keeps ln away from 0-count chars) — so every
+  * Viterbi comparison is exact BIGINT arithmetic, ties broken by a
+  * total order (score desc, fewer pieces, encoded string desc).
+  * The only floats live in the one-shot quantization of each
+  * (piece, round) count; a cross-engine ulp difference in ln would
+  * have to land within ~1e-10 of the 1e-6 quantization grid to flip
+  * a score — negligible, and a flip would surface loudly as a hash
+  * mismatch, not silently.
+  *
+  * Scale shape (the q64 rule): the corpus is read ONCE for the
+  * word-frequency table; seeding and every EM round after that are
+  * VOCABULARY-sized — a substring explode + count, then per round
+  * one distributed Viterbi pass over distinct words (the DP is a
+  * per-row fold with the piece-score map riding the plan) and one
+  * map-side-combined count aggregation, with exactly one vocab-sized
+  * driver collect per round (the q64/q62 driver-traffic rule). At
+  * 100 TB the word table is ~10⁷ rows regardless of corpus size. */
+object Q64hUnigramVocab extends GraftQuery {
+  val name = "q64h_unigram_vocab"
+  /** Longest candidate piece (chars). */
+  val MaxPiece = 4
+  /** Multi-char seed pieces kept (by substring frequency). */
+  val SeedMultis = 80
+  /** Hard-EM rounds. */
+  val EmRounds = 3
+  /** Log-prob quantization scale. */
+  val Scale = 1000000L
+  /** Oracle DP unroll depth — shares q64g's corpus bound (max
+    * normalized word ≤ raw token length ≤ OracleSteps, spec-pinned). */
+  private[graft] val OracleSteps = Q64gWordpieceEncode.OracleSteps
+
+  private[graft] def qlog(x: Long): Long =
+    math.floor(Scale.toDouble * math.log(x.toDouble)).toLong
+
+  /** Integer piece scores for one round's retained inventory. */
+  private[graft] def scoresOf(counts: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val t = counts.map(_._2 + 1).sum
+    val qt = qlog(t)
+    counts.map { case (p, c) => (p, qlog(c + 1) - qt) }
+  }
+
+  /** The Viterbi fold over one word bound as `w_`, scores as a map
+    * literal: dp[j] = best (score, −pieces, enc) over pieces ending
+    * at j; struct max IS the tie rule (score desc, fewer pieces,
+    * enc desc). Every corpus char is in the inventory, so dp is
+    * always reachable and there is no [UNK] arm. */
+  private[graft] def viterbiExpr(scores: Seq[(String, Long)],
+      finish: String = "element_at(acc_, -1).enc"): String = {
+    val vmap = scores.sortBy(_._1)
+      .map { case (p, q) => s"'$p', CAST($q AS BIGINT)" }
+      .mkString("map(", ", ", ")")
+    "aggregate(sequence(1, length(w_)), " +
+      "array(named_struct('sc', CAST(0 AS BIGINT), 'nn', 0, 'enc', '')), " +
+      "(acc_, j_) -> concat(acc_, array(" +
+      s"array_max(filter(transform(sequence(1, least($MaxPiece, j_)), l_ -> " +
+      s"IF(element_at($vmap, substring(w_, j_ - l_ + 1, l_)) IS NULL, NULL, " +
+      "named_struct(" +
+      s"'sc', element_at(acc_, j_ - l_ + 1).sc + element_at($vmap, substring(w_, j_ - l_ + 1, l_)), " +
+      "'nn', element_at(acc_, j_ - l_ + 1).nn - 1, " +
+      "'enc', concat(element_at(acc_, j_ - l_ + 1).enc, " +
+      "IF(j_ - l_ = 0, '', ' '), substring(w_, j_ - l_ + 1, l_))))), " +
+      "x_ -> x_ IS NOT NULL)))), " +
+      s"acc_ -> $finish)"
+  }
+
+  /** Train: returns (final inventory with counts, per-round corpus
+    * Viterbi scores Σ cnt·score(word) for the monotonicity spec, and
+    * the pinned distinct-word frame for encode reuse). */
+  private[graft] def learn(spark: SparkSession, dir: String)
+      : (Seq[(String, Long)], Seq[Long], DataFrame) = {
+    import spark.implicits._
+    val words = Bpe.wordFreq(spark, dir).localCheckpoint()
+    // Seed: substring frequencies (every occurrence position), all
+    // single chars + the SeedMultis most frequent multi-char pieces.
+    val subs = words.select(col("cnt"), explode(expr(
+        s"flatten(transform(sequence(1, length(word)), i_ -> " +
+          s"transform(sequence(1, least($MaxPiece, length(word) - i_ + 1)), " +
+          "l_ -> substring(word, i_, l_))))")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+      .localCheckpoint()
+    val chars = subs.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val multis0 = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("c").desc, col("piece").asc).limit(SeedMultis)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    var inventory = (chars ++ multis0).sortBy(_._1)
+    val charSet = chars.map(_._1).toSet
+    val roundScores = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (_ <- 1 to EmRounds) {
+      val enc = words.select(col("word"), col("cnt"),
+          expr(NorthStar.let("w_", "word",
+            viterbiExpr(scoresOf(inventory),
+              finish = "named_struct('enc', element_at(acc_, -1).enc, " +
+                "'sc', element_at(acc_, -1).sc)"))).as("v"))
+        .localCheckpoint(false)
+      roundScores += enc.agg(sum(col("cnt") * col("v.sc"))).head().getLong(0)
+      val counts = enc
+        .select(col("cnt"), explode(split(col("v.enc"), " ")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // M + prune: chars always retained (count may be 0); multis
+      // only if Viterbi used them this round.
+      inventory = (charSet.toSeq.map(ch => (ch, counts.getOrElse(ch, 0L))) ++
+        counts.toSeq.filter { case (p, _) => p.length > 1 && !charSet(p) })
+        .sortBy(_._1)
+    }
+    (inventory, roundScores.toSeq, words)
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    learn(spark, dir)._1
+      .map { case (p, c) => (p, c, p.length == 1) }
+      .toDF("piece", "cnt", "is_char")
+      .orderBy(col("cnt").desc, col("piece").asc)
+  }
+
+  /** One Viterbi DP chain over the distinct words `dw(w)` under the
+    * score table `$v(piece, q)`: dp rows (w, j, sc, nn, enc), best
+    * path to position j picked by the SAME total order as the Spark
+    * struct max. `$pfx`-namespaced so training unrolls one chain per
+    * EM round. */
+  private[graft] def duckViterbi(pfx: String, v: String): String = {
+    val steps = (1 to OracleSteps).map { j =>
+      val prevs = (math.max(0, j - MaxPiece) until j).map { pj =>
+        s"SELECT w, $pj AS j, sc, nn, enc FROM ${pfx}dp$pj"
+      }.mkString(" UNION ALL ")
+      s"""${pfx}cand$j AS (
+        SELECT p.w, p.sc + v.q AS sc, p.nn + 1 AS nn,
+          p.enc || CASE WHEN p.enc = '' THEN '' ELSE ' ' END || v.piece AS enc
+        FROM ($prevs) p
+        JOIN $v v ON v.piece = substr(p.w, p.j + 1, $j - p.j)
+        WHERE length(p.w) >= $j),
+      ${pfx}dp$j AS MATERIALIZED (
+        SELECT w, sc, nn, enc FROM (
+          SELECT w, sc, nn, enc, row_number() OVER (
+            PARTITION BY w ORDER BY sc DESC, nn ASC, enc DESC) AS rk
+          FROM ${pfx}cand$j) WHERE rk = 1)"""
+    }.mkString(",\n    ")
+    val all = (1 to OracleSteps).map(j =>
+      s"SELECT w, $j AS j, enc, sc FROM ${pfx}dp$j").mkString(" UNION ALL ")
+    s"""${pfx}dp0 AS MATERIALIZED (
+      SELECT w, CAST(0 AS BIGINT) AS sc, 0 AS nn, '' AS enc FROM dw),
+    $steps,
+    ${pfx}enc AS (SELECT w, enc, sc FROM ($all) WHERE j = length(w))"""
+  }
+
+  /** Quantized scores from a count table `$c(piece, c)`. */
+  private def duckScores(v: String, c: String): String =
+    s"""${v}t AS (SELECT SUM(c + 1) AS t FROM $c),
+    $v AS MATERIALIZED (SELECT piece,
+      CAST(floor(1000000 * ln(CAST(c + 1 AS DOUBLE))) AS BIGINT)
+        - (SELECT CAST(floor(1000000 * ln(CAST(t AS DOUBLE))) AS BIGINT)
+           FROM ${v}t) AS q
+      FROM $c)"""
+
+  /** Counts from round r's per-word segmentations, with the retain
+    * rule (chars always; multis only when used). */
+  private def duckMstep(cOut: String, encT: String): String =
+    s"""${cOut}u AS (
+      SELECT s.piece, CAST(SUM(words.cnt) AS BIGINT) AS c
+      FROM $encT e JOIN words ON words.word = e.w,
+           unnest(string_split(e.enc, ' ')) s(piece)
+      GROUP BY 1),
+    $cOut AS MATERIALIZED (
+      SELECT ch.piece, COALESCE(u.c, 0) AS c
+      FROM chars0 ch LEFT JOIN ${cOut}u u ON u.piece = ch.piece
+      UNION ALL
+      SELECT piece, c FROM ${cOut}u WHERE length(piece) > 1)"""
+
+  /** The full TRAINING replay: words → seed inventory → EmRounds ×
+    * (scores → Viterbi → counts). Ends with count table c$EmRounds.
+    * Shared with q64i's encode oracle. */
+  private[graft] def duckTrainChain: String = {
+    val rounds = (1 to EmRounds).map { r =>
+      duckScores(s"v${r - 1}", s"c${r - 1}") + ",\n    " +
+        duckViterbi(s"r$r", s"v${r - 1}") + ",\n    " +
+        duckMstep(s"c$r", s"r${r}enc")
+    }.mkString(",\n    ")
+    s"""words AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM
+        (SELECT lower(regexp_replace(unnest(string_split_regex(text, '\\s+')), '[^a-zA-Z]', '', 'g')) AS word
+         FROM documents)
+      WHERE length(word) > 0 GROUP BY word),
+    dw AS MATERIALIZED (SELECT DISTINCT word AS w FROM words),
+    subs AS (
+      SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+        CAST(SUM(cnt) AS BIGINT) AS c
+      FROM words,
+        unnest(range(1, length(word) + 1)) t(i),
+        unnest(range(1, 1 + least($MaxPiece, length(word) - i + 1))) u(l)
+      GROUP BY 1),
+    chars0 AS MATERIALIZED (SELECT piece, c FROM subs WHERE length(piece) = 1),
+    multis0 AS (SELECT piece, c FROM subs WHERE length(piece) > 1
+                ORDER BY c DESC, piece ASC LIMIT $SeedMultis),
+    c0 AS (SELECT * FROM chars0 UNION ALL SELECT * FROM multis0),
+    $rounds"""
+  }
+
+  val oracle = Some(s"""
+    WITH $duckTrainChain
+    SELECT piece, c AS cnt, length(piece) = 1 AS is_char
+    FROM c$EmRounds
+    ORDER BY cnt DESC, piece ASC
+  """.trim)
+}
+
+/** Q64i — UNIGRAM-LM ENCODE: the max-likelihood Viterbi segmentation
+  * of the corpus under q64h's trained inventory, surfaced per doc
+  * like q64g (word/piece/encoding counts — fertility and the encoded
+  * stream are what a packing pipeline consumes downstream).
+  *
+  * Scale shape — encode is a JOIN, never a re-fold (the q64b rule):
+  * the Viterbi DP runs once per DISTINCT word (vocabulary-sized, the
+  * training E-step's own pass shape), and the corpus-scale step is
+  * one tokenize pass equi-joined against that word→encoding
+  * dictionary. No [UNK] arm: the inventory's single chars are seeded
+  * from the same corpus the words come from, so coverage is total by
+  * construction (q64g's [UNK] is a WordPiece semantics, not an
+  * accident of this family).
+  *
+  * The oracle replays training end-to-end (q64h's chain) plus one
+  * more Viterbi under the final scores, then joins back per doc —
+  * the whole train→encode pipeline is hash-checked in one gate. */
+object Q64iUnigramEncode extends GraftQuery {
+  import Q64hUnigramVocab._
+  val name = "q64i_unigram_encode"
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (inventory, _, words) = Q64hUnigramVocab.learn(spark, dir)
+    // Vocabulary-sized dictionary: distinct word → (enc, n pieces).
+    val dict = words.select(col("word"),
+      expr(NorthStar.let("w_", "word",
+        viterbiExpr(scoresOf(inventory)))).as("enc"))
+    // Words that normalize to '' become NULL (kept, counted 0) so a
+    // doc whose every token is non-alphabetic still surfaces with
+    // zero counts — the oracle's LEFT JOIN shape.
+    val norm = lower(regexp_replace(col("col"), "[^a-zA-Z]", ""))
+    val docWords = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode_outer(expr(NorthStar.toksExpr)))
+      .select(col("doc_id"), col("pos"),
+        when(length(norm) > 0, norm).as("word"))
+    val perDoc = docWords.join(dict, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("word").isNotNull, 1L).otherwise(0L)).as("n_words"),
+        sum(when(col("word").isNotNull, size(split(col("enc"), " ")))
+          .otherwise(0L)).cast("long").as("n_pieces"),
+        array_join(transform(array_sort(collect_list(
+            when(col("word").isNotNull, struct(col("pos"), col("enc"))))),
+          x => x.getField("enc")), " ").as("encoded"))
+      .orderBy(col("doc_id"))
+    perDoc
+  }
+
+  val oracle = Some {
+    val fin = s"c$EmRounds"
+    s"""
+    WITH ${Q64hUnigramVocab.duckTrainChain},
+    ${"vfin"}t AS (SELECT SUM(c + 1) AS t FROM $fin),
+    vfin AS (SELECT piece,
+      CAST(floor(1000000 * ln(CAST(c + 1 AS DOUBLE))) AS BIGINT)
+        - (SELECT CAST(floor(1000000 * ln(CAST(t AS DOUBLE))) AS BIGINT)
+           FROM ${"vfin"}t) AS q
+      FROM $fin),
+    ${Q64hUnigramVocab.duckViterbi("fe", "vfin")},
+    base AS (SELECT doc_id, ${NorthStar.duckToks} AS t FROM documents),
+    wt AS (SELECT doc_id, wi,
+        lower(regexp_replace(t[wi], '[^a-zA-Z]', '', 'g')) AS w
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS wi FROM base)),
+    ww AS (SELECT doc_id, wi, w FROM wt WHERE length(w) > 0),
+    perdoc AS (SELECT ww.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_words,
+      CAST(SUM(len(string_split(e.enc, ' '))) AS BIGINT) AS n_pieces,
+      string_agg(e.enc, ' ' ORDER BY ww.wi) AS encoded
+      FROM ww JOIN feenc e ON e.w = ww.w GROUP BY ww.doc_id)
+    SELECT b.doc_id,
+      COALESCE(p.n_words, 0) AS n_words,
+      COALESCE(p.n_pieces, 0) AS n_pieces,
       COALESCE(p.encoded, '') AS encoded
     FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id
     ORDER BY b.doc_id

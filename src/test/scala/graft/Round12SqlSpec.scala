@@ -158,6 +158,9 @@ class Round12SqlSpec extends SparkSpec {
       // q64g: the DuckDB oracle is a mechanical relational unroll of the
       // greedy longest-piece fold (bounded steps) — squarely class C.
       "q64g_wordpiece_encode",
+      // q64i (round 13): encode = dictionary join; the oracle's Viterbi
+      // unroll is the same bounded-steps technique as q64g's.
+      "q64i_unigram_encode",
       // q18g: the serve is one groupBy over the persisted labels table
       // (the q19e/q70b store-serve shape, without even a join).
       "q18g_dedup_labels_store")
@@ -168,7 +171,10 @@ class Round12SqlSpec extends SparkSpec {
     val driverIteration = Set(
       "q59_graph_pagerank", "q62_vocab_coverage", "q68_heavy_hitters",
       "q69_score_deciles", "q64_bpe_merges", "q64c_bpe_merges_local",
-      "q18f_dedup_clusters")
+      "q18f_dedup_clusters",
+      // q64h (round 13): the hard-EM loop collects a vocab-sized count
+      // table per round to rebuild the quantized score map.
+      "q64h_unigram_vocab")
     // (E) spark.ml training inside the plan: SQL has no spelling for
     // the fit (serve paths ARE SQL-twinned where persisted — q19e,
     // q70b above).
