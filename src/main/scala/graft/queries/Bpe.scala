@@ -46,7 +46,7 @@ object Bpe {
   val all: Seq[GraftQuery] =
     Seq(Q64BpeMerges, Q64bBpeEncode, Q64cBpeMergesLocal, Q64dBpeEncodeLocal,
       Q64eBpeEncodeStore, Q64fVocabDrift, Q64gWordpieceEncode,
-      Q64hUnigramVocab, Q64iUnigramEncode)
+      Q64hUnigramVocab, Q64iUnigramEncode, Q64jWordpieceEncodeStore)
 
   /** The ONE corpus-scale step of BPE learning: token/normalize (q1's
     * definition) and the word-frequency reduction. Everything after
@@ -654,7 +654,7 @@ object Q64gWordpieceEncode extends GraftQuery {
     "atch", "ast", "dow", "ector", "erge", "le", "olumn", "omer",
     "roup", "tream", "ue", "uery")
   /** Longest piece is 5 chars; probe one past it. */
-  private val MaxProbe = 6
+  private[queries] val MaxProbe = 6
 
   /** Steps the oracle unrolls. The Spark side folds length(word)
     * steps; the oracle is only equivalent for words of ≤ this many
@@ -1066,4 +1066,111 @@ object Q64iUnigramEncode extends GraftQuery {
     ORDER BY b.doc_id
   """.trim
   }
+}
+
+/** Q64j — WordPiece encode against the PERSISTED piece-vocabulary
+  * STORE: q64g's production shape (VERDICT r12 "what's missing" #4).
+  * q64g carries the piece vocabulary as a constant-folded plan
+  * literal — fine for a 51-piece fixture, wrong for a production
+  * 30k-piece vocab (a megabyte-scale expression tree re-analyzed by
+  * every query). Here the vocabulary is a STORE TABLE (the q64e
+  * lifecycle: fingerprint-named, commit-marker + cross-process lock
+  * via `plans/Stores`), and the greedy longest-match-first loop is
+  * re-expressed as a bounded RELATIONAL unroll — the same technique
+  * q64g's own DuckDB oracle uses — where each step probes the piece
+  * lengths with one BROADCAST equi-join against the store:
+  *
+  *   state(w, pos, acc, unk) → explode probe lengths 1..MaxProbe →
+  *   key = substring(w, pos, l) → broadcast-join pieces(piece, cont)
+  *   → max piece length per word → advance.
+  *
+  * One state row per DISTINCT word (vocabulary-sized, never the
+  * corpus), OracleSteps fixed steps (the corpus word-length bound
+  * WordpieceSpec pins), lazy localCheckpoint per step to keep the
+  * plan linear (the q64 learn-loop rule); the corpus-scale step is
+  * the per-doc dictionary join-back (the q64b rule: encode is a
+  * join, never a re-fold). At 100 TB: piece store broadcast (vocab ≤
+  * MBs), 10 joins over ~10⁷ distinct-word state rows, one corpus
+  * equi-join. Round13dSpec asserts the vocab arrives by broadcast
+  * from the store scan — NOT re-collected into a literal.
+  *
+  * SHARES q64g's oracle: literal tier and store tier must be
+  * row-identical, and the hash gate holds both to it. */
+object Q64jWordpieceEncodeStore extends GraftQuery {
+  import Q64gWordpieceEncode.{InitPieces, ContPieces, MaxProbe, OracleSteps}
+  val name = "q64j_wordpiece_encode_store"
+  private val prefix = "graft_wpstore"
+
+  /** Build (or bind) the persisted piece table for this corpus
+    * snapshot (the vocab is a shipped artifact, versioned with the
+    * corpus like q64e's). */
+  private[graft] def ensurePieces(spark: SparkSession, dir: String): String =
+    graft.plans.Stores.ensure(spark, prefix, dir, Seq("pieces")) {
+      case Seq(piecesT) =>
+        import spark.implicits._
+        (InitPieces.map((_, 0)) ++ ContPieces.map((_, 1)))
+          .toDF("piece", "cont")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(piecesT)
+    }.head
+
+  /** The greedy fold, relationally: OracleSteps broadcast-join steps
+    * over one state row per distinct word. */
+  private[graft] def encodeDict(spark: SparkSession, dir: String,
+      piecesT: String, steps: Int = OracleSteps,
+      checkpoint: Boolean = true): DataFrame = {
+    val pieces = broadcast(spark.table(piecesT)
+      .select(col("piece"), col("cont"), length(col("piece")).as("plen")))
+    var st = Tables.documents(spark, dir)
+      .select(explode(expr(NorthStar.toksExpr)).as("w")).distinct()
+      .select(col("w"), lit(1).as("pos"), lit("").as("acc"),
+        lit(false).as("unk"))
+      .localCheckpoint(false)
+    for (_ <- 1 to steps) {
+      val isActive = !col("unk") && col("pos") <= length(col("w"))
+      val ml = st.filter(isActive)
+        .select(col("w"), col("pos"), explode(expr(
+          s"sequence(1, least($MaxProbe, length(w) - pos + 1))")).as("l"))
+        .join(pieces,
+          expr("substring(w, pos, l)") === col("piece") &&
+            (col("pos") > 1).cast("int") === col("cont"))
+        .groupBy(col("w")).agg(max(col("plen")).as("ml"))
+      val stepped = st.filter(isActive).join(ml, Seq("w"), "left")
+        .select(col("w"),
+          when(col("ml").isNull, col("pos"))
+            .otherwise(col("pos") + col("ml")).as("pos"),
+          when(col("ml").isNull, col("acc")).otherwise(concat(col("acc"),
+            when(col("acc") === "", "").otherwise(" "),
+            when(col("pos") > 1, "##").otherwise(""),
+            expr("substring(w, pos, ml)"))).as("acc"),
+          col("ml").isNull.as("unk"))
+      st = st.filter(!isActive).unionByName(stepped)
+      // Lineage barrier per step (the q64 learn-loop rule): without
+      // it the plan doubles per step (st feeds two branches).
+      if (checkpoint) st = st.localCheckpoint(false)
+    }
+    st.select(col("w"),
+      when(col("unk") || col("pos") <= length(col("w")), lit("[UNK]"))
+        .otherwise(col("acc")).as("enc"))
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val dict = encodeDict(spark, dir, ensurePieces(spark, dir))
+    val docWords = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode_outer(expr(NorthStar.toksExpr)))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+    docWords.join(dict, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("w").isNotNull, 1L).otherwise(0L)).as("n_words"),
+        sum(when(col("w").isNotNull, size(split(col("enc"), " ")))
+          .otherwise(0L)).cast("long").as("n_pieces"),
+        sum(when(col("enc") === "[UNK]", 1L).otherwise(0L)).as("n_unk"),
+        array_join(transform(array_sort(collect_list(
+            when(col("w").isNotNull, struct(col("pos"), col("enc"))))),
+          x => x.getField("enc")), " ").as("encoded"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oracle: Option[String] = Q64gWordpieceEncode.oracle
 }

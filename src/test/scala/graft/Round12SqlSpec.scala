@@ -161,6 +161,9 @@ class Round12SqlSpec extends SparkSpec {
       // q64i (round 13): encode = dictionary join; the oracle's Viterbi
       // unroll is the same bounded-steps technique as q64g's.
       "q64i_unigram_encode",
+      // q64j (round 13): q64g's greedy fold as a fixed-depth relational
+      // unroll over the piece store — literally the oracle's own shape.
+      "q64j_wordpiece_encode_store",
       // q18g: the serve is one groupBy over the persisted labels table
       // (the q19e/q70b store-serve shape, without even a join).
       "q18g_dedup_labels_store")
