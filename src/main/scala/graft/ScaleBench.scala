@@ -436,6 +436,45 @@ object ScaleBench {
       if (!wantStores ||
           sys.env.getOrElse("SPARK_GRAFT_SCALE1000", "0") != "1") Map.empty
       else { synthesize1000(spark, sfDir); storePoints(Scale1000Dir) }
+    // Text-dedup CLOSURE at the deep decades (VERDICT r12 item 7):
+    // the label-propagation loop is O(component-diameter) iterations
+    // × one shuffle each — the most plausible remaining superlinear
+    // candidate past its 100× tuning point. Three points per decade:
+    // the closure itself (q18f), the pay-once labels-store build
+    // (q18g = closure + bucketed persist) and the store serve (the
+    // production read path every q42/q58 consumer takes). 100× runs
+    // with SCALE100 (default on when filtered here); 1000× is the
+    // same opt-in as the store family (SPARK_GRAFT_SCALE1000=1).
+    val closureNames = Seq("q18f_closure", "q18g_store_build",
+      "q18g_store_serve")
+    val wantClosure = only.forall(names => closureNames.exists(names))
+    def closurePoints(dir: String): Map[String, Double] = {
+      def t1(body: => Unit): Double =
+        try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[scalebench] closure point @ $dir FAILED: ${e.getMessage}")
+          -1.0 }
+      val closure = math.min(
+        t1(Q18fDedupClusters.run(spark, dir)
+          .write.format("noop").mode("overwrite").save()),
+        t1(Q18fDedupClusters.run(spark, dir)
+          .write.format("noop").mode("overwrite").save()))
+      graft.plans.Stores.evict(spark, "graft_lblstore")
+      val build = t1(Q18gDedupLabelsStore.ensureStore(spark, dir))
+      def serveOnce() = t1(Q18gDedupLabelsStore.run(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+      val serve = math.min(serveOnce(), serveOnce())
+      graft.plans.Stores.evict(spark, "graft_lblstore")
+      Map("q18f_closure" -> closure, "q18g_store_build" -> build,
+        "q18g_store_serve" -> serve)
+    }
+    val cl100: Map[String, Double] =
+      if (!wantClosure || !scale100Enabled) Map.empty
+      else { synthesize100(spark, sfDir); closurePoints(Scale100Dir) }
+    val cl1000: Map[String, Double] =
+      if (!wantClosure ||
+          sys.env.getOrElse("SPARK_GRAFT_SCALE1000", "0") != "1") Map.empty
+      else { synthesize1000(spark, sfDir); closurePoints(Scale1000Dir) }
     spark.stop()
     def row(qs: Seq[GraftQuery], m: Map[String, Double]) = qs
       .map(q => "\"" + q.name + "\":" + f"${m(q.name)}%.3f")
@@ -491,6 +530,18 @@ object ScaleBench {
         .mkString("{", ",", "}")
       println(s"""{"scale":"sf0.1x100","queries":${row(deep, at100)}}""")
       println(s"""{"ratio_100x_vs_10x":$r2}""")
+    }
+    if (cl100.nonEmpty) {
+      def crow(m: Map[String, Double]) = closureNames
+        .map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
+      println(s"""{"scale_closure":"sf0.1x100","points":${crow(cl100)}}""")
+      if (cl1000.nonEmpty) {
+        val cr = closureNames
+          .map(n => "\"" + n + "\":" + f"${ratio(cl1000(n), cl100(n))}%.2f")
+          .mkString("{", ",", "}")
+        println(s"""{"scale_closure":"sf0.1x1000","points":${crow(cl1000)}}""")
+        println(s"""{"closure_ratio_1000x_vs_100x":$cr}""")
+      }
     }
   }
 }

@@ -270,6 +270,7 @@ object NorthStar {
     Q18eDedupEmbedding, Q18fDedupClusters, Q18gDedupLabelsStore,
     Q19SimilarityTopK, Q19bAnnLsh,
     Q19cAnnSparkMl, Q19dAnnIvf, Q19eAnnIvfStore, Q19fAnnRebalance,
+    Q19gAnnPq,
     Q20TopTermsPerLang, Q21LanguageId,
     Q22QualityScore, Q23TokenCount, Q24Fingerprint, Q26TfIdf,
     Q42CorpusClean, Q42bCorpusCleanFull, Q43TopBigrams, Q44SourceCap,
@@ -2042,4 +2043,150 @@ object Q24Fingerprint extends GraftQuery {
     SELECT doc_id, fingerprint, count(*) OVER (PARTITION BY fingerprint) AS n_same
     FROM fp ORDER BY doc_id
   """.trim)
+}
+
+/** Q19g — IVF + PRODUCT QUANTIZATION (Jégou, Douze, Schmid 2011:
+  * "Product Quantization for Nearest Neighbor Search"): the MEMORY
+  * tier of the persisted ANN index. At 100 TB the raw vectors
+  * dominate the index footprint (q19e's lists table stores 64
+  * doubles = 512 B per vector); PQ splits each vector into [[M]]
+  * subvectors, trains one [[Ks]]-centroid codebook per subspace
+  * (seeded spark.ml KMeans — the q19e fit discipline), and stores
+  * each vector as M 4-bit codes + the shared codebooks: the serve
+  * scan reads [[M]] small ints per vector instead of 64 doubles.
+  *
+  * Serve is the paper's IVFADC with exact re-ranking:
+  *  1. coarse probe — q19e's O(K) driver sqdist picks nProbe lists;
+  *     the CODES table is partitioned by list_id like the lists
+  *     table, so the scan prunes K−nProbe partitions (plan-asserted).
+  *  2. ADC — the query builds an M×Ks lookup table (per-subspace
+  *     dot + codebook-centroid norms, O(M·Ks) driver work, broadcast)
+  *     and each candidate's approximate cosine is a SUM of M lookups:
+  *     map-side join + one aggregation, never touching raw vectors.
+  *  3. exact re-rank — the [[Rerank]] best ADC candidates are
+  *     re-scored with the SAME decimal exact-cosine arithmetic as
+  *     q19d/q19e (`exactCosineTopK`) over a vec_id semi-join against
+  *     the pruned lists partitions, so the surfaced top-10 carries
+  *     EXACT cosines and the PQ error only costs recall, not score
+  *     fidelity — the production IVFADC+R configuration.
+  *
+  * Rows-only driver check like the rest of the trained ANN family
+  * (KMeans float iterations aren't relationally replayable);
+  * AnnPqSpec pins determinism, the recall floor vs both the exact
+  * baseline (q19) and the uncompressed store tier (q19e), the
+  * partition-pruned codes scan, and the measured bytes-per-vector
+  * compression against the lists table. */
+object Q19gAnnPq extends GraftQuery {
+  import NorthStar._
+  val name = "q19g_ann_pq"
+  /** Subspaces (64-dim embedding → 8 subvectors of 8 dims). */
+  val M = 8
+  val SubDim = 8
+  /** Codes per subspace codebook (4 bits/code → 8×4 = 32 bits/vector
+    * vs 4096 bits raw). */
+  val Ks = 16
+  /** ADC candidates kept for the exact re-rank pass. */
+  val Rerank = 50
+  private val prefix = "graft_pqstore"
+
+  /** Build (or bind) the PQ tier over the BOUND q19e index: returns
+    * (centroids, lists, codebooks, codes). The codebooks/codes build
+    * is fingerprint-gated exactly like every store (one KMeans suite
+    * per corpus snapshot, then only tables). */
+  private[graft] def ensurePqStore(spark: SparkSession, dir: String)
+      : (String, String, String, String) = {
+    val (centT, listsT) = Q19eAnnIvfStore.ensureStore(spark, dir)
+    val names = graft.plans.Stores.ensure(
+        spark, prefix, dir, Seq("codebooks", "codes"),
+        fpTables = Seq("embeddings.parquet")) { case Seq(cbT, codesT) =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      import spark.implicits._
+      val base = spark.table(listsT)
+        .select(col("vec_id"), col("list_id"),
+          col("embedding").cast("array<double>").as("emb"))
+        .localCheckpoint()
+      // One seeded KMeans per subspace; each fit sees only its
+      // 8-dim slice. M fits over the same pinned frame.
+      val cbs = (0 until M).flatMap { m =>
+        val sub = base.select(array_to_vector(
+          expr(s"slice(emb, ${m * SubDim + 1}, $SubDim)")).as("features"))
+        new KMeans().setK(Ks).setSeed(42 + m).setMaxIter(20)
+          .setFeaturesCol("features").setPredictionCol("code").fit(sub)
+          .clusterCenters.zipWithIndex
+          .map { case (c, i) => (m, i, c.toArray.toSeq) }
+      }
+      cbs.toDF("sub_id", "code_id", "centroid")
+        .write.format("parquet").saveAsTable(cbT)
+      // Encode: nearest codebook centroid per (vector, subspace) —
+      // broadcast the M·Ks codebook rows, exact-double argmin with
+      // ties to the lowest code (total order), reassemble the M-code
+      // array in subspace order.
+      val subs = base.select(col("vec_id"), col("list_id"),
+        posexplode(expr(s"transform(sequence(0, ${M - 1}), " +
+          s"m_ -> slice(emb, m_ * $SubDim + 1, $SubDim))"))
+          .as(Seq("sub_id", "sv")))
+      subs.join(broadcast(spark.table(cbT)), "sub_id")
+        .withColumn("d2", expr("aggregate(zip_with(sv, centroid, " +
+          "(x_, c_) -> (x_ - c_) * (x_ - c_)), 0D, (a_, v_) -> a_ + v_)"))
+        .groupBy(col("vec_id"), col("list_id"), col("sub_id"))
+        .agg(min(struct(col("d2"), col("code_id"))).as("b"))
+        .groupBy(col("vec_id"), col("list_id"))
+        .agg(transform(array_sort(collect_list(
+            struct(col("sub_id"), col("b.code_id").as("code")))),
+          x => x.getField("code")).as("code"))
+        .select(col("list_id"), col("vec_id"), col("code"))
+        .write.format("parquet").partitionBy("list_id").saveAsTable(codesT)
+    }
+    (centT, listsT, names(0), names(1))
+  }
+
+  /** IVFADC+R serve against the bound tables. */
+  private[graft] def query(spark: SparkSession, dir: String,
+      centT: String, listsT: String, cbT: String, codesT: String,
+      nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    // Coarse probe: O(K) driver rows (the q19e rule).
+    val probe = spark.table(centT).collect()
+      .map { r =>
+        val c = r.getSeq[Double](1)
+        (r.getInt(0), c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy(_._2).take(nProbe).map(_._1).toSeq
+    // ADC lookup table: O(M·Ks) driver rows, broadcast.
+    val lut = broadcast(spark.table(cbT).collect().map { r =>
+      val (m, code) = (r.getInt(0), r.getInt(1))
+      val c = r.getSeq[Double](2)
+      val qSub = qVec.slice(m * SubDim, (m + 1) * SubDim)
+      (m, code, c.zip(qSub).map { case (x, q) => x * q }.sum,
+        c.map(x => x * x).sum)
+    }.toSeq.toDF("sub_id", "code_id", "qdot", "cn2"))
+    // ADC: approximate cosine from M lookups per candidate, over the
+    // partition-pruned codes scan.
+    val qn2 = qVec.map(x => x * x).sum
+    val adc = spark.table(codesT)
+      .filter(col("list_id").isin(probe: _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"), posexplode(col("code")).as(Seq("sub_id", "code_id")))
+      .join(lut, Seq("sub_id", "code_id"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qdot")).as("adot"), sum(col("cn2")).as("an2"))
+      .select(col("vec_id"),
+        (col("adot") / (sqrt(col("an2")) * lit(math.sqrt(qn2)))).as("acos"))
+      .orderBy(col("acos").desc, col("vec_id").asc)
+      .limit(Rerank)
+    // Exact re-rank of the ADC shortlist: raw vectors read ONLY for
+    // Rerank ids, from the already-pruned lists partitions.
+    val raw = spark.table(listsT)
+      .filter(col("list_id").isin(probe: _*) && col("vec_id") =!= 0)
+      .join(adc.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    Q19dAnnIvf.exactCosineTopK(spark, dir, raw)
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (centT, listsT, cbT, codesT) = ensurePqStore(spark, dir)
+    query(spark, dir, centT, listsT, cbT, codesT, Q19dAnnIvf.NProbe)
+  }
+
+  val oracle = None
 }

@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.Engine
+
+import org.apache.spark.sql.functions._
+
+/** q18f decomposition probe (round 13): the fixture regenerated this
+  * round and q18f moved 5.7 → 14.7 s quiet — name the term. Times
+  * the shingle frame, each pair pipeline, and the label loop
+  * (iteration count + per-iteration cost) separately. Not a test;
+  * `Test/runMain graft.DiagClosure [dir]`. */
+object DiagClosure {
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.configure(org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    def t(b: => Unit): Double = {
+      val t0 = System.nanoTime(); b; (System.nanoTime() - t0) / 1e9 }
+    // warmup
+    Q18DedupExact.run(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    var sh: org.apache.spark.sql.DataFrame = null
+    val tSh = t { sh = NorthStar.shingleSets(spark, dir).persist()
+      sh.count() }
+    var mh: org.apache.spark.sql.DataFrame = null
+    val tMh = t { mh = Q18bDedupMinHash.pairsFrom(sh)
+      .select(col("doc_a"), col("doc_b")).persist(); mh.count() }
+    var ng: org.apache.spark.sql.DataFrame = null
+    val tNg = t { ng = Q18dDedupNgram.pairsFrom(sh)
+      .select(col("doc_a"), col("doc_b")).persist(); ng.count() }
+    println(f"DIAG shingles=$tSh%.2f minhashPairs=$tMh%.2f (${mh.count()}) " +
+      f"ngramPairs=$tNg%.2f (${ng.count()})")
+    val pairs = mh.union(ng).persist()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
+      .persist()
+    println(f"DIAG nodes=${labels.count()} pairs=${pairs.count()}")
+    def lblSum(df: org.apache.spark.sql.DataFrame): Long = {
+      val r = df.agg(sum(col("lbl"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = -1L
+    var curSum = lblSum(labels)
+    var iters = 0
+    val tLoop = t {
+      while (curSum != prevSum) {
+        iters += 1
+        val it = t {
+          val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+            .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+          val next = labels.as("o")
+            .join(nbrMin, col("o.id") === nbrMin("src"), "left")
+            .select(col("o.id").as("id"),
+              least(col("o.lbl"), coalesce(col("nlbl"), col("o.lbl"))).as("lbl"))
+            .persist()
+          prevSum = curSum
+          curSum = lblSum(next)
+          labels.unpersist()
+          labels = next
+        }
+        println(f"DIAG iter=$iters sec=$it%.2f sum=$curSum")
+      }
+    }
+    println(f"DIAG loop=$tLoop%.2f iters=$iters")
+    spark.stop()
+  }
+}

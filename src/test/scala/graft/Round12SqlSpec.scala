@@ -183,7 +183,9 @@ class Round12SqlSpec extends SparkSpec {
     // q70b above).
     val mlTrained = Set(
       "q19c_ann_sparkml", "q19d_ann_ivf", "q70c_semantic_dedup_trained",
-      "q55b_classifier_trained")
+      "q55b_classifier_trained",
+      // q19g (round 13): M seeded KMeans codebooks inside the build.
+      "q19g_ann_pq")
     // (F) binary-codec mapPartitions (ImageIO/PCM decode) feeding the
     // relational tail — the decode step has no SQL form; the banded
     // tail's SQL shape is twinned via q25d.
