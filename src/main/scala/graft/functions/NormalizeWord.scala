@@ -132,6 +132,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exact("graft_asof_le", 2)(children)
         graft.plans.AsofLessEqual(children(0), children(1))
       }))
+    // Spark's own bloom-filter expressions (the runtime-filter
+    // machinery's internals, public classes but not registered as SQL
+    // functions) surfaced as first-class functions — the membership
+    // SKETCH a 100 TB decontamination prefilter needs (q46c):
+    // graft_bloom_agg(xxhash64-long[, estItems[, numBits]]) -> binary,
+    // graft_bloom_contains(binary-or-scalar-subquery, long) -> boolean.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+        case Seq(c, n, b) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+        case _ =>
+          exact("graft_bloom_agg", 1)(children); null // unreachable
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        exact("graft_bloom_contains", 2)(children)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }))
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
     ext.injectOptimizerRule(_ => graft.plans.AsofJoinRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

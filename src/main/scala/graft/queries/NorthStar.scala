@@ -275,7 +275,8 @@ object NorthStar {
     Q22QualityScore, Q23TokenCount, Q24Fingerprint, Q26TfIdf,
     Q42CorpusClean, Q42bCorpusCleanFull, Q43TopBigrams, Q44SourceCap,
     Q45TokenPacking,
-    Q46Decontaminate, Q46bDecontaminateDfCap, Q47Repetition, Q48MixSample,
+    Q46Decontaminate, Q46bDecontaminateDfCap, Q46cDecontaminateBloom,
+    Q47Repetition, Q48MixSample,
     Q49CrossDocParagraphs)
 }
 
@@ -2189,4 +2190,53 @@ object Q19gAnnPq extends GraftQuery {
   }
 
   val oracle = None
+}
+
+/** Q46c — decontamination behind a BLOOM-FILTER prefilter: the
+  * membership-sketch tier of q46, and the shape a 100 TB run
+  * actually takes. q46 shuffles EVERY train-split gram hash into the
+  * train×test equi-join; at corpus scale almost none of them match
+  * anything (the benchmark set is minuscule next to the corpus), so
+  * the join's shuffle is dominated by rows that contribute nothing.
+  * Here the test-split gram hashes build ONE bloom filter (Spark's
+  * own `BloomFilterAggregate`, surfaced as `graft_bloom_agg` via
+  * GraftExtensions — the same sketch the engine's runtime-filter
+  * machinery injects, applied deliberately), delivered to the
+  * train-side scan as a SCALAR SUBQUERY (`graft_bloom_contains` —
+  * exactly the `BloomFilterMightContain` form Spark's injected
+  * runtime filters use, so the filter evaluates map-side before any
+  * exchange), and only might-contain survivors enter the exact join.
+  *
+  * The sketch changes NO semantics: bloom filters have no false
+  * negatives, and false positives are killed by the exact equi-join
+  * they precede — so q46c is row-identical to q46 by construction
+  * and SHARES its oracle (the hash gate holds the sketch tier to the
+  * exact tier). What it changes is the join's input volume: shuffle
+  * rows ≈ true matches + FP rate, instead of the whole corpus's gram
+  * stream. Round13eSpec pins row-parity, the might_contain prefilter
+  * in the executed plan, and the measured train-side reduction. */
+object Q46cDecontaminateBloom extends GraftQuery {
+  val name = "q46c_decontaminate_bloom"
+  private val viewSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Q46Decontaminate.gramFrame(spark, dir)
+    val v = s"graft_q46c_grams_${viewSeq.incrementAndGet()}"
+    grams.createOrReplaceTempView(v)
+    // Scalar subquery: the bloom build executes once, its bytes ride
+    // into the filter as a literal — Spark's own runtime-filter
+    // delivery mechanism, spelled explicitly.
+    val pre = spark.sql(s"""
+      SELECT doc_id, split, gh FROM $v
+      WHERE split = 'train' AND graft_bloom_contains(
+        (SELECT graft_bloom_agg(xxhash64(gh)) FROM $v WHERE split = 'test'),
+        xxhash64(gh))""")
+    Q46Decontaminate.report(spark, dir,
+      pre.unionByName(grams.filter(col("split") === "test")
+        .select(col("doc_id"), col("split"), col("gh"))))
+  }
+
+  /** Same decision, same report — the exact tier's oracle IS the
+    * sketch tier's gate. */
+  val oracle: Option[String] = Q46Decontaminate.oracle
 }

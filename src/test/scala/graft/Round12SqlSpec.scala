@@ -146,6 +146,10 @@ class Round12SqlSpec extends SparkSpec {
       "q42b_corpus_clean_full", "q43_top_bigrams", "q44_source_cap",
       "q45_token_packing", "q46_decontaminate", "q46b_decontaminate_dfcap",
       "q47_repetition", "q48_mix_sample", "q49_cross_doc_paragraphs",
+      // q46c (round 13): q46's semantics behind a lossless bloom
+      // prefilter (scalar subquery + graft_bloom_contains) — the
+      // oracle is q46's own.
+      "q46c_decontaminate_bloom",
       "q51_url_domains", "q52_mix_interleave", "q53_token_entropy",
       "q54_lm_perplexity", "q55_classifier_score", "q56_chunk_windows",
       "q57_delta_dedup", "q57b_delta_dedup_store", "q58_training_shards",
