@@ -46,7 +46,8 @@ object Bpe {
   val all: Seq[GraftQuery] =
     Seq(Q64BpeMerges, Q64bBpeEncode, Q64cBpeMergesLocal, Q64dBpeEncodeLocal,
       Q64eBpeEncodeStore, Q64fVocabDrift, Q64gWordpieceEncode,
-      Q64hUnigramVocab, Q64iUnigramEncode, Q64jWordpieceEncodeStore)
+      Q64hUnigramVocab, Q64iUnigramEncode, Q64jWordpieceEncodeStore,
+      Q64kUnigramEncodeStore)
 
   /** The ONE corpus-scale step of BPE learning: token/normalize (q1's
     * definition) and the word-frequency reduction. Everything after
@@ -1173,4 +1174,106 @@ object Q64jWordpieceEncodeStore extends GraftQuery {
   }
 
   val oracle: Option[String] = Q64gWordpieceEncode.oracle
+}
+
+/** Q64k — Unigram-LM encode against the PERSISTED score STORE: the
+  * production tier completing the Unigram family the way q64e/q64j
+  * complete BPE/WordPiece. q64i re-trains the hard-EM inventory on
+  * every run (the recompute tier) and carries the scores as a plan
+  * literal inside the DP fold; here the trained inventory's quantized
+  * scores are a STORE TABLE (one EM suite per corpus fingerprint,
+  * then only tables), and the Viterbi DP is re-expressed as a
+  * bounded RELATIONAL unroll — the oracle's own shape — where each
+  * position step extends the best paths with one BROADCAST equi-join
+  * against the store:
+  *
+  *   dp rows (w, j, sc, nn, enc) → candidates from dp[j−4..j−1] ×
+  *   substring key → broadcast-join pieces(piece, q) → per-word
+  *   max-of-struct (the SAME total tie order as q64h's fold and the
+  *   SQL chain: score desc, fewer pieces, enc desc) → dp[j].
+  *
+  * One dp row per (distinct word, position) — vocabulary-sized,
+  * never the corpus; OracleSteps fixed steps; lazy localCheckpoint
+  * per step (the q64 lineage rule); the corpus-scale step is the
+  * per-doc dictionary join-back (the q64b rule). At 100 TB: a 32k-
+  * piece score table broadcast (~MBs), 10 joins over ~10⁷ word-state
+  * rows, one corpus equi-join. Round13fSpec asserts the scores
+  * arrive by broadcast from the store scan and pins row-parity with
+  * the recompute tier; SHARES q64i's oracle (both tiers held to one
+  * hash gate). */
+object Q64kUnigramEncodeStore extends GraftQuery {
+  import Q64hUnigramVocab.{MaxPiece, OracleSteps, scoresOf}
+  val name = "q64k_unigram_encode_store"
+  private val prefix = "graft_unistore"
+
+  /** Build (or bind) the persisted (piece, cnt, q) score table for
+    * this corpus fingerprint — the EM suite runs at most once. */
+  private[graft] def ensureScores(spark: SparkSession, dir: String): String =
+    graft.plans.Stores.ensure(spark, prefix, dir, Seq("pieces")) {
+      case Seq(piecesT) =>
+        import spark.implicits._
+        val (inventory, _, _) = Q64hUnigramVocab.learn(spark, dir)
+        val q = scoresOf(inventory).toMap
+        inventory.map { case (p, c) => (p, c, q(p)) }
+          .toDF("piece", "cnt", "q")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(piecesT)
+    }.head
+
+  /** The Viterbi DP, relationally: OracleSteps broadcast-join steps
+    * over (word, position) state rows. */
+  private[graft] def encodeDict(spark: SparkSession, dir: String,
+      piecesT: String, steps: Int = OracleSteps,
+      checkpoint: Boolean = true): DataFrame = {
+    val pieces = broadcast(spark.table(piecesT)
+      .select(col("piece"), col("q"), length(col("piece")).as("plen")))
+    var dps = Bpe.wordFreq(spark, dir).select(col("word").as("w")).distinct()
+      .select(col("w"), lit(0).as("j"), lit(0L).as("sc"), lit(0).as("nn"),
+        lit("").as("enc"))
+      .localCheckpoint(false)
+    for (k <- 1 to steps) {
+      val cand = dps
+        .filter(col("j").between(k - MaxPiece, k - 1) &&
+          length(col("w")) >= k)
+        // piece covering positions j+1..k (length k − j ∈ 1..MaxPiece)
+        .withColumn("key", expr(s"substring(w, j + 1, $k - j)"))
+        .join(pieces, col("key") === col("piece") &&
+          col("plen") === (lit(k) - col("j")))
+        .select(col("w"),
+          (col("sc") + col("q")).as("sc"), (col("nn") - 1).as("nn"),
+          concat(col("enc"), when(col("j") === 0, "").otherwise(" "),
+            col("piece")).as("enc"))
+      val dpk = cand.groupBy(col("w"))
+        .agg(max(struct(col("sc"), col("nn"), col("enc"))).as("b"))
+        .select(col("w"), lit(k).as("j"), col("b.sc").as("sc"),
+          col("b.nn").as("nn"), col("b.enc").as("enc"))
+      dps = dps.unionByName(dpk)
+      // Lineage barrier per step (the q64 learn-loop rule).
+      if (checkpoint) dps = dps.localCheckpoint(false)
+    }
+    dps.filter(col("j") === length(col("w")))
+      .select(col("w").as("word"), col("enc"))
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val dict = encodeDict(spark, dir, ensureScores(spark, dir))
+    val norm = lower(regexp_replace(col("col"), "[^a-zA-Z]", ""))
+    val docWords = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode_outer(expr(NorthStar.toksExpr)))
+      .select(col("doc_id"), col("pos"),
+        when(length(norm) > 0, norm).as("word"))
+    docWords.join(dict, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("word").isNotNull, 1L).otherwise(0L)).as("n_words"),
+        sum(when(col("word").isNotNull, size(split(col("enc"), " ")))
+          .otherwise(0L)).cast("long").as("n_pieces"),
+        array_join(transform(array_sort(collect_list(
+            when(col("word").isNotNull, struct(col("pos"), col("enc"))))),
+          x => x.getField("enc")), " ").as("encoded"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Recompute tier and store tier answer to ONE gate. */
+  val oracle: Option[String] = Q64iUnigramEncode.oracle
 }

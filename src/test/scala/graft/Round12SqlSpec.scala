@@ -168,6 +168,9 @@ class Round12SqlSpec extends SparkSpec {
       // q64j (round 13): q64g's greedy fold as a fixed-depth relational
       // unroll over the piece store — literally the oracle's own shape.
       "q64j_wordpiece_encode_store",
+      // q64k (round 13): Viterbi DP as the same fixed-depth relational
+      // unroll over the unigram score store.
+      "q64k_unigram_encode_store",
       // q18g: the serve is one groupBy over the persisted labels table
       // (the q19e/q70b store-serve shape, without even a join).
       "q18g_dedup_labels_store")
