@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK-17 G1 GCLocker starvation under concurrent compressed block
+  // I/O: tasks inside JNI critical sections (codec reads of
+  // disk-persisted/shuffle blocks) pin GC while sibling tasks
+  // allocate; G1 retries an allocation only 2× before throwing a
+  // spurious OutOfMemoryError ("Retried waiting for GCLocker too
+  // often allocating 15 words" with a near-empty heap — observed on
+  // the 1000×-decade closure run, round 13). Raising the retry count
+  // is the standard public mitigation until GCLocker's JDK-21 removal.
+  "-XX:GCLockerRetryAllocationCount=64",
 )

@@ -36,6 +36,16 @@ object Engine {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config(NanosAsLong, "true")
     .config(InferNTZ, "false")
+    // Cached-batch row count sized so CONCURRENT columnar builders fit
+    // in heap for wide-row caches: the default 10000 rows/batch OOMed
+    // the 1000×-decade closure run (q18f's shingle cache — each task
+    // builds its whole batch's array<string> column in ByteBuffers
+    // that ensureFreeSpace grows by DOUBLING, ×32 concurrent tasks,
+    // EVEN on the disk-spill path, which serializes through the same
+    // builders; stack pinned in BASELINE round-13). 1000 rows/batch
+    // bounds the transient per-task allocation ~10× for the same
+    // cached bytes; fixture-scale bench impact measured nil.
+    .config("spark.sql.inMemoryColumnarStorage.batchSize", "1000")
     .config("spark.ui.enabled", "false")
 
   /** SQL FRONT DOOR: register every fixture table of `dir` as a temp

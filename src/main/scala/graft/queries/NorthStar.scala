@@ -440,13 +440,20 @@ object Q18fDedupClusters extends GraftQuery {
     // references it twice (both directions), and every loop iteration
     // is a separate action — without the cache the two full pair
     // pipelines would re-run 2× per action (measured 34 s vs 13 s at
-    // sf0.1). The shared shingle frame is MEMORY-cached, not
-    // exchange-anchored: the MinHash branch reduces early (explode +
-    // map-side partial agg), so shuffling the full shingle arrays to
-    // share them costs more than it saves, while the cache still
-    // feeds all four references (1× MinHash, 3× n-gram) from one
-    // tokenize+shingle pass.
-    val sh = NorthStar.shingleSets(spark, dir).persist()
+    // sf0.1). The shared shingle frame is DISK_ONLY, deliberately:
+    // it is a CORPUS-SCALE intermediate (array<string> per doc, re-
+    // read only 4× — 1× MinHash, 3× n-gram), and a memory-tier cache
+    // of corpus-scale data contends with execution in the unified
+    // pool — the 1000×-decade run OOMed at HashAggregateExec's
+    // INITIAL 256 KB map allocation while MEMORY_AND_DISK unrolling
+    // pinned storage (round-13 BASELINE). DISK_ONLY writes through
+    // without unroll pinning; at fixture scale the serde delta is
+    // noise, at executor scale it converts an OOM into sequential
+    // disk re-reads. Not exchange-anchored: the MinHash branch
+    // reduces early (explode + map-side partial agg), so shuffling
+    // the full shingle arrays to share them costs more than it saves.
+    val sh = NorthStar.shingleSets(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val pairs = Q18bDedupMinHash.pairsFrom(sh).select(col("doc_a"), col("doc_b"))
       .union(Q18dDedupNgram.pairsFrom(sh).select(col("doc_a"), col("doc_b")))
       .persist()
@@ -754,15 +761,30 @@ object Q18dDedupNgram extends GraftQuery {
   /** Verified pairs WITHOUT the final sort, over a caller-chosen
     * shingle frame — q18f consumes these. */
   private[queries] def pairsFrom(sh: DataFrame): DataFrame = {
+    // The candidate stage runs on 64-BIT GRAM HASHES, not gram
+    // strings: three corpus-token-scale shuffles (the df count, the
+    // per-doc rarity window, the prefix self-join) carry 8-byte longs
+    // instead of ~60-byte shingle text — measured as the difference
+    // between the 1000×-decade point exhausting local shuffle disk
+    // and completing (round-13 BASELINE; the MinHash branch already
+    // hashed pre-shuffle, this aligns the n-gram branch). Sound by
+    // the PPJoin prefix lemma: ANY fixed global token order admits
+    // the same guarantee — (hash-df, hash) is such an order — and a
+    // hash collision only MERGES two grams' df counts / candidate
+    // buckets, i.e. only ADDS candidates; the exact string-set
+    // intersection below remains the arbiter, so the verified output
+    // is unchanged (the DuckDB oracle keeps the string-order
+    // heuristic and must still hash-match).
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
-    val gdf = ex.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))
-    val prefix = ex.join(gdf, "g")
+      .select(col("doc_id"), col("n"), xxhash64(col("g")).as("gh"))
+    val gdf = ex.groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("gh"))
+    val prefix = ex.join(gdf, "gh")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - expr("(4*n + 4) div 5") + 1)
-      .select(col("doc_id"), col("g"))
+      .select(col("doc_id"), col("gh"))
     val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .join(prefix.as("b"), col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sa = sh.select(col("doc_id").as("ida"), col("sh").as("sha"), size(col("sh")).as("na"))

@@ -11,8 +11,19 @@ import org.apache.spark.sql.functions._
   * `Test/runMain graft.DiagClosure [dir]`. */
 object DiagClosure {
   def main(args: Array[String]): Unit = {
+    // Partition count is args(1), NOT an env var: `sbt -client`
+    // forks the runMain JVM from the long-lived sbt SERVER, whose
+    // environment was captured at server start — a client-side env
+    // assignment silently never arrives. Program args do.
+    val parts = if (args.length > 1) args(1) else "32"
+    // args(2) = local thread count: the decade points model a cluster
+    // that GROWS with the data — per-task memory slice is the posture
+    // under audit, so at the biggest decade we hold the slice constant
+    // (heap / threads) instead of letting 32 threads shrink it 1000×
+    // below any real executor's.
+    val threads = if (args.length > 2) args(2) else "32"
     val spark = Engine.configure(org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]").config("spark.sql.shuffle.partitions", "32"))
+      .master(s"local[$threads]").config("spark.sql.shuffle.partitions", parts))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -22,7 +33,8 @@ object DiagClosure {
     Q18DedupExact.run(spark, dir)
       .write.format("noop").mode("overwrite").save()
     var sh: org.apache.spark.sql.DataFrame = null
-    val tSh = t { sh = NorthStar.shingleSets(spark, dir).persist()
+    val tSh = t { sh = NorthStar.shingleSets(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       sh.count() }
     var mh: org.apache.spark.sql.DataFrame = null
     val tMh = t { mh = Q18bDedupMinHash.pairsFrom(sh)
