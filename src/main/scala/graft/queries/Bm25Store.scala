@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Q74b — BM25 served from the PERSISTED inverted-index store: q74's
+  * production shape. q74 re-tokenizes the corpus per query batch —
+  * correct, but at 100 TB the index is built ONCE per corpus snapshot
+  * and every query batch is index-sized work, which is exactly the
+  * split a search service runs (and the same build/serve split the
+  * repo's store column established: q57b signatures, q18g labels,
+  * q19e ANN lists, q64e/q64j/q64k vocabularies).
+  *
+  * Store family (shared [[graft.plans.Stores]] lifecycle):
+  *  - `postings` — (word, doc_id, tf), bucketed by `word` (16): the
+  *    inverted index. A query batch reads only the buckets its terms
+  *    hash to; the broadcast term join prunes before any exchange.
+  *  - `lengths` — (doc_id, dl), bucketed by `doc_id` (16): the BM25
+  *    length normalizer.
+  *  - `meta` — one row (n_docs, tot_tokens): the exact scalars; read
+  *    with one O(1) head().
+  *
+  * Serve = [[Q74Bm25.rank]] — the SAME scoring/ranking plan as the
+  * recompute tier (tiers cannot drift), fed from store scans instead
+  * of a corpus tokenize. df for the ≤|Q| distinct terms falls out of
+  * the scanned postings slice (already one row per (doc, word)), so
+  * no df table is persisted — it is never corpus-scale work.
+  *
+  * SHARES q74's oracle: the two tiers must be row-identical, and the
+  * driver hash-gate holds the store to the recompute semantics. */
+object Q74bBm25Store extends GraftQuery {
+  val name = "q74b_bm25_store"
+  private val prefix = "graft_bm25store"
+
+  /** Build (or bind) this corpus snapshot's (postings, lengths, meta). */
+  private[graft] def ensureStore(spark: SparkSession,
+      dir: String): (String, String, String) = {
+    val names = graft.plans.Stores.ensure(
+        spark, prefix, dir, Seq("postings", "lengths", "meta"),
+        buckets = Map("postings" -> (("word", 16)),
+          "lengths" -> (("doc_id", 16)))) { case Seq(postT, lenT, metaT) =>
+      val ws = Q74Bm25.words(spark, dir)
+      graft.plans.Bucketing.writeBucketed(
+        ws.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")),
+        postT, "word", 16)
+      graft.plans.Bucketing.writeBucketed(
+        ws.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")), lenT,
+        "doc_id", 16)
+      spark.sql(s"DROP TABLE IF EXISTS $metaT")
+      graft.plans.Stores.deleteTree(
+        graft.plans.Stores.warehouse(spark).resolve(metaT))
+      spark.table(lenT)
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("dl")).cast("long").as("tot_tokens"))
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(metaT)
+    }
+    (names(0), names(1), names(2))
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (postT, lenT, metaT) = ensureStore(spark, dir)
+    val meta = spark.table(metaT).head()
+    val qwords = Q74Bm25.querySet.flatMap(_._2).distinct.toDF("word")
+    val tf = spark.table(postT).join(broadcast(qwords), Seq("word"))
+    Q74Bm25.rank(spark, tf, spark.table(lenT),
+      meta.getLong(0), meta.getLong(1))
+  }
+
+  /** SAME oracle as q74: the store must serve exactly the recompute. */
+  val oracle: Option[String] = Q74Bm25.oracle
+}

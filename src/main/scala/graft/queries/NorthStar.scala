@@ -277,7 +277,7 @@ object NorthStar {
     Q45TokenPacking,
     Q46Decontaminate, Q46bDecontaminateDfCap, Q46cDecontaminateBloom,
     Q47Repetition, Q48MixSample,
-    Q49CrossDocParagraphs)
+    Q49CrossDocParagraphs, Q74Bm25, Q74bBm25Store)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).
@@ -1319,6 +1319,149 @@ object Q26TfIdf extends GraftQuery {
     SELECT doc_id, rn, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
     FROM r WHERE rn <= 3 ORDER BY doc_id, rn
   """.trim)
+}
+
+/** Q74 — BM25 ranked retrieval (Robertson/Spärck Jones; the Okapi
+  * k1/b form): top-10 documents per query for a fixed multi-query
+  * batch, scored against the corpus the inverted-index family (q1)
+  * already tokenizes. The ranking function the reference's index
+  * would need the moment someone ASKS it something.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - ONE corpus tokenize pass total: the per-doc length frame is
+  *    localCheckpointed (doc-count-scale, tiny) and feeds (a) the
+  *    N/avgdl scalars — exact BIGINTs, collected O(1) — and (b) the
+  *    per-doc normalizer join;
+  *  - the query-term table is a literal BROADCAST: tf is computed
+  *    only for matching (doc, term) pairs — the corpus-scale stream
+  *    is filtered to query terms BEFORE any shuffle (map-side
+  *    semi-reduction: candidate postings, not the corpus, ride the
+  *    groupBy);
+  *  - df for the ≤|Q| distinct terms falls out of the tf frame
+  *    (doc-count-scale) and broadcasts back;
+  *  - the per-(query, doc) sum folds a word-sorted struct array
+  *    (q54's order-deterministic float-sum pattern), and ranking
+  *    orders by the ROUNDED score so cross-engine ordering can never
+  *    diverge on an ulp.
+  * IEEE parity: N, df, tf, dl, Σdl are exact integers; avgdl is one
+  * division; the BM25 term is the same literal expression shape in
+  * both engines (ln + mul/div chain, round-4 after the fold — the
+  * q26 precedent). */
+object Q74Bm25 extends GraftQuery {
+  val name = "q74_bm25_retrieval"
+  // (query_id, terms) — drawn from the fixture generator's closed
+  // vocabulary so every query matches; k1/b are the standard Okapi
+  // defaults.
+  private[graft] val querySet: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "join", "fast"),
+    2 -> Seq("hash", "table"),
+    3 -> Seq("stream", "window", "agg"))
+  /** The corpus tokenize stream — (doc_id, word), q26's normalizer. */
+  private[queries] def words(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .select(col("doc_id"),
+        lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
+      .filter(col("word") =!= "")
+
+  /** Score + rank tail shared by the recompute and STORE tiers (the
+    * q64e/q64j rule: tiers share one scoring plan so they can never
+    * drift): `tf` = (doc_id, word, tf) restricted to query terms,
+    * `dl` = (doc_id, dl), scalars exact. */
+  private[queries] def rank(spark: SparkSession, tf: DataFrame,
+      dl: DataFrame, nDocs: Long, totTok: Long): DataFrame = {
+    import spark.implicits._
+    val qterms = querySet.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("query_id", "word")
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val avgdl = lit(totTok.toDouble / nDocs.toDouble)
+    val term = (
+      log((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+        (col("tf").cast("double") * lit(1.2 + 1.0)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(1.0 - 0.75) + lit(0.75) * col("dl").cast("double") / avgdl))
+      ).as("term")
+    val scored = tf.join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(qterms), Seq("word"))
+      .select(col("query_id"), col("doc_id"), col("word"), term)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("matched"),
+        sort_array(collect_list(struct(col("word"), col("term")))).as("ts"))
+      .withColumn("score", round(expr(
+        "aggregate(transform(ts, x_ -> x_.term), cast(0 as double), " +
+          "(a_, x_) -> a_ + x_)"), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("score"), col("matched"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ws = words(spark, dir)
+    // Doc lengths once, lineage-truncated: the scalar action below and
+    // the normalizer join both read the checkpoint blocks instead of
+    // re-tokenizing the corpus (blocks are ContextCleaner-reclaimed
+    // when the result is GC'd — the q18f note).
+    val dl = ws.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true)
+    val scal = dl.agg(count(lit(1)).cast("long"), sum(col("dl")).cast("long")).head()
+    val qwords = querySet.flatMap(_._2).distinct.toDF("word")
+    // Corpus-scale stream dies here: only query-term postings survive
+    // into the (doc, word) aggregation. The result is query-term-scale
+    // (≤|Q| rows per matching doc), and rank() consumes it TWICE (df
+    // rollup + scored chain) — Spark shares no DAG subtrees and the
+    // rollup's distinct-agg rewrite defeats exchange reuse, so without
+    // a barrier each branch would re-tokenize the corpus (measured:
+    // 2 scans). localCheckpoint pins the tiny frame; total corpus
+    // passes = the two genuinely different aggregations (dl, tf).
+    val tf = ws.join(broadcast(qwords), Seq("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    rank(spark, tf, dl, scal.getLong(0), scal.getLong(1))
+  }
+  val oracle = Some {
+    val qvals = querySet.flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    raw"""
+    WITH words AS (
+      SELECT doc_id,
+        lower(regexp_replace(unnest(string_split_regex(text, '\s+')), '[^a-zA-Z]', '', 'g')) AS word
+      FROM documents),
+    w AS (SELECT doc_id, word FROM words WHERE word <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+    scal AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+    q(query_id, word) AS (VALUES $qvals),
+    qw AS (SELECT DISTINCT word FROM q),
+    tf AS (SELECT w.doc_id, w.word, count(*) AS tf
+           FROM w JOIN qw ON w.word = qw.word GROUP BY w.doc_id, w.word),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    t AS (SELECT q.query_id, tf.doc_id, tf.word,
+        ln((CAST((SELECT n FROM scal) AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+             / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        * (CAST(tf.tf AS DOUBLE) * 2.2)
+        / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+             / (CAST((SELECT tot FROM scal) AS DOUBLE) / CAST((SELECT n FROM scal) AS DOUBLE)))) AS term
+      FROM tf
+      JOIN df ON tf.word = df.word
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN q ON q.word = tf.word),
+    s AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS matched,
+            round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list(term ORDER BY word ASC)), (a_, x_) -> a_ + x_), 4) AS score
+          FROM t GROUP BY query_id, doc_id),
+    r AS (SELECT query_id, doc_id, score, matched,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+          FROM s)
+    SELECT query_id, rank, doc_id, score, matched
+    FROM r WHERE rank <= 10 ORDER BY query_id, rank
+  """.trim
+  }
 }
 
 /** Q20 — top-5 terms per language by term frequency (Q1's tokenizer +

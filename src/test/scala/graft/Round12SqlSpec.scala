@@ -173,7 +173,11 @@ class Round12SqlSpec extends SparkSpec {
       "q64k_unigram_encode_store",
       // q18g: the serve is one groupBy over the persisted labels table
       // (the q19e/q70b store-serve shape, without even a join).
-      "q18g_dedup_labels_store")
+      "q18g_dedup_labels_store",
+      // q74/q74b (round 13): BM25 is joins + a window over exact
+      // integer stats with a sorted float fold — the oracle (shared
+      // by both tiers) is plain relational SQL.
+      "q74_bm25_retrieval", "q74b_bm25_store")
     // (D) driver-coordinated iteration / per-partition accumulators:
     // no single SQL statement computes these (a pagerank loop, BPE
     // merge loops, two-pass prefix sums, Misra-Gries coupled

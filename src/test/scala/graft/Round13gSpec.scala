@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+import graft.queries.{Q74Bm25, Q74bBm25Store}
+
+/** Round 13: BM25 ranked retrieval (q74) + its persisted-index store
+  * tier (q74b). The shared DuckDB oracle pins VALUES; these tests pin
+  * the POSTURE — the corpus-scale stream must die at a broadcast
+  * term filter (q74), and the store tier must serve from index scans
+  * with no corpus tokenize at all (q74b). */
+class Round13gSpec extends SparkSpec {
+
+  /** flattenPlan descends INTO ReusedExchangeExec (right for most
+    * posture asserts); counting distinct WORK needs the opposite — a
+    * reused exchange's subtree executes once, so stop there. */
+  private def flattenWork(
+      p: org.apache.spark.sql.execution.SparkPlan
+  ): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case _: ReusedExchangeExec    => Seq.empty
+      case other                    => other.children
+    }
+    p +: kids.flatMap(flattenWork)
+  }
+
+  test("q74: term joins broadcast; the served plan re-reads no corpus") {
+    val df = Q74Bm25.run(spark, sf)
+    df.collect() // let AQE finalize join strategies
+    val plan = flattenWork(df.queryExecution.executedPlan)
+    val bcast = plan.collect { case b: BroadcastHashJoinExec => b }
+    // df→scored and qterms→scored: both term tables are literal-sized
+    // and must broadcast (the qwords filter join lives in the
+    // checkpointed tf pass, below this plan).
+    assert(bcast.size >= 2, s"expected >=2 broadcast joins, got ${bcast.size}")
+    val corpusScans = plan.collect {
+      case f: FileSourceScanExec
+        if f.toString.contains("documents.parquet") => f
+    }
+    // Both corpus aggregations (dl, tf) are checkpointed barriers: the
+    // ranking plan reads their blocks, never the corpus — without the
+    // tf barrier the df rollup and the scored chain each re-ran the
+    // tokenize (measured: 2 corpus scans in this plan).
+    assert(corpusScans.isEmpty,
+      s"expected no corpus scan in the served plan, got ${corpusScans.size}")
+  }
+
+  test("q74 sanity: ranks contiguous from 1, scores nonincreasing, all queries answered") {
+    val rows = Q74Bm25.run(spark, sf).collect()
+    val byQ = rows.groupBy(_.getInt(0))
+    assert(byQ.keySet == Q74Bm25.querySet.map(_._1).toSet,
+      s"queries answered: ${byQ.keySet}")
+    byQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_.getInt(1)).toSeq
+      assert(ranks == (1 to rs.length), s"q$q ranks not contiguous: $ranks")
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted(Ordering[Double].reverse),
+        s"q$q scores not nonincreasing: $scores")
+    }
+  }
+
+  test("q74b: serve plan scans only store tables — no corpus tokenize") {
+    val df = Q74bBm25Store.run(spark, sf)
+    df.collect()
+    val plan = flattenPlan(df.queryExecution.executedPlan)
+    assert(!df.queryExecution.executedPlan.toString.contains("documents.parquet"),
+      "store tier re-read the corpus")
+    val storeScans = plan.collect {
+      case f: FileSourceScanExec
+        if f.tableIdentifier.exists(_.table.startsWith("graft_bm25store")) => f
+    }
+    assert(storeScans.size >= 2,
+      s"expected postings+lengths store scans, got ${storeScans.size}")
+  }
+
+  test("q74b: store tier is row-identical to the recompute tier (q74)") {
+    val a = Q74Bm25.run(spark, sf).collect().map(_.toString).toSeq
+    val b = Q74bBm25Store.run(spark, sf).collect().map(_.toString).toSeq
+    assert(a == b, s"tiers diverged: ${a.zip(b).find { case (x, y) => x != y }}")
+  }
+}
