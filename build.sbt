@@ -34,6 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // spurious OutOfMemoryError ("Retried waiting for GCLocker too
   // often allocating 15 words" with a near-empty heap — observed on
   // the 1000×-decade closure run, round 13). Raising the retry count
-  // is the standard public mitigation until GCLocker's JDK-21 removal.
-  "-XX:GCLockerRetryAllocationCount=64",
+  // is the standard public mitigation until GCLocker's JDK-21 removal;
+  // each retry waits out a GC cycle, so a high count trades a rare
+  // stall for never throwing the spurious OOM (64 still starved once
+  // under 16 concurrent shuffle-codec tasks; 512 held).
+  "-XX:GCLockerRetryAllocationCount=512",
 )

@@ -760,7 +760,18 @@ object Q18dDedupNgram extends GraftQuery {
     pairsFrom(shingleSets(spark, dir)).orderBy(col("doc_a"), col("doc_b"))
   /** Verified pairs WITHOUT the final sort, over a caller-chosen
     * shingle frame — q18f consumes these. */
-  private[queries] def pairsFrom(sh: DataFrame): DataFrame = {
+  private[queries] def pairsFrom(sh: DataFrame): DataFrame =
+    pairsFrom(sh, materializePrefix = false)
+
+  /** `materializePrefix`: localCheckpoint the (tiny — ~n/5 grams per
+    * doc) prefix frame so the df-count/join/window shuffles behind it
+    * become garbage before the candidate self-join runs. OFF in
+    * production (one job = full pipeline parallelism; a cluster's
+    * aggregate shuffle disk holds the overlap); ON in the single-box
+    * decade probe, where the phase's transient sort spills are the
+    * binding disk constraint (round-13 BASELINE). */
+  private[queries] def pairsFrom(sh: DataFrame,
+      materializePrefix: Boolean): DataFrame = {
     // The candidate stage runs on 64-BIT GRAM HASHES, not gram
     // strings: three corpus-token-scale shuffles (the df count, the
     // per-doc rarity window, the prefix self-join) carry 8-byte longs
@@ -779,10 +790,14 @@ object Q18dDedupNgram extends GraftQuery {
       .select(col("doc_id"), col("n"), xxhash64(col("g")).as("gh"))
     val gdf = ex.groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("gh"))
-    val prefix = ex.join(gdf, "gh")
+    val prefix0 = ex.join(gdf, "gh")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - expr("(4*n + 4) div 5") + 1)
       .select(col("doc_id"), col("gh"))
+    val prefix =
+      if (materializePrefix) { val p = prefix0.localCheckpoint(true)
+        System.gc(); p }
+      else prefix0
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

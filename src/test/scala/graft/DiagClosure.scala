@@ -4,17 +4,25 @@ import graft.Engine
 
 import org.apache.spark.sql.functions._
 
-/** q18f decomposition probe (round 13): the fixture regenerated this
-  * round and q18f moved 5.7 → 14.7 s quiet — name the term. Times
-  * the shingle frame, each pair pipeline, and the label loop
-  * (iteration count + per-iteration cost) separately. Not a test;
-  * `Test/runMain graft.DiagClosure [dir]`. */
+/** q18f decomposition probe (round 13): times the shingle frame, each
+  * pair pipeline, and the label loop (iteration count + per-iteration
+  * cost) separately. Not a test; `Test/runMain graft.queries.DiagClosure
+  * [dir] [shufflePartitions] [threads]`.
+  *
+  * LOCAL-DISK posture (the 1000× point): on a cluster, aggregate
+  * shuffle disk scales with executors; one machine's does not. The
+  * probe therefore truncates lineage after each SEQUENTIAL phase
+  * (localCheckpoint + System.gc, plus the mid-phase prefix
+  * checkpoint in the n-gram pipeline) so a phase's shuffle files are
+  * reclaimed before the next peaks — per-hop timings are unaffected;
+  * only the cross-phase disk overlap is removed. Production q18f
+  * keeps both pipelines in one job: the overlap buys parallelism a
+  * cluster has the disk to hold. (zstd shuffle compression was
+  * evaluated for this probe and REJECTED: its JNI critical sections
+  * are long enough to re-trigger G1 GCLocker starvation at 16
+  * concurrent codec tasks even at 512 retries — lz4 held.) */
 object DiagClosure {
   def main(args: Array[String]): Unit = {
-    // Partition count is args(1), NOT an env var: `sbt -client`
-    // forks the runMain JVM from the long-lived sbt SERVER, whose
-    // environment was captured at server start — a client-side env
-    // assignment silently never arrives. Program args do.
     val parts = if (args.length > 1) args(1) else "32"
     // args(2) = local thread count: the decade points model a cluster
     // that GROWS with the data — per-task memory slice is the posture
@@ -22,8 +30,13 @@ object DiagClosure {
     // (heap / threads) instead of letting 32 threads shrink it 1000×
     // below any real executor's.
     val threads = if (args.length > 2) args(2) else "32"
+    // Partition count is an ARG, not an env var: `sbt -client` forks
+    // the runMain JVM from the long-lived sbt SERVER, whose
+    // environment was captured at server start — a client-side env
+    // assignment silently never arrives. Program args do.
     val spark = Engine.configure(org.apache.spark.sql.SparkSession.builder()
-      .master(s"local[$threads]").config("spark.sql.shuffle.partitions", parts))
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", parts))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -38,13 +51,16 @@ object DiagClosure {
       sh.count() }
     var mh: org.apache.spark.sql.DataFrame = null
     val tMh = t { mh = Q18bDedupMinHash.pairsFrom(sh)
-      .select(col("doc_a"), col("doc_b")).persist(); mh.count() }
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true) }
+    System.gc() // release the MinHash pipeline's shuffle files
     var ng: org.apache.spark.sql.DataFrame = null
-    val tNg = t { ng = Q18dDedupNgram.pairsFrom(sh)
-      .select(col("doc_a"), col("doc_b")).persist(); ng.count() }
+    val tNg = t { ng = Q18dDedupNgram.pairsFrom(sh, materializePrefix = true)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true) }
+    sh.unpersist()
+    System.gc() // release the n-gram pipeline's shuffle files
     println(f"DIAG shingles=$tSh%.2f minhashPairs=$tMh%.2f (${mh.count()}) " +
       f"ngramPairs=$tNg%.2f (${ng.count()})")
-    val pairs = mh.union(ng).persist()
+    val pairs = mh.union(ng).localCheckpoint(true)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
