@@ -1371,19 +1371,32 @@ object Q74Bm25 extends GraftQuery {
     1 -> Seq("spark", "join", "fast"),
     2 -> Seq("hash", "table"),
     3 -> Seq("stream", "window", "agg"))
-  /** The corpus tokenize stream — (doc_id, word), q26's normalizer. */
-  private[queries] def words(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** Tokenize an arbitrary document frame — (doc_id, word), q26's
+    * normalizer; shared by the recompute tier, the store build, and
+    * the streaming index maintainer (s23). */
+  private[graft] def wordsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
       .select(col("doc_id"),
         lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
       .filter(col("word") =!= "")
 
+  /** Per-doc postings increment — the index rows `docs` contributes;
+    * doc_ids are unique across micro-batches, so per-batch postings
+    * APPEND without conflict (the s23 invariant). */
+  private[graft] def postingsOf(docs: DataFrame): DataFrame =
+    wordsOf(docs).groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The corpus tokenize stream — (doc_id, word), q26's normalizer. */
+  private[queries] def words(spark: SparkSession, dir: String): DataFrame =
+    wordsOf(Tables.documents(spark, dir))
+
   /** Score + rank tail shared by the recompute and STORE tiers (the
     * q64e/q64j rule: tiers share one scoring plan so they can never
     * drift): `tf` = (doc_id, word, tf) restricted to query terms,
     * `dl` = (doc_id, dl), scalars exact. */
-  private[queries] def rank(spark: SparkSession, tf: DataFrame,
+  private[graft] def rank(spark: SparkSession, tf: DataFrame,
       dl: DataFrame, nDocs: Long, totTok: Long): DataFrame = {
     import spark.implicits._
     val qterms = querySet.flatMap { case (q, ts) => ts.map(q -> _) }

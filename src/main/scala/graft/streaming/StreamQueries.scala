@@ -240,7 +240,7 @@ object StreamQueries {
     S15StreamBpeEncodeStore, S16StreamSemanticDedupStore,
     S17StreamMultimodalAdmission, S18StreamAudioDedupStore,
     S19StreamAnnIngest, S20StreamExcise, S21StreamWarc,
-    S22StreamVideoDedupStore)
+    S22StreamVideoDedupStore, S23StreamBm25Index)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -1455,4 +1455,76 @@ object S22StreamVideoDedupStore extends GraftQuery {
   }
 
   val oracle = Q25jVideoDedupStore.oracle
+}
+
+/** S23 — STREAMING BM25 INDEX MAINTENANCE: the retrieval family's
+  * stream tier (q74 recompute, q74b store, here the index kept fresh
+  * at INGEST TIME). Each micro-batch contributes its postings
+  * increment — `Q74Bm25.postingsOf(batch)`, the SAME tokenize+count
+  * the batch tiers run — appended exactly-once through the epoch
+  * guard ([[StreamQueries.maintainAppend]]: marker committed after
+  * the data append, replay scrubs a partial epoch and re-applies).
+  * Appends can never conflict: a doc_id arrives in exactly one batch,
+  * so the accumulated table IS the full postings index.
+  *
+  * Serve derives lengths and the N/Σdl scalars FROM the accumulated
+  * postings (dl = Σ tf per doc — the postings carry every word) and
+  * feeds q74's own rank() tail. A production deployment at 100 TB
+  * would additionally maintain the lengths/meta rollups incrementally
+  * (the q65 mergeable-partials pattern) instead of re-reducing the
+  * index per serve; at index scale that is one keyed reduce and the
+  * exactly-once maintenance — the part a stream can get wrong — is
+  * what this tier pins.
+  *
+  * The full corpus streamed through must serve exactly q74's batch
+  * answer: SHARES q74's oracle, one hash gate across all three tiers. */
+object S23StreamBm25Index extends GraftQuery {
+  import StreamQueries._
+  import graft.queries.Q74Bm25
+  val name = "s23_stream_bm25_index"
+  private val s23Run = new AtomicInteger(0)
+
+  /** Drive `docs` to completion, appending one postings increment per
+    * non-empty micro-batch to `postT`; returns epochs APPLIED. */
+  private[graft] def maintain(spark: SparkSession, postT: String,
+      docs: DataFrame, checkpoint: Option[String] = None): Long =
+    maintainAppend(spark, postT, docs, checkpoint)(Q74Bm25.postingsOf)
+
+  /** Serve BM25 from an accumulated postings table — q74's rank()
+    * tail over index-derived tf/dl/scalars. */
+  private[graft] def serve(spark: SparkSession, postT: String): DataFrame = {
+    import spark.implicits._
+    val post = epochless(spark.table(postT))
+    val dl = post.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("dl"))
+      .localCheckpoint(true)
+    val scal = dl.agg(count(lit(1)).cast("long"),
+      sum(col("dl")).cast("long")).head()
+    val qwords = Q74Bm25.querySet.flatMap(_._2).distinct.toDF("word")
+    val tf = post.join(broadcast(qwords), Seq("word"))
+      .localCheckpoint(true)
+    Q74Bm25.rank(spark, tf, dl, scal.getLong(0), scal.getLong(1))
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val runT = s"graft_s23_postings_${s23Run.incrementAndGet()}"
+    graft.plans.Stores.dropManaged(spark, runT)
+    // Pin table + schema up front (an empty stream must still serve
+    // an empty index, not a missing-table error).
+    Q74Bm25.postingsOf(
+        spark.table(s"parquet.`$dir/documents.parquet`").limit(0))
+      .withColumn("_epoch", lit(-1L))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(runT)
+    try {
+      maintain(spark, runT, docsStream(spark, dir))
+      serve(spark, runT).localCheckpoint(true)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $runT")
+      spark.sql(s"DROP TABLE IF EXISTS ${epochMarkerTable(runT)}")
+    }
+  }
+
+  /** The streamed index must serve exactly the batch answer. */
+  val oracle: Option[String] = Q74Bm25.oracle
 }

@@ -83,4 +83,36 @@ class Round13gSpec extends SparkSpec {
     val b = Q74bBm25Store.run(spark, sf).collect().map(_.toString).toSeq
     assert(a == b, s"tiers diverged: ${a.zip(b).find { case (x, y) => x != y }}")
   }
+
+  test("s23: multi-epoch streamed index maintenance serves the batch answer") {
+    import org.apache.spark.sql.functions.lit
+    import graft.streaming.S23StreamBm25Index
+    val dir = java.nio.file.Files.createTempDirectory("s23spec")
+    try {
+      Tables.documents(spark, sf).repartition(3).write.parquet(s"$dir/delta")
+      val sch = spark.read.parquet(s"$dir/delta").schema
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/delta/*.parquet")
+      val runT = "graft_s23spec_postings"
+      graft.plans.Stores.dropManaged(spark, runT)
+      Q74Bm25.postingsOf(Tables.documents(spark, sf).limit(0))
+        .withColumn("_epoch", lit(-1L))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(runT)
+      try {
+        val epochs = S23StreamBm25Index.maintain(spark, runT, stream)
+        assert(epochs >= 3, s"file-per-trigger must yield >=3 epochs, got $epochs")
+        val got = S23StreamBm25Index.serve(spark, runT)
+          .collect().map(_.toString).toSeq
+        val expect = Q74Bm25.run(spark, sf).collect().map(_.toString).toSeq
+        assert(got == expect,
+          "streamed index must serve exactly the batch answer")
+      } finally graft.plans.Stores.dropManaged(spark, runT)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      val paths = try s.iterator().asScala.toVector finally s.close()
+      paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
