@@ -101,10 +101,19 @@ object StreamQueries {
       src: DataFrame, checkpoint: Option[String] = None)
       (frame: DataFrame => DataFrame): Long = {
     val markerT = epochMarkerTable(tableT)
-    if (!spark.catalog.tableExists(markerT))
+    if (!spark.catalog.tableExists(markerT)) {
+      // A previous JVM's crash (or a caller that dropped only the
+      // data table) can leave the marker's managed LOCATION on disk
+      // with no catalog entry — saveAsTable then fails with
+      // LOCATION_ALREADY_EXISTS even in Overwrite mode. Unknown to
+      // the catalog ⇒ the directory is garbage by definition: clear
+      // it before bootstrapping.
+      graft.plans.Stores.deleteTree(
+        graft.plans.Stores.warehouse(spark).resolve(markerT))
       spark.range(1).select(lit(-1L).as("_epoch")).repartition(1)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").saveAsTable(markerT)
+    }
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
     val w0 = src.writeStream
       .outputMode("update")
@@ -156,7 +165,10 @@ object StreamQueries {
 
   /** The one-row-per-epoch commit-marker table paired with an
     * append-model table (see [[maintainAppend]]). Run-scoped like its
-    * data table; `Stores.dropManaged(runT)` sweeps both. */
+    * data table; callers dropping the pair must drop BOTH names
+    * (`dropManaged` removes exactly the name it is given), and
+    * [[maintainAppend]]'s bootstrap clears a crash-leftover marker
+    * location on its own. */
   private[graft] def epochMarkerTable(tableT: String): String =
     tableT + "_epochs"
 

@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
   private val oneRowBroadcasts = Set(
     "q19_similarity_topk", "q19b_ann_lsh", "q19d_ann_ivf",
     "q19e_ann_ivf_store", // q19d's shared exactCosineTopK: 1-row qn2
+    "q19g_ann_pq",        // same shared exact re-rank tail: 1-row qn2
     "q54_lm_perplexity", "q70_semantic_dedup", "q70b_semantic_dedup_store",
     "q55b_classifier_trained") // 1-row broadcast intercept attach
 

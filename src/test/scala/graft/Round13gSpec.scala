@@ -107,7 +107,11 @@ class Round13gSpec extends SparkSpec {
         val expect = Q74Bm25.run(spark, sf).collect().map(_.toString).toSeq
         assert(got == expect,
           "streamed index must serve exactly the batch answer")
-      } finally graft.plans.Stores.dropManaged(spark, runT)
+      } finally {
+        graft.plans.Stores.dropManaged(spark, runT)
+        graft.plans.Stores.dropManaged(spark,
+          graft.streaming.StreamQueries.epochMarkerTable(runT))
+      }
     } finally {
       import scala.jdk.CollectionConverters._
       val s = java.nio.file.Files.walk(dir)
