@@ -277,7 +277,7 @@ object NorthStar {
     Q45TokenPacking,
     Q46Decontaminate, Q46bDecontaminateDfCap, Q46cDecontaminateBloom,
     Q47Repetition, Q48MixSample,
-    Q49CrossDocParagraphs, Q74Bm25, Q74bBm25Store)
+    Q49CrossDocParagraphs, Q74Bm25, Q74bBm25Store, Q75HybridRrf)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).
@@ -1392,11 +1392,13 @@ object Q74Bm25 extends GraftQuery {
   private[queries] def words(spark: SparkSession, dir: String): DataFrame =
     wordsOf(Tables.documents(spark, dir))
 
-  /** Score + rank tail shared by the recompute and STORE tiers (the
+  /** Scoring core shared by the recompute and STORE tiers (the
     * q64e/q64j rule: tiers share one scoring plan so they can never
     * drift): `tf` = (doc_id, word, tf) restricted to query terms,
-    * `dl` = (doc_id, dl), scalars exact. */
-  private[graft] def rank(spark: SparkSession, tf: DataFrame,
+    * `dl` = (doc_id, dl), scalars exact. Returns the PRE-window
+    * (query_id, doc_id, score, matched) frame — [[rank]] caps it at
+    * 10, q75's RRF fuses it 20-deep. */
+  private[graft] def scores(spark: SparkSession, tf: DataFrame,
       dl: DataFrame, nDocs: Long, totTok: Long): DataFrame = {
     import spark.implicits._
     val qterms = querySet.flatMap { case (q, ts) => ts.map(q -> _) }
@@ -1410,7 +1412,7 @@ object Q74Bm25 extends GraftQuery {
         (col("tf").cast("double") + lit(1.2) *
           (lit(1.0 - 0.75) + lit(0.75) * col("dl").cast("double") / avgdl))
       ).as("term")
-    val scored = tf.join(broadcast(df), Seq("word"))
+    tf.join(broadcast(df), Seq("word"))
       .join(dl, Seq("doc_id"))
       .join(broadcast(qterms), Seq("word"))
       .select(col("query_id"), col("doc_id"), col("word"), term)
@@ -1420,16 +1422,30 @@ object Q74Bm25 extends GraftQuery {
       .withColumn("score", round(expr(
         "aggregate(transform(ts, x_ -> x_.term), cast(0 as double), " +
           "(a_, x_) -> a_ + x_)"), 4))
+      .select(col("query_id"), col("doc_id"), col("score"), col("matched"))
+  }
+
+  /** The full score+rank tail — the contract the store (q74b) and
+    * stream (s23) tiers serve through. */
+  private[graft] def rank(spark: SparkSession, tf: DataFrame,
+      dl: DataFrame, nDocs: Long, totTok: Long): DataFrame =
+    topK(scores(spark, tf, dl, nDocs, totTok), 10)
+
+  /** The ranking window, parameterized for consumers that fuse a
+    * deeper list (q75's RRF reads 20-deep arms). */
+  private[graft] def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("doc_id"), col("score"), col("matched"))
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  /** The scored (pre-window) lexical frame for `dir` — q74's whole
+    * pipeline short of ranking; shared with the RRF fusion (q75). */
+  private[graft] def lexScores(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ws = words(spark, dir)
     // Doc lengths once, lineage-truncated: the scalar action below and
@@ -1451,13 +1467,19 @@ object Q74Bm25 extends GraftQuery {
     val tf = ws.join(broadcast(qwords), Seq("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    rank(spark, tf, dl, scal.getLong(0), scal.getLong(1))
+    scores(spark, tf, dl, scal.getLong(0), scal.getLong(1))
   }
-  val oracle = Some {
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    topK(lexScores(spark, dir), 10)
+
+  /** DuckDB CTE chain ending in `s(query_id, doc_id, matched, score)`
+    * — the lexical arm, shared verbatim by q74's oracle and q75's
+    * fusion oracle so the arms can never drift between gates. */
+  private[queries] val duckLexCtes: String = {
     val qvals = querySet.flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
       .mkString(", ")
-    raw"""
-    WITH words AS (
+    raw"""words AS (
       SELECT doc_id,
         lower(regexp_replace(unnest(string_split_regex(text, '\s+')), '[^a-zA-Z]', '', 'g')) AS word
       FROM documents),
@@ -1482,14 +1504,130 @@ object Q74Bm25 extends GraftQuery {
     s AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS matched,
             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
               list(term ORDER BY word ASC)), (a_, x_) -> a_ + x_), 4) AS score
-          FROM t GROUP BY query_id, doc_id),
+          FROM t GROUP BY query_id, doc_id)""".trim
+  }
+
+  val oracle = Some(s"""
+    WITH $duckLexCtes,
     r AS (SELECT query_id, doc_id, score, matched,
             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
           FROM s)
     SELECT query_id, rank, doc_id, score, matched
     FROM r WHERE rank <= 10 ORDER BY query_id, rank
-  """.trim
+  """.trim)
+}
+
+/** Q75 — HYBRID RETRIEVAL via Reciprocal Rank Fusion (Cormack et al.
+  * 2009; the fusion step every production RAG stack runs): the BM25
+  * arm (q74's scoring pipeline, 20-deep) and an embedding-cosine arm
+  * (q19's exact decimal dot-product technique, one probe vector per
+  * query, 20-deep) merged by RRF(k=60) — score(d) = Σ_arm
+  * 1/(60 + rank_arm(d)), absent arm contributes 0 — surfacing the
+  * fused top-10 with both per-arm ranks.
+  *
+  * Scale shape: the lexical arm is q74's (broadcast term filter, two
+  * checkpointed corpus aggregations); the semantic arm broadcasts the
+  * |Q| probe vectors through one posexplode join (map-side ×|Q|
+  * multiply — linear in corpus for a bounded query batch; a large
+  * batch would tile it) and ranks only candidate cosines. Fusion
+  * joins two ≤20·|Q|-row frames — driver-scale.
+  *
+  * Exactness: ranks come from engine-exact orderings (BM25 rounds to
+  * 4 before ranking; cosine's dot/n2 are exact DECIMAL sums, the
+  * division+sqrt correctly rounded in both engines — the q19-proven
+  * path), and the RRF score is a sum of two single divisions of
+  * exact integers in a fixed order — surfaced UNROUNDED (the q55
+  * rule). */
+object Q75HybridRrf extends GraftQuery {
+  import NorthStar._
+  val name = "q75_hybrid_rrf"
+  private val ArmDepth = 20
+  private val RrfK = 60
+  /** Probe vector per query: vec_id = query_id − 1 (the fixture's
+    * embeddings align 1:1 with doc_ids; production would plug the
+    * query encoder's output in here). */
+  private val probeIds = Q74Bm25.querySet.map(_._1 - 1L)
+
+  /** (query_id, doc_id, cosine) for every candidate — the semantic
+    * arm, pre-ranking. */
+  private def semScores(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val ex = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), dec(col("x")).as("x"))
+    val probes = ex.filter(col("vec_id").isin(probeIds: _*))
+      .select((col("vec_id") + 1).as("query_id"), col("pos"), col("x").as("qx"))
+    val qn2 = probes.groupBy(col("query_id"))
+      .agg(sum(col("qx") * col("qx")).as("qn2"))
+    ex.join(broadcast(probes), Seq("pos"))
+      .filter(col("vec_id") =!= col("query_id") - 1)
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("x") * col("qx")).as("dot"), sum(col("x") * col("x")).as("n2"))
+      .join(broadcast(qn2), Seq("query_id"))
+      .select(col("query_id").cast("int").as("query_id"),
+        col("vec_id").as("doc_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))))
+          .as("cosine"))
   }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val lex = Q74Bm25.topK(Q74Bm25.lexScores(spark, dir), ArmDepth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val semW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id").asc)
+    val sem = semScores(spark, dir)
+      .withColumn("sem_rank", row_number().over(semW))
+      .filter(col("sem_rank") <= ArmDepth)
+      .select(col("query_id"), col("doc_id"), col("sem_rank"))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).cast("int").as("sem_rank"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)))
+          .as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("rrf"), col("lex_rank"), col("sem_rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def d(x: String) = NorthStar.duckDec(x)
+  val oracle = Some(s"""
+    WITH ${Q74Bm25.duckLexCtes},
+    lexr AS (SELECT query_id, doc_id,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS lex_rank
+          FROM s QUALIFY lex_rank <= $ArmDepth),
+    probes AS (SELECT CAST(vec_id + 1 AS INT) AS query_id, vec_id AS pid, embedding AS qv
+               FROM embeddings WHERE vec_id IN (${probeIds.mkString(", ")})),
+    c AS (SELECT p.query_id, e.vec_id AS doc_id,
+      list_aggregate(list_transform(range(1, len(e.embedding)+1), i -> ${d("e.embedding[i]")} * ${d("p.qv[i]")}), 'sum') AS dot,
+      list_aggregate(list_transform(range(1, len(e.embedding)+1), i -> ${d("e.embedding[i]")} * ${d("e.embedding[i]")}), 'sum') AS n2,
+      list_aggregate(list_transform(range(1, len(p.qv)+1), i -> ${d("p.qv[i]")} * ${d("p.qv[i]")}), 'sum') AS qn2
+      FROM embeddings e, probes p WHERE e.vec_id <> p.pid),
+    sem AS (SELECT query_id, doc_id,
+            ${NorthStar.duckDbl("dot")} / (sqrt(${NorthStar.duckDbl("n2")}) * sqrt(${NorthStar.duckDbl("qn2")})) AS cosine
+          FROM c),
+    semr AS (SELECT query_id, doc_id,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS INT) AS sem_rank
+          FROM sem QUALIFY sem_rank <= $ArmDepth),
+    fused AS (SELECT COALESCE(l.query_id, m.query_id) AS query_id,
+            COALESCE(l.doc_id, m.doc_id) AS doc_id,
+            COALESCE(l.lex_rank, 0) AS lex_rank,
+            COALESCE(m.sem_rank, 0) AS sem_rank,
+            COALESCE(CAST(1 AS DOUBLE) / ($RrfK + l.lex_rank), 0)
+              + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + m.sem_rank), 0) AS rrf
+          FROM lexr l FULL OUTER JOIN semr m
+            ON l.query_id = m.query_id AND l.doc_id = m.doc_id),
+    rr AS (SELECT query_id, doc_id, rrf, lex_rank, sem_rank,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+          FROM fused)
+    SELECT query_id, rank, doc_id, rrf, lex_rank, sem_rank
+    FROM rr WHERE rank <= 10 ORDER BY query_id, rank
+  """.trim)
 }
 
 /** Q20 — top-5 terms per language by term frequency (Q1's tokenizer +

@@ -177,7 +177,10 @@ class Round12SqlSpec extends SparkSpec {
       // q74/q74b (round 13): BM25 is joins + a window over exact
       // integer stats with a sorted float fold — the oracle (shared
       // by both tiers) is plain relational SQL.
-      "q74_bm25_retrieval", "q74b_bm25_store")
+      "q74_bm25_retrieval", "q74b_bm25_store",
+      // q75 (round 13): RRF = two ranked CTE arms full-outer-joined
+      // with a two-term reciprocal sum — plain relational SQL.
+      "q75_hybrid_rrf")
     // (D) driver-coordinated iteration / per-partition accumulators:
     // no single SQL statement computes these (a pagerank loop, BPE
     // merge loops, two-pass prefix sums, Misra-Gries coupled

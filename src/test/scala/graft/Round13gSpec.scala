@@ -84,6 +84,26 @@ class Round13gSpec extends SparkSpec {
     assert(a == b, s"tiers diverged: ${a.zip(b).find { case (x, y) => x != y }}")
   }
 
+  test("q75: RRF fusion is arithmetically consistent and both arms contribute") {
+    import graft.queries.Q75HybridRrf
+    val rows = Q75HybridRrf.run(spark, sf).collect()
+    val byQ = rows.groupBy(_.getInt(0))
+    assert(byQ.keySet == Q74Bm25.querySet.map(_._1).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).toSeq == (1 to rs.length), s"q$q ranks gap")
+    }
+    rows.foreach { r =>
+      val (lex, sem, rrf) = (r.getInt(4), r.getInt(5), r.getDouble(3))
+      assert(lex > 0 || sem > 0, "a fused row must come from some arm")
+      val expect = (if (lex > 0) 1.0 / (60 + lex) else 0.0) +
+        (if (sem > 0) 1.0 / (60 + sem) else 0.0)
+      assert(rrf == expect, s"rrf mismatch: $rrf vs $expect")
+    }
+    // Both arms actually influence the fixture's fused lists.
+    assert(rows.exists(_.getInt(4) > 0) && rows.exists(_.getInt(5) > 0),
+      "fixture must exercise both arms")
+  }
+
   test("s23: multi-epoch streamed index maintenance serves the batch answer") {
     import org.apache.spark.sql.functions.lit
     import graft.streaming.S23StreamBm25Index
