@@ -277,7 +277,8 @@ object NorthStar {
     Q45TokenPacking,
     Q46Decontaminate, Q46bDecontaminateDfCap, Q46cDecontaminateBloom,
     Q47Repetition, Q48MixSample,
-    Q49CrossDocParagraphs, Q74Bm25, Q74bBm25Store, Q75HybridRrf)
+    Q49CrossDocParagraphs, Q74Bm25, Q74bBm25Store, Q75HybridRrf,
+    Q76ContrastiveTriplets)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).
@@ -1627,6 +1628,97 @@ object Q75HybridRrf extends GraftQuery {
           FROM fused)
     SELECT query_id, rank, doc_id, rrf, lex_rank, sem_rank
     FROM rr WHERE rank <= 10 ORDER BY query_id, rank
+  """.trim)
+}
+
+/** Q76 — CONTRASTIVE TRIPLET MINING: (anchor, positive, negative)
+  * training triplets for embedding models, mined from the corpus's
+  * own near-dup structure — positives are the MinHash-verified pair
+  * graph (q18b, est_jaccard ≥ 0.5, both orientations), negatives are
+  * deterministic hashed-bucket samples that are provably NOT
+  * near-dups of the anchor. The op that turns a dedup pipeline's
+  * byproduct into contrastive training data.
+  *
+  * Negative sampling, relationally: every doc lands in one of B
+  * hash buckets (one corpus pass, portable md5-fold hash); each
+  * triplet probes the bucket its (anchor, positive) hash picks,
+  * drops anchor/positive/near-dup-of-anchor candidates, and takes
+  * the candidate with the smallest per-triplet pick hash — a
+  * deterministic pseudo-random draw both engines replay bit-for-bit
+  * (the shingleHashExpr md5 technique; no engine-local RNG). B is a
+  * fixture constant here; production sizes B ∝ corpus so the probe
+  * join's bucket width (N/B rows per triplet) stays constant.
+  *
+  * Scale shape: pair graph = q18b's banded pipeline (never
+  * all-pairs); bucket table = one map pass; probe join = triplets ×
+  * bucket width; exclusion = one anti-join against the pair list. */
+object Q76ContrastiveTriplets extends GraftQuery {
+  import NorthStar._
+  val name = "q76_contrastive_triplets"
+  private val B = 64
+  /** Portable 60-bit hash (Spark side): conv(md5 hex prefix) — the
+    * cross-engine pattern shingleHashExpr established. */
+  private def h(x: String) =
+    s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
+  /** Same value in DuckDB: hex-fold of the md5 prefix. */
+  private def duckH(x: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       list_transform(string_split(substr(md5($x), 1, 15), ''),
+         c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+       (acc_, y_) -> acc_ * 16 + y_)"""
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val sh = NorthStar.shingleSets(spark, dir)
+    // Reused twice (triplet seed + exclusion anti-join): checkpoint
+    // so the banded pipeline runs once (the q74 tf-barrier rule).
+    val pairs = Q18bDedupMinHash.pairsFrom(sh)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .localCheckpoint(true)
+    val tri = pairs.select(col("doc_a").as("anchor"),
+        col("doc_b").as("positive"), col("est_jaccard").as("pos_sim"))
+      .union(pairs.select(col("doc_b").as("anchor"),
+        col("doc_a").as("positive"), col("est_jaccard").as("pos_sim")))
+      .withColumn("bucket", expr(
+        s"${h("concat(cast(anchor as string), ':', cast(positive as string))")} % $B"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id").as("cand"))
+      .withColumn("bucket", expr(s"${h("cast(cand as string)")} % $B"))
+    val cands = tri.join(docs, Seq("bucket"))
+      .filter(col("cand") =!= col("anchor") && col("cand") =!= col("positive"))
+      .join(pairs.select(col("doc_a"), col("doc_b")),
+        least(col("cand"), col("anchor")) === col("doc_a") &&
+          greatest(col("cand"), col("anchor")) === col("doc_b"), "left_anti")
+      .withColumn("pick", expr(h(
+        "concat(cast(cand as string), ':', cast(anchor as string), ':', cast(positive as string))")))
+    val w = Window.partitionBy(col("anchor"), col("positive"))
+      .orderBy(col("pick"), col("cand"))
+    cands.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("anchor"), col("positive"), col("pos_sim"),
+        col("cand").as("negative"))
+      .orderBy(col("anchor"), col("positive"))
+  }
+
+  val oracle = Some(s"""
+    WITH ${NorthStar.duckShingleCtes},
+    ${NorthStar.duckMinhashPairCtes},
+    tri AS (SELECT doc_a AS anchor, doc_b AS positive, est_jaccard AS pos_sim FROM pairs
+            UNION ALL SELECT doc_b, doc_a, est_jaccard FROM pairs),
+    trib AS (SELECT anchor, positive, pos_sim,
+            ${duckH("CAST(anchor AS VARCHAR) || ':' || CAST(positive AS VARCHAR)")} % $B AS bucket
+          FROM tri),
+    docsb AS (SELECT doc_id AS cand, ${duckH("CAST(doc_id AS VARCHAR)")} % $B AS bucket
+          FROM documents),
+    cands AS (SELECT t.anchor, t.positive, t.pos_sim, d.cand,
+            ${duckH("CAST(d.cand AS VARCHAR) || ':' || CAST(t.anchor AS VARCHAR) || ':' || CAST(t.positive AS VARCHAR)")} AS pick
+          FROM trib t JOIN docsb d ON t.bucket = d.bucket
+          WHERE d.cand <> t.anchor AND d.cand <> t.positive
+            AND NOT EXISTS (SELECT 1 FROM pairs p
+              WHERE p.doc_a = least(d.cand, t.anchor)
+                AND p.doc_b = greatest(d.cand, t.anchor))),
+    r AS (SELECT anchor, positive, pos_sim, cand AS negative,
+            row_number() OVER (PARTITION BY anchor, positive ORDER BY pick, cand) AS rn
+          FROM cands)
+    SELECT anchor, positive, pos_sim, negative FROM r WHERE rn = 1
+    ORDER BY anchor, positive
   """.trim)
 }
 

@@ -104,6 +104,26 @@ class Round13gSpec extends SparkSpec {
       "fixture must exercise both arms")
   }
 
+  test("q76: negatives are never the anchor, the positive, or a near-dup of the anchor") {
+    import graft.queries.{Q18bDedupMinHash, Q76ContrastiveTriplets}
+    val rows = Q76ContrastiveTriplets.run(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    val pairs = Q18bDedupMinHash.run(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val (a, p, n) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(n != a && n != p, s"negative $n collides with ($a, $p)")
+      assert(!pairs((math.min(n, a), math.max(n, a))),
+        s"negative $n is a near-dup of anchor $a")
+    }
+    // Both orientations of every pair mined, each exactly once, and
+    // no triplet lost its negative to bucket exhaustion.
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length
+      == rows.length)
+    assert(rows.length == 2 * pairs.size,
+      s"${rows.length} triplets from ${pairs.size} pairs")
+  }
+
   test("s23: multi-epoch streamed index maintenance serves the batch answer") {
     import org.apache.spark.sql.functions.lit
     import graft.streaming.S23StreamBm25Index
