@@ -278,7 +278,7 @@ object NorthStar {
     Q46Decontaminate, Q46bDecontaminateDfCap, Q46cDecontaminateBloom,
     Q47Repetition, Q48MixSample,
     Q49CrossDocParagraphs, Q74Bm25, Q74bBm25Store, Q75HybridRrf,
-    Q76ContrastiveTriplets)
+    Q76ContrastiveTriplets, Q76bHardNegatives)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).
@@ -843,7 +843,9 @@ object Q18eDedupEmbedding extends GraftQuery {
     "concat_ws('', transform(slice(embedding, 1, 16), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"
   private val n2Expr = NorthStar.embNorm2Expr
   private val dotExpr = NorthStar.flatDotExpr("ea", "eb")
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  /** The blocked (va < vb, cosine >= 0.2) candidate-cosine frame,
+    * pre-sort — shared with the hard-negative miner (q76b). */
+  private[graft] def cosPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val n2 = e.select(col("vec_id"), expr(n2Expr).as("n2"))
     val b = e.select(col("vec_id"), col("embedding"), expr(bucketExpr).as("bucket"))
@@ -856,10 +858,12 @@ object Q18eDedupEmbedding extends GraftQuery {
       .select(col("va").as("vec_a"), col("vb").as("vec_b"),
         (col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b")))).as("cosine"))
       .filter(col("cosine") >= 0.2)
-      .orderBy(col("vec_a"), col("vec_b"))
   }
-  val oracle = Some(s"""
-    WITH b AS (SELECT vec_id, embedding,
+  def run(spark: SparkSession, dir: String): DataFrame =
+    cosPairs(spark, dir).orderBy(col("vec_a"), col("vec_b"))
+  /** DuckDB CTE chain ending in `cos(vec_a, vec_b, cosine)` (blocked,
+    * unthresholded) — shared by q18e's and q76b's oracles. */
+  private[queries] val duckEmbCosCtes = s"""b AS (SELECT vec_id, embedding,
           array_to_string(list_transform(embedding[1:16], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
         FROM embeddings),
     n2 AS (SELECT vec_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -871,7 +875,9 @@ object Q18eDedupEmbedding extends GraftQuery {
              list_transform(range(1, len(ea)+1), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))),
              (acc, p) -> acc + p) AS dot FROM cand),
     cos AS (SELECT va AS vec_a, vb AS vec_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
-            FROM dots JOIN n2 na ON na.vec_id = va JOIN n2 nb ON nb.vec_id = vb)
+            FROM dots JOIN n2 na ON na.vec_id = va JOIN n2 nb ON nb.vec_id = vb)"""
+  val oracle = Some(s"""
+    WITH $duckEmbCosCtes
     SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= 0.2
     ORDER BY vec_a, vec_b
   """.trim)
@@ -1720,6 +1726,80 @@ object Q76ContrastiveTriplets extends GraftQuery {
     SELECT anchor, positive, pos_sim, negative FROM r WHERE rn = 1
     ORDER BY anchor, positive
   """.trim)
+}
+
+/** Q76b — HARD-NEGATIVE MINING: q76's triplets with the negative
+  * chosen ADVERSARIALLY instead of at random — the highest-cosine
+  * embedding neighbor of the anchor (q18e's sign-blocked candidate
+  * pipeline, threshold 0.2) that is NOT a text near-dup of it. Hard
+  * negatives are what make contrastive training data effective: the
+  * model learns the boundary between "similar" and "same". Anchors
+  * whose block yields no valid candidate are dropped (this tier
+  * surfaces hard triplets; q76 is the guaranteed-coverage tier).
+  *
+  * Scale shape: candidates come from the SIGN-BLOCKED cosine join
+  * (never all-pairs — q18e's posture); exclusion is one anti-join
+  * against the banded pair list; the argmax is a per-(anchor,
+  * positive) window over block-width rows. Determinism: cosine is
+  * the exact-decimal chain (q18e-proven engine-exact), ties break on
+  * doc_id. */
+object Q76bHardNegatives extends GraftQuery {
+  import NorthStar._
+  val name = "q76b_hard_negatives"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val sh = NorthStar.shingleSets(spark, dir)
+    val pairs = Q18bDedupMinHash.pairsFrom(sh)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .localCheckpoint(true)
+    val tri = pairs.select(col("doc_a").as("anchor"),
+        col("doc_b").as("positive"), col("est_jaccard").as("pos_sim"))
+      .union(pairs.select(col("doc_b").as("anchor"),
+        col("doc_a").as("positive"), col("est_jaccard").as("pos_sim")))
+    val cos = Q18eDedupEmbedding.cosPairs(spark, dir)
+    val cands = cos.select(col("vec_a").as("anchor"), col("vec_b").as("cand"),
+        col("cosine"))
+      .union(cos.select(col("vec_b").as("anchor"), col("vec_a").as("cand"),
+        col("cosine")))
+    val hc = tri.join(cands, Seq("anchor"))
+      .filter(col("cand") =!= col("positive"))
+      .join(pairs.select(col("doc_a"), col("doc_b")),
+        least(col("cand"), col("anchor")) === col("doc_a") &&
+          greatest(col("cand"), col("anchor")) === col("doc_b"), "left_anti")
+    val w = Window.partitionBy(col("anchor"), col("positive"))
+      .orderBy(col("cosine").desc, col("cand").asc)
+    hc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("anchor"), col("positive"), col("pos_sim"),
+        col("cand").as("negative"), col("cosine").as("neg_cos"))
+      .orderBy(col("anchor"), col("positive"))
+  }
+
+  val oracle = Some {
+    // The MinHash chain and the embedding-cosine chain both define a
+    // CTE named `cand`; rename the embedding copy's (word-boundary,
+    // this assembled oracle only).
+    val embCtes = Q18eDedupEmbedding.duckEmbCosCtes
+      .replaceAll("\\bcand\\b", "ecand")
+    s"""
+    WITH ${NorthStar.duckShingleCtes},
+    ${NorthStar.duckMinhashPairCtes},
+    $embCtes,
+    tri AS (SELECT doc_a AS anchor, doc_b AS positive, est_jaccard AS pos_sim FROM pairs
+            UNION ALL SELECT doc_b, doc_a, est_jaccard FROM pairs),
+    ccands AS (SELECT vec_a AS anchor, vec_b AS cnd, cosine FROM cos WHERE cosine >= 0.2
+               UNION ALL SELECT vec_b, vec_a, cosine FROM cos WHERE cosine >= 0.2),
+    hc AS (SELECT t.anchor, t.positive, t.pos_sim, c.cnd, c.cosine
+          FROM tri t JOIN ccands c ON c.anchor = t.anchor
+          WHERE c.cnd <> t.positive
+            AND NOT EXISTS (SELECT 1 FROM pairs p
+              WHERE p.doc_a = least(c.cnd, t.anchor)
+                AND p.doc_b = greatest(c.cnd, t.anchor))),
+    r AS (SELECT anchor, positive, pos_sim, cnd AS negative, cosine AS neg_cos,
+            row_number() OVER (PARTITION BY anchor, positive ORDER BY cosine DESC, cnd ASC) AS rn
+          FROM hc)
+    SELECT anchor, positive, pos_sim, negative, neg_cos FROM r WHERE rn = 1
+    ORDER BY anchor, positive
+  """.trim
+  }
 }
 
 /** Q20 — top-5 terms per language by term frequency (Q1's tokenizer +

@@ -181,9 +181,10 @@ class Round12SqlSpec extends SparkSpec {
       // q75 (round 13): RRF = two ranked CTE arms full-outer-joined
       // with a two-term reciprocal sum — plain relational SQL.
       "q75_hybrid_rrf",
-      // q76 (round 13): triplet mining = the q18b pair CTEs + hashed
-      // bucket joins + one anti-join + a pick window — relational.
-      "q76_contrastive_triplets")
+      // q76/q76b (round 13): triplet mining = the q18b pair CTEs +
+      // hashed bucket (or cosine-candidate) joins + one anti-join +
+      // a pick window — relational.
+      "q76_contrastive_triplets", "q76b_hard_negatives")
     // (D) driver-coordinated iteration / per-partition accumulators:
     // no single SQL statement computes these (a pagerank loop, BPE
     // merge loops, two-pass prefix sums, Misra-Gries coupled

@@ -124,6 +124,28 @@ class Round13gSpec extends SparkSpec {
       s"${rows.length} triplets from ${pairs.size} pairs")
   }
 
+  test("q76b: the hard negative is the max-cosine non-near-dup candidate") {
+    import graft.queries.{Q18bDedupMinHash, Q18eDedupEmbedding, Q76bHardNegatives}
+    val rows = Q76bHardNegatives.run(spark, sf01).collect()
+    assert(rows.nonEmpty, "fixture must yield at least one hard triplet")
+    val pairSet = Q18bDedupMinHash.run(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cosRows = Q18eDedupEmbedding.cosPairs(spark, sf01).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1), r.getDouble(2)),
+        (r.getLong(1), r.getLong(0), r.getDouble(2))))
+    rows.foreach { r =>
+      val (a, p, n, nc) =
+        (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4))
+      assert(n != a && n != p, s"hard negative $n collides with ($a, $p)")
+      assert(!pairSet((math.min(n, a), math.max(n, a))),
+        s"hard negative $n is a near-dup of anchor $a")
+      val valid = cosRows.filter(c => c._1 == a && c._2 != p &&
+        !pairSet((math.min(c._2, a), math.max(c._2, a))))
+      assert(valid.nonEmpty && nc == valid.map(_._3).max,
+        s"($a,$p): surfaced neg_cos $nc is not the max over valid candidates")
+    }
+  }
+
   test("s23: multi-epoch streamed index maintenance serves the batch answer") {
     import org.apache.spark.sql.functions.lit
     import graft.streaming.S23StreamBm25Index
