@@ -252,7 +252,7 @@ object StreamQueries {
     S15StreamBpeEncodeStore, S16StreamSemanticDedupStore,
     S17StreamMultimodalAdmission, S18StreamAudioDedupStore,
     S19StreamAnnIngest, S20StreamExcise, S21StreamWarc,
-    S22StreamVideoDedupStore, S23StreamBm25Index)
+    S22StreamVideoDedupStore, S23StreamBm25Index, S23bStreamBm25Compact)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -1518,7 +1518,12 @@ object S23StreamBm25Index extends GraftQuery {
     Q74Bm25.rank(spark, tf, dl, scal.getLong(0), scal.getLong(1))
   }
 
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  /** Build this run's streamed index (bootstrap + full drive of the
+    * corpus stream), hand the accumulated postings table to `f`, and
+    * tear the run-scoped pair down after — shared by the serve tier
+    * (run) and the compaction tier (s23b). */
+  private[graft] def withIndex[A](spark: SparkSession, dir: String)
+      (f: String => A): A = {
     val runT = s"graft_s23_postings_${s23Run.incrementAndGet()}"
     graft.plans.Stores.dropManaged(spark, runT)
     // Pin table + schema up front (an empty stream must still serve
@@ -1530,13 +1535,59 @@ object S23StreamBm25Index extends GraftQuery {
       .format("parquet").saveAsTable(runT)
     try {
       maintain(spark, runT, docsStream(spark, dir))
-      serve(spark, runT).localCheckpoint(true)
+      f(runT)
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $runT")
       spark.sql(s"DROP TABLE IF EXISTS ${epochMarkerTable(runT)}")
     }
   }
 
+  def run(spark: SparkSession, dir: String): DataFrame =
+    withIndex(spark, dir)(runT => serve(spark, runT).localCheckpoint(true))
+
   /** The streamed index must serve exactly the batch answer. */
+  val oracle: Option[String] = Q74Bm25.oracle
+}
+
+/** S23b — COMPACTION of the streamed BM25 index: s23's exactly-once
+  * ingest necessarily accumulates one file set per epoch (each
+  * micro-batch appends its postings increment), and a long-lived
+  * streaming index degrades into a small-files scan. Compaction
+  * rewrites the accumulated postings into q74b's bucketed-by-word
+  * store layout — a pure LAYOUT move (one shuffle of the index, NO
+  * corpus re-tokenize) — and serving from the compacted table must
+  * answer exactly what the fragmented table did: SHARES q74's oracle,
+  * so recompute / store / stream / stream-compacted are all one hash
+  * gate. The spec additionally pins the operational claims: the file
+  * count actually drops and the pre/post serves are row-identical. */
+object S23bStreamBm25Compact extends GraftQuery {
+  import StreamQueries._
+  import graft.queries.Q74Bm25
+  val name = "s23b_stream_bm25_compact"
+  private val s23bRun = new AtomicInteger(0)
+
+  /** Rewrite `postT` (epoch-append layout) into a bucketed-by-word
+    * postings table; returns the compacted table's name. */
+  private[graft] def compactTo(spark: SparkSession, postT: String): String = {
+    val compactT = s"graft_s23b_compact_${s23bRun.incrementAndGet()}"
+    graft.plans.Stores.dropManaged(spark, compactT)
+    // repartition by the bucket key so each task owns one bucket and
+    // writes ONE file — without it bucketBy fans out to (input
+    // partitions × buckets) files and the "compaction" fragments
+    // (the Bucketing.compact rule).
+    graft.plans.Bucketing.writeBucketed(
+      epochless(spark.table(postT)).repartition(16, col("word")),
+      compactT, "word", 16)
+    compactT
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    S23StreamBm25Index.withIndex(spark, dir) { runT =>
+      val compactT = compactTo(spark, runT)
+      try S23StreamBm25Index.serve(spark, compactT).localCheckpoint(true)
+      finally graft.plans.Stores.dropManaged(spark, compactT)
+    }
+
+  /** Compacted serve ≡ fragmented serve ≡ batch answer. */
   val oracle: Option[String] = Q74Bm25.oracle
 }

@@ -146,12 +146,14 @@ class Round13gSpec extends SparkSpec {
     }
   }
 
-  test("s23: multi-epoch streamed index maintenance serves the batch answer") {
+  test("s23/s23b: multi-epoch streamed index serves the batch answer; compaction shrinks files, answers identically") {
     import org.apache.spark.sql.functions.lit
     import graft.streaming.S23StreamBm25Index
     val dir = java.nio.file.Files.createTempDirectory("s23spec")
     try {
-      Tables.documents(spark, sf).repartition(3).write.parquet(s"$dir/delta")
+      // 24-way split: enough file-per-trigger epochs that the
+      // fragmented index genuinely outnumbers the 16 bucket files.
+      Tables.documents(spark, sf).repartition(24).write.parquet(s"$dir/delta")
       val sch = spark.read.parquet(s"$dir/delta").schema
       val stream = spark.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(s"$dir/delta/*.parquet")
@@ -169,6 +171,32 @@ class Round13gSpec extends SparkSpec {
         val expect = Q74Bm25.run(spark, sf).collect().map(_.toString).toSeq
         assert(got == expect,
           "streamed index must serve exactly the batch answer")
+        // s23b: compacting the fragmented index must shrink the file
+        // count and serve the identical answer (no corpus re-read).
+        import graft.streaming.S23bStreamBm25Compact
+        def parquetFiles(table: String): Int = {
+          val wh = java.net.URI.create(
+            spark.conf.get("spark.sql.warehouse.dir")).getPath
+          val d = java.nio.file.Paths.get(wh, table)
+          import scala.jdk.CollectionConverters._
+          val s = java.nio.file.Files.walk(d)
+          try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+          finally s.close()
+        }
+        val before = parquetFiles(runT)
+        val compactT = S23bStreamBm25Compact.compactTo(spark, runT)
+        try {
+          val after = parquetFiles(compactT)
+          assert(after < before,
+            s"compaction must shrink files: $before -> $after")
+          val servedC = S23StreamBm25Index.serve(spark, compactT)
+            .collect().map(_.toString).toSeq
+          assert(servedC == expect,
+            "compacted serve must equal the fragmented serve")
+          assert(!S23StreamBm25Index.serve(spark, compactT)
+              .queryExecution.executedPlan.toString.contains("documents.parquet"),
+            "compaction serve must not re-read the corpus")
+        } finally graft.plans.Stores.dropManaged(spark, compactT)
       } finally {
         graft.plans.Stores.dropManaged(spark, runT)
         graft.plans.Stores.dropManaged(spark,
