@@ -278,7 +278,7 @@ object NorthStar {
     Q46Decontaminate, Q46bDecontaminateDfCap, Q46cDecontaminateBloom,
     Q47Repetition, Q48MixSample,
     Q49CrossDocParagraphs, Q74Bm25, Q74bBm25Store, Q75HybridRrf,
-    Q76ContrastiveTriplets, Q76bHardNegatives)
+    Q76ContrastiveTriplets, Q76bHardNegatives, Q76cTripletsBackfilled)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).
@@ -1703,10 +1703,11 @@ object Q76ContrastiveTriplets extends GraftQuery {
       .orderBy(col("anchor"), col("positive"))
   }
 
-  val oracle = Some(s"""
-    WITH ${NorthStar.duckShingleCtes},
-    ${NorthStar.duckMinhashPairCtes},
-    tri AS (SELECT doc_a AS anchor, doc_b AS positive, est_jaccard AS pos_sim FROM pairs
+  /** DuckDB CTE chain (appended after the shingle+pair chains)
+    * ending in `randr(anchor, positive, pos_sim, negative, rn)` —
+    * the bucket-draw negative; shared with the backfilled tier
+    * (q76c) so the sampling can never drift. */
+  private[queries] lazy val duckRandCtes: String = s"""tri AS (SELECT doc_a AS anchor, doc_b AS positive, est_jaccard AS pos_sim FROM pairs
             UNION ALL SELECT doc_b, doc_a, est_jaccard FROM pairs),
     trib AS (SELECT anchor, positive, pos_sim,
             ${duckH("CAST(anchor AS VARCHAR) || ':' || CAST(positive AS VARCHAR)")} % $B AS bucket
@@ -1720,10 +1721,15 @@ object Q76ContrastiveTriplets extends GraftQuery {
             AND NOT EXISTS (SELECT 1 FROM pairs p
               WHERE p.doc_a = least(d.cand, t.anchor)
                 AND p.doc_b = greatest(d.cand, t.anchor))),
-    r AS (SELECT anchor, positive, pos_sim, cand AS negative,
+    randr AS (SELECT anchor, positive, pos_sim, cand AS negative,
             row_number() OVER (PARTITION BY anchor, positive ORDER BY pick, cand) AS rn
-          FROM cands)
-    SELECT anchor, positive, pos_sim, negative FROM r WHERE rn = 1
+          FROM cands)"""
+
+  val oracle = Some(s"""
+    WITH ${NorthStar.duckShingleCtes},
+    ${NorthStar.duckMinhashPairCtes},
+    $duckRandCtes
+    SELECT anchor, positive, pos_sim, negative FROM randr WHERE rn = 1
     ORDER BY anchor, positive
   """.trim)
 }
@@ -1774,32 +1780,81 @@ object Q76bHardNegatives extends GraftQuery {
   }
 
   val oracle = Some {
-    // The MinHash chain and the embedding-cosine chain both define a
-    // CTE named `cand`; rename the embedding copy's (word-boundary,
-    // this assembled oracle only).
-    val embCtes = Q18eDedupEmbedding.duckEmbCosCtes
-      .replaceAll("\\bcand\\b", "ecand")
     s"""
     WITH ${NorthStar.duckShingleCtes},
     ${NorthStar.duckMinhashPairCtes},
-    $embCtes,
-    tri AS (SELECT doc_a AS anchor, doc_b AS positive, est_jaccard AS pos_sim FROM pairs
+    $duckHardCtes
+    SELECT anchor, positive, pos_sim, negative, neg_cos FROM hardr WHERE rn = 1
+    ORDER BY anchor, positive
+  """.trim
+  }
+
+  /** DuckDB CTE chain (appended after the shingle+pair chains, brings
+    * its own renamed embedding-cosine chain) ending in
+    * `hardr(anchor, positive, pos_sim, negative, neg_cos, rn)` —
+    * shared with the backfilled tier (q76c). Defines `htri`
+    * (duckRandCtes defines `tri` with the same body; distinct names
+    * let q76c assemble both chains in one WITH). */
+  private[queries] lazy val duckHardCtes: String = {
+    val embCtes = Q18eDedupEmbedding.duckEmbCosCtes
+      .replaceAll("\\bcand\\b", "ecand")
+    s"""$embCtes,
+    htri AS (SELECT doc_a AS anchor, doc_b AS positive, est_jaccard AS pos_sim FROM pairs
             UNION ALL SELECT doc_b, doc_a, est_jaccard FROM pairs),
     ccands AS (SELECT vec_a AS anchor, vec_b AS cnd, cosine FROM cos WHERE cosine >= 0.2
                UNION ALL SELECT vec_b, vec_a, cosine FROM cos WHERE cosine >= 0.2),
     hc AS (SELECT t.anchor, t.positive, t.pos_sim, c.cnd, c.cosine
-          FROM tri t JOIN ccands c ON c.anchor = t.anchor
+          FROM htri t JOIN ccands c ON c.anchor = t.anchor
           WHERE c.cnd <> t.positive
             AND NOT EXISTS (SELECT 1 FROM pairs p
               WHERE p.doc_a = least(c.cnd, t.anchor)
                 AND p.doc_b = greatest(c.cnd, t.anchor))),
-    r AS (SELECT anchor, positive, pos_sim, cnd AS negative, cosine AS neg_cos,
+    hardr AS (SELECT anchor, positive, pos_sim, cnd AS negative, cosine AS neg_cos,
             row_number() OVER (PARTITION BY anchor, positive ORDER BY cosine DESC, cnd ASC) AS rn
-          FROM hc)
-    SELECT anchor, positive, pos_sim, negative, neg_cos FROM r WHERE rn = 1
-    ORDER BY anchor, positive
-  """.trim
+          FROM hc)"""
   }
+}
+
+/** Q76c — BACKFILLED triplets: the hard tier (q76b) where the sign
+  * block yields a valid adversarial negative, q76's guaranteed
+  * bucket draw everywhere else — the production shape (hard
+  * negatives when the geometry offers them, coverage always), with
+  * the chosen tier surfaced per row. Pure composition of the two
+  * verified tiers: hard rows pass through, random rows backfill via
+  * one anti-join on (anchor, positive). SHARES the two tiers' oracle
+  * chains verbatim (duckHardCtes + duckRandCtes in one WITH), so the
+  * composed gate can only pass if both components and the stitching
+  * agree. */
+object Q76cTripletsBackfilled extends GraftQuery {
+  import NorthStar._
+  val name = "q76c_triplets_backfilled"
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val hard = Q76bHardNegatives.run(spark, dir)
+      .select(col("anchor"), col("positive"), col("pos_sim"),
+        col("negative"), lit("hard").as("tier"))
+    val rand = Q76ContrastiveTriplets.run(spark, dir)
+      .select(col("anchor"), col("positive"), col("pos_sim"),
+        col("negative"), lit("random").as("tier"))
+    hard.union(rand.join(hard.select(col("anchor"), col("positive")),
+        Seq("anchor", "positive"), "left_anti"))
+      .orderBy(col("anchor"), col("positive"))
+  }
+  val oracle = Some(s"""
+    WITH ${NorthStar.duckShingleCtes},
+    ${NorthStar.duckMinhashPairCtes},
+    ${Q76bHardNegatives.duckHardCtes},
+    ${Q76ContrastiveTriplets.duckRandCtes},
+    hard1 AS (SELECT anchor, positive, pos_sim, negative, 'hard' AS tier
+              FROM hardr WHERE rn = 1),
+    rand1 AS (SELECT anchor, positive, pos_sim, negative, 'random' AS tier
+              FROM randr WHERE rn = 1)
+    SELECT anchor, positive, pos_sim, negative, tier FROM hard1
+    UNION ALL
+    SELECT r.anchor, r.positive, r.pos_sim, r.negative, r.tier FROM rand1 r
+    WHERE NOT EXISTS (SELECT 1 FROM hard1 h
+      WHERE h.anchor = r.anchor AND h.positive = r.positive)
+    ORDER BY anchor, positive
+  """.trim)
 }
 
 /** Q20 — top-5 terms per language by term frequency (Q1's tokenizer +

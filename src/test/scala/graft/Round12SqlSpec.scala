@@ -184,7 +184,8 @@ class Round12SqlSpec extends SparkSpec {
       // q76/q76b (round 13): triplet mining = the q18b pair CTEs +
       // hashed bucket (or cosine-candidate) joins + one anti-join +
       // a pick window — relational.
-      "q76_contrastive_triplets", "q76b_hard_negatives")
+      "q76_contrastive_triplets", "q76b_hard_negatives",
+      "q76c_triplets_backfilled")
     // (D) driver-coordinated iteration / per-partition accumulators:
     // no single SQL statement computes these (a pagerank loop, BPE
     // merge loops, two-pass prefix sums, Misra-Gries coupled

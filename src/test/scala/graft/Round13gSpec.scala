@@ -146,6 +146,24 @@ class Round13gSpec extends SparkSpec {
     }
   }
 
+  test("q76c: guaranteed coverage, hard tier wherever the block offers one") {
+    import graft.queries.{Q76bHardNegatives, Q76cTripletsBackfilled, Q76ContrastiveTriplets}
+    val c = Q76cTripletsBackfilled.run(spark, sf01).collect()
+    val rand = Q76ContrastiveTriplets.run(spark, sf01).collect()
+    val hard = Q76bHardNegatives.run(spark, sf01).collect()
+    assert(c.length == rand.length,
+      s"backfilled tier lost coverage: ${c.length} vs ${rand.length}")
+    val hardKeys = hard.map(r => (r.getLong(0), r.getLong(1))).toSet
+    c.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert((r.getString(4) == "hard") == hardKeys(k),
+        s"$k carries tier ${r.getString(4)} but hard-availability is ${hardKeys(k)}")
+    }
+    assert(c.exists(_.getString(4) == "hard") &&
+      c.exists(_.getString(4) == "random"),
+      "fixture must exercise both tiers")
+  }
+
   test("s23/s23b: multi-epoch streamed index serves the batch answer; compaction shrinks files, answers identically") {
     import org.apache.spark.sql.functions.lit
     import graft.streaming.S23StreamBm25Index
