@@ -57,14 +57,52 @@ object Q74bBm25Store extends GraftQuery {
     (names(0), names(1), names(2))
   }
 
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  /** Serve BM25 from a bound (postings, lengths, meta) family —
+    * shared by `run` and the admission spec so the post-admit serve
+    * is exactly the store serve. */
+  private[graft] def serveFrom(spark: SparkSession, postT: String,
+      lenT: String, metaT: String): DataFrame = {
     import spark.implicits._
-    val (postT, lenT, metaT) = ensureStore(spark, dir)
     val meta = spark.table(metaT).head()
     val qwords = Q74Bm25.querySet.flatMap(_._2).distinct.toDF("word")
     val tf = spark.table(postT).join(broadcast(qwords), Seq("word"))
     Q74Bm25.rank(spark, tf, spark.table(lenT),
       meta.getLong(0), meta.getLong(1))
+  }
+
+  /** ADMIT a delta of arriving documents: append their postings and
+    * length rows through the stores' bucket specs and rewrite the
+    * meta scalars LAST (every BM25 statistic is additive — postings,
+    * dl, N and Σdl — so admitted-serve equals a full rebuild over
+    * corpus ∪ delta, which the spec pins row-for-row). Crash
+    * posture matches q18g's admit: a crash between the appends and
+    * the meta rewrite leaves a torn store for THIS fingerprint only;
+    * the fingerprint-triggered rebuild is the recovery path (batch
+    * admission is the convenience tier — the exactly-once ingest
+    * path is s23's epoch guard). doc_ids must be new (the s23
+    * invariant); re-admitting a doc would double its postings. */
+  private[graft] def admit(spark: SparkSession, docs: DataFrame,
+      postT: String, lenT: String, metaT: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val ws = Q74Bm25.wordsOf(docs).localCheckpoint(true)
+    ws.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(16, "word").sortBy("word").saveAsTable(postT)
+    ws.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(16, "doc_id").sortBy("doc_id").saveAsTable(lenT)
+    spark.catalog.refreshTable(postT)
+    spark.catalog.refreshTable(lenT)
+    spark.table(lenT)
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("dl")).cast("long").as("tot_tokens"))
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(metaT)
+    spark.catalog.refreshTable(metaT)
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (postT, lenT, metaT) = ensureStore(spark, dir)
+    serveFrom(spark, postT, lenT, metaT)
   }
 
   /** SAME oracle as q74: the store must serve exactly the recompute. */

@@ -146,6 +146,36 @@ class Round13gSpec extends SparkSpec {
     }
   }
 
+  test("q74b admit: delta admission serves exactly the full-corpus answer") {
+    import graft.queries.{Q40TrainTestSplit, Q74bBm25Store}
+    val dir = java.nio.file.Files.createTempDirectory("q74badmit")
+    var tables: Seq[String] = Nil
+    try {
+      val docs = Tables.documents(spark, sf01)
+      val split = Q40TrainTestSplit.splitColOf("doc_id")
+      docs.filter(split === "train")
+        .write.parquet(s"$dir/documents.parquet")
+      val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, dir.toString)
+      tables = Seq(postT, lenT, metaT)
+      Q74bBm25Store.admit(spark, docs.filter(split === "test"),
+        postT, lenT, metaT)
+      val got = Q74bBm25Store.serveFrom(spark, postT, lenT, metaT)
+        .collect().map(_.toString).toSeq
+      val expect = Q74Bm25.run(spark, sf01).collect().map(_.toString).toSeq
+      // Every BM25 statistic is additive, so base-build + delta-admit
+      // must be indistinguishable from indexing the full corpus.
+      assert(got == expect,
+        s"admitted serve diverges: ${got.zip(expect).find { case (x, y) => x != y }}")
+    } finally {
+      tables.foreach(graft.plans.Stores.dropManaged(spark, _))
+      graft.plans.Stores.gcMarkers(spark, "graft_bm25store")
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      val paths = try s.iterator().asScala.toVector finally s.close()
+      paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("q76c: guaranteed coverage, hard tier wherever the block offers one") {
     import graft.queries.{Q76bHardNegatives, Q76cTripletsBackfilled, Q76ContrastiveTriplets}
     val c = Q76cTripletsBackfilled.run(spark, sf01).collect()
