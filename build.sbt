@@ -36,7 +36,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the 1000×-decade closure run, round 13). Raising the retry count
   // is the standard public mitigation until GCLocker's JDK-21 removal;
   // each retry waits out a GC cycle, so a high count trades a rare
-  // stall for never throwing the spurious OOM (64 still starved once
-  // under 16 concurrent shuffle-codec tasks; 512 held).
+  // stall for never throwing the spurious OOM. The flag is DIAGNOSTIC
+  // in JDK 17 — without the unlock the JVM refuses to start (and an
+  // sbt server that predates this line masks that until the first
+  // fresh `sbt` run, which is exactly how it was caught).
+  "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=512",
 )

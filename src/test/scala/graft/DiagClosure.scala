@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * only the cross-phase disk overlap is removed. Production q18f
   * keeps both pipelines in one job: the overlap buys parallelism a
   * cluster has the disk to hold. (zstd shuffle compression was
-  * evaluated for this probe and REJECTED: its JNI critical sections
-  * are long enough to re-trigger G1 GCLocker starvation at 16
-  * concurrent codec tasks even at 512 retries — lz4 held.) */
+  * evaluated for this probe and REJECTED: at the JDK-default 2
+  * GCLocker retries its longer JNI critical sections starved G1
+  * faster and harder than lz4 under 16 concurrent codec tasks —
+  * and on hash-dominated shuffle data its ratio advantage was not
+  * observed to matter.) */
 object DiagClosure {
   def main(args: Array[String]): Unit = {
     val parts = if (args.length > 1) args(1) else "32"
