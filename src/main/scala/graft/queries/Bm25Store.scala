@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
   * Store family (shared [[graft.plans.Stores]] lifecycle):
   *  - `postings` — (word, doc_id, tf), bucketed by `word` (16): the
   *    inverted index. A query batch reads only the buckets its terms
-  *    hash to; the broadcast term join prunes before any exchange.
+  *    hash to: the terms are driver-known literals, so the serve plan
+  *    carries an `isin` filter on the bucket column — the shape
+  *    Spark's static bucket pruning engages on (a broadcast join
+  *    alone filters map-side but still SCANS every bucket; VERDICT
+  *    r13 #1) — and Round13gSpec asserts the selected-bucket count.
+  *    The broadcast term join stays, to attach query_ids.
   *  - `lengths` — (doc_id, dl), bucketed by `doc_id` (16): the BM25
   *    length normalizer.
   *  - `meta` — one row (n_docs, tot_tokens): the exact scalars; read
@@ -64,8 +69,14 @@ object Q74bBm25Store extends GraftQuery {
       lenT: String, metaT: String): DataFrame = {
     import spark.implicits._
     val meta = spark.table(metaT).head()
-    val qwords = Q74Bm25.querySet.flatMap(_._2).distinct.toDF("word")
-    val tf = spark.table(postT).join(broadcast(qwords), Seq("word"))
+    val terms = Q74Bm25.querySet.flatMap(_._2).distinct
+    val qwords = terms.toDF("word")
+    // The literal isin on the bucket column is what engages static
+    // bucket pruning (SelectedBucketsCount ≤ |terms|); the broadcast
+    // join alone would scan all 16 buckets and filter map-side.
+    val tf = spark.table(postT)
+      .filter(col("word").isin(terms: _*))
+      .join(broadcast(qwords), Seq("word"))
     Q74Bm25.rank(spark, tf, spark.table(lenT),
       meta.getLong(0), meta.getLong(1))
   }
@@ -80,10 +91,19 @@ object Q74bBm25Store extends GraftQuery {
     * the fingerprint-triggered rebuild is the recovery path (batch
     * admission is the convenience tier — the exactly-once ingest
     * path is s23's epoch guard). doc_ids must be new (the s23
-    * invariant); re-admitting a doc would double its postings. */
+    * invariant); re-admitting a doc would double its postings —
+    * ENFORCED below (ADVICE r13): a replayed delta fails loudly
+    * instead of silently corrupting scores. The check is delta ⋉
+    * lengths — a doc_id-bucketed semi-join, delta-sized work. */
   private[graft] def admit(spark: SparkSession, docs: DataFrame,
       postT: String, lenT: String, metaT: String): Unit = {
     import org.apache.spark.sql.SaveMode
+    val replayed = docs.select(col("doc_id"))
+      .join(spark.table(lenT), Seq("doc_id"), "left_semi")
+    require(replayed.isEmpty,
+      s"admit(): delta re-admits doc_ids already in $lenT " +
+        s"(e.g. ${replayed.limit(3).collect().mkString(", ")}) — " +
+        "replaying a delta would double-count postings")
     val ws = Q74Bm25.wordsOf(docs).localCheckpoint(true)
     ws.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
       .write.mode(SaveMode.Append).format("parquet")

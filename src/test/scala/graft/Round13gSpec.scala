@@ -76,6 +76,18 @@ class Round13gSpec extends SparkSpec {
     }
     assert(storeScans.size >= 2,
       s"expected postings+lengths store scans, got ${storeScans.size}")
+    // VERDICT r13 #1: the serve must engage STATIC bucket pruning on
+    // the word-bucketed postings store — SelectedBucketsCount ≤ the
+    // number of distinct query terms — not merely filter map-side
+    // behind the broadcast term join (which scans all 16 buckets).
+    val postingsScan = storeScans.find(
+      _.tableIdentifier.exists(_.table.startsWith("graft_bm25store_postings")))
+    assert(postingsScan.isDefined, "postings store scan missing")
+    val nTerms = Q74Bm25.querySet.flatMap(_._2).distinct.size
+    val selected = postingsScan.get.optionalBucketSet.map(_.cardinality())
+    assert(selected.exists(_ <= nTerms),
+      s"postings scan not bucket-pruned: SelectedBucketsCount=$selected " +
+        s"(want ≤ $nTerms of 16)")
   }
 
   test("q74b: store tier is row-identical to the recompute tier (q74)") {
