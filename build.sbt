@@ -40,6 +40,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // in JDK 17 — without the unlock the JVM refuses to start (and an
   // sbt server that predates this line masks that until the first
   // fresh `sbt` run, which is exactly how it was caught).
-  "-XX:+UnlockDiagnosticVMOptions",
-  "-XX:GCLockerRetryAllocationCount=512",
-)
+) ++ {
+  // GCLocker (and this flag) are REMOVED in newer JDKs — an
+  // unconditional append would make forked JVMs refuse to start on
+  // JDK 22+ with an unrecognized-option error (ADVICE r13). Gate on
+  // the running JVM's spec version; forked JVMs inherit sbt's java.
+  val spec = sys.props.getOrElse("java.specification.version", "17")
+  val major = spec.stripPrefix("1.").takeWhile(_.isDigit)
+  if (major.nonEmpty && major.toInt < 21)
+    Seq("-XX:+UnlockDiagnosticVMOptions",
+      "-XX:GCLockerRetryAllocationCount=512")
+  else Seq.empty
+}

@@ -465,8 +465,12 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save())
       val serve = math.min(serveOnce(), serveOnce())
       graft.plans.Stores.evict(spark, "graft_lblstore")
+      // A failed point (t1's -1 sentinel) is OMITTED from the map —
+      // emitting it would put a negative "timing" in the BENCH JSON
+      // that reads as data (ADVICE r13); the failure is already loud
+      // on stderr, and the ratio rows below skip absent names.
       Map("q18f_closure" -> closure, "q18g_store_build" -> build,
-        "q18g_store_serve" -> serve)
+        "q18g_store_serve" -> serve).filter(_._2 >= 0)
     }
     val cl100: Map[String, Double] =
       if (!wantClosure || !scale100Enabled) Map.empty
@@ -532,11 +536,12 @@ object ScaleBench {
       println(s"""{"ratio_100x_vs_10x":$r2}""")
     }
     if (cl100.nonEmpty) {
-      def crow(m: Map[String, Double]) = closureNames
+      def crow(m: Map[String, Double]) = closureNames.filter(m.contains)
         .map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
       println(s"""{"scale_closure":"sf0.1x100","points":${crow(cl100)}}""")
       if (cl1000.nonEmpty) {
         val cr = closureNames
+          .filter(n => cl1000.contains(n) && cl100.contains(n))
           .map(n => "\"" + n + "\":" + f"${ratio(cl1000(n), cl100(n))}%.2f")
           .mkString("{", ",", "}")
         println(s"""{"scale_closure":"sf0.1x1000","points":${crow(cl1000)}}""")

@@ -2789,9 +2789,16 @@ object Q46cDecontaminateBloom extends GraftQuery {
       WHERE split = 'train' AND graft_bloom_contains(
         (SELECT graft_bloom_agg(xxhash64(gh)) FROM $v WHERE split = 'test'),
         xxhash64(gh))""")
-    Q46Decontaminate.report(spark, dir,
+    val report = Q46Decontaminate.report(spark, dir,
       pre.unionByName(grams.filter(col("split") === "test")
         .select(col("doc_id"), col("split"), col("gh"))))
+    // spark.sql analyzes eagerly — the view reference is resolved
+    // into `pre`'s plan above, so the view can be dropped before the
+    // frame executes. Without the drop every invocation leaked a
+    // uniquely-numbered catalog entry for the session's lifetime
+    // (ADVICE r13).
+    spark.catalog.dropTempView(v)
+    report
   }
 
   /** Same decision, same report — the exact tier's oracle IS the
