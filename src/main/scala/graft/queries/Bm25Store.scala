@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Q74b — BM25 served from the PERSISTED inverted-index store: q74's
@@ -37,19 +38,23 @@ object Q74bBm25Store extends GraftQuery {
   val name = "q74b_bm25_store"
   private val prefix = "graft_bm25store"
 
-  /** Build (or bind) this corpus snapshot's (postings, lengths, meta). */
+  /** Build (or bind) this corpus snapshot's (postings, lengths, meta).
+    * Layout v2: postings carry the sorted positions array (the q74c
+    * phrase tier's input — [[Q74Bm25.postingsOf]]); the version bump
+    * retires v1 incarnations through the normal stale-store sweep. */
   private[graft] def ensureStore(spark: SparkSession,
       dir: String): (String, String, String) = {
     val names = graft.plans.Stores.ensure(
         spark, prefix, dir, Seq("postings", "lengths", "meta"),
         buckets = Map("postings" -> (("word", 16)),
-          "lengths" -> (("doc_id", 16)))) { case Seq(postT, lenT, metaT) =>
-      val ws = Q74Bm25.words(spark, dir)
+          "lengths" -> (("doc_id", 16))),
+        layoutVersion = "2") { case Seq(postT, lenT, metaT) =>
+      val docs = graft.Tables.documents(spark, dir)
       graft.plans.Bucketing.writeBucketed(
-        ws.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")),
-        postT, "word", 16)
+        Q74Bm25.postingsOf(docs), postT, "word", 16)
       graft.plans.Bucketing.writeBucketed(
-        ws.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")), lenT,
+        Q74Bm25.wordsOf(docs).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("dl")), lenT,
         "doc_id", 16)
       spark.sql(s"DROP TABLE IF EXISTS $metaT")
       graft.plans.Stores.deleteTree(
@@ -104,8 +109,10 @@ object Q74bBm25Store extends GraftQuery {
       s"admit(): delta re-admits doc_ids already in $lenT " +
         s"(e.g. ${replayed.limit(3).collect().mkString(", ")}) — " +
         "replaying a delta would double-count postings")
-    val ws = Q74Bm25.wordsOf(docs).localCheckpoint(true)
-    ws.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val ws = Q74Bm25.wordsPosOf(docs).localCheckpoint(true)
+    ws.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(16, "word").sortBy("word").saveAsTable(postT)
     ws.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -127,4 +134,111 @@ object Q74bBm25Store extends GraftQuery {
 
   /** SAME oracle as q74: the store must serve exactly the recompute. */
   val oracle: Option[String] = Q74Bm25.oracle
+}
+
+/** Q74c — PHRASE QUERIES over the positional postings store: the gap
+  * any real retrieval user hits within the first week (VERDICT r13
+  * missing #3 / next #7). The postings store (layout v2) carries each
+  * (word, doc) occurrence's sorted positions array — positions are
+  * 1-based indexes among the retained normalized words
+  * ([[Q74Bm25.wordsPosOf]]) — and a phrase [t1..tk] matches doc d at
+  * base p iff t_i's positions contain p+i−1 for every i.
+  *
+  * Serve shape (the q74b posture, now with the engaged bucket prune):
+  * the literal `isin` on the bucketed word column prunes the scan to
+  * ≤|phrase terms| buckets; a broadcast join attaches (query_id, term
+  * index, phrase length); one keyed aggregation gathers the ≤k
+  * positions arrays per (query, doc); the adjacency check is a pure
+  * array expression (filter+forall over the first term's positions —
+  * no explode back to occurrence rows, so the shuffle carries one row
+  * per CANDIDATE doc, not per occurrence). Docs rank by occurrence
+  * count desc, doc_id asc, top 10 per query.
+  *
+  * Positions are additive exactly like tf, so [[Q74bBm25Store.admit]]
+  * and the s23 stream maintenance carry the phrase tier for free —
+  * Round14Spec pins admitted-serve ≡ rebuild for phrases too. */
+object Q74cBm25PhraseStore extends GraftQuery {
+  val name = "q74c_phrase_store"
+
+  /** (query_id, phrase) — adjacent-word phrases drawn from the
+    * fixture generator's closed vocabulary (bigram + trigram coverage
+    * verified present at sf0.001/0.01/0.1). */
+  private[graft] val phraseSet: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("table", "hash"),
+    2 -> Seq("stream", "window"),
+    3 -> Seq("row", "column", "sort"))
+
+  /** Serve phrase matches from a bound postings table — shared by
+    * `run` and the admission spec (post-admit phrase serve must be
+    * exactly this plan over the appended store). */
+  private[graft] def serveFrom(spark: SparkSession,
+      postT: String): DataFrame = {
+    import spark.implicits._
+    val terms = phraseSet.flatMap(_._2).distinct
+    val qterms = phraseSet.flatMap { case (q, ts) =>
+      ts.zipWithIndex.map { case (w, i) => (q, i + 1, ts.length, w) } }
+      .toDF("query_id", "ti", "plen", "word")
+    val cand = spark.table(postT)
+      .filter(col("word").isin(terms: _*)) // static bucket prune
+      .join(broadcast(qterms), Seq("word"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(first(col("plen")).as("plen"),
+        count(lit(1)).as("nterms"),
+        expr("transform(array_sort(collect_list(struct(ti, positions))), " +
+          "x_ -> x_.positions)").as("ps"))
+      // every phrase term present in the doc, else no base can match
+      .filter(col("nterms") === col("plen"))
+      .withColumn("n_occurrences", expr(
+        // count bases: positions p of term 1 where each later term i
+        // sits at p+i-1. The size(ps)=1 arm guards sequence()'s
+        // descending-on-empty-range semantics; phrases here are >=2
+        // terms, but the expression must not silently misfire if a
+        // 1-term phrase is ever configured.
+        "cast(size(filter(element_at(ps, 1), p_ -> size(ps) = 1 OR " +
+          "forall(sequence(1, size(ps) - 1), i_ -> " +
+          "array_contains(element_at(ps, i_ + 1), p_ + i_)))) as bigint)"))
+      .filter(col("n_occurrences") > 0)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_occurrences").desc, col("doc_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("n_occurrences"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    serveFrom(spark, Q74bBm25Store.ensureStore(spark, dir)._1)
+
+  /** Independent DuckDB formulation: positions from an indexed unnest
+    * of the filtered token array; a phrase occurrence is a base where
+    * every term index is present (count(DISTINCT ti) = phrase len). */
+  val oracle: Option[String] = Some {
+    val qvals = phraseSet.flatMap { case (q, ts) =>
+      ts.zipWithIndex.map { case (w, i) => s"($q, ${i + 1}, ${ts.length}, '$w')" }
+    }.mkString(", ")
+    raw"""
+    WITH base AS (SELECT doc_id,
+        list_filter(list_transform(string_split_regex(text, '\s+'),
+          x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+          w_ -> w_ <> '') AS t
+      FROM documents),
+    p AS (SELECT doc_id, CAST(wi AS INT) AS pos, t[CAST(wi AS INT)] AS word
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS wi FROM base)),
+    q(query_id, ti, plen, word) AS (VALUES $qvals),
+    m AS (SELECT q.query_id, p.doc_id, q.ti, q.plen, p.pos - q.ti + 1 AS base
+          FROM p JOIN q ON p.word = q.word),
+    occ AS (SELECT query_id, doc_id, base
+            FROM m GROUP BY query_id, doc_id, base, plen
+            HAVING count(DISTINCT ti) = plen),
+    cnt AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM occ GROUP BY 1, 2),
+    r AS (SELECT query_id, doc_id, n_occurrences,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY n_occurrences DESC, doc_id ASC) AS INT) AS rank
+          FROM cnt)
+    SELECT query_id, rank, doc_id, n_occurrences
+    FROM r WHERE rank <= 10 ORDER BY query_id, rank
+  """.trim
+  }
 }

@@ -277,7 +277,8 @@ object NorthStar {
     Q45TokenPacking,
     Q46Decontaminate, Q46bDecontaminateDfCap, Q46cDecontaminateBloom,
     Q47Repetition, Q48MixSample,
-    Q49CrossDocParagraphs, Q74Bm25, Q74bBm25Store, Q75HybridRrf,
+    Q49CrossDocParagraphs, Q74Bm25, Q74bBm25Store, Q74cBm25PhraseStore,
+    Q75HybridRrf,
     Q76ContrastiveTriplets, Q76bHardNegatives, Q76cTripletsBackfilled)
 }
 
@@ -1378,22 +1379,41 @@ object Q74Bm25 extends GraftQuery {
     1 -> Seq("spark", "join", "fast"),
     2 -> Seq("hash", "table"),
     3 -> Seq("stream", "window", "agg"))
+  /** Tokenize with POSITIONS — (doc_id, pos, word); pos is the
+    * 1-based index among the RETAINED normalized words (empties are
+    * dropped BEFORE numbering, so phrase adjacency — q74c — is
+    * insensitive to punctuation-only tokens between words). Map-only:
+    * normalize+filter runs inside one array expression per doc and a
+    * single posexplode — no per-doc window, no shuffle; at 100 TB
+    * positions are assigned at scan time like the words themselves. */
+  private[graft] def wordsPosOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(filter(
+        transform(split(col("text"), "\\s+"),
+          t => lower(regexp_replace(t, "[^a-zA-Z]", ""))),
+        w => w =!= "")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
+        col("col").as("word"))
+
   /** Tokenize an arbitrary document frame — (doc_id, word), q26's
     * normalizer; shared by the recompute tier, the store build, and
-    * the streaming index maintainer (s23). */
+    * the streaming index maintainer (s23). One normalization for the
+    * whole retrieval family: the position-free view of [[wordsPosOf]]. */
   private[graft] def wordsOf(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
-      .select(col("doc_id"),
-        lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
-      .filter(col("word") =!= "")
+    wordsPosOf(docs).select(col("doc_id"), col("word"))
 
-  /** Per-doc postings increment — the index rows `docs` contributes;
-    * doc_ids are unique across micro-batches, so per-batch postings
-    * APPEND without conflict (the s23 invariant). */
+  /** Per-doc postings increment — the index rows `docs` contributes
+    * (word, doc_id, tf, positions); doc_ids are unique across
+    * micro-batches, so per-batch postings APPEND without conflict
+    * (the s23 invariant). `positions` (sorted, 1-based — see
+    * [[wordsPosOf]]) is what the phrase tier (q74c) consumes; BM25
+    * scoring reads only tf, and carrying the array is additive — the
+    * same admit()/s23 maintenance covers both consumers (VERDICT r13
+    * #7). */
   private[graft] def postingsOf(docs: DataFrame): DataFrame =
-    wordsOf(docs).groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
+    wordsPosOf(docs).groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
 
   /** The corpus tokenize stream — (doc_id, word), q26's normalizer. */
   private[queries] def words(spark: SparkSession, dir: String): DataFrame =
