@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** EXACTLY-ONCE guard for BATCH store admission (VERDICT r13 #3):
+  * the batch twin of the streaming epoch-marker contract
+  * (`StreamQueries.maintainAppend` — marker committed AFTER the data
+  * append, replay scrubs a partial epoch). Before this, q74b's and
+  * q18g's `admit()` shared a torn-store-on-crash posture: a crash
+  * between the data appends and the meta/labels rewrite left a torn
+  * fingerprint whose only recovery was a full rebuild.
+  *
+  * Protocol (single batch writer per store family — the documented
+  * admission contract; concurrent BUILDS are already serialized by
+  * [[Stores.ensure]]'s cross-process lock):
+  *  1. `begin` appends an INTENT row (adm_id, "intent") to the
+  *     family's log table — one single-file append, atomic visibility
+  *     (the maintainAppend marker argument: a parquet job commit is a
+  *     sequence of task-file renames, but a one-task one-file append
+  *     becomes visible with a single rename).
+  *  2. The caller appends its data rows tagged `_adm` = adm_id to
+  *     each family table and rewrites any derived scalars (meta).
+  *  3. `commit` appends the COMMIT row. Visible commit ⇒ every data
+  *     append above fully committed.
+  * Recovery (`scrub`, run by the store's bind/ensure and at the top
+  * of every admit): an intent with no commit ⇒ that admission may
+  * have left PARTIAL rows — rewrite each family table without its
+  * `_adm` rows, let the caller recompute derived scalars, then log
+  * the id as "scrubbed" so it never re-scrubs. The rewrite is
+  * crash-recovery-only, so full-table cost is acceptable (the
+  * maintainAppend posture); detection is O(log), one tiny-table read.
+  *
+  * Build-time rows are tagged `_adm` = −1 (never scrubbed). The log
+  * table's name embeds the family head table's fingerprinted name, so
+  * a rebuilt store starts a fresh log and [[Stores.evict]]'s
+  * prefix-sweep removes logs with their family. */
+object AdmitLog {
+
+  /** Priming id: present from bootstrap so max()+1 starts at 0. */
+  private val Primer = -1L
+
+  def logTableOf(headT: String): String = s"${headT}_admlog"
+
+  private def append(spark: SparkSession, logT: String, id: Long,
+      state: String): Unit = {
+    spark.range(1)
+      .select(lit(id).as("adm_id"), lit(state).as("state"))
+      .repartition(1)
+      .write.mode(SaveMode.Append).format("parquet").saveAsTable(logT)
+    spark.catalog.refreshTable(logT)
+  }
+
+  private def ensureLog(spark: SparkSession, logT: String): Unit =
+    if (!spark.catalog.tableExists(logT)) {
+      // A dead JVM can leave the managed LOCATION with no catalog
+      // entry (the maintainAppend bootstrap hazard) — clear it first.
+      Stores.deleteTree(Stores.warehouse(spark).resolve(logT))
+      spark.range(1)
+        .select(lit(Primer).as("adm_id"), lit("commit").as("state"))
+        .repartition(1)
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(logT)
+    }
+
+  /** Open an admission: log the intent, return the new adm_id. */
+  def begin(spark: SparkSession, logT: String): Long = {
+    ensureLog(spark, logT)
+    val id = spark.table(logT).agg(max(col("adm_id"))).head().getLong(0) + 1
+    append(spark, logT, id, "intent")
+    id
+  }
+
+  /** Seal an admission: every data append before this call committed. */
+  def commit(spark: SparkSession, logT: String, id: Long): Unit =
+    append(spark, logT, id, "commit")
+
+  /** Admission ids whose intent has no commit/scrubbed resolution —
+    * each may have left partial data rows. */
+  def torn(spark: SparkSession, logT: String): Seq[Long] =
+    if (!spark.catalog.tableExists(logT)) Nil
+    else {
+      spark.catalog.refreshTable(logT)
+      spark.table(logT).groupBy(col("adm_id"))
+        .agg(collect_set(col("state")).as("states"))
+        .filter(array_contains(col("states"), "intent") &&
+          !array_contains(col("states"), "commit") &&
+          !array_contains(col("states"), "scrubbed"))
+        .select(col("adm_id")).collect().map(_.getLong(0)).toSeq
+    }
+
+  /** Remove every torn admission's rows from the family's tagged
+    * tables (rewriting through each table's bucket spec), run the
+    * caller's derived-scalar recompute, and resolve the ids as
+    * scrubbed. Returns the ids scrubbed (empty = nothing torn). */
+  def scrub(spark: SparkSession, logT: String,
+      tables: Seq[(String, Option[(String, Int)])])
+      (recompute: => Unit): Seq[Long] = {
+    val ids = torn(spark, logT)
+    if (ids.nonEmpty) {
+      tables.foreach { case (t, bucket) =>
+        spark.catalog.refreshTable(t)
+        val dirty = spark.table(t).filter(col("_adm").isin(ids: _*))
+        if (!dirty.isEmpty) {
+          val keep = spark.table(t)
+            .filter(!col("_adm").isin(ids: _*)).localCheckpoint(true)
+          val w = keep.write.mode(SaveMode.Overwrite).format("parquet")
+          bucket.fold(w) { case (k, n) => w.bucketBy(n, k).sortBy(k) }
+            .saveAsTable(t)
+          spark.catalog.refreshTable(t)
+        }
+      }
+      recompute
+      ids.foreach(append(spark, logT, _, "scrubbed"))
+    }
+    ids
+  }
+}

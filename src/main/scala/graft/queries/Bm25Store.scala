@@ -40,32 +40,57 @@ object Q74bBm25Store extends GraftQuery {
 
   /** Build (or bind) this corpus snapshot's (postings, lengths, meta).
     * Layout v2: postings carry the sorted positions array (the q74c
-    * phrase tier's input — [[Q74Bm25.postingsOf]]); the version bump
-    * retires v1 incarnations through the normal stale-store sweep. */
+    * phrase tier's input — [[Q74Bm25.postingsOf]]); v3 adds the
+    * `_adm` admission tag (−1 = build) that the epoch-guarded batch
+    * admit scrubs by (VERDICT r13 #3). Version bumps retire older
+    * incarnations through the normal stale-store sweep. Binding also
+    * resolves any TORN admission a crashed writer left behind —
+    * detection is one tiny admission-log read. */
   private[graft] def ensureStore(spark: SparkSession,
       dir: String): (String, String, String) = {
     val names = graft.plans.Stores.ensure(
         spark, prefix, dir, Seq("postings", "lengths", "meta"),
         buckets = Map("postings" -> (("word", 16)),
           "lengths" -> (("doc_id", 16))),
-        layoutVersion = "2") { case Seq(postT, lenT, metaT) =>
+        layoutVersion = "3") { case Seq(postT, lenT, metaT) =>
       val docs = graft.Tables.documents(spark, dir)
       graft.plans.Bucketing.writeBucketed(
-        Q74Bm25.postingsOf(docs), postT, "word", 16)
+        Q74Bm25.postingsOf(docs).withColumn("_adm", lit(-1L)),
+        postT, "word", 16)
       graft.plans.Bucketing.writeBucketed(
         Q74Bm25.wordsOf(docs).groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("dl")), lenT,
+          .agg(count(lit(1)).as("dl")).withColumn("_adm", lit(-1L)), lenT,
         "doc_id", 16)
       spark.sql(s"DROP TABLE IF EXISTS $metaT")
       graft.plans.Stores.deleteTree(
         graft.plans.Stores.warehouse(spark).resolve(metaT))
-      spark.table(lenT)
-        .agg(count(lit(1)).cast("long").as("n_docs"),
-          sum(col("dl")).cast("long").as("tot_tokens"))
-        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(metaT)
+      writeMeta(spark, lenT, metaT)
     }
+    scrubTorn(spark, names(0), names(1), names(2))
     (names(0), names(1), names(2))
   }
+
+  /** The meta scalars, recomputed from the lengths table — shared by
+    * build, admit, and the torn-admission scrub. */
+  private def writeMeta(spark: SparkSession, lenT: String,
+      metaT: String): Unit = {
+    spark.table(lenT)
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("dl")).cast("long").as("tot_tokens"))
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(metaT)
+    spark.catalog.refreshTable(metaT)
+  }
+
+  /** Resolve any torn admission (intent logged, no commit): rewrite
+    * postings/lengths without the torn `_adm` rows, recompute meta.
+    * Idempotent; no-op when the log is absent or fully resolved. */
+  private[graft] def scrubTorn(spark: SparkSession, postT: String,
+      lenT: String, metaT: String): Seq[Long] =
+    graft.plans.AdmitLog.scrub(spark,
+      graft.plans.AdmitLog.logTableOf(postT),
+      Seq((postT, Some(("word", 16))), (lenT, Some(("doc_id", 16))))) {
+      writeMeta(spark, lenT, metaT)
+    }
 
   /** Serve BM25 from a bound (postings, lengths, meta) family —
     * shared by `run` and the admission spec so the post-admit serve
@@ -90,41 +115,57 @@ object Q74bBm25Store extends GraftQuery {
     * length rows through the stores' bucket specs and rewrite the
     * meta scalars LAST (every BM25 statistic is additive — postings,
     * dl, N and Σdl — so admitted-serve equals a full rebuild over
-    * corpus ∪ delta, which the spec pins row-for-row). Crash
-    * posture matches q18g's admit: a crash between the appends and
-    * the meta rewrite leaves a torn store for THIS fingerprint only;
-    * the fingerprint-triggered rebuild is the recovery path (batch
-    * admission is the convenience tier — the exactly-once ingest
-    * path is s23's epoch guard). doc_ids must be new (the s23
-    * invariant); re-admitting a doc would double its postings —
-    * ENFORCED below (ADVICE r13): a replayed delta fails loudly
-    * instead of silently corrupting scores. The check is delta ⋉
-    * lengths — a doc_id-bucketed semi-join, delta-sized work. */
+    * corpus ∪ delta, which the spec pins row-for-row).
+    *
+    * EXACTLY-ONCE (VERDICT r13 #3): the whole admission runs under
+    * the [[graft.plans.AdmitLog]] intent/commit guard — rows are
+    * tagged with this admission's id, the commit marker lands only
+    * AFTER the meta rewrite, and a crash anywhere in between is
+    * scrubbed (rows removed, meta recomputed) by the next
+    * bind/admit instead of requiring a fingerprint rebuild. doc_ids
+    * must be new (the s23 invariant); re-admitting a doc would
+    * double its postings — ENFORCED below (ADVICE r13): a replayed
+    * delta fails loudly instead of silently corrupting scores. The
+    * check is delta ⋉ lengths — a doc_id-bucketed semi-join,
+    * delta-sized work.
+    *
+    * `injectCrashAfter` is the failure-injection hook for the spec
+    * (0 = off): 1 throws after the postings append (lengths/meta
+    * untouched), 2 throws after both appends + meta rewrite but
+    * BEFORE the commit marker — the two torn states recovery must
+    * handle. */
   private[graft] def admit(spark: SparkSession, docs: DataFrame,
-      postT: String, lenT: String, metaT: String): Unit = {
+      postT: String, lenT: String, metaT: String,
+      injectCrashAfter: Int = 0): Unit = {
     import org.apache.spark.sql.SaveMode
+    scrubTorn(spark, postT, lenT, metaT)
     val replayed = docs.select(col("doc_id"))
       .join(spark.table(lenT), Seq("doc_id"), "left_semi")
     require(replayed.isEmpty,
       s"admit(): delta re-admits doc_ids already in $lenT " +
         s"(e.g. ${replayed.limit(3).collect().mkString(", ")}) — " +
         "replaying a delta would double-count postings")
+    val logT = graft.plans.AdmitLog.logTableOf(postT)
+    val adm = graft.plans.AdmitLog.begin(spark, logT)
     val ws = Q74Bm25.wordsPosOf(docs).localCheckpoint(true)
     ws.groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("_adm", lit(adm))
       .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(16, "word").sortBy("word").saveAsTable(postT)
+    if (injectCrashAfter == 1)
+      throw new RuntimeException(s"injected crash after postings append ($adm)")
     ws.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .withColumn("_adm", lit(adm))
       .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(16, "doc_id").sortBy("doc_id").saveAsTable(lenT)
     spark.catalog.refreshTable(postT)
     spark.catalog.refreshTable(lenT)
-    spark.table(lenT)
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(col("dl")).cast("long").as("tot_tokens"))
-      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(metaT)
-    spark.catalog.refreshTable(metaT)
+    writeMeta(spark, lenT, metaT)
+    if (injectCrashAfter == 2)
+      throw new RuntimeException(s"injected crash before commit marker ($adm)")
+    graft.plans.AdmitLog.commit(spark, logT, adm)
   }
 
   def run(spark: SparkSession, dir: String): DataFrame = {

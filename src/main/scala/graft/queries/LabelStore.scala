@@ -56,20 +56,37 @@ object Q18gDedupLabelsStore extends GraftQuery {
   val name = "q18g_dedup_labels_store"
   private val prefix = "graft_lblstore"
 
-  /** Build (or bind) this corpus snapshot's (labelsTable, bandsTable). */
+  /** Build (or bind) this corpus snapshot's (labelsTable, bandsTable).
+    * Layout v2 adds the `_adm` admission tag (−1 = build) that the
+    * epoch-guarded batch admit scrubs by (VERDICT r13 #3); binding
+    * also resolves any torn admission a crashed writer left. */
   private[graft] def ensureStore(spark: SparkSession,
       dir: String): (String, String) = {
     val names = graft.plans.Stores.ensure(
         spark, prefix, dir, Seq("labels", "bands"),
-        buckets = Map("labels" -> (("id", 16)), "bands" -> (("bkey", 16)))) {
+        buckets = Map("labels" -> (("id", 16)), "bands" -> (("bkey", 16))),
+        layoutVersion = "2") {
         case Seq(labelsT, bandsT) =>
       graft.plans.Bucketing.writeBucketed(
-        Q18fDedupClusters.labels(spark, dir), labelsT, "id", 16)
+        Q18fDedupClusters.labels(spark, dir).withColumn("_adm", lit(-1L)),
+        labelsT, "id", 16)
       graft.plans.Bucketing.writeBucketed(
-        bandRows(Tables.documents(spark, dir)), bandsT, "bkey", 16)
+        bandRows(Tables.documents(spark, dir)).withColumn("_adm", lit(-1L)),
+        bandsT, "bkey", 16)
     }
+    scrubTorn(spark, names(0), names(1))
     (names(0), names(1))
   }
+
+  /** Resolve any torn admission (intent logged, no commit): rewrite
+    * labels/bands without the torn `_adm` rows. Idempotent; no-op
+    * when the log is absent or fully resolved. No derived scalars to
+    * recompute in this family. */
+  private[graft] def scrubTorn(spark: SparkSession, labelsT: String,
+      bandsT: String): Seq[Long] =
+    graft.plans.AdmitLog.scrub(spark,
+      graft.plans.AdmitLog.logTableOf(labelsT),
+      Seq((labelsT, Some(("id", 16))), (bandsT, Some(("bkey", 16))))) { () }
 
   /** (doc_id, sig, bkey) MinHash band rows for `docs` — the store's
     * admission-index shape, shared by build and [[admit]]. */
@@ -88,15 +105,25 @@ object Q18gDedupLabelsStore extends GraftQuery {
     * `Q42CorpusClean.statusByDoc` (and through it q42b/q58) consumes:
     * a bucketed table scan, no closure recompute. */
   private[graft] def labels(spark: SparkSession, dir: String): DataFrame =
-    spark.table(ensureStore(spark, dir)._1)
+    spark.table(ensureStore(spark, dir)._1).select(col("id"), col("lbl"))
 
   /** ADMIT a delta of arriving documents: attach each to the cluster
     * of its best stored near-dup (or found a singleton), append the
     * new label rows and the delta's band rows through the stores'
-    * bucket specs, and return the admitted (id, lbl) rows. */
+    * bucket specs, and return the admitted (id, lbl) rows.
+    *
+    * EXACTLY-ONCE (VERDICT r13 #3): runs under the
+    * [[graft.plans.AdmitLog]] intent/commit guard like
+    * [[Q74bBm25Store.admit]] — appended rows carry this admission's
+    * `_adm` id, the commit marker lands after BOTH appends, and a
+    * crash in between is scrubbed by the next bind/admit.
+    * `injectCrashAfter` (spec hook, 0 = off): 1 throws between the
+    * labels and bands appends. */
   private[graft] def admit(spark: SparkSession, docs: DataFrame,
-      labelsT: String, bandsT: String): DataFrame = {
+      labelsT: String, bandsT: String,
+      injectCrashAfter: Int = 0): DataFrame = {
     import org.apache.spark.sql.SaveMode
+    scrubTorn(spark, labelsT, bandsT)
     // Delta-sized: band the arrivals once, join only collided buckets.
     val dbands = bandRows(docs).localCheckpoint(true)
     val bstore = spark.table(bandsT)
@@ -117,6 +144,8 @@ object Q18gDedupLabelsStore extends GraftQuery {
     // label row is an unpaired singleton, so its cluster id is itself.
     val lbls = spark.table(labelsT)
       .select(col("id").as("cand"), col("lbl").as("cand_lbl"))
+    val logT = graft.plans.AdmitLog.logTableOf(labelsT)
+    val adm = graft.plans.AdmitLog.begin(spark, logT)
     val admitted = docs.select(col("doc_id"))
       .join(best.join(lbls, Seq("cand"), "left")
           .select(col("delta_id").as("doc_id"),
@@ -125,10 +154,17 @@ object Q18gDedupLabelsStore extends GraftQuery {
       .select(col("doc_id").as("id"),
         coalesce(col("attach_lbl"), col("doc_id")).as("lbl"))
       .localCheckpoint(true)
-    admitted.write.mode(SaveMode.Append).format("parquet")
+    admitted.withColumn("_adm", lit(adm))
+      .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(16, "id").sortBy("id").saveAsTable(labelsT)
-    dbands.write.mode(SaveMode.Append).format("parquet")
+    if (injectCrashAfter == 1)
+      throw new RuntimeException(s"injected crash after labels append ($adm)")
+    dbands.withColumn("_adm", lit(adm))
+      .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(16, "bkey").sortBy("bkey").saveAsTable(bandsT)
+    spark.catalog.refreshTable(labelsT)
+    spark.catalog.refreshTable(bandsT)
+    graft.plans.AdmitLog.commit(spark, logT, adm)
     admitted
   }
 

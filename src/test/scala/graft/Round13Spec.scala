@@ -51,8 +51,10 @@ class Round13Spec extends SparkSpec {
         .toDF("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val (labelsT, bandsT) = Q18gDedupLabelsStore.ensureStore(spark, dir.toString)
-      tempTables = Seq(labelsT, bandsT)
-      val built = spark.table(labelsT).as[(Long, Long)].collect().toMap
+      tempTables = Seq(labelsT, bandsT,
+        graft.plans.AdmitLog.logTableOf(labelsT))
+      val built = spark.table(labelsT).select("id", "lbl")
+        .as[(Long, Long)].collect().toMap
       assert(built === Map(1L -> 1L, 2L -> 1L), s"closure seed: $built")
 
       // Wave 1: doc 50 near-dups base doc 2 → must attach to cluster 1
@@ -77,7 +79,8 @@ class Round13Spec extends SparkSpec {
       assert(w2 === Map(60L -> 51L, 61L -> 1L), s"wave 2: $w2")
 
       // The store accumulated every admitted verdict.
-      val all = spark.table(labelsT).as[(Long, Long)].collect().toMap
+      val all = spark.table(labelsT).select("id", "lbl")
+        .as[(Long, Long)].collect().toMap
       assert(all === Map(1L -> 1L, 2L -> 1L, 50L -> 1L, 51L -> 51L,
         60L -> 51L, 61L -> 1L), s"store after two waves: $all")
     } finally {

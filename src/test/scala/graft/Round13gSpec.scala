@@ -168,7 +168,8 @@ class Round13gSpec extends SparkSpec {
       docs.filter(split === "train")
         .write.parquet(s"$dir/documents.parquet")
       val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, dir.toString)
-      tables = Seq(postT, lenT, metaT)
+      tables = Seq(postT, lenT, metaT,
+        graft.plans.AdmitLog.logTableOf(postT))
       Q74bBm25Store.admit(spark, docs.filter(split === "test"),
         postT, lenT, metaT)
       val got = Q74bBm25Store.serveFrom(spark, postT, lenT, metaT)

@@ -102,7 +102,8 @@ class Round14Spec extends SparkSpec {
       docs.filter(split === "train")
         .write.parquet(s"$dir/documents.parquet")
       val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, dir.toString)
-      tables = Seq(postT, lenT, metaT)
+      tables = Seq(postT, lenT, metaT,
+        graft.plans.AdmitLog.logTableOf(postT))
       Q74bBm25Store.admit(spark, docs.filter(split === "test"),
         postT, lenT, metaT)
       val got = Q74cBm25PhraseStore.serveFrom(spark, postT)
@@ -120,6 +121,119 @@ class Round14Spec extends SparkSpec {
       val s = java.nio.file.Files.walk(dir)
       val paths = try s.iterator().asScala.toVector finally s.close()
       paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  private def withTempCorpus[A](tag: String,
+      rows: Seq[(Long, String)])(body: String => A): A = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(tag)
+    try {
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      body(dir.toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      val paths = try s.iterator().asScala.toVector finally s.close()
+      paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("q74b admit crash injection: torn admission is scrubbed on next bind, then re-admits cleanly") {
+    val base = Seq(1L -> "spark join fast table hash",
+      2L -> "stream window agg join")
+    val delta = Seq(10L -> "spark spark hash table", 11L -> "window stream")
+    withTempCorpus("bm25crash", base) { dir =>
+      var tables = Seq.empty[String]
+      try {
+        val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, dir)
+        tables = Seq(postT, lenT, metaT,
+          graft.plans.AdmitLog.logTableOf(postT))
+        import spark.implicits._
+        val baseline = Q74bBm25Store.serveFrom(spark, postT, lenT, metaT)
+          .collect().map(_.toString).toSeq
+        val deltaDf = delta.toDF("doc_id", "text")
+        // Crash point 1: postings appended, lengths/meta untouched.
+        intercept[RuntimeException] {
+          Q74bBm25Store.admit(spark, deltaDf, postT, lenT, metaT,
+            injectCrashAfter = 1)
+        }
+        assert(graft.plans.AdmitLog.torn(spark,
+          graft.plans.AdmitLog.logTableOf(postT)).nonEmpty, "no torn intent")
+        // Recovery entry point (a): the BIND path — ensureStore on the
+        // same dir must scrub and serve exactly the pre-crash answer.
+        Q74bBm25Store.ensureStore(spark, dir)
+        val afterScrub = Q74bBm25Store.serveFrom(spark, postT, lenT, metaT)
+          .collect().map(_.toString).toSeq
+        assert(afterScrub == baseline,
+          s"scrubbed serve diverges from pre-crash: $afterScrub vs $baseline")
+        assert(spark.table(postT).filter(col("_adm") >= 0).isEmpty,
+          "torn postings rows survived the scrub")
+        // Crash point 2: both appends + meta done, marker missing.
+        intercept[RuntimeException] {
+          Q74bBm25Store.admit(spark, deltaDf, postT, lenT, metaT,
+            injectCrashAfter = 2)
+        }
+        // Recovery entry point (b): admit's own scrub — the SAME delta
+        // must re-admit cleanly (no replay trip on torn rows).
+        Q74bBm25Store.admit(spark, deltaDf, postT, lenT, metaT)
+        val admitted = Q74bBm25Store.serveFrom(spark, postT, lenT, metaT)
+          .collect().map(_.toString).toSeq
+        // Reference: a crash-free store over base ∪ delta.
+        val full = withTempCorpus("bm25crashref", base ++ delta) { refDir =>
+          val (p2, l2, m2) = Q74bBm25Store.ensureStore(spark, refDir)
+          try Q74bBm25Store.serveFrom(spark, p2, l2, m2)
+            .collect().map(_.toString).toSeq
+          finally Seq(p2, l2, m2).foreach(
+            graft.plans.Stores.dropManaged(spark, _))
+        }
+        assert(admitted == full,
+          s"post-recovery admit diverges from rebuild: $admitted vs $full")
+      } finally {
+        tables.foreach(graft.plans.Stores.dropManaged(spark, _))
+        graft.plans.Stores.gcMarkers(spark, "graft_bm25store")
+      }
+    }
+  }
+
+  test("q18g admit crash injection: torn labels are scrubbed, delta re-admits cleanly") {
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val base = Seq(1L -> s"$shared alpha", 2L -> s"$shared beta")
+    withTempCorpus("lblcrash", base) { dir =>
+      import graft.queries.Q18gDedupLabelsStore
+      var tables = Seq.empty[String]
+      try {
+        val (labelsT, bandsT) = Q18gDedupLabelsStore.ensureStore(spark, dir)
+        tables = Seq(labelsT, bandsT,
+          graft.plans.AdmitLog.logTableOf(labelsT))
+        import spark.implicits._
+        val deltaDf = Seq(50L -> s"$shared gamma").toDF("doc_id", "text")
+        // Crash between the labels and bands appends: labels row for 50
+        // is in, its band rows are not — the worst torn state (a later
+        // wave would miss 50 as an attach base while 50 looks labeled).
+        intercept[RuntimeException] {
+          Q18gDedupLabelsStore.admit(spark, deltaDf, labelsT, bandsT,
+            injectCrashAfter = 1)
+        }
+        // Bind-path recovery: labels revert to the built closure only.
+        Q18gDedupLabelsStore.ensureStore(spark, dir)
+        val afterScrub = spark.table(labelsT).select("id", "lbl")
+          .as[(Long, Long)].collect().toMap
+        assert(afterScrub == Map(1L -> 1L, 2L -> 1L),
+          s"scrub left torn labels: $afterScrub")
+        // Clean re-admit of the SAME delta attaches as if never crashed.
+        val w = Q18gDedupLabelsStore.admit(spark, deltaDf, labelsT, bandsT)
+          .as[(Long, Long)].collect().toMap
+        assert(w == Map(50L -> 1L), s"re-admit after scrub: $w")
+        val bands50 = spark.table(bandsT).filter(col("doc_id") === 50L)
+        assert(!bands50.isEmpty, "re-admit did not append the delta's bands")
+      } finally {
+        tables.foreach(graft.plans.Stores.dropManaged(spark, _))
+        graft.plans.Stores.gcMarkers(spark, "graft_lblstore")
+      }
     }
   }
 }
