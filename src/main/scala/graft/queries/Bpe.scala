@@ -47,7 +47,7 @@ object Bpe {
     Seq(Q64BpeMerges, Q64bBpeEncode, Q64cBpeMergesLocal, Q64dBpeEncodeLocal,
       Q64eBpeEncodeStore, Q64fVocabDrift, Q64gWordpieceEncode,
       Q64hUnigramVocab, Q64iUnigramEncode, Q64jWordpieceEncodeStore,
-      Q64kUnigramEncodeStore)
+      Q64kUnigramEncodeStore, Q64lWordpieceDrift, Q64mUnigramDrift)
 
   /** The ONE corpus-scale step of BPE learning: token/normalize (q1's
     * definition) and the word-frequency reduction. Everything after
@@ -670,6 +670,17 @@ object Q64gWordpieceEncode extends GraftQuery {
   private def arr(ps: Seq[String]) =
     ps.map(p => s"'$p'").mkString("array(", ", ", ")")
 
+  /** (word → piece count, UNK flag) for a distinct-word frame — the
+    * drift tier's dictionary (q64l): one greedy fold per DISTINCT
+    * word, vocabulary-sized work, the q64b join-not-refold rule. */
+  private[queries] def wordDict(words: DataFrame): DataFrame =
+    words.select(col("word"),
+        expr(NorthStar.let("w_", "word", encodeWordExpr)).as("enc"))
+      .select(col("word"),
+        when(col("enc") =!= "[UNK]",
+          size(split(col("enc"), " ")).cast("long")).as("ntok"),
+        (col("enc") === "[UNK]").as("unk"))
+
   /** Greedy fold over one word bound as `w_`. */
   private def encodeWordExpr: String = {
     val init = arr(InitPieces)
@@ -710,7 +721,10 @@ object Q64gWordpieceEncode extends GraftQuery {
   def run(spark: SparkSession, dir: String): DataFrame =
     encode(Tables.documents(spark, dir))
 
-  val oracle = Some {
+  /** CTE chain `v, s0..sN, enc(w, ew)` — the greedy encode of every
+    * word in a caller-provided CTE `<src>(w)`, UNK included; shared
+    * by q64g's per-doc oracle and q64l's drift oracle. */
+  private[queries] def duckEncChain(src: String): String = {
     val Steps = OracleSteps
     val vals = (InitPieces.map(p => s"('$p', 0)") ++
       ContPieces.map(p => s"('$p', 1)")).mkString(", ")
@@ -732,15 +746,19 @@ object Q64gWordpieceEncode extends GraftQuery {
              WHEN pos > length(w) THEN false
              WHEN ml IS NULL THEN true ELSE false END AS unk
         FROM c$k)""" }.mkString(",\n      ")
+    s"""v AS (SELECT * FROM (VALUES $vals) AS t(piece, cont)),
+    s0 AS (SELECT DISTINCT w, 1 AS pos, '' AS acc, false AS unk FROM $src),
+    $steps,
+    enc AS (SELECT w, CASE WHEN unk OR pos <= length(w) THEN '[UNK]'
+            ELSE acc END AS ew FROM s$Steps)"""
+  }
+
+  val oracle = Some {
     s"""
     WITH base AS (SELECT doc_id, ${NorthStar.duckToks} AS t FROM documents),
     wt AS (SELECT doc_id, t[wi] AS w, wi FROM
            (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS wi FROM base)),
-    v AS (SELECT * FROM (VALUES $vals) AS t(piece, cont)),
-    s0 AS (SELECT DISTINCT w, 1 AS pos, '' AS acc, false AS unk FROM wt),
-    $steps,
-    enc AS (SELECT w, CASE WHEN unk OR pos <= length(w) THEN '[UNK]'
-            ELSE acc END AS ew FROM s$Steps),
+    ${duckEncChain("wt")},
     perdoc AS (SELECT wt.doc_id,
       CAST(COUNT(*) AS BIGINT) AS n_words,
       CAST(SUM(len(string_split(e.ew, ' '))) AS BIGINT) AS n_pieces,
@@ -852,9 +870,16 @@ object Q64hUnigramVocab extends GraftQuery {
     * Viterbi scores Σ cnt·score(word) for the monotonicity spec, and
     * the pinned distinct-word frame for encode reuse). */
   private[graft] def learn(spark: SparkSession, dir: String)
+      : (Seq[(String, Long)], Seq[Long], DataFrame) =
+    learnFrom(spark, Bpe.wordFreq(spark, dir))
+
+  /** Same trainer over an arbitrary (word, cnt) frequency frame —
+    * q64m trains on the train split only (the q64f rule: drift is
+    * measured against the vocabulary the INDEXED corpus taught). */
+  private[graft] def learnFrom(spark: SparkSession, freq: DataFrame)
       : (Seq[(String, Long)], Seq[Long], DataFrame) = {
     import spark.implicits._
-    val words = Bpe.wordFreq(spark, dir).localCheckpoint()
+    val words = freq.localCheckpoint()
     // Seed: substring frequencies (every occurrence position), all
     // single chars + the SeedMultis most frequent multi-char pieces.
     val subs = words.select(col("cnt"), explode(expr(
@@ -900,12 +925,14 @@ object Q64hUnigramVocab extends GraftQuery {
       .orderBy(col("cnt").desc, col("piece").asc)
   }
 
-  /** One Viterbi DP chain over the distinct words `dw(w)` under the
+  /** One Viterbi DP chain over the distinct words `$src(w)` under the
     * score table `$v(piece, q)`: dp rows (w, j, sc, nn, enc), best
     * path to position j picked by the SAME total order as the Spark
     * struct max. `$pfx`-namespaced so training unrolls one chain per
-    * EM round. */
-  private[graft] def duckViterbi(pfx: String, v: String): String = {
+    * EM round (and q64m adds a final chain over the FULL corpus's
+    * covered words). */
+  private[graft] def duckViterbi(pfx: String, v: String,
+      src: String = "dw"): String = {
     val steps = (1 to OracleSteps).map { j =>
       val prevs = (math.max(0, j - MaxPiece) until j).map { pj =>
         s"SELECT w, $pj AS j, sc, nn, enc FROM ${pfx}dp$pj"
@@ -925,7 +952,7 @@ object Q64hUnigramVocab extends GraftQuery {
     val all = (1 to OracleSteps).map(j =>
       s"SELECT w, $j AS j, enc, sc FROM ${pfx}dp$j").mkString(" UNION ALL ")
     s"""${pfx}dp0 AS MATERIALIZED (
-      SELECT w, CAST(0 AS BIGINT) AS sc, 0 AS nn, '' AS enc FROM dw),
+      SELECT w, CAST(0 AS BIGINT) AS sc, 0 AS nn, '' AS enc FROM $src),
     $steps,
     ${pfx}enc AS (SELECT w, enc, sc FROM ($all) WHERE j = length(w))"""
   }
@@ -956,7 +983,11 @@ object Q64hUnigramVocab extends GraftQuery {
   /** The full TRAINING replay: words → seed inventory → EmRounds ×
     * (scores → Viterbi → counts). Ends with count table c$EmRounds.
     * Shared with q64i's encode oracle. */
-  private[graft] def duckTrainChain: String = {
+  private[graft] def duckTrainChain: String = duckTrainChainOver("TRUE")
+
+  /** Same replay with the source documents filtered — q64m trains on
+    * the train split (q64f's `duckChainOver` shape). */
+  private[graft] def duckTrainChainOver(where: String): String = {
     val rounds = (1 to EmRounds).map { r =>
       duckScores(s"v${r - 1}", s"c${r - 1}") + ",\n    " +
         duckViterbi(s"r$r", s"v${r - 1}") + ",\n    " +
@@ -964,7 +995,7 @@ object Q64hUnigramVocab extends GraftQuery {
     }.mkString(",\n    ")
     s"""words AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM
         (SELECT lower(regexp_replace(unnest(string_split_regex(text, '\\s+')), '[^a-zA-Z]', '', 'g')) AS word
-         FROM documents)
+         FROM documents WHERE $where)
       WHERE length(word) > 0 GROUP BY word),
     dw AS MATERIALIZED (SELECT DISTINCT word AS w FROM words),
     subs AS (
@@ -1276,4 +1307,248 @@ object Q64kUnigramEncodeStore extends GraftQuery {
 
   /** Recompute tier and store tier answer to ONE gate. */
   val oracle: Option[String] = Q64iUnigramEncode.oracle
+}
+
+/** Q64l — WORDPIECE DRIFT: the retrain-trigger tier for the WordPiece
+  * tokenizer, completing the second column of the tokenizer drift
+  * matrix (q64f covers BPE; q64m covers Unigram — VERDICT r13 next
+  * #4). Same decision shape as q64f — signals measured on the
+  * arriving delta (test split) against the indexed corpus (train
+  * split) — with WordPiece's own failure mode in place of OOV:
+  *
+  *  - `unk_jump` — delta [UNK] rate minus train [UNK] rate. WordPiece
+  *    always has an UNK floor (the vocabulary is a pinned artifact,
+  *    not learned from this corpus), so the LEVEL is not a signal;
+  *    the JUMP is — new domains push whole words outside piece
+  *    coverage. Live on the fixture in both directions.
+  *  - `rel_drift` — relative fertility change on non-UNK words, the
+  *    q64f signal verbatim.
+  *
+  * Thresholds are fixture-calibrated so BOTH verdicts occur at sf0.01
+  * AND sf0.1 (q64f's rule: the retrain flag must be a real decision,
+  * not a constant column).
+  *
+  * Determinism: fertilities and UNK rates are single IEEE divisions
+  * of exact BIGINTs; unk_jump is one subtraction of two such doubles;
+  * comparisons are against literals — all engine-exact.
+  *
+  * 100 TB posture: one tokenize pass per side, the greedy encode runs
+  * once per DISTINCT word (vocabulary-sized — q64g's fold), and the
+  * corpus-scale step is a broadcast dictionary join + per-(lang,
+  * split) aggregation. */
+object Q64lWordpieceDrift extends GraftQuery {
+  val name = "q64l_wordpiece_drift"
+  /** Relative fertility-drift retrain trigger. */
+  val DriftThreshold = 0.006
+  /** [UNK]-rate jump retrain trigger. */
+  val UnkJumpThreshold = 0.0005
+
+  /** (lang, split, word) — the shared tokenize for both drift tiers. */
+  private[queries] def splitWords(docs: DataFrame): DataFrame =
+    docs.withColumn("split", Q40TrainTestSplit.splitCol)
+      .select(col("lang"), col("split"),
+        explode(expr(NorthStar.toksExpr)).as("tok"))
+      .select(col("lang"), col("split"),
+        lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
+      .filter(length(col("word")) > 0)
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val toks = splitWords(Tables.documents(spark, dir))
+    // Vocabulary-sized: one greedy fold per distinct word, pinned so
+    // the two split-side aggregations below read blocks, not re-folds.
+    val dict = broadcast(Q64gWordpieceEncode.wordDict(
+      toks.select(col("word")).distinct()).localCheckpoint(true))
+    val stats = toks.join(dict, Seq("word"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("unk"), 1L).otherwise(0L)).as("unk_words"),
+        sum(when(col("unk"), 0L).otherwise(col("ntok"))).as("invocab_ntok"),
+        sum(when(col("unk"), 0L).otherwise(1L)).as("invocab_words"))
+      .localCheckpoint(true)
+    val tr = stats.filter(col("split") === "train").select(col("lang"),
+      (col("invocab_ntok").cast("double") / col("invocab_words"))
+        .as("train_fertility"),
+      (col("unk_words").cast("double") / col("n_words"))
+        .as("train_unk_rate"))
+    val de = stats.filter(col("split") === "test").select(col("lang"),
+      (col("invocab_ntok").cast("double") / col("invocab_words"))
+        .as("delta_fertility"),
+      (col("unk_words").cast("double") / col("n_words"))
+        .as("delta_unk_rate"),
+      col("n_words").as("delta_words"),
+      col("unk_words").as("delta_unk_words"))
+    tr.join(de, "lang")
+      .withColumn("rel_drift",
+        abs(col("delta_fertility") - col("train_fertility"))
+          / col("train_fertility"))
+      .withColumn("unk_jump",
+        col("delta_unk_rate") - col("train_unk_rate"))
+      .withColumn("retrain",
+        col("unk_jump") > UnkJumpThreshold ||
+          col("rel_drift") > DriftThreshold)
+      .select(col("lang"), col("train_fertility"), col("delta_fertility"),
+        col("train_unk_rate"), col("delta_unk_rate"), col("delta_words"),
+        col("delta_unk_words"), col("rel_drift"), col("unk_jump"),
+        col("retrain"))
+      .orderBy(col("lang"))
+  }
+
+  val oracle = Some {
+    s"""
+    WITH d AS (SELECT lang, text, ${Q40TrainTestSplit.duckSplit} AS split
+          FROM documents),
+    w AS (SELECT lang, split,
+        lower(regexp_replace(unnest(string_split_regex(text, '\\s+')), '[^a-zA-Z]', '', 'g')) AS word
+      FROM d),
+    ww AS (SELECT * FROM w WHERE length(word) > 0),
+    dw AS (SELECT DISTINCT word AS w FROM ww),
+    ${Q64gWordpieceEncode.duckEncChain("dw")},
+    stats AS (SELECT lang, split,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(SUM(CASE WHEN e.ew = '[UNK]' THEN 1 ELSE 0 END) AS BIGINT) AS unk_words,
+        CAST(SUM(CASE WHEN e.ew = '[UNK]' THEN 0 ELSE len(string_split(e.ew, ' ')) END) AS BIGINT) AS invocab_ntok,
+        CAST(SUM(CASE WHEN e.ew = '[UNK]' THEN 0 ELSE 1 END) AS BIGINT) AS invocab_words
+      FROM ww JOIN enc e ON e.w = ww.word GROUP BY lang, split),
+    tr AS (SELECT lang,
+        CAST(invocab_ntok AS DOUBLE) / invocab_words AS train_fertility,
+        CAST(unk_words AS DOUBLE) / n_words AS train_unk_rate
+      FROM stats WHERE split = 'train'),
+    de AS (SELECT lang,
+        CAST(invocab_ntok AS DOUBLE) / invocab_words AS delta_fertility,
+        CAST(unk_words AS DOUBLE) / n_words AS delta_unk_rate,
+        n_words AS delta_words, unk_words AS delta_unk_words
+      FROM stats WHERE split = 'test')
+    SELECT tr.lang, train_fertility, delta_fertility, train_unk_rate,
+      delta_unk_rate, delta_words, delta_unk_words,
+      abs(delta_fertility - train_fertility) / train_fertility AS rel_drift,
+      delta_unk_rate - train_unk_rate AS unk_jump,
+      (delta_unk_rate - train_unk_rate > $UnkJumpThreshold
+        OR abs(delta_fertility - train_fertility) / train_fertility > $DriftThreshold) AS retrain
+    FROM tr JOIN de ON de.lang = tr.lang
+    ORDER BY tr.lang
+  """.trim
+  }
+}
+
+/** Q64m — UNIGRAM-LM DRIFT: the retrain-trigger tier for the Unigram
+  * tokenizer, completing the drift matrix's last column (VERDICT r13
+  * next #4). q64f's exact decision shape — the inventory is TRAINED
+  * on the train split (hard-EM, q64h's trainer over the filtered
+  * corpus), then both signals are measured on the arriving delta:
+  *
+  *  - `oov_rate` — delta words containing a character outside the
+  *    trained char inventory (Unigram's only true OOV: single chars
+  *    are the coverage floor, so a word is unsegmentable iff some
+  *    char is unseen). The loud deploy signal; the fixture's splits
+  *    share one alphabet, so it reads 0 here and the oracle checks
+  *    exactly that (the q64f posture).
+  *  - `rel_drift` — relative Viterbi-fertility change on covered
+  *    words, live on the fixture.
+  *
+  * 100 TB posture: training is q64h's (corpus read once for word
+  * frequencies; EM is vocabulary-sized); the drift measurement is one
+  * Viterbi fold per DISTINCT covered word + a broadcast dictionary
+  * join per side — q64l's shape with the trained scorer in place of
+  * the pinned vocab. */
+object Q64mUnigramDrift extends GraftQuery {
+  import Q64hUnigramVocab.{EmRounds, scoresOf, viterbiExpr}
+  val name = "q64m_unigram_drift"
+  /** Relative fertility-drift retrain trigger (fixture-calibrated so
+    * both verdicts occur — see the spec). */
+  val DriftThreshold = 0.006
+  /** OOV-rate retrain trigger. */
+  val OovThreshold = 0.01
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(Q40TrainTestSplit.splitCol === "train")
+    val (inventory, _, _) =
+      Q64hUnigramVocab.learnFrom(spark, Bpe.wordFreqOf(train))
+    val charsLit = inventory.collect { case (p, _) if p.length == 1 => p }
+      .sorted.map(c => s"'$c'").mkString("array(", ", ", ")")
+    val covered =
+      s"size(filter(sequence(1, length(word)), i_ -> " +
+        s"NOT array_contains($charsLit, substring(word, i_, 1)))) = 0"
+    val toks = Q64lWordpieceDrift.splitWords(docs)
+    // Viterbi once per distinct COVERED word (vocabulary-sized);
+    // uncovered words fall out of the left join below as OOV.
+    val dict = broadcast(toks.select(col("word")).distinct()
+      .filter(expr(covered))
+      .select(col("word"), size(split(expr(NorthStar.let("w_", "word",
+        viterbiExpr(scoresOf(inventory)))), " ")).cast("long").as("ntok"))
+      .localCheckpoint(true))
+    val stats = toks.join(dict, Seq("word"), "left")
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("ntok").isNull, 1L).otherwise(0L)).as("oov_words"),
+        sum(coalesce(col("ntok"), lit(0L))).as("invocab_ntok"),
+        sum(when(col("ntok").isNull, 0L).otherwise(1L)).as("invocab_words"))
+      .localCheckpoint(true)
+    val tr = stats.filter(col("split") === "train").select(col("lang"),
+      (col("invocab_ntok").cast("double") / col("invocab_words"))
+        .as("train_fertility"))
+    val de = stats.filter(col("split") === "test").select(col("lang"),
+      (col("invocab_ntok").cast("double") / col("invocab_words"))
+        .as("delta_fertility"),
+      (col("oov_words").cast("double") / col("n_words")).as("oov_rate"),
+      col("n_words").as("delta_words"), col("oov_words"))
+    tr.join(de, "lang")
+      .withColumn("rel_drift",
+        abs(col("delta_fertility") - col("train_fertility"))
+          / col("train_fertility"))
+      .withColumn("retrain",
+        col("oov_rate") > OovThreshold || col("rel_drift") > DriftThreshold)
+      .select(col("lang"), col("train_fertility"), col("delta_fertility"),
+        col("oov_rate"), col("delta_words"), col("oov_words"),
+        col("rel_drift"), col("retrain"))
+      .orderBy(col("lang"))
+  }
+
+  val oracle = Some {
+    val fin = s"c$EmRounds"
+    s"""
+    WITH ${Q64hUnigramVocab.duckTrainChainOver(
+        s"(${Q40TrainTestSplit.duckSplit}) = 'train'")},
+    vfint AS (SELECT SUM(c + 1) AS t FROM $fin),
+    vfin AS (SELECT piece,
+      CAST(floor(1000000 * ln(CAST(c + 1 AS DOUBLE))) AS BIGINT)
+        - (SELECT CAST(floor(1000000 * ln(CAST(t AS DOUBLE))) AS BIGINT)
+           FROM vfint) AS q
+      FROM $fin),
+    d AS (SELECT lang, text, ${Q40TrainTestSplit.duckSplit} AS split
+          FROM documents),
+    w AS (SELECT lang, split,
+        lower(regexp_replace(unnest(string_split_regex(text, '\\s+')), '[^a-zA-Z]', '', 'g')) AS word
+      FROM d),
+    ww AS (SELECT * FROM w WHERE length(word) > 0),
+    adw AS (SELECT DISTINCT word AS w FROM ww),
+    unc AS (SELECT DISTINCT t.w FROM (
+        SELECT a.w, substr(a.w, CAST(u.i AS INT), 1) AS ch
+        FROM adw a, unnest(range(1, length(a.w) + 1)) u(i)) t
+      LEFT JOIN chars0 c ON c.piece = t.ch WHERE c.piece IS NULL),
+    cov AS (SELECT w FROM adw WHERE w NOT IN (SELECT w FROM unc)),
+    ${Q64hUnigramVocab.duckViterbi("fd", "vfin", "cov")},
+    stats AS (SELECT lang, split,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(SUM(CASE WHEN e.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_words,
+        CAST(SUM(CASE WHEN e.w IS NULL THEN 0 ELSE len(string_split(e.enc, ' ')) END) AS BIGINT) AS invocab_ntok,
+        CAST(SUM(CASE WHEN e.w IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS invocab_words
+      FROM ww LEFT JOIN fdenc e ON e.w = ww.word GROUP BY lang, split),
+    tr AS (SELECT lang,
+        CAST(invocab_ntok AS DOUBLE) / invocab_words AS train_fertility
+      FROM stats WHERE split = 'train'),
+    de AS (SELECT lang,
+        CAST(invocab_ntok AS DOUBLE) / invocab_words AS delta_fertility,
+        CAST(oov_words AS DOUBLE) / n_words AS oov_rate,
+        n_words AS delta_words, oov_words
+      FROM stats WHERE split = 'test')
+    SELECT tr.lang, train_fertility, delta_fertility, oov_rate,
+      delta_words, oov_words,
+      abs(delta_fertility - train_fertility) / train_fertility AS rel_drift,
+      (CAST(oov_words AS DOUBLE) / delta_words > $OovThreshold
+        OR abs(delta_fertility - train_fertility) / train_fertility > $DriftThreshold) AS retrain
+    FROM tr JOIN de ON de.lang = tr.lang
+    ORDER BY tr.lang
+  """.trim
+  }
 }

@@ -142,6 +142,31 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("q64l/q64m drift tiers: retrain is a LIVE decision (both verdicts) and signals are sane") {
+    import graft.queries.{Q64lWordpieceDrift, Q64mUnigramDrift}
+    val wp = Q64lWordpieceDrift.run(spark, sf01).collect()
+    val verdictsWp = wp.map(_.getAs[Boolean]("retrain")).toSet
+    assert(verdictsWp == Set(true, false),
+      s"q64l retrain must split on the fixture: $verdictsWp")
+    wp.foreach { r =>
+      assert(r.getAs[Double]("train_fertility") >= 1.0 &&
+        r.getAs[Double]("delta_fertility") >= 1.0,
+        s"fertility < 1 is impossible: $r")
+      assert(r.getAs[Double]("rel_drift") >= 0.0, s"negative drift: $r")
+    }
+    val uni = Q64mUnigramDrift.run(spark, sf01).collect()
+    val verdictsU = uni.map(_.getAs[Boolean]("retrain")).toSet
+    assert(verdictsU == Set(true, false),
+      s"q64m retrain must split on the fixture: $verdictsU")
+    uni.foreach { r =>
+      // The fixture's splits share one alphabet: Unigram's only true
+      // OOV (unseen char) must read 0 — the q64f posture the oracle
+      // also pins.
+      assert(r.getAs[Long]("oov_words") == 0L, s"unexpected OOV: $r")
+      assert(r.getAs[Double]("train_fertility") >= 1.0, s"fertility: $r")
+    }
+  }
+
   test("q74b admit crash injection: torn admission is scrubbed on next bind, then re-admits cleanly") {
     val base = Seq(1L -> "spark join fast table hash",
       2L -> "stream window agg join")
