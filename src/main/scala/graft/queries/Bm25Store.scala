@@ -96,6 +96,13 @@ object Q74bBm25Store extends GraftQuery {
     * shared by `run` and the admission spec so the post-admit serve
     * is exactly the store serve. */
   private[graft] def serveFrom(spark: SparkSession, postT: String,
+      lenT: String, metaT: String): DataFrame =
+    Q74Bm25.topK(scoredFrom(spark, postT, lenT, metaT), 10)
+
+  /** The PRE-window scored frame from the store — q74b's serve short
+    * of ranking; the store-armed hybrid fusion (q75b) reads it
+    * 20-deep, exactly as q75 reads [[Q74Bm25.lexScores]]. */
+  private[graft] def scoredFrom(spark: SparkSession, postT: String,
       lenT: String, metaT: String): DataFrame = {
     import spark.implicits._
     val meta = spark.table(metaT).head()
@@ -107,7 +114,7 @@ object Q74bBm25Store extends GraftQuery {
     val tf = spark.table(postT)
       .filter(col("word").isin(terms: _*))
       .join(broadcast(qwords), Seq("word"))
-    Q74Bm25.rank(spark, tf, spark.table(lenT),
+    Q74Bm25.scores(spark, tf, spark.table(lenT),
       meta.getLong(0), meta.getLong(1))
   }
 

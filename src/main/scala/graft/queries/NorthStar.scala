@@ -278,7 +278,7 @@ object NorthStar {
     Q46Decontaminate, Q46bDecontaminateDfCap, Q46cDecontaminateBloom,
     Q47Repetition, Q48MixSample,
     Q49CrossDocParagraphs, Q74Bm25, Q74bBm25Store, Q74cBm25PhraseStore,
-    Q75HybridRrf,
+    Q75HybridRrf, Q75bHybridRrfStore,
     Q76ContrastiveTriplets, Q76bHardNegatives, Q76cTripletsBackfilled)
 }
 
@@ -1655,6 +1655,111 @@ object Q75HybridRrf extends GraftQuery {
     SELECT query_id, rank, doc_id, rrf, lex_rank, sem_rank
     FROM rr WHERE rank <= 10 ORDER BY query_id, rank
   """.trim)
+}
+
+/** Q75b — STORE-ARMED HYBRID RRF: q75's fusion with BOTH arms served
+  * from persisted indexes — the production shape (VERDICT r13 next
+  * #8). The lexical arm reads the bucket-pruned BM25 store 20-deep
+  * ([[Q74bBm25Store.scoredFrom]] — the same scoring plan as q74,
+  * tiers cannot drift); the embedding arm probes the q19e IVF store
+  * at the measured probe depth (NProbe = [[Q19dAnnIvf.NProbe]], the
+  * point the q19e probe/recall curve was measured at) — O(K)
+  * centroid rows to the driver pick each query's lists, the lists
+  * scan is PARTITION-PRUNED to the probed lists, and exact cosine
+  * runs only inside the candidates. Fusion is q75's RRF(k=60)
+  * verbatim.
+  *
+  * Correctness tier: rows-only (the IVF arm is approximate by
+  * design, like q19d/e/g) — Round14Spec pins RRF arithmetic, the
+  * pruned-scan plan, determinism, and a measured recall floor
+  * against q75's exact fusion. The lexical arm itself is exact: any
+  * fused-list deviation from q75 is attributable to IVF probe
+  * misses alone. */
+object Q75bHybridRrfStore extends GraftQuery {
+  import NorthStar._
+  val name = "q75b_hybrid_rrf_store"
+  private val ArmDepth = 20
+  private val RrfK = 60
+  private[graft] val probeIds = Q74Bm25.querySet.map(_._1 - 1L)
+
+  /** (query_id, doc_id, sem_rank ≤ ArmDepth) — the IVF-store arm. */
+  private def semArm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (centT, listsT) = Q19eAnnIvfStore.ensureStore(spark, dir)
+    // O(K) quantizer to the driver (the q19e rule), O(|Q|) probe
+    // vectors: both driver-known, so the probed list set is a plan
+    // literal and the lists scan partition-prunes statically.
+    val cents = spark.table(centT).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val qvs = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(probeIds: _*)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val pairs = Q74Bm25.querySet.map { case (q, _) =>
+      val qv = qvs(q - 1L)
+      val probe = cents.map { case (lid, c) =>
+        (lid, c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (lid, d2) => (d2, lid) }
+        .take(Q19dAnnIvf.NProbe).map(_._1).toSeq
+      (q, q - 1L, probe)
+    }
+    val probePairs = broadcast(pairs
+      .flatMap { case (q, pid, ls) => ls.map(l => (q, pid, l)) }
+      .toDF("query_id", "pid", "list_id"))
+    val qvDf = broadcast(Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("pid"), col("embedding").as("qv")))
+    val allLists = pairs.flatMap(_._3).distinct
+    val cos = spark.table(listsT)
+      .filter(col("list_id").isin(allLists: _*)) // static partition prune
+      .join(probePairs, Seq("list_id"))
+      .filter(col("vec_id") =!= col("pid"))
+      .join(qvDf, Seq("pid"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(cast(embedding as array<double>), " +
+          "cast(qv as array<double>), (x_, y_) -> x_ * y_), 0D, " +
+          "(a_, v_) -> a_ + v_)"))
+      .withColumn("n2", expr(
+        "aggregate(transform(cast(embedding as array<double>), " +
+          "x_ -> x_ * x_), 0D, (a_, v_) -> a_ + v_)"))
+      .withColumn("qn2", expr(
+        "aggregate(transform(cast(qv as array<double>), " +
+          "x_ -> x_ * x_), 0D, (a_, v_) -> a_ + v_)"))
+      .select(col("query_id").cast("int").as("query_id"),
+        col("vec_id").as("doc_id"),
+        (col("dot") / (sqrt(col("n2")) * sqrt(col("qn2")))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id").asc)
+    cos.withColumn("sem_rank", row_number().over(w))
+      .filter(col("sem_rank") <= ArmDepth)
+      .select(col("query_id"), col("doc_id"), col("sem_rank"))
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, dir)
+    val lex = Q74Bm25.topK(
+        Q74bBm25Store.scoredFrom(spark, postT, lenT, metaT), ArmDepth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val fused = lex.join(semArm(spark, dir),
+        Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).cast("int").as("sem_rank"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)))
+          .as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("rrf"), col("lex_rank"), col("sem_rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Approximate by design (IVF arm) — rows-only; Round14Spec holds
+    * the recall floor against q75's exact fusion. */
+  val oracle: Option[String] = None
 }
 
 /** Q76 — CONTRASTIVE TRIPLET MINING: (anchor, positive, negative)

@@ -142,6 +142,57 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("q75b: store-armed fusion — RRF arithmetic, pruned scans, determinism, recall floor vs exact fusion") {
+    import graft.queries.{Q75HybridRrf, Q75bHybridRrfStore}
+    val df = Q75bHybridRrfStore.run(spark, sf)
+    val rows = df.collect()
+    // RRF arithmetic + rank contiguity (the q75 contract).
+    val byQ = rows.groupBy(_.getInt(0))
+    assert(byQ.keySet == Q74Bm25.querySet.map(_._1).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).toSeq == (1 to rs.length), s"q$q ranks gap")
+    }
+    rows.foreach { r =>
+      val (lex, sem, rrf) = (r.getInt(4), r.getInt(5), r.getDouble(3))
+      val expect = (if (lex > 0) 1.0 / (60 + lex) else 0.0) +
+        (if (sem > 0) 1.0 / (60 + sem) else 0.0)
+      assert(rrf == expect && (lex > 0 || sem > 0), s"rrf mismatch: $r")
+    }
+    // Plan posture: the IVF lists scan is partition-pruned and the
+    // BM25 postings scan is bucket-pruned — both arms read indexes.
+    val plan = flattenPlan(df.queryExecution.executedPlan)
+    val listsScan = plan.collectFirst {
+      case f: FileSourceScanExec if f.tableIdentifier.exists(
+        _.table.startsWith("graft_annstore_lists")) => f
+    }
+    assert(listsScan.exists(_.partitionFilters.nonEmpty),
+      s"lists scan not partition-pruned: $listsScan")
+    val postScan = plan.collectFirst {
+      case f: FileSourceScanExec if f.tableIdentifier.exists(
+        _.table.startsWith("graft_bm25store_postings")) => f
+    }
+    assert(postScan.flatMap(_.optionalBucketSet).exists(_.cardinality() <=
+      Q74Bm25.querySet.flatMap(_._2).distinct.size),
+      "postings scan not bucket-pruned in the fused plan")
+    // Deterministic: seeded KMeans + total tie orders ⇒ re-run identical.
+    val again = Q75bHybridRrfStore.run(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "store-armed fusion is not deterministic")
+    // Recall floor vs the exact fusion: the lex arm is EXACT (store ≡
+    // recompute, q74b's gate), so any fused-list miss is an IVF probe
+    // miss — measured 0.6–1.0 per query across sf0.001/0.01/0.1 at
+    // NProbe=4 of K=16; floor with margin.
+    val exact = Q75HybridRrf.run(spark, sf).collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val got = rows.groupBy(_.getInt(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = exact.map { case (q, docs) =>
+      got(q).intersect(docs).size.toDouble / docs.size }
+    assert(recalls.forall(_ >= 0.5), s"per-query recall under 0.5: $recalls")
+    assert(recalls.sum / recalls.size >= 0.55,
+      s"mean recall under 0.55: $recalls")
+  }
+
   test("q64l/q64m drift tiers: retrain is a LIVE decision (both verdicts) and signals are sane") {
     import graft.queries.{Q64lWordpieceDrift, Q64mUnigramDrift}
     val wp = Q64lWordpieceDrift.run(spark, sf01).collect()
