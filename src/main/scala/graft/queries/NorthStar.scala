@@ -773,7 +773,35 @@ object Q18dDedupNgram extends GraftQuery {
     * decade probe, where the phase's transient sort spills are the
     * binding disk constraint (round-13 BASELINE). */
   private[queries] def pairsFrom(sh: DataFrame,
-      materializePrefix: Boolean): DataFrame = {
+      materializePrefix: Boolean): DataFrame =
+    pairsFrom(sh, materializePrefix, prefixSweeps = 1)
+
+  /** `prefixSweeps` (round 14 — the staged partition sweep VERDICT
+    * r13 #6 called for): compute the prefix in S doc_id-residue
+    * sweeps, each checkpointed and its join/window shuffle files
+    * released before the next starts. The rarity join + per-doc
+    * window over the full gram stream is the n-gram phase's largest
+    * transient (~25 GB of shuffle+sort at 5M docs) and it all
+    * coexists within one job; sweeping divides the peak by S at the
+    * cost of S passes over the (cached) shingle frame and one extra
+    * gdf checkpoint. 1 in production — a cluster's aggregate disk
+    * holds the one-job overlap; >1 only in the single-box decade
+    * probe. Results are sweep-invariant: gdf is computed GLOBALLY
+    * before any sweep, and the per-doc window never crosses docs. */
+  private[queries] def pairsFrom(sh: DataFrame,
+      materializePrefix: Boolean, prefixSweeps: Int): DataFrame =
+    pairsFrom(sh, materializePrefix, prefixSweeps, verifySweeps = 1)
+
+  /** `verifySweeps`: stage the VERIFY by doc_a residue the same way —
+    * the verify's wide intermediate (candidates with gram arrays
+    * attached, sorted for the second join) is the n-gram phase's
+    * OTHER large transient; sweeping divides it by S. 1 in
+    * production; >1 only in the single-box decade probe. Verification
+    * is pure per pair, so any partition of the candidate set verifies
+    * to identical output. */
+  private[queries] def pairsFrom(sh: DataFrame,
+      materializePrefix: Boolean, prefixSweeps: Int,
+      verifySweeps: Int): DataFrame = {
     // The candidate stage runs on 64-BIT GRAM HASHES, not gram
     // strings: three corpus-token-scale shuffles (the df count, the
     // per-doc rarity window, the prefix self-join) carry 8-byte longs
@@ -790,34 +818,79 @@ object Q18dDedupNgram extends GraftQuery {
     // heuristic and must still hash-match).
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
       .select(col("doc_id"), col("n"), xxhash64(col("g")).as("gh"))
-    val gdf = ex.groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+    val gdf0 = ex.groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+    // Sweeping requires the GLOBAL df table pinned once (each sweep
+    // joins it; recomputing it per sweep would be S corpus passes).
+    val gdf = if (prefixSweeps > 1) {
+      val g = gdf0.localCheckpoint(true); System.gc(); g
+    } else gdf0
     val w = Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("gh"))
-    val prefix0 = ex.join(gdf, "gh")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("n") - expr("(4*n + 4) div 5") + 1)
-      .select(col("doc_id"), col("gh"))
+    def slice(s: Int): DataFrame = {
+      val exS = if (prefixSweeps > 1)
+        ex.filter(pmod(col("doc_id"), lit(prefixSweeps)) === s)
+      else ex
+      exS.join(gdf, "gh")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("n") - expr("(4*n + 4) div 5") + 1)
+        .select(col("doc_id"), col("gh"))
+    }
     val prefix =
-      if (materializePrefix) { val p = prefix0.localCheckpoint(true)
+      if (prefixSweeps > 1)
+        (0 until prefixSweeps).map { s =>
+          val p = slice(s).localCheckpoint(true); System.gc(); p
+        }.reduce(_ unionByName _)
+      else if (materializePrefix) { val p = slice(0).localCheckpoint(true)
         System.gc(); p }
-      else prefix0
-    val cand = prefix.as("a")
+      else slice(0)
+    val cand0 = prefix.as("a")
       .join(prefix.as("b"), col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sa = sh.select(col("doc_id").as("ida"), col("sh").as("sha"), size(col("sh")).as("na"))
-    val sb = sh.select(col("doc_id").as("idb"), col("sh").as("shb"), size(col("sh")).as("nb"))
-    cand.join(sa, col("doc_a") === col("ida"))
-      .join(sb, col("doc_b") === col("idb"))
-      // PPJoin length filter: J(A,B) >= 0.8 requires |A| >= 0.8|B| and
-      // |B| >= 0.8|A| (exact integer form: 5|A| >= 4|B|). Prunes most
-      // candidate pairs BEFORE the expensive exact intersection — the
-      // standard size bound the verify stage was missing (was 13% of
-      // the whole bench).
-      .filter(col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+    val cand = if (verifySweeps > 1) {
+      val c = cand0.localCheckpoint(true); System.gc(); c
+    } else cand0
+    // VERIFY (restructured round 14 — the round-13 1000×-decade wall):
+    //  - the PPJoin LENGTH filter (J ≥ 0.8 ⇒ 5|A| ≥ 4|B| both ways)
+    //    runs on NARROW size columns BEFORE any gram array attaches —
+    //    previously the arrays rode every candidate through both
+    //    verify joins and the second join's sort spilled array-width ×
+    //    |candidates| (~95 GB at 5M docs: 119M candidates, measured
+    //    37% length-filter survival at the 100× decade);
+    //  - the intersection runs on 64-bit HASHED gram sets (the same
+    //    xxhash64 the candidate stage keys by), ~8× narrower than the
+    //    ~60-byte gram strings. Soundness: the hashed intersection
+    //    equals the string intersection unless two DISTINCT grams of
+    //    one pair collide in 64 bits — p ≈ |pair union|²/2⁶⁵ ≈ 10⁻¹⁶
+    //    per pair — and a flip would surface loudly as an oracle hash
+    //    mismatch (the DuckDB side keeps exact string intersection).
+    // A candidate-doc semi-filter was evaluated here and REJECTED: on
+    // near-dup-heavy corpora the candidate doc set IS the corpus
+    // (measured 97% at the 100× decade) and its broadcast build is a
+    // driver hazard.
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val hashed = sh.select(col("doc_id"),
+      expr("transform(sh, s_ -> xxhash64(s_))").as("hsh"))
+    def verified(c: DataFrame): DataFrame =
+      c.join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          Seq("doc_b"))
+        .filter(col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
+        .join(hashed.select(col("doc_id").as("doc_a"), col("hsh").as("sha")),
+          Seq("doc_a"))
+        .join(hashed.select(col("doc_id").as("doc_b"), col("hsh").as("shb")),
+          Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    if (verifySweeps > 1)
+      (0 until verifySweeps).map { s =>
+        val v = verified(cand.filter(pmod(col("doc_a"), lit(verifySweeps)) === s))
+          .localCheckpoint(true)
+        System.gc(); v
+      }.reduce(_ unionByName _)
+    else verified(cand)
   }
   val oracle = Some(s"""
     WITH ${NorthStar.duckShingleCtes},

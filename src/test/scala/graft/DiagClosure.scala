@@ -55,8 +55,18 @@ object DiagClosure {
     val tMh = t { mh = Q18bDedupMinHash.pairsFrom(sh)
       .select(col("doc_a"), col("doc_b")).localCheckpoint(true) }
     System.gc() // release the MinHash pipeline's shuffle files
+    // args(3) = prefix sweeps: >1 stages the n-gram prefix by doc_id
+    // residue so the rarity join/window's shuffle+sort peak divides
+    // by S — the single-box lever for the 1000× point (the cluster
+    // posture keeps 1: aggregate disk holds the one-job overlap).
+    val sweeps = if (args.length > 3) args(3).toInt else 1
+    // args(4) = verify sweeps (same lever for the verify's wide
+    // candidate intermediate; defaults to the prefix sweep count).
+    val vSweeps = if (args.length > 4) args(4).toInt else sweeps
     var ng: org.apache.spark.sql.DataFrame = null
-    val tNg = t { ng = Q18dDedupNgram.pairsFrom(sh, materializePrefix = true)
+    val tNg = t { ng = Q18dDedupNgram.pairsFrom(sh,
+        materializePrefix = true, prefixSweeps = sweeps,
+        verifySweeps = vSweeps)
       .select(col("doc_a"), col("doc_b")).localCheckpoint(true) }
     sh.unpersist()
     System.gc() // release the n-gram pipeline's shuffle files
