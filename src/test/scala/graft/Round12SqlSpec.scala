@@ -185,7 +185,19 @@ class Round12SqlSpec extends SparkSpec {
       // hashed bucket (or cosine-candidate) joins + one anti-join +
       // a pick window — relational.
       "q76_contrastive_triplets", "q76b_hard_negatives",
-      "q76c_triplets_backfilled")
+      "q76c_triplets_backfilled",
+      // q74c (round 14): phrase match = pruned store scan + term-index
+      // join + one aggregation + an array adjacency predicate + a rank
+      // window — plain relational SQL (its oracle is exactly that).
+      "q74c_phrase_store",
+      // q64l (round 14): WordPiece drift = q64g's bounded greedy-fold
+      // unroll (class-C technique) + per-(lang, split) rollups.
+      "q64l_wordpiece_drift",
+      // q75b (round 14): both arms are store serves whose probed list
+      // ids / query terms are driver-known literals (the q19e twin's
+      // shape) fused by q75's relational RRF — SQL-expressible over
+      // the store tables.
+      "q75b_hybrid_rrf_store")
     // (D) driver-coordinated iteration / per-partition accumulators:
     // no single SQL statement computes these (a pagerank loop, BPE
     // merge loops, two-pass prefix sums, Misra-Gries coupled
@@ -196,7 +208,9 @@ class Round12SqlSpec extends SparkSpec {
       "q18f_dedup_clusters",
       // q64h (round 13): the hard-EM loop collects a vocab-sized count
       // table per round to rebuild the quantized score map.
-      "q64h_unigram_vocab")
+      "q64h_unigram_vocab",
+      // q64m (round 14): drift over q64h's train-split EM — same loop.
+      "q64m_unigram_drift")
     // (E) spark.ml training inside the plan: SQL has no spelling for
     // the fit (serve paths ARE SQL-twinned where persisted — q19e,
     // q70b above).
