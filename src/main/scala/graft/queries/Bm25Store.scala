@@ -216,6 +216,17 @@ object Q74cBm25PhraseStore extends GraftQuery {
     2 -> Seq("stream", "window"),
     3 -> Seq("row", "column", "sort"))
 
+  /** Occurrence count over `ps` (the per-(query, doc) positions
+    * arrays sorted by term index): bases p of term 1 where each later
+    * term i sits at p+i−1. The size(ps)=1 arm guards sequence()'s
+    * descending-on-empty-range semantics; phrases here are ≥2 terms,
+    * but the expression must not silently misfire if a 1-term phrase
+    * is ever configured. Shared with the phrase-boost tier (q74d). */
+  private[queries] val occurrencesExpr: String =
+    "cast(size(filter(element_at(ps, 1), p_ -> size(ps) = 1 OR " +
+      "forall(sequence(1, size(ps) - 1), i_ -> " +
+      "array_contains(element_at(ps, i_ + 1), p_ + i_)))) as bigint)"
+
   /** Serve phrase matches from a bound postings table — shared by
     * `run` and the admission spec (post-admit phrase serve must be
     * exactly this plan over the appended store). */
@@ -236,15 +247,7 @@ object Q74cBm25PhraseStore extends GraftQuery {
           "x_ -> x_.positions)").as("ps"))
       // every phrase term present in the doc, else no base can match
       .filter(col("nterms") === col("plen"))
-      .withColumn("n_occurrences", expr(
-        // count bases: positions p of term 1 where each later term i
-        // sits at p+i-1. The size(ps)=1 arm guards sequence()'s
-        // descending-on-empty-range semantics; phrases here are >=2
-        // terms, but the expression must not silently misfire if a
-        // 1-term phrase is ever configured.
-        "cast(size(filter(element_at(ps, 1), p_ -> size(ps) = 1 OR " +
-          "forall(sequence(1, size(ps) - 1), i_ -> " +
-          "array_contains(element_at(ps, i_ + 1), p_ + i_)))) as bigint)"))
+      .withColumn("n_occurrences", expr(Q74cBm25PhraseStore.occurrencesExpr))
       .filter(col("n_occurrences") > 0)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("n_occurrences").desc, col("doc_id").asc)
@@ -286,6 +289,149 @@ object Q74cBm25PhraseStore extends GraftQuery {
               ORDER BY n_occurrences DESC, doc_id ASC) AS INT) AS rank
           FROM cnt)
     SELECT query_id, rank, doc_id, n_occurrences
+    FROM r WHERE rank <= 10 ORDER BY query_id, rank
+  """.trim
+  }
+}
+
+/** Q74d — PHRASE-BOOSTED BM25: mixed term + phrase retrieval from the
+  * positional store, scored by the PHRASE-AS-VIRTUAL-TERM model (the
+  * INQUERY/Indri practice): each query's phrase becomes one extra
+  * term key whose tf is its exact occurrence count (q74c's adjacency
+  * machinery) and whose df is the number of docs containing the
+  * phrase — then EVERYTHING flows through q74's own Okapi scoring
+  * plan ([[Q74Bm25.scoresOver]]), so the boosted tier can never drift
+  * from the plain tier's arithmetic. A doc matching the phrase gains
+  * exactly one more saturating BM25 term; docs matching only terms
+  * rank by the unboosted score.
+  *
+  * Serve shape: ONE bucket-pruned postings scan serves both arms
+  * (literal `isin` over terms ∪ phrase words), the phrase arm
+  * aggregates positions per (phrase, doc) exactly like q74c, the
+  * union of real and virtual term rows enters one scoring pass. df
+  * for the virtual key falls out of the unified tf frame — one row
+  * per (doc, key) — with no extra corpus work.
+  *
+  * Determinism: the per-(query, doc) score is q74's sorted-struct
+  * fold; phrase keys ("table hash") contain a space, which sorts
+  * before letters in BOTH engines' binary ASCII orders, so the fold
+  * order is pinned. Occurrence counts are exact integers. */
+object Q74dBm25PhraseBoost extends GraftQuery {
+  val name = "q74d_bm25_phrase_boost"
+
+  /** (query_id, terms, phrase) — terms from q74's query set, phrases
+    * from q74c's verified fixture phrases. */
+  private[graft] val querySet: Seq[(Int, Seq[String], Seq[String])] = Seq(
+    (1, Seq("spark", "join", "fast"), Seq("table", "hash")),
+    (2, Seq("hash", "table"), Seq("stream", "window")),
+    (3, Seq("stream", "window", "agg"), Seq("row", "column", "sort")))
+
+  private def phraseKey(ts: Seq[String]) = ts.mkString(" ")
+
+  private[graft] def serveFrom(spark: SparkSession, postT: String,
+      lenT: String, metaT: String): DataFrame = {
+    import spark.implicits._
+    val meta = spark.table(metaT).head()
+    val allWords = querySet.flatMap { case (_, ts, ph) => ts ++ ph }.distinct
+    // One pruned scan shape serves both arms (consumed twice — each
+    // consumption is a bucket-pruned index read, never the corpus).
+    def post = spark.table(postT).filter(col("word").isin(allWords: _*))
+    val termWords = querySet.flatMap(_._2).distinct
+    val termTf = post.filter(col("word").isin(termWords: _*))
+      .select(col("doc_id"), col("word"), col("tf"))
+    val pq = querySet.flatMap { case (_, _, ph) =>
+      val key = phraseKey(ph)
+      ph.zipWithIndex.map { case (w, i) => (key, i + 1, ph.length, w) }
+    }.distinct.toDF("pkey", "ti", "plen", "word")
+    val phraseTf = post
+      .join(broadcast(pq), Seq("word"))
+      .groupBy(col("pkey"), col("doc_id"))
+      .agg(first(col("plen")).as("plen"),
+        count(lit(1)).as("nterms"),
+        expr("transform(array_sort(collect_list(struct(ti, positions))), " +
+          "x_ -> x_.positions)").as("ps"))
+      .filter(col("nterms") === col("plen"))
+      .withColumn("tf", expr(Q74cBm25PhraseStore.occurrencesExpr))
+      .filter(col("tf") > 0)
+      .select(col("doc_id"), col("pkey").as("word"), col("tf"))
+      // Pinned: the scoring tail consumes the unified frame TWICE (df
+      // rollup + scored chain — the q74 tf-barrier note), and without
+      // the barrier each branch re-runs the phrase aggregation. The
+      // frame is (phrase, matching-doc)-scale — tiny. The term arm
+      // stays un-pinned so the bucket-pruned scan remains visible to
+      // the plan asserts (and is itself just an index read).
+      .localCheckpoint(true)
+    val unified = termTf.unionByName(phraseTf)
+    val qterms = (querySet.flatMap { case (q, ts, _) => ts.map(q -> _) } ++
+      querySet.map { case (q, _, ph) => q -> phraseKey(ph) })
+      .toDF("query_id", "word")
+    Q74Bm25.topK(Q74Bm25.scoresOver(spark, unified, spark.table(lenT),
+      meta.getLong(0), meta.getLong(1), qterms), 10)
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, dir)
+    serveFrom(spark, postT, lenT, metaT)
+  }
+
+  /** Independent DuckDB formulation: positions from the indexed
+    * unnest, term tf + phrase occurrence counts unioned as one term
+    * table, then q74's Okapi formula and ranking verbatim. */
+  val oracle: Option[String] = Some {
+    val tqVals = querySet.flatMap { case (q, ts, _) =>
+      ts.map(t => s"($q, '$t')") }.mkString(", ")
+    val qVals = (querySet.flatMap { case (q, ts, _) =>
+      ts.map(t => s"($q, '$t')") } ++
+      querySet.map { case (q, _, ph) => s"($q, '${phraseKey(ph)}')" })
+      .mkString(", ")
+    val pqVals = querySet.flatMap { case (_, _, ph) =>
+      val key = phraseKey(ph)
+      ph.zipWithIndex.map { case (w, i) =>
+        s"('$key', ${i + 1}, ${ph.length}, '$w')" }
+    }.distinct.mkString(", ")
+    raw"""
+    WITH base AS (SELECT doc_id,
+        list_filter(list_transform(string_split_regex(text, '\s+'),
+          x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+          w_ -> w_ <> '') AS t
+      FROM documents),
+    p AS (SELECT doc_id, CAST(wi AS INT) AS pos, t[CAST(wi AS INT)] AS word
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS wi FROM base)),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM p GROUP BY doc_id),
+    scal AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+    tq(query_id, word) AS (VALUES $tqVals),
+    tw AS (SELECT DISTINCT word FROM tq),
+    ttf AS (SELECT p.doc_id, p.word, CAST(count(*) AS BIGINT) AS tf
+            FROM p JOIN tw ON p.word = tw.word GROUP BY 1, 2),
+    pqv(pkey, ti, plen, word) AS (VALUES $pqVals),
+    m AS (SELECT pq.pkey, p.doc_id, pq.ti, pq.plen, p.pos - pq.ti + 1 AS base
+          FROM p JOIN pqv pq ON p.word = pq.word),
+    occ AS (SELECT pkey, doc_id, base
+            FROM m GROUP BY pkey, doc_id, base, plen
+            HAVING count(DISTINCT ti) = plen),
+    ptf AS (SELECT doc_id, pkey AS word, CAST(count(*) AS BIGINT) AS tf
+            FROM occ GROUP BY 1, 2),
+    utf AS (SELECT * FROM ttf UNION ALL SELECT * FROM ptf),
+    df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM utf GROUP BY word),
+    q(query_id, word) AS (VALUES $qVals),
+    t AS (SELECT q.query_id, utf.doc_id, utf.word,
+        ln((CAST((SELECT n FROM scal) AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+             / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        * (CAST(utf.tf AS DOUBLE) * 2.2)
+        / (CAST(utf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+             / (CAST((SELECT tot FROM scal) AS DOUBLE) / CAST((SELECT n FROM scal) AS DOUBLE)))) AS term
+      FROM utf
+      JOIN df ON utf.word = df.word
+      JOIN dl ON utf.doc_id = dl.doc_id
+      JOIN q ON q.word = utf.word),
+    s AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS matched,
+            round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list(term ORDER BY word ASC)), (a_, x_) -> a_ + x_), 4) AS score
+          FROM t GROUP BY query_id, doc_id),
+    r AS (SELECT query_id, doc_id, score, matched,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+          FROM s)
+    SELECT query_id, rank, doc_id, score, matched
     FROM r WHERE rank <= 10 ORDER BY query_id, rank
   """.trim
   }

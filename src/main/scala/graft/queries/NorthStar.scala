@@ -278,7 +278,7 @@ object NorthStar {
     Q46Decontaminate, Q46bDecontaminateDfCap, Q46cDecontaminateBloom,
     Q47Repetition, Q48MixSample,
     Q49CrossDocParagraphs, Q74Bm25, Q74bBm25Store, Q74cBm25PhraseStore,
-    Q75HybridRrf, Q75bHybridRrfStore,
+    Q74dBm25PhraseBoost, Q75HybridRrf, Q75bHybridRrfStore,
     Q76ContrastiveTriplets, Q76bHardNegatives, Q76cTripletsBackfilled)
 }
 
@@ -1501,8 +1501,20 @@ object Q74Bm25 extends GraftQuery {
   private[graft] def scores(spark: SparkSession, tf: DataFrame,
       dl: DataFrame, nDocs: Long, totTok: Long): DataFrame = {
     import spark.implicits._
-    val qterms = querySet.flatMap { case (q, ts) => ts.map(q -> _) }
-      .toDF("query_id", "word")
+    scoresOver(spark, tf, dl, nDocs, totTok,
+      querySet.flatMap { case (q, ts) => ts.map(q -> _) }
+        .toDF("query_id", "word"))
+  }
+
+  /** [[scores]] over a caller-provided (query_id, word) term table —
+    * the phrase-boost tier (q74d) feeds VIRTUAL terms (each phrase as
+    * one term key whose tf is its occurrence count) through the same
+    * Okapi plan, so boosted and plain tiers cannot drift. df falls
+    * out of the input tf frame (one row per (doc, key)), which is
+    * exactly the virtual-term df: docs containing the phrase. */
+  private[graft] def scoresOver(spark: SparkSession, tf: DataFrame,
+      dl: DataFrame, nDocs: Long, totTok: Long,
+      qterms: DataFrame): DataFrame = {
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val avgdl = lit(totTok.toDouble / nDocs.toDouble)
     val term = (

@@ -190,6 +190,9 @@ class Round12SqlSpec extends SparkSpec {
       // join + one aggregation + an array adjacency predicate + a rank
       // window — plain relational SQL (its oracle is exactly that).
       "q74c_phrase_store",
+      // q74d (round 14): phrase-as-virtual-term = q74c's occurrence
+      // aggregation unioned into q74's relational Okapi chain.
+      "q74d_bm25_phrase_boost",
       // q64l (round 14): WordPiece drift = q64g's bounded greedy-fold
       // unroll (class-C technique) + per-(lang, split) rollups.
       "q64l_wordpiece_drift",

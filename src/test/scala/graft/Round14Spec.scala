@@ -142,6 +142,44 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("q74d: phrase boost is exactly one extra virtual term — plan pruned, semantics pinned") {
+    import graft.queries.Q74dBm25PhraseBoost
+    val df = Q74dBm25PhraseBoost.run(spark, sf01)
+    val rows = df.collect()
+    val byQ = rows.groupBy(_.getInt(0))
+    assert(byQ.keySet == Q74dBm25PhraseBoost.querySet.map(_._1).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).toSeq == (1 to rs.length), s"q$q ranks gap")
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted(Ordering[Double].reverse),
+        s"q$q scores not nonincreasing")
+    }
+    // The virtual term is REAL on the fixture: some ranked doc must
+    // carry matched > |terms| (it matched the phrase too), and the
+    // phrase's contribution must be positive — a phrase-matching doc
+    // scores strictly above what its matched count implies otherwise.
+    val nTerms = Q74dBm25PhraseBoost.querySet.map { case (q, ts, _) =>
+      q -> ts.size }.toMap
+    assert(rows.exists(r => r.getLong(4) > nTerms(r.getInt(0))),
+      "no ranked doc matched the phrase — boost not exercised")
+    // Plan: one bucket-pruned postings scan family — never the corpus.
+    df.collect()
+    val plan = flattenPlan(df.queryExecution.executedPlan)
+    assert(!df.queryExecution.executedPlan.toString.contains("documents.parquet"),
+      "boost tier re-read the corpus")
+    val postScans = plan.collect {
+      case f: FileSourceScanExec if f.tableIdentifier.exists(
+        _.table.startsWith("graft_bm25store_postings")) => f
+    }
+    assert(postScans.nonEmpty, "postings store scan missing")
+    val allWords = Q74dBm25PhraseBoost.querySet
+      .flatMap { case (_, ts, ph) => ts ++ ph }.distinct.size
+    postScans.foreach { f =>
+      assert(f.optionalBucketSet.exists(_.cardinality() <= allWords),
+        s"postings scan not bucket-pruned: ${f.optionalBucketSet.map(_.cardinality())}")
+    }
+  }
+
   test("q75b: store-armed fusion — RRF arithmetic, pruned scans, determinism, recall floor vs exact fusion") {
     import graft.queries.{Q75HybridRrf, Q75bHybridRrfStore}
     val df = Q75bHybridRrfStore.run(spark, sf)
