@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Q77 — DSIR DATA SELECTION (Xie et al. 2023, "Data Selection for
+  * Language Models via Importance Resampling"): score every raw
+  * document by how target-like its hashed-bigram distribution is —
+  * the importance weight log p_target(d)/p_raw(d) under bag-of-
+  * hashed-ngrams unigram models — and select the top-K. The standard
+  * published recipe for carving a pretraining mix toward a curated
+  * target distribution; here target = the train split (q40's key),
+  * raw = the whole corpus, exactly the proxy-target shape the paper
+  * evaluates.
+  *
+  * EXACTNESS (the q64h technique): per-bucket log-ratios are
+  * INTEGER-QUANTIZED — λ(b) = ⌊10⁶·ln(c_t(b)+1)⌋ − ⌊10⁶·ln(T_t+B)⌋ −
+  * ⌊10⁶·ln(c_r(b)+1)⌋ + ⌊10⁶·ln(T_r+B)⌋ (add-one smoothing over B
+  * buckets) — so the per-doc weight Σ_b n_d(b)·λ(b) is exact BIGINT
+  * arithmetic with NO fold-order sensitivity at all, and both engines
+  * compute it bit-identically (an ln ulp difference would have to
+  * land within ~1e-10 of the quantization grid to flip one λ).
+  * Bigram buckets come from the portable md5-prefix hash (the q76
+  * pattern) mod B, so the hashing replays in DuckDB.
+  *
+  * 100 TB posture: TWO corpus passes — one (bkt, is-target) count
+  * aggregation (map-side combined into ≤B rows, which also yields
+  * the totals) and one per-(doc, bkt) count — then a B-row broadcast
+  * λ join and the top-K via TakeOrderedAndProject (never a global
+  * sort). The per-doc weight is a pure integer aggregate. */
+object Q77DsirSelection extends GraftQuery {
+  val name = "q77_dsir_selection"
+  /** Hashed-bigram buckets (the paper uses 10⁴; fixture-sized here —
+    * a deployment scales B with target vocabulary). */
+  val Buckets = 4096
+  /** Documents selected (top importance weights). */
+  val SelectK = 100
+
+  private def qlog(x: Double): Long = math.floor(1e6 * math.log(x)).toLong
+  private def qlogE(x: String) = s"cast(floor(1000000 * ln($x)) as bigint)"
+  /** Portable bucket hash — q76's md5-prefix fold, mod B. */
+  private def hExpr(x: String) =
+    s"pmod(cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint), $Buckets)"
+
+  /** (doc_id, split, bkt) — one row per bigram OCCURRENCE. */
+  private def grams(spark: SparkSession, dir: String): DataFrame = {
+    val arr = "filter(transform(split(text, '\\\\s+'), " +
+      "x_ -> lower(regexp_replace(x_, '[^a-zA-Z]', ''))), w_ -> w_ <> '')"
+    val bigrams = NorthStar.let("tk", arr,
+      "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
+        "(a_, b_) -> concat(a_, ' ', b_))")
+    Tables.documents(spark, dir)
+      .withColumn("split", Q40TrainTestSplit.splitCol)
+      .filter(size(expr(arr)) >= 2)
+      .select(col("doc_id"), col("split"), explode(expr(bigrams)).as("g"))
+      .select(col("doc_id"), col("split"), expr(hExpr("g")).as("bkt"))
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val g = grams(spark, dir)
+    // Pass 1: per-bucket raw + target counts in ONE aggregation
+    // (≤ B rows out); totals fall out of it with a B-row agg.
+    val byBkt = g.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("c_t"))
+      .localCheckpoint(true) // consumed twice: totals action + λ join
+    val tot = byBkt.agg(sum(col("c_r")).cast("long"),
+      sum(col("c_t")).cast("long")).head()
+    val (totR, totT) = (tot.getLong(0), tot.getLong(1))
+    val lam = byBkt.select(col("bkt"),
+      (expr(qlogE("cast(c_t + 1 as double)"))
+        - lit(qlog((totT + Buckets).toDouble))
+        - expr(qlogE("cast(c_r + 1 as double)"))
+        + lit(qlog((totR + Buckets).toDouble))).as("lam"))
+    // Pass 2: per-(doc, bucket) occurrence counts → exact integer
+    // weight via the broadcast λ join.
+    val wts = g.groupBy(col("doc_id"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(lam), Seq("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_grams"),
+        sum(col("n") * col("lam")).cast("long").as("weight_q"))
+      .localCheckpoint(true) // consumed twice: top-K + the report join
+    // Top-K selection: TakeOrderedAndProject, never a global sort.
+    val top = wts.orderBy(col("weight_q").desc, col("doc_id").asc)
+      .limit(SelectK).select(col("doc_id"), lit(true).as("sel"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(wts, Seq("doc_id"), "left")
+      .join(broadcast(top), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("weight_q"), lit(0L)).as("weight_q"),
+        coalesce(col("sel"), lit(false)).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay: same portable hash fold, same quantized-log
+    * arithmetic, same top-K rule. */
+  val oracle: Option[String] = Some {
+    val fold =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(string_split(substr(md5(t[i] || ' ' || t[i + 1]), 1, 15), ''),
+           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+         (acc_, y_) -> acc_ * 16 + y_)"""
+    raw"""
+    WITH d AS (SELECT doc_id, ${Q40TrainTestSplit.duckSplit} AS split,
+        list_filter(list_transform(string_split_regex(text, '\s+'),
+          x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+          w_ -> w_ <> '') AS t
+      FROM documents),
+    b AS (SELECT doc_id, split, $fold % $Buckets AS bkt
+          FROM d, unnest(range(1, len(t))) AS u(i)
+          WHERE len(t) >= 2),
+    bybkt AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c_r,
+            CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+          FROM b GROUP BY bkt),
+    tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS r, CAST(SUM(c_t) AS BIGINT) AS t
+            FROM bybkt),
+    lam AS (SELECT bkt,
+        CAST(floor(1000000 * ln(CAST(c_t + 1 AS DOUBLE))) AS BIGINT)
+      - CAST(floor(1000000 * ln(CAST((SELECT t FROM tot) + $Buckets AS DOUBLE))) AS BIGINT)
+      - CAST(floor(1000000 * ln(CAST(c_r + 1 AS DOUBLE))) AS BIGINT)
+      + CAST(floor(1000000 * ln(CAST((SELECT r FROM tot) + $Buckets AS DOUBLE))) AS BIGINT) AS lam
+      FROM bybkt),
+    db AS (SELECT doc_id, bkt, CAST(count(*) AS BIGINT) AS n
+           FROM b GROUP BY doc_id, bkt),
+    wts AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_grams,
+            CAST(SUM(n * lam) AS BIGINT) AS weight_q
+          FROM db JOIN lam USING (bkt) GROUP BY doc_id),
+    sel AS (SELECT doc_id FROM wts
+            ORDER BY weight_q DESC, doc_id ASC LIMIT $SelectK)
+    SELECT d0.doc_id,
+      COALESCE(w.n_grams, 0) AS n_grams,
+      COALESCE(w.weight_q, 0) AS weight_q,
+      COALESCE(s.doc_id IS NOT NULL, FALSE) AS selected
+    FROM (SELECT doc_id FROM documents) d0
+    LEFT JOIN wts w ON w.doc_id = d0.doc_id
+    LEFT JOIN sel s ON s.doc_id = d0.doc_id
+    ORDER BY d0.doc_id
+  """.trim
+  }
+}

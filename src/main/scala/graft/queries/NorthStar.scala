@@ -279,7 +279,8 @@ object NorthStar {
     Q47Repetition, Q48MixSample,
     Q49CrossDocParagraphs, Q74Bm25, Q74bBm25Store, Q74cBm25PhraseStore,
     Q74dBm25PhraseBoost, Q75HybridRrf, Q75bHybridRrfStore,
-    Q76ContrastiveTriplets, Q76bHardNegatives, Q76cTripletsBackfilled)
+    Q76ContrastiveTriplets, Q76bHardNegatives, Q76cTripletsBackfilled,
+    Q77DsirSelection)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).

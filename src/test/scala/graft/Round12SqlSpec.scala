@@ -193,6 +193,9 @@ class Round12SqlSpec extends SparkSpec {
       // q74d (round 14): phrase-as-virtual-term = q74c's occurrence
       // aggregation unioned into q74's relational Okapi chain.
       "q74d_bm25_phrase_boost",
+      // q77 (round 14): DSIR = two hashed-bigram count rollups + a
+      // quantized-log join + a top-K — plain relational SQL.
+      "q77_dsir_selection",
       // q64l (round 14): WordPiece drift = q64g's bounded greedy-fold
       // unroll (class-C technique) + per-(lang, split) rollups.
       "q64l_wordpiece_drift",

@@ -256,6 +256,48 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("q77 DSIR: top-K law holds, and target-like docs outweigh off-target docs on a crafted corpus") {
+    import graft.queries.Q77DsirSelection
+    // Top-K law on the fixture: exactly SelectK selected, and every
+    // selected weight strictly dominates every unselected one under
+    // the (weight desc, doc_id asc) tie rule.
+    val rows = Q77DsirSelection.run(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(rows.count(_._3) == Q77DsirSelection.SelectK)
+    val minSel = rows.filter(_._3).map(r => (r._2, -r._1)).min
+    val maxUnsel = rows.filterNot(_._3).map(r => (r._2, -r._1)).max
+    assert(Ordering[(Long, Long)].gt(minSel, maxUnsel),
+      s"selection not a top-K cut: $minSel vs $maxUnsel")
+    // Crafted corpus: the train split (the TARGET) speaks alpha-beta;
+    // the test split speaks gamma-delta — except one test doc that
+    // speaks the target's language. DSIR must weight that doc above
+    // every off-target test doc: the whole point of the method.
+    def isTrain(id: Long) = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(md5.charAt(31)) < 13
+    }
+    val ids = (1L to 40L)
+    val targetLike = ids.find(!isTrain(_)).get // a test-split doc id
+    withTempCorpus("dsir", ids.map { id =>
+      val talk =
+        if (isTrain(id) || id == targetLike) "alpha beta alpha beta alpha"
+        else "gamma delta gamma delta gamma"
+      id -> talk
+    }) { dir =>
+      val w = Q77DsirSelection.run(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val offTarget = ids.filter(id => !isTrain(id) && id != targetLike)
+      assert(offTarget.nonEmpty, "crafted corpus needs off-target docs")
+      offTarget.foreach { id =>
+        assert(w(targetLike) > w(id),
+          s"target-like test doc $targetLike (${w(targetLike)}) must " +
+            s"outweigh off-target $id (${w(id)})")
+      }
+    }
+  }
+
   test("q74b admit crash injection: torn admission is scrubbed on next bind, then re-admits cleanly") {
     val base = Seq(1L -> "spark join fast table hash",
       2L -> "stream window agg join")
