@@ -47,7 +47,8 @@ object Bpe {
     Seq(Q64BpeMerges, Q64bBpeEncode, Q64cBpeMergesLocal, Q64dBpeEncodeLocal,
       Q64eBpeEncodeStore, Q64fVocabDrift, Q64gWordpieceEncode,
       Q64hUnigramVocab, Q64iUnigramEncode, Q64jWordpieceEncodeStore,
-      Q64kUnigramEncodeStore, Q64lWordpieceDrift, Q64mUnigramDrift)
+      Q64kUnigramEncodeStore, Q64lWordpieceDrift, Q64mUnigramDrift,
+      Q64nBpeDriftGatedStore)
 
   /** The ONE corpus-scale step of BPE learning: token/normalize (q1's
     * definition) and the word-frequency reduction. Everything after
@@ -1549,6 +1550,141 @@ object Q64mUnigramDrift extends GraftQuery {
         OR abs(delta_fertility - train_fertility) / train_fertility > $DriftThreshold) AS retrain
     FROM tr JOIN de ON de.lang = tr.lang
     ORDER BY tr.lang
+  """.trim
+  }
+}
+
+/** Q64n — DRIFT-GATED vocabulary store: the OPERATIONAL closure of
+  * the drift matrix (SURVEY round-14 residual #3). q64e's store
+  * lifecycle rebuilds on ANY corpus fingerprint flip; q64f/l/m emit
+  * retrain verdicts — but nothing consumed them. Here the verdict
+  * DRIVES the store: [[decide]] measures an ARRIVING corpus against
+  * the persisted vocabulary + its stored per-language training
+  * fertilities (q64f's two signals verbatim — oov_rate and
+  * rel_drift), and the caller retrains only when some language trips
+  * a threshold; below threshold the stale vocabulary keeps serving
+  * (the correct production economics: a tokenizer retrain invalidates
+  * every downstream encode, so it must be RARE and signal-driven).
+  *
+  * Store family (Stores lifecycle): `vocab` (word, ntok) — q64e's
+  * artifact; `stats` (lang, train_fertility) — the measurement
+  * baseline FROZEN AT TRAINING TIME, which is what makes later drift
+  * measurements comparisons against the trained state rather than
+  * against a moving recomputation.
+  *
+  * The gate query (`run`) binds the store for the fixture corpus and
+  * reports the corpus measured against its OWN stored baseline —
+  * real per-language fertilities with structurally-zero drift (the
+  * oracle replays training + both measurement sides and checks
+  * exactly that). The gating BEHAVIOR — serve-stale below threshold,
+  * retrain above — is exercised by Round14Spec over crafted arriving
+  * corpora, where the fixture cannot reach the thresholds' far side. */
+object Q64nBpeDriftGatedStore extends GraftQuery {
+  val name = "q64n_bpe_drift_gated_store"
+  private val prefix = "graft_dgvocab"
+
+  /** Build (or bind) this corpus snapshot's (vocab, stats). */
+  private[graft] def ensureStore(spark: SparkSession,
+      dir: String): (String, String) = {
+    val names = graft.plans.Stores.ensure(
+        spark, prefix, dir, Seq("vocab", "stats")) {
+        case Seq(vocabT, statsT) =>
+      import spark.implicits._
+      val freq = Bpe.wordFreq(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val ntok = Q64cBpeMergesLocal.learnInMemory(freq, Q64BpeMerges.Merges)._2
+      val dict = ntok.toSeq.map { case (w, n) => (w, n.toLong) }
+        .toDF("word", "ntok")
+      dict.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(vocabT)
+      // Freeze the training-time baseline: per-lang fertility of the
+      // TRAINING corpus under the vocabulary just learned from it.
+      measured(spark, graft.Tables.documents(spark, dir),
+          broadcast(spark.table(vocabT)))
+        .select(col("lang"),
+          (col("invocab_ntok").cast("double") / col("invocab_words"))
+            .as("train_fertility"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(statsT)
+    }
+    (names(0), names(1))
+  }
+
+  /** Per-lang measurement of `docs` under a dictionary: word counts,
+    * OOV counts, in-vocab token sums (q64f's delta-side shape). */
+  private def measured(spark: SparkSession, docs: DataFrame,
+      dict: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), explode(expr(NorthStar.toksExpr)).as("tok"))
+      .select(col("lang"),
+        lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(dict, Seq("word"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("ntok").isNull, 1L).otherwise(0L)).as("oov_words"),
+        sum(coalesce(col("ntok"), lit(0L))).as("invocab_ntok"),
+        sum(when(col("ntok").isNull, 0L).otherwise(1L)).as("invocab_words"))
+
+  /** The GATE: measure an arriving corpus against the bound store.
+    * Returns the per-lang report; `retrain` is true where a language
+    * trips q64f's thresholds — the caller rebuilds only then. */
+  private[graft] def decide(spark: SparkSession, vocabT: String,
+      statsT: String, arriving: DataFrame): DataFrame =
+    measured(spark, arriving, broadcast(spark.table(vocabT)))
+      .join(spark.table(statsT), Seq("lang"))
+      .select(col("lang"), col("train_fertility").as("stored_fertility"),
+        (col("invocab_ntok").cast("double") / col("invocab_words"))
+          .as("current_fertility"),
+        (col("oov_words").cast("double") / col("n_words")).as("oov_rate"),
+        col("n_words"), col("oov_words"))
+      .withColumn("rel_drift",
+        abs(col("current_fertility") - col("stored_fertility"))
+          / col("stored_fertility"))
+      .withColumn("retrain",
+        col("oov_rate") > Q64fVocabDrift.OovThreshold ||
+          col("rel_drift") > Q64fVocabDrift.DriftThreshold)
+      .orderBy(col("lang"))
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (vocabT, statsT) = ensureStore(spark, dir)
+    decide(spark, vocabT, statsT, graft.Tables.documents(spark, dir))
+  }
+
+  /** Replay: train on the corpus, measure the corpus against its own
+    * frozen baseline — fertilities are real per-lang values, drift
+    * and OOV structurally zero, retrain false everywhere. */
+  val oracle: Option[String] = Some {
+    val sK = s"s${Q64BpeMerges.Merges}"
+    s"""
+    WITH ${Q64BpeMerges.duckChain},
+    dict AS (SELECT wid AS word, CAST(count(*) AS BIGINT) AS ntok
+             FROM $sK GROUP BY wid),
+    w AS (SELECT lang,
+        lower(regexp_replace(unnest(string_split_regex(text, '\\s+')), '[^a-zA-Z]', '', 'g')) AS word
+      FROM documents),
+    ww AS (SELECT * FROM w WHERE length(word) > 0),
+    m AS (SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(SUM(CASE WHEN dict.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_words,
+        CAST(SUM(CASE WHEN dict.word IS NULL THEN 0 ELSE ntok END) AS BIGINT) AS invocab_ntok,
+        CAST(SUM(CASE WHEN dict.word IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS invocab_words
+      FROM ww LEFT JOIN dict ON dict.word = ww.word GROUP BY lang)
+    SELECT lang,
+      CAST(invocab_ntok AS DOUBLE) / invocab_words AS stored_fertility,
+      CAST(invocab_ntok AS DOUBLE) / invocab_words AS current_fertility,
+      CAST(oov_words AS DOUBLE) / n_words AS oov_rate,
+      n_words, oov_words,
+      abs(CAST(invocab_ntok AS DOUBLE) / invocab_words
+        - CAST(invocab_ntok AS DOUBLE) / invocab_words)
+        / (CAST(invocab_ntok AS DOUBLE) / invocab_words) AS rel_drift,
+      (CAST(oov_words AS DOUBLE) / n_words > ${Q64fVocabDrift.OovThreshold}
+        OR abs(CAST(invocab_ntok AS DOUBLE) / invocab_words
+             - CAST(invocab_ntok AS DOUBLE) / invocab_words)
+           / (CAST(invocab_ntok AS DOUBLE) / invocab_words)
+           > ${Q64fVocabDrift.DriftThreshold}) AS retrain
+    FROM m
+    ORDER BY lang
   """.trim
   }
 }

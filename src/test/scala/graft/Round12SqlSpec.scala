@@ -216,7 +216,10 @@ class Round12SqlSpec extends SparkSpec {
       // table per round to rebuild the quantized score map.
       "q64h_unigram_vocab",
       // q64m (round 14): drift over q64h's train-split EM — same loop.
-      "q64m_unigram_drift")
+      "q64m_unigram_drift",
+      // q64n (round 14): the gate trains via q64c's driver-local
+      // learner before the relational measurement.
+      "q64n_bpe_drift_gated_store")
     // (E) spark.ml training inside the plan: SQL has no spelling for
     // the fit (serve paths ARE SQL-twinned where persisted — q19e,
     // q70b above).

@@ -298,6 +298,61 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("q64n drift gate: below-threshold arrivals serve the stale vocab; a vocabulary shift retrains") {
+    import graft.queries.Q64nBpeDriftGatedStore
+    import spark.implicits._
+    val vocabA = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    def doc(id: Long, words: Seq[String]) =
+      id -> (0 until 12).map(i => words((id + i).toInt % words.size)).mkString(" ")
+    val corpusA = (1L to 20L).map(doc(_, vocabA))
+    withTempCorpus("dgate", corpusA) { dir =>
+      var tables = Seq.empty[String]
+      try {
+        val (vocabT, statsT) = Q64nBpeDriftGatedStore.ensureStore(spark, dir)
+        tables = Seq(vocabT, statsT)
+        val storedVocab = spark.table(vocabT).collect().map(_.toString).toSet
+        // Arriving corpus B: same vocabulary, near-same mix (one extra
+        // doc) — BOTH signals stay under threshold ⇒ serve stale.
+        val corpusB = (corpusA :+ doc(21L, vocabA)).map { case (id, t) =>
+          (id, t, "en", "web", t.length.toLong) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+        val calm = Q64nBpeDriftGatedStore.decide(spark, vocabT, statsT, corpusB)
+          .collect()
+        assert(calm.nonEmpty && calm.forall(!_.getAs[Boolean]("retrain")),
+          s"calm arrival must serve stale: ${calm.mkString(";")}")
+        assert(spark.table(vocabT).collect().map(_.toString).toSet == storedVocab,
+          "serve-stale path must not touch the vocab store")
+        // Arriving corpus C: a new dialect — OOV spikes ⇒ retrain.
+        val vocabC = Seq("zulu", "xray", "yankee", "alpha", "beta")
+        val corpusC = (1L to 20L).map(doc(_, vocabC))
+        val shifted = Q64nBpeDriftGatedStore.decide(spark, vocabT, statsT,
+            corpusC.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+              .toDF("doc_id", "text", "lang", "source", "n_chars"))
+          .collect()
+        assert(shifted.exists(_.getAs[Boolean]("retrain")),
+          s"vocabulary shift must trip the gate: ${shifted.mkString(";")}")
+        // Applying the verdict: retrain on C (its own snapshot) makes
+        // the gate read clean again — drift-driven, not fp-driven.
+        withTempCorpus("dgatec", corpusC) { dirC =>
+          var tablesC = Seq.empty[String]
+          try {
+            val (vT, sT) = Q64nBpeDriftGatedStore.ensureStore(spark, dirC)
+            tablesC = Seq(vT, sT)
+            val after = Q64nBpeDriftGatedStore.decide(spark, vT, sT,
+              Tables.documents(spark, dirC)).collect()
+            assert(after.forall(!_.getAs[Boolean]("retrain")),
+              s"post-retrain gate must be clean: ${after.mkString(";")}")
+          } finally {
+            tablesC.foreach(graft.plans.Stores.dropManaged(spark, _))
+          }
+        }
+      } finally {
+        tables.foreach(graft.plans.Stores.dropManaged(spark, _))
+        graft.plans.Stores.gcMarkers(spark, "graft_dgvocab")
+      }
+    }
+  }
+
   test("q74b admit crash injection: torn admission is scrubbed on next bind, then re-admits cleanly") {
     val base = Seq(1L -> "spark join fast table hash",
       2L -> "stream window agg join")
