@@ -1770,8 +1770,16 @@ object Q75bHybridRrfStore extends GraftQuery {
 
   /** (query_id, doc_id, sem_rank ≤ ArmDepth) — the IVF-store arm. */
   private def semArm(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val (centT, listsT) = Q19eAnnIvfStore.ensureStore(spark, dir)
+    semArmFrom(spark, dir, centT, listsT)
+  }
+
+  /** The IVF arm over an explicitly bound (centroids, lists) family —
+    * the ingest-tier fusion (s24) probes a freshly streamed-into
+    * working index through exactly this plan. */
+  private[graft] def semArmFrom(spark: SparkSession, dir: String,
+      centT: String, listsT: String): DataFrame = {
+    import spark.implicits._
     // O(K) quantizer to the driver (the q19e rule), O(|Q|) probe
     // vectors: both driver-known, so the probed list set is a plan
     // literal and the lists scan partition-prunes statically.
@@ -1821,13 +1829,18 @@ object Q75bHybridRrfStore extends GraftQuery {
       .select(col("query_id"), col("doc_id"), col("sem_rank"))
   }
 
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  /** The store-tier lexical arm, 20-deep. */
+  private[graft] def lexArm(spark: SparkSession, dir: String): DataFrame = {
     val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, dir)
-    val lex = Q74Bm25.topK(
+    Q74Bm25.topK(
         Q74bBm25Store.scoredFrom(spark, postT, lenT, metaT), ArmDepth)
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
-    val fused = lex.join(semArm(spark, dir),
-        Seq("query_id", "doc_id"), "full_outer")
+  }
+
+  /** q75's RRF(k=60) tail over two ranked arms — shared with the
+    * ingest tier (s24) so fusion arithmetic can never fork. */
+  private[graft] def fuse(lex: DataFrame, sem: DataFrame): DataFrame = {
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
         coalesce(col("sem_rank"), lit(0)).cast("int").as("sem_rank"),
@@ -1842,6 +1855,9 @@ object Q75bHybridRrfStore extends GraftQuery {
         col("doc_id"), col("rrf"), col("lex_rank"), col("sem_rank"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    fuse(lexArm(spark, dir), semArm(spark, dir))
 
   /** Approximate by design (IVF arm) — rows-only; Round14Spec holds
     * the recall floor against q75's exact fusion. */

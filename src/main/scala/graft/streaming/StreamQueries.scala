@@ -252,7 +252,8 @@ object StreamQueries {
     S15StreamBpeEncodeStore, S16StreamSemanticDedupStore,
     S17StreamMultimodalAdmission, S18StreamAudioDedupStore,
     S19StreamAnnIngest, S20StreamExcise, S21StreamWarc,
-    S22StreamVideoDedupStore, S23StreamBm25Index, S23bStreamBm25Compact)
+    S22StreamVideoDedupStore, S23StreamBm25Index, S23bStreamBm25Compact,
+    S24StreamHybridFusion)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -1590,4 +1591,65 @@ object S23bStreamBm25Compact extends GraftQuery {
 
   /** Compacted serve ≡ fragmented serve ≡ batch answer. */
   val oracle: Option[String] = Q74Bm25.oracle
+}
+
+/** S24 — HYBRID FUSION OVER A FRESHLY-INGESTED INDEX: the retrieval
+  * family's freshness story (the declared round-14 residual #2).
+  * q75b fuses from the STATIC full-corpus IVF store; a production
+  * search path serves queries while new embeddings stream in. Here
+  * the base index holds the train-split vectors (q19e's
+  * `ensureTrainStore` — the s19 shape), the test split arrives as a
+  * genuine embedding stream routed through the FROZEN quantizer into
+  * a run-scoped working copy (s19's `maintain` — appends ride the
+  * list_id partition column, so the serve's pruned-scan posture
+  * survives every epoch), and the fusion then probes that working
+  * index through EXACTLY q75b's arm + fusion plans
+  * ([[graft.queries.Q75bHybridRrfStore.semArmFrom]]/`fuse` — shared
+  * code, arithmetic cannot fork). The lexical arm is q74b's
+  * bucket-pruned store (the lexical index's freshness tier is s23's
+  * own maintenance; one freshness axis per op).
+  *
+  * Rows-only (the trained-ANN posture): Round14Spec pins the streamed
+  * fusion ≡ a one-shot batch ingest of the same delta (epoch-split
+  * invariance) and that both arms contribute. */
+object S24StreamHybridFusion extends GraftQuery {
+  import StreamQueries._
+  import graft.queries.{Q19eAnnIvfStore, Q40TrainTestSplit,
+    Q75bHybridRrfStore}
+  val name = "s24_stream_hybrid_fusion"
+  private val s24Run = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fuse from a bound (centroids, working-lists) family — shared by
+    * the streamed run and the spec's one-shot batch twin. */
+  private[graft] def fuseFrom(spark: SparkSession, dir: String,
+      centT: String, listsT: String): DataFrame =
+    Q75bHybridRrfStore.fuse(
+      Q75bHybridRrfStore.lexArm(spark, dir),
+      Q75bHybridRrfStore.semArmFrom(spark, dir, centT, listsT))
+
+  /** Build the run-scoped working index (train-split base copy), run
+    * `ingest` over it, hand (centT, workT) to `f`, tear down. */
+  private[graft] def withWorkingIndex[A](spark: SparkSession, dir: String)
+      (ingest: (String, String) => Unit)(f: (String, String) => A): A = {
+    val (centT, listsT) = Q19eAnnIvfStore.ensureTrainStore(spark, dir)
+    val workT = s"graft_s24_lists_${s24Run.incrementAndGet()}"
+    graft.plans.Stores.dropManaged(spark, workT)
+    spark.table(listsT)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").partitionBy("list_id").saveAsTable(workT)
+    try { ingest(centT, workT); f(centT, workT) }
+    finally spark.sql(s"DROP TABLE IF EXISTS $workT")
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    withWorkingIndex(spark, dir) { (centT, workT) =>
+      S19StreamAnnIngest.maintain(spark, centT, workT,
+        embsStream(spark, dir)
+          .filter(Q40TrainTestSplit.splitColOf("vec_id") === "test"))
+      ()
+    } { (centT, workT) =>
+      fuseFrom(spark, dir, centT, workT).localCheckpoint(true)
+    }
+
+  val oracle: Option[String] = None
 }

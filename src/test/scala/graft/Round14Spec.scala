@@ -231,6 +231,34 @@ class Round14Spec extends SparkSpec {
       s"mean recall under 0.55: $recalls")
   }
 
+  test("s24: streamed-ingest fusion = one-shot batch ingest; both arms live") {
+    import graft.queries.{Q19eAnnIvfStore, Q40TrainTestSplit}
+    import graft.streaming.S24StreamHybridFusion
+    val streamed = S24StreamHybridFusion.run(spark, sf01)
+      .collect().map(_.toString).toSeq
+    // One-shot twin: the same test-split delta appended in ONE batch
+    // through the same frozen-quantizer assignment.
+    val batch = S24StreamHybridFusion.withWorkingIndex(spark, sf01) {
+      (centT, workT) =>
+        Q19eAnnIvfStore.appendToLists(spark, workT,
+          Q19eAnnIvfStore.assign(spark, centT,
+            Tables.embeddings(spark, sf01)
+              .filter(Q40TrainTestSplit.splitColOf("vec_id") === "test")))
+    } { (centT, workT) =>
+      S24StreamHybridFusion.fuseFrom(spark, sf01, centT, workT)
+        .collect().map(_.toString).toSeq
+    }
+    assert(streamed == batch, s"epoch-split variance: " +
+      s"${streamed.zip(batch).find { case (a, b) => a != b }}")
+    val rows = S24StreamHybridFusion.run(spark, sf01).collect()
+    val byQ = rows.groupBy(_.getInt(0))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).toSeq == (1 to rs.length), s"q$q ranks gap")
+    }
+    assert(rows.exists(_.getInt(4) > 0) && rows.exists(_.getInt(5) > 0),
+      "both arms must contribute to the ingest-tier fusion")
+  }
+
   test("q64l/q64m drift tiers: retrain is a LIVE decision (both verdicts) and signals are sane") {
     import graft.queries.{Q64lWordpieceDrift, Q64mUnigramDrift}
     val wp = Q64lWordpieceDrift.run(spark, sf01).collect()
