@@ -59,7 +59,29 @@ object DiagClosure {
     // residue so the rarity join/window's shuffle+sort peak divides
     // by S — the single-box lever for the 1000× point (the cluster
     // posture keeps 1: aggregate disk holds the one-job overlap).
-    val sweeps = if (args.length > 3) args(3).toInt else 1
+    // "auto" sizes S from the corpus and the local spindle's free
+    // space: the round-14 1000× run (5M docs = 1.2 GB documents
+    // parquet, sweeps 4/4) peaked ~23 GB transient, implying an
+    // unswept n-gram-phase transient of ~70 GB per 1.2 GB of corpus
+    // with the hashed verify + narrow pre-filter in; a sweep divides
+    // the dominant parts ~linearly. Keep half the free space as
+    // headroom — a heuristic with a printed trace, not a guarantee.
+    val sweeps =
+      if (args.length > 3 && args(3) != "auto") args(3).toInt
+      else if (args.length > 3) {
+        val doc = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+        val fs = doc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val corpusGb = fs.getContentSummary(doc).getLength / 1e9
+        val freeGb = java.nio.file.Files.getFileStore(
+          java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp")))
+          .getUsableSpace / 1e9
+        val transientGb = 70.0 * (corpusGb / 1.2)
+        val s = math.max(1, math.ceil(transientGb / (freeGb * 0.5)).toInt)
+        val clamped = math.min(16, s)
+        println(f"DIAG auto-sweeps: corpus=$corpusGb%.2f GB free=$freeGb%.1f GB " +
+          f"est-transient=$transientGb%.1f GB -> sweeps=$clamped")
+        clamped
+      } else 1
     // args(4) = verify sweeps (same lever for the verify's wide
     // candidate intermediate; defaults to the prefix sweep count).
     val vSweeps = if (args.length > 4) args(4).toInt else sweeps
