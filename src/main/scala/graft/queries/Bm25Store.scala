@@ -231,13 +231,23 @@ object Q74cBm25PhraseStore extends GraftQuery {
     * `run` and the admission spec (post-admit phrase serve must be
     * exactly this plan over the appended store). */
   private[graft] def serveFrom(spark: SparkSession,
-      postT: String): DataFrame = {
+      postT: String): DataFrame =
+    serveFromFrame(spark, spark.table(postT))
+
+  /** The same serve over ANY (word, doc_id, tf, positions) frame —
+    * the streamed-index phrase tier (s25) points it at s23's
+    * accumulated postings. On a word-bucketed store table the isin
+    * filter below statically prunes buckets; on an epoch-append
+    * stream table it is a pushed scan filter — same plan, layout
+    * decides the prune. */
+  private[graft] def serveFromFrame(spark: SparkSession,
+      post: DataFrame): DataFrame = {
     import spark.implicits._
     val terms = phraseSet.flatMap(_._2).distinct
     val qterms = phraseSet.flatMap { case (q, ts) =>
       ts.zipWithIndex.map { case (w, i) => (q, i + 1, ts.length, w) } }
       .toDF("query_id", "ti", "plen", "word")
-    val cand = spark.table(postT)
+    val cand = post
       .filter(col("word").isin(terms: _*)) // static bucket prune
       .join(broadcast(qterms), Seq("word"))
       .groupBy(col("query_id"), col("doc_id"))

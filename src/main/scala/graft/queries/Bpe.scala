@@ -48,7 +48,7 @@ object Bpe {
       Q64eBpeEncodeStore, Q64fVocabDrift, Q64gWordpieceEncode,
       Q64hUnigramVocab, Q64iUnigramEncode, Q64jWordpieceEncodeStore,
       Q64kUnigramEncodeStore, Q64lWordpieceDrift, Q64mUnigramDrift,
-      Q64nBpeDriftGatedStore)
+      Q64nBpeDriftGatedStore, Q78DriftConsole)
 
   /** The ONE corpus-scale step of BPE learning: token/normalize (q1's
     * definition) and the word-frequency reduction. Everything after
@@ -1685,6 +1685,56 @@ object Q64nBpeDriftGatedStore extends GraftQuery {
            > ${Q64fVocabDrift.DriftThreshold}) AS retrain
     FROM m
     ORDER BY lang
+  """.trim
+  }
+}
+
+/** Q78 — the TOKENIZER DRIFT CONSOLE: one operational report joining
+  * all three families' retrain signals per corpus snapshot — the
+  * table an operator actually pages on (round-14 residual #3's
+  * console half; q64n consumes a verdict, this SURFACES them). Each
+  * family contributes its own semantics unchanged — BPE (q64f:
+  * oov_rate vs the trained vocab), WordPiece (q64l: the [UNK]-rate
+  * JUMP), Unigram (q64m: char-coverage oov_rate) — aligned to one
+  * schema (family, lang, rel_drift, aux_signal, aux_kind, retrain).
+  * Pure composition: the three verified tiers' frames are unioned,
+  * so the console can disagree with its parts only if the stitching
+  * is wrong — which is exactly what the composed oracle (the three
+  * oracles' UNION ALL) gates. */
+object Q78DriftConsole extends GraftQuery {
+  val name = "q78_drift_console"
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = Q64fVocabDrift.run(spark, dir)
+      .select(lit("bpe").as("family"), col("lang"), col("rel_drift"),
+        col("oov_rate").as("aux_signal"), lit("oov_rate").as("aux_kind"),
+        col("retrain"))
+    val wp = Q64lWordpieceDrift.run(spark, dir)
+      .select(lit("wordpiece").as("family"), col("lang"), col("rel_drift"),
+        col("unk_jump").as("aux_signal"), lit("unk_jump").as("aux_kind"),
+        col("retrain"))
+    val uni = Q64mUnigramDrift.run(spark, dir)
+      .select(lit("unigram").as("family"), col("lang"), col("rel_drift"),
+        col("oov_rate").as("aux_signal"), lit("oov_rate").as("aux_kind"),
+        col("retrain"))
+    bpe.unionByName(wp).unionByName(uni)
+      .orderBy(col("family"), col("lang"))
+  }
+
+  /** The three family oracles, stitched: any drift in the console's
+    * assembly (not just its parts) breaks this gate. */
+  val oracle: Option[String] = Some {
+    def arm(fam: String, aux: String, kind: String, inner: String) =
+      s"""SELECT '$fam' AS family, lang, rel_drift,
+        $aux AS aux_signal, '$kind' AS aux_kind, retrain
+      FROM (${inner.trim}) ${fam}_t"""
+    s"""
+    ${arm("bpe", "oov_rate", "oov_rate", Q64fVocabDrift.oracle.get)}
+    UNION ALL
+    ${arm("wordpiece", "unk_jump", "unk_jump", Q64lWordpieceDrift.oracle.get)}
+    UNION ALL
+    ${arm("unigram", "oov_rate", "oov_rate", Q64mUnigramDrift.oracle.get)}
+    ORDER BY family, lang
   """.trim
   }
 }

@@ -253,7 +253,7 @@ object StreamQueries {
     S17StreamMultimodalAdmission, S18StreamAudioDedupStore,
     S19StreamAnnIngest, S20StreamExcise, S21StreamWarc,
     S22StreamVideoDedupStore, S23StreamBm25Index, S23bStreamBm25Compact,
-    S24StreamHybridFusion)
+    S24StreamHybridFusion, S25StreamPhrase)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -1652,4 +1652,36 @@ object S24StreamHybridFusion extends GraftQuery {
     }
 
   val oracle: Option[String] = None
+}
+
+/** S25 — PHRASE QUERIES over the STREAMED positional index: closes
+  * positional retrieval's stream column (round-14 residual #4). s23's
+  * exactly-once maintenance already accumulates POSITIONS with every
+  * postings increment (they ride `Q74Bm25.postingsOf` — additive like
+  * tf), so the streamed index answers phrase queries with no extra
+  * maintenance at all: this tier streams the corpus in (s23's
+  * `withIndex` — epoch-guarded appends), then serves q74c's phrase
+  * plan over the accumulated table ([[graft.queries
+  * .Q74cBm25PhraseStore.serveFromFrame]] — shared code; on the
+  * epoch-append layout the term filter is a pushed scan filter where
+  * the bucketed store gets static pruning, which is exactly the
+  * compaction trade s23b prices).
+  *
+  * SHARES q74c's oracle: the streamed index must answer phrase
+  * queries exactly as the built store does — one more tier under the
+  * positional family's single hash gate. */
+object S25StreamPhrase extends GraftQuery {
+  import StreamQueries._
+  import graft.queries.Q74cBm25PhraseStore
+  val name = "s25_stream_phrase"
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.S23StreamBm25Index.withIndex(spark, dir) { runT =>
+      Q74cBm25PhraseStore.serveFromFrame(spark,
+          epochless(spark.table(runT)))
+        .localCheckpoint(true)
+    }
+
+  /** Streamed-index phrase serve ≡ store phrase serve. */
+  val oracle: Option[String] = Q74cBm25PhraseStore.oracle
 }

@@ -219,7 +219,10 @@ class Round12SqlSpec extends SparkSpec {
       "q64m_unigram_drift",
       // q64n (round 14): the gate trains via q64c's driver-local
       // learner before the relational measurement.
-      "q64n_bpe_drift_gated_store")
+      "q64n_bpe_drift_gated_store",
+      // q78 (round 14): the console composes q64f (driver-local
+      // learn) and q64m (EM loop) — inherits their class.
+      "q78_drift_console")
     // (E) spark.ml training inside the plan: SQL has no spelling for
     // the fit (serve paths ARE SQL-twinned where persisted — q19e,
     // q70b above).
