@@ -58,7 +58,12 @@ object Q77DsirSelection extends GraftQuery {
       .select(col("doc_id"), col("split"), expr(hExpr("g")).as("bkt"))
   }
 
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  def run(spark: SparkSession, dir: String): DataFrame =
+    selection(spark, dir).orderBy(col("doc_id"))
+
+  /** The full per-doc report frame (doc_id, n_grams, weight_q,
+    * selected) — shared with the packing tier (q77b). */
+  private[graft] def selection(spark: SparkSession, dir: String): DataFrame = {
     val g = grams(spark, dir)
     // Pass 1: per-bucket raw + target counts in ONE aggregation
     // (≤ B rows out); totals fall out of it with a B-row agg.
@@ -93,19 +98,17 @@ object Q77DsirSelection extends GraftQuery {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("weight_q"), lit(0L)).as("weight_q"),
         coalesce(col("sel"), lit(false)).as("selected"))
-      .orderBy(col("doc_id"))
   }
 
-  /** DuckDB replay: same portable hash fold, same quantized-log
-    * arithmetic, same top-K rule. */
-  val oracle: Option[String] = Some {
+  /** CTE chain through `wts` (per-doc weights) and `sel` (top-K doc
+    * ids) — shared by q77's oracle and the packing tier's (q77b). */
+  private[queries] val duckDsirCtes: String = {
     val fold =
       """list_reduce(list_prepend(CAST(0 AS BIGINT),
          list_transform(string_split(substr(md5(t[i] || ' ' || t[i + 1]), 1, 15), ''),
            c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
          (acc_, y_) -> acc_ * 16 + y_)"""
-    raw"""
-    WITH d AS (SELECT doc_id, ${Q40TrainTestSplit.duckSplit} AS split,
+    raw"""d AS (SELECT doc_id, ${Q40TrainTestSplit.duckSplit} AS split,
         list_filter(list_transform(string_split_regex(text, '\s+'),
           x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
           w_ -> w_ <> '') AS t
@@ -130,7 +133,14 @@ object Q77DsirSelection extends GraftQuery {
             CAST(SUM(n * lam) AS BIGINT) AS weight_q
           FROM db JOIN lam USING (bkt) GROUP BY doc_id),
     sel AS (SELECT doc_id FROM wts
-            ORDER BY weight_q DESC, doc_id ASC LIMIT $SelectK)
+            ORDER BY weight_q DESC, doc_id ASC LIMIT $SelectK)"""
+  }
+
+  /** DuckDB replay: same portable hash fold, same quantized-log
+    * arithmetic, same top-K rule. */
+  val oracle: Option[String] = Some {
+    s"""
+    WITH $duckDsirCtes
     SELECT d0.doc_id,
       COALESCE(w.n_grams, 0) AS n_grams,
       COALESCE(w.weight_q, 0) AS weight_q,
@@ -139,6 +149,70 @@ object Q77DsirSelection extends GraftQuery {
     LEFT JOIN wts w ON w.doc_id = d0.doc_id
     LEFT JOIN sel s ON s.doc_id = d0.doc_id
     ORDER BY d0.doc_id
+  """.trim
+  }
+}
+
+/** Q77b — SELECTED-MIX PACKING: the composed tail of data selection —
+  * DSIR's top-K docs (q77) packed into token-budget shards in
+  * selection order (weight desc, doc_id asc — the deterministic
+  * "best data first" order), q45's cumulative-budget rule. This is
+  * the pipeline ending a selection actually feeds: the shard
+  * manifest a trainer reads. The packing window runs over the
+  * SELECTED set only — K rows, driver-scale by construction — never
+  * the corpus (q45 packs per-lang corpus-wide; this tier packs the
+  * selection, so the single-partition window is bounded by K).
+  *
+  * Pure composition of two verified tiers; the composed oracle
+  * (q77's CTE chain + q45's shard shape) gates the stitching. */
+object Q77bDsirPacking extends GraftQuery {
+  val name = "q77b_dsir_packing"
+  /** Token budget per shard (q45's). */
+  val Budget = 1000L
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sel = Q77DsirSelection.selection(spark, dir)
+      .filter(col("selected"))
+      .select(col("doc_id"), col("weight_q"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(expr(NorthStar.toksExpr)).cast("long").as("tokens"))
+    val w = Window.orderBy(col("weight_q").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sel.join(toks, Seq("doc_id"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("shard", expr(s"(cum - tokens) div $Budget"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("total_tokens"),
+        max(col("weight_q")).as("max_weight_q"),
+        min(col("weight_q")).as("min_weight_q"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"))
+  }
+
+  val oracle: Option[String] = Some {
+    s"""
+    WITH ${Q77DsirSelection.duckDsirCtes},
+    sw AS (SELECT s.doc_id, w.weight_q,
+            CAST(len(${NorthStar.duckToks}) AS BIGINT) AS tokens
+          FROM sel s
+          JOIN wts w ON w.doc_id = s.doc_id
+          JOIN documents ON documents.doc_id = s.doc_id),
+    c AS (SELECT doc_id, weight_q, tokens,
+          CAST(SUM(tokens) OVER (ORDER BY weight_q DESC, doc_id ASC
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM sw)
+    SELECT (cum - tokens) // $Budget AS shard,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+      max(weight_q) AS max_weight_q,
+      min(weight_q) AS min_weight_q,
+      min(doc_id) AS first_doc,
+      max(doc_id) AS last_doc
+    FROM c GROUP BY shard ORDER BY shard
   """.trim
   }
 }

@@ -280,7 +280,7 @@ object NorthStar {
     Q49CrossDocParagraphs, Q74Bm25, Q74bBm25Store, Q74cBm25PhraseStore,
     Q74dBm25PhraseBoost, Q75HybridRrf, Q75bHybridRrfStore,
     Q76ContrastiveTriplets, Q76bHardNegatives, Q76cTripletsBackfilled,
-    Q77DsirSelection)
+    Q77DsirSelection, Q77bDsirPacking)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).

@@ -196,6 +196,9 @@ class Round12SqlSpec extends SparkSpec {
       // q77 (round 14): DSIR = two hashed-bigram count rollups + a
       // quantized-log join + a top-K — plain relational SQL.
       "q77_dsir_selection",
+      // q77b (round 14): q77's chain + q45's cumulative shard window
+      // over the K-row selection — relational.
+      "q77b_dsir_packing",
       // q64l (round 14): WordPiece drift = q64g's bounded greedy-fold
       // unroll (class-C technique) + per-(lang, split) rollups.
       "q64l_wordpiece_drift",
