@@ -446,3 +446,112 @@ object Q74dBm25PhraseBoost extends GraftQuery {
   """.trim
   }
 }
+
+/** Q74e — PROXIMITY-BOOSTED BM25 (Tao & Zhai 2007, "An Exploration of
+  * Proximity Measures in Information Retrieval"): their best-
+  * performing proximity feature — MinDist, the minimum distance
+  * between occurrences of two DIFFERENT query terms in the doc —
+  * folded into the retrieval score as the paper's π(d) = ln(α +
+  * e^(−MinDist)) with α = 1, added to the BM25 sum. Completes the
+  * positional family's query types: adjacency (q74c), phrase-as-term
+  * (q74d), and here unordered proximity — terms NEAR each other
+  * score above the same terms far apart, without requiring order.
+  *
+  * All from the positional store: the BM25 arm is q74b's scored
+  * frame verbatim; the proximity arm gathers each (query, doc)'s
+  * query-term occurrences from the SAME bucket-pruned postings scan
+  * and takes the min cross-term distance — an order-independent
+  * aggregate, so the nondeterministic collect order cannot leak.
+  *
+  * EXACTNESS: MinDist is an exact integer (two different terms never
+  * share a position); π is INTEGER-QUANTIZED (⌊10⁶·ln(1+e^(−d))⌋ —
+  * the q64h technique; for d ≳ 40, 1+e^(−d) == 1.0 exactly and the
+  * boost is exactly 0), and the final score is ONE IEEE add of the
+  * rounded-4 BM25 double and π/10⁶ — identical operands in both
+  * engines ⇒ identical sum bits ⇒ identical ranking. Docs with < 2
+  * distinct query terms present carry mindist 0 (the no-pair
+  * sentinel; a real cross-term distance is ≥ 1) and boost 0. */
+object Q74eBm25ProximityBoost extends GraftQuery {
+  val name = "q74e_bm25_proximity_boost"
+
+  private[graft] def serveFrom(spark: SparkSession, postT: String,
+      lenT: String, metaT: String): DataFrame = {
+    import spark.implicits._
+    val terms = Q74Bm25.querySet.flatMap(_._2).distinct
+    val qterms = Q74Bm25.querySet.flatMap { case (q, ts) =>
+      ts.zipWithIndex.map { case (w, i) => (q, i + 1, w) } }
+      .toDF("query_id", "ti", "word")
+    val prox = spark.table(postT)
+      .filter(col("word").isin(terms: _*)) // static bucket prune
+      .join(broadcast(qterms), Seq("word"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(flatten(collect_list(expr(
+        "transform(positions, p_ -> named_struct('ti', ti, 'p', p_))")))
+        .as("occ"))
+      .withColumn("mindist", coalesce(expr(
+        "array_min(flatten(transform(occ, a_ -> " +
+          "transform(filter(occ, b_ -> b_.ti != a_.ti), " +
+          "b_ -> abs(a_.p - b_.p)))))"), lit(0)).cast("long"))
+      .withColumn("pi_q", expr(
+        "CASE WHEN mindist = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE cast(floor(1000000 * ln(1.0 + exp(-cast(mindist as double)))) as bigint) END"))
+      .select(col("query_id"), col("doc_id"), col("mindist"), col("pi_q"))
+    val scored = Q74bBm25Store.scoredFrom(spark, postT, lenT, metaT)
+    val boosted = scored.join(prox, Seq("query_id", "doc_id"))
+      .withColumn("score",
+        col("score") + col("pi_q").cast("double") / lit(1000000.0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    boosted.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("score"), col("matched"), col("mindist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, dir)
+    serveFrom(spark, postT, lenT, metaT)
+  }
+
+  /** q74's lexical CTEs (shared — the BM25 arm cannot drift) + a
+    * cross-term occurrence self-join for MinDist + the quantized π. */
+  val oracle: Option[String] = Some {
+    val qvals = Q74Bm25.querySet.flatMap { case (q, ts) =>
+      ts.zipWithIndex.map { case (w, i) => s"($q, ${i + 1}, '$w')" } }
+      .mkString(", ")
+    raw"""
+    WITH ${Q74Bm25.duckLexCtes},
+    pbase AS (SELECT doc_id,
+        list_filter(list_transform(string_split_regex(text, '\s+'),
+          x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+          w_ -> w_ <> '') AS t
+      FROM documents),
+    p AS (SELECT doc_id, CAST(wi AS INT) AS pos, t[CAST(wi AS INT)] AS word
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS wi FROM pbase)),
+    qt(query_id, ti, word) AS (VALUES $qvals),
+    occ AS (SELECT qt.query_id, p.doc_id, qt.ti, p.pos
+            FROM p JOIN qt ON p.word = qt.word),
+    md AS (SELECT a.query_id, a.doc_id,
+            CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS mindist
+          FROM occ a JOIN occ b
+            ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+           AND a.ti <> b.ti
+          GROUP BY 1, 2),
+    boosted AS (SELECT s.query_id, s.doc_id,
+            s.score + CAST(CASE WHEN md.mindist IS NULL THEN 0
+              ELSE CAST(floor(1000000 * ln(1.0 + exp(-CAST(md.mindist AS DOUBLE)))) AS BIGINT)
+              END AS DOUBLE) / 1000000.0 AS score,
+            s.matched,
+            COALESCE(md.mindist, 0) AS mindist
+          FROM s LEFT JOIN md
+            ON md.query_id = s.query_id AND md.doc_id = s.doc_id),
+    r AS (SELECT query_id, doc_id, score, matched, mindist,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+          FROM boosted)
+    SELECT query_id, rank, doc_id, score, matched, mindist
+    FROM r WHERE rank <= 10 ORDER BY query_id, rank
+  """.trim
+  }
+}

@@ -278,7 +278,8 @@ object NorthStar {
     Q46Decontaminate, Q46bDecontaminateDfCap, Q46cDecontaminateBloom,
     Q47Repetition, Q48MixSample,
     Q49CrossDocParagraphs, Q74Bm25, Q74bBm25Store, Q74cBm25PhraseStore,
-    Q74dBm25PhraseBoost, Q75HybridRrf, Q75bHybridRrfStore,
+    Q74dBm25PhraseBoost, Q74eBm25ProximityBoost,
+    Q75HybridRrf, Q75bHybridRrfStore,
     Q76ContrastiveTriplets, Q76bHardNegatives, Q76cTripletsBackfilled,
     Q77DsirSelection, Q77bDsirPacking)
 }

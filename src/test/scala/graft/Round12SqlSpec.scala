@@ -193,6 +193,9 @@ class Round12SqlSpec extends SparkSpec {
       // q74d (round 14): phrase-as-virtual-term = q74c's occurrence
       // aggregation unioned into q74's relational Okapi chain.
       "q74d_bm25_phrase_boost",
+      // q74e (round 14): MinDist proximity = a cross-term occurrence
+      // min + q74's Okapi chain + one quantized-log boost — relational.
+      "q74e_bm25_proximity_boost",
       // q77 (round 14): DSIR = two hashed-bigram count rollups + a
       // quantized-log join + a top-K — plain relational SQL.
       "q77_dsir_selection",

@@ -180,6 +180,44 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("q74e: proximity boost — mindist sane, boost live, plan pruned and corpus-free") {
+    import graft.queries.Q74eBm25ProximityBoost
+    val df = Q74eBm25ProximityBoost.run(spark, sf01)
+    val rows = df.collect()
+    val byQ = rows.groupBy(_.getInt(0))
+    assert(byQ.keySet == Q74Bm25.querySet.map(_._1).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).toSeq == (1 to rs.length), s"q$q ranks gap")
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted(Ordering[Double].reverse),
+        s"q$q scores not nonincreasing")
+    }
+    rows.foreach { r =>
+      val (matched, mindist) = (r.getLong(4), r.getLong(5))
+      // Two different terms never share a position: a real cross-term
+      // distance is >= 1; 0 is strictly the <2-distinct-terms sentinel.
+      if (matched >= 2) assert(mindist >= 1, s"mindist 0 with matched>=2: $r")
+      else assert(mindist == 0, s"sentinel violated: $r")
+    }
+    // Liveness: some ranked doc is close enough that the quantized
+    // boost is nonzero (ln(1+e^-d) quantizes to 0 only past d ~ 14).
+    assert(rows.exists(r => r.getLong(5) >= 1 && r.getLong(5) <= 13),
+      "no ranked doc in boost range — proximity feature not exercised")
+    // Plan posture: store-only, bucket-pruned.
+    df.collect()
+    val plan = flattenPlan(df.queryExecution.executedPlan)
+    assert(!df.queryExecution.executedPlan.toString.contains("documents.parquet"),
+      "proximity tier re-read the corpus")
+    val nTerms = Q74Bm25.querySet.flatMap(_._2).distinct.size
+    plan.collect {
+      case f: FileSourceScanExec if f.tableIdentifier.exists(
+        _.table.startsWith("graft_bm25store_postings")) => f
+    }.foreach { f =>
+      assert(f.optionalBucketSet.exists(_.cardinality() <= nTerms),
+        s"postings scan not pruned: ${f.optionalBucketSet.map(_.cardinality())}")
+    }
+  }
+
   test("q75b: store-armed fusion — RRF arithmetic, pruned scans, determinism, recall floor vs exact fusion") {
     import graft.queries.{Q75HybridRrf, Q75bHybridRrfStore}
     val df = Q75bHybridRrfStore.run(spark, sf)
