@@ -89,23 +89,27 @@ object AdmitLog {
     }
 
   /** Remove every torn admission's rows from the family's tagged
-    * tables (rewriting through each table's bucket spec), run the
-    * caller's derived-scalar recompute, and resolve the ids as
-    * scrubbed. Returns the ids scrubbed (empty = nothing torn). */
+    * tables, run the caller's derived-scalar recompute, and resolve
+    * the ids as scrubbed. Returns the ids scrubbed (empty = nothing
+    * torn). The rewrite goes through `insertInto(Overwrite)` — it
+    * keeps the catalog entry and routes through the TABLE's bucket
+    * spec, which is what makes the rewrite correct on BOTH a
+    * this-session managed table and a re-BOUND external one (a
+    * `saveAsTable(Overwrite)` on a bound table would drop it and
+    * re-create managed over the still-populated location —
+    * LOCATION_ALREADY_EXISTS; the scrub-after-rebind path ADVICE r14
+    * restored is exactly that case). */
   def scrub(spark: SparkSession, logT: String,
-      tables: Seq[(String, Option[(String, Int)])])
-      (recompute: => Unit): Seq[Long] = {
+      tables: Seq[String])(recompute: => Unit): Seq[Long] = {
     val ids = torn(spark, logT)
     if (ids.nonEmpty) {
-      tables.foreach { case (t, bucket) =>
+      tables.foreach { t =>
         spark.catalog.refreshTable(t)
         val dirty = spark.table(t).filter(col("_adm").isin(ids: _*))
         if (!dirty.isEmpty) {
           val keep = spark.table(t)
             .filter(!col("_adm").isin(ids: _*)).localCheckpoint(true)
-          val w = keep.write.mode(SaveMode.Overwrite).format("parquet")
-          bucket.fold(w) { case (k, n) => w.bucketBy(n, k).sortBy(k) }
-            .saveAsTable(t)
+          keep.write.mode(SaveMode.Overwrite).insertInto(t)
           spark.catalog.refreshTable(t)
         }
       }

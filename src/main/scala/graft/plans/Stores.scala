@@ -262,9 +262,20 @@ object Stores {
           // Re-check under the lock: another process may have
           // committed while this one waited.
           if (!(names.forall(spark.catalog.tableExists) && Files.exists(marker))) {
+            // The LIVE fingerprint's admission logs are part of the
+            // family, not a stale incarnation (ADVICE r14 high):
+            // `<name>_admlog` startsWith `<prefix>_<kind>_<tag>` but is
+            // never in `names`, so without the exemption every
+            // fresh-session re-bind would deleteTree the current log —
+            // destroying the torn-intent record BEFORE scrub can run,
+            // and re-priming adm_ids at 0 against data rows still
+            // tagged with the old ids (a later scrub would then delete
+            // COMMITTED rows). Old fingerprints' logs remain stale and
+            // are retired with their family.
+            val live = names.toSet ++ names.map(AdmitLog.logTableOf)
             def stale(t: String): Boolean =
               kinds.exists(k => t.startsWith(s"${prefix}_${k}_$tag")) &&
-                !names.contains(t)
+                !live.contains(t)
             // Evict stale same-dir-tag incarnations: catalog entries,
             // warehouse directories, and their markers.
             spark.catalog.listTables().collect()
@@ -284,15 +295,30 @@ object Stores {
                 bind(spark, n, wh.resolve(n),
                   buckets.get(kinds(names.indexOf(n))))
               }
+              // Re-bind any admission log the family carries: a fresh
+              // catalog that binds the data but forgets the log would
+              // (a) skip the torn-intent scrub (torn() is Nil on an
+              // unbound table) and (b) let the next begin()'s
+              // ensureLog clear the live log and restart adm_ids at 0
+              // against rows still tagged with the old ids.
+              names.map(AdmitLog.logTableOf)
+                .filter(l => Files.isDirectory(wh.resolve(l)) &&
+                  !spark.catalog.tableExists(l))
+                .foreach(l => bind(spark, l, wh.resolve(l), None))
             } else {
               // Nothing committed for this fingerprint: clear any
               // half-built orphans (a dead JVM's uncommitted dirs, or
               // a bound-but-unmarked table from a crash between
-              // CREATE and commit), build, then commit.
+              // CREATE and commit), build, then commit. The family's
+              // admission logs are cleared too — a rebuilt store
+              // starts a fresh log (the AdmitLog contract); leaving a
+              // prior incarnation's log would let its torn intents
+              // scrub the freshly built tables.
               Files.deleteIfExists(marker)
-              names.filter(spark.catalog.tableExists)
+              val toClear = names ++ names.map(AdmitLog.logTableOf)
+              toClear.filter(spark.catalog.tableExists)
                 .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-              names.map(wh.resolve(_)).foreach(deleteTree)
+              toClear.map(wh.resolve(_)).foreach(deleteTree)
               build(names)
               val tmp = Files.createTempFile(wh, marker.getFileName.toString, ".tmp")
               Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,

@@ -74,10 +74,17 @@ object Q74bBm25Store extends GraftQuery {
     * build, admit, and the torn-admission scrub. */
   private def writeMeta(spark: SparkSession, lenT: String,
       metaT: String): Unit = {
-    spark.table(lenT)
+    val agg = spark.table(lenT)
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("dl")).cast("long").as("tot_tokens"))
-      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(metaT)
+    // insertInto on an existing table keeps the catalog entry — the
+    // rewrite path must work on a re-BOUND external meta table too
+    // (saveAsTable(Overwrite) there would re-create managed over the
+    // populated location and throw); saveAsTable only at first build.
+    if (spark.catalog.tableExists(metaT))
+      agg.write.mode(SaveMode.Overwrite).insertInto(metaT)
+    else
+      agg.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(metaT)
     spark.catalog.refreshTable(metaT)
   }
 
@@ -87,8 +94,7 @@ object Q74bBm25Store extends GraftQuery {
   private[graft] def scrubTorn(spark: SparkSession, postT: String,
       lenT: String, metaT: String): Seq[Long] =
     graft.plans.AdmitLog.scrub(spark,
-      graft.plans.AdmitLog.logTableOf(postT),
-      Seq((postT, Some(("word", 16))), (lenT, Some(("doc_id", 16))))) {
+      graft.plans.AdmitLog.logTableOf(postT), Seq(postT, lenT)) {
       writeMeta(spark, lenT, metaT)
     }
 

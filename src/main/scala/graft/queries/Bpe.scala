@@ -1628,13 +1628,22 @@ object Q64nBpeDriftGatedStore extends GraftQuery {
 
   /** The GATE: measure an arriving corpus against the bound store.
     * Returns the per-lang report; `retrain` is true where a language
-    * trips q64f's thresholds — the caller rebuilds only then. */
+    * trips q64f's thresholds — the caller rebuilds only then.
+    * LEFT join from the measured arrivals (ADVICE r14 medium): a
+    * language present in arrivals but absent at training time has no
+    * stored baseline — the loudest possible drift — and must trip the
+    * gate, not vanish from the report through an inner join. Its
+    * baseline columns read as null and retrain is forced true. */
   private[graft] def decide(spark: SparkSession, vocabT: String,
       statsT: String, arriving: DataFrame): DataFrame =
     measured(spark, arriving, broadcast(spark.table(vocabT)))
-      .join(spark.table(statsT), Seq("lang"))
+      .join(spark.table(statsT), Seq("lang"), "left")
       .select(col("lang"), col("train_fertility").as("stored_fertility"),
-        (col("invocab_ntok").cast("double") / col("invocab_words"))
+        // try-divide: a fully-OOV language has zero in-vocab words and
+        // no meaningful fertility (null; its oov_rate = 1 and/or the
+        // null baseline trip the gate) — ANSI mode would throw.
+        when(col("invocab_words") === 0L, lit(null).cast("double"))
+          .otherwise(col("invocab_ntok").cast("double") / col("invocab_words"))
           .as("current_fertility"),
         (col("oov_words").cast("double") / col("n_words")).as("oov_rate"),
         col("n_words"), col("oov_words"))
@@ -1642,7 +1651,8 @@ object Q64nBpeDriftGatedStore extends GraftQuery {
         abs(col("current_fertility") - col("stored_fertility"))
           / col("stored_fertility"))
       .withColumn("retrain",
-        col("oov_rate") > Q64fVocabDrift.OovThreshold ||
+        col("stored_fertility").isNull ||
+          col("oov_rate") > Q64fVocabDrift.OovThreshold ||
           col("rel_drift") > Q64fVocabDrift.DriftThreshold)
       .orderBy(col("lang"))
 

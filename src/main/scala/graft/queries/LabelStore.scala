@@ -86,7 +86,7 @@ object Q18gDedupLabelsStore extends GraftQuery {
       bandsT: String): Seq[Long] =
     graft.plans.AdmitLog.scrub(spark,
       graft.plans.AdmitLog.logTableOf(labelsT),
-      Seq((labelsT, Some(("id", 16))), (bandsT, Some(("bkey", 16))))) { () }
+      Seq(labelsT, bandsT)) { () }
 
   /** (doc_id, sig, bkey) MinHash band rows for `docs` — the store's
     * admission-index shape, shared by build and [[admit]]. */

@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q74bBm25Store
+
+/** Round 15: the two ADVICE r14 closures.
+  *
+  *  - HIGH (`Stores.ensure` stale sweep): the live fingerprint's
+  *    admission log is named `<name>_admlog`, which startsWith the
+  *    family prefix but was never in `names` — so a FRESH-CATALOG
+  *    re-bind (the normal cross-process path) classified it stale and
+  *    deleteTree'd it, destroying the torn-intent record before scrub
+  *    could run and re-priming adm_ids at 0 against data rows still
+  *    tagged with the old ids. Round14Spec's crash tests missed it
+  *    because they stay in one session where the fast-path return
+  *    skips the sweep entirely. The test here reproduces the dead-JVM
+  *    state literally: warehouse dirs + commit marker persist, the
+  *    catalog forgets every table, then `ensureStore` must re-bind
+  *    data AND log, scrub the torn admission, and keep every
+  *    previously COMMITTED admission's rows.
+  *
+  *  - MEDIUM (`Q64nBpeDriftGatedStore.decide`): the gate inner-joined
+  *    measured arrivals with the frozen baseline on lang, so a wholly
+  *    NEW language (the loudest possible drift) produced no report row
+  *    and could never trip retrain. Now a left join; a missing stored
+  *    baseline forces retrain=true. */
+class Round15Spec extends SparkSpec {
+
+  private def rmTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(p)
+      val paths = try s.iterator().asScala.toVector finally s.close()
+      paths.reverse.foreach(Files.deleteIfExists(_))
+    }
+
+  private def withTempCorpus[A](tag: String,
+      rows: Seq[(Long, String)])(body: String => A): A = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(tag)
+    try {
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      body(dir.toString)
+    } finally rmTree(dir)
+  }
+
+  test("stores: fresh-catalog re-bind spares the live admission log, scrubs the torn intent, keeps committed admissions") {
+    val base = Seq(1L -> "spark join fast table hash",
+      2L -> "stream window agg join")
+    val delta1 = Seq(10L -> "spark spark hash table", 11L -> "window stream")
+    val delta2 = Seq(20L -> "join hash window", 21L -> "table stream agg")
+    withTempCorpus("bm25rebind", base) { dir =>
+      import spark.implicits._
+      var tables = Seq.empty[String]
+      try {
+        val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, dir)
+        val logT = graft.plans.AdmitLog.logTableOf(postT)
+        tables = Seq(postT, lenT, metaT, logT)
+        // One COMMITTED admission (adm_id 0): its rows must survive
+        // everything below — the ADVICE's second-order corruption was
+        // a re-primed log whose later scrub deletes these.
+        Q74bBm25Store.admit(spark, delta1.toDF("doc_id", "text"),
+          postT, lenT, metaT)
+        val committedServe = Q74bBm25Store.serveFrom(spark, postT, lenT, metaT)
+          .collect().map(_.toString).toSeq
+        // One TORN admission (adm_id 1): crash after the postings
+        // append — the state a dead writer leaves for the NEXT process.
+        intercept[RuntimeException] {
+          Q74bBm25Store.admit(spark, delta2.toDF("doc_id", "text"),
+            postT, lenT, metaT, injectCrashAfter = 1)
+        }
+        assert(graft.plans.AdmitLog.torn(spark, logT).nonEmpty, "no torn intent")
+        // Simulate the dead JVM + fresh process: the in-memory catalog
+        // forgets every table while warehouse dirs and the commit
+        // marker persist. DROP TABLE on a managed table deletes its
+        // data, so stash the dirs aside first and restore them after.
+        val wh = graft.plans.Stores.warehouse(spark)
+        val stash = Files.createTempDirectory("whstash")
+        try {
+          tables.foreach(t => Files.move(wh.resolve(t), stash.resolve(t),
+            StandardCopyOption.ATOMIC_MOVE))
+          tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+          tables.foreach(t => Files.move(stash.resolve(t), wh.resolve(t),
+            StandardCopyOption.ATOMIC_MOVE))
+        } finally rmTree(stash)
+        assert(!spark.catalog.tableExists(logT) &&
+          Files.isDirectory(wh.resolve(logT)), "fresh-catalog setup broken")
+        // The re-bind path: sweep + bind + scrub, all under the lock.
+        Q74bBm25Store.ensureStore(spark, dir)
+        assert(Files.isDirectory(wh.resolve(logT)),
+          "stale sweep deleted the LIVE admission log on re-bind")
+        assert(spark.catalog.tableExists(logT),
+          "re-bind did not restore the admission log table")
+        // The torn admission is scrubbed; the committed one intact.
+        assert(graft.plans.AdmitLog.torn(spark, logT).isEmpty,
+          "torn intent survived the re-bind scrub")
+        val afterRebind = Q74bBm25Store.serveFrom(spark, postT, lenT, metaT)
+          .collect().map(_.toString).toSeq
+        assert(afterRebind == committedServe,
+          s"re-bind lost a committed admission: $afterRebind vs $committedServe")
+        assert(spark.table(postT).filter(col("_adm") === 0L).count() > 0,
+          "committed admission's rows scrubbed")
+        // adm_ids continue from the preserved log — the next admission
+        // must NOT reuse id 0/1 (a re-primed log restarts at 0).
+        Q74bBm25Store.admit(spark, delta2.toDF("doc_id", "text"),
+          postT, lenT, metaT)
+        val ids = spark.table(logT).select(col("adm_id"))
+          .collect().map(_.getLong(0)).toSet
+        assert(ids.max >= 2L, s"adm_ids re-primed after re-bind: $ids")
+        // End state = a crash-free rebuild over base ∪ delta1 ∪ delta2.
+        val admitted = Q74bBm25Store.serveFrom(spark, postT, lenT, metaT)
+          .collect().map(_.toString).toSeq
+        val full = withTempCorpus("bm25rebindref", base ++ delta1 ++ delta2) {
+          refDir =>
+            val (p2, l2, m2) = Q74bBm25Store.ensureStore(spark, refDir)
+            try Q74bBm25Store.serveFrom(spark, p2, l2, m2)
+              .collect().map(_.toString).toSeq
+            finally Seq(p2, l2, m2, graft.plans.AdmitLog.logTableOf(p2))
+              .foreach(graft.plans.Stores.dropManaged(spark, _))
+        }
+        assert(admitted == full,
+          s"post-rebind admit diverges from rebuild: $admitted vs $full")
+      } finally {
+        tables.foreach(graft.plans.Stores.dropManaged(spark, _))
+        graft.plans.Stores.gcMarkers(spark, "graft_bm25store")
+      }
+    }
+  }
+
+  test("q64n gate: a language absent from the training baseline trips retrain") {
+    import graft.queries.Q64nBpeDriftGatedStore
+    import spark.implicits._
+    val train = Seq(1L -> "spark join fast table hash",
+      2L -> "stream window agg join table")
+    withTempCorpus("dgnewlang", train) { dir =>
+      var tables = Seq.empty[String]
+      try {
+        val (vT, sT) = Q64nBpeDriftGatedStore.ensureStore(spark, dir)
+        tables = Seq(vT, sT)
+        // Arrivals: the training language (clean) + a language the
+        // baseline has never seen. Before the fix the zz row vanished
+        // through the inner join — the gate's blind spot.
+        // en arrivals = the training docs themselves (drift exactly 0)
+        // so only the new language can trip the gate.
+        val arriving = (train.map { case (id, t) => (id + 100L, t, "en") } :+
+          ((200L, "zork blat quux fizzle", "zz")))
+          .toDF("doc_id", "text", "lang")
+        val rows = Q64nBpeDriftGatedStore.decide(spark, vT, sT, arriving)
+          .collect()
+        val byLang = rows.map(r => r.getString(0) -> r).toMap
+        assert(byLang.contains("zz"),
+          s"new language missing from the gate report: ${rows.mkString(";")}")
+        val zz = byLang("zz")
+        assert(zz.getAs[Boolean]("retrain"),
+          s"new language did not trip retrain: $zz")
+        assert(zz.isNullAt(zz.fieldIndex("stored_fertility")),
+          s"new language should carry a null stored baseline: $zz")
+        assert(byLang.contains("en") && !byLang("en").getAs[Boolean]("retrain"),
+          s"training language must stay clean: ${byLang.get("en")}")
+      } finally {
+        tables.foreach(graft.plans.Stores.dropManaged(spark, _))
+        graft.plans.Stores.gcMarkers(spark, "graft_dgvocab")
+      }
+    }
+  }
+}
