@@ -44,19 +44,26 @@ object Q77DsirSelection extends GraftQuery {
   private def hExpr(x: String) =
     s"pmod(cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint), $Buckets)"
 
+  private val arrExpr = "filter(transform(split(text, '\\\\s+'), " +
+    "x_ -> lower(regexp_replace(x_, '[^a-zA-Z]', ''))), w_ -> w_ <> '')"
+  private val bigramsExpr = NorthStar.let("tk", arrExpr,
+    "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
+      "(a_, b_) -> concat(a_, ' ', b_))")
+
+  /** (doc_id, bkt) — one row per bigram OCCURRENCE of any (doc_id,
+    * text) frame; the shared gram pass for both DSIR shapes. */
+  private def gramsOf(docs: DataFrame): DataFrame =
+    docs.filter(size(expr(arrExpr)) >= 2)
+      .select(col("doc_id"), explode(expr(bigramsExpr)).as("g"))
+      .select(col("doc_id"), expr(hExpr("g")).as("bkt"))
+
   /** (doc_id, split, bkt) — one row per bigram OCCURRENCE. */
-  private def grams(spark: SparkSession, dir: String): DataFrame = {
-    val arr = "filter(transform(split(text, '\\\\s+'), " +
-      "x_ -> lower(regexp_replace(x_, '[^a-zA-Z]', ''))), w_ -> w_ <> '')"
-    val bigrams = NorthStar.let("tk", arr,
-      "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
-        "(a_, b_) -> concat(a_, ' ', b_))")
+  private def grams(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("split", Q40TrainTestSplit.splitCol)
-      .filter(size(expr(arr)) >= 2)
-      .select(col("doc_id"), col("split"), explode(expr(bigrams)).as("g"))
+      .filter(size(expr(arrExpr)) >= 2)
+      .select(col("doc_id"), col("split"), explode(expr(bigramsExpr)).as("g"))
       .select(col("doc_id"), col("split"), expr(hExpr("g")).as("bkt"))
-  }
 
   def run(spark: SparkSession, dir: String): DataFrame =
     selection(spark, dir).orderBy(col("doc_id"))
@@ -92,6 +99,50 @@ object Q77DsirSelection extends GraftQuery {
     val top = wts.orderBy(col("weight_q").desc, col("doc_id").asc)
       .limit(SelectK).select(col("doc_id"), lit(true).as("sel"))
     Tables.documents(spark, dir).select(col("doc_id"))
+      .join(wts, Seq("doc_id"), "left")
+      .join(broadcast(top), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("weight_q"), lit(0L)).as("weight_q"),
+        coalesce(col("sel"), lit(false)).as("selected"))
+  }
+
+  /** The GENERAL DSIR shape (VERDICT r14 next #2): raw and target are
+    * ARBITRARY (doc_id, text) frames — a production user brings a
+    * curated target TABLE, not a split key of the raw corpus. Bucket
+    * counts come from one pass over each frame (a full outer join
+    * aligns the ≤B-row count frames; add-one smoothing covers buckets
+    * absent from either side), λ and the per-doc integer weights are
+    * exactly [[selection]]'s arithmetic, and the report covers every
+    * raw doc. `selection` (target = the q40 train split ⊆ raw) remains
+    * the specialized single-pass default — when the target IS a slice
+    * of raw, counting both sides in one aggregation saves a scan. */
+  private[graft] def selectionVs(spark: SparkSession, raw: DataFrame,
+      target: DataFrame, selectK: Int = SelectK): DataFrame = {
+    val cR = gramsOf(raw).groupBy(col("bkt")).agg(count(lit(1)).as("c_r"))
+    val cT = gramsOf(target).groupBy(col("bkt")).agg(count(lit(1)).as("c_t"))
+    val byBkt = cR.join(cT, Seq("bkt"), "full")
+      .select(col("bkt"), coalesce(col("c_r"), lit(0L)).as("c_r"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"))
+      .localCheckpoint(true) // ≤B rows; consumed twice (totals + λ join)
+    val tot = byBkt.agg(sum(col("c_r")).cast("long"),
+      sum(col("c_t")).cast("long")).head()
+    val (totR, totT) = (tot.getLong(0), tot.getLong(1))
+    val lam = byBkt.select(col("bkt"),
+      (expr(qlogE("cast(c_t + 1 as double)"))
+        - lit(qlog((totT + Buckets).toDouble))
+        - expr(qlogE("cast(c_r + 1 as double)"))
+        + lit(qlog((totR + Buckets).toDouble))).as("lam"))
+    val wts = gramsOf(raw).groupBy(col("doc_id"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(lam), Seq("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_grams"),
+        sum(col("n") * col("lam")).cast("long").as("weight_q"))
+      .localCheckpoint(true) // consumed twice: top-K + the report join
+    val top = wts.orderBy(col("weight_q").desc, col("doc_id").asc)
+      .limit(selectK).select(col("doc_id"), lit(true).as("sel"))
+    raw.select(col("doc_id"))
       .join(wts, Seq("doc_id"), "left")
       .join(broadcast(top), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -136,11 +187,93 @@ object Q77DsirSelection extends GraftQuery {
             ORDER BY weight_q DESC, doc_id ASC LIMIT $SelectK)"""
   }
 
+  /** The general shape's CTE chain: raw = all documents, target = the
+    * rows matching `targetWhere` — separate gram passes, full-outer
+    * bucket alignment, then the same λ/weights/top-K tail. */
+  private[queries] def duckDsirCtesVs(targetWhere: String): String = {
+    val fold =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(string_split(substr(md5(t[i] || ' ' || t[i + 1]), 1, 15), ''),
+           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+         (acc_, y_) -> acc_ * 16 + y_)"""
+    val toks = raw"""list_filter(list_transform(string_split_regex(text, '\s+'),
+          x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
+          w_ -> w_ <> '')"""
+    raw"""d AS (SELECT doc_id, $toks AS t FROM documents),
+    b AS (SELECT doc_id, $fold % $Buckets AS bkt
+          FROM d, unnest(range(1, len(t))) AS u(i)
+          WHERE len(t) >= 2),
+    dt AS (SELECT doc_id, $toks AS t FROM documents WHERE $targetWhere),
+    bt AS (SELECT doc_id, $fold % $Buckets AS bkt
+           FROM dt, unnest(range(1, len(t))) AS u(i)
+           WHERE len(t) >= 2),
+    cr AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c_r FROM b GROUP BY bkt),
+    ct AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c_t FROM bt GROUP BY bkt),
+    bybkt AS (SELECT COALESCE(cr.bkt, ct.bkt) AS bkt,
+            COALESCE(c_r, CAST(0 AS BIGINT)) AS c_r,
+            COALESCE(c_t, CAST(0 AS BIGINT)) AS c_t
+          FROM cr FULL JOIN ct ON cr.bkt = ct.bkt),
+    tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS r, CAST(SUM(c_t) AS BIGINT) AS t
+            FROM bybkt),
+    lam AS (SELECT bkt,
+        CAST(floor(1000000 * ln(CAST(c_t + 1 AS DOUBLE))) AS BIGINT)
+      - CAST(floor(1000000 * ln(CAST((SELECT t FROM tot) + $Buckets AS DOUBLE))) AS BIGINT)
+      - CAST(floor(1000000 * ln(CAST(c_r + 1 AS DOUBLE))) AS BIGINT)
+      + CAST(floor(1000000 * ln(CAST((SELECT r FROM tot) + $Buckets AS DOUBLE))) AS BIGINT) AS lam
+      FROM bybkt),
+    db AS (SELECT doc_id, bkt, CAST(count(*) AS BIGINT) AS n
+           FROM b GROUP BY doc_id, bkt),
+    wts AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_grams,
+            CAST(SUM(n * lam) AS BIGINT) AS weight_q
+          FROM db JOIN lam USING (bkt) GROUP BY doc_id),
+    sel AS (SELECT doc_id FROM wts
+            ORDER BY weight_q DESC, doc_id ASC LIMIT $SelectK)"""
+  }
+
   /** DuckDB replay: same portable hash fold, same quantized-log
     * arithmetic, same top-K rule. */
   val oracle: Option[String] = Some {
     s"""
     WITH $duckDsirCtes
+    SELECT d0.doc_id,
+      COALESCE(w.n_grams, 0) AS n_grams,
+      COALESCE(w.weight_q, 0) AS weight_q,
+      COALESCE(s.doc_id IS NOT NULL, FALSE) AS selected
+    FROM (SELECT doc_id FROM documents) d0
+    LEFT JOIN wts w ON w.doc_id = d0.doc_id
+    LEFT JOIN sel s ON s.doc_id = d0.doc_id
+    ORDER BY d0.doc_id
+  """.trim
+  }
+}
+
+/** Q77c — DSIR against an ARBITRARY curated target table (VERDICT r14
+  * next #2): the production shape, where the target distribution is a
+  * user-supplied table of curated documents — NOT a split key of the
+  * raw corpus. [[Q77DsirSelection.selectionVs]] takes raw and target
+  * as two independent (doc_id, text) frames; this entry drives it
+  * with a crafted curated slice (the German-language documents — a
+  * target a real user plausibly brings: "make the mix look like my
+  * high-quality lang-pinned subset") and the driver hash-gates the
+  * full per-doc report against the replayed oracle. Round15 specs pin
+  * the PARAMETERIZATION itself: different targets ⇒ different
+  * selections, and target = train split reproduces q77 exactly. */
+object Q77cDsirTarget extends GraftQuery {
+  val name = "q77c_dsir_target"
+
+  /** The crafted curated target: lang-pinned documents. */
+  private[graft] val TargetLang = "de"
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Q77DsirSelection.selectionVs(spark, docs,
+        docs.filter(col("lang") === TargetLang))
+      .orderBy(col("doc_id"))
+  }
+
+  val oracle: Option[String] = Some {
+    s"""
+    WITH ${Q77DsirSelection.duckDsirCtesVs(s"lang = '$TargetLang'")}
     SELECT d0.doc_id,
       COALESCE(w.n_grams, 0) AS n_grams,
       COALESCE(w.weight_q, 0) AS weight_q,

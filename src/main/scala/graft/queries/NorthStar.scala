@@ -281,7 +281,7 @@ object NorthStar {
     Q74dBm25PhraseBoost, Q74eBm25ProximityBoost,
     Q75HybridRrf, Q75bHybridRrfStore,
     Q76ContrastiveTriplets, Q76bHardNegatives, Q76cTripletsBackfilled,
-    Q77DsirSelection, Q77bDsirPacking)
+    Q77DsirSelection, Q77bDsirPacking, Q77cDsirTarget)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).

@@ -133,6 +133,38 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("q77c: parameterized DSIR target — train-split target reproduces q77; a different target shifts the selection toward it") {
+    import graft.queries.{Q40TrainTestSplit, Q77DsirSelection, Q77cDsirTarget}
+    val docs = Tables.documents(spark, sf01)
+    // (a) The general two-frame path with target = the train split is
+    // EXACTLY the specialized q77 plan's answer — the parameterization
+    // cannot drift from the oracle-gated default.
+    val viaGeneral = Q77DsirSelection.selectionVs(spark, docs,
+        docs.filter(Q40TrainTestSplit.splitColOf("doc_id") === "train"))
+      .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    val viaQ77 = Q77DsirSelection.run(spark, sf01)
+      .collect().map(_.toString).toSeq
+    assert(viaGeneral == viaQ77,
+      "general target path with train-split target diverges from q77")
+    // (b) A different curated target SHIFTS the selection — and toward
+    // the target: the de-target selection carries a strictly higher
+    // share of German docs than the train-split selection.
+    def selectedLangs(rows: Array[org.apache.spark.sql.Row]): Map[Long, Unit] =
+      rows.filter(_.getAs[Boolean]("selected"))
+        .map(r => r.getLong(0) -> ()).toMap
+    val selDe = selectedLangs(Q77cDsirTarget.run(spark, sf01).collect())
+    val selTrain = selectedLangs(Q77DsirSelection.run(spark, sf01).collect())
+    assert(selDe.keySet != selTrain.keySet,
+      "target change did not shift the selection")
+    val langOf = docs.select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def deShare(sel: Set[Long]): Double =
+      sel.count(langOf(_) == "de").toDouble / sel.size
+    assert(deShare(selDe.keySet) > deShare(selTrain.keySet),
+      s"de-target selection not de-skewed: ${deShare(selDe.keySet)} vs " +
+        s"${deShare(selTrain.keySet)}")
+  }
+
   test("q64n gate: a language absent from the training baseline trips retrain") {
     import graft.queries.Q64nBpeDriftGatedStore
     import spark.implicits._
