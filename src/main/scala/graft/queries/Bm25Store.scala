@@ -111,17 +111,32 @@ object Q74bBm25Store extends GraftQuery {
   private[graft] def scoredFrom(spark: SparkSession, postT: String,
       lenT: String, metaT: String): DataFrame = {
     import spark.implicits._
+    scoredFromQueries(spark, postT, lenT, metaT,
+      Q74Bm25.querySet.flatMap { case (q, ts) => ts.map(q -> _) }
+        .toDF("query_id", "word"))
+  }
+
+  /** [[scoredFrom]] over a CALLER-PROVIDED (query_id, word) query
+    * table — the production entry point (VERDICT r14 next #5): a
+    * search service receives query batches, not compile-time
+    * constants. The batch's distinct terms are collected ONCE to
+    * re-materialize as the literal `isin` on the bucketed word column
+    * — a query batch is driver-scale by contract (10⁴ queries ≈ 10⁵
+    * strings, the same bound the O(K) centroid reads document), and
+    * the literal filter is what engages STATIC bucket pruning
+    * (SelectedBucketsCount ≤ |terms|); a broadcast join alone would
+    * scan all 16 buckets and filter map-side (VERDICT r13 #1). The
+    * broadcast query join then attaches query_ids. */
+  private[graft] def scoredFromQueries(spark: SparkSession, postT: String,
+      lenT: String, metaT: String, queries: DataFrame): DataFrame = {
     val meta = spark.table(metaT).head()
-    val terms = Q74Bm25.querySet.flatMap(_._2).distinct
-    val qwords = terms.toDF("word")
-    // The literal isin on the bucket column is what engages static
-    // bucket pruning (SelectedBucketsCount ≤ |terms|); the broadcast
-    // join alone would scan all 16 buckets and filter map-side.
+    val qwords = queries.select(col("word")).distinct()
+    val terms = qwords.collect().map(_.getString(0)).toSeq
     val tf = spark.table(postT)
       .filter(col("word").isin(terms: _*))
       .join(broadcast(qwords), Seq("word"))
-    Q74Bm25.scores(spark, tf, spark.table(lenT),
-      meta.getLong(0), meta.getLong(1))
+    Q74Bm25.scoresOver(spark, tf, spark.table(lenT),
+      meta.getLong(0), meta.getLong(1), queries)
   }
 
   /** ADMIT a delta of arriving documents: append their postings and
@@ -560,4 +575,52 @@ object Q74eBm25ProximityBoost extends GraftQuery {
     FROM r WHERE rank <= 10 ORDER BY query_id, rank
   """.trim
   }
+}
+
+/** Q74f — BM25 over a DRIVER-PROVIDED QUERY TABLE (VERDICT r14 next
+  * #5): the production entry point of the store serve. q74b's query
+  * set is a compile-time constant — fine for the oracle harness, but
+  * a search service receives each batch as DATA: a (query_id, word)
+  * table. [[Q74bBm25Store.scoredFromQueries]] accepts exactly that
+  * frame; this entry drives it with a batch DISTINCT from the
+  * compiled-in set (so the parameterization is exercised, not the
+  * default), and the plan must keep the engaged bucket prune: the
+  * batch's distinct terms are collected once (query batches are
+  * driver-scale by contract) into the literal `isin` the static
+  * pruner consumes — Round15Spec plan-asserts SelectedBucketsCount ≤
+  * |terms| like q74b's own gate. Scoring is [[Q74Bm25.scoresOver]]
+  * verbatim: the table-driven serve can never drift from the
+  * constant-driven tiers. */
+object Q74fBm25QueryTable extends GraftQuery {
+  val name = "q74f_bm25_query_table"
+
+  /** The batch this entry replays — deliberately disjoint query_ids
+    * and mostly-different terms from [[Q74Bm25.querySet]]. */
+  private[graft] val batch: Seq[(Int, Seq[String])] = Seq(
+    10 -> Seq("merge", "scan", "batch"),
+    11 -> Seq("filter", "vector"),
+    12 -> Seq("group", "key", "order"),
+    13 -> Seq("slow", "big", "join"))
+
+  private[graft] def queriesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    batch.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("query_id", "word")
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, dir)
+    Q74Bm25.topK(Q74bBm25Store.scoredFromQueries(
+      spark, postT, lenT, metaT, queriesDf(spark)), 10)
+  }
+
+  /** q74's CTE chain replayed over THIS batch. */
+  val oracle: Option[String] = Some(s"""
+    WITH ${Q74Bm25.duckLexCtesFor(batch)},
+    r AS (SELECT query_id, doc_id, score, matched,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+          FROM s)
+    SELECT query_id, rank, doc_id, score, matched
+    FROM r WHERE rank <= 10 ORDER BY query_id, rank
+  """.trim)
 }

@@ -278,7 +278,7 @@ object NorthStar {
     Q46Decontaminate, Q46bDecontaminateDfCap, Q46cDecontaminateBloom,
     Q47Repetition, Q48MixSample,
     Q49CrossDocParagraphs, Q74Bm25, Q74bBm25Store, Q74cBm25PhraseStore,
-    Q74dBm25PhraseBoost, Q74eBm25ProximityBoost,
+    Q74dBm25PhraseBoost, Q74eBm25ProximityBoost, Q74fBm25QueryTable,
     Q75HybridRrf, Q75bHybridRrfStore,
     Q76ContrastiveTriplets, Q76bHardNegatives, Q76cTripletsBackfilled,
     Q77DsirSelection, Q77bDsirPacking, Q77cDsirTarget)
@@ -1590,8 +1590,14 @@ object Q74Bm25 extends GraftQuery {
   /** DuckDB CTE chain ending in `s(query_id, doc_id, matched, score)`
     * — the lexical arm, shared verbatim by q74's oracle and q75's
     * fusion oracle so the arms can never drift between gates. */
-  private[queries] val duckLexCtes: String = {
-    val qvals = querySet.flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+  private[queries] val duckLexCtes: String =
+    duckLexCtesFor(querySet)
+
+  /** The same chain over an arbitrary query set — the query-table
+    * serve's oracle (q74f) replays its batch through it. */
+  private[queries] def duckLexCtesFor(
+      qs: Seq[(Int, Seq[String])]): String = {
+    val qvals = qs.flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
       .mkString(", ")
     raw"""words AS (
       SELECT doc_id,

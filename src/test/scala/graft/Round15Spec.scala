@@ -165,6 +165,25 @@ class Round15Spec extends SparkSpec {
         s"${deShare(selTrain.keySet)}")
   }
 
+  test("q74f: query-table serve keeps the engaged bucket prune and never reads the corpus") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.queries.Q74fBm25QueryTable
+    val df = Q74fBm25QueryTable.run(spark, sf)
+    assert(df.count() > 0, "query-table serve returned nothing")
+    val plan = flattenPlan(df.queryExecution.executedPlan)
+    assert(!df.queryExecution.executedPlan.toString.contains("documents.parquet"),
+      "query-table serve re-read the corpus")
+    val nTerms = Q74fBm25QueryTable.batch.flatMap(_._2).distinct.size
+    val postScan = plan.collectFirst {
+      case f: FileSourceScanExec if f.tableIdentifier.exists(
+        _.table.startsWith("graft_bm25store_postings")) => f
+    }
+    assert(postScan.isDefined, "postings store scan missing")
+    assert(postScan.get.optionalBucketSet.exists(_.cardinality() <= nTerms),
+      s"dynamic batch did not engage bucket pruning: " +
+        s"${postScan.get.optionalBucketSet.map(_.cardinality())} (want <= $nTerms)")
+  }
+
   test("q64n gate: a language absent from the training baseline trips retrain") {
     import graft.queries.Q64nBpeDriftGatedStore
     import spark.implicits._
