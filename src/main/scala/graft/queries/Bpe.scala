@@ -48,7 +48,8 @@ object Bpe {
       Q64eBpeEncodeStore, Q64fVocabDrift, Q64gWordpieceEncode,
       Q64hUnigramVocab, Q64iUnigramEncode, Q64jWordpieceEncodeStore,
       Q64kUnigramEncodeStore, Q64lWordpieceDrift, Q64mUnigramDrift,
-      Q64nBpeDriftGatedStore, Q78DriftConsole)
+      Q64nBpeDriftGatedStore, Q64oWordpieceDriftGatedStore,
+      Q64pUnigramDriftGatedStore, Q78DriftConsole)
 
   /** The ONE corpus-scale step of BPE learning: token/normalize (q1's
     * definition) and the word-frequency reduction. Everything after
@@ -1151,11 +1152,21 @@ object Q64jWordpieceEncodeStore extends GraftQuery {
     * over one state row per distinct word. */
   private[graft] def encodeDict(spark: SparkSession, dir: String,
       piecesT: String, steps: Int = OracleSteps,
+      checkpoint: Boolean = true): DataFrame =
+    encodeDictOf(spark,
+      Tables.documents(spark, dir)
+        .select(explode(expr(NorthStar.toksExpr)).as("w")).distinct(),
+      piecesT, steps, checkpoint)
+
+  /** The same unroll over a CALLER-PROVIDED distinct-word frame (one
+    * `w` column) — the drift-gated store (q64o) measures arriving
+    * corpora through it. */
+  private[graft] def encodeDictOf(spark: SparkSession, words: DataFrame,
+      piecesT: String, steps: Int = OracleSteps,
       checkpoint: Boolean = true): DataFrame = {
     val pieces = broadcast(spark.table(piecesT)
       .select(col("piece"), col("cont"), length(col("piece")).as("plen")))
-    var st = Tables.documents(spark, dir)
-      .select(explode(expr(NorthStar.toksExpr)).as("w")).distinct()
+    var st = words
       .select(col("w"), lit(1).as("pos"), lit("").as("acc"),
         lit(false).as("unk"))
       .localCheckpoint(false)
@@ -1256,10 +1267,21 @@ object Q64kUnigramEncodeStore extends GraftQuery {
     * over (word, position) state rows. */
   private[graft] def encodeDict(spark: SparkSession, dir: String,
       piecesT: String, steps: Int = OracleSteps,
+      checkpoint: Boolean = true): DataFrame =
+    encodeDictOf(spark,
+      Bpe.wordFreq(spark, dir).select(col("word").as("w")).distinct(),
+      piecesT, steps, checkpoint)
+
+  /** The same DP over a CALLER-PROVIDED distinct-word frame (one `w`
+    * column) — the drift-gated store (q64p) measures arriving corpora
+    * through it. Words with characters outside the trained inventory
+    * never complete the DP and fall out (the caller's OOV arm). */
+  private[graft] def encodeDictOf(spark: SparkSession, words: DataFrame,
+      piecesT: String, steps: Int = OracleSteps,
       checkpoint: Boolean = true): DataFrame = {
     val pieces = broadcast(spark.table(piecesT)
       .select(col("piece"), col("q"), length(col("piece")).as("plen")))
-    var dps = Bpe.wordFreq(spark, dir).select(col("word").as("w")).distinct()
+    var dps = words
       .select(col("w"), lit(0).as("j"), lit(0L).as("sc"), lit(0).as("nn"),
         lit("").as("enc"))
       .localCheckpoint(false)
@@ -1693,6 +1715,307 @@ object Q64nBpeDriftGatedStore extends GraftQuery {
              - CAST(invocab_ntok AS DOUBLE) / invocab_words)
            / (CAST(invocab_ntok AS DOUBLE) / invocab_words)
            > ${Q64fVocabDrift.DriftThreshold}) AS retrain
+    FROM m
+    ORDER BY lang
+  """.trim
+  }
+}
+
+/** Q64o — DRIFT-GATED WordPiece store (VERDICT r14 next #3): the q64n
+  * lifecycle for the SECOND tokenizer family. The persisted piece
+  * vocabulary (q64j's store) gains a frozen per-language measurement
+  * baseline — fertility AND [UNK] rate of the training corpus under
+  * the pieces — and [[decide]] measures an ARRIVING corpus against it
+  * with q64l's two signals (rel_drift on non-UNK fertility; unk_jump,
+  * the [UNK]-rate JUMP — WordPiece always has an UNK floor, so the
+  * level is not a signal). The caller retrains only on a trip; below
+  * threshold the stale pieces keep serving. A language absent from
+  * the baseline is an automatic trip (the ADVICE r14 rule q64n now
+  * follows — built in here from the start).
+  *
+  * Measurement runs the RELATIONAL greedy fold against the broadcast
+  * piece store ([[Q64jWordpieceEncodeStore.encodeDictOf]]) — one
+  * state row per distinct arriving word, vocabulary-sized; the
+  * corpus-scale step is one tokenize + dictionary join per decide. */
+object Q64oWordpieceDriftGatedStore extends GraftQuery {
+  import Q64gWordpieceEncode.{InitPieces, ContPieces}
+  val name = "q64o_wordpiece_drift_gated_store"
+  private val prefix = "graft_dgwp"
+
+  /** Build (or bind) this corpus snapshot's (pieces, stats). */
+  private[graft] def ensureStore(spark: SparkSession,
+      dir: String): (String, String) = {
+    val names = graft.plans.Stores.ensure(
+        spark, prefix, dir, Seq("pieces", "stats")) {
+        case Seq(piecesT, statsT) =>
+      import spark.implicits._
+      (InitPieces.map((_, 0)) ++ ContPieces.map((_, 1)))
+        .toDF("piece", "cont")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(piecesT)
+      // Freeze the training-time baseline under the pieces just built.
+      // Fertility is null for a language whose every training word is
+      // [UNK] (a legitimate frozen state — the unk_rate still
+      // baselines it); train_unk_rate is NEVER null, which is what
+      // decide()'s missing-baseline predicate keys on.
+      measured(spark, graft.Tables.documents(spark, dir), piecesT)
+        .select(col("lang"),
+          when(col("invocab_words") === 0L, lit(null).cast("double"))
+            .otherwise(col("invocab_ntok").cast("double")
+              / col("invocab_words"))
+            .as("train_fertility"),
+          (col("unk_words").cast("double") / col("n_words"))
+            .as("train_unk_rate"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(statsT)
+    }
+    (names(0), names(1))
+  }
+
+  /** Per-lang measurement of `docs` under the piece store: word/UNK
+    * counts and non-UNK piece sums (q64l's stats shape). */
+  private def measured(spark: SparkSession, docs: DataFrame,
+      piecesT: String): DataFrame = {
+    val words = docs
+      .select(col("lang"), explode(expr(NorthStar.toksExpr)).as("tok"))
+      .select(col("lang"),
+        lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
+      .filter(length(col("word")) > 0)
+    val dict = Q64jWordpieceEncodeStore.encodeDictOf(spark,
+        words.select(col("word").as("w")).distinct(), piecesT)
+      .select(col("w").as("word"), (col("enc") === "[UNK]").as("unk"),
+        size(split(col("enc"), " ")).cast("long").as("ntok"))
+    words.join(dict, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("unk"), 1L).otherwise(0L)).as("unk_words"),
+        sum(when(col("unk"), 0L).otherwise(col("ntok"))).as("invocab_ntok"),
+        sum(when(col("unk"), 0L).otherwise(1L)).as("invocab_words"))
+  }
+
+  /** The GATE: measure an arriving corpus against the bound store.
+    * LEFT join from the arrivals — a language with no stored baseline
+    * (null columns) is the loudest drift and forces retrain. */
+  private[graft] def decide(spark: SparkSession, piecesT: String,
+      statsT: String, arriving: DataFrame): DataFrame =
+    measured(spark, arriving, piecesT)
+      .join(spark.table(statsT), Seq("lang"), "left")
+      .select(col("lang"),
+        col("train_fertility").as("stored_fertility"),
+        when(col("invocab_words") === 0L, lit(null).cast("double"))
+          .otherwise(col("invocab_ntok").cast("double") / col("invocab_words"))
+          .as("current_fertility"),
+        col("train_unk_rate").as("stored_unk_rate"),
+        (col("unk_words").cast("double") / col("n_words"))
+          .as("current_unk_rate"),
+        col("n_words"), col("unk_words"))
+      .withColumn("rel_drift",
+        abs(col("current_fertility") - col("stored_fertility"))
+          / col("stored_fertility"))
+      .withColumn("unk_jump",
+        col("current_unk_rate") - col("stored_unk_rate"))
+      // Missing baseline = no stats ROW (stored_unk_rate is never null
+      // when one exists) — a null stored FERTILITY alone just means
+      // the training words were all [UNK], which the unk_jump arm
+      // baselines; the drift comparison is null-safe (either side's
+      // all-[UNK] fertility) and must not poison the verdict.
+      .withColumn("retrain",
+        col("stored_unk_rate").isNull ||
+          col("unk_jump") > Q64lWordpieceDrift.UnkJumpThreshold ||
+          coalesce(col("rel_drift") > Q64lWordpieceDrift.DriftThreshold,
+            lit(false)))
+      .orderBy(col("lang"))
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (piecesT, statsT) = ensureStore(spark, dir)
+    decide(spark, piecesT, statsT, graft.Tables.documents(spark, dir))
+  }
+
+  /** Replay: encode the corpus under the pieces, measure it against
+    * its own frozen baseline — real per-lang values, structurally
+    * zero drift/jump, retrain false everywhere. */
+  val oracle: Option[String] = Some {
+    s"""
+    WITH w AS (SELECT lang,
+        lower(regexp_replace(unnest(string_split_regex(text, '\\s+')), '[^a-zA-Z]', '', 'g')) AS word
+      FROM documents),
+    ww AS (SELECT * FROM w WHERE length(word) > 0),
+    dw AS (SELECT DISTINCT word AS w FROM ww),
+    ${Q64gWordpieceEncode.duckEncChain("dw")},
+    m AS (SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(SUM(CASE WHEN e.ew = '[UNK]' THEN 1 ELSE 0 END) AS BIGINT) AS unk_words,
+        CAST(SUM(CASE WHEN e.ew = '[UNK]' THEN 0 ELSE len(string_split(e.ew, ' ')) END) AS BIGINT) AS invocab_ntok,
+        CAST(SUM(CASE WHEN e.ew = '[UNK]' THEN 0 ELSE 1 END) AS BIGINT) AS invocab_words
+      FROM ww JOIN enc e ON e.w = ww.word GROUP BY lang)
+    SELECT lang,
+      CAST(invocab_ntok AS DOUBLE) / invocab_words AS stored_fertility,
+      CAST(invocab_ntok AS DOUBLE) / invocab_words AS current_fertility,
+      CAST(unk_words AS DOUBLE) / n_words AS stored_unk_rate,
+      CAST(unk_words AS DOUBLE) / n_words AS current_unk_rate,
+      n_words, unk_words,
+      abs(CAST(invocab_ntok AS DOUBLE) / invocab_words
+        - CAST(invocab_ntok AS DOUBLE) / invocab_words)
+        / (CAST(invocab_ntok AS DOUBLE) / invocab_words) AS rel_drift,
+      CAST(0 AS DOUBLE) AS unk_jump,
+      (CAST(0 AS DOUBLE) > ${Q64lWordpieceDrift.UnkJumpThreshold}
+        OR abs(CAST(invocab_ntok AS DOUBLE) / invocab_words
+             - CAST(invocab_ntok AS DOUBLE) / invocab_words)
+           / (CAST(invocab_ntok AS DOUBLE) / invocab_words)
+           > ${Q64lWordpieceDrift.DriftThreshold}) AS retrain
+    FROM m
+    ORDER BY lang
+  """.trim
+  }
+}
+
+/** Q64p — DRIFT-GATED Unigram store (VERDICT r14 next #3): the q64n
+  * lifecycle for the THIRD tokenizer family. The persisted (piece,
+  * cnt, q) score store (q64k's EM artifact) gains a frozen per-lang
+  * fertility baseline; [[decide]] measures an arriving corpus with
+  * q64m's two signals — oov_rate (words with a character outside the
+  * trained inventory: Unigram's only true OOV, since single chars are
+  * the coverage floor) and rel_drift on covered-word Viterbi
+  * fertility. New-language arrivals trip automatically (left join +
+  * null baseline).
+  *
+  * Measurement runs the RELATIONAL Viterbi DP against the broadcast
+  * score store ([[Q64kUnigramEncodeStore.encodeDictOf]]) over the
+  * arriving corpus's distinct COVERED words; the char inventory for
+  * the coverage test is the store's length-1 pieces (an O(alphabet)
+  * read — the store IS the model). */
+object Q64pUnigramDriftGatedStore extends GraftQuery {
+  val name = "q64p_unigram_drift_gated_store"
+  private val prefix = "graft_dguni"
+
+  /** Build (or bind) this corpus snapshot's (pieces, stats). */
+  private[graft] def ensureStore(spark: SparkSession,
+      dir: String): (String, String) = {
+    val names = graft.plans.Stores.ensure(
+        spark, prefix, dir, Seq("pieces", "stats")) {
+        case Seq(piecesT, statsT) =>
+      import spark.implicits._
+      val (inventory, _, _) = Q64hUnigramVocab.learn(spark, dir)
+      val q = Q64hUnigramVocab.scoresOf(inventory).toMap
+      inventory.map { case (p, c) => (p, c, q(p)) }
+        .toDF("piece", "cnt", "q")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(piecesT)
+      // train_fertility is guarded (null iff every training word of a
+      // language is uncovered — cannot happen for the training corpus
+      // itself, whose chars seed the inventory, but the guard keeps
+      // the freeze total); train_oov_rate is NEVER null and is
+      // decide()'s missing-baseline predicate.
+      measured(spark, graft.Tables.documents(spark, dir), piecesT)
+        .select(col("lang"),
+          when(col("invocab_words") === 0L, lit(null).cast("double"))
+            .otherwise(col("invocab_ntok").cast("double")
+              / col("invocab_words"))
+            .as("train_fertility"),
+          (col("oov_words").cast("double") / col("n_words"))
+            .as("train_oov_rate"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(statsT)
+    }
+    (names(0), names(1))
+  }
+
+  /** Per-lang measurement of `docs` under the score store: OOV =
+    * uncovered chars; fertility from the DP over covered words. */
+  private def measured(spark: SparkSession, docs: DataFrame,
+      piecesT: String): DataFrame = {
+    val chars = spark.table(piecesT)
+      .filter(length(col("piece")) === 1)
+      .select(col("piece")).collect().map(_.getString(0)).sorted
+    val charsLit = chars.map(c => s"'$c'").mkString("array(", ", ", ")")
+    val covered = s"size(filter(sequence(1, length(w)), i_ -> " +
+      s"NOT array_contains($charsLit, substring(w, i_, 1)))) = 0"
+    val words = docs
+      .select(col("lang"), explode(expr(NorthStar.toksExpr)).as("tok"))
+      .select(col("lang"),
+        lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
+      .filter(length(col("word")) > 0)
+    val dict = Q64kUnigramEncodeStore.encodeDictOf(spark,
+        words.select(col("word").as("w")).distinct().filter(expr(covered)),
+        piecesT)
+      .select(col("word"),
+        size(split(col("enc"), " ")).cast("long").as("ntok"))
+    words.join(dict, Seq("word"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("ntok").isNull, 1L).otherwise(0L)).as("oov_words"),
+        sum(coalesce(col("ntok"), lit(0L))).as("invocab_ntok"),
+        sum(when(col("ntok").isNull, 0L).otherwise(1L)).as("invocab_words"))
+  }
+
+  /** The GATE: q64m's thresholds over the store-measured arrivals;
+    * a missing stored baseline (new language) forces retrain. */
+  private[graft] def decide(spark: SparkSession, piecesT: String,
+      statsT: String, arriving: DataFrame): DataFrame =
+    measured(spark, arriving, piecesT)
+      .join(spark.table(statsT), Seq("lang"), "left")
+      .select(col("lang"),
+        col("train_fertility").as("stored_fertility"),
+        when(col("invocab_words") === 0L, lit(null).cast("double"))
+          .otherwise(col("invocab_ntok").cast("double") / col("invocab_words"))
+          .as("current_fertility"),
+        (col("oov_words").cast("double") / col("n_words")).as("oov_rate"),
+        col("n_words"), col("oov_words"), col("train_oov_rate"))
+      .withColumn("rel_drift",
+        abs(col("current_fertility") - col("stored_fertility"))
+          / col("stored_fertility"))
+      // Missing baseline = no stats ROW (train_oov_rate never null
+      // when one exists); the drift arm is null-safe like q64o's.
+      .withColumn("retrain",
+        col("train_oov_rate").isNull ||
+          col("oov_rate") > Q64mUnigramDrift.OovThreshold ||
+          coalesce(col("rel_drift") > Q64mUnigramDrift.DriftThreshold,
+            lit(false)))
+      .drop("train_oov_rate")
+      .orderBy(col("lang"))
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (piecesT, statsT) = ensureStore(spark, dir)
+    decide(spark, piecesT, statsT, graft.Tables.documents(spark, dir))
+  }
+
+  /** Replay: train on the corpus (q64h's chain), Viterbi-encode its
+    * distinct words under the final scores, measure per lang against
+    * the same frozen baseline — zero drift, zero OOV, retrain false. */
+  val oracle: Option[String] = Some {
+    val fin = s"c${Q64hUnigramVocab.EmRounds}"
+    s"""
+    WITH ${Q64hUnigramVocab.duckTrainChain},
+    vfint AS (SELECT SUM(c + 1) AS t FROM $fin),
+    vfin AS (SELECT piece,
+      CAST(floor(1000000 * ln(CAST(c + 1 AS DOUBLE))) AS BIGINT)
+        - (SELECT CAST(floor(1000000 * ln(CAST(t AS DOUBLE))) AS BIGINT)
+           FROM vfint) AS q
+      FROM $fin),
+    ${Q64hUnigramVocab.duckViterbi("fe", "vfin")},
+    lw AS (SELECT lang,
+        lower(regexp_replace(unnest(string_split_regex(text, '\\s+')), '[^a-zA-Z]', '', 'g')) AS word
+      FROM documents),
+    lww AS (SELECT * FROM lw WHERE length(word) > 0),
+    m AS (SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(SUM(CASE WHEN e.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_words,
+        CAST(SUM(CASE WHEN e.w IS NULL THEN 0 ELSE len(string_split(e.enc, ' ')) END) AS BIGINT) AS invocab_ntok,
+        CAST(SUM(CASE WHEN e.w IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS invocab_words
+      FROM lww LEFT JOIN feenc e ON e.w = lww.word GROUP BY lang)
+    SELECT lang,
+      CAST(invocab_ntok AS DOUBLE) / invocab_words AS stored_fertility,
+      CAST(invocab_ntok AS DOUBLE) / invocab_words AS current_fertility,
+      CAST(oov_words AS DOUBLE) / n_words AS oov_rate,
+      n_words, oov_words,
+      abs(CAST(invocab_ntok AS DOUBLE) / invocab_words
+        - CAST(invocab_ntok AS DOUBLE) / invocab_words)
+        / (CAST(invocab_ntok AS DOUBLE) / invocab_words) AS rel_drift,
+      (CAST(oov_words AS DOUBLE) / n_words > ${Q64mUnigramDrift.OovThreshold}
+        OR abs(CAST(invocab_ntok AS DOUBLE) / invocab_words
+             - CAST(invocab_ntok AS DOUBLE) / invocab_words)
+           / (CAST(invocab_ntok AS DOUBLE) / invocab_words)
+           > ${Q64mUnigramDrift.DriftThreshold}) AS retrain
     FROM m
     ORDER BY lang
   """.trim

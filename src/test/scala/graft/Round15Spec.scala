@@ -184,6 +184,117 @@ class Round15Spec extends SparkSpec {
         s"${postScan.get.optionalBucketSet.map(_.cardinality())} (want <= $nTerms)")
   }
 
+  private def rotDoc(id: Long, words: Seq[String]): (Long, String) =
+    id -> (0 until 12).map(i => words((id + i).toInt % words.size)).mkString(" ")
+
+  test("q64o wordpiece gate: calm arrivals serve stale; an [UNK] jump or a new language retrains; re-freezing the baseline clears it") {
+    import graft.queries.Q64oWordpieceDriftGatedStore
+    import spark.implicits._
+    // Every training word is a single InitPiece — fertility exactly
+    // 1.0, [UNK] rate exactly 0: the baseline is analytically pinned.
+    val vocabWp = Seq("table", "data", "hash", "join", "spark")
+    val corpusA = (1L to 20L).map(rotDoc(_, vocabWp))
+    def df(rows: Seq[(Long, String)], lang: String = "en") =
+      rows.map { case (id, t) => (id, t, lang) }.toDF("doc_id", "text", "lang")
+    withTempCorpus("dgwp", corpusA) { dir =>
+      var tables = Seq.empty[String]
+      try {
+        val (piecesT, statsT) =
+          Q64oWordpieceDriftGatedStore.ensureStore(spark, dir)
+        tables = Seq(piecesT, statsT)
+        // Calm: same vocabulary, near-same mix — serve stale.
+        val calm = Q64oWordpieceDriftGatedStore.decide(spark, piecesT,
+          statsT, df(corpusA :+ rotDoc(21L, vocabWp))).collect()
+        assert(calm.nonEmpty && calm.forall(!_.getAs[Boolean]("retrain")),
+          s"calm arrival must serve stale: ${calm.mkString(";")}")
+        // Trip: 'dup' has no 'u' continuation piece — [UNK] spikes.
+        val tripped = Q64oWordpieceDriftGatedStore.decide(spark, piecesT,
+          statsT, df((1L to 10L).map(id => id -> "dup dup dup dup"))).collect()
+        assert(tripped.exists(r => r.getAs[Boolean]("retrain") &&
+          r.getAs[Double]("unk_jump") > 0.5),
+          s"[UNK] jump must trip the gate: ${tripped.mkString(";")}")
+        // New language: no stored baseline — automatic trip.
+        val nl = Q64oWordpieceDriftGatedStore.decide(spark, piecesT, statsT,
+          df(corpusA).unionByName(df(Seq(100L -> "dup"), lang = "zz")))
+          .collect().map(r => r.getString(0) -> r).toMap
+        assert(nl("zz").getAs[Boolean]("retrain") &&
+          nl("zz").isNullAt(nl("zz").fieldIndex("stored_fertility")),
+          s"new language must trip: ${nl.get("zz")}")
+        assert(!nl("en").getAs[Boolean]("retrain"), s"en drifted: ${nl.get("en")}")
+        // Applying the verdict: re-freeze the baseline on the shifted
+        // corpus — the gate reads clean again (drift-driven).
+        val corpusC = (1L to 10L).map(id => id -> "dup dup dup dup")
+        withTempCorpus("dgwpc", corpusC) { dirC =>
+          var tc = Seq.empty[String]
+          try {
+            val (pT, sT) = Q64oWordpieceDriftGatedStore.ensureStore(spark, dirC)
+            tc = Seq(pT, sT)
+            val after = Q64oWordpieceDriftGatedStore.decide(spark, pT, sT,
+              df(corpusC)).collect()
+            assert(after.forall(!_.getAs[Boolean]("retrain")),
+              s"post-refreeze gate must be clean: ${after.mkString(";")}")
+          } finally tc.foreach(graft.plans.Stores.dropManaged(spark, _))
+        }
+      } finally {
+        tables.foreach(graft.plans.Stores.dropManaged(spark, _))
+        graft.plans.Stores.gcMarkers(spark, "graft_dgwp")
+      }
+    }
+  }
+
+  test("q64p unigram gate: calm arrivals serve stale; unseen-char OOV or a new language retrains; retraining clears it") {
+    import graft.queries.Q64pUnigramDriftGatedStore
+    import spark.implicits._
+    val vocabU = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val corpusA = (1L to 20L).map(rotDoc(_, vocabU))
+    def df(rows: Seq[(Long, String)], lang: String = "en") =
+      rows.map { case (id, t) => (id, t, lang) }.toDF("doc_id", "text", "lang")
+    withTempCorpus("dguni", corpusA) { dir =>
+      var tables = Seq.empty[String]
+      try {
+        val (piecesT, statsT) =
+          Q64pUnigramDriftGatedStore.ensureStore(spark, dir)
+        tables = Seq(piecesT, statsT)
+        val calm = Q64pUnigramDriftGatedStore.decide(spark, piecesT,
+          statsT, df(corpusA)).collect()
+        assert(calm.nonEmpty && calm.forall { r =>
+          !r.getAs[Boolean]("retrain") && r.getAs[Long]("oov_words") == 0L },
+          s"calm arrival must serve stale: ${calm.mkString(";")}")
+        // Trip: 'z'/'x'/'q'/'v' never appear in training — every
+        // arriving word is uncoverable, oov_rate 1.0.
+        val tripped = Q64pUnigramDriftGatedStore.decide(spark, piecesT,
+          statsT, df((1L to 10L).map(id => id -> "zqx vxz zqx vxz"))).collect()
+        assert(tripped.exists(r => r.getAs[Boolean]("retrain") &&
+          r.getAs[Double]("oov_rate") == 1.0),
+          s"unseen-char OOV must trip the gate: ${tripped.mkString(";")}")
+        val nl = Q64pUnigramDriftGatedStore.decide(spark, piecesT, statsT,
+          df(corpusA).unionByName(df(Seq(100L -> "zqx"), lang = "zz")))
+          .collect().map(r => r.getString(0) -> r).toMap
+        assert(nl("zz").getAs[Boolean]("retrain") &&
+          nl("zz").isNullAt(nl("zz").fieldIndex("stored_fertility")),
+          s"new language must trip: ${nl.get("zz")}")
+        assert(!nl("en").getAs[Boolean]("retrain"), s"en drifted: ${nl.get("en")}")
+        // Retrain on the shifted corpus — its own snapshot reads clean.
+        val corpusC = (1L to 10L).map(id => id -> "zqx vxz zqx vxz")
+        withTempCorpus("dgunic", corpusC) { dirC =>
+          var tc = Seq.empty[String]
+          try {
+            val (pT, sT) = Q64pUnigramDriftGatedStore.ensureStore(spark, dirC)
+            tc = Seq(pT, sT)
+            val after = Q64pUnigramDriftGatedStore.decide(spark, pT, sT,
+              df(corpusC)).collect()
+            assert(after.forall { r => !r.getAs[Boolean]("retrain") &&
+              r.getAs[Long]("oov_words") == 0L },
+              s"post-retrain gate must be clean: ${after.mkString(";")}")
+          } finally tc.foreach(graft.plans.Stores.dropManaged(spark, _))
+        }
+      } finally {
+        tables.foreach(graft.plans.Stores.dropManaged(spark, _))
+        graft.plans.Stores.gcMarkers(spark, "graft_dguni")
+      }
+    }
+  }
+
   test("q64n gate: a language absent from the training baseline trips retrain") {
     import graft.queries.Q64nBpeDriftGatedStore
     import spark.implicits._
