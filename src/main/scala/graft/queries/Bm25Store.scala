@@ -497,6 +497,21 @@ object Q74eBm25ProximityBoost extends GraftQuery {
 
   private[graft] def serveFrom(spark: SparkSession, postT: String,
       lenT: String, metaT: String): DataFrame = {
+    val boosted = boostedScored(spark, postT, lenT, metaT)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    boosted.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("score"), col("matched"), col("mindist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The PRE-window proximity-boosted frame (query_id, doc_id, score,
+    * matched, mindist) — [[serveFrom]] caps it at 10; the three-arm
+    * fusion (q75c) ranks it ArmDepth-deep as its proximity arm. */
+  private[graft] def boostedScored(spark: SparkSession, postT: String,
+      lenT: String, metaT: String): DataFrame = {
     import spark.implicits._
     val terms = Q74Bm25.querySet.flatMap(_._2).distinct
     val qterms = Q74Bm25.querySet.flatMap { case (q, ts) =>
@@ -518,16 +533,9 @@ object Q74eBm25ProximityBoost extends GraftQuery {
           "ELSE cast(floor(1000000 * ln(1.0 + exp(-cast(mindist as double)))) as bigint) END"))
       .select(col("query_id"), col("doc_id"), col("mindist"), col("pi_q"))
     val scored = Q74bBm25Store.scoredFrom(spark, postT, lenT, metaT)
-    val boosted = scored.join(prox, Seq("query_id", "doc_id"))
+    scored.join(prox, Seq("query_id", "doc_id"))
       .withColumn("score",
         col("score") + col("pi_q").cast("double") / lit(1000000.0))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    boosted.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("doc_id"), col("score"), col("matched"), col("mindist"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   def run(spark: SparkSession, dir: String): DataFrame = {
@@ -535,15 +543,16 @@ object Q74eBm25ProximityBoost extends GraftQuery {
     serveFrom(spark, postT, lenT, metaT)
   }
 
-  /** q74's lexical CTEs (shared — the BM25 arm cannot drift) + a
-    * cross-term occurrence self-join for MinDist + the quantized π. */
-  val oracle: Option[String] = Some {
+  /** CTE chain `pbase..boosted(query_id, doc_id, score, matched,
+    * mindist)` — the proximity-boosted scoring, assuming
+    * [[Q74Bm25.duckLexCtes]]'s `s` is in scope. Shared by q74e's own
+    * oracle and the three-arm fusion's (q75c), so the proximity arm
+    * cannot drift between gates. */
+  private[queries] val duckProxCtes: String = {
     val qvals = Q74Bm25.querySet.flatMap { case (q, ts) =>
       ts.zipWithIndex.map { case (w, i) => s"($q, ${i + 1}, '$w')" } }
       .mkString(", ")
-    raw"""
-    WITH ${Q74Bm25.duckLexCtes},
-    pbase AS (SELECT doc_id,
+    raw"""pbase AS (SELECT doc_id,
         list_filter(list_transform(string_split_regex(text, '\s+'),
           x -> lower(regexp_replace(x, '[^a-zA-Z]', '', 'g'))),
           w_ -> w_ <> '') AS t
@@ -566,7 +575,15 @@ object Q74eBm25ProximityBoost extends GraftQuery {
             s.matched,
             COALESCE(md.mindist, 0) AS mindist
           FROM s LEFT JOIN md
-            ON md.query_id = s.query_id AND md.doc_id = s.doc_id),
+            ON md.query_id = s.query_id AND md.doc_id = s.doc_id)"""
+  }
+
+  /** q74's lexical CTEs (shared — the BM25 arm cannot drift) + a
+    * cross-term occurrence self-join for MinDist + the quantized π. */
+  val oracle: Option[String] = Some {
+    raw"""
+    WITH ${Q74Bm25.duckLexCtes},
+    $duckProxCtes,
     r AS (SELECT query_id, doc_id, score, matched, mindist,
             CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY score DESC, doc_id ASC) AS INT) AS rank

@@ -279,7 +279,7 @@ object NorthStar {
     Q47Repetition, Q48MixSample,
     Q49CrossDocParagraphs, Q74Bm25, Q74bBm25Store, Q74cBm25PhraseStore,
     Q74dBm25PhraseBoost, Q74eBm25ProximityBoost, Q74fBm25QueryTable,
-    Q75HybridRrf, Q75bHybridRrfStore,
+    Q75HybridRrf, Q75bHybridRrfStore, Q75cHybridRrf3,
     Q76ContrastiveTriplets, Q76bHardNegatives, Q76cTripletsBackfilled,
     Q77DsirSelection, Q77bDsirPacking, Q77cDsirTarget)
 }
@@ -1669,8 +1669,8 @@ object Q75HybridRrf extends GraftQuery {
   private val probeIds = Q74Bm25.querySet.map(_._1 - 1L)
 
   /** (query_id, doc_id, cosine) for every candidate — the semantic
-    * arm, pre-ranking. */
-  private def semScores(spark: SparkSession, dir: String): DataFrame = {
+    * arm, pre-ranking; the three-arm fusion (q75c) ranks it too. */
+  private[queries] def semScores(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val ex = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("vec_id"), col("pos"), dec(col("x")).as("x"))
@@ -1715,10 +1715,13 @@ object Q75HybridRrf extends GraftQuery {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private def d(x: String) = NorthStar.duckDec(x)
-  val oracle = Some(s"""
-    WITH ${Q74Bm25.duckLexCtes},
-    lexr AS (SELECT query_id, doc_id,
+  /** CTE chain `lexr` + `semr` — both arms ranked ArmDepth-deep
+    * (assumes [[Q74Bm25.duckLexCtes]]'s `s` in scope). Shared with
+    * the three-arm fusion's oracle (q75c) so the two shared arms
+    * cannot drift between gates. */
+  private[queries] val duckArmCtes: String = {
+    def d(x: String) = NorthStar.duckDec(x)
+    s"""lexr AS (SELECT query_id, doc_id,
             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS lex_rank
           FROM s QUALIFY lex_rank <= $ArmDepth),
     probes AS (SELECT CAST(vec_id + 1 AS INT) AS query_id, vec_id AS pid, embedding AS qv
@@ -1733,7 +1736,12 @@ object Q75HybridRrf extends GraftQuery {
           FROM c),
     semr AS (SELECT query_id, doc_id,
             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS INT) AS sem_rank
-          FROM sem QUALIFY sem_rank <= $ArmDepth),
+          FROM sem QUALIFY sem_rank <= $ArmDepth)"""
+  }
+
+  val oracle = Some(s"""
+    WITH ${Q74Bm25.duckLexCtes},
+    $duckArmCtes,
     fused AS (SELECT COALESCE(l.query_id, m.query_id) AS query_id,
             COALESCE(l.doc_id, m.doc_id) AS doc_id,
             COALESCE(l.lex_rank, 0) AS lex_rank,
@@ -1869,6 +1877,104 @@ object Q75bHybridRrfStore extends GraftQuery {
   /** Approximate by design (IVF arm) — rows-only; Round14Spec holds
     * the recall floor against q75's exact fusion. */
   val oracle: Option[String] = None
+}
+
+/** Q75c — THREE-ARM HYBRID FUSION (VERDICT r14 next #4): RRF over
+  * lexical BM25, semantic cosine, AND q74e's proximity-boosted
+  * ranking — the third signal a production stack adds once it has a
+  * positional index (terms NEAR each other outrank the same terms
+  * scattered, without requiring phrase order). Each arm is an
+  * EXISTING verified tier ranked ArmDepth-deep:
+  *
+  *  - lexical — the bucket-pruned BM25 store serve
+  *    ([[Q74bBm25Store.scoredFrom]], q75b's arm);
+  *  - semantic — q75's exact decimal cosine arm verbatim
+  *    ([[Q75HybridRrf.semScores]]);
+  *  - proximity — q74e's MinDist-boosted frame from the SAME pruned
+  *    postings scan family ([[Q74eBm25ProximityBoost.boostedScored]]).
+  *
+  * All three arms are exact, so unlike q75b this fusion is HASH-GREEN:
+  * the oracle stitches the three families' shared CTE chains
+  * (duckLexCtes + duckArmCtes + duckProxCtes) and replays the same
+  * left-to-right RRF sum — identical IEEE operands and order in both
+  * engines. Fusion itself joins three ≤ArmDepth·|Q|-row frames —
+  * driver-scale; the corpus-scale work is the two pruned index scans
+  * plus one embedding pass. */
+object Q75cHybridRrf3 extends GraftQuery {
+  val name = "q75c_hybrid_rrf3"
+  private val ArmDepth = 20
+  private val RrfK = 60
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, dir)
+    val lex = Q74Bm25.topK(
+        Q74bBm25Store.scoredFrom(spark, postT, lenT, metaT), ArmDepth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val semW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id").asc)
+    val sem = Q75HybridRrf.semScores(spark, dir)
+      .withColumn("sem_rank", row_number().over(semW))
+      .filter(col("sem_rank") <= ArmDepth)
+      .select(col("query_id"), col("doc_id"), col("sem_rank"))
+    val proxW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val prox = Q74eBm25ProximityBoost.boostedScored(spark, postT, lenT, metaT)
+      .withColumn("prox_rank", row_number().over(proxW))
+      .filter(col("prox_rank") <= ArmDepth)
+      .select(col("query_id"), col("doc_id"), col("prox_rank"))
+    // Three-way full outer on (query, doc); absent arms contribute 0.
+    // The RRF sum is left-to-right (lex + sem) + prox — the oracle
+    // adds in the same order, so the doubles are bit-identical.
+    val fused = lex
+      .join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .join(prox, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).cast("int").as("sem_rank"),
+        coalesce(col("prox_rank"), lit(0)).cast("int").as("prox_rank"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("prox_rank")), lit(0.0)))
+          .as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("rrf"), col("lex_rank"), col("sem_rank"),
+        col("prox_rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The three shared CTE chains + a three-way full-outer fusion. */
+  val oracle: Option[String] = Some(s"""
+    WITH ${Q74Bm25.duckLexCtes},
+    ${Q75HybridRrf.duckArmCtes},
+    ${Q74eBm25ProximityBoost.duckProxCtes},
+    proxr AS (SELECT query_id, doc_id,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS prox_rank
+          FROM boosted QUALIFY prox_rank <= $ArmDepth),
+    f1 AS (SELECT COALESCE(l.query_id, m.query_id) AS query_id,
+            COALESCE(l.doc_id, m.doc_id) AS doc_id,
+            l.lex_rank, m.sem_rank
+          FROM lexr l FULL OUTER JOIN semr m
+            ON l.query_id = m.query_id AND l.doc_id = m.doc_id),
+    fused AS (SELECT COALESCE(f.query_id, x.query_id) AS query_id,
+            COALESCE(f.doc_id, x.doc_id) AS doc_id,
+            COALESCE(f.lex_rank, 0) AS lex_rank,
+            COALESCE(f.sem_rank, 0) AS sem_rank,
+            COALESCE(x.prox_rank, 0) AS prox_rank,
+            COALESCE(CAST(1 AS DOUBLE) / ($RrfK + f.lex_rank), 0)
+              + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + f.sem_rank), 0)
+              + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + x.prox_rank), 0) AS rrf
+          FROM f1 f FULL OUTER JOIN proxr x
+            ON f.query_id = x.query_id AND f.doc_id = x.doc_id),
+    rr AS (SELECT query_id, doc_id, rrf, lex_rank, sem_rank, prox_rank,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+          FROM fused)
+    SELECT query_id, rank, doc_id, rrf, lex_rank, sem_rank, prox_rank
+    FROM rr WHERE rank <= 10 ORDER BY query_id, rank
+  """.trim)
 }
 
 /** Q76 — CONTRASTIVE TRIPLET MINING: (anchor, positive, negative)

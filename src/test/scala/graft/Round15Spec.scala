@@ -184,6 +184,51 @@ class Round15Spec extends SparkSpec {
         s"${postScan.get.optionalBucketSet.map(_.cardinality())} (want <= $nTerms)")
   }
 
+  test("q75c: three-arm fusion — RRF arithmetic, corpus-free pruned plan, proximity arm live") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.queries.{Q74Bm25, Q75cHybridRrf3, Q75HybridRrf}
+    val df = Q75cHybridRrf3.run(spark, sf01)
+    val rows = df.collect()
+    val byQ = rows.groupBy(_.getInt(0))
+    assert(byQ.keySet == Set(1, 2, 3))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).toSeq == (1 to rs.length), s"q$q ranks gap")
+    }
+    rows.foreach { r =>
+      val (lex, sem, prox, rrf) =
+        (r.getInt(4), r.getInt(5), r.getInt(6), r.getDouble(3))
+      val expect = (if (lex > 0) 1.0 / (60 + lex) else 0.0) +
+        (if (sem > 0) 1.0 / (60 + sem) else 0.0) +
+        (if (prox > 0) 1.0 / (60 + prox) else 0.0)
+      assert(rrf == expect && (lex > 0 || sem > 0 || prox > 0),
+        s"rrf mismatch: $r")
+    }
+    // The proximity arm must be LIVE: its rank order diverges from the
+    // plain lexical order somewhere in the fused top-10 (otherwise the
+    // third arm is a no-op re-weighting of the first).
+    assert(rows.exists(r => r.getInt(6) > 0 && r.getInt(4) > 0 &&
+      r.getInt(6) != r.getInt(4)),
+      "proximity arm never reordered vs lexical — third arm not live")
+    // And the three-arm list must differ from q75's two-arm fusion.
+    val twoArm = Q75HybridRrf.run(spark, sf01).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val threeArm = rows.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(threeArm != twoArm, "third arm did not change the fused ranking")
+    // Plan: the index arms never read the corpus; postings pruned.
+    df.collect()
+    val plan = flattenPlan(df.queryExecution.executedPlan)
+    assert(!df.queryExecution.executedPlan.toString.contains("documents.parquet"),
+      "three-arm fusion re-read the corpus")
+    val nTerms = Q74Bm25.querySet.flatMap(_._2).distinct.size
+    plan.collect {
+      case f: FileSourceScanExec if f.tableIdentifier.exists(
+        _.table.startsWith("graft_bm25store_postings")) => f
+    }.foreach { f =>
+      assert(f.optionalBucketSet.exists(_.cardinality() <= nTerms),
+        s"postings scan not pruned: ${f.optionalBucketSet.map(_.cardinality())}")
+    }
+  }
+
   private def rotDoc(id: Long, words: Seq[String]): (Long, String) =
     id -> (0 until 12).map(i => words((id + i).toInt % words.size)).mkString(" ")
 
