@@ -51,6 +51,10 @@ object Bench {
     warm(queries.Q70bSemanticDedupStore.ensureStore(spark, sfDir))
     warm(queries.Q55bTrainedClassifier.ensureStore(spark, sfDir))
     warm(queries.Q74bBm25Store.ensureStore(spark, sfDir))
+    warm(queries.Q64nBpeDriftGatedStore.ensureStore(spark, sfDir))
+    warm(queries.Q64oWordpieceDriftGatedStore.ensureStore(spark, sfDir))
+    warm(queries.Q64pUnigramDriftGatedStore.ensureStore(spark, sfDir))
+    warm(queries.Q78DriftConsole.ensureStore(spark, sfDir))
     warm(multimodal.Q25fImageDedupStore.ensureStore(spark, sfDir))
     warm(multimodal.Q25hAudioDedupStore.ensureStore(spark, sfDir))
     warm(multimodal.Q25jVideoDedupStore.ensureStore(spark, sfDir))

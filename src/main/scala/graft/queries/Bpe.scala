@@ -2036,8 +2036,29 @@ object Q64pUnigramDriftGatedStore extends GraftQuery {
   * oracles' UNION ALL) gates. */
 object Q78DriftConsole extends GraftQuery {
   val name = "q78_drift_console"
+  private val prefix = "graft_driftrpt"
 
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  /** Build (or bind) the PERSISTED console report for this corpus
+    * snapshot (VERDICT r14 next #8): the drift report is a pure
+    * function of the corpus (both measurement sides come from the
+    * same snapshot), so it versions with the fingerprint like any
+    * other derived store. The console serve is then ONE tiny table
+    * read; the three-family recompute (the sum of the q64f/l/m arms —
+    * 5.7 s at sf0.1) is paid once per snapshot at build. */
+  private[graft] def ensureStore(spark: SparkSession, dir: String): String =
+    graft.plans.Stores.ensure(spark, prefix, dir, Seq("report")) {
+      case Seq(reportT) =>
+        compute(spark, dir)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(reportT)
+    }.head
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    spark.table(ensureStore(spark, dir))
+      .orderBy(col("family"), col("lang"))
+
+  /** The stitched three-family report — the store's build plan. */
+  private def compute(spark: SparkSession, dir: String): DataFrame = {
     val bpe = Q64fVocabDrift.run(spark, dir)
       .select(lit("bpe").as("family"), col("lang"), col("rel_drift"),
         col("oov_rate").as("aux_signal"), lit("oov_rate").as("aux_kind"),
