@@ -109,13 +109,16 @@ object TextCorpus {
     * also the foreachBatch target for the streaming S6 pipeline. */
   def writeLetterFilesFromIndex(index: DataFrame, outDir: String): Unit = {
     val spark = index.sparkSession
-    // Flagged alternate path: the DSv2 graft-letters sink commits the
-    // 26 files through Spark's V2 committer (task-staged files
-    // published only at driver commit — atomic on object stores) and
-    // declares its own cluster-by-letter distribution + (df desc,
-    // word) ordering, so no explicit repartition/sort is needed here.
-    // GoldenSpec byte-matches the golden suite through it.
-    if (spark.conf.getOption("spark.graft.letters.dsv2").exists(_.toBoolean)) {
+    // DEFAULT path (VERDICT r14 next #7): the DSv2 graft-letters sink
+    // commits the 26 files through Spark's V2 committer (task-staged
+    // files published only at driver commit — atomic on object
+    // stores, the 100 TB posture) and declares its own cluster-by-
+    // letter distribution + (df desc, word) ordering, so no explicit
+    // repartition/sort is needed here. GoldenSpec byte-matches the
+    // golden suite through BOTH paths; set
+    // spark.graft.letters.dsv2=false for the classic driver-rename
+    // writer (local-filesystem fallback).
+    if (spark.conf.getOption("spark.graft.letters.dsv2").forall(_.toBoolean)) {
       index.select(col("letter"), col("word"), col("df").cast("long").as("df"),
         concat(col("word"), lit(":["),
           array_join(col("doc_ids"), " "), lit("]")).as("line"))

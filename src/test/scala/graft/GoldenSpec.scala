@@ -41,17 +41,17 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
-  test("all golden cases byte-match through the DSv2 graft-letters sink") {
-    // Same five corpora, written through the V2 committer sink (task
-    // staging + driver-commit publish, sink-declared distribution and
-    // ordering) instead of the driver-side part-file rename. Byte
-    // equality proves the two write paths are interchangeable.
-    withConfs("spark.graft.letters.dsv2" -> "true") {
+  test("all golden cases byte-match through the classic driver-rename writer") {
+    // The DSv2 V2-committer sink is the DEFAULT write path (round 15);
+    // the classic partitioned-text + driver-rename writer stays as the
+    // flagged fallback. Byte equality against the same reference
+    // outputs proves the two write paths remain interchangeable.
+    withConfs("spark.graft.letters.dsv2" -> "false") {
       for (c <- cases) {
         val caseDir = root.resolve(c)
         val outDir = Files.createTempDirectory(s"golden_sink_$c").toString
         TextCorpus.buildIndex(spark, caseDir.resolve("manifest.txt").toString, outDir)
-        assertMatchesExpected(caseDir, outDir, s"$c-via-letter-sink")
+        assertMatchesExpected(caseDir, outDir, s"$c-via-classic-writer")
       }
     }
   }
