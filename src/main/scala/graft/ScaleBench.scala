@@ -436,6 +436,66 @@ object ScaleBench {
       if (!wantStores ||
           sys.env.getOrElse("SPARK_GRAFT_SCALE1000", "0") != "1") Map.empty
       else { synthesize1000(spark, sfDir); storePoints(Scale1000Dir) }
+    // RETRIEVAL-STORE lifecycle (VERDICT r14 next #1): the positional
+    // postings layout's decade points. Build pays the corpus tokenize
+    // + positions aggregation once; the four serve tiers (plain BM25,
+    // phrase adjacency, phrase-boost, proximity-boost) are all
+    // bucket-pruned index reads whose curves must sit FAR below
+    // build's — positions arrays are the store's heaviest column, so
+    // this is where "phrase serve stays pruned at scale" stops being
+    // a plan assert and becomes a measured claim. The s25-shaped
+    // point serves the SAME phrase plan over an epoch-append
+    // (unbucketed) postings table — the streaming index's layout —
+    // where the term isin is a pushed scan filter instead of a
+    // static bucket prune; its gap to q74c_phrase_serve prices
+    // exactly what the s23b compaction buys.
+    // On the synthesized corpora the '#k' suffixes are letter-
+    // stripped by the normalizer (the InvertedIndex note): N× docs,
+    // same vocabulary, N×-longer posting lists — the honest
+    // retrieval scale-up.
+    val retrNames = Seq("q74b_store_build", "q74b_store_serve",
+      "q74c_phrase_serve", "q74d_boost_serve", "q74e_prox_serve",
+      "s25_epoch_phrase_serve")
+    val wantRetr = only.forall(names => retrNames.exists(names))
+    def retrievalPoints(dir: String): Map[String, Double] = {
+      def t1(body: => Unit): Double =
+        try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[scalebench] retrieval point @ $dir FAILED: ${e.getMessage}")
+          -1.0 }
+      graft.plans.Stores.evict(spark, "graft_bm25store")
+      val build = t1(Q74bBm25Store.ensureStore(spark, dir))
+      val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, dir)
+      def serve(df: => DataFrame): Double = {
+        def s1() = t1(df.write.format("noop").mode("overwrite").save())
+        math.min(s1(), s1())
+      }
+      val bServe = serve(Q74bBm25Store.serveFrom(spark, postT, lenT, metaT))
+      val cServe = serve(Q74cBm25PhraseStore.serveFrom(spark, postT))
+      val dServe = serve(Q74dBm25PhraseBoost.serveFrom(spark, postT, lenT, metaT))
+      val eServe = serve(Q74eBm25ProximityBoost.serveFrom(spark, postT, lenT, metaT))
+      val epochT = "graft_scale_epoch_postings"
+      graft.plans.Stores.dropManaged(spark, epochT)
+      // Untimed: the stream pays the appends per epoch; this point
+      // prices only the SERVE over the accumulated layout.
+      val epochOk = t1(Q74Bm25.postingsOf(Tables.documents(spark, dir))
+        .write.format("parquet").saveAsTable(epochT)) >= 0
+      val sServe =
+        if (!epochOk) -1.0
+        else serve(Q74cBm25PhraseStore.serveFromFrame(spark, spark.table(epochT)))
+      graft.plans.Stores.dropManaged(spark, epochT)
+      graft.plans.Stores.evict(spark, "graft_bm25store")
+      Map("q74b_store_build" -> build, "q74b_store_serve" -> bServe,
+        "q74c_phrase_serve" -> cServe, "q74d_boost_serve" -> dServe,
+        "q74e_prox_serve" -> eServe, "s25_epoch_phrase_serve" -> sServe)
+        .filter(_._2 >= 0)
+    }
+    val (rt1, rt10) =
+      if (wantRetr) (retrievalPoints(sfDir), retrievalPoints(Scale10Dir))
+      else (Map.empty[String, Double], Map.empty[String, Double])
+    val rt100: Map[String, Double] =
+      if (!wantRetr || !scale100Enabled) Map.empty
+      else { synthesize100(spark, sfDir); retrievalPoints(Scale100Dir) }
     // Text-dedup CLOSURE at the deep decades (VERDICT r12 item 7):
     // the label-propagation loop is O(component-diameter) iterations
     // × one shuffle each — the most plausible remaining superlinear
@@ -534,6 +594,23 @@ object ScaleBench {
         .mkString("{", ",", "}")
       println(s"""{"scale":"sf0.1x100","queries":${row(deep, at100)}}""")
       println(s"""{"ratio_100x_vs_10x":$r2}""")
+    }
+    if (rt1.nonEmpty) {
+      def rrow(m: Map[String, Double]) = retrNames.filter(m.contains)
+        .map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
+      val rratio = retrNames.filter(n => rt1.contains(n) && rt10.contains(n))
+        .map(n => "\"" + n + "\":" + f"${ratio(rt10(n), rt1(n))}%.2f")
+        .mkString("{", ",", "}")
+      println(s"""{"scale_retrieval":"sf0.1","points":${rrow(rt1)}}""")
+      println(s"""{"scale_retrieval":"sf0.1x10","points":${rrow(rt10)}}""")
+      println(s"""{"retrieval_ratio_10x":$rratio}""")
+      if (rt100.nonEmpty) {
+        val r100 = retrNames.filter(n => rt100.contains(n) && rt10.contains(n))
+          .map(n => "\"" + n + "\":" + f"${ratio(rt100(n), rt10(n))}%.2f")
+          .mkString("{", ",", "}")
+        println(s"""{"scale_retrieval":"sf0.1x100","points":${rrow(rt100)}}""")
+        println(s"""{"retrieval_ratio_100x_vs_10x":$r100}""")
+      }
     }
     if (cl100.nonEmpty) {
       def crow(m: Map[String, Double]) = closureNames.filter(m.contains)

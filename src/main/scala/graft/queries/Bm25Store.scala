@@ -260,12 +260,15 @@ object Q74cBm25PhraseStore extends GraftQuery {
     * accumulated postings. On a word-bucketed store table the isin
     * filter below statically prunes buckets; on an epoch-append
     * stream table it is a pushed scan filter — same plan, layout
-    * decides the prune. */
+    * decides the prune. `phrases` is CALLER-PROVIDED (the q74f rule:
+    * a phrase batch is data, not a compile-time constant); the
+    * compiled-in [[phraseSet]] is just the default batch. */
   private[graft] def serveFromFrame(spark: SparkSession,
-      post: DataFrame): DataFrame = {
+      post: DataFrame,
+      phrases: Seq[(Int, Seq[String])] = phraseSet): DataFrame = {
     import spark.implicits._
-    val terms = phraseSet.flatMap(_._2).distinct
-    val qterms = phraseSet.flatMap { case (q, ts) =>
+    val terms = phrases.flatMap(_._2).distinct
+    val qterms = phrases.flatMap { case (q, ts) =>
       ts.zipWithIndex.map { case (w, i) => (q, i + 1, ts.length, w) } }
       .toDF("query_id", "ti", "plen", "word")
     val cand = post

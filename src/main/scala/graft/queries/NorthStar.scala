@@ -268,7 +268,7 @@ object NorthStar {
   val all: Seq[GraftQuery] = Seq(
     Q18DedupExact, Q18bDedupMinHash, Q18cDedupSimHash, Q18dDedupNgram,
     Q18eDedupEmbedding, Q18fDedupClusters, Q18gDedupLabelsStore,
-    Q19SimilarityTopK, Q19bAnnLsh,
+    Q19SimilarityTopK, Q19hAnnQueryBatch, Q19bAnnLsh,
     Q19cAnnSparkMl, Q19dAnnIvf, Q19eAnnIvfStore, Q19fAnnRebalance,
     Q19gAnnPq,
     Q20TopTermsPerLang, Q21LanguageId,
@@ -996,6 +996,85 @@ object Q19SimilarityTopK extends GraftQuery {
       FROM embeddings, q WHERE vec_id <> 0)
     SELECT vec_id, ${NorthStar.duckDbl("dot")} / (sqrt(${NorthStar.duckDbl("n2")}) * sqrt(${NorthStar.duckDbl("qn2")})) AS cosine
     FROM c ORDER BY cosine DESC, vec_id ASC LIMIT 10
+  """.trim)
+}
+
+/** Q19h — exact cosine top-k over a DRIVER-PROVIDED QUERY BATCH
+  * (VERDICT r14 next #5, the ANN side of the q74f rule): a similarity
+  * service receives query vectors as DATA — a (query_id, qv) table
+  * from the query encoder — not one compile-time probe. [[topKFor]]
+  * accepts exactly that frame: the batch posexplodes into a broadcast
+  * (query_id, pos, qx) join against one corpus embedding pass
+  * (map-side ×|Q| multiply — linear in corpus for a bounded batch,
+  * q75's semantic-arm shape), DECIMAL-exact dot/norm sums, and a
+  * per-query ranking window. Candidates sharing the query's id are
+  * excluded (the self-exclusion rule when queries are drawn from the
+  * corpus; external vectors carry non-colliding ids and lose
+  * nothing). The entry drives a 3-vector batch drawn from the fixture
+  * embeddings; the oracle replays it — hash-green, like q19. */
+object Q19hAnnQueryBatch extends GraftQuery {
+  import NorthStar._
+  val name = "q19h_ann_query_batch"
+
+  /** The batch this entry replays — disjoint from q19's probe (0)
+    * and q75's probe ids. */
+  private[graft] val batchVecIds = Seq(5L, 17L, 42L)
+
+  /** Exact top-k per query over `embs` for a caller-provided
+    * (query_id, qv) batch. */
+  private[graft] def topKFor(spark: SparkSession, embs: DataFrame,
+      queries: DataFrame, k: Int = 10): DataFrame = {
+    val ex = embs
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), dec(col("x")).as("x"))
+    val probes = queries
+      .select(col("query_id"), posexplode(col("qv")).as(Seq("pos", "qx")))
+      .select(col("query_id"), col("pos"), dec(col("qx")).as("qx"))
+    val qn2 = probes.groupBy(col("query_id"))
+      .agg(sum(col("qx") * col("qx")).as("qn2"))
+    val scored = ex.join(broadcast(probes), Seq("pos"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("x") * col("qx")).as("dot"),
+        sum(col("x") * col("x")).as("n2"))
+      .join(broadcast(qn2), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    val queries = embs.filter(col("vec_id").isin(batchVecIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    topKFor(spark, embs, queries)
+  }
+
+  private def d(x: String) = NorthStar.duckDec(x)
+  val oracle = Some(s"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id IN (${batchVecIds.mkString(", ")})),
+    c AS (SELECT q.query_id, e.vec_id,
+      list_aggregate(list_transform(range(1, len(e.embedding)+1), i -> ${d("e.embedding[i]")} * ${d("q.qv[i]")}), 'sum') AS dot,
+      list_aggregate(list_transform(range(1, len(e.embedding)+1), i -> ${d("e.embedding[i]")} * ${d("e.embedding[i]")}), 'sum') AS n2,
+      list_aggregate(list_transform(range(1, len(q.qv)+1), i -> ${d("q.qv[i]")} * ${d("q.qv[i]")}), 'sum') AS qn2
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+    s AS (SELECT query_id, vec_id,
+            ${NorthStar.duckDbl("dot")} / (sqrt(${NorthStar.duckDbl("n2")}) * sqrt(${NorthStar.duckDbl("qn2")})) AS cosine
+          FROM c),
+    r AS (SELECT query_id, vec_id, cosine,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+          FROM s)
+    SELECT query_id, rank, vec_id, cosine
+    FROM r WHERE rank <= 10 ORDER BY query_id, rank
   """.trim)
 }
 

@@ -184,6 +184,66 @@ class Round15Spec extends SparkSpec {
         s"${postScan.get.optionalBucketSet.map(_.cardinality())} (want <= $nTerms)")
   }
 
+  test("q74c phrases as data: a caller-provided phrase batch serves through the shared plan (brute-force ground truth)") {
+    import graft.queries.{Q74bBm25Store, Q74cBm25PhraseStore}
+    // A batch disjoint from the compiled-in phraseSet, drawn from
+    // bigrams verified present in the fixture generator's stream.
+    val phrases = Seq(7 -> Seq("order", "fast"), 8 -> Seq("window", "join"))
+    val postT = Q74bBm25Store.ensureStore(spark, sf)._1
+    val got = Q74cBm25PhraseStore
+      .serveFromFrame(spark, spark.table(postT), phrases)
+      .collect().map(r => (r.getInt(0), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got.nonEmpty, "custom phrase batch matched nothing")
+    // Brute-force string-level recount (the Round14Spec technique).
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+")
+        .map(_.toLowerCase.replaceAll("[^a-zA-Z]", "")).filter(_.nonEmpty))
+    val expect = (for {
+      (qid, phrase) <- phrases
+      (docId, toks) <- docs
+      n = toks.indices.count(i => i + phrase.length <= toks.length &&
+        phrase.indices.forall(j => toks(i + j) == phrase(j)))
+      if n > 0
+    } yield (qid, docId) -> n.toLong).toMap
+    got.foreach { case (k, n) =>
+      assert(expect.get(k).contains(n),
+        s"$k: custom-batch store says $n, brute force says ${expect.get(k)}")
+    }
+    phrases.foreach { case (qid, _) =>
+      val want = expect.toSeq
+        .collect { case ((q, d), n) if q == qid => (n, d) }
+        .sortBy { case (n, d) => (-n, d) }.take(10).map(_._2).toSet
+      val have = got.keys.collect { case (q, d) if q == qid => d }.toSet
+      assert(have == want, s"phrase $qid ranked set diverges: $have vs $want")
+    }
+  }
+
+  test("q19h: query-batch ANN — rank law, self-exclusion, and an external (non-corpus) vector batch works") {
+    import graft.queries.Q19hAnnQueryBatch
+    val rows = Q19hAnnQueryBatch.run(spark, sf01).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Q19hAnnQueryBatch.batchVecIds.toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).toSeq == (1 to rs.length), s"q$q ranks gap")
+      assert(!rs.exists(_.getLong(2) == q), s"q$q did not self-exclude")
+      val cos = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(cos == cos.sorted(Ordering[Double].reverse),
+        s"q$q cosines not nonincreasing")
+    }
+    // External vectors: ids that collide with no corpus vec_id — the
+    // no-exclusion path; a corpus-mean probe must still rank k docs.
+    val embs = Tables.embeddings(spark, sf01)
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    import spark.implicits._
+    val ext = Seq((100000L, Array.fill(dim)(0.25f)))
+      .toDF("query_id", "qv")
+    val extRows = Q19hAnnQueryBatch.topKFor(spark, embs, ext).collect()
+    assert(extRows.length == 10 &&
+      extRows.map(_.getInt(1)).toSeq == (1 to 10),
+      s"external-vector batch broke: ${extRows.length} rows")
+  }
+
   test("q75c: three-arm fusion — RRF arithmetic, corpus-free pruned plan, proximity arm live") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import graft.queries.{Q74Bm25, Q75cHybridRrf3, Q75HybridRrf}
