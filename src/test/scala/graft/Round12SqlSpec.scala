@@ -209,7 +209,25 @@ class Round12SqlSpec extends SparkSpec {
       // ids / query terms are driver-known literals (the q19e twin's
       // shape) fused by q75's relational RRF — SQL-expressible over
       // the store tables.
-      "q75b_hybrid_rrf_store")
+      "q75b_hybrid_rrf_store",
+      // q74f (round 15): q74b's serve over a driver-provided query
+      // table — the batch's terms become literals (driver-scale by
+      // contract), the rest is q74's relational chain.
+      "q74f_bm25_query_table",
+      // q75c (round 15): three exact relational arms (q74b serve +
+      // q75's cosine + q74e's proximity chain) fused by RRF — its
+      // oracle is pure SQL.
+      "q75c_hybrid_rrf3",
+      // q77c (round 15): q77's relational chain with the target as a
+      // second gram-count rollup (full-outer bucket alignment).
+      "q77c_dsir_target",
+      // q19h (round 15): exact batch cosine = q75's semantic-arm
+      // relational shape with a VALUES-style probe table.
+      "q19h_ann_query_batch",
+      // q64o (round 15): the WordPiece gate measures through q64g's
+      // bounded greedy-fold unroll (q64l's class-C technique) + one
+      // per-lang rollup against the frozen stats table.
+      "q64o_wordpiece_drift_gated_store")
     // (D) driver-coordinated iteration / per-partition accumulators:
     // no single SQL statement computes these (a pagerank loop, BPE
     // merge loops, two-pass prefix sums, Misra-Gries coupled
@@ -228,7 +246,11 @@ class Round12SqlSpec extends SparkSpec {
       "q64n_bpe_drift_gated_store",
       // q78 (round 14): the console composes q64f (driver-local
       // learn) and q64m (EM loop) — inherits their class.
-      "q78_drift_console")
+      "q78_drift_console",
+      // q64p (round 15): the Unigram gate's store build runs q64h's
+      // hard-EM loop (the q64m/q64n posture); the decide pass itself
+      // is the relational DP, but the entry's ensure is the loop.
+      "q64p_unigram_drift_gated_store")
     // (E) spark.ml training inside the plan: SQL has no spelling for
     // the fit (serve paths ARE SQL-twinned where persisted — q19e,
     // q70b above).
