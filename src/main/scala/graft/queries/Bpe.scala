@@ -1742,11 +1742,15 @@ object Q64oWordpieceDriftGatedStore extends GraftQuery {
   val name = "q64o_wordpiece_drift_gated_store"
   private val prefix = "graft_dgwp"
 
-  /** Build (or bind) this corpus snapshot's (pieces, stats). */
+  /** Build (or bind) this corpus snapshot's (pieces, stats). Layout
+    * v2: the stats schema grew the never-null baseline columns the
+    * missing-baseline predicate keys on — a schema change must retire
+    * older incarnations like a corpus change (the Stores rule). */
   private[graft] def ensureStore(spark: SparkSession,
       dir: String): (String, String) = {
     val names = graft.plans.Stores.ensure(
-        spark, prefix, dir, Seq("pieces", "stats")) {
+        spark, prefix, dir, Seq("pieces", "stats"),
+        layoutVersion = "2") {
         case Seq(piecesT, statsT) =>
       import spark.implicits._
       (InitPieces.map((_, 0)) ++ ContPieces.map((_, 1)))
@@ -1888,11 +1892,15 @@ object Q64pUnigramDriftGatedStore extends GraftQuery {
   val name = "q64p_unigram_drift_gated_store"
   private val prefix = "graft_dguni"
 
-  /** Build (or bind) this corpus snapshot's (pieces, stats). */
+  /** Build (or bind) this corpus snapshot's (pieces, stats). Layout
+    * v2: stats gained `train_oov_rate` (the never-null
+    * missing-baseline predicate) — retire v1 incarnations through
+    * the stale-store sweep, never bind them. */
   private[graft] def ensureStore(spark: SparkSession,
       dir: String): (String, String) = {
     val names = graft.plans.Stores.ensure(
-        spark, prefix, dir, Seq("pieces", "stats")) {
+        spark, prefix, dir, Seq("pieces", "stats"),
+        layoutVersion = "2") {
         case Seq(piecesT, statsT) =>
       import spark.implicits._
       val (inventory, _, _) = Q64hUnigramVocab.learn(spark, dir)
