@@ -496,6 +496,13 @@ object ScaleBench {
     val rt100: Map[String, Double] =
       if (!wantRetr || !scale100Enabled) Map.empty
       else { synthesize100(spark, sfDir); retrievalPoints(Scale100Dir) }
+    // Fourth decade for the positional store (opt-in like the other
+    // 1000× passes): the build pays a ~1.3 GB tokenize + positions
+    // aggregation; the serves must stay pruned-index-read flat-ish.
+    val rt1000: Map[String, Double] =
+      if (!wantRetr ||
+          sys.env.getOrElse("SPARK_GRAFT_SCALE1000", "0") != "1") Map.empty
+      else { synthesize1000(spark, sfDir); retrievalPoints(Scale1000Dir) }
     // Text-dedup CLOSURE at the deep decades (VERDICT r12 item 7):
     // the label-propagation loop is O(component-diameter) iterations
     // × one shuffle each — the most plausible remaining superlinear
@@ -610,6 +617,14 @@ object ScaleBench {
           .mkString("{", ",", "}")
         println(s"""{"scale_retrieval":"sf0.1x100","points":${rrow(rt100)}}""")
         println(s"""{"retrieval_ratio_100x_vs_10x":$r100}""")
+      }
+      if (rt1000.nonEmpty) {
+        val r1000 = retrNames
+          .filter(n => rt1000.contains(n) && rt100.contains(n))
+          .map(n => "\"" + n + "\":" + f"${ratio(rt1000(n), rt100(n))}%.2f")
+          .mkString("{", ",", "}")
+        println(s"""{"scale_retrieval":"sf0.1x1000","points":${rrow(rt1000)}}""")
+        println(s"""{"retrieval_ratio_1000x_vs_100x":$r1000}""")
       }
     }
     if (cl100.nonEmpty) {
