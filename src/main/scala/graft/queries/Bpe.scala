@@ -1633,8 +1633,10 @@ object Q64nBpeDriftGatedStore extends GraftQuery {
   }
 
   /** Per-lang measurement of `docs` under a dictionary: word counts,
-    * OOV counts, in-vocab token sums (q64f's delta-side shape). */
-  private def measured(spark: SparkSession, docs: DataFrame,
+    * OOV counts, in-vocab token sums (q64f's delta-side shape). All
+    * four counters are ADDITIVE — the streaming gate (s26)
+    * accumulates them per epoch and gates the rollup. */
+  private[graft] def measured(spark: SparkSession, docs: DataFrame,
       dict: DataFrame): DataFrame =
     docs
       .select(col("lang"), explode(expr(NorthStar.toksExpr)).as("tok"))
@@ -1658,7 +1660,15 @@ object Q64nBpeDriftGatedStore extends GraftQuery {
     * baseline columns read as null and retrain is forced true. */
   private[graft] def decide(spark: SparkSession, vocabT: String,
       statsT: String, arriving: DataFrame): DataFrame =
-    measured(spark, arriving, broadcast(spark.table(vocabT)))
+    gateOf(spark,
+      measured(spark, arriving, broadcast(spark.table(vocabT))), statsT)
+
+  /** The gate arithmetic over a (possibly rolled-up) measurement
+    * frame — [[decide]]'s tail, shared with the streaming gate (s26)
+    * which feeds it epoch-summed partials. */
+  private[graft] def gateOf(spark: SparkSession, m: DataFrame,
+      statsT: String): DataFrame =
+    m
       .join(spark.table(statsT), Seq("lang"), "left")
       .select(col("lang"), col("train_fertility").as("stored_fertility"),
         // try-divide: a fully-OOV language has zero in-vocab words and
@@ -1777,8 +1787,9 @@ object Q64oWordpieceDriftGatedStore extends GraftQuery {
   }
 
   /** Per-lang measurement of `docs` under the piece store: word/UNK
-    * counts and non-UNK piece sums (q64l's stats shape). */
-  private def measured(spark: SparkSession, docs: DataFrame,
+    * counts and non-UNK piece sums (q64l's stats shape). Additive —
+    * s26 accumulates per epoch. */
+  private[graft] def measured(spark: SparkSession, docs: DataFrame,
       piecesT: String): DataFrame = {
     val words = docs
       .select(col("lang"), explode(expr(NorthStar.toksExpr)).as("tok"))
@@ -1802,7 +1813,13 @@ object Q64oWordpieceDriftGatedStore extends GraftQuery {
     * (null columns) is the loudest drift and forces retrain. */
   private[graft] def decide(spark: SparkSession, piecesT: String,
       statsT: String, arriving: DataFrame): DataFrame =
-    measured(spark, arriving, piecesT)
+    gateOf(spark, measured(spark, arriving, piecesT), statsT)
+
+  /** The gate arithmetic over a (possibly rolled-up) measurement
+    * frame — shared with the streaming gate (s26). */
+  private[graft] def gateOf(spark: SparkSession, m: DataFrame,
+      statsT: String): DataFrame =
+    m
       .join(spark.table(statsT), Seq("lang"), "left")
       .select(col("lang"),
         col("train_fertility").as("stored_fertility"),
@@ -1929,8 +1946,9 @@ object Q64pUnigramDriftGatedStore extends GraftQuery {
   }
 
   /** Per-lang measurement of `docs` under the score store: OOV =
-    * uncovered chars; fertility from the DP over covered words. */
-  private def measured(spark: SparkSession, docs: DataFrame,
+    * uncovered chars; fertility from the DP over covered words.
+    * Additive — s26 accumulates per epoch. */
+  private[graft] def measured(spark: SparkSession, docs: DataFrame,
       piecesT: String): DataFrame = {
     val chars = spark.table(piecesT)
       .filter(length(col("piece")) === 1)
@@ -1960,7 +1978,13 @@ object Q64pUnigramDriftGatedStore extends GraftQuery {
     * a missing stored baseline (new language) forces retrain. */
   private[graft] def decide(spark: SparkSession, piecesT: String,
       statsT: String, arriving: DataFrame): DataFrame =
-    measured(spark, arriving, piecesT)
+    gateOf(spark, measured(spark, arriving, piecesT), statsT)
+
+  /** The gate arithmetic over a (possibly rolled-up) measurement
+    * frame — shared with the streaming gate (s26). */
+  private[graft] def gateOf(spark: SparkSession, m: DataFrame,
+      statsT: String): DataFrame =
+    m
       .join(spark.table(statsT), Seq("lang"), "left")
       .select(col("lang"),
         col("train_fertility").as("stored_fertility"),

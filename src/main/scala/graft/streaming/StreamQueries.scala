@@ -253,7 +253,7 @@ object StreamQueries {
     S17StreamMultimodalAdmission, S18StreamAudioDedupStore,
     S19StreamAnnIngest, S20StreamExcise, S21StreamWarc,
     S22StreamVideoDedupStore, S23StreamBm25Index, S23bStreamBm25Compact,
-    S24StreamHybridFusion, S25StreamPhrase)
+    S24StreamHybridFusion, S25StreamPhrase, S26StreamDriftGate)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -1684,4 +1684,133 @@ object S25StreamPhrase extends GraftQuery {
 
   /** Streamed-index phrase serve ≡ store phrase serve. */
   val oracle: Option[String] = Q74cBm25PhraseStore.oracle
+}
+
+/** S26 — STREAMING DRIFT GATE: the drift-gated stores' ingest twin
+  * (q64n/q64o/q64p decide() at stream time). Arriving documents are
+  * measured per micro-batch against the three bound tokenizer stores
+  * — BPE vocab, WordPiece pieces, Unigram scores — and the per-epoch
+  * frames carry only the families' ADDITIVE counters (n_words,
+  * oov/unk words, in-vocab token and word sums per language): the
+  * per-lang RATES the gates threshold are NOT additive, so the
+  * correct stream shape is mergeable partials + gate-at-serve (the
+  * q65/s13 posture), never per-batch verdict rows. Serve rolls the
+  * epochs up and runs each family's own gate arithmetic
+  * ([[graft.queries.Q64nBpeDriftGatedStore.gateOf]] et al. — shared
+  * code, the thresholds cannot fork), aligned to one console schema
+  * (family, lang, fertilities, aux signal, retrain).
+  *
+  * Full corpus streamed ⇒ exactly the batch gates' answers (the s23
+  * invariance: additive counters are epoch-split-invariant), so the
+  * oracle is the three gate oracles' aligned UNION — one hash gate
+  * across batch and streamed drift decisions. */
+object S26StreamDriftGate extends GraftQuery {
+  import StreamQueries._
+  import graft.queries.{Q64nBpeDriftGatedStore, Q64oWordpieceDriftGatedStore, Q64pUnigramDriftGatedStore}
+  val name = "s26_stream_drift_gate"
+  private val s26Run = new AtomicInteger(0)
+
+  /** One micro-batch → the three families' additive partials, column-
+    * aligned (aux_words = the family's OOV/[UNK] word counter). */
+  private[graft] def partialsBatch(spark: SparkSession, batch: DataFrame,
+      vocabN: String, piecesO: String, piecesP: String): DataFrame = {
+    val bpe = Q64nBpeDriftGatedStore
+      .measured(spark, batch, broadcast(spark.table(vocabN)))
+      .select(lit("bpe").as("family"), col("lang"), col("n_words"),
+        col("oov_words").as("aux_words"),
+        col("invocab_ntok"), col("invocab_words"))
+    val wp = Q64oWordpieceDriftGatedStore.measured(spark, batch, piecesO)
+      .select(lit("wordpiece").as("family"), col("lang"), col("n_words"),
+        col("unk_words").as("aux_words"),
+        col("invocab_ntok"), col("invocab_words"))
+    val uni = Q64pUnigramDriftGatedStore.measured(spark, batch, piecesP)
+      .select(lit("unigram").as("family"), col("lang"), col("n_words"),
+        col("oov_words").as("aux_words"),
+        col("invocab_ntok"), col("invocab_words"))
+    bpe.unionByName(wp).unionByName(uni)
+  }
+
+  /** Roll the accumulated partials up and gate each family against
+    * its frozen baseline — the serve every epoch split must agree on. */
+  private[graft] def gateRollup(spark: SparkSession, partials: DataFrame,
+      statsN: String, statsO: String, statsP: String): DataFrame = {
+    val rolled = partials.groupBy(col("family"), col("lang"))
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("aux_words")).as("aux_words"),
+        sum(col("invocab_ntok")).as("invocab_ntok"),
+        sum(col("invocab_words")).as("invocab_words"))
+      .localCheckpoint(true) // three family filters read it
+    def fam(name: String, auxAs: String) = rolled
+      .filter(col("family") === name)
+      .select(col("lang"), col("n_words"), col("aux_words").as(auxAs),
+        col("invocab_ntok"), col("invocab_words"))
+    val bpe = Q64nBpeDriftGatedStore
+      .gateOf(spark, fam("bpe", "oov_words"), statsN)
+      .select(lit("bpe").as("family"), col("lang"),
+        col("stored_fertility"), col("current_fertility"),
+        col("oov_rate").as("aux_signal"), lit("oov_rate").as("aux_kind"),
+        col("n_words"), col("oov_words").as("aux_words"),
+        col("rel_drift"), col("retrain"))
+    val wp = Q64oWordpieceDriftGatedStore
+      .gateOf(spark, fam("wordpiece", "unk_words"), statsO)
+      .select(lit("wordpiece").as("family"), col("lang"),
+        col("stored_fertility"), col("current_fertility"),
+        col("unk_jump").as("aux_signal"), lit("unk_jump").as("aux_kind"),
+        col("n_words"), col("unk_words").as("aux_words"),
+        col("rel_drift"), col("retrain"))
+    val uni = Q64pUnigramDriftGatedStore
+      .gateOf(spark, fam("unigram", "oov_words"), statsP)
+      .select(lit("unigram").as("family"), col("lang"),
+        col("stored_fertility"), col("current_fertility"),
+        col("oov_rate").as("aux_signal"), lit("oov_rate").as("aux_kind"),
+        col("n_words"), col("oov_words").as("aux_words"),
+        col("rel_drift"), col("retrain"))
+    bpe.unionByName(wp).unionByName(uni)
+      .orderBy(col("family"), col("lang"))
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (vocabN, statsN) = Q64nBpeDriftGatedStore.ensureStore(spark, dir)
+    val (piecesO, statsO) = Q64oWordpieceDriftGatedStore.ensureStore(spark, dir)
+    val (piecesP, statsP) = Q64pUnigramDriftGatedStore.ensureStore(spark, dir)
+    val runT = s"graft_s26_partials_${s26Run.incrementAndGet()}"
+    graft.plans.Stores.dropManaged(spark, runT)
+    partialsBatch(spark,
+        spark.read.parquet(s"$dir/documents.parquet").limit(0),
+        vocabN, piecesO, piecesP)
+      .withColumn("_epoch", lit(-1L))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(runT)
+    try {
+      maintainAppend(spark, runT, docsStream(spark, dir))(
+        partialsBatch(spark, _, vocabN, piecesO, piecesP))
+      gateRollup(spark, epochless(spark.table(runT)),
+        statsN, statsO, statsP).localCheckpoint(true)
+    } finally {
+      graft.plans.Stores.dropManaged(spark, runT)
+      graft.plans.Stores.dropManaged(spark, epochMarkerTable(runT))
+    }
+  }
+
+  /** The three gate oracles, aligned and stitched (the q78 pattern):
+    * full corpus streamed ⇒ each family reads exactly its batch gate. */
+  val oracle: Option[String] = Some {
+    def arm(fam: String, sig: String, kind: String, words: String,
+        inner: String) =
+      s"""SELECT '$fam' AS family, lang, stored_fertility,
+        current_fertility, $sig AS aux_signal, '$kind' AS aux_kind,
+        n_words, $words AS aux_words, rel_drift, retrain
+      FROM (${inner.trim}) ${fam}_t"""
+    s"""
+    ${arm("bpe", "oov_rate", "oov_rate", "oov_words",
+      Q64nBpeDriftGatedStore.oracle.get)}
+    UNION ALL
+    ${arm("wordpiece", "unk_jump", "unk_jump", "unk_words",
+      Q64oWordpieceDriftGatedStore.oracle.get)}
+    UNION ALL
+    ${arm("unigram", "oov_rate", "oov_rate", "oov_words",
+      Q64pUnigramDriftGatedStore.oracle.get)}
+    ORDER BY family, lang
+  """.trim
+  }
 }

@@ -400,6 +400,52 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("s26: multi-epoch streamed drift gate equals the one-shot gate (additive partials, gate at serve)") {
+    import org.apache.spark.sql.SaveMode
+    import graft.streaming.{S26StreamDriftGate, StreamQueries}
+    import graft.queries.{Q64nBpeDriftGatedStore, Q64oWordpieceDriftGatedStore, Q64pUnigramDriftGatedStore}
+    val (vocabN, statsN) = Q64nBpeDriftGatedStore.ensureStore(spark, sf)
+    val (piecesO, statsO) = Q64oWordpieceDriftGatedStore.ensureStore(spark, sf)
+    val (piecesP, statsP) = Q64pUnigramDriftGatedStore.ensureStore(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("s26spec")
+    val runT = "graft_s26spec_partials"
+    try {
+      Tables.documents(spark, sf).repartition(6).write.parquet(s"$dir/delta")
+      val sch = spark.read.parquet(s"$dir/delta").schema
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/delta/*.parquet")
+      graft.plans.Stores.dropManaged(spark, runT)
+      S26StreamDriftGate.partialsBatch(spark,
+          Tables.documents(spark, sf).limit(0), vocabN, piecesO, piecesP)
+        .withColumn("_epoch", lit(-1L))
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(runT)
+      val epochs = StreamQueries.maintainAppend(spark, runT, stream)(
+        S26StreamDriftGate.partialsBatch(spark, _, vocabN, piecesO, piecesP))
+      assert(epochs >= 3, s"file-per-trigger must yield >=3 epochs, got $epochs")
+      val streamed = S26StreamDriftGate.gateRollup(spark,
+          StreamQueries.epochless(spark.table(runT)),
+          statsN, statsO, statsP)
+        .collect().map(_.toString).toSeq
+      // Epoch-split invariance: the same gate over ONE-SHOT partials
+      // of the full corpus (the path the driver hash-gates via run()).
+      val oneShot = S26StreamDriftGate.gateRollup(spark,
+          S26StreamDriftGate.partialsBatch(spark,
+            Tables.documents(spark, sf), vocabN, piecesO, piecesP),
+          statsN, statsO, statsP)
+        .collect().map(_.toString).toSeq
+      assert(streamed == oneShot,
+        s"multi-epoch gate diverges from one-shot: " +
+          s"${streamed.zip(oneShot).find { case (a, b) => a != b }}")
+      assert(streamed.nonEmpty && streamed.size % 3 == 0,
+        s"all three families must report: ${streamed.size} rows")
+    } finally {
+      graft.plans.Stores.dropManaged(spark, runT)
+      graft.plans.Stores.dropManaged(spark,
+        graft.streaming.StreamQueries.epochMarkerTable(runT))
+      rmTree(dir)
+    }
+  }
+
   test("q64n gate: a language absent from the training baseline trips retrain") {
     import graft.queries.Q64nBpeDriftGatedStore
     import spark.implicits._
