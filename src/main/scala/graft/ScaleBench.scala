@@ -503,6 +503,48 @@ object ScaleBench {
       if (!wantRetr ||
           sys.env.getOrElse("SPARK_GRAFT_SCALE1000", "0") != "1") Map.empty
       else { synthesize1000(spark, sfDir); retrievalPoints(Scale1000Dir) }
+    // DRIFT-GATE measurement decades (round 15): each gated store's
+    // decide() is one corpus tokenize + a vocabulary-sized dictionary
+    // pass (greedy fold / Viterbi DP per DISTINCT word) + a per-lang
+    // rollup — the claim is that the measurement scales with the
+    // corpus SCAN, never with the dictionary machinery. On the
+    // synthesized corpora the '#k' suffixes are letter-stripped, so
+    // N× corpora present N× tokens over the SAME distinct-word set:
+    // the dictionary passes are decade-invariant by construction and
+    // any superlinear term would be in the join/rollup.
+    val gateNames = Seq("q64n_gate_decide", "q64o_gate_decide",
+      "q64p_gate_decide")
+    val wantGates = only.forall(names => gateNames.exists(names))
+    def gatePoints(dir: String): Map[String, Double] = {
+      def t1(body: => Unit): Double =
+        try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[scalebench] gate point @ $dir FAILED: ${e.getMessage}")
+          -1.0 }
+      // Stores are built from the MEASURED dir's own corpus (the
+      // bind-or-build fast path makes repeat calls serve-only), so
+      // decide() measures arrival-sized work against a same-scale
+      // baseline — the production shape.
+      val (vN, sN) = Q64nBpeDriftGatedStore.ensureStore(spark, dir)
+      val (pO, sO) = Q64oWordpieceDriftGatedStore.ensureStore(spark, dir)
+      val (pP, sP) = Q64pUnigramDriftGatedStore.ensureStore(spark, dir)
+      val docs = Tables.documents(spark, dir)
+      def point(body: => DataFrame): Double = {
+        def s1() = t1(body.write.format("noop").mode("overwrite").save())
+        math.min(s1(), s1())
+      }
+      val n = point(Q64nBpeDriftGatedStore.decide(spark, vN, sN, docs))
+      val o = point(Q64oWordpieceDriftGatedStore.decide(spark, pO, sO, docs))
+      val p = point(Q64pUnigramDriftGatedStore.decide(spark, pP, sP, docs))
+      Map("q64n_gate_decide" -> n, "q64o_gate_decide" -> o,
+        "q64p_gate_decide" -> p).filter(_._2 >= 0)
+    }
+    val (gt1, gt10) =
+      if (wantGates) (gatePoints(sfDir), gatePoints(Scale10Dir))
+      else (Map.empty[String, Double], Map.empty[String, Double])
+    val gt100: Map[String, Double] =
+      if (!wantGates || !scale100Enabled) Map.empty
+      else { synthesize100(spark, sfDir); gatePoints(Scale100Dir) }
     // Text-dedup CLOSURE at the deep decades (VERDICT r12 item 7):
     // the label-propagation loop is O(component-diameter) iterations
     // × one shuffle each — the most plausible remaining superlinear
@@ -625,6 +667,23 @@ object ScaleBench {
           .mkString("{", ",", "}")
         println(s"""{"scale_retrieval":"sf0.1x1000","points":${rrow(rt1000)}}""")
         println(s"""{"retrieval_ratio_1000x_vs_100x":$r1000}""")
+      }
+    }
+    if (gt1.nonEmpty) {
+      def grow(m: Map[String, Double]) = gateNames.filter(m.contains)
+        .map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
+      val gratio = gateNames.filter(n => gt1.contains(n) && gt10.contains(n))
+        .map(n => "\"" + n + "\":" + f"${ratio(gt10(n), gt1(n))}%.2f")
+        .mkString("{", ",", "}")
+      println(s"""{"scale_gates":"sf0.1","points":${grow(gt1)}}""")
+      println(s"""{"scale_gates":"sf0.1x10","points":${grow(gt10)}}""")
+      println(s"""{"gate_ratio_10x":$gratio}""")
+      if (gt100.nonEmpty) {
+        val g100 = gateNames.filter(n => gt100.contains(n) && gt10.contains(n))
+          .map(n => "\"" + n + "\":" + f"${ratio(gt100(n), gt10(n))}%.2f")
+          .mkString("{", ",", "}")
+        println(s"""{"scale_gates":"sf0.1x100","points":${grow(gt100)}}""")
+        println(s"""{"gate_ratio_100x_vs_10x":$g100}""")
       }
     }
     if (cl100.nonEmpty) {
