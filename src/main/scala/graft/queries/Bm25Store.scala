@@ -131,7 +131,14 @@ object Q74bBm25Store extends GraftQuery {
       lenT: String, metaT: String, queries: DataFrame): DataFrame = {
     val meta = spark.table(metaT).head()
     val qwords = queries.select(col("word")).distinct()
-    val terms = qwords.collect().map(_.getString(0)).toSeq
+    // Loud contract (the admit-replay-guard rule): the driver-scale
+    // assumption is enforced, not hoped — a corpus-sized frame passed
+    // as a "query batch" fails here instead of OOMing the driver.
+    val MaxTerms = 1000000
+    val terms = qwords.limit(MaxTerms + 1).collect().map(_.getString(0)).toSeq
+    require(terms.size <= MaxTerms,
+      s"query batch exceeds the driver-scale contract (> $MaxTerms " +
+        "distinct terms) — shard the batch across serves")
     val tf = spark.table(postT)
       .filter(col("word").isin(terms: _*))
       .join(broadcast(qwords), Seq("word"))

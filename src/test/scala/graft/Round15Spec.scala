@@ -126,6 +126,22 @@ class Round15Spec extends SparkSpec {
         }
         assert(admitted == full,
           s"post-rebind admit diverges from rebuild: $admitted vs $full")
+        // The scrub rewrite went through insertInto — the catalog's
+        // bucket spec must still route the files, or the serve's
+        // static bucket prune would silently disengage.
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        val serveDf = Q74bBm25Store.serveFrom(spark, postT, lenT, metaT)
+        serveDf.collect()
+        val postScan = flattenPlan(serveDf.queryExecution.executedPlan)
+          .collectFirst {
+            case f: FileSourceScanExec if f.tableIdentifier.exists(
+              _.table == postT) => f
+          }
+        val nTerms = graft.queries.Q74Bm25.querySet.flatMap(_._2).distinct.size
+        assert(postScan.exists(_.optionalBucketSet.exists(
+          _.cardinality() <= nTerms)),
+          s"post-scrub serve lost the bucket prune: " +
+            s"${postScan.map(_.optionalBucketSet)} (want <= $nTerms)")
       } finally {
         tables.foreach(graft.plans.Stores.dropManaged(spark, _))
         graft.plans.Stores.gcMarkers(spark, "graft_bm25store")
