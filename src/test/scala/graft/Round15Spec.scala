@@ -462,6 +462,78 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("property: phrase serve over random corpora and random phrase batches == naive adjacency count") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.queries.{Q74Bm25, Q74cBm25PhraseStore}
+    import spark.implicits._
+    def samples[T](g: Gen[T], n: Int): Seq[T] =
+      (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    val vocab = Seq("ab", "cd", "ef", "gh")
+    val docGen = Gen.chooseNum(0, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" "))
+    val corpusGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, docGen))
+    val phraseGen = Gen.chooseNum(2, 3)
+      .flatMap(k => Gen.listOfN(k, Gen.oneOf(vocab)))
+    val batchGen = Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, phraseGen))
+    samples(Gen.zip(corpusGen, batchGen), 12).foreach { case (corpus, batch) =>
+      val phrases = batch.zipWithIndex.map { case (p, i) => (i + 1) -> p.toSeq }
+      val docs = corpus.zipWithIndex
+        .map { case (t, i) => ((i + 1).toLong, t) }.toDF("doc_id", "text")
+      val got = Q74cBm25PhraseStore
+        .serveFromFrame(spark, Q74Bm25.postingsOf(docs), phrases)
+        .collect().map(r => (r.getInt(0), r.getLong(2)) -> r.getLong(3)).toMap
+      val expect = (for {
+        (qid, phrase) <- phrases
+        (text, di) <- corpus.zipWithIndex
+        toks = text.split("\\s+").filter(_.nonEmpty)
+        n = toks.indices.count(i => i + phrase.length <= toks.length &&
+          phrase.indices.forall(j => toks(i + j) == phrase(j)))
+        if n > 0
+      } yield (qid, (di + 1).toLong) -> n.toLong).toMap
+      assert(got == expect,
+        s"phrase property failed on corpus=$corpus batch=$phrases: " +
+          s"$got vs $expect")
+    }
+  }
+
+  test("property: query-batch cosine values match a naive recomputation; rank law and self-exclusion hold") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.queries.Q19hAnnQueryBatch
+    import spark.implicits._
+    def samples[T](g: Gen[T], n: Int): Seq[T] =
+      (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    val vecGen = Gen.listOfN(5, Gen.chooseNum(-100, 100).map(_ / 16.0f))
+      .suchThat(v => v.exists(_ != 0.0f))
+    val setGen = Gen.chooseNum(3, 7).flatMap(n => Gen.listOfN(n, vecGen))
+    samples(setGen, 8).foreach { vecs =>
+      val embs = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }.toDF("vec_id", "embedding")
+      // Queries: the first two corpus vectors (self-exclusion live).
+      val queries = vecs.take(2).zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }.toDF("query_id", "qv")
+      val rows = Q19hAnnQueryBatch.topKFor(spark, embs, queries).collect()
+      def naiveCos(a: Seq[Float], b: Seq[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val n2 = a.map(x => x.toDouble * x.toDouble).sum
+        val q2 = b.map(x => x.toDouble * x.toDouble).sum
+        dot / (math.sqrt(n2) * math.sqrt(q2))
+      }
+      rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+        assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length),
+          s"rank law broken for q$q")
+        assert(!rs.exists(_.getLong(2) == q), s"q$q did not self-exclude")
+      }
+      rows.foreach { r =>
+        val (q, v, cos) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+        val naive = naiveCos(vecs(v.toInt), vecs(q.toInt))
+        assert(math.abs(cos - naive) < 1e-9,
+          s"cosine diverges from naive: q$q v$v $cos vs $naive")
+      }
+    }
+  }
+
   test("q64n gate: a language absent from the training baseline trips retrain") {
     import graft.queries.Q64nBpeDriftGatedStore
     import spark.implicits._
