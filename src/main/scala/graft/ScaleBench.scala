@@ -457,7 +457,11 @@ object ScaleBench {
       "q74c_phrase_serve", "q74d_boost_serve", "q74e_prox_serve",
       "s25_epoch_phrase_serve")
     val wantRetr = only.forall(names => retrNames.exists(names))
-    def retrievalPoints(dir: String): Map[String, Double] = {
+    // Fail-soft like every other section: a build that dies at one
+    // decade must cost that decade's points, not the whole run (the
+    // unguarded ensure would otherwise escape and kill every later
+    // JSON line).
+    def retrievalPoints(dir: String): Map[String, Double] = try {
       def t1(body: => Unit): Double =
         try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -489,6 +493,9 @@ object ScaleBench {
         "q74c_phrase_serve" -> cServe, "q74d_boost_serve" -> dServe,
         "q74e_prox_serve" -> eServe, "s25_epoch_phrase_serve" -> sServe)
         .filter(_._2 >= 0)
+    } catch { case e: Throwable =>
+      System.err.println(s"[scalebench] retrieval section @ $dir FAILED: ${e.getMessage}")
+      Map.empty
     }
     val (rt1, rt10) =
       if (wantRetr) (retrievalPoints(sfDir), retrievalPoints(Scale10Dir))
@@ -515,7 +522,7 @@ object ScaleBench {
     val gateNames = Seq("q64n_gate_decide", "q64o_gate_decide",
       "q64p_gate_decide")
     val wantGates = only.forall(names => gateNames.exists(names))
-    def gatePoints(dir: String): Map[String, Double] = {
+    def gatePoints(dir: String): Map[String, Double] = try {
       def t1(body: => Unit): Double =
         try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -538,6 +545,9 @@ object ScaleBench {
       val p = point(Q64pUnigramDriftGatedStore.decide(spark, pP, sP, docs))
       Map("q64n_gate_decide" -> n, "q64o_gate_decide" -> o,
         "q64p_gate_decide" -> p).filter(_._2 >= 0)
+    } catch { case e: Throwable =>
+      System.err.println(s"[scalebench] gate section @ $dir FAILED: ${e.getMessage}")
+      Map.empty
     }
     val (gt1, gt10) =
       if (wantGates) (gatePoints(sfDir), gatePoints(Scale10Dir))

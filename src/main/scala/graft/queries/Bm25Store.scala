@@ -130,7 +130,13 @@ object Q74bBm25Store extends GraftQuery {
   private[graft] def scoredFromQueries(spark: SparkSession, postT: String,
       lenT: String, metaT: String, queries: DataFrame): DataFrame = {
     val meta = spark.table(metaT).head()
-    val qwords = queries.select(col("word")).distinct()
+    // Dedupe the caller's pairs: a batch built by tokenizing query
+    // text repeats terms ("big data big models" → two (q, big) rows),
+    // and an un-deduped qterms join would add that term's BM25 weight
+    // twice and inflate `matched` — silently wrong scores. BM25 term
+    // frequency saturation lives in tf, never in query multiplicity.
+    val qpairs = queries.select(col("query_id"), col("word")).distinct()
+    val qwords = qpairs.select(col("word")).distinct()
     // Loud contract (the admit-replay-guard rule): the driver-scale
     // assumption is enforced, not hoped — a corpus-sized frame passed
     // as a "query batch" fails here instead of OOMing the driver.
@@ -143,7 +149,7 @@ object Q74bBm25Store extends GraftQuery {
       .filter(col("word").isin(terms: _*))
       .join(broadcast(qwords), Seq("word"))
     Q74Bm25.scoresOver(spark, tf, spark.table(lenT),
-      meta.getLong(0), meta.getLong(1), queries)
+      meta.getLong(0), meta.getLong(1), qpairs)
   }
 
   /** ADMIT a delta of arriving documents: append their postings and

@@ -1605,11 +1605,17 @@ object Q64nBpeDriftGatedStore extends GraftQuery {
   val name = "q64n_bpe_drift_gated_store"
   private val prefix = "graft_dgvocab"
 
-  /** Build (or bind) this corpus snapshot's (vocab, stats). */
+  /** Build (or bind) this corpus snapshot's (vocab, stats). Layout
+    * v2 (round 15): stats gained `train_oov_rate` — the never-null
+    * missing-baseline predicate, harmonized with q64o/q64p — and the
+    * fertility freeze is null-guarded (a corpus-trained BPE vocab
+    * covers every training word today, but the freeze must not rely
+    * on that staying true). */
   private[graft] def ensureStore(spark: SparkSession,
       dir: String): (String, String) = {
     val names = graft.plans.Stores.ensure(
-        spark, prefix, dir, Seq("vocab", "stats")) {
+        spark, prefix, dir, Seq("vocab", "stats"),
+        layoutVersion = "2") {
         case Seq(vocabT, statsT) =>
       import spark.implicits._
       val freq = Bpe.wordFreq(spark, dir).collect()
@@ -1624,8 +1630,12 @@ object Q64nBpeDriftGatedStore extends GraftQuery {
       measured(spark, graft.Tables.documents(spark, dir),
           broadcast(spark.table(vocabT)))
         .select(col("lang"),
-          (col("invocab_ntok").cast("double") / col("invocab_words"))
-            .as("train_fertility"))
+          when(col("invocab_words") === 0L, lit(null).cast("double"))
+            .otherwise(col("invocab_ntok").cast("double")
+              / col("invocab_words"))
+            .as("train_fertility"),
+          (col("oov_words").cast("double") / col("n_words"))
+            .as("train_oov_rate"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").saveAsTable(statsT)
     }
@@ -1678,14 +1688,20 @@ object Q64nBpeDriftGatedStore extends GraftQuery {
           .otherwise(col("invocab_ntok").cast("double") / col("invocab_words"))
           .as("current_fertility"),
         (col("oov_words").cast("double") / col("n_words")).as("oov_rate"),
-        col("n_words"), col("oov_words"))
+        col("n_words"), col("oov_words"), col("train_oov_rate"))
       .withColumn("rel_drift",
         abs(col("current_fertility") - col("stored_fertility"))
           / col("stored_fertility"))
+      // Missing baseline = no stats ROW (train_oov_rate is never null
+      // when one exists — the q64o/q64p rule): a null stored FERTILITY
+      // alone just means the training words were all OOV, which the
+      // oov arm baselines; the drift comparison is null-safe.
       .withColumn("retrain",
-        col("stored_fertility").isNull ||
+        col("train_oov_rate").isNull ||
           col("oov_rate") > Q64fVocabDrift.OovThreshold ||
-          col("rel_drift") > Q64fVocabDrift.DriftThreshold)
+          coalesce(col("rel_drift") > Q64fVocabDrift.DriftThreshold,
+            lit(false)))
+      .drop("train_oov_rate")
       .orderBy(col("lang"))
 
   def run(spark: SparkSession, dir: String): DataFrame = {
@@ -1713,18 +1729,18 @@ object Q64nBpeDriftGatedStore extends GraftQuery {
         CAST(SUM(CASE WHEN dict.word IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS invocab_words
       FROM ww LEFT JOIN dict ON dict.word = ww.word GROUP BY lang)
     SELECT lang,
-      CAST(invocab_ntok AS DOUBLE) / invocab_words AS stored_fertility,
-      CAST(invocab_ntok AS DOUBLE) / invocab_words AS current_fertility,
+      CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0) AS stored_fertility,
+      CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0) AS current_fertility,
       CAST(oov_words AS DOUBLE) / n_words AS oov_rate,
       n_words, oov_words,
-      abs(CAST(invocab_ntok AS DOUBLE) / invocab_words
-        - CAST(invocab_ntok AS DOUBLE) / invocab_words)
-        / (CAST(invocab_ntok AS DOUBLE) / invocab_words) AS rel_drift,
+      abs(CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0)
+        - CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0))
+        / (CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0)) AS rel_drift,
       (CAST(oov_words AS DOUBLE) / n_words > ${Q64fVocabDrift.OovThreshold}
-        OR abs(CAST(invocab_ntok AS DOUBLE) / invocab_words
-             - CAST(invocab_ntok AS DOUBLE) / invocab_words)
-           / (CAST(invocab_ntok AS DOUBLE) / invocab_words)
-           > ${Q64fVocabDrift.DriftThreshold}) AS retrain
+        OR COALESCE(abs(CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0)
+             - CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0))
+           / (CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0))
+           > ${Q64fVocabDrift.DriftThreshold}, FALSE)) AS retrain
     FROM m
     ORDER BY lang
   """.trim
@@ -1870,20 +1886,20 @@ object Q64oWordpieceDriftGatedStore extends GraftQuery {
         CAST(SUM(CASE WHEN e.ew = '[UNK]' THEN 0 ELSE 1 END) AS BIGINT) AS invocab_words
       FROM ww JOIN enc e ON e.w = ww.word GROUP BY lang)
     SELECT lang,
-      CAST(invocab_ntok AS DOUBLE) / invocab_words AS stored_fertility,
-      CAST(invocab_ntok AS DOUBLE) / invocab_words AS current_fertility,
+      CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0) AS stored_fertility,
+      CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0) AS current_fertility,
       CAST(unk_words AS DOUBLE) / n_words AS stored_unk_rate,
       CAST(unk_words AS DOUBLE) / n_words AS current_unk_rate,
       n_words, unk_words,
-      abs(CAST(invocab_ntok AS DOUBLE) / invocab_words
-        - CAST(invocab_ntok AS DOUBLE) / invocab_words)
-        / (CAST(invocab_ntok AS DOUBLE) / invocab_words) AS rel_drift,
+      abs(CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0)
+        - CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0))
+        / (CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0)) AS rel_drift,
       CAST(0 AS DOUBLE) AS unk_jump,
       (CAST(0 AS DOUBLE) > ${Q64lWordpieceDrift.UnkJumpThreshold}
-        OR abs(CAST(invocab_ntok AS DOUBLE) / invocab_words
-             - CAST(invocab_ntok AS DOUBLE) / invocab_words)
-           / (CAST(invocab_ntok AS DOUBLE) / invocab_words)
-           > ${Q64lWordpieceDrift.DriftThreshold}) AS retrain
+        OR COALESCE(abs(CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0)
+             - CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0))
+           / (CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0))
+           > ${Q64lWordpieceDrift.DriftThreshold}, FALSE)) AS retrain
     FROM m
     ORDER BY lang
   """.trim
@@ -1919,11 +1935,12 @@ object Q64pUnigramDriftGatedStore extends GraftQuery {
         spark, prefix, dir, Seq("pieces", "stats"),
         layoutVersion = "2") {
         case Seq(piecesT, statsT) =>
-      import spark.implicits._
-      val (inventory, _, _) = Q64hUnigramVocab.learn(spark, dir)
-      val q = Q64hUnigramVocab.scoresOf(inventory).toMap
-      inventory.map { case (p, c) => (p, c, q(p)) }
-        .toDF("piece", "cnt", "q")
+      // The (piece, cnt, q) artifact is BYTE-IDENTICAL to the encode
+      // store's (q64k ensures it for the same corpus fingerprint):
+      // reuse the committed EM suite instead of re-training — one
+      // hard-EM pass per snapshot across both families, not two.
+      val src = Q64kUnigramEncodeStore.ensureScores(spark, dir)
+      spark.table(src)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").saveAsTable(piecesT)
       // train_fertility is guarded (null iff every training word of a
@@ -1953,6 +1970,11 @@ object Q64pUnigramDriftGatedStore extends GraftQuery {
     val chars = spark.table(piecesT)
       .filter(length(col("piece")) === 1)
       .select(col("piece")).collect().map(_.getString(0)).sorted
+    // The inventory's chars come from [a-zA-Z]-normalized words, so
+    // the literal splice below cannot meet a quote/backslash — made
+    // LOUD rather than assumed (the splice would mis-parse otherwise).
+    require(chars.forall(c => c.length == 1 && c.head.isLetter),
+      s"non-letter piece in the char inventory: ${chars.mkString(",")}")
     val charsLit = chars.map(c => s"'$c'").mkString("array(", ", ", ")")
     val covered = s"size(filter(sequence(1, length(w)), i_ -> " +
       s"NOT array_contains($charsLit, substring(w, i_, 1)))) = 0"
@@ -2036,18 +2058,18 @@ object Q64pUnigramDriftGatedStore extends GraftQuery {
         CAST(SUM(CASE WHEN e.w IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS invocab_words
       FROM lww LEFT JOIN feenc e ON e.w = lww.word GROUP BY lang)
     SELECT lang,
-      CAST(invocab_ntok AS DOUBLE) / invocab_words AS stored_fertility,
-      CAST(invocab_ntok AS DOUBLE) / invocab_words AS current_fertility,
+      CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0) AS stored_fertility,
+      CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0) AS current_fertility,
       CAST(oov_words AS DOUBLE) / n_words AS oov_rate,
       n_words, oov_words,
-      abs(CAST(invocab_ntok AS DOUBLE) / invocab_words
-        - CAST(invocab_ntok AS DOUBLE) / invocab_words)
-        / (CAST(invocab_ntok AS DOUBLE) / invocab_words) AS rel_drift,
+      abs(CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0)
+        - CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0))
+        / (CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0)) AS rel_drift,
       (CAST(oov_words AS DOUBLE) / n_words > ${Q64mUnigramDrift.OovThreshold}
-        OR abs(CAST(invocab_ntok AS DOUBLE) / invocab_words
-             - CAST(invocab_ntok AS DOUBLE) / invocab_words)
-           / (CAST(invocab_ntok AS DOUBLE) / invocab_words)
-           > ${Q64mUnigramDrift.DriftThreshold}) AS retrain
+        OR COALESCE(abs(CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0)
+             - CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0))
+           / (CAST(invocab_ntok AS DOUBLE) / NULLIF(invocab_words, 0))
+           > ${Q64mUnigramDrift.DriftThreshold}, FALSE)) AS retrain
     FROM m
     ORDER BY lang
   """.trim

@@ -198,6 +198,17 @@ class Round15Spec extends SparkSpec {
     assert(postScan.get.optionalBucketSet.exists(_.cardinality() <= nTerms),
       s"dynamic batch did not engage bucket pruning: " +
         s"${postScan.get.optionalBucketSet.map(_.cardinality())} (want <= $nTerms)")
+    // Duplicate (query_id, word) pairs — the shape a batch built by
+    // tokenizing query text produces — must not change scores: BM25
+    // saturation lives in tf, never in query-term multiplicity.
+    import graft.queries.{Q74Bm25, Q74bBm25Store}
+    val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, sf)
+    val batch = Q74fBm25QueryTable.queriesDf(spark)
+    def serve(q: org.apache.spark.sql.DataFrame) =
+      Q74Bm25.topK(Q74bBm25Store.scoredFromQueries(
+        spark, postT, lenT, metaT, q), 10).collect().map(_.toString).toSeq
+    assert(serve(batch.unionByName(batch)) == serve(batch),
+      "duplicated query pairs changed the scores")
   }
 
   test("q74c phrases as data: a caller-provided phrase batch serves through the shared plan (brute-force ground truth)") {
