@@ -55,6 +55,7 @@ object Bench {
     warm(queries.Q64oWordpieceDriftGatedStore.ensureStore(spark, sfDir))
     warm(queries.Q64pUnigramDriftGatedStore.ensureStore(spark, sfDir))
     warm(queries.Q78DriftConsole.ensureStore(spark, sfDir))
+    warm(streaming.S26StreamDriftGate.ensureGateReport(spark, sfDir))
     warm(multimodal.Q25fImageDedupStore.ensureStore(spark, sfDir))
     warm(multimodal.Q25hAudioDedupStore.ensureStore(spark, sfDir))
     warm(multimodal.Q25jVideoDedupStore.ensureStore(spark, sfDir))

@@ -455,7 +455,8 @@ object ScaleBench {
     // retrieval scale-up.
     val retrNames = Seq("q74b_store_build", "q74b_store_serve",
       "q74c_phrase_serve", "q74d_boost_serve", "q74e_prox_serve",
-      "s25_epoch_phrase_serve")
+      "s25_epoch_phrase_serve", "q74f_edge_plan_10k",
+      "q74f_edge_plan_100k", "q74f_edge_serve_100k")
     val wantRetr = only.forall(names => retrNames.exists(names))
     // Fail-soft like every other section: a build that dies at one
     // decade must cost that decade's points, not the whole run (the
@@ -488,10 +489,33 @@ object ScaleBench {
         if (!epochOk) -1.0
         else serve(Q74cBm25PhraseStore.serveFromFrame(spark, spark.table(epochT)))
       graft.plans.Stores.dropManaged(spark, epochT)
+      // Contract-edge pricing (VERDICT r15 #3): planning + serve at
+      // the query-batch ceiling's two sides. 10k terms = the largest
+      // literal-pruned batch (the biggest In the analyzer must chew);
+      // 100k = the broadcast-join fallback at the MaxTerms contract
+      // edge. Terms are synthetic non-matching strings — the points
+      // price PLAN BUILD and the scan/join machinery, which is
+      // exactly what the old unpriced 10⁶ cap would have blown.
+      def edgeBatch(n: Long) = spark.range(n)
+        .select((col("id") % 1000).cast("int").as("query_id"),
+          concat(lit("zzedge"), col("id")).as("word"))
+      def edgeScored(n: Long) = Q74bBm25Store.scoredFromQueries(
+        spark, postT, lenT, metaT, edgeBatch(n))
+      val edgePlan10k = t1 {
+        edgeScored(Q74bBm25Store.LiteralPruneMaxTerms.toLong)
+          .queryExecution.executedPlan }
+      val edgePlan100k = t1 {
+        edgeScored(Q74bBm25Store.MaxTerms.toLong)
+          .queryExecution.executedPlan }
+      val edgeServe100k =
+        serve(Q74Bm25.topK(edgeScored(Q74bBm25Store.MaxTerms.toLong), 10))
       graft.plans.Stores.evict(spark, "graft_bm25store")
       Map("q74b_store_build" -> build, "q74b_store_serve" -> bServe,
         "q74c_phrase_serve" -> cServe, "q74d_boost_serve" -> dServe,
-        "q74e_prox_serve" -> eServe, "s25_epoch_phrase_serve" -> sServe)
+        "q74e_prox_serve" -> eServe, "s25_epoch_phrase_serve" -> sServe,
+        "q74f_edge_plan_10k" -> edgePlan10k,
+        "q74f_edge_plan_100k" -> edgePlan100k,
+        "q74f_edge_serve_100k" -> edgeServe100k)
         .filter(_._2 >= 0)
     } catch { case e: Throwable =>
       System.err.println(s"[scalebench] retrieval section @ $dir FAILED: ${e.getMessage}")
@@ -555,6 +579,14 @@ object ScaleBench {
     val gt100: Map[String, Double] =
       if (!wantGates || !scale100Enabled) Map.empty
       else { synthesize100(spark, sfDir); gatePoints(Scale100Dir) }
+    // Fourth decade for the drift-gate measurements (VERDICT r15 #7):
+    // one 1000× point per family, same opt-in as the other 1000×
+    // passes, so the gate cost curve matches the text/retrieval
+    // families' coverage.
+    val gt1000: Map[String, Double] =
+      if (!wantGates ||
+          sys.env.getOrElse("SPARK_GRAFT_SCALE1000", "0") != "1") Map.empty
+      else { synthesize1000(spark, sfDir); gatePoints(Scale1000Dir) }
     // Text-dedup CLOSURE at the deep decades (VERDICT r12 item 7):
     // the label-propagation loop is O(component-diameter) iterations
     // × one shuffle each — the most plausible remaining superlinear
@@ -694,6 +726,14 @@ object ScaleBench {
           .mkString("{", ",", "}")
         println(s"""{"scale_gates":"sf0.1x100","points":${grow(gt100)}}""")
         println(s"""{"gate_ratio_100x_vs_10x":$g100}""")
+      }
+      if (gt1000.nonEmpty) {
+        val g1000 = gateNames
+          .filter(n => gt1000.contains(n) && gt100.contains(n))
+          .map(n => "\"" + n + "\":" + f"${ratio(gt1000(n), gt100(n))}%.2f")
+          .mkString("{", ",", "}")
+        println(s"""{"scale_gates":"sf0.1x1000","points":${grow(gt1000)}}""")
+        println(s"""{"gate_ratio_1000x_vs_100x":$g1000}""")
       }
     }
     if (cl100.nonEmpty) {

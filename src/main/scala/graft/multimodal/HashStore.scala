@@ -216,14 +216,12 @@ object Q25hAudioDedupStore extends GraftQuery {
   /** Fingerprints of one split's wav clips, as the store's
     * (media_id, dhash) contract. */
   private[graft] def featsOf(spark: SparkSession, dir: String,
-      split: String): DataFrame = {
-    import spark.implicits._
-    extractFingerprints(mediaTable(spark, dir)
-        .filter(col("meta.format") === "wav" &&
-          Q40TrainTestSplit.splitColOf("media_id") === split)
-        .as[MediaRow]).toDF()
+      split: String): DataFrame =
+    extractFingerprints(
+        Multimodal.wavRows(mediaTable(spark, dir)
+          .filter(Q40TrainTestSplit.splitColOf("media_id") === split)),
+        codec = Multimodal.WavCodec).toDF()
       .select(col("media_id"), col("ahash").as("dhash"))
-  }
 
   private[graft] def ensureStore(spark: SparkSession, dir: String): String =
     store.ensureStore(spark, dir)(featsOf(spark, dir, "train"))

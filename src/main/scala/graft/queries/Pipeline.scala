@@ -145,17 +145,15 @@ object Q71MultimodalCuration extends GraftQuery {
     val semDup = Q70SemanticDedup.semanticDedup(Tables.embeddings(spark, dir))
       .filter(col("verdict") === "drop")
       .select(col("vec_id").as("doc_id"), lit(true).as("sem_dup"))
-    val audDup = {
-      import spark.implicits._
+    val audDup =
       Q25dImageNearDup.nearDupPairs(
           graft.multimodal.Q25gAudioNearDup.extractFingerprints(
-              graft.multimodal.Multimodal.mediaTable(spark, dir)
-                .filter(col("meta.format") === "wav")
-                .as[graft.multimodal.Multimodal.MediaRow]).toDF()
+              graft.multimodal.Multimodal.wavRows(
+                graft.multimodal.Multimodal.mediaTable(spark, dir)),
+              codec = graft.multimodal.Multimodal.WavCodec).toDF()
             .select(col("media_id"), col("ahash").as("dhash")))
         .select(col("id_b").as("doc_id")).distinct()
         .withColumn("audio_dup", lit(true))
-    }
     docs.select(col("doc_id"), col("lang"), col("source"))
       .join(textOk, "doc_id")
       .join(textDup, "doc_id")

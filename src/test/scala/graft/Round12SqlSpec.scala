@@ -218,6 +218,11 @@ class Round12SqlSpec extends SparkSpec {
       // q75's cosine + q74e's proximity chain) fused by RRF — its
       // oracle is pure SQL.
       "q75c_hybrid_rrf3",
+      // q75d (round 16): q75c's three relational arms parameterized
+      // by the caller's (query_id, word)/(query_id, qv) tables — the
+      // batch is driver-scale by contract, so the SQL spelling is
+      // q75c's with the batch as VALUES tables.
+      "q75d_fusion_query_tables",
       // q77c (round 15): q77's relational chain with the target as a
       // second gram-count rollup (full-outer bucket alignment).
       "q77c_dsir_target",
