@@ -1163,17 +1163,60 @@ object Q19cAnnSparkMl extends GraftQuery {
   * cost ≈ n·(nProbe/k) instead of n; the only driver-side values are
   * the O(1) query row and the k-row centroid table. The per-candidate
   * dot product runs through the same decimal explode+broadcast shape
-  * as q19, so results are deterministic (rows-only driver check —
-  * the centroids live in the JVM model, not SQL; AnnIvfSpec pins
-  * determinism and recall vs the exact top-k). */
+  * as q19, so results are deterministic. HASH-checked since round 16
+  * via the q19f snapshot bridge (the fit's ASSIGNMENTS are rows even
+  * though the KMeans iterations aren't SQL): run() pins the probed
+  * ids + fitted membership and the oracle replays candidates + exact
+  * cosines; AnnIvfSpec keeps the determinism and recall-vs-exact
+  * gates. */
 object Q19dAnnIvf extends GraftQuery {
   import NorthStar._
   val name = "q19d_ann_ivf"
   private[graft] val K = 16
   private[graft] val NProbe = 4
 
-  def run(spark: SparkSession, dir: String): DataFrame =
-    ivf(spark, dir, NProbe)
+  /** Snapshot dirs (probed list ids, fitted membership) of the last
+    * [[run]] — the q19f/q19e oracle bridge applied to the RECOMPUTE
+    * tier: the in-JVM KMeans fit isn't replayable, but its
+    * assignments are rows, and given them the candidate set and the
+    * exact cosines are relational. */
+  @volatile private var snapshot: Option[(String, String)] = None
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(K).setSeed(42).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("list_id").fit(e)
+    val assigned = model.transform(e).localCheckpoint(true)
+    val qVec = assigned.filter(col("vec_id") === 0)
+      .head().getAs[Vector]("features")
+    val probe = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, Vectors.sqdist(c, qVec)) }
+      .sortBy { case (lid, d2) => (d2, lid) }.take(NProbe).map(_._1).toSeq
+    val wh = graft.plans.Stores.warehouse(spark)
+    val (probeSnap, memSnap) =
+      (wh.resolve("graft_q19d_probe_snap").toAbsolutePath.toString,
+        wh.resolve("graft_q19d_mem_snap").toAbsolutePath.toString)
+    probe.toDF("list_id").repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(probeSnap)
+    assigned.select(col("list_id").cast("int").as("list_id"), col("vec_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(memSnap)
+    snapshot = Some((probeSnap, memSnap))
+    val cand = assigned
+      .filter(col("vec_id") =!= 0 && col("list_id").isin(probe: _*))
+    exactCosineTopK(spark, dir, cand)
+  }
+
+  /** HASH oracle over the snapshot — q19e's replay verbatim (shared
+    * builder): candidate membership from the pinned (probe, fitted
+    * membership) join, exact decimal cosines over the source table. */
+  def oracle: Option[String] =
+    snapshot.map { case (p, m) => Q19eAnnIvfStore.duckIvfOracle(p, m) }
 
   /** The probe knob exposed: scan cost ≈ n·(nProbe/K) against recall.
     * AnnIvfSpec measures the recall/latency curve at 2/4/8/16 probes
@@ -1194,7 +1237,7 @@ object Q19dAnnIvf extends GraftQuery {
       .head().getAs[Vector]("features") // O(1) driver value: the query key
     val probe = model.clusterCenters.zipWithIndex // k rows on the driver
       .map { case (c, i) => (i, Vectors.sqdist(c, qVec)) }
-      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+      .sortBy { case (lid, d2) => (d2, lid) }.take(nProbe).map(_._1).toSeq
     val cand = assigned
       .filter(col("vec_id") =!= 0 && col("list_id").isin(probe: _*))
     exactCosineTopK(spark, dir, cand)
@@ -1222,7 +1265,6 @@ object Q19dAnnIvf extends GraftQuery {
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(10)
   }
-  val oracle = None
 }
 
 /** Q19e — PERSISTED IVF ANN index: q19d's coarse quantizer through
@@ -1388,7 +1430,14 @@ object Q19eAnnIvfStore extends GraftQuery {
     * embeddings table. Absent before any run (rows-only fallback);
     * Verify dumps oracle_sql.json after running, so the path is
     * always this run's. */
-  def oracle: Option[String] = snapshot.map { case (probeSnap, memSnap) =>
+  def oracle: Option[String] =
+    snapshot.map { case (p, m) => duckIvfOracle(p, m) }
+
+  /** The shared pinned-candidate replay — q19d (fitted in-JVM
+    * membership) and q19e (persisted index membership) serve the
+    * same exact-cosine contract, so one oracle builder gates both. */
+  private[queries] def duckIvfOracle(probeSnap: String,
+      memSnap: String): String = {
     def d(x: String) = NorthStar.duckDec(x)
     s"""
     WITH probe AS (SELECT list_id FROM read_parquet('$probeSnap/*.parquet')),
@@ -2057,20 +2106,9 @@ object Q75bHybridRrfStore extends GraftQuery {
   @volatile private var snapshot: Option[(String, String)] = None
 
   def run(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val (centT, listsT) = Q19eAnnIvfStore.ensureStore(spark, dir)
-    val triples = probeTriples(spark, dir, centT)
-    val wh = graft.plans.Stores.warehouse(spark)
-    val (probeSnap, memSnap) =
-      (wh.resolve("graft_q75b_probe_snap").toAbsolutePath.toString,
-        wh.resolve("graft_q75b_mem_snap").toAbsolutePath.toString)
-    triples.flatMap { case (q, pid, ls) => ls.map(l => (q, pid, l)) }
-      .toDF("query_id", "pid", "list_id").repartition(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(probeSnap)
-    spark.table(listsT)
-      .select(col("list_id").cast("int").as("list_id"), col("vec_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(memSnap)
-    snapshot = Some((probeSnap, memSnap))
+    snapshot = Some(writeSnapshots(spark, probeTriples(spark, dir, centT),
+      listsT, "graft_q75b_probe_snap", "graft_q75b_mem_snap"))
     fuse(lexArm(spark, dir), semArmFrom(spark, dir, centT, listsT))
   }
 
@@ -2083,7 +2121,34 @@ object Q75bHybridRrfStore extends GraftQuery {
     * replays through q74's shared CTEs like q75's own oracle. Absent
     * before any run (rows-only fallback); Round14Spec keeps the
     * recall floor against q75's exact fusion. */
-  def oracle: Option[String] = snapshot.map { case (probeSnap, memSnap) =>
+  def oracle: Option[String] =
+    snapshot.map { case (p, m) => duckFusionOracle(p, m) }
+
+  /** Write this serve's (probe triples, list membership) snapshots
+    * and return their paths — shared with the ingest-tier fusion
+    * (s24), whose working index is the same table shape. */
+  private[graft] def writeSnapshots(spark: SparkSession,
+      triples: Seq[(Int, Long, Seq[Int])], listsT: String,
+      probeName: String, memName: String): (String, String) = {
+    import spark.implicits._
+    val wh = graft.plans.Stores.warehouse(spark)
+    val (probeSnap, memSnap) =
+      (wh.resolve(probeName).toAbsolutePath.toString,
+        wh.resolve(memName).toAbsolutePath.toString)
+    triples.flatMap { case (q, pid, ls) => ls.map(l => (q, pid, l)) }
+      .toDF("query_id", "pid", "list_id").repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(probeSnap)
+    spark.table(listsT)
+      .select(col("list_id").cast("int").as("list_id"), col("vec_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(memSnap)
+    (probeSnap, memSnap)
+  }
+
+  /** The pinned-snapshot fusion replay — shared by q75b (static full
+    * index) and s24 (freshly-ingested working index): lexical arm
+    * through q74's CTEs, semantic arm from the snapshots, q75's RRF. */
+  private[graft] def duckFusionOracle(probeSnap: String,
+      memSnap: String): String = {
     def fold(prod: String, n: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         s"list_transform(range(1, $n + 1), i -> $prod)), " +
@@ -3439,12 +3504,78 @@ object Q19gAnnPq extends GraftQuery {
     Q19dAnnIvf.exactCosineTopK(spark, dir, raw)
   }
 
+  /** Snapshot dir (the exact-rerank candidate ids) of the last
+    * [[run]] — the q19f bridge applied to IVFADC+R: the coarse probe
+    * and the ADC shortlist are model-side selections (spec-gated for
+    * determinism/recall as before), but given the pinned shortlist
+    * the surfaced output — the exact re-ranked cosines — IS
+    * relationally replayable, so the arithmetic that reaches the
+    * user is hash-gated. */
+  @volatile private var snapshot: Option[String] = None
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     val (centT, listsT, cbT, codesT) = ensurePqStore(spark, dir)
-    query(spark, dir, centT, listsT, cbT, codesT, Q19dAnnIvf.NProbe)
+    val out = query(spark, dir, centT, listsT, cbT, codesT, Q19dAnnIvf.NProbe)
+    val wh = graft.plans.Stores.warehouse(spark)
+    val candSnap = wh.resolve("graft_q19g_cand_snap").toAbsolutePath.toString
+    rerankCands(spark, dir, centT, listsT, cbT, codesT, Q19dAnnIvf.NProbe)
+      .repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(candSnap)
+    snapshot = Some(candSnap)
+    out
   }
 
-  val oracle = None
+  /** The exact-rerank candidate id set of a serve — what [[run]]
+    * snapshots for the oracle. */
+  private def rerankCands(spark: SparkSession, dir: String,
+      centT: String, listsT: String, cbT: String, codesT: String,
+      nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    val probe = spark.table(centT).collect()
+      .map { r =>
+        val c = r.getSeq[Double](1)
+        (r.getInt(0), c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (lid, d2) => (d2, lid) }.take(nProbe).map(_._1).toSeq
+    val lut = broadcast(spark.table(cbT).collect().map { r =>
+      val (m, code) = (r.getInt(0), r.getInt(1))
+      val c = r.getSeq[Double](2)
+      val qSub = qVec.slice(m * SubDim, (m + 1) * SubDim)
+      (m, code, c.zip(qSub).map { case (x, q) => x * q }.sum,
+        c.map(x => x * x).sum)
+    }.toSeq.toDF("sub_id", "code_id", "qdot", "cn2"))
+    val qn2 = qVec.map(x => x * x).sum
+    spark.table(codesT)
+      .filter(col("list_id").isin(probe: _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"), posexplode(col("code")).as(Seq("sub_id", "code_id")))
+      .join(lut, Seq("sub_id", "code_id"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qdot")).as("adot"), sum(col("cn2")).as("an2"))
+      .select(col("vec_id"),
+        (col("adot") / (sqrt(col("an2")) * lit(math.sqrt(qn2)))).as("acos"))
+      .orderBy(col("acos").desc, col("vec_id").asc)
+      .limit(Rerank)
+      .select(col("vec_id"))
+  }
+
+  /** HASH oracle over the pinned shortlist: exact decimal cosines
+    * (the q19d/q19e arithmetic) over embeddings ⋉ candidates. */
+  def oracle: Option[String] = snapshot.map { candSnap =>
+    def d(x: String) = NorthStar.duckDec(x)
+    s"""
+    WITH cand AS (SELECT vec_id FROM read_parquet('$candSnap/*.parquet')),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT e.vec_id,
+      list_aggregate(list_transform(range(1, len(e.embedding)+1), i -> ${d("e.embedding[i]")} * ${d("qv[i]")}), 'sum') AS dot,
+      list_aggregate(list_transform(range(1, len(e.embedding)+1), i -> ${d("e.embedding[i]")} * ${d("e.embedding[i]")}), 'sum') AS n2,
+      list_aggregate(list_transform(range(1, len(qv)+1), i -> ${d("qv[i]")} * ${d("qv[i]")}), 'sum') AS qn2
+      FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q)
+    SELECT vec_id,
+      round(${NorthStar.duckDbl("dot")} / (sqrt(${NorthStar.duckDbl("n2")}) * sqrt(${NorthStar.duckDbl("qn2")})), 4) AS cosine
+    FROM c ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """.trim
+  }
 }
 
 /** Q46c — decontamination behind a BLOOM-FILTER prefilter: the

@@ -132,12 +132,19 @@ object Q70SemanticDedup extends GraftQuery {
 
   /** The assignment+prune CTE chain (through `assign` and `doms`) —
     * shared by this oracle and q71's composed replay. */
-  private[graft] val duckChain: String = s"""n2 AS (SELECT vec_id, embedding,
+  private[graft] val duckChain: String = duckChainWith(
+    s"""cent AS (SELECT vec_id AS cid, embedding AS ce, n2 AS cn2
+             FROM n2 ORDER BY vec_id LIMIT $K)""")
+
+  /** The same chain over an ARBITRARY `cent(cid, ce, cn2)` CTE — the
+    * trained tier's snapshot oracle (q70c) plugs its pinned centroid
+    * table in; the assignment/prune replay is shared verbatim. */
+  private[graft] def duckChainWith(centCte: String): String =
+    s"""n2 AS (SELECT vec_id, embedding,
         list_reduce(list_prepend(CAST(0 AS DOUBLE),
           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
           (acc, p) -> acc + p) AS n2 FROM embeddings),
-    cent AS (SELECT vec_id AS cid, embedding AS ce, n2 AS cn2
-             FROM n2 ORDER BY vec_id LIMIT $K),
+    $centCte,
     scored AS (SELECT v.vec_id, c.cid,
         list_reduce(list_prepend(CAST(0 AS DOUBLE),
           list_transform(range(1, len(v.embedding)+1),
@@ -373,14 +380,36 @@ object Q70cSemanticDedupTrained extends GraftQuery {
     }.toSeq.toDF("cid", "ce", "cn2")
   }
 
+  /** Snapshot dir (the trained centroid frame) of the last [[run]] —
+    * the q19f bridge: KMeans float iterations are not relationally
+    * replayable, but the trained (cid, ce, cn2) rows are, and the
+    * whole assignment+prune is q70's shared chain over them. */
+  @volatile private var snapshot: Option[String] = None
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    dedupWithCentroids(withN2(e), trainedCentroids(e), Tau)
+    val cent = trainedCentroids(e).localCheckpoint(true)
+    val wh = graft.plans.Stores.warehouse(spark)
+    val centSnap = wh.resolve("graft_q70c_cent_snap").toAbsolutePath.toString
+    cent.repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(centSnap)
+    snapshot = Some(centSnap)
+    dedupWithCentroids(withN2(e), cent, Tau)
       .orderBy(col("vec_id"))
   }
 
-  /** KMeans float iterations are not relationally replayable — the
-    * driver records a rows-only check; the recall/soundness gates
-    * live in Round11eSpec. */
-  val oracle: Option[String] = None
+  /** HASH oracle over the pinned trained centroids: q70's own
+    * assignment+prune CTE chain with `cent` read from the snapshot —
+    * the recall/soundness gates stay in Round11eSpec. */
+  def oracle: Option[String] = snapshot.map { centSnap =>
+    s"""
+    WITH ${Q70SemanticDedup.duckChainWith(
+      s"cent AS (SELECT cid, ce, cn2 FROM read_parquet('$centSnap/*.parquet'))")}
+    SELECT a.vec_id, a.cluster,
+      CASE WHEN d.dom_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+      d.dom_id
+    FROM assign a LEFT JOIN doms d ON d.vb = a.vec_id
+    ORDER BY a.vec_id
+    """.trim
+  }
 }

@@ -27,12 +27,14 @@ import graft.Tables
   *    probability. UDF-free, codegen-friendly, one doc-keyed
   *    aggregation — the 100 TB shape.
   *
-  * ROWS-ONLY by design (q19c posture): L-BFGS coefficients are not
-  * relationally replayable. Round12Spec gates (a) same-session
-  * determinism of the served frame, (b) an AUC floor on the q40 TEST
-  * split — the model must actually rank held-out Gopher verdicts,
-  * not memorize — and (c) the serve plan's broadcast posture. q55
-  * remains the hash-green arithmetic gate of the serving shape. */
+  * HASH-checked since round 16 via the q19f snapshot bridge: L-BFGS
+  * coefficients are not relationally replayable, but the persisted
+  * weight TABLE is plain parquet — run() pins it and the oracle
+  * replays the entire serve (fids, counts, fid-ordered margin fold,
+  * sigmoid, label join). Round12Spec keeps (a) same-session
+  * determinism, (b) the AUC floor on the q40 TEST split — the model
+  * must actually rank held-out Gopher verdicts, not memorize — and
+  * (c) the serve plan's broadcast posture. */
 object Q55bTrainedClassifier extends GraftQuery {
   val name = "q55b_classifier_trained"
   /** Weight-table size: the 1000003-bucket rolling hash folded to a
@@ -91,7 +93,14 @@ object Q55bTrainedClassifier extends GraftQuery {
   }
 
   /** Serve `docs` (doc_id, text) against a bound weight table — the
-    * UDF-free broadcast-join path Round12Spec plan-asserts. */
+    * UDF-free broadcast-join path Round12Spec plan-asserts. The
+    * margin is a SORTED-by-fid fold (round 16 — the scoresOver
+    * technique): a plain double SUM is partition-order-dependent,
+    * while the fid-ordered fold adds identical IEEE terms in
+    * identical order in any engine — which is what lets the pinned
+    * weight table gate this serve by hash. Unmatched fids ride as
+    * exact 0.0 terms (adding 0.0 never changes a finite IEEE sum),
+    * so docs whose every feature misses the table still surface. */
   private[graft] def serve(docs: DataFrame, weights: DataFrame): DataFrame = {
     val intercept = broadcast(weights.filter(col("fid") === -1)
       .select(col("w").as("b0")))
@@ -101,7 +110,11 @@ object Q55bTrainedClassifier extends GraftQuery {
       .agg(count(lit(1)).as("cnt"))
       .join(broadcast(weights.filter(col("fid") >= 0)), Seq("fid"), "left")
       .groupBy(col("doc_id"))
-      .agg(sum(coalesce(col("cnt") * col("w"), lit(0.0))).as("dot"))
+      .agg(sort_array(collect_list(struct(col("fid"),
+        coalesce(col("cnt") * col("w"), lit(0.0)).as("term")))).as("ts"))
+      .withColumn("dot", expr(
+        "aggregate(transform(ts, x_ -> x_.term), cast(0 as double), " +
+          "(a_, x_) -> a_ + x_)"))
       .crossJoin(intercept)
       .select(col("doc_id"), (col("dot") + col("b0")).as("margin"))
     perDoc.select(col("doc_id"),
@@ -109,16 +122,68 @@ object Q55bTrainedClassifier extends GraftQuery {
       (col("margin") >= 0).as("pred"))
   }
 
+  /** Snapshot dir (this serve's bound weight table) of the last
+    * [[run]] — the q19f bridge applied to the TRAINED model: L-BFGS
+    * coefficients are not relationally replayable, but the persisted
+    * weight TABLE is rows, and given it the whole serve (features,
+    * counts, fid-ordered margin fold, sigmoid, verdict, label join)
+    * is relational. */
+  @volatile private var snapshot: Option[String] = None
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     val weightsT = ensureStore(spark, dir)
+    val wh = graft.plans.Stores.warehouse(spark)
+    val wSnap = wh.resolve("graft_q55b_w_snap").toAbsolutePath.toString
+    spark.table(weightsT).repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(wSnap)
+    snapshot = Some(wSnap)
     serve(Tables.documents(spark, dir), spark.table(weightsT))
       .join(labels(spark, dir)
         .select(col("doc_id"), (col("label") === 1.0).as("label")), "doc_id")
-      .select(col("doc_id"), col("prob"), col("pred"), col("label"))
+      // prob is ROUND(…, 4): sigmoid's exp is the one ≤1-ulp op in
+      // the chain (the q26 ln rule); margin itself is bit-exact.
+      .select(col("doc_id"), round(col("prob"), 4).as("prob"),
+        col("pred"), col("label"))
       .orderBy(col("doc_id"))
   }
 
-  /** L-BFGS coefficients are not relationally replayable — rows-only
-    * with spec-side determinism + AUC-floor gates (q19c posture). */
-  val oracle = None
+  /** HASH oracle over the pinned weight table: replay fids (q55's
+    * rolling hash mod [[Dim]]), per-(doc, fid) counts, the fid-ordered
+    * margin fold against the snapshot weights, sigmoid, and q61's own
+    * oracle as the label side. */
+  def oracle: Option[String] = snapshot.map { wSnap =>
+    val rolling =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(t_, ''), c_ -> CAST(ascii(c_) AS BIGINT))), " +
+        "(acc_, x_) -> (acc_ * 31 + x_) % 1000003)"
+    s"""
+    WITH wts AS (SELECT fid, w FROM read_parquet('$wSnap/*.parquet')),
+    b0 AS (SELECT w AS b0 FROM wts WHERE fid = -1),
+    toks AS (SELECT doc_id, ${Scoring.duckNormToks} AS ts FROM documents),
+    fx AS (SELECT doc_id,
+        list_transform(ts, t_ -> CAST($rolling % $Dim AS INT)) AS fids
+      FROM toks),
+    x AS (SELECT doc_id, UNNEST(fids) AS fid FROM fx),
+    cnt AS (SELECT doc_id, fid, CAST(count(*) AS BIGINT) AS cnt
+            FROM x GROUP BY doc_id, fid),
+    terms AS (SELECT c.doc_id, c.fid, COALESCE(c.cnt * w.w, 0.0) AS term
+              FROM cnt c LEFT JOIN (SELECT * FROM wts WHERE fid >= 0) w
+                ON w.fid = c.fid),
+    dots AS (SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY fid)),
+          (a_, x_) -> a_ + x_) AS dot
+      FROM terms GROUP BY doc_id),
+    m AS (SELECT d.doc_id,
+        COALESCE(dots.dot, 0.0) + (SELECT b0 FROM b0) AS margin
+      FROM documents d LEFT JOIN dots ON dots.doc_id = d.doc_id),
+    lbl AS (SELECT doc_id, status = 'kept' AS label
+            FROM (${Q61GopherRules.oracle.get}) t61)
+    SELECT m.doc_id,
+      round(1.0 / (1.0 + exp(-margin)), 4) AS prob,
+      margin >= 0 AS pred,
+      lbl.label AS label
+    FROM m JOIN lbl ON lbl.doc_id = m.doc_id
+    ORDER BY m.doc_id
+    """.trim
+  }
 }

@@ -1307,6 +1307,15 @@ object S19StreamAnnIngest extends GraftQuery {
     batches.get()
   }
 
+  /** Snapshot dir (the frozen quantizer's centroid table) of the
+    * last [[run]] — the q19f bridge applied to the INGEST tier: the
+    * KMeans fit isn't replayable, but the routing of arrivals
+    * through the FROZEN stored centroids is pure relational
+    * arithmetic (double left-fold sqdist, argmin with ties to the
+    * lowest list — the [[graft.queries.Q19eAnnIvfStore.assign]]
+    * contract), and the test split is the portable md5 nibble. */
+  @volatile private var snapshot: Option[String] = None
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     val (centT, listsT) = Q19eAnnIvfStore.ensureTrainStore(spark, dir)
     val runT = s"graft_s19_lists_${s19Run.incrementAndGet()}"
@@ -1317,6 +1326,11 @@ object S19StreamAnnIngest extends GraftQuery {
     try {
       maintain(spark, centT, runT, embsStream(spark, dir)
         .filter(Q40TrainTestSplit.splitColOf("vec_id") === "test"))
+      val wh = graft.plans.Stores.warehouse(spark)
+      val centSnap = wh.resolve("graft_s19_cent_snap").toAbsolutePath.toString
+      spark.table(centT).repartition(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(centSnap)
+      snapshot = Some(centSnap)
       // Report the routed deltas FROM the store (the table is the
       // state); checkpoint before dropping the table the plan reads.
       spark.table(runT)
@@ -1326,7 +1340,29 @@ object S19StreamAnnIngest extends GraftQuery {
     } finally spark.sql(s"DROP TABLE IF EXISTS $runT")
   }
 
-  val oracle: Option[String] = None
+  /** HASH oracle over the pinned quantizer: re-route every test-split
+    * vector through the stored centroids — the same double left-fold
+    * sqdist and (d2, list_id) argmin the ingest ran per epoch. Full
+    * stream drained ⇒ the accumulated routing equals this one-shot
+    * replay (assignment is per-row; epochs cannot interact). */
+  def oracle: Option[String] = snapshot.map { centSnap =>
+    s"""
+    WITH cents AS (SELECT list_id, centroid FROM read_parquet('$centSnap/*.parquet')),
+    t AS (SELECT vec_id, embedding FROM embeddings
+          WHERE instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 32, 1)) - 1 >= 13),
+    d AS (SELECT t.vec_id, c.list_id,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(1, len(t.embedding)+1),
+            i -> (CAST(t.embedding[i] AS DOUBLE) - c.centroid[i]) * (CAST(t.embedding[i] AS DOUBLE) - c.centroid[i]))),
+          (a_, x_) -> a_ + x_) AS d2
+      FROM t, cents c),
+    a AS (SELECT vec_id, list_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, list_id ASC) AS rn
+          FROM d)
+    SELECT vec_id, CAST(list_id AS INT) AS list_id
+    FROM a WHERE rn = 1 ORDER BY vec_id
+    """.trim
+  }
 }
 
 /** S20 — STREAMING excision ingest against q60d's persisted span
@@ -1652,6 +1688,12 @@ object S24StreamHybridFusion extends GraftQuery {
     finally spark.sql(s"DROP TABLE IF EXISTS $workT")
   }
 
+  /** Snapshot dirs (probe triples, post-ingest working membership) of
+    * the last [[run]] — q75b's bridge over the FRESH index: once the
+    * stream has drained, the working index is rows on disk, so the
+    * fused serve over it replays exactly like the static tier. */
+  @volatile private var snapshot: Option[(String, String)] = None
+
   def run(spark: SparkSession, dir: String): DataFrame =
     withWorkingIndex(spark, dir) { (centT, workT) =>
       S19StreamAnnIngest.maintain(spark, centT, workT,
@@ -1659,10 +1701,19 @@ object S24StreamHybridFusion extends GraftQuery {
           .filter(Q40TrainTestSplit.splitColOf("vec_id") === "test"))
       ()
     } { (centT, workT) =>
+      snapshot = Some(Q75bHybridRrfStore.writeSnapshots(spark,
+        Q75bHybridRrfStore.probeTriples(spark, dir, centT), workT,
+        "graft_s24_probe_snap", "graft_s24_mem_snap"))
       fuseFrom(spark, dir, centT, workT).localCheckpoint(true)
     }
 
-  val oracle: Option[String] = None
+  /** HASH oracle (round 16): q75b's pinned-snapshot fusion replay
+    * over the snapshots taken AFTER the ingest drained — the streamed
+    * working index is gated to serve exactly what its rows say.
+    * Round14Spec keeps the epoch-split-invariance and both-arms
+    * gates. */
+  def oracle: Option[String] =
+    snapshot.map { case (p, m) => Q75bHybridRrfStore.duckFusionOracle(p, m) }
 }
 
 /** S25 — PHRASE QUERIES over the STREAMED positional index: closes
