@@ -455,7 +455,7 @@ object ScaleBench {
     // retrieval scale-up.
     val retrNames = Seq("q74b_store_build", "q74b_store_serve",
       "q74c_phrase_serve", "q74d_boost_serve", "q74e_prox_serve",
-      "s25_epoch_phrase_serve", "q74f_edge_plan_10k",
+      "s25_epoch_phrase_serve", "q74f_edge_plan_literal",
       "q74f_edge_plan_100k", "q74f_edge_serve_100k")
     val wantRetr = only.forall(names => retrNames.exists(names))
     // Fail-soft like every other section: a build that dies at one
@@ -490,18 +490,21 @@ object ScaleBench {
         else serve(Q74cBm25PhraseStore.serveFromFrame(spark, spark.table(epochT)))
       graft.plans.Stores.dropManaged(spark, epochT)
       // Contract-edge pricing (VERDICT r15 #3): planning + serve at
-      // the query-batch ceiling's two sides. 10k terms = the largest
-      // literal-pruned batch (the biggest In the analyzer must chew);
-      // 100k = the broadcast-join fallback at the MaxTerms contract
-      // edge. Terms are synthetic non-matching strings — the points
-      // price PLAN BUILD and the scan/join machinery, which is
-      // exactly what the old unpriced 10⁶ cap would have blown.
+      // the query-batch ceiling's two sides. edge_plan_literal = the
+      // largest literal-pruned batch (the biggest In the analyzer
+      // must chew — the occupancy-derived 4·B bound); edge_*_100k =
+      // the broadcast-join fallback at the MaxTerms contract edge.
+      // Terms are synthetic non-matching strings — the points price
+      // PLAN BUILD and the scan/join machinery, which is exactly what
+      // the old unpriced caps would have blown (a flat 10⁴ literal
+      // measured 4–5 s of planning for a prune worth nothing at 16
+      // buckets — the round-16 threshold change).
       def edgeBatch(n: Long) = spark.range(n)
         .select((col("id") % 1000).cast("int").as("query_id"),
           concat(lit("zzedge"), col("id")).as("word"))
       def edgeScored(n: Long) = Q74bBm25Store.scoredFromQueries(
         spark, postT, lenT, metaT, edgeBatch(n))
-      val edgePlan10k = t1 {
+      val edgePlanLiteral = t1 {
         edgeScored(Q74bBm25Store.LiteralPruneMaxTerms.toLong)
           .queryExecution.executedPlan }
       val edgePlan100k = t1 {
@@ -513,7 +516,7 @@ object ScaleBench {
       Map("q74b_store_build" -> build, "q74b_store_serve" -> bServe,
         "q74c_phrase_serve" -> cServe, "q74d_boost_serve" -> dServe,
         "q74e_prox_serve" -> eServe, "s25_epoch_phrase_serve" -> sServe,
-        "q74f_edge_plan_10k" -> edgePlan10k,
+        "q74f_edge_plan_literal" -> edgePlanLiteral,
         "q74f_edge_plan_100k" -> edgePlan100k,
         "q74f_edge_serve_100k" -> edgeServe100k)
         .filter(_._2 >= 0)

@@ -122,14 +122,21 @@ object Q74bBm25Store extends GraftQuery {
     * driver (ADVICE r15: the old 10⁶ cap was unpriced — plan work
     * blows up long before driver memory does). */
   private[graft] val MaxTerms = 100000
+  /** The postings store's bucket count (shared with every
+    * `writeBucketed`/`bucketBy` call in this family). */
+  private[graft] val PostingsBuckets = 16
   /** Largest batch served through the literal `isin` (the static
-    * bucket prune's input shape). Past it the prune buys nothing —
-    * ≥10⁴ uniform terms occupy all 16 buckets with overwhelming
-    * probability — while the literal's plan-analysis cost keeps
-    * growing, so the serve switches to a broadcast semi-shape join
-    * (all buckets scanned, terms filtered map-side). ScaleBench's
-    * contract-edge points price both sides of this threshold. */
-  private[graft] val LiteralPruneMaxTerms = 10000
+    * bucket prune's input shape) — OCCUPANCY-derived, not a flat cap:
+    * n uniform terms hit B(1 − (1−1/B)^n) of B buckets in
+    * expectation, so past n ≈ 4·B the prune reads ~every bucket
+    * anyway (15.7 of 16 at n = 64) while the literal's plan-analysis
+    * cost keeps growing LINEARLY in n — measured at the old flat 10⁴
+    * cap: 4–5 s of pure planning for a prune worth nothing
+    * (BASELINE round-16 contract-edge rows; the broadcast fallback
+    * plans the same batch in ~0.7 s). Production stores tune B and
+    * this bound together — at 4096 buckets the literal stays worth
+    * carrying through ~16k terms. */
+  private[graft] val LiteralPruneMaxTerms = 4 * PostingsBuckets
 
   /** [[scoredFrom]] over a CALLER-PROVIDED (query_id, word) query
     * table — the production entry point (VERDICT r14 next #5): a

@@ -207,10 +207,11 @@ class Round16Spec extends SparkSpec {
     val base = Q74fBm25QueryTable.queriesDf(spark)
     def ranked(q: DataFrame) = Q74Bm25.topK(
       Q74bBm25Store.scoredFromQueries(spark, postT, lenT, metaT, q), 10)
-    // Pad past the literal-prune threshold with never-matching terms
-    // under a fresh query id: real queries' scores must not move (df
-    // falls out of the scanned postings slice — non-matching terms
-    // contribute no rows), and the plan must NOT carry a 10⁴-literal.
+    // Pad past the literal-prune threshold (occupancy-derived: 4·B)
+    // with never-matching terms under a fresh query id: real queries'
+    // scores must not move (df falls out of the scanned postings
+    // slice — non-matching terms contribute no rows), and the plan
+    // must NOT carry the literal.
     val pad = spark.range(Q74bBm25Store.LiteralPruneMaxTerms + 1L)
       .select(lit(999).cast("int").as("query_id"),
         concat(lit("zzqt"), col("id")).as("word"))
