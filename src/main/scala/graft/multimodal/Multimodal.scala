@@ -100,16 +100,15 @@ object Multimodal {
     * what keeps every audio oracle's per-character replay valid over
     * the real codec roundtrip; Round16Spec pins the byte-exact
     * decode. Callers apply any split predicate BEFORE this map (the
-    * payload they filter on is still the raw text). */
-  def wavRows(media: DataFrame, batchSize: Int = 64): Dataset[MediaRow] = {
+    * payload they filter on is still the raw text). A plain per-row
+    * map, not a grouped fold: unlike the decode side there is no
+    * per-batch codec state to amortize here, so batching would only
+    * add allocation. */
+  def wavRows(media: DataFrame): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("meta.format") === "wav").as[MediaRow]
-      .mapPartitions { rows =>
-        rows.grouped(batchSize).flatMap { batch =>
-          batch.map(r => r.copy(payload = encodeWav(r.payload)))
-        }
-      }
+      .mapPartitions(_.map(r => r.copy(payload = encodeWav(r.payload))))
   }
 
   /** REAL audio codec: the JDK WAV reader behind the [[MediaCodec]]

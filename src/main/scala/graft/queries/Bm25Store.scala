@@ -50,17 +50,17 @@ object Q74bBm25Store extends GraftQuery {
       dir: String): (String, String, String) = {
     val names = graft.plans.Stores.ensure(
         spark, prefix, dir, Seq("postings", "lengths", "meta"),
-        buckets = Map("postings" -> (("word", 16)),
-          "lengths" -> (("doc_id", 16))),
+        buckets = Map("postings" -> (("word", PostingsBuckets)),
+          "lengths" -> (("doc_id", PostingsBuckets))),
         layoutVersion = "3") { case Seq(postT, lenT, metaT) =>
       val docs = graft.Tables.documents(spark, dir)
       graft.plans.Bucketing.writeBucketed(
         Q74Bm25.postingsOf(docs).withColumn("_adm", lit(-1L)),
-        postT, "word", 16)
+        postT, "word", PostingsBuckets)
       graft.plans.Bucketing.writeBucketed(
         Q74Bm25.wordsOf(docs).groupBy(col("doc_id"))
           .agg(count(lit(1)).as("dl")).withColumn("_adm", lit(-1L)), lenT,
-        "doc_id", 16)
+        "doc_id", PostingsBuckets)
       spark.sql(s"DROP TABLE IF EXISTS $metaT")
       graft.plans.Stores.deleteTree(
         graft.plans.Stores.warehouse(spark).resolve(metaT))
@@ -220,13 +220,13 @@ object Q74bBm25Store extends GraftQuery {
         sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("_adm", lit(adm))
       .write.mode(SaveMode.Append).format("parquet")
-      .bucketBy(16, "word").sortBy("word").saveAsTable(postT)
+      .bucketBy(PostingsBuckets, "word").sortBy("word").saveAsTable(postT)
     if (injectCrashAfter == 1)
       throw new RuntimeException(s"injected crash after postings append ($adm)")
     ws.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       .withColumn("_adm", lit(adm))
       .write.mode(SaveMode.Append).format("parquet")
-      .bucketBy(16, "doc_id").sortBy("doc_id").saveAsTable(lenT)
+      .bucketBy(PostingsBuckets, "doc_id").sortBy("doc_id").saveAsTable(lenT)
     spark.catalog.refreshTable(postT)
     spark.catalog.refreshTable(lenT)
     writeMeta(spark, lenT, metaT)

@@ -51,6 +51,21 @@ object Bpe {
       Q64nBpeDriftGatedStore, Q64oWordpieceDriftGatedStore,
       Q64pUnigramDriftGatedStore, Q78DriftConsole)
 
+  /** Longest ARRIVING word the drift gates measure through the
+    * relational encode unroll (q64o's greedy fold / q64p's Viterbi DP
+    * run one broadcast-join step per consumed char, so the depth is
+    * data-derived — ADVICE r15 medium). This cap bounds the blast
+    * radius of the derivation (the round-16 review): a pathological
+    * 5,000-char "word" in one micro-batch must not schedule 5,000
+    * sequential join+checkpoint jobs per epoch per family. 64 chars
+    * clears every natural-language word by a wide margin (the longest
+    * common English dictionary word is 45); anything longer is
+    * counted OOV/[UNK] BY CONTRACT — for a drift gate, arriving
+    * pseudo-words that long are drift evidence, not vocabulary, and
+    * they land in the oov/unk arm that trips retrain rather than
+    * silently passing. */
+  private[graft] val MaxMeasuredWordLen = 64
+
   /** The ONE corpus-scale step of BPE learning: token/normalize (q1's
     * definition) and the word-frequency reduction. Everything after
     * this frame is vocabulary-sized. Shared by the Spark-iterative
@@ -1827,8 +1842,10 @@ object Q64oWordpieceDriftGatedStore extends GraftQuery {
       .filter(length(col("word")) > 0)
     val dw = words.select(col("word").as("w")).distinct()
       .localCheckpoint(true)
-    val steps = math.max(1,
-      dw.agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0))
+    // Depth bounded by [[Bpe.MaxMeasuredWordLen]]: over-length words
+    // read as [UNK] by contract (the fold leaves pos <= length).
+    val steps = math.max(1, math.min(Bpe.MaxMeasuredWordLen,
+      dw.agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0)))
     val dict = Q64jWordpieceEncodeStore.encodeDictOf(spark, dw, piecesT,
         steps = steps)
       .select(col("w").as("word"), (col("enc") === "[UNK]").as("unk"),
@@ -2008,8 +2025,10 @@ object Q64pUnigramDriftGatedStore extends GraftQuery {
     // OOV, contradicting q64p's own OOV definition (uncovered CHARS).
     val dw = words.select(col("word").as("w")).distinct()
       .filter(expr(covered)).localCheckpoint(true)
-    val steps = math.max(1,
-      dw.agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0))
+    // Depth bounded by [[Bpe.MaxMeasuredWordLen]]: over-length words
+    // never complete the DP and read as OOV by contract.
+    val steps = math.max(1, math.min(Bpe.MaxMeasuredWordLen,
+      dw.agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0)))
     val dict = Q64kUnigramEncodeStore.encodeDictOf(spark, dw, piecesT,
         steps = steps)
       .select(col("word"),

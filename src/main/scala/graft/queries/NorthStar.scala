@@ -1183,21 +1183,8 @@ object Q19dAnnIvf extends GraftQuery {
   @volatile private var snapshot: Option[(String, String)] = None
 
   def run(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.{Vector, Vectors}
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(K).setSeed(42).setMaxIter(20)
-      .setFeaturesCol("features").setPredictionCol("list_id").fit(e)
-    val assigned = model.transform(e).localCheckpoint(true)
-    val qVec = assigned.filter(col("vec_id") === 0)
-      .head().getAs[Vector]("features")
-    val probe = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, Vectors.sqdist(c, qVec)) }
-      .sortBy { case (lid, d2) => (d2, lid) }.take(NProbe).map(_._1).toSeq
+    val (assigned, probe) = fitProbe(spark, dir, NProbe)
     val wh = graft.plans.Stores.warehouse(spark)
     val (probeSnap, memSnap) =
       (wh.resolve("graft_q19d_probe_snap").toAbsolutePath.toString,
@@ -1212,6 +1199,31 @@ object Q19dAnnIvf extends GraftQuery {
     exactCosineTopK(spark, dir, cand)
   }
 
+  /** One seeded fit: (assigned frame, probed list ids) — ONE
+    * definition shared by the probe-curve tier ([[ivf]]) and the
+    * snapshotting entry ([[run]]), so the fit/probe semantics cannot
+    * fork (the round-16 review rule). The assignment is checkpointed:
+    * it feeds the query-row read, the candidate scan, and (in run)
+    * the membership snapshot. */
+  private def fitProbe(spark: SparkSession, dir: String,
+      nProbe: Int): (DataFrame, Seq[Int]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(K).setSeed(42).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("list_id").fit(e)
+    val assigned = model.transform(e).localCheckpoint(true)
+    val qVec = assigned.filter(col("vec_id") === 0)
+      .head().getAs[Vector]("features") // O(1) driver value: the query key
+    val probe = model.clusterCenters.zipWithIndex // k rows on the driver
+      .map { case (c, i) => (i, Vectors.sqdist(c, qVec)) }
+      .sortBy { case (lid, d2) => (d2, lid) }.take(nProbe).map(_._1).toSeq
+    (assigned, probe)
+  }
+
   /** HASH oracle over the snapshot — q19e's replay verbatim (shared
     * builder): candidate membership from the pinned (probe, fitted
     * membership) join, exact decimal cosines over the source table. */
@@ -1224,20 +1236,7 @@ object Q19dAnnIvf extends GraftQuery {
     * ever ADD candidate lists) — the 100 TB operating trade-off is
     * picked there, not guessed. */
   private[graft] def ivf(spark: SparkSession, dir: String, nProbe: Int): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.{Vector, Vectors}
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(K).setSeed(42).setMaxIter(20)
-      .setFeaturesCol("features").setPredictionCol("list_id").fit(e)
-    val assigned = model.transform(e)
-    val qVec = assigned.filter(col("vec_id") === 0)
-      .head().getAs[Vector]("features") // O(1) driver value: the query key
-    val probe = model.clusterCenters.zipWithIndex // k rows on the driver
-      .map { case (c, i) => (i, Vectors.sqdist(c, qVec)) }
-      .sortBy { case (lid, d2) => (d2, lid) }.take(nProbe).map(_._1).toSeq
+    val (assigned, probe) = fitProbe(spark, dir, nProbe)
     val cand = assigned
       .filter(col("vec_id") =!= 0 && col("list_id").isin(probe: _*))
     exactCosineTopK(spark, dir, cand)
@@ -1356,15 +1355,21 @@ object Q19eAnnIvfStore extends GraftQuery {
       .sortBy { case (lid, d2) => (d2, lid) }.take(nProbe).map(_._1).toSeq
   }
 
-  /** Probe the persisted index: O(K) centroid rows to the driver,
-    * partition-pruned candidate scan, exact cosine within. */
-  private[graft] def query(spark: SparkSession, dir: String,
-      centT: String, listsT: String, nProbe: Int): DataFrame = {
-    val probe = probesFor(spark, dir, centT, nProbe)
+  /** The partition-pruned candidate scan + exact cosine for a probe
+    * pick — shared by [[query]] and [[run]] (one serve plan, the
+    * round-16 review rule). */
+  private def served(spark: SparkSession, dir: String, listsT: String,
+      probe: Seq[Int]): DataFrame = {
     val cand = spark.table(listsT)
       .filter(col("list_id").isin(probe: _*) && col("vec_id") =!= 0)
     Q19dAnnIvf.exactCosineTopK(spark, dir, cand)
   }
+
+  /** Probe the persisted index: O(K) centroid rows to the driver,
+    * partition-pruned candidate scan, exact cosine within. */
+  private[graft] def query(spark: SparkSession, dir: String,
+      centT: String, listsT: String, nProbe: Int): DataFrame =
+    served(spark, dir, listsT, probesFor(spark, dir, centT, nProbe))
 
   /** Absolute snapshot dirs (probed list ids, list membership) of the
     * last [[run]] — the q19f oracle bridge: the KMeans fit is not
@@ -1388,9 +1393,7 @@ object Q19eAnnIvfStore extends GraftQuery {
       .select(col("list_id").cast("int").as("list_id"), col("vec_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(memSnap)
     snapshot = Some((probeSnap, memSnap))
-    val cand = spark.table(listsT)
-      .filter(col("list_id").isin(probe: _*) && col("vec_id") =!= 0)
-    Q19dAnnIvf.exactCosineTopK(spark, dir, cand)
+    served(spark, dir, listsT, probe)
   }
 
   /** Nearest-STORED-centroid assignment for arriving vectors — the
@@ -3462,10 +3465,13 @@ object Q19gAnnPq extends GraftQuery {
     (centT, listsT, names(0), names(1))
   }
 
-  /** IVFADC+R serve against the bound tables. */
-  private[graft] def query(spark: SparkSession, dir: String,
-      centT: String, listsT: String, cbT: String, codesT: String,
-      nProbe: Int): DataFrame = {
+  /** Coarse probe + ADC shortlist — ONE definition shared by the
+    * lazy serve ([[query]]) and the snapshotting entry ([[run]]), so
+    * the two can never fork (the round-16 review rule). Probe ties
+    * break to the lowest list_id (a total order). */
+  private def adcShortlist(spark: SparkSession, dir: String,
+      centT: String, cbT: String, codesT: String,
+      nProbe: Int): (Seq[Int], DataFrame) = {
     import spark.implicits._
     val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
       .head().getSeq[Float](1).map(_.toDouble).toArray
@@ -3474,7 +3480,7 @@ object Q19gAnnPq extends GraftQuery {
       .map { r =>
         val c = r.getSeq[Double](1)
         (r.getInt(0), c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum)
-      }.sortBy(_._2).take(nProbe).map(_._1).toSeq
+      }.sortBy { case (lid, d2) => (d2, lid) }.take(nProbe).map(_._1).toSeq
     // ADC lookup table: O(M·Ks) driver rows, broadcast.
     val lut = broadcast(spark.table(cbT).collect().map { r =>
       val (m, code) = (r.getInt(0), r.getInt(1))
@@ -3496,11 +3502,20 @@ object Q19gAnnPq extends GraftQuery {
         (col("adot") / (sqrt(col("an2")) * lit(math.sqrt(qn2)))).as("acos"))
       .orderBy(col("acos").desc, col("vec_id").asc)
       .limit(Rerank)
+      .select(col("vec_id"))
+    (probe, adc)
+  }
+
+  /** IVFADC+R serve against the bound tables. */
+  private[graft] def query(spark: SparkSession, dir: String,
+      centT: String, listsT: String, cbT: String, codesT: String,
+      nProbe: Int): DataFrame = {
+    val (probe, adc) = adcShortlist(spark, dir, centT, cbT, codesT, nProbe)
     // Exact re-rank of the ADC shortlist: raw vectors read ONLY for
     // Rerank ids, from the already-pruned lists partitions.
     val raw = spark.table(listsT)
       .filter(col("list_id").isin(probe: _*) && col("vec_id") =!= 0)
-      .join(adc.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .join(adc, Seq("vec_id"), "left_semi")
     Q19dAnnIvf.exactCosineTopK(spark, dir, raw)
   }
 
@@ -3514,49 +3529,25 @@ object Q19gAnnPq extends GraftQuery {
   @volatile private var snapshot: Option[String] = None
 
   def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val (centT, listsT, cbT, codesT) = ensurePqStore(spark, dir)
-    val out = query(spark, dir, centT, listsT, cbT, codesT, Q19dAnnIvf.NProbe)
+    // The shortlist is materialized ONCE (≤ Rerank driver ids) and
+    // drives BOTH the snapshot and the serve — a second lazy
+    // execution could land a different boundary candidate (the ADC
+    // sum is an order-dependent double aggregation) and silently
+    // desynchronize the pinned set from the served one (round-16
+    // review).
+    val (probe, adc) = adcShortlist(spark, dir, centT, cbT, codesT,
+      Q19dAnnIvf.NProbe)
+    val ids = adc.collect().map(_.getLong(0)).toSeq
     val wh = graft.plans.Stores.warehouse(spark)
     val candSnap = wh.resolve("graft_q19g_cand_snap").toAbsolutePath.toString
-    rerankCands(spark, dir, centT, listsT, cbT, codesT, Q19dAnnIvf.NProbe)
-      .repartition(1)
+    ids.toDF("vec_id").repartition(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(candSnap)
     snapshot = Some(candSnap)
-    out
-  }
-
-  /** The exact-rerank candidate id set of a serve — what [[run]]
-    * snapshots for the oracle. */
-  private def rerankCands(spark: SparkSession, dir: String,
-      centT: String, listsT: String, cbT: String, codesT: String,
-      nProbe: Int): DataFrame = {
-    import spark.implicits._
-    val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
-      .head().getSeq[Float](1).map(_.toDouble).toArray
-    val probe = spark.table(centT).collect()
-      .map { r =>
-        val c = r.getSeq[Double](1)
-        (r.getInt(0), c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum)
-      }.sortBy { case (lid, d2) => (d2, lid) }.take(nProbe).map(_._1).toSeq
-    val lut = broadcast(spark.table(cbT).collect().map { r =>
-      val (m, code) = (r.getInt(0), r.getInt(1))
-      val c = r.getSeq[Double](2)
-      val qSub = qVec.slice(m * SubDim, (m + 1) * SubDim)
-      (m, code, c.zip(qSub).map { case (x, q) => x * q }.sum,
-        c.map(x => x * x).sum)
-    }.toSeq.toDF("sub_id", "code_id", "qdot", "cn2"))
-    val qn2 = qVec.map(x => x * x).sum
-    spark.table(codesT)
-      .filter(col("list_id").isin(probe: _*) && col("vec_id") =!= 0)
-      .select(col("vec_id"), posexplode(col("code")).as(Seq("sub_id", "code_id")))
-      .join(lut, Seq("sub_id", "code_id"))
-      .groupBy(col("vec_id"))
-      .agg(sum(col("qdot")).as("adot"), sum(col("cn2")).as("an2"))
-      .select(col("vec_id"),
-        (col("adot") / (sqrt(col("an2")) * lit(math.sqrt(qn2)))).as("acos"))
-      .orderBy(col("acos").desc, col("vec_id").asc)
-      .limit(Rerank)
-      .select(col("vec_id"))
+    val raw = spark.table(listsT)
+      .filter(col("list_id").isin(probe: _*) && col("vec_id").isin(ids: _*))
+    Q19dAnnIvf.exactCosineTopK(spark, dir, raw)
   }
 
   /** HASH oracle over the pinned shortlist: exact decimal cosines

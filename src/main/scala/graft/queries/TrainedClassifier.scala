@@ -122,8 +122,9 @@ object Q55bTrainedClassifier extends GraftQuery {
       (col("margin") >= 0).as("pred"))
   }
 
-  /** Snapshot dir (this serve's bound weight table) of the last
-    * [[run]] — the q19f bridge applied to the TRAINED model: L-BFGS
+  /** Pinned dir (this serve's bound weight table — its warehouse
+    * location) of the last [[run]] — the q19f bridge applied to the
+    * TRAINED model: L-BFGS
     * coefficients are not relationally replayable, but the persisted
     * weight TABLE is rows, and given it the whole serve (features,
     * counts, fid-ordered margin fold, sigmoid, verdict, label join)
@@ -132,11 +133,12 @@ object Q55bTrainedClassifier extends GraftQuery {
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val weightsT = ensureStore(spark, dir)
-    val wh = graft.plans.Stores.warehouse(spark)
-    val wSnap = wh.resolve("graft_q55b_w_snap").toAbsolutePath.toString
-    spark.table(weightsT).repartition(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(wSnap)
-    snapshot = Some(wSnap)
+    // The weight table is write-once per corpus fingerprint, so its
+    // OWN warehouse directory is the pinned artifact — recording the
+    // path costs nothing per serve (the round-16 review: copying an
+    // immutable store buys nothing).
+    snapshot = Some(graft.plans.Stores.warehouse(spark)
+      .resolve(weightsT).toAbsolutePath.toString)
     serve(Tables.documents(spark, dir), spark.table(weightsT))
       .join(labels(spark, dir)
         .select(col("doc_id"), (col("label") === 1.0).as("label")), "doc_id")

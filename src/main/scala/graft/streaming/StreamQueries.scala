@@ -1326,11 +1326,11 @@ object S19StreamAnnIngest extends GraftQuery {
     try {
       maintain(spark, centT, runT, embsStream(spark, dir)
         .filter(Q40TrainTestSplit.splitColOf("vec_id") === "test"))
-      val wh = graft.plans.Stores.warehouse(spark)
-      val centSnap = wh.resolve("graft_s19_cent_snap").toAbsolutePath.toString
-      spark.table(centT).repartition(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(centSnap)
-      snapshot = Some(centSnap)
+      // The quantizer is FROZEN (write-once per fingerprint): its own
+      // warehouse directory is the pinned artifact — no copy needed
+      // (the round-16 review).
+      snapshot = Some(graft.plans.Stores.warehouse(spark)
+        .resolve(centT).toAbsolutePath.toString)
       // Report the routed deltas FROM the store (the table is the
       // state); checkpoint before dropping the table the plan reads.
       spark.table(runT)
@@ -1624,8 +1624,9 @@ object S23bStreamBm25Compact extends GraftQuery {
     // partitions × buckets) files and the "compaction" fragments
     // (the Bucketing.compact rule).
     graft.plans.Bucketing.writeBucketed(
-      epochless(spark.table(postT)).repartition(16, col("word")),
-      compactT, "word", 16)
+      epochless(spark.table(postT))
+        .repartition(graft.queries.Q74bBm25Store.PostingsBuckets, col("word")),
+      compactT, "word", graft.queries.Q74bBm25Store.PostingsBuckets)
     compactT
   }
 

@@ -80,6 +80,20 @@ class Round16Spec extends SparkSpec {
     // — the new-language rule is orthogonal to the unroll fix.
     assert(repO.getAs[Boolean]("retrain") && repP.getAs[Boolean]("retrain"),
       "missing-baseline language failed to trip the gate")
+    // Blast-radius bound (round-16 review): a pathological over-length
+    // "word" must count OOV/[UNK] BY CONTRACT (Bpe.MaxMeasuredWordLen)
+    // instead of driving the unroll to hundreds of sequential jobs.
+    val monster = "a" * 200
+    val repO2 = Q64oWordpieceDriftGatedStore.decide(spark, piecesO, statsO,
+        Seq(("xx", s"$monster table")).toDF("lang", "text"))
+      .collect().find(_.getString(0) == "xx").get
+    assert(repO2.getAs[Long]("unk_words") == 1L,
+      s"over-length word did not land in the [UNK] arm: $repO2")
+    val repP2 = Q64pUnigramDriftGatedStore.decide(spark, piecesP, statsP,
+        Seq(("xx", s"$monster table")).toDF("lang", "text"))
+      .collect().find(_.getString(0) == "xx").get
+    assert(repP2.getAs[Long]("oov_words") == 1L,
+      s"over-length word did not land in the OOV arm: $repP2")
   }
 
   test("wav: the real RIFF/WAVE roundtrip is byte-exact (VERDICT r15 #4)") {
