@@ -51,6 +51,7 @@ object Bench {
     warm(queries.Q70bSemanticDedupStore.ensureStore(spark, sfDir))
     warm(queries.Q55bTrainedClassifier.ensureStore(spark, sfDir))
     warm(queries.Q74bBm25Store.ensureStore(spark, sfDir))
+    warm(queries.Q77dDsirStore.ensureStore(spark, sfDir))
     warm(queries.Q64nBpeDriftGatedStore.ensureStore(spark, sfDir))
     warm(queries.Q64oWordpieceDriftGatedStore.ensureStore(spark, sfDir))
     warm(queries.Q64pUnigramDriftGatedStore.ensureStore(spark, sfDir))

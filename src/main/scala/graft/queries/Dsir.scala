@@ -51,8 +51,9 @@ object Q77DsirSelection extends GraftQuery {
       "(a_, b_) -> concat(a_, ' ', b_))")
 
   /** (doc_id, bkt) — one row per bigram OCCURRENCE of any (doc_id,
-    * text) frame; the shared gram pass for both DSIR shapes. */
-  private def gramsOf(docs: DataFrame): DataFrame =
+    * text) frame; the shared gram pass for both DSIR shapes (and the
+    * store tier's delta scoring — q77d). */
+  private[queries] def gramsOf(docs: DataFrame): DataFrame =
     docs.filter(size(expr(arrExpr)) >= 2)
       .select(col("doc_id"), explode(expr(bigramsExpr)).as("g"))
       .select(col("doc_id"), expr(hExpr("g")).as("bkt"))
@@ -68,9 +69,12 @@ object Q77DsirSelection extends GraftQuery {
   def run(spark: SparkSession, dir: String): DataFrame =
     selection(spark, dir).orderBy(col("doc_id"))
 
-  /** The full per-doc report frame (doc_id, n_grams, weight_q,
-    * selected) — shared with the packing tier (q77b). */
-  private[graft] def selection(spark: SparkSession, dir: String): DataFrame = {
+  /** The fitted importance model over `dir`'s corpus: (λ table — ≤B
+    * rows, the quantized log-ratios; per-doc weight frame) —
+    * [[selection]]'s guts, exposed so the store tier (q77d) can
+    * persist exactly the model the batch tier computes. */
+  private[queries] def model(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, Long) = {
     val g = grams(spark, dir)
     // Pass 1: per-bucket raw + target counts in ONE aggregation
     // (≤ B rows out); totals fall out of it with a B-row agg.
@@ -95,6 +99,18 @@ object Q77DsirSelection extends GraftQuery {
       .agg(sum(col("n")).cast("long").as("n_grams"),
         sum(col("n") * col("lam")).cast("long").as("weight_q"))
       .localCheckpoint(true) // consumed twice: top-K + the report join
+    // λ of a bucket UNSEEN in the build corpus (c_t = c_r = 0 under
+    // add-one smoothing) — the store tier serves arriving deltas with
+    // it (q77d; unseen buckets cannot occur in the batch tier, whose
+    // scoring buckets all come from the counted corpus).
+    val lam0 = qlog((totR + Buckets).toDouble) - qlog((totT + Buckets).toDouble)
+    (lam, wts, lam0)
+  }
+
+  /** The full per-doc report frame (doc_id, n_grams, weight_q,
+    * selected) — shared with the packing tier (q77b). */
+  private[graft] def selection(spark: SparkSession, dir: String): DataFrame = {
+    val (_, wts, _) = model(spark, dir)
     // Top-K selection: TakeOrderedAndProject, never a global sort.
     val top = wts.orderBy(col("weight_q").desc, col("doc_id").asc)
       .limit(SelectK).select(col("doc_id"), lit(true).as("sel"))
@@ -346,6 +362,121 @@ object Q77bDsirPacking extends GraftQuery {
       min(doc_id) AS first_doc,
       max(doc_id) AS last_doc
     FROM c GROUP BY shard ORDER BY shard
+  """.trim
+  }
+}
+
+/** Q77d — DSIR served from a PERSISTED importance-model STORE: the
+  * production shape of data selection at ingest (round 16 — the store
+  * column the rest of the families already have: q74b postings, q19e
+  * lists, q64e vocabularies). q77 re-fits the model per run — correct
+  * for the oracle harness, but at 100 TB the model is fitted ONCE per
+  * corpus snapshot and every arriving shard is scored against it:
+  *
+  *  - `lam` table (≤ Buckets rows): q77's quantized log-ratio λ —
+  *    persisting THE SAME frame the batch tier computes
+  *    ([[Q77DsirSelection.model]] — tiers cannot drift).
+  *  - `thresh` table (1 row): the admission bar, FROZEN AT BUILD as
+  *    the SelectK-th ranked weight of the build corpus. A stream
+  *    cannot run a global top-K; the production gate is "admit iff
+  *    weight ≥ the bar the curator froze" — the same split every
+  *    store family makes (train-time baseline, serve-time compare).
+  *
+  * Serve ([[serveFrom]]): ONE map-only gram pass over the delta, a
+  * ≤B-row broadcast λ join, one per-doc exact-integer aggregate, one
+  * O(1) threshold compare — no corpus-side work at all. TIE
+  * SEMANTICS, documented: threshold admission accepts EVERY doc at
+  * the bar (the batch top-K breaks ties by doc_id), so a serve over
+  * the build corpus selects a SUPERSET of q77's set exactly when
+  * weights tie at rank K — the oracle encodes the threshold rule, so
+  * the gate pins precisely these semantics.
+  *
+  * HASH oracle: q77's own CTE chain (weights + top-K) extended with
+  * the replayed bar (min weight over the top-K) and the threshold
+  * verdict — one more tier under the DSIR family's gate. */
+object Q77dDsirStore extends GraftQuery {
+  val name = "q77d_dsir_store"
+  private val prefix = "graft_dsirstore"
+
+  /** Build (or bind) this corpus snapshot's (λ, bar). The bar table
+    * carries TWO scalars: the frozen admission threshold AND λ₀ — the
+    * smoothed log-ratio of a bucket UNSEEN at build (c_t = c_r = 0 ⇒
+    * λ₀ = ⌊10⁶·ln(T_r+B)⌋ − ⌊10⁶·ln(T_t+B)⌋). An arriving delta can
+    * hit buckets the build corpus never did; add-one smoothing
+    * defines their weight, and dropping them instead (an inner λ
+    * join) would silently over-admit novel text — caught by
+    * Round16Spec's disjoint-delta case. */
+  private[graft] def ensureStore(spark: SparkSession,
+      dir: String): (String, String) = {
+    val names = graft.plans.Stores.ensure(
+        spark, prefix, dir, Seq("lam", "bar")) {
+      case Seq(lamT, barT) =>
+        val (lam, wts, lam0) = Q77DsirSelection.model(spark, dir)
+        lam.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(lamT)
+        wts.orderBy(col("weight_q").desc, col("doc_id").asc)
+          .limit(Q77DsirSelection.SelectK)
+          .agg(min(col("weight_q")).as("thresh"), lit(lam0).as("lam0"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(barT)
+    }
+    (names(0), names(1))
+  }
+
+  /** The frozen (admission bar, unseen-bucket λ₀) — one O(1) head(). */
+  private[graft] def barOf(spark: SparkSession, barT: String): (Long, Long) = {
+    val r = spark.table(barT).head()
+    require(!r.isNullAt(0),
+      s"$barT holds no threshold — the build corpus scored no document")
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Score an arriving (doc_id, text) delta against the bound model —
+    * shared by the batch entry (run) and the ingest stream (s27).
+    * Map-only gram pass + broadcast λ LEFT join (unseen buckets take
+    * the smoothed λ₀, never a silent drop) + per-doc exact-integer
+    * aggregate; docs with no grams score 0 and face the same bar. */
+  private[graft] def serveFrom(spark: SparkSession, delta: DataFrame,
+      lamT: String, thresh: Long, lam0: Long): DataFrame = {
+    val wts = Q77DsirSelection.gramsOf(delta)
+      .groupBy(col("doc_id"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(spark.table(lamT)), Seq("bkt"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_grams"),
+        sum(col("n") * coalesce(col("lam"), lit(lam0)))
+          .cast("long").as("weight_q"))
+    delta.select(col("doc_id"))
+      .join(wts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("weight_q"), lit(0L)).as("weight_q"),
+        (coalesce(col("weight_q"), lit(0L)) >= thresh).as("selected"))
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (lamT, barT) = ensureStore(spark, dir)
+    val (thresh, lam0) = barOf(spark, barT)
+    serveFrom(spark, Tables.documents(spark, dir), lamT, thresh, lam0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q77's chain + the replayed frozen bar + the threshold verdict.
+    * Shared verbatim by the ingest stream (s27): full corpus streamed
+    * ⇒ exactly this batch serve (scoring is per-doc — epochs cannot
+    * interact). */
+  val oracle: Option[String] = Some {
+    s"""
+    WITH ${Q77DsirSelection.duckDsirCtes},
+    selw AS (SELECT w.weight_q FROM sel JOIN wts w USING (doc_id)),
+    th AS (SELECT min(weight_q) AS th FROM selw)
+    SELECT d0.doc_id,
+      COALESCE(w.n_grams, 0) AS n_grams,
+      COALESCE(w.weight_q, 0) AS weight_q,
+      COALESCE(w.weight_q, 0) >= (SELECT th FROM th) AS selected
+    FROM (SELECT doc_id FROM documents) d0
+    LEFT JOIN wts w ON w.doc_id = d0.doc_id
+    ORDER BY d0.doc_id
   """.trim
   }
 }

@@ -282,7 +282,7 @@ object NorthStar {
     Q75HybridRrf, Q75bHybridRrfStore, Q75cHybridRrf3,
     Q75dFusionQueryTables,
     Q76ContrastiveTriplets, Q76bHardNegatives, Q76cTripletsBackfilled,
-    Q77DsirSelection, Q77bDsirPacking, Q77cDsirTarget)
+    Q77DsirSelection, Q77bDsirPacking, Q77cDsirTarget, Q77dDsirStore)
 }
 
 /** Q18 — exact dedup: group by content hash, keep min(doc_id).

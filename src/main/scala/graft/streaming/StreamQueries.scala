@@ -266,7 +266,8 @@ object StreamQueries {
     S17StreamMultimodalAdmission, S18StreamAudioDedupStore,
     S19StreamAnnIngest, S20StreamExcise, S21StreamWarc,
     S22StreamVideoDedupStore, S23StreamBm25Index, S23bStreamBm25Compact,
-    S24StreamHybridFusion, S25StreamPhrase, S26StreamDriftGate)
+    S24StreamHybridFusion, S25StreamPhrase, S26StreamDriftGate,
+    S27StreamDsirAdmission)
 }
 
 /** S1 — tumbling 1-hour counts per event_type (complete mode). */
@@ -1914,4 +1915,52 @@ object S26StreamDriftGate extends GraftQuery {
     ORDER BY family, lang
   """.trim
   }
+}
+
+/** S27 — STREAMING DSIR ADMISSION: data selection at INGEST time,
+  * completing the DSIR family's stream column (q77 recompute, q77c
+  * arbitrary target, q77d store — here the store consumed per
+  * micro-batch, the deploy shape: score every arriving shard against
+  * the FROZEN importance model and admit iff the weight clears the
+  * curator's bar). Per epoch: one map-only gram pass over the batch,
+  * the ≤B-row broadcast λ join, one per-doc exact-integer aggregate,
+  * the O(1) threshold compare ([[graft.queries.Q77dDsirStore
+  * .serveFrom]] — shared code, the tiers cannot drift); verdict
+  * frames append exactly-once through the epoch guard
+  * ([[StreamQueries.maintainAppend]]).
+  *
+  * Scoring is PER-DOC (no cross-doc state at all), so the streamed
+  * verdicts are trivially epoch-split-invariant and the full corpus
+  * streamed ⇒ exactly q77d's batch serve: SHARES q77d's oracle — one
+  * hash gate across the store and stream tiers. */
+object S27StreamDsirAdmission extends GraftQuery {
+  import StreamQueries._
+  import graft.queries.Q77dDsirStore
+  val name = "s27_stream_dsir_admission"
+  private val s27Run = new AtomicInteger(0)
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (lamT, barT) = Q77dDsirStore.ensureStore(spark, dir)
+    val (thresh, lam0) = Q77dDsirStore.barOf(spark, barT)
+    val runT = s"graft_s27_verdicts_${s27Run.incrementAndGet()}"
+    graft.plans.Stores.dropManaged(spark, runT)
+    Q77dDsirStore.serveFrom(spark,
+        spark.read.parquet(s"$dir/documents.parquet").limit(0),
+        lamT, thresh, lam0)
+      .withColumn("_epoch", lit(-1L))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(runT)
+    try {
+      maintainAppend(spark, runT, docsStream(spark, dir))(
+        Q77dDsirStore.serveFrom(spark, _, lamT, thresh, lam0))
+      epochless(spark.table(runT)).orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally {
+      graft.plans.Stores.dropManaged(spark, runT)
+      graft.plans.Stores.dropManaged(spark, epochMarkerTable(runT))
+    }
+  }
+
+  /** Streamed admission ≡ the store's batch serve. */
+  val oracle: Option[String] = Q77dDsirStore.oracle
 }

@@ -226,6 +226,10 @@ class Round12SqlSpec extends SparkSpec {
       // q77c (round 15): q77's relational chain with the target as a
       // second gram-count rollup (full-outer bucket alignment).
       "q77c_dsir_target",
+      // q77d (round 16): q77's chain + a min-over-top-K threshold CTE
+      // and a per-doc compare — the store serve is plain SQL over the
+      // persisted λ/threshold tables.
+      "q77d_dsir_store",
       // q19h (round 15): exact batch cosine = q75's semantic-arm
       // relational shape with a VALUES-style probe table.
       "q19h_ann_query_batch",

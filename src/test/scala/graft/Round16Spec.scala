@@ -215,6 +215,52 @@ class Round16Spec extends SparkSpec {
       "the bound report diverged from the streamed gate")
   }
 
+  test("q77d/s27: DSIR admission — frozen bar equals the top-K's min weight; delta serve is store-only and matches the batch scorer") {
+    import spark.implicits._
+    val (lamT, barT) = Q77dDsirStore.ensureStore(spark, sf)
+    val (thresh, lam0) = Q77dDsirStore.barOf(spark, barT)
+    // The frozen bar IS the SelectK-th ranked weight of the build
+    // corpus, and threshold admission over the corpus selects a
+    // SUPERSET of q77's top-K (equality unless weights tie at rank K
+    // — the documented tie semantics).
+    val batch = Q77DsirSelection.run(spark, sf).collect()
+    val topWeights = batch.filter(_.getAs[Boolean]("selected"))
+      .map(_.getAs[Long]("weight_q"))
+    assert(thresh == topWeights.min,
+      s"frozen bar $thresh != min selected weight ${topWeights.min}")
+    val served = Q77dDsirStore.run(spark, sf).collect()
+    val batchSel = batch.filter(_.getAs[Boolean]("selected"))
+      .map(_.getLong(0)).toSet
+    val servedSel = served.filter(_.getAs[Boolean]("selected"))
+      .map(_.getLong(0)).toSet
+    assert(batchSel.subsetOf(servedSel),
+      "threshold admission dropped a top-K doc")
+    // Per-doc weights identical between tiers (same λ, same integers).
+    val bw = batch.map(r => r.getLong(0) -> r.getAs[Long]("weight_q")).toMap
+    served.foreach(r => assert(bw(r.getLong(0)) == r.getAs[Long]("weight_q"),
+      s"store-served weight diverged for doc ${r.getLong(0)}"))
+    // A DELTA disjoint from the corpus serves against the FROZEN
+    // model with no corpus-side work: the plan must not read
+    // documents.parquet at all.
+    val delta = Seq((900001L, "spark join fast table hash"),
+      (900002L, "zz qq xx")).toDF("doc_id", "text")
+    val dServe = Q77dDsirStore.serveFrom(spark, delta, lamT, thresh, lam0)
+    assert(!dServe.queryExecution.executedPlan.toString
+      .contains("documents.parquet"),
+      "delta admission re-read the corpus — the store is the model")
+    val dRows = dServe.collect().map(r => r.getLong(0) -> r).toMap
+    assert(dRows.size == 2 &&
+      dRows.values.forall(_.getAs[Long]("n_grams") > 0),
+      s"delta scoring broken: ${dRows.values.mkString(", ")}")
+    // Buckets UNSEEN at build take the smoothed λ₀ — never a silent
+    // drop (the gap this spec caught): "zz qq"/"qq xx" are novel
+    // bigrams, so the doc's weight is exactly n_grams · λ₀.
+    val novel = dRows(900002L)
+    assert(novel.getAs[Long]("weight_q") ==
+      novel.getAs[Long]("n_grams") * lam0,
+      s"unseen-bucket grams not scored at lam0: $novel (lam0=$lam0)")
+  }
+
   test("q74b: past LiteralPruneMaxTerms the serve drops the literal and scores are unchanged; MaxTerms fails loudly (VERDICT r15 #3)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, sf)
