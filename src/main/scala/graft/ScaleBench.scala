@@ -590,6 +590,40 @@ object ScaleBench {
       if (!wantGates ||
           sys.env.getOrElse("SPARK_GRAFT_SCALE1000", "0") != "1") Map.empty
       else { synthesize1000(spark, sfDir); gatePoints(Scale1000Dir) }
+    // DSIR store lifecycle (round 16): build pays the two corpus gram
+    // passes + the top-K bar once per snapshot; serve prices one
+    // corpus gram pass + the broadcast λ join + the O(1) compare —
+    // the ingest-admission cost every arriving shard pays (s27 runs
+    // the same serve per micro-batch). On the synthesized corpora the
+    // '#k' suffixes are letter-stripped, so N× corpora present N×
+    // bigram occurrences over the same bucket set — the honest
+    // scale-up for a bucketed-count model.
+    val dsirNames = Seq("q77d_store_build", "q77d_store_serve")
+    val wantDsir = only.forall(names => dsirNames.exists(names))
+    def dsirPoints(dir: String): Map[String, Double] = try {
+      def t1(body: => Unit): Double =
+        try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[scalebench] dsir point @ $dir FAILED: ${e.getMessage}")
+          -1.0 }
+      graft.plans.Stores.evict(spark, "graft_dsirstore")
+      val build = t1(Q77dDsirStore.ensureStore(spark, dir))
+      def s1() = t1(Q77dDsirStore.run(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+      val serveT = math.min(s1(), s1())
+      graft.plans.Stores.evict(spark, "graft_dsirstore")
+      Map("q77d_store_build" -> build, "q77d_store_serve" -> serveT)
+        .filter(_._2 >= 0)
+    } catch { case e: Throwable =>
+      System.err.println(s"[scalebench] dsir section @ $dir FAILED: ${e.getMessage}")
+      Map.empty
+    }
+    val (dt1, dt10) =
+      if (wantDsir) (dsirPoints(sfDir), dsirPoints(Scale10Dir))
+      else (Map.empty[String, Double], Map.empty[String, Double])
+    val dt100: Map[String, Double] =
+      if (!wantDsir || !scale100Enabled) Map.empty
+      else { synthesize100(spark, sfDir); dsirPoints(Scale100Dir) }
     // Text-dedup CLOSURE at the deep decades (VERDICT r12 item 7):
     // the label-propagation loop is O(component-diameter) iterations
     // × one shuffle each — the most plausible remaining superlinear
@@ -737,6 +771,23 @@ object ScaleBench {
           .mkString("{", ",", "}")
         println(s"""{"scale_gates":"sf0.1x1000","points":${grow(gt1000)}}""")
         println(s"""{"gate_ratio_1000x_vs_100x":$g1000}""")
+      }
+    }
+    if (dt1.nonEmpty) {
+      def drow(m: Map[String, Double]) = dsirNames.filter(m.contains)
+        .map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
+      val dratio = dsirNames.filter(n => dt1.contains(n) && dt10.contains(n))
+        .map(n => "\"" + n + "\":" + f"${ratio(dt10(n), dt1(n))}%.2f")
+        .mkString("{", ",", "}")
+      println(s"""{"scale_dsir":"sf0.1","points":${drow(dt1)}}""")
+      println(s"""{"scale_dsir":"sf0.1x10","points":${drow(dt10)}}""")
+      println(s"""{"dsir_ratio_10x":$dratio}""")
+      if (dt100.nonEmpty) {
+        val d100 = dsirNames.filter(n => dt100.contains(n) && dt10.contains(n))
+          .map(n => "\"" + n + "\":" + f"${ratio(dt100(n), dt10(n))}%.2f")
+          .mkString("{", ",", "}")
+        println(s"""{"scale_dsir":"sf0.1x100","points":${drow(dt100)}}""")
+        println(s"""{"dsir_ratio_100x_vs_10x":$d100}""")
       }
     }
     if (cl100.nonEmpty) {
