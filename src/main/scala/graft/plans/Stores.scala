@@ -121,6 +121,27 @@ object Stores {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
 
+  /** Fingerprint-keyed absolute warehouse path for a run-scoped
+    * SNAPSHOT artifact (the oracle-bridge dirs): the same
+    * (dir tag, corpus fingerprint) keying the table names use, so
+    * interleaved runs over DIFFERENT corpora (scale decades, parallel
+    * specs) write distinct snapshot directories instead of silently
+    * overwriting one shared path and cross-pairing a snapshot with
+    * another corpus's tables (ADVICE r16). */
+  def snapPath(spark: SparkSession, base: String, dir: String,
+               fpTables: Seq[String] = Seq("documents.parquet")): String = {
+    val fp = fpTables.map(fingerprint(spark, dir, _)).mkString
+    warehouse(spark).resolve(s"${base}_${dirTag(dir)}_$fp")
+      .toAbsolutePath.toString
+  }
+
+  /** Absolute path of a MANAGED table's warehouse directory — the
+    * pinning lever for write-once fingerprinted stores: a serve's
+    * oracle can read the store's own parquet files instead of paying
+    * an O(corpus) copy per run (ADVICE r16; the S19 posture). */
+  def tablePath(spark: SparkSession, table: String): String =
+    warehouse(spark).resolve(table).toAbsolutePath.toString
+
   /** Register a committed store directory another process built as an
     * external table: schema inferred from the parquet files, bucket
     * spec re-declared (Spark reads bucket ids from the file names, so

@@ -1179,16 +1179,21 @@ object Q19dAnnIvf extends GraftQuery {
     * [[run]] — the q19f/q19e oracle bridge applied to the RECOMPUTE
     * tier: the in-JVM KMeans fit isn't replayable, but its
     * assignments are rows, and given them the candidate set and the
-    * exact cosines are relational. */
+    * exact cosines are relational. Paths are fingerprint-keyed
+    * ([[graft.plans.Stores.snapPath]], ADVICE r16) so interleaved
+    * runs over different corpora cannot cross-pair a snapshot with
+    * another corpus's tables; the var still points at the LAST run,
+    * which is exactly the Verify dump-after-run contract. */
   @volatile private var snapshot: Option[(String, String)] = None
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (assigned, probe) = fitProbe(spark, dir, NProbe)
-    val wh = graft.plans.Stores.warehouse(spark)
     val (probeSnap, memSnap) =
-      (wh.resolve("graft_q19d_probe_snap").toAbsolutePath.toString,
-        wh.resolve("graft_q19d_mem_snap").toAbsolutePath.toString)
+      (graft.plans.Stores.snapPath(spark, "graft_q19d_probe_snap", dir,
+        Seq("embeddings.parquet")),
+        graft.plans.Stores.snapPath(spark, "graft_q19d_mem_snap", dir,
+          Seq("embeddings.parquet")))
     probe.toDF("list_id").repartition(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(probeSnap)
     assigned.select(col("list_id").cast("int").as("list_id"), col("vec_id"))
@@ -1376,23 +1381,25 @@ object Q19eAnnIvfStore extends GraftQuery {
     * relationally replayable, but the FITTED index on disk is plain
     * parquet, and given the pinned (probe, membership) tables the
     * candidate set and the exact in-candidate cosines ARE relational
-    * (VERDICT r15 #5). */
+    * (VERDICT r15 #5). The probe snap is fingerprint-keyed (ADVICE
+    * r16 — interleaved corpora write distinct paths); the MEMBERSHIP
+    * is not copied at all: listsT is write-once per corpus
+    * fingerprint (ingest tiers append to run-scoped COPIES, never
+    * this table), so its own warehouse directory is the pinned
+    * artifact and the oracle reads it hive-partitioned — the serve no
+    * longer pays an O(corpus) snapshot write (ADVICE r16; the S19
+    * posture). */
   @volatile private var snapshot: Option[(String, String)] = None
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (centT, listsT) = ensureStore(spark, dir)
     val probe = probesFor(spark, dir, centT, Q19dAnnIvf.NProbe)
-    val wh = graft.plans.Stores.warehouse(spark)
-    val (probeSnap, memSnap) =
-      (wh.resolve("graft_q19e_probe_snap").toAbsolutePath.toString,
-        wh.resolve("graft_q19e_mem_snap").toAbsolutePath.toString)
+    val probeSnap = graft.plans.Stores.snapPath(spark,
+      "graft_q19e_probe_snap", dir, Seq("embeddings.parquet"))
     probe.toDF("list_id").repartition(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(probeSnap)
-    spark.table(listsT)
-      .select(col("list_id").cast("int").as("list_id"), col("vec_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(memSnap)
-    snapshot = Some((probeSnap, memSnap))
+    snapshot = Some((probeSnap, graft.plans.Stores.tablePath(spark, listsT)))
     served(spark, dir, listsT, probe)
   }
 
@@ -1434,18 +1441,28 @@ object Q19eAnnIvfStore extends GraftQuery {
     * Verify dumps oracle_sql.json after running, so the path is
     * always this run's. */
   def oracle: Option[String] =
-    snapshot.map { case (p, m) => duckIvfOracle(p, m) }
+    snapshot.map { case (p, m) => duckIvfOracle(p, m, memHive = true) }
+
+  /** Membership CTE body over a pinned membership directory: a flat
+    * snapshot copy (q19d's in-JVM assignment), or the lists table's
+    * OWN warehouse directory, where list_id is the hive partition
+    * column in the path (q19e — no copy on serve). */
+  private[queries] def duckMem(memSnap: String, memHive: Boolean): String =
+    if (memHive)
+      s"SELECT CAST(list_id AS INT) AS list_id, vec_id " +
+        s"FROM read_parquet('$memSnap/*/*.parquet', hive_partitioning = 1)"
+    else s"SELECT list_id, vec_id FROM read_parquet('$memSnap/*.parquet')"
 
   /** The shared pinned-candidate replay — q19d (fitted in-JVM
     * membership) and q19e (persisted index membership) serve the
     * same exact-cosine contract, so one oracle builder gates both. */
   private[queries] def duckIvfOracle(probeSnap: String,
-      memSnap: String): String = {
+      memSnap: String, memHive: Boolean = false): String = {
     def d(x: String) = NorthStar.duckDec(x)
     s"""
     WITH probe AS (SELECT list_id FROM read_parquet('$probeSnap/*.parquet')),
     cand AS (SELECT m.vec_id
-             FROM read_parquet('$memSnap/*.parquet') m
+             FROM (${duckMem(memSnap, memHive)}) m
              JOIN probe p ON m.list_id = p.list_id
              WHERE m.vec_id <> 0),
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1497,8 +1514,11 @@ object Q19fAnnRebalance extends GraftQuery {
     * off by the same factor — the retrain bar. */
   val SkewFactor = 4L
 
-  /** Absolute snapshot dirs (centroids, lists) of the last [[run]] —
-    * the oracle bridge described above. */
+  /** Absolute PINNED dirs (centroids, lists) of the last [[run]] —
+    * the oracle bridge described above. Both tables are write-once
+    * per corpus fingerprint, so their own warehouse directories are
+    * the pinned artifacts (fingerprint-keyed names by construction);
+    * the serve pays NO snapshot copy at all (ADVICE r16). */
   @volatile private var snapshot: Option[(String, String)] = None
 
   /** The balance frame over any (centroids, lists) pair — shared by
@@ -1530,15 +1550,8 @@ object Q19fAnnRebalance extends GraftQuery {
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val (centT, listsT) = Q19eAnnIvfStore.ensureStore(spark, dir)
-    val wh = graft.plans.Stores.warehouse(spark)
-    val (centSnap, listsSnap) =
-      (wh.resolve("graft_q19f_cent_snap").toAbsolutePath.toString,
-        wh.resolve("graft_q19f_lists_snap").toAbsolutePath.toString)
-    spark.table(centT).select(col("list_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(centSnap)
-    spark.table(listsT).select(col("list_id").cast("int").as("list_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(listsSnap)
-    snapshot = Some((centSnap, listsSnap))
+    snapshot = Some((graft.plans.Stores.tablePath(spark, centT),
+      graft.plans.Stores.tablePath(spark, listsT)))
     balanceFrame(spark, centT, listsT)
   }
 
@@ -1547,7 +1560,9 @@ object Q19fAnnRebalance extends GraftQuery {
     WITH occ AS (
       SELECT c.list_id AS list_id, count(l.list_id) AS n
       FROM read_parquet('$centSnap/*.parquet') c
-      LEFT JOIN read_parquet('$listsSnap/*.parquet') l ON c.list_id = l.list_id
+      LEFT JOIN (SELECT CAST(list_id AS INT) AS list_id
+                 FROM read_parquet('$listsSnap/*/*.parquet', hive_partitioning = 1)) l
+        ON c.list_id = l.list_id
       GROUP BY c.list_id),
     t AS (SELECT list_id, n, sum(n) OVER () AS total, max(n) OVER () AS max_n
           FROM occ)
@@ -2105,13 +2120,20 @@ object Q75bHybridRrfStore extends GraftQuery {
   }
 
   /** Snapshot dirs (probe triples, list membership) of the last
-    * [[run]] — the q19f oracle bridge (VERDICT r15 #5). */
+    * [[run]] — the q19f oracle bridge (VERDICT r15 #5). The probe
+    * snap is fingerprint-keyed (ADVICE r16); the membership is NOT
+    * copied — the static tier serves the write-once listsT, whose
+    * own warehouse directory is the pinned artifact (the q19e/S19
+    * posture; only the ingest tier s24, whose working index is
+    * mutable and run-scoped, still snapshots membership by copy). */
   @volatile private var snapshot: Option[(String, String)] = None
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val (centT, listsT) = Q19eAnnIvfStore.ensureStore(spark, dir)
-    snapshot = Some(writeSnapshots(spark, probeTriples(spark, dir, centT),
-      listsT, "graft_q75b_probe_snap", "graft_q75b_mem_snap"))
+    val probeSnap = graft.plans.Stores.snapPath(spark,
+      "graft_q75b_probe_snap", dir, Seq("embeddings.parquet"))
+    writeProbeSnap(spark, probeTriples(spark, dir, centT), probeSnap)
+    snapshot = Some((probeSnap, graft.plans.Stores.tablePath(spark, listsT)))
     fuse(lexArm(spark, dir), semArmFrom(spark, dir, centT, listsT))
   }
 
@@ -2125,22 +2147,27 @@ object Q75bHybridRrfStore extends GraftQuery {
     * before any run (rows-only fallback); Round14Spec keeps the
     * recall floor against q75's exact fusion. */
   def oracle: Option[String] =
-    snapshot.map { case (p, m) => duckFusionOracle(p, m) }
+    snapshot.map { case (p, m) => duckFusionOracle(p, m, memHive = true) }
 
-  /** Write this serve's (probe triples, list membership) snapshots
-    * and return their paths — shared with the ingest-tier fusion
-    * (s24), whose working index is the same table shape. */
-  private[graft] def writeSnapshots(spark: SparkSession,
-      triples: Seq[(Int, Long, Seq[Int])], listsT: String,
-      probeName: String, memName: String): (String, String) = {
+  /** Write a serve's probe-triples snapshot to `probeSnap` (absolute,
+    * fingerprint-keyed by the caller) — O(|Q|·nProbe) rows. */
+  private[graft] def writeProbeSnap(spark: SparkSession,
+      triples: Seq[(Int, Long, Seq[Int])], probeSnap: String): Unit = {
     import spark.implicits._
-    val wh = graft.plans.Stores.warehouse(spark)
-    val (probeSnap, memSnap) =
-      (wh.resolve(probeName).toAbsolutePath.toString,
-        wh.resolve(memName).toAbsolutePath.toString)
     triples.flatMap { case (q, pid, ls) => ls.map(l => (q, pid, l)) }
       .toDF("query_id", "pid", "list_id").repartition(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(probeSnap)
+  }
+
+  /** Write (probe triples, list membership) snapshots to the given
+    * absolute paths — the INGEST-tier bridge (s24): its working index
+    * is a run-scoped table torn down after the serve, so membership
+    * must be copied to survive until the oracle replays it. The
+    * static tiers pin their write-once store directories instead. */
+  private[graft] def writeSnapshots(spark: SparkSession,
+      triples: Seq[(Int, Long, Seq[Int])], listsT: String,
+      probeSnap: String, memSnap: String): (String, String) = {
+    writeProbeSnap(spark, triples, probeSnap)
     spark.table(listsT)
       .select(col("list_id").cast("int").as("list_id"), col("vec_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(memSnap)
@@ -2151,7 +2178,7 @@ object Q75bHybridRrfStore extends GraftQuery {
     * index) and s24 (freshly-ingested working index): lexical arm
     * through q74's CTEs, semantic arm from the snapshots, q75's RRF. */
   private[graft] def duckFusionOracle(probeSnap: String,
-      memSnap: String): String = {
+      memSnap: String, memHive: Boolean = false): String = {
     def fold(prod: String, n: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         s"list_transform(range(1, $n + 1), i -> $prod)), " +
@@ -2162,7 +2189,7 @@ object Q75bHybridRrfStore extends GraftQuery {
             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS lex_rank
           FROM s QUALIFY lex_rank <= ${Rrf.ArmDepth}),
     pp AS (SELECT query_id, pid, list_id FROM read_parquet('$probeSnap/*.parquet')),
-    mem AS (SELECT list_id, vec_id FROM read_parquet('$memSnap/*.parquet')),
+    mem AS (${Q19eAnnIvfStore.duckMem(memSnap, memHive)}),
     cand AS (SELECT pp.query_id, pp.pid, m.vec_id AS doc_id
              FROM pp JOIN mem m ON pp.list_id = m.list_id
              WHERE m.vec_id <> pp.pid),
@@ -3540,8 +3567,8 @@ object Q19gAnnPq extends GraftQuery {
     val (probe, adc) = adcShortlist(spark, dir, centT, cbT, codesT,
       Q19dAnnIvf.NProbe)
     val ids = adc.collect().map(_.getLong(0)).toSeq
-    val wh = graft.plans.Stores.warehouse(spark)
-    val candSnap = wh.resolve("graft_q19g_cand_snap").toAbsolutePath.toString
+    val candSnap = graft.plans.Stores.snapPath(spark,
+      "graft_q19g_cand_snap", dir, Seq("embeddings.parquet"))
     ids.toDF("vec_id").repartition(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(candSnap)
     snapshot = Some(candSnap)

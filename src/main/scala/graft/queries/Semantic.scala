@@ -389,8 +389,8 @@ object Q70cSemanticDedupTrained extends GraftQuery {
   def run(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val cent = trainedCentroids(e).localCheckpoint(true)
-    val wh = graft.plans.Stores.warehouse(spark)
-    val centSnap = wh.resolve("graft_q70c_cent_snap").toAbsolutePath.toString
+    val centSnap = graft.plans.Stores.snapPath(spark,
+      "graft_q70c_cent_snap", dir, Seq("embeddings.parquet"))
     cent.repartition(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(centSnap)
     snapshot = Some(centSnap)

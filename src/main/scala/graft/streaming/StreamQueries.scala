@@ -1705,7 +1705,10 @@ object S24StreamHybridFusion extends GraftQuery {
     } { (centT, workT) =>
       snapshot = Some(Q75bHybridRrfStore.writeSnapshots(spark,
         Q75bHybridRrfStore.probeTriples(spark, dir, centT), workT,
-        "graft_s24_probe_snap", "graft_s24_mem_snap"))
+        graft.plans.Stores.snapPath(spark, "graft_s24_probe_snap", dir,
+          Seq("embeddings.parquet")),
+        graft.plans.Stores.snapPath(spark, "graft_s24_mem_snap", dir,
+          Seq("embeddings.parquet"))))
       fuseFrom(spark, dir, centT, workT).localCheckpoint(true)
     }
 
