@@ -64,7 +64,10 @@ object Bpe {
     * pseudo-words that long are drift evidence, not vocabulary, and
     * they land in the oov/unk arm that trips retrain rather than
     * silently passing. */
-  private[graft] val MaxMeasuredWordLen = 64
+  // `final` so the literal constant-folds at compile time: the value
+  // is read inside sibling objects' `val oracle` initializers, and a
+  // non-inlined read during an object-init cycle would see 0.
+  private[graft] final val MaxMeasuredWordLen = 64
 
   /** The ONE corpus-scale step of BPE learning: token/normalize (q1's
     * definition) and the word-frequency reduction. Everything after
@@ -674,14 +677,16 @@ object Q64gWordpieceEncode extends GraftQuery {
   /** Longest piece is 5 chars; probe one past it. */
   private[queries] val MaxProbe = 6
 
-  /** Steps the oracle unrolls. The Spark side folds length(word)
-    * steps; the oracle is only equivalent for words of ≤ this many
-    * chars (each matching step advances ≥ 1 position — a longer word
-    * segmented char-by-char would leave the oracle's fold unfinished
-    * and emit [UNK] where Spark encodes it). WordpieceSpec pins the
-    * corpus-side invariant (max token length ≤ OracleSteps) so a
-    * fixture change fails loudly at the assertion rather than as an
-    * opaque oracle hash mismatch. */
+  /** Historical fixed unroll depth (still the unigram family's
+    * training-chain bound). Since round 17 the WORDPIECE family no
+    * longer uses it: every WP tier — literal expr, store encode,
+    * drift measurement — and every WP oracle chain shares ONE depth
+    * contract, [[Bpe.MaxMeasuredWordLen]]: words ≤ that length are
+    * encoded exactly (greedy consumes ≥ 1 char/step, so
+    * MaxMeasuredWordLen oracle steps always finish them), longer
+    * words are [UNK] BY EXPLICIT GUARD on both engines (ADVICE r16:
+    * a fixed 10-step oracle against a data-derived Spark fold made
+    * any fully-covered 11+-char word a silent red-hash trap). */
   private[graft] val OracleSteps = 10
 
   private def arr(ps: Seq[String]) =
@@ -715,10 +720,16 @@ object Q64gWordpieceEncode extends GraftQuery {
         "'acc', concat(st.acc, IF(st.acc = '', '', ' '), " +
         "IF(st.pos > 1, '##', ''), substring(w_, st.pos, ml_)), " +
         "'unk', false))), 1)"
-    "aggregate(sequence(1, length(w_)), " +
+    // Over-length guard: the shared WP depth contract (words past
+    // MaxMeasuredWordLen are [UNK] on BOTH engines, even when greedy
+    // multi-char pieces could finish them — without the guard a
+    // 65-char word of 5-char pieces would encode here but [UNK] in
+    // the MaxMeasuredWordLen-step oracle chain).
+    s"IF(length(w_) > ${Bpe.MaxMeasuredWordLen}, '[UNK]', " +
+      "aggregate(sequence(1, length(w_)), " +
       "named_struct('pos', 1, 'acc', '', 'unk', false), " +
       s"(st, k_) -> IF(st.unk OR st.pos > length(w_), st, $step), " +
-      "st -> IF(st.unk, '[UNK]', st.acc))"
+      "st -> IF(st.unk, '[UNK]', st.acc)))"
   }
 
   private[graft] def encode(docs: DataFrame): DataFrame = {
@@ -740,9 +751,16 @@ object Q64gWordpieceEncode extends GraftQuery {
 
   /** CTE chain `v, s0..sN, enc(w, ew)` — the greedy encode of every
     * word in a caller-provided CTE `<src>(w)`, UNK included; shared
-    * by q64g's per-doc oracle and q64l's drift oracle. */
-  private[queries] def duckEncChain(src: String): String = {
-    val Steps = OracleSteps
+    * by q64g's per-doc oracle and q64l's drift oracle.
+    *
+    * `nSteps` defaults to the family-wide depth contract
+    * ([[Bpe.MaxMeasuredWordLen]] — every word ≤ the bound finishes,
+    * longer words are [UNK] by the explicit guard below, exactly the
+    * Spark tiers' contract; ADVICE r16). Finished words pass through
+    * extra rounds untouched, so a deeper chain is idempotent. */
+  private[queries] def duckEncChain(src: String,
+      nSteps: Int = Bpe.MaxMeasuredWordLen): String = {
+    val Steps = nSteps
     val vals = (InitPieces.map(p => s"('$p', 0)") ++
       ContPieces.map(p => s"('$p', 1)")).mkString(", ")
     val steps = (1 to Steps).map { k =>
@@ -752,7 +770,7 @@ object Q64gWordpieceEncode extends GraftQuery {
          AND s.pos <= length(s.w) AND NOT s.unk
          AND substr(s.w, s.pos, length(v.piece)) = v.piece
         GROUP BY 1, 2, 3, 4),
-      s$k AS (SELECT w,
+      s$k AS MATERIALIZED (SELECT w,
         CASE WHEN unk OR pos > length(w) OR ml IS NULL THEN pos
              ELSE pos + ml END AS pos,
         CASE WHEN unk OR pos > length(w) OR ml IS NULL THEN acc
@@ -766,7 +784,8 @@ object Q64gWordpieceEncode extends GraftQuery {
     s"""v AS (SELECT * FROM (VALUES $vals) AS t(piece, cont)),
     s0 AS (SELECT DISTINCT w, 1 AS pos, '' AS acc, false AS unk FROM $src),
     $steps,
-    enc AS (SELECT w, CASE WHEN unk OR pos <= length(w) THEN '[UNK]'
+    enc AS (SELECT w, CASE WHEN length(w) > ${Bpe.MaxMeasuredWordLen}
+              OR unk OR pos <= length(w) THEN '[UNK]'
             ELSE acc END AS ew FROM s$Steps)"""
   }
 
@@ -948,9 +967,15 @@ object Q64hUnigramVocab extends GraftQuery {
     * struct max. `$pfx`-namespaced so training unrolls one chain per
     * EM round (and q64m adds a final chain over the FULL corpus's
     * covered words). */
+  /** `nSteps`: DP positions to unroll. The training chains keep the
+    * fixture-pinned [[OracleSteps]]; the drift GATE oracle (q64p)
+    * unrolls [[Bpe.MaxMeasuredWordLen]] so it shares the Spark
+    * measurement's depth contract — the DP completes exactly the
+    * words of length ≤ the bound on both engines, and longer words
+    * never reach dp[len(w)] on either (ADVICE r16). */
   private[graft] def duckViterbi(pfx: String, v: String,
-      src: String = "dw"): String = {
-    val steps = (1 to OracleSteps).map { j =>
+      src: String = "dw", nSteps: Int = OracleSteps): String = {
+    val steps = (1 to nSteps).map { j =>
       val prevs = (math.max(0, j - MaxPiece) until j).map { pj =>
         s"SELECT w, $pj AS j, sc, nn, enc FROM ${pfx}dp$pj"
       }.mkString(" UNION ALL ")
@@ -966,7 +991,7 @@ object Q64hUnigramVocab extends GraftQuery {
             PARTITION BY w ORDER BY sc DESC, nn ASC, enc DESC) AS rk
           FROM ${pfx}cand$j) WHERE rk = 1)"""
     }.mkString(",\n    ")
-    val all = (1 to OracleSteps).map(j =>
+    val all = (1 to nSteps).map(j =>
       s"SELECT w, $j AS j, enc, sc FROM ${pfx}dp$j").mkString(" UNION ALL ")
     s"""${pfx}dp0 AS MATERIALIZED (
       SELECT w, CAST(0 AS BIGINT) AS sc, 0 AS nn, '' AS enc FROM $src),
@@ -1163,54 +1188,76 @@ object Q64jWordpieceEncodeStore extends GraftQuery {
           .format("parquet").saveAsTable(piecesT)
     }.head
 
-  /** The greedy fold, relationally: OracleSteps broadcast-join steps
-    * over one state row per distinct word. */
+  /** The greedy encode from the store, flattened to ONE broadcast
+    * join (see [[encodeDictOf]]). */
   private[graft] def encodeDict(spark: SparkSession, dir: String,
-      piecesT: String, steps: Int = OracleSteps,
-      checkpoint: Boolean = true): DataFrame =
+      piecesT: String): DataFrame =
     encodeDictOf(spark,
       Tables.documents(spark, dir)
         .select(explode(expr(NorthStar.toksExpr)).as("w")).distinct(),
-      piecesT, steps, checkpoint)
+      piecesT)
 
-  /** The same unroll over a CALLER-PROVIDED distinct-word frame (one
-    * `w` column) — the drift-gated store (q64o) measures arriving
-    * corpora through it. */
+  /** Greedy encode of a CALLER-PROVIDED distinct-word frame (one `w`
+    * column) against the piece STORE — the drift-gated store (q64o)
+    * measures arriving corpora through it.
+    *
+    * FLATTENED since round 17 (VERDICT r16 #1): the greedy chain is
+    * sequential in `pos`, but its only data dependence on the
+    * dictionary is the longest match length at each position — so
+    * phase 1 resolves ml(w, pos) for EVERY position in ONE broadcast
+    * join over the store scan (explode positions × probe lengths ≤
+    * MaxProbe, join pieces, max plen per (w, pos)), and phase 2
+    * replays the greedy walk per word as a pure `aggregate`
+    * expression over the collected pos→ml map — no dictionary access,
+    * fully codegen. This replaces the previous depth-many sequential
+    * join+checkpoint rounds (the shape that cost q64o its 2× floor
+    * row): same probes in total, one stage instead of
+    * max-word-length stages, and no data-derived depth probe action.
+    * The store posture is unchanged — pieces arrive by BROADCAST
+    * from the store scan (Round13dSpec), never as a literal.
+    *
+    * Depth contract (shared with every WP oracle chain): words of
+    * length ≤ [[Bpe.MaxMeasuredWordLen]] encode exactly; longer
+    * words are [UNK] by explicit guard on both engines. */
   private[graft] def encodeDictOf(spark: SparkSession, words: DataFrame,
-      piecesT: String, steps: Int = OracleSteps,
-      checkpoint: Boolean = true): DataFrame = {
+      piecesT: String): DataFrame = {
+    val maxLen = Bpe.MaxMeasuredWordLen
     val pieces = broadcast(spark.table(piecesT)
       .select(col("piece"), col("cont"), length(col("piece")).as("plen")))
-    var st = words
-      .select(col("w"), lit(1).as("pos"), lit("").as("acc"),
-        lit(false).as("unk"))
-      .localCheckpoint(false)
-    for (_ <- 1 to steps) {
-      val isActive = !col("unk") && col("pos") <= length(col("w"))
-      val ml = st.filter(isActive)
-        .select(col("w"), col("pos"), explode(expr(
-          s"sequence(1, least($MaxProbe, length(w) - pos + 1))")).as("l"))
-        .join(pieces,
-          expr("substring(w, pos, l)") === col("piece") &&
-            (col("pos") > 1).cast("int") === col("cont"))
-        .groupBy(col("w")).agg(max(col("plen")).as("ml"))
-      val stepped = st.filter(isActive).join(ml, Seq("w"), "left")
-        .select(col("w"),
-          when(col("ml").isNull, col("pos"))
-            .otherwise(col("pos") + col("ml")).as("pos"),
-          when(col("ml").isNull, col("acc")).otherwise(concat(col("acc"),
-            when(col("acc") === "", "").otherwise(" "),
-            when(col("pos") > 1, "##").otherwise(""),
-            expr("substring(w, pos, ml)"))).as("acc"),
-          col("ml").isNull.as("unk"))
-      st = st.filter(!isActive).unionByName(stepped)
-      // Lineage barrier per step (the q64 learn-loop rule): without
-      // it the plan doubles per step (st feeds two branches).
-      if (checkpoint) st = st.localCheckpoint(false)
-    }
-    st.select(col("w"),
-      when(col("unk") || col("pos") <= length(col("w")), lit("[UNK]"))
-        .otherwise(col("acc")).as("enc"))
+    // Phase 1: longest store match per (word, position) — the one
+    // corpus-side dictionary pass. Over-length words skip it (they
+    // are [UNK] by contract; no sense exploding their positions).
+    val ml = words.filter(length(col("w")) <= maxLen)
+      .select(col("w"), explode(expr("sequence(1, length(w))")).as("pos"))
+      .select(col("w"), col("pos"), explode(expr(
+        s"sequence(1, least($MaxProbe, length(w) - pos + 1))")).as("l"))
+      .join(pieces,
+        expr("substring(w, pos, l)") === col("piece") &&
+          (col("pos") > 1).cast("int") === col("cont"))
+      .groupBy(col("w"), col("pos")).agg(max(col("plen")).as("ml"))
+    val mlMaps = ml.groupBy(col("w"))
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("ml"))))
+        .as("mlm"))
+    // Phase 2: the greedy walk over the pos→ml map — same struct fold
+    // as q64g's literal tier, with map lookups in place of dictionary
+    // probes. try_element_at: a position with no match (or a word with
+    // no matches at all — null map from the left join) is null → unk.
+    val step =
+      "element_at(transform(array(try_element_at(mlm, st.pos)), ml_ -> " +
+        "IF(ml_ IS NULL, " +
+        "named_struct('pos', st.pos, 'acc', st.acc, 'unk', true), " +
+        "named_struct('pos', st.pos + ml_, " +
+        "'acc', concat(st.acc, IF(st.acc = '', '', ' '), " +
+        "IF(st.pos > 1, '##', ''), substring(w, st.pos, ml_)), " +
+        "'unk', false))), 1)"
+    val fold =
+      s"IF(length(w) > $maxLen, '[UNK]', " +
+        "aggregate(sequence(1, length(w)), " +
+        "named_struct('pos', 1, 'acc', '', 'unk', false), " +
+        s"(st, k_) -> IF(st.unk OR st.pos > length(w), st, $step), " +
+        "st -> IF(st.unk OR st.pos <= length(w), '[UNK]', st.acc)))"
+    words.join(mlMaps, Seq("w"), "left")
+      .select(col("w"), expr(fold).as("enc"))
   }
 
   def run(spark: SparkSession, dir: String): DataFrame = {
@@ -1825,14 +1872,12 @@ object Q64oWordpieceDriftGatedStore extends GraftQuery {
     * counts and non-UNK piece sums (q64l's stats shape). Additive —
     * s26 accumulates per epoch.
     *
-    * The greedy-fold unroll depth is DERIVED from the arriving batch
-    * (ADVICE r15 medium): the spec-pinned OracleSteps bound holds for
-    * the FIXTURE corpus only, and an arriving word longer than a fixed
-    * unroll would silently read as [UNK] even when fully covered —
-    * permanently tripping the level-tested unk arm. Each greedy step
-    * consumes ≥ 1 char, so max arriving word length bounds the fold;
-    * the distinct-word frame is checkpointed once (vocabulary-scale)
-    * and feeds both the depth probe and the unroll seed. */
+    * The encode is the FLATTENED store dict
+    * ([[Q64jWordpieceEncodeStore.encodeDictOf]], VERDICT r16 #1):
+    * exact for every word ≤ [[Bpe.MaxMeasuredWordLen]], [UNK] beyond
+    * — no data-derived depth probe, no sequential unroll, and the
+    * oracle chain shares the same bound, so an arriving word of ANY
+    * length reads identically on both engines (ADVICE r16). */
   private[graft] def measured(spark: SparkSession, docs: DataFrame,
       piecesT: String): DataFrame = {
     val words = docs
@@ -1841,13 +1886,7 @@ object Q64oWordpieceDriftGatedStore extends GraftQuery {
         lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
       .filter(length(col("word")) > 0)
     val dw = words.select(col("word").as("w")).distinct()
-      .localCheckpoint(true)
-    // Depth bounded by [[Bpe.MaxMeasuredWordLen]]: over-length words
-    // read as [UNK] by contract (the fold leaves pos <= length).
-    val steps = math.max(1, math.min(Bpe.MaxMeasuredWordLen,
-      dw.agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0)))
-    val dict = Q64jWordpieceEncodeStore.encodeDictOf(spark, dw, piecesT,
-        steps = steps)
+    val dict = Q64jWordpieceEncodeStore.encodeDictOf(spark, dw, piecesT)
       .select(col("w").as("word"), (col("enc") === "[UNK]").as("unk"),
         size(split(col("enc"), " ")).cast("long").as("ntok"))
     words.join(dict, Seq("word"))
@@ -2091,7 +2130,8 @@ object Q64pUnigramDriftGatedStore extends GraftQuery {
         - (SELECT CAST(floor(1000000 * ln(CAST(t AS DOUBLE))) AS BIGINT)
            FROM vfint) AS q
       FROM $fin),
-    ${Q64hUnigramVocab.duckViterbi("fe", "vfin")},
+    ${Q64hUnigramVocab.duckViterbi("fe", "vfin",
+      nSteps = Bpe.MaxMeasuredWordLen)},
     lw AS (SELECT lang,
         lower(regexp_replace(unnest(string_split_regex(text, '\\s+')), '[^a-zA-Z]', '', 'g')) AS word
       FROM documents),

@@ -38,21 +38,22 @@ class WordpieceSpec extends SparkSpec {
     assert(enc("zzz") === "[UNK]")
   }
 
-  test("q64g: oracle unroll depth covers the corpus (max token ≤ OracleSteps)") {
-    // The DuckDB oracle unrolls OracleSteps greedy steps while Spark
-    // folds length(word) steps; they agree only while every corpus
-    // token fits in the unroll (ADVICE r12). Pin the invariant at the
-    // larger oracle scale so a fixture regeneration with longer words
-    // fails HERE, not as an opaque oracle hash mismatch.
-    import org.apache.spark.sql.functions._
-    for (dir <- Seq(sf, sf01)) {
-      val maxLen = spark.read.parquet(s"$dir/documents.parquet")
-        .select(explode(expr(graft.queries.NorthStar.toksExpr)).as("t"))
-        .agg(max(length(col("t")))).head().getInt(0)
-      assert(maxLen <= Q64gWordpieceEncode.OracleSteps,
-        s"$dir: max token length $maxLen exceeds the oracle's " +
-          s"${Q64gWordpieceEncode.OracleSteps}-step unroll — raise OracleSteps")
-    }
+  test("q64g: the shared depth contract — ≤MaxMeasuredWordLen encodes exactly, beyond is [UNK]") {
+    // Round 17 (ADVICE r16): every WP tier and every WP oracle chain
+    // share ONE depth bound, Bpe.MaxMeasuredWordLen — no more
+    // fixture-pinned "max token ≤ OracleSteps" invariant. A fully
+    // covered word of 11–64 chars (the old silent-divergence range)
+    // must encode EXACTLY; past the bound it is [UNK] by explicit
+    // guard even though greedy multi-char pieces could finish it.
+    val maxLen = graft.queries.Bpe.MaxMeasuredWordLen
+    // "table" + k × "le" — 'table' init, 'le' continuation pieces.
+    def covered(k: Int) = "table" + "le" * k
+    val in = covered((maxLen - 5) / 2)         // 63 chars: inside
+    assert(in.length <= maxLen)
+    assert(enc(in) === "table" + " ##le" * ((maxLen - 5) / 2))
+    val out = covered((maxLen - 5) / 2 + 1)    // 65 chars: past it
+    assert(out.length > maxLen)
+    assert(enc(out) === "[UNK]")
   }
 
   test("q64g: counts — words, pieces, unks; empty doc is all zeros") {
