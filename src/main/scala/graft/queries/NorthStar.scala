@@ -2028,43 +2028,52 @@ object Q75bHybridRrfStore extends GraftQuery {
   val name = "q75b_hybrid_rrf_store"
   import Rrf.{ArmDepth, RrfK}
   private[graft] val probeIds = Q74Bm25.querySet.map(_._1 - 1L)
+  /** Compiled default query pairs (query_id, probe-vector id) — the
+    * q74 query pack's convention (pid = query_id − 1). The streamed
+    * tier (s24) passes CALLER pairs instead (VERDICT r16 #3). */
+  private[graft] val defaultQueries: Seq[(Int, Long)] =
+    Q74Bm25.querySet.map { case (q, _) => (q, q - 1L) }
 
   /** (query_id, probe-vector id, probed list ids) — the O(K)·O(|Q|)
     * driver-side probe pick, exposed so [[run]] can snapshot it for
-    * the hash oracle (the q19f bridge). */
+    * the hash oracle (the q19f bridge). `queries` parameterizes the
+    * batch (a query batch is driver-scale by contract). */
   private[graft] def probeTriples(spark: SparkSession, dir: String,
-      centT: String): Seq[(Int, Long, Seq[Int])] = {
+      centT: String,
+      queries: Seq[(Int, Long)] = defaultQueries): Seq[(Int, Long, Seq[Int])] = {
     val cents = spark.table(centT).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     val qvs = Tables.embeddings(spark, dir)
-      .filter(col("vec_id").isin(probeIds: _*)).collect()
+      .filter(col("vec_id").isin(queries.map(_._2): _*)).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
       .toMap
-    Q74Bm25.querySet.map { case (q, _) =>
-      val qv = qvs(q - 1L)
+    queries.map { case (q, pid) =>
+      val qv = qvs(pid)
       val probe = cents.map { case (lid, c) =>
         (lid, c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum) }
         .sortBy { case (lid, d2) => (d2, lid) }
         .take(Q19dAnnIvf.NProbe).map(_._1).toSeq
-      (q, q - 1L, probe)
+      (q, pid, probe)
     }
   }
 
   /** The IVF arm over an explicitly bound (centroids, lists) family —
     * the ingest-tier fusion (s24) probes a freshly streamed-into
-    * working index through exactly this plan. */
+    * working index through exactly this plan, with ITS caller-table
+    * query pairs. */
   private[graft] def semArmFrom(spark: SparkSession, dir: String,
-      centT: String, listsT: String): DataFrame = {
+      centT: String, listsT: String,
+      queries: Seq[(Int, Long)] = defaultQueries): DataFrame = {
     import spark.implicits._
     // O(K) quantizer to the driver (the q19e rule), O(|Q|) probe
     // vectors: both driver-known, so the probed list set is a plan
     // literal and the lists scan partition-prunes statically.
-    val pairs = probeTriples(spark, dir, centT)
+    val pairs = probeTriples(spark, dir, centT, queries)
     val probePairs = broadcast(pairs
       .flatMap { case (q, pid, ls) => ls.map(l => (q, pid, l)) }
       .toDF("query_id", "pid", "list_id"))
     val qvDf = broadcast(Tables.embeddings(spark, dir)
-      .filter(col("vec_id").isin(probeIds: _*))
+      .filter(col("vec_id").isin(queries.map(_._2): _*))
       .select(col("vec_id").as("pid"), col("embedding").as("qv")))
     val allLists = pairs.flatMap(_._3).distinct
     val cos = spark.table(listsT)
@@ -2092,11 +2101,23 @@ object Q75bHybridRrfStore extends GraftQuery {
       .select(col("query_id"), col("doc_id"), col("sem_rank"))
   }
 
-  /** The store-tier lexical arm, 20-deep. */
+  /** The store-tier lexical arm, 20-deep (compiled query pack). */
   private[graft] def lexArm(spark: SparkSession, dir: String): DataFrame = {
     val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, dir)
     Q74Bm25.topK(
         Q74bBm25Store.scoredFrom(spark, postT, lenT, metaT), ArmDepth)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+  }
+
+  /** The lexical arm over a CALLER (query_id, word) term table —
+    * q74f's bucket-pruned query-table serve ranked ArmDepth-deep
+    * (the streamed fusion's lex arm, VERDICT r16 #3). */
+  private[graft] def lexArmFor(spark: SparkSession, dir: String,
+      terms: DataFrame): DataFrame = {
+    val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, dir)
+    Q74Bm25.topK(
+        Q74bBm25Store.scoredFromQueries(spark, postT, lenT, metaT, terms),
+        ArmDepth)
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
   }
 
@@ -2175,16 +2196,19 @@ object Q75bHybridRrfStore extends GraftQuery {
   }
 
   /** The pinned-snapshot fusion replay — shared by q75b (static full
-    * index) and s24 (freshly-ingested working index): lexical arm
-    * through q74's CTEs, semantic arm from the snapshots, q75's RRF. */
+    * index, compiled query pack) and s24 (freshly-ingested working
+    * index, caller term batch): lexical arm through q74's CTEs
+    * (parameterized when a term batch is given — VERDICT r16 #3),
+    * semantic arm from the snapshots, q75's RRF. */
   private[graft] def duckFusionOracle(probeSnap: String,
-      memSnap: String, memHive: Boolean = false): String = {
+      memSnap: String, memHive: Boolean = false,
+      termBatch: Option[Seq[(Int, Seq[String])]] = None): String = {
     def fold(prod: String, n: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         s"list_transform(range(1, $n + 1), i -> $prod)), " +
         "(a_, x_) -> a_ + x_)"
     s"""
-    WITH ${Q74Bm25.duckLexCtes},
+    WITH ${termBatch.map(Q74Bm25.duckLexCtesFor).getOrElse(Q74Bm25.duckLexCtes)},
     lexr AS (SELECT query_id, doc_id,
             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS lex_rank
           FROM s QUALIFY lex_rank <= ${Rrf.ArmDepth}),

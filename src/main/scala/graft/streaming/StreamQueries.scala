@@ -1642,39 +1642,58 @@ object S23bStreamBm25Compact extends GraftQuery {
   val oracle: Option[String] = Q74Bm25.oracle
 }
 
-/** S24 — HYBRID FUSION OVER A FRESHLY-INGESTED INDEX: the retrieval
-  * family's freshness story (the declared round-14 residual #2).
-  * q75b fuses from the STATIC full-corpus IVF store; a production
-  * search path serves queries while new embeddings stream in. Here
-  * the base index holds the train-split vectors (q19e's
-  * `ensureTrainStore` — the s19 shape), the test split arrives as a
-  * genuine embedding stream routed through the FROZEN quantizer into
-  * a run-scoped working copy (s19's `maintain` — appends ride the
-  * list_id partition column, so the serve's pruned-scan posture
-  * survives every epoch), and the fusion then probes that working
-  * index through EXACTLY q75b's arm + fusion plans
-  * ([[graft.queries.Q75bHybridRrfStore.semArmFrom]]/`fuse` — shared
-  * code, arithmetic cannot fork). The lexical arm is q74b's
-  * bucket-pruned store (the lexical index's freshness tier is s23's
-  * own maintenance; one freshness axis per op).
+/** S24 — HYBRID FUSION OVER A FRESHLY-INGESTED INDEX, SERVED FOR
+  * CALLER QUERY TABLES: the retrieval family's freshness story
+  * (round-14 residual #2), completed with q75d's parameterization
+  * (VERDICT r16 #3). q75b fuses the compiled query pack from the
+  * STATIC full-corpus IVF store; a production search path serves
+  * each arriving QUERY BATCH — a (query_id, word) term table from
+  * the analyzer and a (query_id, qv) probe pairing from the encoder
+  * — while new embeddings stream in. Here the base index holds the
+  * train-split vectors (q19e's `ensureTrainStore` — the s19 shape),
+  * the test split arrives as a genuine embedding stream routed
+  * through the FROZEN quantizer into a run-scoped working copy
+  * (s19's `maintain` — appends ride the list_id partition column, so
+  * the serve's pruned-scan posture survives every epoch), and the
+  * fusion then serves the caller tables through EXACTLY q75b's
+  * parameterized arm + fusion plans
+  * ([[graft.queries.Q75bHybridRrfStore.lexArmFor]]/`semArmFrom`/
+  * `fuse` — shared code, arithmetic cannot fork). The entry replays
+  * q75d's fixture batch — q74f's term table with probe vectors whose
+  * vec_id == query_id — so the parameterization is exercised, not a
+  * default. Round17Spec plan-asserts both prunes survive the
+  * streamed serve: the lex postings scan bucket-prunes from the
+  * dynamic term batch and the lists scan partition-prunes to the
+  * probed lists.
   *
-  * Rows-only (the trained-ANN posture): Round14Spec pins the streamed
-  * fusion ≡ a one-shot batch ingest of the same delta (epoch-split
-  * invariance) and that both arms contribute. */
+  * HASH oracle (q75b's bridge, lex chain parameterized by the same
+  * term batch); Round14Spec keeps the epoch-split-invariance and
+  * both-arms gates. */
 object S24StreamHybridFusion extends GraftQuery {
   import StreamQueries._
   import graft.queries.{Q19eAnnIvfStore, Q40TrainTestSplit,
-    Q75bHybridRrfStore}
+    Q75bHybridRrfStore, Q75dFusionQueryTables, Q74fBm25QueryTable}
   val name = "s24_stream_hybrid_fusion"
   private val s24Run = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Fuse from a bound (centroids, working-lists) family — shared by
-    * the streamed run and the spec's one-shot batch twin. */
+  /** The caller tables this entry serves: q75d's fixture batch —
+    * q74f's (query_id, word) terms; probe pairs vec_id == query_id
+    * (disjoint from every compiled-in set, so q19h's self-exclusion
+    * rule applies unchanged). */
+  private[graft] val termBatch: Seq[(Int, Seq[String])] =
+    Q75dFusionQueryTables.termBatch
+  private[graft] val queryPairs: Seq[(Int, Long)] =
+    Q75dFusionQueryTables.vecIds.map(v => (v.toInt, v))
+
+  /** Fuse the caller tables from a bound (centroids, working-lists)
+    * family — shared by the streamed run and the spec's one-shot
+    * batch twin. */
   private[graft] def fuseFrom(spark: SparkSession, dir: String,
       centT: String, listsT: String): DataFrame =
     Q75bHybridRrfStore.fuse(
-      Q75bHybridRrfStore.lexArm(spark, dir),
-      Q75bHybridRrfStore.semArmFrom(spark, dir, centT, listsT))
+      Q75bHybridRrfStore.lexArmFor(spark, dir,
+        Q74fBm25QueryTable.queriesDf(spark)),
+      Q75bHybridRrfStore.semArmFrom(spark, dir, centT, listsT, queryPairs))
 
   /** Build the run-scoped working index (train-split base copy), run
     * `ingest` over it, hand (centT, workT) to `f`, tear down. */
@@ -1704,7 +1723,8 @@ object S24StreamHybridFusion extends GraftQuery {
       ()
     } { (centT, workT) =>
       snapshot = Some(Q75bHybridRrfStore.writeSnapshots(spark,
-        Q75bHybridRrfStore.probeTriples(spark, dir, centT), workT,
+        Q75bHybridRrfStore.probeTriples(spark, dir, centT, queryPairs),
+        workT,
         graft.plans.Stores.snapPath(spark, "graft_s24_probe_snap", dir,
           Seq("embeddings.parquet")),
         graft.plans.Stores.snapPath(spark, "graft_s24_mem_snap", dir,
@@ -1712,13 +1732,17 @@ object S24StreamHybridFusion extends GraftQuery {
       fuseFrom(spark, dir, centT, workT).localCheckpoint(true)
     }
 
-  /** HASH oracle (round 16): q75b's pinned-snapshot fusion replay
-    * over the snapshots taken AFTER the ingest drained — the streamed
-    * working index is gated to serve exactly what its rows say.
-    * Round14Spec keeps the epoch-split-invariance and both-arms
-    * gates. */
+  /** HASH oracle (round 16; caller tables round 17): q75b's
+    * pinned-snapshot fusion replay over the snapshots taken AFTER
+    * the ingest drained — the streamed working index is gated to
+    * serve exactly what its rows say — with the LEX chain replayed
+    * over the same caller term batch the serve took (VERDICT r16
+    * #3). Round14Spec keeps the epoch-split-invariance and
+    * both-arms gates. */
   def oracle: Option[String] =
-    snapshot.map { case (p, m) => Q75bHybridRrfStore.duckFusionOracle(p, m) }
+    snapshot.map { case (p, m) =>
+      Q75bHybridRrfStore.duckFusionOracle(p, m,
+        termBatch = Some(termBatch)) }
 }
 
 /** S25 — PHRASE QUERIES over the STREAMED positional index: closes

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries._
+
+/** Round 17 (VERDICT r16 + ADVICE r16): consolidation gates.
+  *
+  *  - s24: the STREAMED fusion now serves caller query tables (q75d's
+  *    parameterization — VERDICT r16 #3); both prunes must survive
+  *    the streamed working index — the lex postings scan
+  *    bucket-prunes from the dynamic term batch and the lists scan
+  *    partition-prunes to the probed lists;
+  *  - snapshot keying: oracle-bridge snapshot paths embed the corpus
+  *    fingerprint, so interleaved corpora cannot cross-pair
+  *    (ADVICE r16). */
+class Round17Spec extends SparkSpec {
+
+  test("s24: caller-table fusion over the ingested index — both prunes engage; both arms contribute") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.streaming.S24StreamHybridFusion
+    // One-shot batch ingest twin (Round14Spec pins streamed ≡ batch);
+    // the plan under inspection is EXACTLY the streamed serve's.
+    val (rows, plan) = S24StreamHybridFusion.withWorkingIndex(spark, sf01) {
+      (centT, workT) =>
+        Q19eAnnIvfStore.appendToLists(spark, workT,
+          Q19eAnnIvfStore.assign(spark, centT,
+            Tables.embeddings(spark, sf01)
+              .filter(Q40TrainTestSplit.splitColOf("vec_id") === "test")))
+    } { (centT, workT) =>
+      val df = S24StreamHybridFusion.fuseFrom(spark, sf01, centT, workT)
+      (df.collect(), df.queryExecution.executedPlan)
+    }
+    assert(rows.nonEmpty, "caller-table streamed fusion returned nothing")
+    assert(rows.map(_.getInt(0)).toSet ==
+      S24StreamHybridFusion.termBatch.map(_._1).toSet,
+      "a batch query vanished from the fused result")
+    assert(rows.exists(_.getAs[Int]("lex_rank") > 0) &&
+      rows.exists(_.getAs[Int]("sem_rank") > 0),
+      "an arm never contributed to the ingest-tier fusion")
+    // Lex prune: the postings scan's bucket set comes from the
+    // DYNAMIC term batch (q74f's literal-prune path).
+    val nTerms = S24StreamHybridFusion.termBatch.flatMap(_._2).distinct.size
+    val postScans = flattenPlan(plan).collect {
+      case f: FileSourceScanExec if f.tableIdentifier.exists(
+        _.table.startsWith("graft_bm25store_postings")) => f
+    }
+    assert(postScans.nonEmpty, "no postings scan in the streamed serve")
+    postScans.foreach { f =>
+      assert(f.optionalBucketSet.exists(_.cardinality() <= nTerms),
+        s"lex postings scan did not bucket-prune from the caller " +
+          s"batch: ${f.optionalBucketSet.map(_.cardinality())} (want <= $nTerms)")
+    }
+    // Sem prune: the WORKING lists scan partition-prunes to the
+    // probed lists — the pruned-scan posture survives ingest.
+    val listScans = flattenPlan(plan).collect {
+      case f: FileSourceScanExec if f.tableIdentifier.exists(
+        _.table.startsWith("graft_s24_lists")) => f
+    }
+    assert(listScans.nonEmpty, "no working-lists scan in the streamed serve")
+    val maxLists = (S24StreamHybridFusion.queryPairs.size
+      * Q19dAnnIvf.NProbe).min(Q19dAnnIvf.K)
+    listScans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"list_id must be a partition filter, got: ${f.partitionFilters}")
+      assert(f.selectedPartitions.partitionCount <= maxLists,
+        s"working-lists scan read ${f.selectedPartitions.partitionCount} " +
+          s"partitions, want <= $maxLists (union of probed lists)")
+    }
+  }
+
+  test("snapshot paths are fingerprint-keyed per corpus (ADVICE r16)") {
+    val a = graft.plans.Stores.snapPath(spark, "graft_t17_snap", sf)
+    val b = graft.plans.Stores.snapPath(spark, "graft_t17_snap", sf01)
+    assert(a != b, "two corpora resolved the SAME snapshot path")
+    assert(a == graft.plans.Stores.snapPath(spark, "graft_t17_snap", sf),
+      "snapshot path is not stable for an unchanged corpus")
+  }
+}
