@@ -537,6 +537,143 @@ object ScaleBench {
       if (!wantRetr ||
           sys.env.getOrElse("SPARK_GRAFT_SCALE1000", "0") != "1") Map.empty
       else { synthesize1000(spark, sfDir); retrievalPoints(Scale1000Dir) }
+    // OPEN-VOCABULARY retrieval decades (VERDICT r16 #2): the N×
+    // suffix corpora present N× tokens over the SAME 31 distinct
+    // words, so their serve rows cannot separate "the prune holds"
+    // from "every query term is a stopword of a closed vocabulary" —
+    // the fourth-decade serve growth was ARGUED away on that basis.
+    // This section synthesizes a deterministic ZIPFIAN open-vocabulary
+    // corpus instead: token ranks are drawn log-uniformly over
+    // [1, 10⁶] via xxhash64 (P(rank r) ∝ 1/r — Zipf(1) frequencies,
+    // no engine RNG), so realized vocabulary GROWS with the corpus
+    // (Heaps-like: rare ranks only appear in big corpora) and the
+    // fixed query batch is a vanishing vocabulary fraction. The
+    // serve's static bucket prune is ASSERTED on the plan before
+    // timing (SelectedBucketsCount ≤ |terms| — the pinned invariant).
+    val OvVocabMax = 1000000L
+    val OvBaseDocs = 1000L
+    val OvTokensPerDoc = 200
+    /** The word the synthesis emits for rank r (digits → letters). */
+    def ovWord(r: Long): String =
+      "w" + r.toString.map(d => ('a' + (d - '0')).toChar)
+    val ovTermBatch: Seq[(Int, Seq[String])] = Seq(
+      (1, Seq(ovWord(2), ovWord(317))),      // common + mid
+      (2, Seq(ovWord(51), ovWord(4211))),    // mid + rare
+      (3, Seq(ovWord(9), ovWord(68111))),    // common + very rare
+      (4, Seq(ovWord(1201), ovWord(250007))))// rare + tail
+    val ovPhrases: Seq[(Int, Seq[String])] = Seq(
+      (1, Seq(ovWord(1), ovWord(2))),
+      (2, Seq(ovWord(3), ovWord(1))))
+    val ovNames = Seq("ov_store_build", "ov_term_serve",
+      "ov_phrase_serve", "ov_epoch_phrase_serve")
+    val wantOv = only.forall(names => ovNames.exists(names))
+    def ovDir(scale: Int) = s"/tmp/graft_openvocab$scale"
+    def synthesizeOv(scale: Int): Unit = {
+      val dir = ovDir(scale)
+      val fpFile = java.nio.file.Paths.get(s"$dir/_synth_fingerprint")
+      val fp = s"ov1|$OvVocabMax|$OvBaseDocs|$OvTokensPerDoc|x$scale"
+      if (java.nio.file.Files.exists(fpFile) &&
+          new String(java.nio.file.Files.readAllBytes(fpFile),
+            "UTF-8") == fp) {
+        System.err.println(s"[scalebench] reusing $dir")
+        return
+      }
+      val rankExpr =
+        s"cast(exp((pmod(xxhash64(id * 131071 + i), 1000000) + 0.5) " +
+          s"/ 1000000.0 * ln(cast($OvVocabMax as double))) as bigint)"
+      spark.range(OvBaseDocs * scale)
+        .select(col("id").as("doc_id"),
+          expr(s"array_join(transform(sequence(1, $OvTokensPerDoc), " +
+            s"i -> concat('w', translate(cast($rankExpr as string), " +
+            "'0123456789', 'abcdefghij'))), ' ')").as("text"),
+          lit("en").as("lang"), lit("synth").as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(if (scale >= 1000) 128 else 16)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      java.nio.file.Files.write(fpFile, fp.getBytes("UTF-8"))
+    }
+    def ovPoints(scale: Int): Map[String, Double] = try {
+      synthesizeOv(scale)
+      val dir = ovDir(scale)
+      def t1(body: => Unit): Double =
+        try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[scalebench] ov point @ $dir FAILED: ${e.getMessage}")
+          -1.0 }
+      graft.plans.Stores.evict(spark, "graft_bm25store")
+      val build = t1(Q74bBm25Store.ensureStore(spark, dir))
+      val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, dir)
+      import spark.implicits._
+      def termServeDf() = Q74Bm25.topK(
+        Q74bBm25Store.scoredFromQueries(spark, postT, lenT, metaT,
+          ovTermBatch.flatMap { case (q, ts) => ts.map(q -> _) }
+            .toDF("query_id", "word")), 10)
+      // Pinned invariant: the postings scan bucket-prunes from the
+      // batch — fail the section loudly if the prune ever drops.
+      // (AQE wraps scans in adaptive/query-stage nodes — walk them.)
+      def flat(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        import org.apache.spark.sql.execution.adaptive.{
+          AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec        => Seq(q.plan)
+          case r: ReusedExchangeExec    => Seq(r.child)
+          case other                    => other.children
+        }
+        p +: kids.flatMap(flat)
+      }
+      val nTerms = ovTermBatch.flatMap(_._2).distinct.size
+      val probe = termServeDf()
+      probe.write.format("noop").mode("overwrite").save()
+      val scans = flat(probe.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.tableIdentifier.exists(
+            _.table.startsWith("graft_bm25store_postings")) => f
+      }
+      require(scans.nonEmpty && scans.forall(
+          _.optionalBucketSet.exists(_.cardinality() <= nTerms)),
+        s"open-vocab serve lost the static bucket prune: " +
+          scans.map(_.optionalBucketSet.map(_.cardinality())))
+      def serve(df: => DataFrame): Double = {
+        def s1() = t1(df.write.format("noop").mode("overwrite").save())
+        math.min(s1(), s1())
+      }
+      val termServe = serve(termServeDf())
+      val phraseServe = serve(Q74cBm25PhraseStore.serveFromFrame(
+        spark, spark.table(postT), ovPhrases))
+      // The s25 layout twin: the SAME phrase serve over an
+      // epoch-append (unbucketed) postings table — pushed scan filter
+      // instead of static prune, the compaction trade s23b prices.
+      val epochT = "graft_scale_ov_epoch"
+      graft.plans.Stores.dropManaged(spark, epochT)
+      val epochOk = t1(Q74Bm25.postingsOf(Tables.documents(spark, dir))
+        .write.format("parquet").saveAsTable(epochT)) >= 0
+      val epochServe =
+        if (!epochOk) -1.0
+        else serve(Q74cBm25PhraseStore.serveFromFrame(
+          spark, spark.table(epochT), ovPhrases))
+      graft.plans.Stores.dropManaged(spark, epochT)
+      graft.plans.Stores.evict(spark, "graft_bm25store")
+      Map("ov_store_build" -> build, "ov_term_serve" -> termServe,
+        "ov_phrase_serve" -> phraseServe,
+        "ov_epoch_phrase_serve" -> epochServe)
+        .filter(_._2 >= 0)
+    } catch { case e: Throwable =>
+      System.err.println(
+        s"[scalebench] ov section @ ${ovDir(scale)} FAILED: ${e.getMessage}")
+      Map.empty
+    }
+    val (ov1, ov10) =
+      if (wantOv) (ovPoints(1), ovPoints(10))
+      else (Map.empty[String, Double], Map.empty[String, Double])
+    val ov100: Map[String, Double] =
+      if (!wantOv || !scale100Enabled) Map.empty else ovPoints(100)
+    val ov1000: Map[String, Double] =
+      if (!wantOv ||
+          sys.env.getOrElse("SPARK_GRAFT_SCALE1000", "0") != "1") Map.empty
+      else ovPoints(1000)
     // DRIFT-GATE measurement decades (round 15): each gated store's
     // decide() is one corpus tokenize + a vocabulary-sized dictionary
     // pass (greedy fold / Viterbi DP per DISTINCT word) + a per-lang
@@ -547,7 +684,7 @@ object ScaleBench {
     // the dictionary passes are decade-invariant by construction and
     // any superlinear term would be in the join/rollup.
     val gateNames = Seq("q64n_gate_decide", "q64o_gate_decide",
-      "q64p_gate_decide")
+      "q64p_gate_decide", "q64q_gate_decide_sampled")
     val wantGates = only.forall(names => gateNames.exists(names))
     def gatePoints(dir: String): Map[String, Double] = try {
       def t1(body: => Unit): Double =
@@ -570,8 +707,13 @@ object ScaleBench {
       val n = point(Q64nBpeDriftGatedStore.decide(spark, vN, sN, docs))
       val o = point(Q64oWordpieceDriftGatedStore.decide(spark, pO, sO, docs))
       val p = point(Q64pUnigramDriftGatedStore.decide(spark, pP, sP, docs))
+      // The SAMPLED decide (VERDICT r16 #5): the production shape —
+      // no audit columns — priced against the full q64o decide above
+      // (same store, same gate arithmetic, 1/16 of the docs).
+      val q = point(Q64qSampledDriftGate.decideSampled(spark, pO, sO, docs))
       Map("q64n_gate_decide" -> n, "q64o_gate_decide" -> o,
-        "q64p_gate_decide" -> p).filter(_._2 >= 0)
+        "q64p_gate_decide" -> p, "q64q_gate_decide_sampled" -> q)
+        .filter(_._2 >= 0)
     } catch { case e: Throwable =>
       System.err.println(s"[scalebench] gate section @ $dir FAILED: ${e.getMessage}")
       Map.empty
@@ -624,6 +766,14 @@ object ScaleBench {
     val dt100: Map[String, Double] =
       if (!wantDsir || !scale100Enabled) Map.empty
       else { synthesize100(spark, sfDir); dsirPoints(Scale100Dir) }
+    // Fourth decade for the DSIR store (VERDICT r16 #4): build pays
+    // the ~1.3 GB gram passes + the top-K bar; the serve must stay
+    // one gram pass + the broadcast λ join — matching the decade
+    // coverage every other store family already has. Same opt-in.
+    val dt1000: Map[String, Double] =
+      if (!wantDsir ||
+          sys.env.getOrElse("SPARK_GRAFT_SCALE1000", "0") != "1") Map.empty
+      else { synthesize1000(spark, sfDir); dsirPoints(Scale1000Dir) }
     // Text-dedup CLOSURE at the deep decades (VERDICT r12 item 7):
     // the label-propagation loop is O(component-diameter) iterations
     // × one shuffle each — the most plausible remaining superlinear
@@ -673,6 +823,23 @@ object ScaleBench {
       .mkString("{", ",", "}")
     def ratio(num: Double, den: Double): Double =
       if (num < 0 || den <= 0) -1.0 else num / den
+    // Deep-decade (1000×) ratio row with DENOMINATOR FALLBACK
+    // (ADVICE r16): a 1000×-only run (SPARK_GRAFT_SCALE1000=1 with
+    // SCALE100=0) must not print an empty ratio object and silently
+    // lose the cost-curve comparison the point exists for — when the
+    // 100× pass didn't run, fall back to the 10× points and LABEL the
+    // row accordingly (…_1000x_vs_10x).
+    def deepRatioRow(names: Seq[String], top: Map[String, Double],
+        at100: Map[String, Double], at10: Map[String, Double],
+        key: String): String = {
+      val (den, label) =
+        if (names.exists(at100.contains)) (at100, s"${key}_1000x_vs_100x")
+        else (at10, s"${key}_1000x_vs_10x")
+      val body = names.filter(n => top.contains(n) && den.contains(n))
+        .map(n => "\"" + n + "\":" + f"${ratio(top(n), den(n))}%.2f")
+        .mkString("{", ",", "}")
+      s"""{"$label":$body}"""
+    }
     val ratios = picked.map(q =>
       "\"" + q.name + "\":" + f"${ratio(at10(q.name), at1(q.name))}%.2f")
       .mkString("{", ",", "}")
@@ -696,14 +863,8 @@ object ScaleBench {
         println(s"""{"store_ratio_100x_vs_10x":$r100}""")
       }
       if (st1000.nonEmpty) {
-        // Ratio rows only for names with a REAL 100x denominator: a
-        // 1000x-only run (SCALE1000=1, SCALE100=0) must not print
-        // negative nonsense ratios from a defaulted denominator.
-        val r1000 = storeNames.filter(st100.contains)
-          .map(n => "\"" + n + "\":" + f"${ratio(st1000(n), st100(n))}%.2f")
-          .mkString("{", ",", "}")
         println(s"""{"scale_stores":"sf0.1x1000","points":${srow(st1000)}}""")
-        println(s"""{"store_ratio_1000x_vs_100x":$r1000}""")
+        println(deepRatioRow(storeNames, st1000, st100, st10, "store_ratio"))
       }
     }
     if (sem.nonEmpty) {
@@ -740,12 +901,31 @@ object ScaleBench {
         println(s"""{"retrieval_ratio_100x_vs_10x":$r100}""")
       }
       if (rt1000.nonEmpty) {
-        val r1000 = retrNames
-          .filter(n => rt1000.contains(n) && rt100.contains(n))
-          .map(n => "\"" + n + "\":" + f"${ratio(rt1000(n), rt100(n))}%.2f")
-          .mkString("{", ",", "}")
         println(s"""{"scale_retrieval":"sf0.1x1000","points":${rrow(rt1000)}}""")
-        println(s"""{"retrieval_ratio_1000x_vs_100x":$r1000}""")
+        println(deepRatioRow(retrNames, rt1000, rt100, rt10,
+          "retrieval_ratio"))
+      }
+    }
+    if (ov1.nonEmpty) {
+      def orow(m: Map[String, Double]) = ovNames.filter(m.contains)
+        .map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
+      val oratio = ovNames.filter(n => ov1.contains(n) && ov10.contains(n))
+        .map(n => "\"" + n + "\":" + f"${ratio(ov10(n), ov1(n))}%.2f")
+        .mkString("{", ",", "}")
+      println(s"""{"scale_openvocab":"1x","points":${orow(ov1)}}""")
+      println(s"""{"scale_openvocab":"10x","points":${orow(ov10)}}""")
+      println(s"""{"openvocab_ratio_10x":$oratio}""")
+      if (ov100.nonEmpty) {
+        val o100 = ovNames.filter(n => ov100.contains(n) && ov10.contains(n))
+          .map(n => "\"" + n + "\":" + f"${ratio(ov100(n), ov10(n))}%.2f")
+          .mkString("{", ",", "}")
+        println(s"""{"scale_openvocab":"100x","points":${orow(ov100)}}""")
+        println(s"""{"openvocab_ratio_100x_vs_10x":$o100}""")
+      }
+      if (ov1000.nonEmpty) {
+        println(s"""{"scale_openvocab":"1000x","points":${orow(ov1000)}}""")
+        println(deepRatioRow(ovNames, ov1000, ov100, ov10,
+          "openvocab_ratio"))
       }
     }
     if (gt1.nonEmpty) {
@@ -765,12 +945,8 @@ object ScaleBench {
         println(s"""{"gate_ratio_100x_vs_10x":$g100}""")
       }
       if (gt1000.nonEmpty) {
-        val g1000 = gateNames
-          .filter(n => gt1000.contains(n) && gt100.contains(n))
-          .map(n => "\"" + n + "\":" + f"${ratio(gt1000(n), gt100(n))}%.2f")
-          .mkString("{", ",", "}")
         println(s"""{"scale_gates":"sf0.1x1000","points":${grow(gt1000)}}""")
-        println(s"""{"gate_ratio_1000x_vs_100x":$g1000}""")
+        println(deepRatioRow(gateNames, gt1000, gt100, gt10, "gate_ratio"))
       }
     }
     if (dt1.nonEmpty) {
@@ -789,18 +965,24 @@ object ScaleBench {
         println(s"""{"scale_dsir":"sf0.1x100","points":${drow(dt100)}}""")
         println(s"""{"dsir_ratio_100x_vs_10x":$d100}""")
       }
+      if (dt1000.nonEmpty) {
+        println(s"""{"scale_dsir":"sf0.1x1000","points":${drow(dt1000)}}""")
+        println(deepRatioRow(dsirNames, dt1000, dt100, dt10, "dsir_ratio"))
+      }
     }
     if (cl100.nonEmpty) {
       def crow(m: Map[String, Double]) = closureNames.filter(m.contains)
         .map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
       println(s"""{"scale_closure":"sf0.1x100","points":${crow(cl100)}}""")
       if (cl1000.nonEmpty) {
-        val cr = closureNames
-          .filter(n => cl1000.contains(n) && cl100.contains(n))
-          .map(n => "\"" + n + "\":" + f"${ratio(cl1000(n), cl100(n))}%.2f")
-          .mkString("{", ",", "}")
         println(s"""{"scale_closure":"sf0.1x1000","points":${crow(cl1000)}}""")
-        println(s"""{"closure_ratio_1000x_vs_100x":$cr}""")
+        // Closure's own 10× pass doesn't exist (the family starts at
+        // 100×) — the fallback then degrades to an empty object only
+        // when NEITHER denominator ran, which a closure-only 1000×
+        // invocation cannot produce (cl100 is forced by SCALE100's
+        // default-on).
+        println(deepRatioRow(closureNames, cl1000, cl100, Map.empty,
+          "closure_ratio"))
       }
     }
   }

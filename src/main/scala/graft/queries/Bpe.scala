@@ -49,7 +49,7 @@ object Bpe {
       Q64hUnigramVocab, Q64iUnigramEncode, Q64jWordpieceEncodeStore,
       Q64kUnigramEncodeStore, Q64lWordpieceDrift, Q64mUnigramDrift,
       Q64nBpeDriftGatedStore, Q64oWordpieceDriftGatedStore,
-      Q64pUnigramDriftGatedStore, Q78DriftConsole)
+      Q64pUnigramDriftGatedStore, Q64qSampledDriftGate, Q78DriftConsole)
 
   /** Longest ARRIVING word the drift gates measure through the
     * relational encode unroll (q64o's greedy fold / q64p's Viterbi DP
@@ -1975,6 +1975,170 @@ object Q64oWordpieceDriftGatedStore extends GraftQuery {
            > ${Q64lWordpieceDrift.DriftThreshold}, FALSE)) AS retrain
     FROM m
     ORDER BY lang
+  """.trim
+  }
+}
+
+/** Q64q — SAMPLED drift gate (VERDICT r16 #5): q64o's decide on a
+  * DETERMINISTIC 1-in-16 DOCUMENT sample — the q40 split discipline
+  * (last md5(doc_id) nibble == 0; never `rand()`), so both engines
+  * replay the exact same sample and the whole frame stays
+  * hash-green. At 100×/1000× the full gates' decide costs 8–126 s
+  * because EVERY arriving document is tokenized and encoded; the
+  * sampled tier pays ~1/16 of everything — scan, tokenize, encode,
+  * rollup — for a per-lang estimate whose error the entry AUDITS
+  * in-query (the q30b tolerance-flag pattern): alongside the sampled
+  * signals it computes the FULL measurement and emits boolean
+  * within-envelope flags, all replayed exactly by the oracle. At
+  * scale the audit columns drop and only the sampled arm runs
+  * (q30b's documented trade) — [[decideSampled]] is that production
+  * shape, and ScaleBench's `q64q_gate_decide_sampled` decade row
+  * prices it against the full decide.
+  *
+  * RETRAIN gating: the sampled signals compare against the STORED
+  * full-corpus baselines (q64o's store — shared, one store family)
+  * with thresholds WIDENED by the documented sampling envelope —
+  * a drift smaller than the sampling error cannot be attributed, so
+  * the sampled gate is deliberately less trigger-happy by exactly
+  * that envelope; a missing baseline stays the loudest drift
+  * (retrain by construction, q64o's rule). */
+object Q64qSampledDriftGate extends GraftQuery {
+  val name = "q64q_wordpiece_drift_gate_sampled"
+  /** Keep documents whose last md5(doc_id) nibble == 0 → 1/16. */
+  private[graft] val SampleNibble = 0
+  private[graft] def sampleFilter: org.apache.spark.sql.Column =
+    expr("locate(substring(md5(cast(doc_id as string)), 32, 1), " +
+      "'0123456789abcdef') - 1") === SampleNibble
+  private[queries] val duckSample =
+    "instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 = " +
+      SampleNibble
+  /** Sampling envelopes (fixture-audited by the in-query flags and
+    * Round17Spec): relative on fertility, absolute on unk_rate. A
+    * 1/16 doc sample over the fixture's ≥100-docs-per-lang strata
+    * lands well inside both; production recalibrates per corpus. */
+  private[graft] val FertilityEnvelope = 0.10
+  private[graft] val UnkEnvelope = 0.05
+
+  /** PRODUCTION sampled decide: measurement over the doc sample,
+    * gate vs the stored full baselines at widened thresholds. No
+    * audit columns — this is the shape the decade rows price. */
+  private[graft] def decideSampled(spark: SparkSession, piecesT: String,
+      statsT: String, arriving: DataFrame): DataFrame =
+    gateSampled(spark,
+      Q64oWordpieceDriftGatedStore.measured(
+        spark, arriving.filter(sampleFilter), piecesT), statsT)
+
+  private def gateSampled(spark: SparkSession, m: DataFrame,
+      statsT: String): DataFrame =
+    m.join(spark.table(statsT), Seq("lang"), "left")
+      .select(col("lang"),
+        col("train_fertility").as("stored_fertility"),
+        when(col("invocab_words") === 0L, lit(null).cast("double"))
+          .otherwise(col("invocab_ntok").cast("double")
+            / col("invocab_words"))
+          .as("sampled_fertility"),
+        col("train_unk_rate").as("stored_unk_rate"),
+        (col("unk_words").cast("double") / col("n_words"))
+          .as("sampled_unk_rate"),
+        col("n_words").as("sampled_n_words"),
+        col("unk_words").as("sampled_unk_words"))
+      .withColumn("rel_drift",
+        abs(col("sampled_fertility") - col("stored_fertility"))
+          / col("stored_fertility"))
+      .withColumn("unk_jump",
+        col("sampled_unk_rate") - col("stored_unk_rate"))
+      .withColumn("retrain",
+        col("stored_unk_rate").isNull ||
+          col("unk_jump") >
+            Q64lWordpieceDrift.UnkJumpThreshold + UnkEnvelope ||
+          coalesce(col("rel_drift") >
+            Q64lWordpieceDrift.DriftThreshold + FertilityEnvelope,
+            lit(false)))
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val (piecesT, statsT) = Q64oWordpieceDriftGatedStore
+      .ensureStore(spark, dir)
+    val docs = graft.Tables.documents(spark, dir)
+    val sampled = decideSampled(spark, piecesT, statsT, docs)
+    // AUDIT tier (drops at scale): the full measurement + envelope
+    // flags, hash-replayed by the oracle — the envelope is a gated
+    // contract, not an argued one.
+    val full = Q64oWordpieceDriftGatedStore.measured(spark, docs, piecesT)
+      .select(col("lang"),
+        when(col("invocab_words") === 0L, lit(null).cast("double"))
+          .otherwise(col("invocab_ntok").cast("double")
+            / col("invocab_words"))
+          .as("full_fertility"),
+        (col("unk_words").cast("double") / col("n_words"))
+          .as("full_unk_rate"))
+    full.join(sampled, Seq("lang"), "left")
+      .select(col("lang"),
+        col("sampled_fertility"), col("sampled_unk_rate"),
+        col("sampled_n_words"), col("sampled_unk_words"),
+        col("full_fertility"), col("full_unk_rate"),
+        coalesce(abs(col("sampled_fertility") - col("full_fertility"))
+            / col("full_fertility") <= FertilityEnvelope,
+          col("sampled_fertility").isNull && col("full_fertility").isNull)
+          .as("fertility_within_env"),
+        coalesce(abs(col("sampled_unk_rate") - col("full_unk_rate"))
+            <= UnkEnvelope, lit(false)).as("unk_within_env"),
+        col("rel_drift"), col("unk_jump"), col("retrain"))
+      .orderBy(col("lang"))
+  }
+
+  /** Replay: both measurement arms share one encode chain (`enc`
+    * covers every distinct word; the sampled arm just filters the
+    * occurrence rows by the doc-id nibble before joining it). The
+    * stored baselines equal the full measurement of the same corpus
+    * (the q64o oracle's structure), so drift/jump here are the REAL
+    * sampling deviations, gate-checked at the widened thresholds. */
+  val oracle: Option[String] = Some {
+    s"""
+    WITH w AS (SELECT doc_id, lang,
+        lower(regexp_replace(unnest(string_split_regex(text, '\\s+')), '[^a-zA-Z]', '', 'g')) AS word
+      FROM documents),
+    ww AS (SELECT * FROM w WHERE length(word) > 0),
+    dw AS (SELECT DISTINCT word AS w FROM ww),
+    ${Q64gWordpieceEncode.duckEncChain("dw")},
+    fm AS (SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(SUM(CASE WHEN e.ew = '[UNK]' THEN 1 ELSE 0 END) AS BIGINT) AS unk_words,
+        CAST(SUM(CASE WHEN e.ew = '[UNK]' THEN 0 ELSE len(string_split(e.ew, ' ')) END) AS BIGINT) AS invocab_ntok,
+        CAST(SUM(CASE WHEN e.ew = '[UNK]' THEN 0 ELSE 1 END) AS BIGINT) AS invocab_words
+      FROM ww JOIN enc e ON e.w = ww.word GROUP BY lang),
+    sm AS (SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(SUM(CASE WHEN e.ew = '[UNK]' THEN 1 ELSE 0 END) AS BIGINT) AS unk_words,
+        CAST(SUM(CASE WHEN e.ew = '[UNK]' THEN 0 ELSE len(string_split(e.ew, ' ')) END) AS BIGINT) AS invocab_ntok,
+        CAST(SUM(CASE WHEN e.ew = '[UNK]' THEN 0 ELSE 1 END) AS BIGINT) AS invocab_words
+      FROM ww JOIN enc e ON e.w = ww.word WHERE $duckSample GROUP BY lang),
+    j AS (SELECT f.lang,
+        CASE WHEN s.invocab_words = 0 THEN NULL
+             ELSE CAST(s.invocab_ntok AS DOUBLE) / s.invocab_words END AS sampled_fertility,
+        CAST(s.unk_words AS DOUBLE) / s.n_words AS sampled_unk_rate,
+        s.n_words AS sampled_n_words,
+        s.unk_words AS sampled_unk_words,
+        CASE WHEN f.invocab_words = 0 THEN NULL
+             ELSE CAST(f.invocab_ntok AS DOUBLE) / f.invocab_words END AS full_fertility,
+        CAST(f.unk_words AS DOUBLE) / f.n_words AS full_unk_rate
+      FROM fm f LEFT JOIN sm s ON f.lang = s.lang)
+    SELECT lang, sampled_fertility, sampled_unk_rate,
+      sampled_n_words, sampled_unk_words, full_fertility, full_unk_rate,
+      COALESCE(abs(sampled_fertility - full_fertility) / full_fertility
+          <= $FertilityEnvelope,
+        sampled_fertility IS NULL AND full_fertility IS NULL)
+        AS fertility_within_env,
+      COALESCE(abs(sampled_unk_rate - full_unk_rate) <= $UnkEnvelope,
+        FALSE) AS unk_within_env,
+      abs(sampled_fertility - full_fertility) / full_fertility AS rel_drift,
+      sampled_unk_rate - full_unk_rate AS unk_jump,
+      (full_unk_rate IS NULL
+        OR sampled_unk_rate - full_unk_rate >
+             ${Q64lWordpieceDrift.UnkJumpThreshold} + $UnkEnvelope
+        OR COALESCE(abs(sampled_fertility - full_fertility) / full_fertility >
+             ${Q64lWordpieceDrift.DriftThreshold} + $FertilityEnvelope, FALSE))
+        AS retrain
+    FROM j ORDER BY lang
   """.trim
   }
 }

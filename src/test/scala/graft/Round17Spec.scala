@@ -68,6 +68,36 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("q64q: the 1/16 sampled gate stays inside its envelope on both fixtures; verdict matches the full gate") {
+    // The envelope constants are a GATED contract (the in-query
+    // flags hash against the oracle); this spec additionally pins
+    // that the sampled verdict AGREES with the full gate's on an
+    // in-distribution corpus — the sampled tier must not be
+    // trigger-happy where the full gate is calm.
+    for (dir <- Seq(sf, sf01)) {
+      val rows = Q64qSampledDriftGate.run(spark, dir).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getAs[Boolean]("fertility_within_env"),
+          s"$dir: sampled fertility left the envelope: $r")
+        assert(r.getAs[Boolean]("unk_within_env"),
+          s"$dir: sampled unk_rate left the envelope: $r")
+        assert(!r.getAs[Boolean]("retrain"),
+          s"$dir: sampled gate tripped on an in-distribution corpus: $r")
+      }
+      val (piecesT, statsT) =
+        Q64oWordpieceDriftGatedStore.ensureStore(spark, dir)
+      val full = Q64oWordpieceDriftGatedStore
+        .decide(spark, piecesT, statsT, Tables.documents(spark, dir))
+        .collect().map(r => r.getAs[String]("lang") ->
+          r.getAs[Boolean]("retrain")).toMap
+      rows.foreach { r =>
+        assert(full(r.getAs[String]("lang")) == r.getAs[Boolean]("retrain"),
+          s"$dir: sampled and full verdicts disagree for ${r.getAs[String]("lang")}")
+      }
+    }
+  }
+
   test("snapshot paths are fingerprint-keyed per corpus (ADVICE r16)") {
     val a = graft.plans.Stores.snapPath(spark, "graft_t17_snap", sf)
     val b = graft.plans.Stores.snapPath(spark, "graft_t17_snap", sf01)
