@@ -1325,50 +1325,71 @@ object Q64kUnigramEncodeStore extends GraftQuery {
           .format("parquet").saveAsTable(piecesT)
     }.head
 
-  /** The Viterbi DP, relationally: OracleSteps broadcast-join steps
-    * over (word, position) state rows. */
+  /** The Viterbi encode from the score STORE, flattened to ONE
+    * broadcast join (the q64j shape, round 17). */
   private[graft] def encodeDict(spark: SparkSession, dir: String,
-      piecesT: String, steps: Int = OracleSteps,
-      checkpoint: Boolean = true): DataFrame =
+      piecesT: String): DataFrame =
     encodeDictOf(spark,
       Bpe.wordFreq(spark, dir).select(col("word").as("w")).distinct(),
-      piecesT, steps, checkpoint)
+      piecesT)
 
-  /** The same DP over a CALLER-PROVIDED distinct-word frame (one `w`
-    * column) — the drift-gated store (q64p) measures arriving corpora
-    * through it. Words with characters outside the trained inventory
-    * never complete the DP and fall out (the caller's OOV arm). */
+  /** Viterbi encode of a CALLER-PROVIDED distinct-word frame (one `w`
+    * column) against the score STORE — the drift-gated store (q64p)
+    * measures arriving corpora through it.
+    *
+    * FLATTENED since round 17 (the q64o treatment, VERDICT r16 #1):
+    * the DP is sequential in position, but its only dependence on
+    * the dictionary is the candidate piece score per (end position
+    * j, length l) — so phase 1 resolves q(w, j, l) for EVERY
+    * candidate in ONE broadcast join over the store scan (explode
+    * positions × ≤MaxPiece lengths, equi-join on the substring), and
+    * phase 2 replays the whole DP per word as a pure `aggregate`
+    * expression over the collected (j·8+l)→q map — q64i's own fold
+    * shape (viterbiExpr) with map lookups in place of the literal
+    * score map, same array_max struct tie order (score desc, fewer
+    * pieces, enc desc). One stage instead of depth-many sequential
+    * join+checkpoint rounds; the store posture is unchanged — scores
+    * arrive by BROADCAST from the store scan (Round13fSpec).
+    *
+    * Depth bound [[Bpe.MaxMeasuredWordLen]]: longer words never
+    * complete the DP and fall out — the gate's OOV arm on both
+    * engines (the 64-step oracle chain can't reach dp[len] either);
+    * the classic tiers' corpora are spec-pinned far below the
+    * bound (Round13cSpec). Words that never complete (uncovered
+    * chars, over-length) are dropped, exactly the sequential
+    * version's `j == length(w)` filter. */
   private[graft] def encodeDictOf(spark: SparkSession, words: DataFrame,
-      piecesT: String, steps: Int = OracleSteps,
-      checkpoint: Boolean = true): DataFrame = {
+      piecesT: String): DataFrame = {
+    val maxLen = Bpe.MaxMeasuredWordLen
     val pieces = broadcast(spark.table(piecesT)
-      .select(col("piece"), col("q"), length(col("piece")).as("plen")))
-    var dps = words
-      .select(col("w"), lit(0).as("j"), lit(0L).as("sc"), lit(0).as("nn"),
-        lit("").as("enc"))
-      .localCheckpoint(false)
-    for (k <- 1 to steps) {
-      val cand = dps
-        .filter(col("j").between(k - MaxPiece, k - 1) &&
-          length(col("w")) >= k)
-        // piece covering positions j+1..k (length k − j ∈ 1..MaxPiece)
-        .withColumn("key", expr(s"substring(w, j + 1, $k - j)"))
-        .join(pieces, col("key") === col("piece") &&
-          col("plen") === (lit(k) - col("j")))
-        .select(col("w"),
-          (col("sc") + col("q")).as("sc"), (col("nn") - 1).as("nn"),
-          concat(col("enc"), when(col("j") === 0, "").otherwise(" "),
-            col("piece")).as("enc"))
-      val dpk = cand.groupBy(col("w"))
-        .agg(max(struct(col("sc"), col("nn"), col("enc"))).as("b"))
-        .select(col("w"), lit(k).as("j"), col("b.sc").as("sc"),
-          col("b.nn").as("nn"), col("b.enc").as("enc"))
-      dps = dps.unionByName(dpk)
-      // Lineage barrier per step (the q64 learn-loop rule).
-      if (checkpoint) dps = dps.localCheckpoint(false)
-    }
-    dps.filter(col("j") === length(col("w")))
-      .select(col("w").as("word"), col("enc"))
+      .select(col("piece"), col("q")))
+    val cand = words.filter(length(col("w")) <= maxLen)
+      .select(col("w"), explode(expr("sequence(1, length(w))")).as("j"))
+      .select(col("w"), col("j"), explode(expr(
+        s"sequence(1, least($MaxPiece, j))")).as("l"))
+      .join(pieces, expr("substring(w, j - l + 1, l)") === col("piece"))
+      .select(col("w"), (col("j") * 8 + col("l")).as("k"), col("q"))
+    val qMaps = cand.groupBy(col("w"))
+      .agg(map_from_entries(collect_list(struct(col("k"), col("q"))))
+        .as("qm"))
+    val step =
+      s"array_max(filter(transform(sequence(1, least($MaxPiece, j_)), l_ -> " +
+        "IF(element_at(acc_, j_ - l_ + 1) IS NULL " +
+        "OR try_element_at(qm, j_ * 8 + l_) IS NULL, NULL, " +
+        "named_struct(" +
+        "'sc', element_at(acc_, j_ - l_ + 1).sc + try_element_at(qm, j_ * 8 + l_), " +
+        "'nn', element_at(acc_, j_ - l_ + 1).nn - 1, " +
+        "'enc', concat(element_at(acc_, j_ - l_ + 1).enc, " +
+        "IF(j_ - l_ = 0, '', ' '), substring(w, j_ - l_ + 1, l_))))), " +
+        "x_ -> x_ IS NOT NULL))"
+    val fold =
+      "aggregate(sequence(1, length(w)), " +
+        "array(named_struct('sc', CAST(0 AS BIGINT), 'nn', 0, 'enc', '')), " +
+        s"(acc_, j_) -> concat(acc_, array($step)), " +
+        "acc_ -> element_at(acc_, -1).enc)"
+    words.join(qMaps, Seq("w"))
+      .select(col("w").as("word"), expr(fold).as("enc"))
+      .filter(col("enc").isNotNull)
   }
 
   def run(spark: SparkSession, dir: String): DataFrame = {
@@ -2222,18 +2243,15 @@ object Q64pUnigramDriftGatedStore extends GraftQuery {
       .select(col("lang"),
         lower(regexp_replace(col("tok"), "[^a-zA-Z]", "")).as("word"))
       .filter(length(col("word")) > 0)
-    // DP depth derived from the arriving batch's covered words (ADVICE
-    // r15 medium — the q64o rule): a covered word longer than a fixed
-    // unroll would never complete the Viterbi DP and silently count as
-    // OOV, contradicting q64p's own OOV definition (uncovered CHARS).
+    // The FLATTENED store DP ([[Q64kUnigramEncodeStore.encodeDictOf]],
+    // round 17): complete for every covered word ≤
+    // [[Bpe.MaxMeasuredWordLen]], over-length words never reach
+    // dp[len] and read as OOV — the same bound the 64-step oracle
+    // chain enforces, so both engines share one depth contract
+    // (ADVICE r16). No depth probe, no sequential unroll.
     val dw = words.select(col("word").as("w")).distinct()
-      .filter(expr(covered)).localCheckpoint(true)
-    // Depth bounded by [[Bpe.MaxMeasuredWordLen]]: over-length words
-    // never complete the DP and read as OOV by contract.
-    val steps = math.max(1, math.min(Bpe.MaxMeasuredWordLen,
-      dw.agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0)))
-    val dict = Q64kUnigramEncodeStore.encodeDictOf(spark, dw, piecesT,
-        steps = steps)
+      .filter(expr(covered))
+    val dict = Q64kUnigramEncodeStore.encodeDictOf(spark, dw, piecesT)
       .select(col("word"),
         size(split(col("enc"), " ")).cast("long").as("ntok"))
     words.join(dict, Seq("word"), "left")
