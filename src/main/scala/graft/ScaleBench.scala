@@ -674,6 +674,44 @@ object ScaleBench {
       if (!wantOv ||
           sys.env.getOrElse("SPARK_GRAFT_SCALE1000", "0") != "1") Map.empty
       else ovPoints(1000)
+    // Focused ANN-store decades (round 17): q19e's serve dropped its
+    // per-serve membership copy — the oracle now pins the store
+    // DIRECTORY (ADVICE r16) — so the lifecycle gets a re-measured
+    // row without re-paying the whole store-family sweep.
+    val annNames = Seq("q19e_ann_build", "q19e_ann_serve")
+    val wantAnn = only.forall(names => annNames.exists(names))
+    def annPoints(dir: String): Map[String, Double] = try {
+      def t1(body: => Unit): Double =
+        try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[scalebench] ann point @ $dir FAILED: ${e.getMessage}")
+          -1.0 }
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/embeddings.parquet"))) Map.empty
+      else {
+        graft.plans.Stores.evict(spark, "graft_annstore")
+        val b = t1(Q19eAnnIvfStore.ensureStore(spark, dir))
+        def s1() = t1(Q19eAnnIvfStore.run(spark, dir)
+          .write.format("noop").mode("overwrite").save())
+        val s = math.min(s1(), s1())
+        graft.plans.Stores.evict(spark, "graft_annstore")
+        Map("q19e_ann_build" -> b, "q19e_ann_serve" -> s)
+          .filter(_._2 >= 0)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[scalebench] ann section @ $dir FAILED: ${e.getMessage}")
+      Map.empty
+    }
+    val (an1, an10) =
+      if (wantAnn) (annPoints(sfDir), annPoints(Scale10Dir))
+      else (Map.empty[String, Double], Map.empty[String, Double])
+    val an100: Map[String, Double] =
+      if (!wantAnn || !scale100Enabled) Map.empty
+      else { synthesize100(spark, sfDir); annPoints(Scale100Dir) }
+    val an1000: Map[String, Double] =
+      if (!wantAnn ||
+          sys.env.getOrElse("SPARK_GRAFT_SCALE1000", "0") != "1") Map.empty
+      else { synthesize1000(spark, sfDir); annPoints(Scale1000Dir) }
     // DRIFT-GATE measurement decades (round 15): each gated store's
     // decide() is one corpus tokenize + a vocabulary-sized dictionary
     // pass (greedy fold / Viterbi DP per DISTINCT word) + a per-lang
@@ -684,7 +722,8 @@ object ScaleBench {
     // the dictionary passes are decade-invariant by construction and
     // any superlinear term would be in the join/rollup.
     val gateNames = Seq("q64n_gate_decide", "q64o_gate_decide",
-      "q64p_gate_decide", "q64q_gate_decide_sampled")
+      "q64p_gate_decide", "q64q_gate_decide_sampled",
+      "q64q_gate_decide_sampled_pruned")
     val wantGates = only.forall(names => gateNames.exists(names))
     def gatePoints(dir: String): Map[String, Double] = try {
       def t1(body: => Unit): Double =
@@ -709,10 +748,25 @@ object ScaleBench {
       val p = point(Q64pUnigramDriftGatedStore.decide(spark, pP, sP, docs))
       // The SAMPLED decide (VERDICT r16 #5): the production shape —
       // no audit columns — priced against the full q64o decide above
-      // (same store, same gate arithmetic, 1/16 of the docs).
+      // (same store, same gate arithmetic, 1/16 of the docs). Read
+      // from the standard layout its floor is the CORPUS SCAN (the
+      // text column is read before the doc-id filter drops 15/16 of
+      // it) — measured ~3–5× under the full decide, not 16×.
       val q = point(Q64qSampledDriftGate.decideSampled(spark, pO, sO, docs))
+      // The LAYOUT-AWARE twin: a production store that partitions (or
+      // sorts) by the sample nibble scans ONLY the sampled 1/16 — the
+      // materialized sample below stands in for that layout, so this
+      // point prices the post-scan measurement itself (the untimed
+      // write is the layout's pay-once cost).
+      val sampDir = s"/tmp/graft_gate_sample_${dir.hashCode.toHexString}"
+      docs.filter(Q64qSampledDriftGate.sampleFilter)
+        .write.mode("overwrite").parquet(sampDir)
+      val sampled = spark.read.parquet(sampDir)
+      val qp = point(Q64qSampledDriftGate.decideSampled(spark, pO, sO,
+        sampled))
       Map("q64n_gate_decide" -> n, "q64o_gate_decide" -> o,
-        "q64p_gate_decide" -> p, "q64q_gate_decide_sampled" -> q)
+        "q64p_gate_decide" -> p, "q64q_gate_decide_sampled" -> q,
+        "q64q_gate_decide_sampled_pruned" -> qp)
         .filter(_._2 >= 0)
     } catch { case e: Throwable =>
       System.err.println(s"[scalebench] gate section @ $dir FAILED: ${e.getMessage}")
@@ -926,6 +980,18 @@ object ScaleBench {
         println(s"""{"scale_openvocab":"1000x","points":${orow(ov1000)}}""")
         println(deepRatioRow(ovNames, ov1000, ov100, ov10,
           "openvocab_ratio"))
+      }
+    }
+    if (an1.nonEmpty) {
+      def arow(m: Map[String, Double]) = annNames.filter(m.contains)
+        .map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
+      println(s"""{"scale_ann":"sf0.1","points":${arow(an1)}}""")
+      println(s"""{"scale_ann":"sf0.1x10","points":${arow(an10)}}""")
+      if (an100.nonEmpty)
+        println(s"""{"scale_ann":"sf0.1x100","points":${arow(an100)}}""")
+      if (an1000.nonEmpty) {
+        println(s"""{"scale_ann":"sf0.1x1000","points":${arow(an1000)}}""")
+        println(deepRatioRow(annNames, an1000, an100, an10, "ann_ratio"))
       }
     }
     if (gt1.nonEmpty) {
