@@ -236,7 +236,11 @@ class Round12SqlSpec extends SparkSpec {
       // q64o (round 15): the WordPiece gate measures through q64g's
       // bounded greedy-fold unroll (q64l's class-C technique) + one
       // per-lang rollup against the frozen stats table.
-      "q64o_wordpiece_drift_gated_store")
+      "q64o_wordpiece_drift_gated_store",
+      // q64q (round 17): q64o's measurement on the deterministic
+      // md5-nibble doc sample — the same class-C encode chain, one
+      // extra hash filter + the envelope-flag audit join.
+      "q64q_wordpiece_drift_gate_sampled")
     // (D) driver-coordinated iteration / per-partition accumulators:
     // no single SQL statement computes these (a pagerank loop, BPE
     // merge loops, two-pass prefix sums, Misra-Gries coupled
