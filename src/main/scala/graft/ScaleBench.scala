@@ -758,12 +758,15 @@ object ScaleBench {
       // materialized sample below stands in for that layout, so this
       // point prices the post-scan measurement itself (the untimed
       // write is the layout's pay-once cost).
+      // Materialization failure must cost only THIS point, not the
+      // decade's already-measured rows (round-17 review — the same
+      // fail-soft contract as point()).
       val sampDir = s"/tmp/graft_gate_sample_${dir.hashCode.toHexString}"
-      docs.filter(Q64qSampledDriftGate.sampleFilter)
-        .write.mode("overwrite").parquet(sampDir)
-      val sampled = spark.read.parquet(sampDir)
-      val qp = point(Q64qSampledDriftGate.decideSampled(spark, pO, sO,
-        sampled))
+      val qp =
+        if (t1(docs.filter(Q64qSampledDriftGate.sampleFilter)
+              .write.mode("overwrite").parquet(sampDir)) < 0) -1.0
+        else point(Q64qSampledDriftGate.decideSampled(spark, pO, sO,
+          spark.read.parquet(sampDir)))
       Map("q64n_gate_decide" -> n, "q64o_gate_decide" -> o,
         "q64p_gate_decide" -> p, "q64q_gate_decide_sampled" -> q,
         "q64q_gate_decide_sampled_pruned" -> qp)
@@ -960,15 +963,21 @@ object ScaleBench {
           "retrieval_ratio"))
       }
     }
-    if (ov1.nonEmpty) {
+    // Gate on ANY decade (round-17 review): a failed 1× point must
+    // not silently discard the expensive deep-decade measurements
+    // that still succeeded.
+    if (Seq(ov1, ov10, ov100, ov1000).exists(_.nonEmpty)) {
       def orow(m: Map[String, Double]) = ovNames.filter(m.contains)
         .map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
       val oratio = ovNames.filter(n => ov1.contains(n) && ov10.contains(n))
         .map(n => "\"" + n + "\":" + f"${ratio(ov10(n), ov1(n))}%.2f")
         .mkString("{", ",", "}")
-      println(s"""{"scale_openvocab":"1x","points":${orow(ov1)}}""")
-      println(s"""{"scale_openvocab":"10x","points":${orow(ov10)}}""")
-      println(s"""{"openvocab_ratio_10x":$oratio}""")
+      if (ov1.nonEmpty)
+        println(s"""{"scale_openvocab":"1x","points":${orow(ov1)}}""")
+      if (ov10.nonEmpty) {
+        println(s"""{"scale_openvocab":"10x","points":${orow(ov10)}}""")
+        println(s"""{"openvocab_ratio_10x":$oratio}""")
+      }
       if (ov100.nonEmpty) {
         val o100 = ovNames.filter(n => ov100.contains(n) && ov10.contains(n))
           .map(n => "\"" + n + "\":" + f"${ratio(ov100(n), ov10(n))}%.2f")
@@ -982,11 +991,13 @@ object ScaleBench {
           "openvocab_ratio"))
       }
     }
-    if (an1.nonEmpty) {
+    if (Seq(an1, an10, an100, an1000).exists(_.nonEmpty)) {
       def arow(m: Map[String, Double]) = annNames.filter(m.contains)
         .map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
-      println(s"""{"scale_ann":"sf0.1","points":${arow(an1)}}""")
-      println(s"""{"scale_ann":"sf0.1x10","points":${arow(an10)}}""")
+      if (an1.nonEmpty)
+        println(s"""{"scale_ann":"sf0.1","points":${arow(an1)}}""")
+      if (an10.nonEmpty)
+        println(s"""{"scale_ann":"sf0.1x10","points":${arow(an10)}}""")
       if (an100.nonEmpty)
         println(s"""{"scale_ann":"sf0.1x100","points":${arow(an100)}}""")
       if (an1000.nonEmpty) {

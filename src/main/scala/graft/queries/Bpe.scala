@@ -1150,28 +1150,28 @@ object Q64iUnigramEncode extends GraftQuery {
   * every query). Here the vocabulary is a STORE TABLE (the q64e
   * lifecycle: fingerprint-named, commit-marker + cross-process lock
   * via `plans/Stores`), and the greedy longest-match-first loop is
-  * re-expressed as a bounded RELATIONAL unroll — the same technique
-  * q64g's own DuckDB oracle uses — where each step probes the piece
-  * lengths with one BROADCAST equi-join against the store:
+  * FLATTENED to one relational pass (round 17 — see [[encodeDictOf]]):
   *
-  *   state(w, pos, acc, unk) → explode probe lengths 1..MaxProbe →
-  *   key = substring(w, pos, l) → broadcast-join pieces(piece, cont)
-  *   → max piece length per word → advance.
+  *   explode (word, pos, probe length 1..MaxProbe) → ONE broadcast
+  *   equi-join pieces(piece, cont) → max piece length per (w, pos)
+  *   → collect pos→ml map per word → replay the greedy walk as a
+  *   pure `aggregate` expression.
   *
-  * One state row per DISTINCT word (vocabulary-sized, never the
-  * corpus), OracleSteps fixed steps (the corpus word-length bound
-  * WordpieceSpec pins), lazy localCheckpoint per step to keep the
-  * plan linear (the q64 learn-loop rule); the corpus-scale step is
-  * the per-doc dictionary join-back (the q64b rule: encode is a
-  * join, never a re-fold). At 100 TB: piece store broadcast (vocab ≤
-  * MBs), 10 joins over ~10⁷ distinct-word state rows, one corpus
-  * equi-join. Round13dSpec asserts the vocab arrives by broadcast
-  * from the store scan — NOT re-collected into a literal.
+  * One probe row per (DISTINCT word, position, length) —
+  * vocabulary-sized × word length, never the corpus; the
+  * corpus-scale step is the per-doc dictionary join-back (the q64b
+  * rule: encode is a join, never a re-fold). At 100 TB: piece store
+  * broadcast (vocab ≤ MBs), one join over ~10⁸ probe rows from ~10⁷
+  * distinct words, one corpus equi-join. Round13dSpec asserts the
+  * vocab arrives by broadcast from the store scan — NOT re-collected
+  * into a literal. Depth contract: exact for words ≤
+  * [[Bpe.MaxMeasuredWordLen]], [UNK] past it — shared with every WP
+  * oracle chain (ADVICE r16).
   *
   * SHARES q64g's oracle: literal tier and store tier must be
   * row-identical, and the hash gate holds both to it. */
 object Q64jWordpieceEncodeStore extends GraftQuery {
-  import Q64gWordpieceEncode.{InitPieces, ContPieces, MaxProbe, OracleSteps}
+  import Q64gWordpieceEncode.{InitPieces, ContPieces, MaxProbe}
   val name = "q64j_wordpiece_encode_store"
   private val prefix = "graft_wpstore"
 
@@ -1287,27 +1287,26 @@ object Q64jWordpieceEncodeStore extends GraftQuery {
   * every run (the recompute tier) and carries the scores as a plan
   * literal inside the DP fold; here the trained inventory's quantized
   * scores are a STORE TABLE (one EM suite per corpus fingerprint,
-  * then only tables), and the Viterbi DP is re-expressed as a
-  * bounded RELATIONAL unroll — the oracle's own shape — where each
-  * position step extends the best paths with one BROADCAST equi-join
-  * against the store:
+  * then only tables), and the Viterbi DP is FLATTENED to one
+  * relational pass (round 17 — see [[encodeDictOf]]):
   *
-  *   dp rows (w, j, sc, nn, enc) → candidates from dp[j−4..j−1] ×
-  *   substring key → broadcast-join pieces(piece, q) → per-word
-  *   max-of-struct (the SAME total tie order as q64h's fold and the
-  *   SQL chain: score desc, fewer pieces, enc desc) → dp[j].
+  *   explode (word, end position j, length l ≤ MaxPiece) → ONE
+  *   broadcast equi-join pieces(piece, q) on the substring key →
+  *   collect (j·8+l)→q map per word → replay the whole DP as a pure
+  *   `aggregate` expression (q64i's own fold shape, the SAME total
+  *   tie order as q64h's fold and the SQL chain: score desc, fewer
+  *   pieces, enc desc).
   *
-  * One dp row per (distinct word, position) — vocabulary-sized,
-  * never the corpus; OracleSteps fixed steps; lazy localCheckpoint
-  * per step (the q64 lineage rule); the corpus-scale step is the
-  * per-doc dictionary join-back (the q64b rule). At 100 TB: a 32k-
-  * piece score table broadcast (~MBs), 10 joins over ~10⁷ word-state
-  * rows, one corpus equi-join. Round13fSpec asserts the scores
-  * arrive by broadcast from the store scan and pins row-parity with
-  * the recompute tier; SHARES q64i's oracle (both tiers held to one
-  * hash gate). */
+  * One probe row per (distinct word, position, length) —
+  * vocabulary-sized × word length, never the corpus; the
+  * corpus-scale step is the per-doc dictionary join-back (the q64b
+  * rule). At 100 TB: a 32k-piece score table broadcast (~MBs), one
+  * join over ~10⁸ probe rows from ~10⁷ distinct words, one corpus
+  * equi-join. Round13fSpec asserts the scores arrive by broadcast
+  * from the store scan and pins row-parity with the recompute tier;
+  * SHARES q64i's oracle (both tiers held to one hash gate). */
 object Q64kUnigramEncodeStore extends GraftQuery {
-  import Q64hUnigramVocab.{MaxPiece, OracleSteps, scoresOf}
+  import Q64hUnigramVocab.{MaxPiece, scoresOf}
   val name = "q64k_unigram_encode_store"
   private val prefix = "graft_unistore"
 
@@ -2042,12 +2041,25 @@ object Q64qSampledDriftGate extends GraftQuery {
 
   /** PRODUCTION sampled decide: measurement over the doc sample,
     * gate vs the stored full baselines at widened thresholds. No
-    * audit columns — this is the shape the decade rows price. */
+    * audit columns — this is the shape the decade rows price.
+    *
+    * SAMPLING ABSENCE is loud (round-17 review): a language present
+    * in the ARRIVAL but with zero documents in the 1/16 sample has
+    * no evidence at all — by the family's missing-evidence rule
+    * (q64o's missing-baseline arm) it must read retrain = true, not
+    * silently vanish from the verdict frame. The presence pass reads
+    * ONLY the lang column (a column-pruned scan — none of the text
+    * IO the sample exists to avoid). */
   private[graft] def decideSampled(spark: SparkSession, piecesT: String,
-      statsT: String, arriving: DataFrame): DataFrame =
-    gateSampled(spark,
+      statsT: String, arriving: DataFrame): DataFrame = {
+    val langs = arriving.select(col("lang")).distinct()
+    val gated = gateSampled(spark,
       Q64oWordpieceDriftGatedStore.measured(
         spark, arriving.filter(sampleFilter), piecesT), statsT)
+    langs.join(gated, Seq("lang"), "left")
+      .withColumn("retrain", coalesce(col("retrain"), lit(true)))
+      .orderBy(col("lang"))
+  }
 
   private def gateSampled(spark: SparkSession, m: DataFrame,
       statsT: String): DataFrame =
@@ -2153,7 +2165,8 @@ object Q64qSampledDriftGate extends GraftQuery {
         FALSE) AS unk_within_env,
       abs(sampled_fertility - full_fertility) / full_fertility AS rel_drift,
       sampled_unk_rate - full_unk_rate AS unk_jump,
-      (full_unk_rate IS NULL
+      (sampled_n_words IS NULL -- no sampled evidence: loudest drift
+        OR full_unk_rate IS NULL
         OR sampled_unk_rate - full_unk_rate >
              ${Q64lWordpieceDrift.UnkJumpThreshold} + $UnkEnvelope
         OR COALESCE(abs(sampled_fertility - full_fertility) / full_fertility >

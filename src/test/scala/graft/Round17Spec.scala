@@ -20,7 +20,8 @@ class Round17Spec extends SparkSpec {
     import graft.streaming.S24StreamHybridFusion
     // One-shot batch ingest twin (Round14Spec pins streamed ≡ batch);
     // the plan under inspection is EXACTLY the streamed serve's.
-    val (rows, plan) = S24StreamHybridFusion.withWorkingIndex(spark, sf01) {
+    val (rows, plan, probedLists) =
+      S24StreamHybridFusion.withWorkingIndex(spark, sf01) {
       (centT, workT) =>
         Q19eAnnIvfStore.appendToLists(spark, workT,
           Q19eAnnIvfStore.assign(spark, centT,
@@ -28,7 +29,13 @@ class Round17Spec extends SparkSpec {
               .filter(Q40TrainTestSplit.splitColOf("vec_id") === "test")))
     } { (centT, workT) =>
       val df = S24StreamHybridFusion.fuseFrom(spark, sf01, centT, workT)
-      (df.collect(), df.queryExecution.executedPlan)
+      // The ACTUAL probed-list union for this corpus (the bound the
+      // prune must meet — a worst-case |Q|·NProbe cap equals K here
+      // and would let an unpruned scan pass; round-17 review).
+      val probed = Q75bHybridRrfStore
+        .probeTriples(spark, sf01, centT, S24StreamHybridFusion.queryPairs)
+        .flatMap(_._3).distinct
+      (df.collect(), df.queryExecution.executedPlan, probed)
     }
     assert(rows.nonEmpty, "caller-table streamed fusion returned nothing")
     assert(rows.map(_.getInt(0)).toSet ==
@@ -57,14 +64,16 @@ class Round17Spec extends SparkSpec {
         _.table.startsWith("graft_s24_lists")) => f
     }
     assert(listScans.nonEmpty, "no working-lists scan in the streamed serve")
-    val maxLists = (S24StreamHybridFusion.queryPairs.size
-      * Q19dAnnIvf.NProbe).min(Q19dAnnIvf.K)
+    assert(probedLists.size < Q19dAnnIvf.K,
+      s"fixture degenerated: the probed union covers all ${Q19dAnnIvf.K} " +
+        "lists, so the prune bound below would be vacuous")
     listScans.foreach { f =>
       assert(f.partitionFilters.nonEmpty,
         s"list_id must be a partition filter, got: ${f.partitionFilters}")
-      assert(f.selectedPartitions.partitionCount <= maxLists,
+      assert(f.selectedPartitions.partitionCount <= probedLists.size,
         s"working-lists scan read ${f.selectedPartitions.partitionCount} " +
-          s"partitions, want <= $maxLists (union of probed lists)")
+          s"partitions, want <= ${probedLists.size} (the probed union " +
+          s"${probedLists.sorted.mkString("[", ",", "]")})")
     }
   }
 
@@ -96,6 +105,40 @@ class Round17Spec extends SparkSpec {
           s"$dir: sampled and full verdicts disagree for ${r.getAs[String]("lang")}")
       }
     }
+  }
+
+  test("q64q: a language with zero sampled documents reads retrain = true, never a silent null") {
+    import spark.implicits._
+    // Craft doc ids whose md5 nibble is NOT the sample nibble, so the
+    // new language is present in the ARRIVAL but absent from the 1/16
+    // sample — the family's missing-evidence rule must trip loudly.
+    def nibble(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(h.substring(31, 32), 16)
+    }
+    val unsampledIds = Iterator.from(1000000).map(_.toLong)
+      .filter(id => nibble(id) != Q64qSampledDriftGate.SampleNibble)
+      .take(3).toSeq
+    val (piecesT, statsT) =
+      Q64oWordpieceDriftGatedStore.ensureStore(spark, sf)
+    val arriving = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .unionByName(unsampledIds
+        .map(id => (id, "xx", "the table data spark"))
+        .toDF("doc_id", "lang", "text"))
+    val rows = Q64qSampledDriftGate
+      .decideSampled(spark, piecesT, statsT, arriving).collect()
+    val xx = rows.find(_.getAs[String]("lang") == "xx")
+    assert(xx.isDefined, "the unsampled language vanished from the verdict frame")
+    assert(!xx.get.isNullAt(xx.get.fieldIndex("retrain")) &&
+      xx.get.getAs[Boolean]("retrain"),
+      s"zero sampled evidence must read retrain = true: ${xx.get}")
+    // The sampled languages still gate normally.
+    assert(rows.filter(_.getAs[String]("lang") != "xx")
+      .forall(!_.getAs[Boolean]("retrain")),
+      "in-distribution languages must stay calm")
   }
 
   test("snapshot paths are fingerprint-keyed per corpus (ADVICE r16)") {
