@@ -141,6 +141,74 @@ class Round17Spec extends SparkSpec {
       "in-distribution languages must stay calm")
   }
 
+  test("q64j: flattened store encode == literal-tier greedy on 300 randomized words (incl. the 64-char boundary)") {
+    import spark.implicits._
+    // Deterministic pseudo-random words: piece concatenations (fully
+    // coverable), raw letter soup (mostly [UNK]), and boundary-length
+    // words around MaxMeasuredWordLen — the flattening must agree
+    // with q64g's per-word expression fold on EVERY one of them, not
+    // just the fixture corpus the shared oracle hashes.
+    val rnd = new scala.util.Random(42)
+    val init = Seq("the", "tab", "table", "data", "spark", "cust", "a", "s")
+    val cont = Seq("le", "ue", "olumn", "tream", "a", "t", "r")
+    def pieceWord() =
+      init(rnd.nextInt(init.size)) +
+        Seq.fill(rnd.nextInt(8))(cont(rnd.nextInt(cont.size))).mkString
+    def soup() = Seq.fill(1 + rnd.nextInt(12))(
+      ('a' + rnd.nextInt(26)).toChar).mkString
+    val boundary = Seq(
+      "table" + "le" * 29,  // 63 chars, covered — must encode
+      "table" + "le" * 30,  // 65 chars — [UNK] by the shared guard
+      "t" * 64, "t" * 65)
+    val words = (Seq.fill(150)(pieceWord()) ++ Seq.fill(150)(soup()) ++
+      boundary).distinct
+    val literal = Q64gWordpieceEncode
+      .encode(words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("encoded")).toMap
+    val piecesT = Q64jWordpieceEncodeStore.ensurePieces(spark, sf)
+    val store = Q64jWordpieceEncodeStore
+      .encodeDictOf(spark, words.toDF("w"), piecesT)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(store(w) == literal(i.toLong),
+        s"store/literal diverged on '$w': '${store(w)}' vs '${literal(i.toLong)}'")
+    }
+  }
+
+  test("q64k: flattened store DP == literal viterbiExpr on randomized words under the shared bound") {
+    import spark.implicits._
+    // The unigram twin of the q64j parity test: the flattened DP
+    // must reproduce the literal-tier fold word-for-word — same
+    // scores, same tie order — on words ≤ MaxMeasuredWordLen (past
+    // the bound the STORE tier drops the word by the depth contract
+    // while the literal fold has no cap; that divergence is
+    // documented and the classic tiers' corpora are spec-pinned far
+    // below it).
+    val piecesT = Q64kUnigramEncodeStore.ensureScores(spark, sf)
+    val scores = spark.table(piecesT).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("q"))).toSeq
+    val pieces = scores.map(_._1)
+    val rnd = new scala.util.Random(7)
+    def pieceWord() = Seq.fill(1 + rnd.nextInt(10))(
+      pieces(rnd.nextInt(pieces.size))).mkString.take(64)
+    def soup() = Seq.fill(1 + rnd.nextInt(12))(
+      ('a' + rnd.nextInt(26)).toChar).mkString
+    val words = (Seq.fill(150)(pieceWord()) ++ Seq.fill(100)(soup()))
+      .filter(w => w.nonEmpty && w.length <= 64).distinct
+    val literal = words.toDF("word")
+      .select(col("word"), expr(graft.queries.NorthStar.let("w_", "word",
+        Q64hUnigramVocab.viterbiExpr(scores))).as("enc"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    val store = Q64kUnigramEncodeStore
+      .encodeDictOf(spark, words.toDF("w"), piecesT)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    words.foreach { w =>
+      assert(store.get(w) == literal(w),
+        s"store/literal DP diverged on '$w': ${store.get(w)} vs ${literal(w)}")
+    }
+  }
+
   test("snapshot paths are fingerprint-keyed per corpus (ADVICE r16)") {
     val a = graft.plans.Stores.snapPath(spark, "graft_t17_snap", sf)
     val b = graft.plans.Stores.snapPath(spark, "graft_t17_snap", sf01)
