@@ -51,6 +51,24 @@ object AdmitLog {
     spark.catalog.refreshTable(logT)
   }
 
+  /** Bind a log table ANOTHER process wrote to this warehouse (the
+    * drill scenario: an ingest JVM opened the family's first-ever
+    * admission and died; the serving JVM's catalog has the family
+    * bound from before that log existed). Without the bind, torn()
+    * reads "no log table" and skips the scrub, and [[ensureLog]]'s
+    * bootstrap would treat the live log directory as garbage —
+    * clearing the torn-intent record and re-priming adm_ids at 0
+    * against data rows still tagged with the old ids (exactly the
+    * ADVICE r14 hazard, one process boundary later). Callers must
+    * [[ReadRepair]] the directory FIRST: the bind's schema inference
+    * reads a parquet footer. */
+  private def bindIfOnDisk(spark: SparkSession, logT: String): Unit =
+    if (!spark.catalog.tableExists(logT)) {
+      val loc = Stores.warehouse(spark).resolve(logT)
+      if (java.nio.file.Files.isDirectory(loc))
+        Stores.bind(spark, logT, loc, None)
+    }
+
   private def ensureLog(spark: SparkSession, logT: String): Unit =
     if (!spark.catalog.tableExists(logT)) {
       // A dead JVM can leave the managed LOCATION with no catalog
@@ -62,8 +80,15 @@ object AdmitLog {
         .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(logT)
     }
 
-  /** Open an admission: log the intent, return the new adm_id. */
+  /** Open an admission: log the intent, return the new adm_id. The
+    * log is read-repaired first — a killed log append can leave the
+    * log ITSELF physically torn, which would fail the max() read
+    * before any scrub could run (the [[ReadRepair]] hazard applied
+    * to the guard's own table; the log is tiny, so the repair is a
+    * few 12-byte reads). */
   def begin(spark: SparkSession, logT: String): Long = {
+    ReadRepair.repairTable(spark, logT)
+    bindIfOnDisk(spark, logT)
     ensureLog(spark, logT)
     val id = spark.table(logT).agg(max(col("adm_id"))).head().getLong(0) + 1
     append(spark, logT, id, "intent")
@@ -101,8 +126,19 @@ object AdmitLog {
     * restored is exactly that case). */
   def scrub(spark: SparkSession, logT: String,
       tables: Seq[String])(recompute: => Unit): Seq[Long] = {
+    // Read-repair BEFORE any table read (VERDICT r17 #1): a job
+    // SIGKILLed mid-append can leave a physically torn part file that
+    // fails the scan before the row-level scrub below can run. The
+    // log is repaired unconditionally (tiny); the family tables only
+    // when a torn intent exists — detection stays O(log) on the
+    // happy path, and a torn DATA file implies a torn intent (data
+    // appends run strictly between begin and commit, so the kill
+    // that tore the file also left the intent unresolved).
+    ReadRepair.repairTable(spark, logT)
+    bindIfOnDisk(spark, logT)
     val ids = torn(spark, logT)
     if (ids.nonEmpty) {
+      tables.foreach(ReadRepair.repairTable(spark, _))
       tables.foreach { t =>
         spark.catalog.refreshTable(t)
         val dirty = spark.table(t).filter(col("_adm").isin(ids: _*))

@@ -147,8 +147,8 @@ object Stores {
     * spec re-declared (Spark reads bucket ids from the file names, so
     * the zero-exchange join posture survives the re-bind; appends
     * through the same `bucketBy` keep routing correctly). */
-  private def bind(spark: SparkSession, name: String, loc: Path,
-                   bucket: Option[(String, Int)]): Unit = {
+  private[plans] def bind(spark: SparkSession, name: String, loc: Path,
+                          bucket: Option[(String, Int)]): Unit = {
     val schema = spark.read.parquet(loc.toString).schema.toDDL
     val cluster = bucket.map { case (k, n) =>
       s"CLUSTERED BY ($k) SORTED BY ($k) INTO $n BUCKETS" }.getOrElse("")
@@ -311,6 +311,14 @@ object Stores {
             val unbound = names.filterNot(spark.catalog.tableExists)
             if (Files.exists(marker) &&
                 names.forall(n => Files.isDirectory(wh.resolve(n)))) {
+              // Read-repair BEFORE binding (VERDICT r17 #1): bind's
+              // schema inference reads a parquet footer, so a torn
+              // part another process's killed APPEND left behind
+              // would fail the bind itself — quarantine first; the
+              // family's row-level replay then excises the torn
+              // admission's surviving rows after the bind.
+              (names ++ names.map(AdmitLog.logTableOf)).foreach(
+                ReadRepair.repairTable(spark, _))
               // Committed by another process — bind, don't rebuild.
               unbound.foreach { n =>
                 bind(spark, n, wh.resolve(n),

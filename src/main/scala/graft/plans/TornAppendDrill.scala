@@ -1,0 +1,129 @@
+package graft.plans
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** DURABILITY DRILL (VERDICT r17 next #1): a separate-JVM `main` that
+  * reproduces, deterministically, the on-disk state a hard-killed
+  * append leaves behind — then waits to be SIGKILLed by the driving
+  * spec (Round18Spec). One drill per append family:
+  *
+  *  - `bm25`  — the [[graft.queries.Q74bBm25Store]] admission path
+  *    (s23's batch twin): the drill opens a REAL admission
+  *    ([[AdmitLog.begin]] → postings append committed, via the
+  *    store's own `admit` with its injection hook), then tears the
+  *    in-flight LENGTHS append — a part file half-written when the
+  *    kill lands. Recovery needs both halves of the protocol: the
+  *    [[ReadRepair]] quarantine (the torn file) and the
+  *    [[AdmitLog.scrub]] row excision (the committed postings of the
+  *    uncommitted admission).
+  *  - `span`  — [[graft.queries.Q60dExciseStore]] (s20's target; the
+  *    family the hazard was OBSERVED on in round 17): kill lands
+  *    while the FIRST part file of an ingest append is mid-write.
+  *    Recovery is the quarantine alone — the span admit is
+  *    idempotent by anti-join, so there are no rows to scrub.
+  *  - `ann`   — [[graft.queries.Q19eAnnIvfStore]]'s lists table
+  *    (s19's ingest target): torn part inside a PROBED list_id
+  *    partition, so the serve's partition-scoped repair must catch
+  *    it on the pruned path it actually reads.
+  *
+  * The torn file is written BY THIS PROCESS (a prefix of a real part
+  * file — exactly what truncation at kill time produces), the file
+  * handle stays open, and the process then parks until the spec
+  * SIGKILLs it: the bytes on disk are genuinely those of a writer
+  * that never finished. Protocol on stdout: `TORN_READY` once the
+  * state is staged; the spec kills on reading it. */
+object TornAppendDrill {
+
+  /** Stage a torn part file in `dir`: a prefix of an existing
+    * committed part under the same directory tree, written under a
+    * fresh part-style name (bucket suffix cloned from the donor so a
+    * bucketed scan would really read it), handle LEFT OPEN. */
+  private def stageTornPart(dir: Path): Path = {
+    import scala.jdk.CollectionConverters._
+    val donor = {
+      val s = Files.walk(dir)
+      try {
+        val parts = s.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          Files.isRegularFile(p) && n.endsWith(".parquet") &&
+            !n.startsWith(".") && !n.startsWith("_")
+        }.toVector
+        require(parts.nonEmpty, s"no donor part file under $dir")
+        parts.maxBy(Files.size(_))
+      } finally s.close()
+    }
+    val bytes = Files.readAllBytes(donor)
+    val cut = math.max(16, bytes.length / 2)
+    // Clone the donor's name shape — `part-00000-<uuid><rest>` where
+    // <rest> carries the bucket id / codec suffix a bucketed scan
+    // keys on — under a fresh uuid, in the DONOR's own directory
+    // (keeps partition-dir layouts intact).
+    val donorName = donor.getFileName.toString
+    val prefixLen = "part-00000-".length + 36 // Spark part uuids are 36 chars
+    require(donorName.length > prefixLen, s"unexpected part name $donorName")
+    val torn = donor.getParent.resolve(
+      s"part-00001-${java.util.UUID.randomUUID()}" +
+        donorName.substring(prefixLen))
+    val out = new java.io.FileOutputStream(torn.toFile)
+    out.write(bytes, 0, cut)
+    out.flush()
+    out.getFD.sync() // bytes on disk deterministically before the kill
+    // handle intentionally left open: the writer never finished
+    stagedHandles ::= out
+    torn
+  }
+  private var stagedHandles: List[java.io.FileOutputStream] = Nil
+
+  def main(args: Array[String]): Unit = {
+    val Array(family, corpusDir, warehouseDir) = args.take(3)
+    val spark = graft.Engine.configure(SparkSession.builder()
+        .master("local[4]")
+        .appName(s"torn-append-drill-$family")
+        .config("spark.sql.warehouse.dir", warehouseDir)
+        .config("spark.sql.shuffle.partitions", "4"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val wh = Stores.warehouse(spark)
+
+    family match {
+      case "bm25" =>
+        import graft.queries.Q74bBm25Store
+        val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, corpusDir)
+        // A real admission, crashed after the postings append (the
+        // store's own injection point 1): intent logged, postings
+        // rows committed under the new adm_id, lengths/meta untouched,
+        // NO commit row.
+        val delta = spark.range(2).select(
+          (col("id") + 900000000L).as("doc_id"),
+          lit("torndrill zzqy xxqv zzqy").as("text"))
+        try Q74bBm25Store.admit(spark, delta, postT, lenT, metaT,
+          injectCrashAfter = 1)
+        catch { case _: RuntimeException => () }
+        // ...and the lengths append is mid-file when the kill lands.
+        stageTornPart(wh.resolve(lenT))
+
+      case "span" =>
+        import graft.queries.Q60dExciseStore
+        val spansT = Q60dExciseStore.ensureStore(spark, corpusDir)
+        stageTornPart(wh.resolve(spansT))
+
+      case "ann" =>
+        import graft.queries.{Q19dAnnIvf, Q19eAnnIvfStore}
+        val (centT, listsT) = Q19eAnnIvfStore.ensureStore(spark, corpusDir)
+        val probed = Q19eAnnIvfStore.probesFor(spark, corpusDir, centT,
+          Q19dAnnIvf.NProbe).head
+        stageTornPart(wh.resolve(listsT).resolve(s"list_id=$probed"))
+
+      case other =>
+        System.err.println(s"unknown drill family: $other")
+        sys.exit(2)
+    }
+
+    println("TORN_READY")
+    Console.flush()
+    Thread.sleep(600000) // parked: the spec SIGKILLs us here
+  }
+}

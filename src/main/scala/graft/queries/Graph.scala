@@ -820,6 +820,14 @@ object Q60dExciseStore extends GraftQuery {
   private[graft] def admit(spark: SparkSession, docs: DataFrame,
       spansT: String): Unit = {
     import org.apache.spark.sql.SaveMode
+    // Read-repair first (VERDICT r17 #1 — the family the torn-append
+    // hazard was OBSERVED on): the anti-join below reads the store,
+    // so a part file a killed ingest left torn would fail the admit
+    // itself. This admit needs no row-level scrub after the repair —
+    // it appends only DISTINCT hashes absent from the store, so
+    // replaying a half-landed delta is idempotent by construction
+    // (present hashes are anti-joined away, missing ones re-land).
+    graft.plans.ReadRepair.repairTable(spark, spansT)
     Q60cExciseDuplicates.spanPositions(
         docs.select(col("doc_id"), expr(NorthStar.toksExpr).as("t")))
       .select(col("span_h")).distinct()
@@ -833,6 +841,12 @@ object Q60dExciseStore extends GraftQuery {
     * share. */
   private[graft] def serve(spark: SparkSession, docs: DataFrame,
       spansT: String): DataFrame = {
+    // Read-repair per serve: the span store has no admission log to
+    // gate on (its admit is idempotent, see above), so the serve
+    // validates the envelope of what it is about to scan — one
+    // listing + 12 bytes per part, the same order of driver work as
+    // the scan's own file listing.
+    graft.plans.ReadRepair.repairTable(spark, spansT)
     val toks = docs
       .select(col("doc_id"), expr(NorthStar.toksExpr).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)

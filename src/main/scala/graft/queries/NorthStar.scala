@@ -1365,6 +1365,23 @@ object Q19eAnnIvfStore extends GraftQuery {
     * round-16 review rule). */
   private def served(spark: SparkSession, dir: String, listsT: String,
       probe: Seq[Int]): DataFrame = {
+    // Read-repair the PROBED partitions only (VERDICT r17 #1): the
+    // lists table takes unguarded ingest appends (s19's tier), so a
+    // hard-killed writer can leave a torn part under the valid store
+    // marker. Validating just the nProbe probed list directories
+    // keeps the repair O(probed files) — the same subset the pruned
+    // scan is about to list anyway, never the K−nProbe unread lists.
+    val wh = graft.plans.Stores.warehouse(spark)
+    val repaired = probe.flatMap { lid =>
+      graft.plans.ReadRepair.repairLocation(spark,
+        new org.apache.hadoop.fs.Path(
+          wh.resolve(listsT).resolve(s"list_id=$lid").toUri),
+        // quarantine OUTSIDE the table root — a sibling dir inside it
+        // would read as a malformed partition directory
+        Some(new org.apache.hadoop.fs.Path(wh.resolve(
+          listsT + graft.plans.ReadRepair.QuarantineSuffix).toUri)))
+    }
+    if (repaired.nonEmpty) spark.catalog.refreshTable(listsT)
     val cand = spark.table(listsT)
       .filter(col("list_id").isin(probe: _*) && col("vec_id") =!= 0)
     Q19dAnnIvf.exactCosineTopK(spark, dir, cand)

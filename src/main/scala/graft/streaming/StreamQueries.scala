@@ -119,6 +119,13 @@ object StreamQueries {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").saveAsTable(markerT)
     }
+    // Read-repair before the first guard read (VERDICT r17 #1): a
+    // hard-killed prior run can leave a physically torn part file in
+    // the data table (or the marker table) that would fail the scan
+    // before the epoch scrub below could excise its rows; the
+    // checkpointed replay then re-applies the quarantined epoch.
+    graft.plans.ReadRepair.repairTable(spark, tableT)
+    graft.plans.ReadRepair.repairTable(spark, markerT)
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
     val w0 = src.writeStream
       .outputMode("update")

@@ -1,0 +1,231 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.plans.{AdmitLog, ReadRepair, Stores}
+import graft.queries._
+
+/** Round 18 (VERDICT r17 next #1): append durability under HARD
+  * kills. The round-17 protocols make builds atomic and append ROWS
+  * exactly-once, but a SIGKILLed writer can leave a physically torn
+  * part file visible under a still-valid commit marker — the store
+  * is then unreadable until someone evicts the whole incarnation
+  * (observed once in round 17 on the 1000× span store). The drills
+  * here reproduce that literally: a forked JVM opens an append into
+  * a committed store, stages a half-written part file (handle open,
+  * bytes synced), and is SIGKILLed; the parent session must then
+  * serve the store green with NO manual eviction — the [[ReadRepair]]
+  * quarantine plus each family's existing row-level replay. */
+class Round18Spec extends SparkSpec {
+
+  private def wh = Stores.warehouse(spark)
+
+  // ------------------------------------------------------------------
+  // Unit gates for the repair itself
+  // ------------------------------------------------------------------
+
+  test("read-repair: torn envelopes quarantined, complete parts untouched, table reads green") {
+    val dir = Files.createTempDirectory("repairunit")
+    try {
+      spark.range(10).select(col("id")).repartition(1)
+        .write.mode("overwrite").parquet(dir.toString)
+      val good = {
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(dir)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toVector.head
+        finally s.close()
+      }
+      val bytes = Files.readAllBytes(good)
+      // (1) truncated tail — the kill-time signature
+      Files.write(dir.resolve("part-00001-" +
+        java.util.UUID.randomUUID() + "-c000.snappy.parquet"),
+        java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 2))
+      // (2) sub-envelope stub (open() + kill before any real write)
+      Files.write(dir.resolve("part-00002-" +
+        java.util.UUID.randomUUID() + "-c000.snappy.parquet"),
+        "PAR1".getBytes)
+      // (3) right length, corrupted trailing magic
+      val bad = bytes.clone(); bad(bad.length - 1) = '!'
+      Files.write(dir.resolve("part-00003-" +
+        java.util.UUID.randomUUID() + "-c000.snappy.parquet"), bad)
+      // (4) magic intact, impossible footer length
+      val insane = "PAR1".getBytes ++ Array.fill[Byte](8)(0) ++
+        Array[Byte](-1, -1, -1, 0x7f) ++ "PAR1".getBytes
+      Files.write(dir.resolve("part-00004-" +
+        java.util.UUID.randomUUID() + "-c000.snappy.parquet"), insane)
+
+      val moved = ReadRepair.repairLocation(spark,
+        new org.apache.hadoop.fs.Path(dir.toUri))
+      assert(moved.size == 4, s"expected 4 quarantined, got $moved")
+      assert(Files.exists(good), "repair touched a complete part")
+      val quar = dir.getParent.resolve(
+        dir.getFileName.toString + ReadRepair.QuarantineSuffix)
+      assert(Files.isDirectory(quar) &&
+        Files.list(quar).count() >= 4, "quarantine dir not populated")
+      assert(spark.read.parquet(dir.toString).count() == 10,
+        "post-repair read not green")
+      // idempotent: nothing left to move
+      assert(ReadRepair.repairLocation(spark,
+        new org.apache.hadoop.fs.Path(dir.toUri)).isEmpty)
+      Stores.deleteTree(quar)
+    } finally Stores.deleteTree(dir)
+  }
+
+  // ------------------------------------------------------------------
+  // SIGKILL drill harness
+  // ------------------------------------------------------------------
+
+  /** Fork `TornAppendDrill <family>` against OUR warehouse, wait for
+    * its TORN_READY, SIGKILL it, and reap. Returns only once the
+    * child is dead with the torn state on disk. */
+  private def sigkillDrill(family: String, corpusDir: String): Unit = {
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin, "-Xmx3g") ++ opens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"),
+      "graft.plans.TornAppendDrill", family, corpusDir, wh.toString))
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      val deadline = System.currentTimeMillis() + 300000
+      var ready = false
+      while (!ready && System.currentTimeMillis() < deadline) {
+        if (br.ready()) {
+          val line = br.readLine()
+          if (line != null && line.contains("TORN_READY")) ready = true
+        } else if (!p.isAlive)
+          fail(s"drill '$family' died before staging (exit ${p.exitValue()})")
+        else Thread.sleep(200)
+      }
+      assert(ready, s"drill '$family' never reported TORN_READY")
+    } finally {
+      p.destroyForcibly() // SIGKILL — no shutdown hooks, no flush
+      p.waitFor()
+    }
+  }
+
+  private def tornPartsUnder(root: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val fs = new org.apache.hadoop.fs.Path(root.toUri)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val s = Files.walk(root)
+    try s.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && n.endsWith(".parquet") &&
+        !n.startsWith(".") && !n.startsWith("_") &&
+        ReadRepair.isTorn(fs,
+          fs.getFileStatus(new org.apache.hadoop.fs.Path(p.toUri)))
+    }.toVector
+    finally s.close()
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  // ------------------------------------------------------------------
+  // Family drills: kill mid-append, serve green, no eviction
+  // ------------------------------------------------------------------
+
+  test("bm25 drill: SIGKILL mid-admission (torn lengths part + committed postings) — store serves green, no eviction") {
+    val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, sf)
+    val before = rowsOf(Q74bBm25Store.run(spark, sf))
+    val marker = {
+      val seg = postT.split("_")
+      wh.resolve(s"graft_bm25store_${seg(seg.length - 2)}_${seg.last}.committed")
+    }
+    assert(Files.exists(marker), "no commit marker before the drill")
+    val markerM = Files.getLastModifiedTime(marker)
+
+    sigkillDrill("bm25", sf)
+    assert(tornPartsUnder(wh.resolve(lenT)).nonEmpty,
+      "drill left no torn part under the lengths table")
+    val logT = AdmitLog.logTableOf(postT)
+
+    // Recovery = the ordinary serve path. No eviction, no rebuild.
+    val after = rowsOf(Q74bBm25Store.run(spark, sf))
+    assert(after == before,
+      "post-kill serve diverges from the pre-kill serve")
+    assert(tornPartsUnder(wh.resolve(lenT)).isEmpty &&
+      tornPartsUnder(wh.resolve(postT)).isEmpty,
+      "a torn part survived recovery")
+    assert(Files.isDirectory(
+      wh.resolve(lenT + ReadRepair.QuarantineSuffix)),
+      "torn part was not quarantined")
+    assert(Files.getLastModifiedTime(marker) == markerM,
+      "recovery rebuilt the store (marker rewritten) instead of repairing")
+    // The torn admission is resolved...
+    assert(AdmitLog.torn(spark, logT).isEmpty, "torn intent unresolved")
+    // ...and the admission-log REPLAY is legal again: the killed
+    // delta's doc_ids are fully excised from the replay guard's view,
+    // so the caller's re-admit (Round14Spec proves it lands cleanly)
+    // would pass the guard instead of tripping on half-landed rows.
+    assert(spark.table(lenT)
+      .filter(col("doc_id") >= 900000000L).isEmpty &&
+      spark.table(postT).filter(col("_adm") >= 0L).isEmpty,
+      "killed admission's rows survived the scrub — replay would double-count")
+  }
+
+  test("span drill: SIGKILL mid-ingest (first part torn) — the observed round-17 hazard serves green, no eviction") {
+    val spansT = Q60dExciseStore.ensureStore(spark, sf)
+    val before = rowsOf(Q60dExciseStore.run(spark, sf))
+    val marker = {
+      val seg = spansT.split("_")
+      wh.resolve(s"graft_spanstore_${seg(seg.length - 2)}_${seg.last}.committed")
+    }
+    val markerM = Files.getLastModifiedTime(marker)
+
+    sigkillDrill("span", sf)
+    assert(tornPartsUnder(wh.resolve(spansT)).nonEmpty,
+      "drill left no torn part under the span store")
+
+    val after = rowsOf(Q60dExciseStore.run(spark, sf))
+    assert(after == before,
+      "post-kill span serve diverges from the pre-kill serve")
+    assert(tornPartsUnder(wh.resolve(spansT)).isEmpty,
+      "torn span part survived recovery")
+    assert(Files.isDirectory(
+      wh.resolve(spansT + ReadRepair.QuarantineSuffix)),
+      "torn span part was not quarantined")
+    assert(Files.getLastModifiedTime(marker) == markerM,
+      "span recovery rebuilt instead of repairing")
+  }
+
+  test("ann drill: SIGKILL mid-ingest into a probed list partition — pruned serve repairs exactly what it reads") {
+    val (centT, listsT) = Q19eAnnIvfStore.ensureStore(spark, sf)
+    val before = rowsOf(Q19eAnnIvfStore.run(spark, sf))
+    val marker = {
+      val seg = listsT.split("_")
+      wh.resolve(s"graft_annstore_${seg(seg.length - 2)}_${seg.last}.committed")
+    }
+    val markerM = Files.getLastModifiedTime(marker)
+
+    sigkillDrill("ann", sf)
+    assert(tornPartsUnder(wh.resolve(listsT)).nonEmpty,
+      "drill left no torn part under the lists table")
+
+    val after = rowsOf(Q19eAnnIvfStore.run(spark, sf))
+    assert(after == before,
+      "post-kill ANN serve diverges from the pre-kill serve")
+    assert(tornPartsUnder(wh.resolve(listsT)).isEmpty,
+      "torn list part survived recovery")
+    assert(Files.isDirectory(
+      wh.resolve(listsT + ReadRepair.QuarantineSuffix)),
+      "torn list part was not quarantined outside the table root")
+    assert(Files.getLastModifiedTime(marker) == markerM,
+      "ANN recovery rebuilt instead of repairing")
+  }
+}
