@@ -129,11 +129,24 @@ object Stores {
     * overwriting one shared path and cross-pairing a snapshot with
     * another corpus's tables (ADVICE r16). */
   def snapPath(spark: SparkSession, base: String, dir: String,
-               fpTables: Seq[String] = Seq("documents.parquet")): String = {
-    val fp = fpTables.map(fingerprint(spark, dir, _)).mkString
-    warehouse(spark).resolve(s"${base}_${dirTag(dir)}_$fp")
-      .toAbsolutePath.toString
-  }
+               fpTables: Seq[String] = Seq("documents.parquet")): String =
+    this.synchronized {
+      val tag = dirTag(dir)
+      val fp = fpTables.map(fingerprint(spark, dir, _)).mkString
+      val name = s"${base}_${tag}_$fp"
+      // Evict superseded siblings — same (base, dir tag), different
+      // fingerprint (ADVICE r17): the fingerprinted naming stops
+      // cross-corpus overwrites, but a regenerated corpus would
+      // otherwise ACCUMULATE one orphaned snapshot dir per
+      // generation (the old fixed-name paths were self-overwriting).
+      // Scoped to this dir's tag, so interleaved corpora (scale
+      // decades, parallel specs) keep their own live snapshots.
+      listDir(warehouse(spark)).foreach { d =>
+        val n = d.getFileName.toString
+        if (n.startsWith(s"${base}_${tag}_") && n != name) deleteTree(d)
+      }
+      warehouse(spark).resolve(name).toAbsolutePath.toString
+    }
 
   /** Absolute path of a MANAGED table's warehouse directory — the
     * pinning lever for write-once fingerprinted stores: a serve's

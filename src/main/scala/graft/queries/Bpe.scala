@@ -1111,6 +1111,19 @@ object Q64iUnigramEncode extends GraftQuery {
     perDoc
   }
 
+  /** The ENCODE chain runs at the family depth contract
+    * ([[Bpe.MaxMeasuredWordLen]], ADVICE r17): the Spark fold runs to
+    * the full word length, so the oracle must complete every word ≤
+    * the bound — the same contract the WordPiece tiers and the q64p
+    * gate share (one depth rule per family, not per tier; q64k's
+    * flattened store DP shares this oracle). The 10-step
+    * [[Q64hUnigramVocab.OracleSteps]] stays only on the TRAINING
+    * chains, whose depth is fixture-pinned (Round13cSpec). Beyond
+    * the bound the tiers stay fixture-pinned: the literal fold here
+    * has no depth budget (it would encode a >64-char word the
+    * oracle drops), and this encode family — unlike the gates —
+    * has no OOV arm to absorb one; >64-char alphabetic words are
+    * outside the family contract. */
   val oracle = Some {
     val fin = s"c$EmRounds"
     s"""
@@ -1121,7 +1134,8 @@ object Q64iUnigramEncode extends GraftQuery {
         - (SELECT CAST(floor(1000000 * ln(CAST(t AS DOUBLE))) AS BIGINT)
            FROM ${"vfin"}t) AS q
       FROM $fin),
-    ${Q64hUnigramVocab.duckViterbi("fe", "vfin")},
+    ${Q64hUnigramVocab.duckViterbi("fe", "vfin",
+      nSteps = Bpe.MaxMeasuredWordLen)},
     base AS (SELECT doc_id, ${NorthStar.duckToks} AS t FROM documents),
     wt AS (SELECT doc_id, wi,
         lower(regexp_replace(t[wi], '[^a-zA-Z]', '', 'g')) AS w
@@ -1360,6 +1374,13 @@ object Q64kUnigramEncodeStore extends GraftQuery {
   private[graft] def encodeDictOf(spark: SparkSession, words: DataFrame,
       piecesT: String): DataFrame = {
     val maxLen = Bpe.MaxMeasuredWordLen
+    // (j, l) → one map key: stride by MaxPiece + 1, which is
+    // injective for ANY MaxPiece (l ranges over 1..MaxPiece < the
+    // stride). A literal stride smaller than MaxPiece + 1 would make
+    // keys collide across positions — map_from_entries then throws
+    // DUPLICATED_MAP_KEY at runtime, or silently mis-scores under a
+    // LAST_WIN dedup policy (ADVICE r17).
+    val stride = MaxPiece + 1
     val pieces = broadcast(spark.table(piecesT)
       .select(col("piece"), col("q")))
     val cand = words.filter(length(col("w")) <= maxLen)
@@ -1367,16 +1388,16 @@ object Q64kUnigramEncodeStore extends GraftQuery {
       .select(col("w"), col("j"), explode(expr(
         s"sequence(1, least($MaxPiece, j))")).as("l"))
       .join(pieces, expr("substring(w, j - l + 1, l)") === col("piece"))
-      .select(col("w"), (col("j") * 8 + col("l")).as("k"), col("q"))
+      .select(col("w"), (col("j") * stride + col("l")).as("k"), col("q"))
     val qMaps = cand.groupBy(col("w"))
       .agg(map_from_entries(collect_list(struct(col("k"), col("q"))))
         .as("qm"))
     val step =
       s"array_max(filter(transform(sequence(1, least($MaxPiece, j_)), l_ -> " +
         "IF(element_at(acc_, j_ - l_ + 1) IS NULL " +
-        "OR try_element_at(qm, j_ * 8 + l_) IS NULL, NULL, " +
+        s"OR try_element_at(qm, j_ * $stride + l_) IS NULL, NULL, " +
         "named_struct(" +
-        "'sc', element_at(acc_, j_ - l_ + 1).sc + try_element_at(qm, j_ * 8 + l_), " +
+        s"'sc', element_at(acc_, j_ - l_ + 1).sc + try_element_at(qm, j_ * $stride + l_), " +
         "'nn', element_at(acc_, j_ - l_ + 1).nn - 1, " +
         "'enc', concat(element_at(acc_, j_ - l_ + 1).enc, " +
         "IF(j_ - l_ = 0, '', ' '), substring(w, j_ - l_ + 1, l_))))), " +
@@ -1571,8 +1592,14 @@ object Q64mUnigramDrift extends GraftQuery {
       Q64hUnigramVocab.learnFrom(spark, Bpe.wordFreqOf(train))
     val charsLit = inventory.collect { case (p, _) if p.length == 1 => p }
       .sorted.map(c => s"'$c'").mkString("array(", ", ", ")")
+    // Covered = every char in the trained inventory AND within the
+    // family depth bound: the 64-step oracle chain never completes a
+    // longer word (it reads as OOV there), so the Spark measurement
+    // must call it OOV too — the two-sided contract the WP family
+    // keeps with its explicit [UNK] arm (ADVICE r17).
     val covered =
-      s"size(filter(sequence(1, length(word)), i_ -> " +
+      s"length(word) <= ${Bpe.MaxMeasuredWordLen} AND " +
+        s"size(filter(sequence(1, length(word)), i_ -> " +
         s"NOT array_contains($charsLit, substring(word, i_, 1)))) = 0"
     val toks = Q64lWordpieceDrift.splitWords(docs)
     // Viterbi once per distinct COVERED word (vocabulary-sized);
@@ -1632,7 +1659,8 @@ object Q64mUnigramDrift extends GraftQuery {
         FROM adw a, unnest(range(1, length(a.w) + 1)) u(i)) t
       LEFT JOIN chars0 c ON c.piece = t.ch WHERE c.piece IS NULL),
     cov AS (SELECT w FROM adw WHERE w NOT IN (SELECT w FROM unc)),
-    ${Q64hUnigramVocab.duckViterbi("fd", "vfin", "cov")},
+    ${Q64hUnigramVocab.duckViterbi("fd", "vfin", "cov",
+      nSteps = Bpe.MaxMeasuredWordLen)},
     stats AS (SELECT lang, split,
         CAST(count(*) AS BIGINT) AS n_words,
         CAST(SUM(CASE WHEN e.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_words,
