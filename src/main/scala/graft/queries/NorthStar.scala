@@ -1180,11 +1180,12 @@ object Q19dAnnIvf extends GraftQuery {
     * tier: the in-JVM KMeans fit isn't replayable, but its
     * assignments are rows, and given them the candidate set and the
     * exact cosines are relational. Paths are fingerprint-keyed
-    * ([[graft.plans.Stores.snapPath]], ADVICE r16) so interleaved
-    * runs over different corpora cannot cross-pair a snapshot with
-    * another corpus's tables; the var still points at the LAST run,
-    * which is exactly the Verify dump-after-run contract. */
-  @volatile private var snapshot: Option[(String, String)] = None
+    * ([[graft.plans.Stores.snapPath]], ADVICE r16) and the registry
+    * is keyed by corpus dir (VERDICT r17 #5): interleaved runs over
+    * different corpora each pair with their OWN snapshot
+    * ([[oracleFor]]); `oracle` serves the last completed run — the
+    * Verify dump-after-run contract. */
+  private val snapshot = new graft.plans.SnapRegistry[(String, String)]
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1198,7 +1199,7 @@ object Q19dAnnIvf extends GraftQuery {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(probeSnap)
     assigned.select(col("list_id").cast("int").as("list_id"), col("vec_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(memSnap)
-    snapshot = Some((probeSnap, memSnap))
+    snapshot.put(dir, (probeSnap, memSnap))
     val cand = assigned
       .filter(col("vec_id") =!= 0 && col("list_id").isin(probe: _*))
     exactCosineTopK(spark, dir, cand)
@@ -1232,8 +1233,13 @@ object Q19dAnnIvf extends GraftQuery {
   /** HASH oracle over the snapshot — q19e's replay verbatim (shared
     * builder): candidate membership from the pinned (probe, fitted
     * membership) join, exact decimal cosines over the source table. */
-  def oracle: Option[String] =
-    snapshot.map { case (p, m) => Q19eAnnIvfStore.duckIvfOracle(p, m) }
+  def oracle: Option[String] = snapshot.latest.map(bridge)
+  /** The same oracle paired with a SPECIFIC dir's run (VERDICT r17
+    * #5 — interleaved corpora each read their own snapshot). */
+  private[graft] def oracleFor(dir: String): Option[String] =
+    snapshot.forDir(dir).map(bridge)
+  private def bridge(v: (String, String)): String =
+    Q19eAnnIvfStore.duckIvfOracle(v._1, v._2)
 
   /** The probe knob exposed: scan cost ≈ n·(nProbe/K) against recall.
     * AnnIvfSpec measures the recall/latency curve at 2/4/8/16 probes
@@ -1405,8 +1411,9 @@ object Q19eAnnIvfStore extends GraftQuery {
     * this table), so its own warehouse directory is the pinned
     * artifact and the oracle reads it hive-partitioned — the serve no
     * longer pays an O(corpus) snapshot write (ADVICE r16; the S19
-    * posture). */
-  @volatile private var snapshot: Option[(String, String)] = None
+    * posture). Dir-keyed registry (VERDICT r17 #5): interleaved
+    * corpora each pair with their own snapshot via [[oracleFor]]. */
+  private val snapshot = new graft.plans.SnapRegistry[(String, String)]
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1416,7 +1423,7 @@ object Q19eAnnIvfStore extends GraftQuery {
       "graft_q19e_probe_snap", dir, Seq("embeddings.parquet"))
     probe.toDF("list_id").repartition(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(probeSnap)
-    snapshot = Some((probeSnap, graft.plans.Stores.tablePath(spark, listsT)))
+    snapshot.put(dir, (probeSnap, graft.plans.Stores.tablePath(spark, listsT)))
     served(spark, dir, listsT, probe)
   }
 
@@ -1457,8 +1464,11 @@ object Q19eAnnIvfStore extends GraftQuery {
     * embeddings table. Absent before any run (rows-only fallback);
     * Verify dumps oracle_sql.json after running, so the path is
     * always this run's. */
-  def oracle: Option[String] =
-    snapshot.map { case (p, m) => duckIvfOracle(p, m, memHive = true) }
+  def oracle: Option[String] = snapshot.latest.map(bridge)
+  private[graft] def oracleFor(dir: String): Option[String] =
+    snapshot.forDir(dir).map(bridge)
+  private def bridge(v: (String, String)): String =
+    duckIvfOracle(v._1, v._2, memHive = true)
 
   /** Membership CTE body over a pinned membership directory: a flat
     * snapshot copy (q19d's in-JVM assignment), or the lists table's
@@ -1535,8 +1545,9 @@ object Q19fAnnRebalance extends GraftQuery {
     * the oracle bridge described above. Both tables are write-once
     * per corpus fingerprint, so their own warehouse directories are
     * the pinned artifacts (fingerprint-keyed names by construction);
-    * the serve pays NO snapshot copy at all (ADVICE r16). */
-  @volatile private var snapshot: Option[(String, String)] = None
+    * the serve pays NO snapshot copy at all (ADVICE r16). Dir-keyed
+    * (VERDICT r17 #5): interleaved corpora pair via [[oracleFor]]. */
+  private val snapshot = new graft.plans.SnapRegistry[(String, String)]
 
   /** The balance frame over any (centroids, lists) pair — shared by
     * the driver entry and the crafted-skew spec. */
@@ -1567,12 +1578,16 @@ object Q19fAnnRebalance extends GraftQuery {
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val (centT, listsT) = Q19eAnnIvfStore.ensureStore(spark, dir)
-    snapshot = Some((graft.plans.Stores.tablePath(spark, centT),
+    snapshot.put(dir, (graft.plans.Stores.tablePath(spark, centT),
       graft.plans.Stores.tablePath(spark, listsT)))
     balanceFrame(spark, centT, listsT)
   }
 
-  def oracle: Option[String] = snapshot.map { case (centSnap, listsSnap) =>
+  def oracle: Option[String] = snapshot.latest.map(bridge)
+  private[graft] def oracleFor(dir: String): Option[String] =
+    snapshot.forDir(dir).map(bridge)
+  private def bridge(v: (String, String)): String = v match {
+    case (centSnap, listsSnap) =>
     s"""
     WITH occ AS (
       SELECT c.list_id AS list_id, count(l.list_id) AS n
@@ -2163,15 +2178,17 @@ object Q75bHybridRrfStore extends GraftQuery {
     * copied — the static tier serves the write-once listsT, whose
     * own warehouse directory is the pinned artifact (the q19e/S19
     * posture; only the ingest tier s24, whose working index is
-    * mutable and run-scoped, still snapshots membership by copy). */
-  @volatile private var snapshot: Option[(String, String)] = None
+    * mutable and run-scoped, still snapshots membership by copy).
+    * Dir-keyed (VERDICT r17 #5): interleaved corpora pair via
+    * [[oracleFor]]. */
+  private val snapshot = new graft.plans.SnapRegistry[(String, String)]
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val (centT, listsT) = Q19eAnnIvfStore.ensureStore(spark, dir)
     val probeSnap = graft.plans.Stores.snapPath(spark,
       "graft_q75b_probe_snap", dir, Seq("embeddings.parquet"))
     writeProbeSnap(spark, probeTriples(spark, dir, centT), probeSnap)
-    snapshot = Some((probeSnap, graft.plans.Stores.tablePath(spark, listsT)))
+    snapshot.put(dir, (probeSnap, graft.plans.Stores.tablePath(spark, listsT)))
     fuse(lexArm(spark, dir), semArmFrom(spark, dir, centT, listsT))
   }
 
@@ -2184,8 +2201,11 @@ object Q75bHybridRrfStore extends GraftQuery {
     * replays through q74's shared CTEs like q75's own oracle. Absent
     * before any run (rows-only fallback); Round14Spec keeps the
     * recall floor against q75's exact fusion. */
-  def oracle: Option[String] =
-    snapshot.map { case (p, m) => duckFusionOracle(p, m, memHive = true) }
+  def oracle: Option[String] = snapshot.latest.map(bridge)
+  private[graft] def oracleFor(dir: String): Option[String] =
+    snapshot.forDir(dir).map(bridge)
+  private def bridge(v: (String, String)): String =
+    duckFusionOracle(v._1, v._2, memHive = true)
 
   /** Write a serve's probe-triples snapshot to `probeSnap` (absolute,
     * fingerprint-keyed by the caller) — O(|Q|·nProbe) rows. */
@@ -3593,8 +3613,9 @@ object Q19gAnnPq extends GraftQuery {
     * determinism/recall as before), but given the pinned shortlist
     * the surfaced output — the exact re-ranked cosines — IS
     * relationally replayable, so the arithmetic that reaches the
-    * user is hash-gated. */
-  @volatile private var snapshot: Option[String] = None
+    * user is hash-gated. Dir-keyed (VERDICT r17 #5): interleaved
+    * corpora pair via [[oracleFor]]. */
+  private val snapshot = new graft.plans.SnapRegistry[String]
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -3612,7 +3633,7 @@ object Q19gAnnPq extends GraftQuery {
       "graft_q19g_cand_snap", dir, Seq("embeddings.parquet"))
     ids.toDF("vec_id").repartition(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(candSnap)
-    snapshot = Some(candSnap)
+    snapshot.put(dir, candSnap)
     val raw = spark.table(listsT)
       .filter(col("list_id").isin(probe: _*) && col("vec_id").isin(ids: _*))
     Q19dAnnIvf.exactCosineTopK(spark, dir, raw)
@@ -3620,7 +3641,10 @@ object Q19gAnnPq extends GraftQuery {
 
   /** HASH oracle over the pinned shortlist: exact decimal cosines
     * (the q19d/q19e arithmetic) over embeddings ⋉ candidates. */
-  def oracle: Option[String] = snapshot.map { candSnap =>
+  def oracle: Option[String] = snapshot.latest.map(bridge)
+  private[graft] def oracleFor(dir: String): Option[String] =
+    snapshot.forDir(dir).map(bridge)
+  private def bridge(candSnap: String): String = {
     def d(x: String) = NorthStar.duckDec(x)
     s"""
     WITH cand AS (SELECT vec_id FROM read_parquet('$candSnap/*.parquet')),

@@ -383,8 +383,10 @@ object Q70cSemanticDedupTrained extends GraftQuery {
   /** Snapshot dir (the trained centroid frame) of the last [[run]] —
     * the q19f bridge: KMeans float iterations are not relationally
     * replayable, but the trained (cid, ce, cn2) rows are, and the
-    * whole assignment+prune is q70's shared chain over them. */
-  @volatile private var snapshot: Option[String] = None
+    * whole assignment+prune is q70's shared chain over them.
+    * Dir-keyed (VERDICT r17 #5): interleaved corpora pair via
+    * [[oracleFor]]. */
+  private val snapshot = new graft.plans.SnapRegistry[String]
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -393,7 +395,7 @@ object Q70cSemanticDedupTrained extends GraftQuery {
       "graft_q70c_cent_snap", dir, Seq("embeddings.parquet"))
     cent.repartition(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(centSnap)
-    snapshot = Some(centSnap)
+    snapshot.put(dir, centSnap)
     dedupWithCentroids(withN2(e), cent, Tau)
       .orderBy(col("vec_id"))
   }
@@ -401,7 +403,10 @@ object Q70cSemanticDedupTrained extends GraftQuery {
   /** HASH oracle over the pinned trained centroids: q70's own
     * assignment+prune CTE chain with `cent` read from the snapshot —
     * the recall/soundness gates stay in Round11eSpec. */
-  def oracle: Option[String] = snapshot.map { centSnap =>
+  def oracle: Option[String] = snapshot.latest.map(bridge)
+  private[graft] def oracleFor(dir: String): Option[String] =
+    snapshot.forDir(dir).map(bridge)
+  private def bridge(centSnap: String): String = {
     s"""
     WITH ${Q70SemanticDedup.duckChainWith(
       s"cent AS (SELECT cid, ce, cn2 FROM read_parquet('$centSnap/*.parquet'))")}

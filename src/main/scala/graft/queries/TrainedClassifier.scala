@@ -128,8 +128,9 @@ object Q55bTrainedClassifier extends GraftQuery {
     * coefficients are not relationally replayable, but the persisted
     * weight TABLE is rows, and given it the whole serve (features,
     * counts, fid-ordered margin fold, sigmoid, verdict, label join)
-    * is relational. */
-  @volatile private var snapshot: Option[String] = None
+    * is relational. Dir-keyed (VERDICT r17 #5): interleaved corpora
+    * pair via [[oracleFor]]. */
+  private val snapshot = new graft.plans.SnapRegistry[String]
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val weightsT = ensureStore(spark, dir)
@@ -137,7 +138,7 @@ object Q55bTrainedClassifier extends GraftQuery {
     // OWN warehouse directory is the pinned artifact — recording the
     // path costs nothing per serve (the round-16 review: copying an
     // immutable store buys nothing).
-    snapshot = Some(graft.plans.Stores.warehouse(spark)
+    snapshot.put(dir, graft.plans.Stores.warehouse(spark)
       .resolve(weightsT).toAbsolutePath.toString)
     serve(Tables.documents(spark, dir), spark.table(weightsT))
       .join(labels(spark, dir)
@@ -153,7 +154,10 @@ object Q55bTrainedClassifier extends GraftQuery {
     * rolling hash mod [[Dim]]), per-(doc, fid) counts, the fid-ordered
     * margin fold against the snapshot weights, sigmoid, and q61's own
     * oracle as the label side. */
-  def oracle: Option[String] = snapshot.map { wSnap =>
+  def oracle: Option[String] = snapshot.latest.map(bridge)
+  private[graft] def oracleFor(dir: String): Option[String] =
+    snapshot.forDir(dir).map(bridge)
+  private def bridge(wSnap: String): String = {
     val rolling =
       "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(string_split(t_, ''), c_ -> CAST(ascii(c_) AS BIGINT))), " +

@@ -1321,8 +1321,10 @@ object S19StreamAnnIngest extends GraftQuery {
     * through the FROZEN stored centroids is pure relational
     * arithmetic (double left-fold sqdist, argmin with ties to the
     * lowest list — the [[graft.queries.Q19eAnnIvfStore.assign]]
-    * contract), and the test split is the portable md5 nibble. */
-  @volatile private var snapshot: Option[String] = None
+    * contract), and the test split is the portable md5 nibble.
+    * Dir-keyed (VERDICT r17 #5): interleaved corpora pair via
+    * [[oracleFor]]. */
+  private val snapshot = new graft.plans.SnapRegistry[String]
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val (centT, listsT) = Q19eAnnIvfStore.ensureTrainStore(spark, dir)
@@ -1337,7 +1339,7 @@ object S19StreamAnnIngest extends GraftQuery {
       // The quantizer is FROZEN (write-once per fingerprint): its own
       // warehouse directory is the pinned artifact — no copy needed
       // (the round-16 review).
-      snapshot = Some(graft.plans.Stores.warehouse(spark)
+      snapshot.put(dir, graft.plans.Stores.warehouse(spark)
         .resolve(centT).toAbsolutePath.toString)
       // Report the routed deltas FROM the store (the table is the
       // state); checkpoint before dropping the table the plan reads.
@@ -1353,7 +1355,10 @@ object S19StreamAnnIngest extends GraftQuery {
     * sqdist and (d2, list_id) argmin the ingest ran per epoch. Full
     * stream drained ⇒ the accumulated routing equals this one-shot
     * replay (assignment is per-row; epochs cannot interact). */
-  def oracle: Option[String] = snapshot.map { centSnap =>
+  def oracle: Option[String] = snapshot.latest.map(bridge)
+  private[graft] def oracleFor(dir: String): Option[String] =
+    snapshot.forDir(dir).map(bridge)
+  private def bridge(centSnap: String): String = {
     s"""
     WITH cents AS (SELECT list_id, centroid FROM read_parquet('$centSnap/*.parquet')),
     t AS (SELECT vec_id, embedding FROM embeddings
@@ -1719,8 +1724,10 @@ object S24StreamHybridFusion extends GraftQuery {
   /** Snapshot dirs (probe triples, post-ingest working membership) of
     * the last [[run]] — q75b's bridge over the FRESH index: once the
     * stream has drained, the working index is rows on disk, so the
-    * fused serve over it replays exactly like the static tier. */
-  @volatile private var snapshot: Option[(String, String)] = None
+    * fused serve over it replays exactly like the static tier.
+    * Dir-keyed (VERDICT r17 #5): interleaved corpora pair via
+    * [[oracleFor]]. */
+  private val snapshot = new graft.plans.SnapRegistry[(String, String)]
 
   def run(spark: SparkSession, dir: String): DataFrame =
     withWorkingIndex(spark, dir) { (centT, workT) =>
@@ -1729,7 +1736,7 @@ object S24StreamHybridFusion extends GraftQuery {
           .filter(Q40TrainTestSplit.splitColOf("vec_id") === "test"))
       ()
     } { (centT, workT) =>
-      snapshot = Some(Q75bHybridRrfStore.writeSnapshots(spark,
+      snapshot.put(dir, Q75bHybridRrfStore.writeSnapshots(spark,
         Q75bHybridRrfStore.probeTriples(spark, dir, centT, queryPairs),
         workT,
         graft.plans.Stores.snapPath(spark, "graft_s24_probe_snap", dir,
@@ -1746,10 +1753,12 @@ object S24StreamHybridFusion extends GraftQuery {
     * over the same caller term batch the serve took (VERDICT r16
     * #3). Round14Spec keeps the epoch-split-invariance and
     * both-arms gates. */
-  def oracle: Option[String] =
-    snapshot.map { case (p, m) =>
-      Q75bHybridRrfStore.duckFusionOracle(p, m,
-        termBatch = Some(termBatch)) }
+  def oracle: Option[String] = snapshot.latest.map(bridge)
+  private[graft] def oracleFor(dir: String): Option[String] =
+    snapshot.forDir(dir).map(bridge)
+  private def bridge(v: (String, String)): String =
+    Q75bHybridRrfStore.duckFusionOracle(v._1, v._2,
+      termBatch = Some(termBatch))
 }
 
 /** S25 — PHRASE QUERIES over the STREAMED positional index: closes

@@ -74,6 +74,49 @@ class Round18Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // Snapshot bridges: dir-keyed, not last-run-wins (VERDICT r17 #5)
+  // ------------------------------------------------------------------
+
+  test("snapshot bridges: interleaved corpora each pair with their OWN snapshot") {
+    // Two corpora interleaved through the same JVM; the SECOND run
+    // must not steal the first's oracle pairing (the old @volatile
+    // var handed both oracles the last run's snapshot).
+    Q19eAnnIvfStore.run(spark, sf).collect()
+    Q19eAnnIvfStore.run(spark, sf01).collect()
+    Q70cSemanticDedupTrained.run(spark, sf).collect()
+    Q70cSemanticDedupTrained.run(spark, sf01).collect()
+
+    val snapA = Stores.snapPath(spark, "graft_q19e_probe_snap", sf,
+      Seq("embeddings.parquet"))
+    val snapB = Stores.snapPath(spark, "graft_q19e_probe_snap", sf01,
+      Seq("embeddings.parquet"))
+    val oA = Q19eAnnIvfStore.oracleFor(sf).get
+    val oB = Q19eAnnIvfStore.oracleFor(sf01).get
+    assert(oA != oB, "interleaved corpora share one oracle")
+    assert(oA.contains(snapA) && !oA.contains(snapB),
+      "sf oracle does not read sf's own probe snapshot")
+    assert(oB.contains(snapB),
+      "sf01 oracle does not read sf01's own probe snapshot")
+    // `oracle` stays the driver contract: the LAST completed run.
+    assert(Q19eAnnIvfStore.oracle == Q19eAnnIvfStore.oracleFor(sf01))
+    // ...and the pinned CONTENT pairs with its own corpus: sf's probe
+    // snapshot replays sf's own probe pick even after the sf01 run.
+    val (centA, _) = Q19eAnnIvfStore.ensureStore(spark, sf)
+    val expectA = Q19eAnnIvfStore
+      .probesFor(spark, sf, centA, Q19dAnnIvf.NProbe).toSet
+    val gotA = spark.read.parquet(snapA)
+      .collect().map(_.getInt(0)).toSet
+    assert(gotA == expectA,
+      s"sf probe snapshot content drifted: $gotA vs $expectA")
+
+    val o70A = Q70cSemanticDedupTrained.oracleFor(sf).get
+    val o70B = Q70cSemanticDedupTrained.oracleFor(sf01).get
+    assert(o70A != o70B && o70A.contains(Stores.snapPath(spark,
+      "graft_q70c_cent_snap", sf, Seq("embeddings.parquet"))),
+      "q70c oracles cross-paired under interleaving")
+  }
+
+  // ------------------------------------------------------------------
   // SIGKILL drill harness
   // ------------------------------------------------------------------
 
