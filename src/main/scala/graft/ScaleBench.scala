@@ -753,20 +753,22 @@ object ScaleBench {
       // text column is read before the doc-id filter drops 15/16 of
       // it) — measured ~3–5× under the full decide, not 16×.
       val q = point(Q64qSampledDriftGate.decideSampled(spark, pO, sO, docs))
-      // The LAYOUT-AWARE twin: a production store that partitions (or
-      // sorts) by the sample nibble scans ONLY the sampled 1/16 — the
-      // materialized sample below stands in for that layout, so this
-      // point prices the post-scan measurement itself (the untimed
-      // write is the layout's pay-once cost).
-      // Materialization failure must cost only THIS point, not the
+      // The LAYOUT-AWARE twin, now the REAL layout (VERDICT r17 #4):
+      // the corpus written once hive-partitioned by the sample nibble
+      // (graft.plans.Layout.writeSampleNibbled — the untimed write is
+      // the layout's pay-once cost), then the production decide
+      // partition-prunes the sampled arm to 1/16 of the directories
+      // (plan-asserted in Round18Spec). The presence pass reads only
+      // the lang column across partitions — the honest production
+      // shape the round-17 materialized-sample stand-in approximated.
+      // Layout-write failure must cost only THIS point, not the
       // decade's already-measured rows (round-17 review — the same
       // fail-soft contract as point()).
-      val sampDir = s"/tmp/graft_gate_sample_${dir.hashCode.toHexString}"
+      val nibDir = s"/tmp/graft_gate_nib_${dir.hashCode.toHexString}"
       val qp =
-        if (t1(docs.filter(Q64qSampledDriftGate.sampleFilter)
-              .write.mode("overwrite").parquet(sampDir)) < 0) -1.0
-        else point(Q64qSampledDriftGate.decideSampled(spark, pO, sO,
-          spark.read.parquet(sampDir)))
+        if (t1(graft.plans.Layout.writeSampleNibbled(docs, nibDir)) < 0) -1.0
+        else point(Q64qSampledDriftGate.decideSampledPruned(spark, pO, sO,
+          spark.read.parquet(nibDir)))
       Map("q64n_gate_decide" -> n, "q64o_gate_decide" -> o,
         "q64p_gate_decide" -> p, "q64q_gate_decide_sampled" -> q,
         "q64q_gate_decide_sampled_pruned" -> qp)

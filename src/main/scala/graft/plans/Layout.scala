@@ -122,6 +122,33 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Deterministic md5 sample nibble of an id column (0..15) — the
+    * q40 split discipline (never `rand()`): both engines and every
+    * run replay the exact same 1/16 sample. Shared by the sampled
+    * drift gate's filter and the sample-nibbled layout writer, so
+    * the partition column and the semantic sample cannot fork. */
+  def sampleNibble(idCol: String): Column =
+    expr(s"locate(substring(md5(cast($idCol as string)), 32, 1), " +
+      "'0123456789abcdef') - 1")
+
+  /** SAMPLE-NIBBLED layout (VERDICT r17 next #4): write `df`
+    * hive-partitioned by [[sampleNibble]] of `idCol` (`_nib` = 0..15).
+    * The sampled drift gate's production decide filters one nibble;
+    * from the standard layout that filter runs AFTER the scan decodes
+    * the text bytes — the corpus scan is the floor, measured ~3–5×
+    * under the full decide instead of 16×. From this layout the
+    * nibble is a PARTITION filter: the scan prunes 15/16 of the
+    * directories and reads ~1/16 of the bytes (Round18Spec asserts
+    * the executed plan's partitionFilters and the filesSize ratio).
+    * Sixteen fixed partitions add no small-file hazard at any scale,
+    * and every non-sampled query reads the same rows unchanged. The
+    * write costs one pass — the same pay-once economics as
+    * [[writeRangeClustered]]. */
+  def writeSampleNibbled(df: DataFrame, path: String,
+                         idCol: String = "doc_id"): Unit =
+    df.withColumn("_nib", sampleNibble(idCol))
+      .write.mode(SaveMode.Overwrite).partitionBy("_nib").parquet(path)
+
   private def flatten(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)

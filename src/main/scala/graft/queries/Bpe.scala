@@ -2041,7 +2041,13 @@ object Q64oWordpieceDriftGatedStore extends GraftQuery {
   * scale the audit columns drop and only the sampled arm runs
   * (q30b's documented trade) — [[decideSampled]] is that production
   * shape, and ScaleBench's `q64q_gate_decide_sampled` decade row
-  * prices it against the full decide.
+  * prices it against the full decide. From the standard layout the
+  * sampled decide's floor is the corpus SCAN (text decoded before
+  * the doc-id filter); [[decideSampledPruned]] over the
+  * sample-nibbled layout ([[graft.plans.Layout.writeSampleNibbled]])
+  * turns the sample into a PARTITION filter — ~1/16 of the bytes
+  * read, plan-asserted (VERDICT r17 #4), priced by the
+  * `q64q_gate_decide_sampled_pruned` decade row.
   *
   * RETRAIN gating: the sampled signals compare against the STORED
   * full-corpus baselines (q64o's store — shared, one store family)
@@ -2055,8 +2061,7 @@ object Q64qSampledDriftGate extends GraftQuery {
   /** Keep documents whose last md5(doc_id) nibble == 0 → 1/16. */
   private[graft] val SampleNibble = 0
   private[graft] def sampleFilter: org.apache.spark.sql.Column =
-    expr("locate(substring(md5(cast(doc_id as string)), 32, 1), " +
-      "'0123456789abcdef') - 1") === SampleNibble
+    graft.plans.Layout.sampleNibble("doc_id") === SampleNibble
   private[queries] val duckSample =
     "instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 = " +
       SampleNibble
@@ -2079,11 +2084,29 @@ object Q64qSampledDriftGate extends GraftQuery {
     * ONLY the lang column (a column-pruned scan — none of the text
     * IO the sample exists to avoid). */
   private[graft] def decideSampled(spark: SparkSession, piecesT: String,
-      statsT: String, arriving: DataFrame): DataFrame = {
+      statsT: String, arriving: DataFrame): DataFrame =
+    decideSampledBy(spark, piecesT, statsT, arriving, sampleFilter)
+
+  /** The production decide over a SAMPLE-NIBBLED corpus layout
+    * ([[graft.plans.Layout.writeSampleNibbled]] — VERDICT r17 #4):
+    * the sampled arm filters the `_nib` PARTITION column, so the
+    * scan prunes 15/16 of the directories and reads ~1/16 of the
+    * bytes — the plan-asserted real thing the materialized-sample
+    * stand-in only priced. The presence pass still sees every
+    * partition but reads ONLY the lang column (column-pruned — none
+    * of the text IO the sample exists to avoid). */
+  private[graft] def decideSampledPruned(spark: SparkSession,
+      piecesT: String, statsT: String, nibbled: DataFrame): DataFrame =
+    decideSampledBy(spark, piecesT, statsT, nibbled,
+      col("_nib") === SampleNibble)
+
+  private def decideSampledBy(spark: SparkSession, piecesT: String,
+      statsT: String, arriving: DataFrame,
+      sampled: org.apache.spark.sql.Column): DataFrame = {
     val langs = arriving.select(col("lang")).distinct()
     val gated = gateSampled(spark,
       Q64oWordpieceDriftGatedStore.measured(
-        spark, arriving.filter(sampleFilter), piecesT), statsT)
+        spark, arriving.filter(sampled), piecesT), statsT)
     langs.join(gated, Seq("lang"), "left")
       .withColumn("retrain", coalesce(col("retrain"), lit(true)))
       .orderBy(col("lang"))

@@ -117,6 +117,61 @@ class Round18Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // Sample-nibbled layout: the 1/16 scan prune is real (VERDICT r17 #4)
+  // ------------------------------------------------------------------
+
+  test("sample-nibbled layout: sampled decide partition-prunes to ~1/16 of the bytes, verdicts unchanged") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val (piecesT, statsT) =
+      Q64oWordpieceDriftGatedStore.ensureStore(spark, sf01)
+    val docs = Tables.documents(spark, sf01)
+    val nibDir = Files.createTempDirectory("niblayout")
+    try {
+      graft.plans.Layout.writeSampleNibbled(docs, nibDir.toString)
+      val nibbled = spark.read.parquet(nibDir.toString)
+      val pruned = Q64qSampledDriftGate
+        .decideSampledPruned(spark, piecesT, statsT, nibbled)
+      val prunedRows = pruned.collect().map(_.toString).sorted.toSeq
+      // Same verdict frame as the standard-layout sampled decide —
+      // the layout changes the SCAN, never the answer.
+      val expect = Q64qSampledDriftGate
+        .decideSampled(spark, piecesT, statsT, docs)
+        .collect().map(_.toString).sorted.toSeq
+      assert(prunedRows == expect,
+        "nibbled-layout decide diverges from the standard-layout decide")
+      // The sampled arm's scan PRUNES: a partition filter on _nib
+      // reached the nibbled layout's scan, and the bytes it read are
+      // ~1/16 of the layout (≤ 0.15 allows nibble-population skew on
+      // a 500-doc fixture).
+      val scans = flattenPlan(pruned.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains(nibDir.getFileName.toString)) => f }
+      assert(scans.nonEmpty, "no scan of the nibbled layout in the plan")
+      val prunedScans = scans.filter(_.partitionFilters.nonEmpty)
+      assert(prunedScans.nonEmpty,
+        "the _nib filter never became a partition filter")
+      val perScan = prunedScans.map(_.metrics("filesSize").value)
+      val totalBytes = {
+        import scala.jdk.CollectionConverters._
+        val s = Files.walk(nibDir)
+        try s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size(_)).sum
+        finally s.close()
+      }
+      // EACH pruned scan instance touches only the sampled 1/16 of
+      // the layout's bytes (≤ 0.15 allows nibble-population skew on
+      // a 500-doc fixture). The plan may instantiate the sampled
+      // subtree more than once — that's the query's shape, priced by
+      // the decade row; the LAYOUT claim is the per-scan prune.
+      assert(perScan.forall(b => b > 0 && b <= (totalBytes * 0.15).toLong),
+        s"a sampled scan read ${perScan.max} of $totalBytes bytes — not pruned")
+    } finally Stores.deleteTree(nibDir)
+  }
+
+  // ------------------------------------------------------------------
   // SIGKILL drill harness
   // ------------------------------------------------------------------
 
