@@ -253,6 +253,26 @@ object ScaleBench {
       val ok = Seq(a, b).filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
     }
+    // SPILL-AWARE shuffle sizing for the deep decades (SURVEY §4.2
+    // "size shuffle partitions so partitions fit in executor memory
+    // at the target SF" — the cluster-conf knob, applied per decade
+    // the way a production job sizes it per input): 32 partitions
+    // carrying a 1000× corpus's exploded span/band rows sort-spill
+    // every exchange and the decade hop goes superlinear (measured:
+    // q60c 100×→1000× hop 35× at 32 partitions). AQE coalesces small
+    // partitions, so a larger base number costs the small decades
+    // nothing; it only caps per-partition sort/agg state at depth.
+    def partitionsFor(dir: String): Int = dir match {
+      case Scale1000Dir => 8 * cpus.toInt
+      case Scale100Dir  => 2 * cpus.toInt
+      case _            => cpus.toInt
+    }
+    def withDecadeShuffle[A](dir: String)(body: => A): A = {
+      val key = "spark.sql.shuffle.partitions"
+      val before = spark.conf.get(key)
+      spark.conf.set(key, partitionsFor(dir).toString)
+      try body finally spark.conf.set(key, before)
+    }
     // Optional name filter (Bench's SPARK_GRAFT_BENCH_ONLY convention):
     // curve a newly added query without re-measuring the family.
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -291,46 +311,9 @@ object ScaleBench {
       val refresh = t1(Q65IncrementalStats.refresh(spark, statsT, delta))
       graft.plans.Stores.evict(spark, "graft_sigstore")
       graft.plans.Stores.evict(spark, "graft_aggstore")
-      // Image near-dup band-width knob: the 16-bit-band variant
-      // prices the 256×-tighter buckets against q25d's 8-bit default
-      // (same verify, same surfaced frame shape) — the candidate-
-      // density lever for large image corpora.
-      // Since the round-11 continuation this is the ADAPTIVE top-k
-      // surface (topPairs): the hamming-0 profile routes corpora
-      // with ≥ k reachable exact-dup pairs (the 100× corpus's ~13k
-      // hash groups qualify) to the bounded slice + within-join
-      // plan, and provably-thin corpora (sf0.1/10×: distinct
-      // hashes) to plain enumeration, whose duplication term the
-      // same profile bounds at k·N. DiagBands carries the crafted
-      // crossover table (enum dies by disk at 1600-member groups;
-      // bounded flat at 1.3–5.2 s across all severities).
-      val wide = t1 {
-        import graft.multimodal.{Q25cImageFeatures, Q25dImageNearDup}
-        Q25dImageNearDup.topPairs(
-            Q25cImageFeatures.extractImageFeatures(
-              Q25cImageFeatures.imageTable(spark, dir)).toDF()
-              .select(col("media_id"), col("dhash")), bandBits = 16)
-          .write.format("noop").mode("overwrite").save()
-      }
-      // Image-store lifecycle (q25f): build pays the train-split
-      // codec pass ONCE (PNG encode+decode per image — the dominant
-      // term, scaling with the corpus); serve prices a delta ingest
-      // (delta-side codec + zero-exchange banded store join).
-      graft.plans.Stores.evict(spark, "graft_imgstore")
-      val imgBuild = t1(graft.multimodal.Q25fImageDedupStore.ensureStore(spark, dir))
-      def imgServeOnce() = t1(graft.multimodal.Q25fImageDedupStore.run(spark, dir)
-        .write.format("noop").mode("overwrite").save())
-      val imgServe = math.min(imgServeOnce(), imgServeOnce())
-      graft.plans.Stores.evict(spark, "graft_imgstore")
-      // Audio-store lifecycle (q25h): the image split without the PNG
-      // codec term — build fingerprints the train-split wav tier once,
-      // serve prices a delta ingest against the bucketed store.
-      graft.plans.Stores.evict(spark, "graft_audstore")
-      val audBuild = t1(graft.multimodal.Q25hAudioDedupStore.ensureStore(spark, dir))
-      def audServeOnce() = t1(graft.multimodal.Q25hAudioDedupStore.run(spark, dir)
-        .write.format("noop").mode("overwrite").save())
-      val audServe = math.min(audServeOnce(), audServeOnce())
-      graft.plans.Stores.evict(spark, "graft_audstore")
+      // (Image/audio rows moved to the FOCUSED media section — VERDICT
+      // r17 #3: their codec transients were the bulk of the full
+      // sweep's 1000× OOM footprint.)
       // ANN-index lifecycle (q19e): build pays the one KMeans fit +
       // partitioned write; serve prices a probe against the bound
       // index (pruned scan + exact cosine). The synthesized 100×
@@ -348,33 +331,14 @@ object ScaleBench {
           graft.plans.Stores.evict(spark, "graft_annstore")
           (b, s)
         }
-      // Excision lifecycle (q60c/q60d, round 12): the full-corpus
-      // rewrite prices the window explode + global hash agg + mask
-      // reassembly; the store split prices build (train-split distinct
-      // hashes, bucketed once) vs serve (delta-only hash + zero-
-      // exchange store join + intra-delta window).
-      val excFull = t1(Q60cExciseDuplicates.run(spark, dir)
-        .write.format("noop").mode("overwrite").save())
-      graft.plans.Stores.evict(spark, "graft_spanstore")
-      val excBuild = t1(Q60dExciseStore.ensureStore(spark, dir))
-      def excServeOnce() = t1(Q60dExciseStore.run(spark, dir)
-        .write.format("noop").mode("overwrite").save())
-      val excServe = math.min(excServeOnce(), excServeOnce())
-      graft.plans.Stores.evict(spark, "graft_spanstore")
+      // (Excise rows moved to the FOCUSED excise section — VERDICT
+      // r17 #3.)
       Map("q57b_store_build" -> build, "q57b_store_serve" -> serve,
-        "q60c_full_excise" -> excFull,
-        "q60d_store_build" -> excBuild, "q60d_store_serve" -> excServe,
         "q65_store_build" -> statsBuild, "q65_refresh" -> refresh,
-        "q25d_bands16" -> wide,
-        "q25f_store_build" -> imgBuild, "q25f_store_serve" -> imgServe,
-        "q25h_store_build" -> audBuild, "q25h_store_serve" -> audServe,
         "q19e_store_build" -> annBuild, "q19e_store_serve" -> annServe)
     }
     val storeNames = Seq("q57b_store_build", "q57b_store_serve",
-      "q60c_full_excise", "q60d_store_build", "q60d_store_serve",
-      "q65_store_build", "q65_refresh", "q25d_bands16",
-      "q25f_store_build", "q25f_store_serve",
-      "q25h_store_build", "q25h_store_serve",
+      "q65_store_build", "q65_refresh",
       "q19e_store_build", "q19e_store_serve")
     val wantStores = only.forall(names => storeNames.exists(names))
     val (st1, st10) =
@@ -436,6 +400,107 @@ object ScaleBench {
       if (!wantStores ||
           sys.env.getOrElse("SPARK_GRAFT_SCALE1000", "0") != "1") Map.empty
       else { synthesize1000(spark, sfDir); storePoints(Scale1000Dir) }
+    // FOCUSED per-family sections (VERDICT r17 #3): the excise and
+    // media families, split out of the full store sweep. One JVM
+    // carrying every family's transients at once OOMed at the 1000×
+    // decade (reproduced twice, HISTORY round-18 residuals); split
+    // into the focused shape that already carries the ANN/DSIR/gate
+    // decades, each family's fourth decade completes on this box.
+    val exciseNames = Seq("q60c_full_excise", "q60d_store_build",
+      "q60d_store_serve")
+    val wantExcise = only.forall(names => exciseNames.exists(names))
+    def excisePoints(dir: String): Map[String, Double] = try withDecadeShuffle(dir) {
+      def t1(body: => Unit): Double =
+        try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[scalebench] excise point @ $dir FAILED: ${e.getMessage}")
+          -1.0 }
+      // Excision lifecycle (q60c/q60d, round 12): the full-corpus
+      // rewrite prices the window explode + global hash agg + mask
+      // reassembly; the store split prices build (train-split distinct
+      // hashes, bucketed once) vs serve (delta-only hash + zero-
+      // exchange store join + intra-delta window).
+      val excFull = t1(Q60cExciseDuplicates.run(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+      graft.plans.Stores.evict(spark, "graft_spanstore")
+      val excBuild = t1(Q60dExciseStore.ensureStore(spark, dir))
+      def excServeOnce() = t1(Q60dExciseStore.run(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+      val excServe = math.min(excServeOnce(), excServeOnce())
+      graft.plans.Stores.evict(spark, "graft_spanstore")
+      Map("q60c_full_excise" -> excFull,
+        "q60d_store_build" -> excBuild, "q60d_store_serve" -> excServe)
+        .filter(_._2 >= 0)
+    } catch { case e: Throwable =>
+      System.err.println(s"[scalebench] excise section @ $dir FAILED: ${e.getMessage}")
+      Map.empty
+    }
+    val (ex1, ex10) =
+      if (wantExcise) (excisePoints(sfDir), excisePoints(Scale10Dir))
+      else (Map.empty[String, Double], Map.empty[String, Double])
+    val ex100: Map[String, Double] =
+      if (!wantExcise || !scale100Enabled) Map.empty
+      else { synthesize100(spark, sfDir); excisePoints(Scale100Dir) }
+    val ex1000: Map[String, Double] =
+      if (!wantExcise ||
+          sys.env.getOrElse("SPARK_GRAFT_SCALE1000", "0") != "1") Map.empty
+      else { synthesize1000(spark, sfDir); excisePoints(Scale1000Dir) }
+    val mediaNames = Seq("q25d_bands16", "q25f_store_build",
+      "q25f_store_serve", "q25h_store_build", "q25h_store_serve")
+    val wantMedia = only.forall(names => mediaNames.exists(names))
+    def mediaPoints(dir: String): Map[String, Double] = try withDecadeShuffle(dir) {
+      def t1(body: => Unit): Double =
+        try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[scalebench] media point @ $dir FAILED: ${e.getMessage}")
+          -1.0 }
+      // Image near-dup band-width knob: the 16-bit-band variant
+      // prices the 256×-tighter buckets against q25d's 8-bit default
+      // — the candidate-density lever for large image corpora; the
+      // adaptive top-k surface (topPairs) since round 11.
+      val wide = t1 {
+        import graft.multimodal.{Q25cImageFeatures, Q25dImageNearDup}
+        Q25dImageNearDup.topPairs(
+            Q25cImageFeatures.extractImageFeatures(
+              Q25cImageFeatures.imageTable(spark, dir)).toDF()
+              .select(col("media_id"), col("dhash")), bandBits = 16)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // Image-store lifecycle (q25f): build pays the train-split
+      // codec pass ONCE (PNG encode+decode per image — the dominant
+      // term, scaling with the corpus); serve prices a delta ingest.
+      graft.plans.Stores.evict(spark, "graft_imgstore")
+      val imgBuild = t1(graft.multimodal.Q25fImageDedupStore.ensureStore(spark, dir))
+      def imgServeOnce() = t1(graft.multimodal.Q25fImageDedupStore.run(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+      val imgServe = math.min(imgServeOnce(), imgServeOnce())
+      graft.plans.Stores.evict(spark, "graft_imgstore")
+      // Audio-store lifecycle (q25h): the image split without the PNG
+      // codec term.
+      graft.plans.Stores.evict(spark, "graft_audstore")
+      val audBuild = t1(graft.multimodal.Q25hAudioDedupStore.ensureStore(spark, dir))
+      def audServeOnce() = t1(graft.multimodal.Q25hAudioDedupStore.run(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+      val audServe = math.min(audServeOnce(), audServeOnce())
+      graft.plans.Stores.evict(spark, "graft_audstore")
+      Map("q25d_bands16" -> wide,
+        "q25f_store_build" -> imgBuild, "q25f_store_serve" -> imgServe,
+        "q25h_store_build" -> audBuild, "q25h_store_serve" -> audServe)
+        .filter(_._2 >= 0)
+    } catch { case e: Throwable =>
+      System.err.println(s"[scalebench] media section @ $dir FAILED: ${e.getMessage}")
+      Map.empty
+    }
+    val (md1, md10) =
+      if (wantMedia) (mediaPoints(sfDir), mediaPoints(Scale10Dir))
+      else (Map.empty[String, Double], Map.empty[String, Double])
+    val md100: Map[String, Double] =
+      if (!wantMedia || !scale100Enabled) Map.empty
+      else { synthesize100(spark, sfDir); mediaPoints(Scale100Dir) }
+    val md1000: Map[String, Double] =
+      if (!wantMedia ||
+          sys.env.getOrElse("SPARK_GRAFT_SCALE1000", "0") != "1") Map.empty
+      else { synthesize1000(spark, sfDir); mediaPoints(Scale1000Dir) }
     // RETRIEVAL-STORE lifecycle (VERDICT r14 next #1): the positional
     // postings layout's decade points. Build pays the corpus tokenize
     // + positions aggregation once; the four serve tiers (plain BM25,
@@ -924,6 +989,54 @@ object ScaleBench {
       if (st1000.nonEmpty) {
         println(s"""{"scale_stores":"sf0.1x1000","points":${srow(st1000)}}""")
         println(deepRatioRow(storeNames, st1000, st100, st10, "store_ratio"))
+      }
+    }
+    if (Seq(ex1, ex10, ex100, ex1000).exists(_.nonEmpty)) {
+      def erow(m: Map[String, Double]) = exciseNames.filter(m.contains)
+        .map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
+      if (ex1.nonEmpty)
+        println(s"""{"scale_excise":"sf0.1","points":${erow(ex1)}}""")
+      if (ex10.nonEmpty) {
+        println(s"""{"scale_excise":"sf0.1x10","points":${erow(ex10)}}""")
+        val r = exciseNames.filter(n => ex10.contains(n) && ex1.contains(n))
+          .map(n => "\"" + n + "\":" + f"${ratio(ex10(n), ex1(n))}%.2f")
+          .mkString("{", ",", "}")
+        println(s"""{"excise_ratio_10x":$r}""")
+      }
+      if (ex100.nonEmpty) {
+        println(s"""{"scale_excise":"sf0.1x100","points":${erow(ex100)}}""")
+        val r = exciseNames.filter(n => ex100.contains(n) && ex10.contains(n))
+          .map(n => "\"" + n + "\":" + f"${ratio(ex100(n), ex10(n))}%.2f")
+          .mkString("{", ",", "}")
+        println(s"""{"excise_ratio_100x_vs_10x":$r}""")
+      }
+      if (ex1000.nonEmpty) {
+        println(s"""{"scale_excise":"sf0.1x1000","points":${erow(ex1000)}}""")
+        println(deepRatioRow(exciseNames, ex1000, ex100, ex10, "excise_ratio"))
+      }
+    }
+    if (Seq(md1, md10, md100, md1000).exists(_.nonEmpty)) {
+      def mrow(m: Map[String, Double]) = mediaNames.filter(m.contains)
+        .map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
+      if (md1.nonEmpty)
+        println(s"""{"scale_media":"sf0.1","points":${mrow(md1)}}""")
+      if (md10.nonEmpty) {
+        println(s"""{"scale_media":"sf0.1x10","points":${mrow(md10)}}""")
+        val r = mediaNames.filter(n => md10.contains(n) && md1.contains(n))
+          .map(n => "\"" + n + "\":" + f"${ratio(md10(n), md1(n))}%.2f")
+          .mkString("{", ",", "}")
+        println(s"""{"media_ratio_10x":$r}""")
+      }
+      if (md100.nonEmpty) {
+        println(s"""{"scale_media":"sf0.1x100","points":${mrow(md100)}}""")
+        val r = mediaNames.filter(n => md100.contains(n) && md10.contains(n))
+          .map(n => "\"" + n + "\":" + f"${ratio(md100(n), md10(n))}%.2f")
+          .mkString("{", ",", "}")
+        println(s"""{"media_ratio_100x_vs_10x":$r}""")
+      }
+      if (md1000.nonEmpty) {
+        println(s"""{"scale_media":"sf0.1x1000","points":${mrow(md1000)}}""")
+        println(deepRatioRow(mediaNames, md1000, md100, md10, "media_ratio"))
       }
     }
     if (sem.nonEmpty) {

@@ -85,10 +85,16 @@ private[graft] final class BandedHashStore(
     names.head
   }
 
-  /** The store read frame: (bkey, base_id, base_dhash). */
-  private[graft] def storeFrame(spark: SparkSession, bandsT: String): DataFrame =
+  /** The store read frame: (bkey, base_id, base_dhash). Read-repaired
+    * first (the span-store rule, VERDICT r17 #1): the media admits
+    * are unguarded appends, so a hard-killed ingest can leave a torn
+    * part under the valid marker; every serve path goes through this
+    * frame, so the one repair covers the family. */
+  private[graft] def storeFrame(spark: SparkSession, bandsT: String): DataFrame = {
+    graft.plans.ReadRepair.repairTable(spark, bandsT)
     spark.table(bandsT).select(col("bkey"),
       col("media_id").as("base_id"), col("dhash").as("base_dhash"))
+  }
 
   /** The COMMIT step of an ingest: append band rows so the NEXT
     * delta dedups against them too — two arriving shards that

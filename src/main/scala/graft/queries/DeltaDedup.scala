@@ -217,6 +217,14 @@ object Q57bDeltaDedupStore extends GraftQuery {
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val (bandsT, exactT) = ensureStore(spark, dir)
+    // Read-repair per serve (the span-store rule, VERDICT r17 #1):
+    // this family's admit is an unguarded append, so a hard-killed
+    // ingest can leave a torn part under the valid marker; the serve
+    // validates the envelope of what it is about to scan. Partial
+    // ROWS from a killed admit are re-admitted by the caller's
+    // replay (the two-wave Round10Spec contract).
+    graft.plans.ReadRepair.repairTable(spark, bandsT)
+    graft.plans.ReadRepair.repairTable(spark, exactT)
     // The delta frame is everything the incremental query reads from
     // the corpus dir: one scan producing (doc_id, content hash,
     // shingle set — null when <3 tokens, which still participates in

@@ -633,20 +633,32 @@ object Q60cExciseDuplicates extends GraftQuery {
   def run(spark: SparkSession, dir: String): DataFrame =
     excise(Tables.documents(spark, dir))
 
-  /** Frame-based surface (doc_id + text) for crafted-corpus specs. */
+  /** Frame-based surface (doc_id + text) for crafted-corpus specs.
+    *
+    * Keeper/removal computation is a WINDOW over span_h — ONE
+    * exchange of the corpus-scale span frame — not the agg +
+    * join-back shape, which exchanges it twice and turns the decade
+    * hop superlinear: at the fourth decade (236M span rows, 225M
+    * DISTINCT hashes — the bijective corpora make almost every span
+    * unique) the giant-key hash aggregate spilled at 245 s and the
+    * join-back added 163 s, while the window computes the same
+    * removals in 54 s with a near-linear hop (4.8× for 10× data;
+    * DiagExcise1000 carries the decomposition, round 18). Same
+    * semantics: occurrences of spans seen ≥2× minus the (doc_id, i)
+    * minimum keeper — the oracle is unchanged. */
   private[graft] def excise(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), expr(NorthStar.toksExpr).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val pos = spanPositions(toks)
-      val bySpan = pos.groupBy("span_h")
-        .agg(count(lit(1)).as("n_occ"),
-          min(struct(col("doc_id"), col("i"))).as("keeper"))
-        .filter(col("n_occ") >= 2)
-      val removals = pos.join(bySpan, "span_h")
-        .filter(!(col("doc_id") === col("keeper.doc_id") &&
-          col("i") === col("keeper.i")))
+      val W = org.apache.spark.sql.expressions.Window
+      val win = W.partitionBy(col("span_h"))
+      val removals = spanPositions(toks)
+        .withColumn("n_occ", count(lit(1)).over(win))
+        .withColumn("keeper", min(struct(col("doc_id"), col("i"))).over(win))
+        .filter(col("n_occ") >= 2 &&
+          !(col("doc_id") === col("keeper.doc_id") &&
+            col("i") === col("keeper.i")))
         .select(col("doc_id"), col("i"))
       reassemble(toks, removals)
     } finally toks.unpersist()
