@@ -78,20 +78,36 @@ private[graft] final class BandedHashStore(
     val names = graft.plans.Stores.ensure(
         spark, prefix, dir, Seq("bands"),
         buckets = Map("bands" -> (("bkey", 16))),
-        layoutVersion = "2" /* band-PAIR buckets */) { case Seq(bandsT) =>
+        layoutVersion = "3" /* band-PAIR buckets; _adm admission tag */) {
+        case Seq(bandsT) =>
       graft.plans.Bucketing.writeBucketed(
-        bandRows(collapse(corpus)), bandsT, "bkey", 16)
+        bandRows(collapse(corpus)).withColumn("_adm", lit(-1L)),
+        bandsT, "bkey", 16)
     }
+    scrubTorn(spark, names.head)
     names.head
   }
 
-  /** The store read frame: (bkey, base_id, base_dhash). Read-repaired
-    * first (the span-store rule, VERDICT r17 #1): the media admits
-    * are unguarded appends, so a hard-killed ingest can leave a torn
-    * part under the valid marker; every serve path goes through this
-    * frame, so the one repair covers the family. */
+  /** Resolve any torn admission (intent logged, no commit): quarantine
+    * torn part files ([[graft.plans.ReadRepair]], inside scrub) and
+    * rewrite the bands table without the torn `_adm` rows — the store
+    * is then EXACTLY its pre-append state, so the caller's re-admit
+    * (verdictFrame + `verdict == 'new'` filter against the restored
+    * store) replays the whole ingest decision, not just the append
+    * (round-18: the media twin of the bm25 guard; before this, a
+    * killed media admit's partially-landed READABLE rows survived and
+    * could shift future best-base picks). No derived scalars here. */
+  private[graft] def scrubTorn(spark: SparkSession, bandsT: String): Seq[Long] =
+    graft.plans.AdmitLog.scrub(spark,
+      graft.plans.AdmitLog.logTableOf(bandsT), Seq(bandsT)) { () }
+
+  /** The store read frame: (bkey, base_id, base_dhash). Scrubbed
+    * first (VERDICT r17 #1 + the round-18 guard): repairs a torn
+    * part AND excises a torn admission's surviving rows; every serve
+    * path goes through this frame, so the one scrub covers the
+    * family. The `_adm` tag never leaves the store. */
   private[graft] def storeFrame(spark: SparkSession, bandsT: String): DataFrame = {
-    graft.plans.ReadRepair.repairTable(spark, bandsT)
+    scrubTorn(spark, bandsT)
     spark.table(bandsT).select(col("bkey"),
       col("media_id").as("base_id"), col("dhash").as("base_dhash"))
   }
@@ -107,18 +123,35 @@ private[graft] final class BandedHashStore(
     * with a lower media_id would shift future best-base picks).
     * Delta-sized; routed through the SAME bucket spec the store was
     * created with, so the zero-exchange join posture survives the
-    * append; `Bucketing.compact` bounds file growth. */
+    * append; `Bucketing.compact` bounds file growth.
+    *
+    * EXACTLY-ONCE (round 18, the bm25 guard applied to the media
+    * family): the append runs under the [[graft.plans.AdmitLog]]
+    * intent/commit guard — rows tagged with the admission id, commit
+    * row appended only after the data append, and a crash anywhere
+    * between is scrubbed by the next serve/admit instead of leaving
+    * half an ingest's band rows live. `injectCrashAfter` (spec hook,
+    * 0 = off): 1 throws after the data append, before the commit. */
   private[graft] def admit(feats: DataFrame, bandsT: String,
-      verdicts: Option[DataFrame] = None): Unit = {
+      verdicts: Option[DataFrame] = None,
+      injectCrashAfter: Int = 0): Unit = {
+    val spark = feats.sparkSession
+    scrubTorn(spark, bandsT)
     val toAppend = verdicts match {
       case Some(v) => feats.join(
         v.filter(col("verdict") === "new").select(col("media_id")),
         Seq("media_id"), "left_semi")
       case None => feats
     }
+    val logT = graft.plans.AdmitLog.logTableOf(bandsT)
+    val adm = graft.plans.AdmitLog.begin(spark, logT)
     bandRows(collapse(toAppend))
+      .withColumn("_adm", lit(adm))
       .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
       .bucketBy(16, "bkey").sortBy("bkey").saveAsTable(bandsT)
+    if (injectCrashAfter == 1)
+      throw new RuntimeException(s"injected crash before commit marker ($adm)")
+    graft.plans.AdmitLog.commit(spark, logT, adm)
   }
 
   /** Banded candidates + exact-Hamming verify + best-base pick over

@@ -172,6 +172,63 @@ class Round18Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // Media admit guard: torn admissions excised exactly (round-18
+  // extension of VERDICT r17 #1 — the bm25 guard applied to the
+  // unguarded media appends)
+  // ------------------------------------------------------------------
+
+  test("media admit crash injection: torn band rows are scrubbed at the next serve, then re-admit cleanly") {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, Q25cImageFeatures, Q25fImageDedupStore}
+    val textA = ("the seed corpus image content that wave one must not " +
+      "collide with because its pixels are unrelated ") * 2
+    val textB = ("a completely novel wave one image whose fingerprint meets " +
+      "nothing in the seeded store at all ") * 2
+    val dir = java.nio.file.Files.createTempDirectory("r18media").toString
+    // id 3 = train (seeds the store); id 24 = test (the delta).
+    Seq((3L, textA.trim), (24L, textB.trim))
+      .map { case (id, text) => (id, text, "en", "s", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Stores.evict(spark, "graft_imgstore")
+    try {
+      val bandsT = Q25fImageDedupStore.ensureStore(spark, dir)
+      def storeRows() = Q25fImageDedupStore
+        .storeFrame(spark, bandsT).collect().map(_.toString).sorted.toSeq
+      val baseline = storeRows()
+      def featsOf(rows: Seq[(Long, String)]) =
+        Q25cImageFeatures.extractImageFeatures(
+          Q25cImageFeatures.imageFrames(Multimodal.mediaFrame(
+            rows.map { case (id, t) => (id, t, t.length.toLong) }
+              .toDF("doc_id", "text", "n_chars"))))
+          .toDF().select(col("media_id"), col("dhash"))
+      val logT = AdmitLog.logTableOf(bandsT)
+      // Crash between the data append and the commit marker.
+      intercept[RuntimeException] {
+        Q25fImageDedupStore.store.admit(featsOf(Seq((24L, textB.trim))),
+          bandsT, injectCrashAfter = 1)
+      }
+      assert(AdmitLog.torn(spark, logT).nonEmpty, "no torn intent logged")
+      // The next serve excises the torn admission's rows: the store
+      // reads EXACTLY its pre-append state, so re-running the ingest
+      // decision replays the whole admission.
+      assert(storeRows() == baseline,
+        "torn media admission's rows survived the serve-side scrub")
+      assert(AdmitLog.torn(spark, logT).isEmpty, "torn intent unresolved")
+      // Clean re-admit of the same delta lands and is visible.
+      Q25fImageDedupStore.store.admit(featsOf(Seq((24L, textB.trim))), bandsT)
+      val after = storeRows()
+      assert(after.size > baseline.size &&
+        after.exists(_.contains("24")),
+        "re-admitted delta did not join the store")
+      assert(AdmitLog.torn(spark, logT).isEmpty)
+    } finally {
+      Stores.evict(spark, "graft_imgstore")
+      Stores.deleteTree(java.nio.file.Paths.get(dir))
+    }
+  }
+
+  // ------------------------------------------------------------------
   // SIGKILL drill harness
   // ------------------------------------------------------------------
 
