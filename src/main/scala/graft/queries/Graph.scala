@@ -811,19 +811,44 @@ object Q60dExciseStore extends GraftQuery {
   val name = "q60d_excise_store"
   private val prefix = "graft_spanstore"
 
+  /** DECADE-SCOPED bucket count (round 18, the named q60d residual):
+    * the store holds roughly one md5 row per corpus token, so a
+    * FIXED 16-bucket layout funnels a fourth-decade corpus's ~225M
+    * distinct keys through 14M-row per-bucket sorts at build and
+    * per-bucket stitches at serve — the measured disk-bound tail of
+    * the excise decades (BASELINE round 18). Sized from the corpus
+    * FILE BYTES (metadata only — the exact inputs the store
+    * fingerprint reads, so a given fingerprint always re-derives the
+    * same count at bind/admit time): 16 buckets per 64 MB of
+    * documents parquet, next power of two, clamped to [16, 4096].
+    * The fixtures stay at 16 (floors untouched); the 1000× corpus
+    * (855 MB) gets 256. */
+  private[graft] def spanBuckets(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+    val want = math.max(16L, bytes / (64L << 20) * 16L)
+    val pow = java.lang.Long.highestOneBit(math.min(want, 4096L))
+    (if (pow < want && pow < 4096L) pow * 2 else pow).toInt
+  }
+
   /** Build (once per corpus fingerprint) the bucketed distinct-hash
     * store of the TRAIN split's windows; returns the table name. */
-  private[graft] def ensureStore(spark: SparkSession, dir: String): String =
+  private[graft] def ensureStore(spark: SparkSession, dir: String): String = {
+    val n = spanBuckets(spark, dir)
     graft.plans.Stores.ensure(spark, prefix, dir, Seq("spans"),
-      buckets = Map("spans" -> (("span_h", 16)))) { case Seq(spansT) =>
+      buckets = Map("spans" -> (("span_h", n))),
+      layoutVersion = "2" /* decade-scoped bucket count */) {
+      case Seq(spansT) =>
       val base = Tables.documents(spark, dir)
         .filter(Q40TrainTestSplit.splitCol === "train")
         .select(col("doc_id"), expr(NorthStar.toksExpr).as("t"))
       graft.plans.Bucketing.writeBucketed(
         Q60cExciseDuplicates.spanPositions(base)
           .select(col("span_h")).distinct(),
-        spansT, "span_h", 16)
+        spansT, "span_h", n)
     }.head
+  }
 
   /** Ingest commit: append the delta's hashes that were NOT in the
     * store (exactly the ones whose first occurrence survived), routed
@@ -845,8 +870,20 @@ object Q60dExciseStore extends GraftQuery {
       .select(col("span_h")).distinct()
       .join(spark.table(spansT), Seq("span_h"), "left_anti")
       .write.mode(SaveMode.Append).format("parquet")
-      .bucketBy(16, "span_h").sortBy("span_h").saveAsTable(spansT)
+      // the table's OWN bucket count — appends must route through the
+      // spec the store was created with (decade-scoped since round 18)
+      .bucketBy(boundBuckets(spark, spansT), "span_h")
+      .sortBy("span_h").saveAsTable(spansT)
   }
+
+  /** The bound store's own bucket count, from catalog metadata — the
+    * append/ingest side must route through the spec the store was
+    * created with, whatever decade sized it. */
+  private def boundBuckets(spark: SparkSession, table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(sys.error(s"$table carries no bucket spec"))
 
   /** Serve a delta frame (doc_id, text) against an existing store
     * table — the composable surface run() and the two-wave spec
