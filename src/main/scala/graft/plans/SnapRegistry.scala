@@ -14,9 +14,12 @@ package graft.plans
   * (Verify reads `oracle` right after running that same dir, so the
   * last completed run is exactly what it wants).
   *
-  * A dir regenerated BETWEEN a run and its oracle read still serves
-  * the run's own paths: put() stores the resolved fingerprinted
-  * paths, not the dir. */
+  * put() stores the RESOLVED fingerprinted paths, not the dir — a
+  * dir regenerated between a run and its oracle read still serves
+  * the run's own snapshot, UNLESS a newer run over the regenerated
+  * dir has already retired it ([[Stores.snapPath]] evicts superseded
+  * same-tag snapshot dirs, ADVICE r17); the driver's sequential
+  * run-then-read never hits that window. */
 final class SnapRegistry[A] {
   private val byDir = new java.util.concurrent.ConcurrentHashMap[String, A]()
   @volatile private var lastDir: Option[String] = None
