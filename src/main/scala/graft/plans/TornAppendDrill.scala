@@ -117,6 +117,41 @@ object TornAppendDrill {
           Q19dAnnIvf.NProbe).head
         stageTornPart(wh.resolve(listsT).resolve(s"list_id=$probed"))
 
+      case "epoch" =>
+        // The STREAMING-EPOCH twin (s23's checkpointed ingest): drive
+        // a maintainAppend over a 3-file delta (one file per trigger)
+        // and die mid-epoch-1 — AFTER its data append, BEFORE its
+        // commit marker, with one more part file half-written. The
+        // stream offset for the batch never commits, so a restart
+        // from the same checkpoint re-delivers the epoch; recovery is
+        // quarantine + the guard's rows-without-marker scrub +
+        // re-apply. args(3) = scratch dir holding delta/ and ckpt/.
+        import graft.queries.Q74Bm25
+        val scratch = args(3)
+        val runT = "graft_drill_epochtab"
+        Stores.dropManaged(spark, runT)
+        Stores.dropManaged(spark,
+          graft.streaming.StreamQueries.epochMarkerTable(runT))
+        Q74Bm25.postingsOf(
+            spark.read.parquet(s"$scratch/delta").limit(0))
+          .withColumn("_epoch", lit(-1L))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(runT)
+        val sch = spark.read.parquet(s"$scratch/delta").schema
+        val stream = spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$scratch/delta/*.parquet")
+        graft.streaming.StreamQueries.maintainAppend(spark, runT,
+          stream, Some(s"$scratch/ckpt"),
+          injectBeforeMarker = { e =>
+            if (e == 1L) {
+              stageTornPart(wh.resolve(runT))
+              println("TORN_READY")
+              Console.flush()
+              Thread.sleep(600000) // parked mid-epoch: SIGKILLed here
+            }
+          })(Q74Bm25.postingsOf)
+
       case other =>
         System.err.println(s"unknown drill family: $other")
         sys.exit(2)

@@ -235,7 +235,13 @@ class Round18Spec extends SparkSpec {
   /** Fork `TornAppendDrill <family>` against OUR warehouse, wait for
     * its TORN_READY, SIGKILL it, and reap. Returns only once the
     * child is dead with the torn state on disk. */
-  private def sigkillDrill(family: String, corpusDir: String): Unit = {
+  /** [[sigkillDrill]] with a 4th drill argument (the epoch drill's
+    * scratch dir). */
+  private def sigkillDrill4(family: String, corpusDir: String,
+      extra: String): Unit = sigkillDrill(family, corpusDir, Seq(extra))
+
+  private def sigkillDrill(family: String, corpusDir: String,
+      extraArgs: Seq[String] = Nil): Unit = {
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val opens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -249,7 +255,8 @@ class Round18Spec extends SparkSpec {
     val cmd = (Seq(javaBin, "-Xmx3g") ++ opens ++ Seq(
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", sys.props("java.class.path"),
-      "graft.plans.TornAppendDrill", family, corpusDir, wh.toString))
+      "graft.plans.TornAppendDrill", family, corpusDir, wh.toString)
+      ++ extraArgs)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val p = pb.start()
@@ -294,6 +301,60 @@ class Round18Spec extends SparkSpec {
   // ------------------------------------------------------------------
   // Family drills: kill mid-append, serve green, no eviction
   // ------------------------------------------------------------------
+
+  test("epoch drill: SIGKILL mid-epoch (torn part + unmarked rows + uncommitted offset) — checkpoint restart recovers exactly-once") {
+    import graft.streaming.StreamQueries
+    import graft.queries.Q74Bm25
+    val scratch = Files.createTempDirectory("r18epoch")
+    val runT = "graft_drill_epochtab"
+    val markerT = StreamQueries.epochMarkerTable(runT)
+    try {
+      Tables.documents(spark, sf).repartition(3)
+        .write.parquet(s"$scratch/delta")
+      Seq(runT, markerT).foreach(Stores.dropManaged(spark, _))
+
+      sigkillDrill4("epoch", sf, scratch.toString)
+      assert(tornPartsUnder(wh.resolve(runT)).nonEmpty,
+        "drill left no torn part under the epoch table")
+
+      // The restarting process: repair precedes ANY footer read (the
+      // Stores.ensure order — binding infers schema from a parquet
+      // footer and the torn part could be the one it picks)...
+      ReadRepair.repairTable(spark, runT)
+      Seq(runT, markerT).foreach { t =>
+        val loc = wh.resolve(t)
+        val ddl = spark.read.parquet(loc.toString).schema.toDDL
+        spark.sql(s"CREATE TABLE $t ($ddl) USING parquet " +
+          s"LOCATION '${loc.toUri}'")
+      }
+      // ...then the SAME checkpoint re-delivers the killed epoch: the
+      // guard sees rows-without-marker, scrubs, re-applies; the
+      // remaining epochs follow. Epoch 0 committed BEFORE the kill
+      // and must survive untouched.
+      assert(spark.table(markerT).filter(col("_epoch") === 0L).count() == 1,
+        "epoch 0 should have committed before the kill")
+      val sch = spark.read.parquet(s"$scratch/delta").schema
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$scratch/delta/*.parquet")
+      val applied = StreamQueries.maintainAppend(spark, runT, stream,
+        Some(s"$scratch/ckpt"))(Q74Bm25.postingsOf)
+      assert(applied == 2L,
+        s"expected killed epoch 1 re-applied + epoch 2, got $applied")
+      assert(tornPartsUnder(wh.resolve(runT)).isEmpty,
+        "a torn part survived the restart")
+      val got = StreamQueries.epochless(spark.table(runT))
+        .collect().map(_.toString).sorted.toSeq
+      val expect = Q74Bm25.postingsOf(Tables.documents(spark, sf))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expect,
+        "recovered streamed index diverged from the batch tokenize")
+    } finally {
+      Seq(runT, markerT).foreach(Stores.dropManaged(spark, _))
+      Stores.deleteTree(wh.resolve(runT + ReadRepair.QuarantineSuffix))
+      Stores.deleteTree(scratch)
+    }
+  }
 
   test("bm25 drill: SIGKILL mid-admission (torn lengths part + committed postings) — store serves green, no eviction") {
     val (postT, lenT, metaT) = Q74bBm25Store.ensureStore(spark, sf)
