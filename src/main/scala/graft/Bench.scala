@@ -112,7 +112,11 @@ object Bench {
     // benches on untouched code — a noise band the single-sample
     // rows kept reporting as phantom regressions the judge had to
     // re-bench every round.
-    def isStreamRow(name: String) = name.startsWith("s")
+    // Stream rows follow the established naming convention s<digit>…
+    // (s1..s27); matched explicitly (ADVICE r18) so a future BATCH
+    // query whose name merely starts with 's' cannot silently inherit
+    // the lenient streaming outlier policy (1.5x arming, min-of-3).
+    def isStreamRow(name: String) = name.matches("^s\\d.*")
     val outliers = firstPass.filter { case (q, s) =>
         s > math.max(6.0, 4 * median) ||
           floors.get(q.name).exists(f =>

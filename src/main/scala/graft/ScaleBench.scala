@@ -34,6 +34,39 @@ object ScaleBench {
   private val Copies = 10
   private val IdOffset = 10000000L
 
+  /** PAGE-CACHE PROTOCOL for the deep decades (VERDICT r18 #4): the
+    * gates' full decides moved 2× between rounds 17 and 18 at 1000×
+    * purely on OS page-cache temperature, which made decade tables
+    * unfalsifiable round-over-round. Every deep-decade (100×/1000×)
+    * section now re-reads the decade corpus's raw parquet bytes ONCE
+    * before its first timed point, so every emitted row is measured
+    * page-cache HOT — the state a long-running production job's
+    * working set sits in — and the JSON decade rows carry an explicit
+    * `"cache":"hot"` label (BASELINE records the protocol; a future
+    * cold-state study would drop the pre-read and relabel). The
+    * pre-read is a driver-side sequential pass (~1 GB at 1000×,
+    * seconds), never timed. No-op outside the deep-decade dirs —
+    * 1×/10× rows keep their historical mixed-state floors. */
+  private def warmPageCache(dir: String): Unit =
+    if (dir == Scale100Dir || dir == Scale1000Dir ||
+        dir.startsWith("/tmp/graft_openvocab")) {
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.isDirectory(root)) {
+        import scala.jdk.CollectionConverters._
+        val buf = new Array[Byte](1 << 20)
+        val files = {
+          val s = java.nio.file.Files.walk(root)
+          try s.iterator().asScala.filter(p =>
+            java.nio.file.Files.isRegularFile(p)).toVector
+          finally s.close()
+        }
+        files.foreach { p =>
+          val in = java.nio.file.Files.newInputStream(p)
+          try { while (in.read(buf) >= 0) () } finally in.close()
+        }
+      }
+    }
+
   /** Third decade (100×), documents only: the queries whose 10× ratio
     * sits ≥2.2 are all text-side (q18d/q18f/q26/q58/q60), and a
     * second hop is what separates structure (ratio grows again —
@@ -279,6 +312,7 @@ object ScaleBench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val picked = only.fold(family)(names => family.filter(q => names(q.name)))
     def timedPicked(dir: String): Map[String, Double] = {
+      warmPageCache(dir)
       val _ = time1(Q18DedupExact, dir) // warmup
       picked.map(q => q.name -> best2(q, dir)).toMap
     }
@@ -293,6 +327,7 @@ object ScaleBench {
     // partials/refresh functions as q65, so the refresh point prices
     // both. Skipped when SPARK_GRAFT_SCALE_ONLY filters it out.
     def storePoints(dir: String): Map[String, Double] = {
+      warmPageCache(dir)
       def t1(body: => Unit): Double =
         try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -406,10 +441,12 @@ object ScaleBench {
     // decade (reproduced twice, HISTORY round-18 residuals); split
     // into the focused shape that already carries the ANN/DSIR/gate
     // decades, each family's fourth decade completes on this box.
-    val exciseNames = Seq("q60c_full_excise", "q60d_store_build",
-      "q60d_store_serve")
+    val exciseNames = Seq("q60c_full_excise", "q60c_write_excise",
+      "q60d_store_build", "q60d_store_serve",
+      "q60d_serve_fragmented", "q60d_serve_compacted")
     val wantExcise = only.forall(names => exciseNames.exists(names))
     def excisePoints(dir: String): Map[String, Double] = try withDecadeShuffle(dir) {
+      warmPageCache(dir)
       def t1(body: => Unit): Double =
         try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -422,14 +459,48 @@ object ScaleBench {
       // exchange store join + intra-delta window).
       val excFull = t1(Q60cExciseDuplicates.run(spark, dir)
         .write.format("noop").mode("overwrite").save())
+      // PRODUCTION WRITE TIER (VERDICT r18 #2): same operator, no
+      // final global sort — partitioned unsorted parquet shards
+      // through the staged committer. The gap to q60c_full_excise is
+      // exactly the driver-dump `orderBy(doc_id)` range-sort
+      // DiagReassemble priced (39.1 vs 11.7 s at 1000×); the row pins
+      // the operator's own near-linear hop as the served exit.
+      val shardDir = s"/tmp/graft_excise_shards_${dir.hashCode.toHexString}"
+      val excWrite = t1(Q60cExciseDuplicates.writeShards(
+        Tables.documents(spark, dir), shardDir))
+      graft.plans.Stores.deleteTree(java.nio.file.Paths.get(shardDir))
       graft.plans.Stores.evict(spark, "graft_spanstore")
       val excBuild = t1(Q60dExciseStore.ensureStore(spark, dir))
       def excServeOnce() = t1(Q60dExciseStore.run(spark, dir)
         .write.format("noop").mode("overwrite").save())
       val excServe = math.min(excServeOnce(), excServeOnce())
+      // COMPACTION PRICING (VERDICT r18 #3): fragment the store with
+      // admit waves (each appends ≥1 file per touched bucket), price
+      // a serve over the fragmented layout, compact, price the same
+      // serve again — the s23b trade measured on the BATCH span
+      // family. Waves slice the test split so each admit is a
+      // realistic delta-sized ingest of fresh doc_ids.
+      val spansT = Q60dExciseStore.ensureStore(spark, dir)
+      val testDocs = Tables.documents(spark, dir)
+        .filter(Q40TrainTestSplit.splitCol === "test")
+        .select(col("doc_id"), col("text"))
+      val waves = 8
+      (0 until waves).foreach { wv =>
+        Q60dExciseStore.admit(spark,
+          testDocs.filter(pmod(col("doc_id"), lit(waves.toLong)) === wv),
+          spansT)
+      }
+      def fragServeOnce() = t1(Q60dExciseStore.serve(spark, testDocs, spansT)
+        .write.format("noop").mode("overwrite").save())
+      val fragServe = math.min(fragServeOnce(), fragServeOnce())
+      val compacted =
+        if (t1(Q60dExciseStore.compactStore(spark, spansT)) < 0) -1.0
+        else math.min(fragServeOnce(), fragServeOnce())
       graft.plans.Stores.evict(spark, "graft_spanstore")
-      Map("q60c_full_excise" -> excFull,
-        "q60d_store_build" -> excBuild, "q60d_store_serve" -> excServe)
+      Map("q60c_full_excise" -> excFull, "q60c_write_excise" -> excWrite,
+        "q60d_store_build" -> excBuild, "q60d_store_serve" -> excServe,
+        "q60d_serve_fragmented" -> fragServe,
+        "q60d_serve_compacted" -> compacted)
         .filter(_._2 >= 0)
     } catch { case e: Throwable =>
       System.err.println(s"[scalebench] excise section @ $dir FAILED: ${e.getMessage}")
@@ -449,6 +520,7 @@ object ScaleBench {
       "q25f_store_serve", "q25h_store_build", "q25h_store_serve")
     val wantMedia = only.forall(names => mediaNames.exists(names))
     def mediaPoints(dir: String): Map[String, Double] = try withDecadeShuffle(dir) {
+      warmPageCache(dir)
       def t1(body: => Unit): Double =
         try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -466,19 +538,35 @@ object ScaleBench {
               .select(col("media_id"), col("dhash")), bandBits = 16)
           .write.format("noop").mode("overwrite").save()
       }
+      // BUILD points are min-of-2 COLD builds (round 19): three
+      // same-code same-corpus fourth-decade runs measured the single
+      // -sample builds swinging 3.4 → 121 s (q25h) and 19 → 205 s
+      // (q25f) on a quiet guest — host-level contention the guest
+      // cannot see; the page-cache protocol (warmPageCache + the
+      // "cache":"hot" label) controls the cache axis, min-of-2
+      // controls the steal axis. Affordable only since the round-19
+      // SPI/codegen fixes (each cold build is seconds, not minutes).
+      def build2(prefix: String)(b: => Unit): Double = {
+        graft.plans.Stores.evict(spark, prefix)
+        val a = t1(b)
+        graft.plans.Stores.evict(spark, prefix)
+        val c = t1(b)
+        val ok = Seq(a, c).filter(_ >= 0)
+        if (ok.isEmpty) -1.0 else ok.min
+      }
       // Image-store lifecycle (q25f): build pays the train-split
       // codec pass ONCE (PNG encode+decode per image — the dominant
       // term, scaling with the corpus); serve prices a delta ingest.
-      graft.plans.Stores.evict(spark, "graft_imgstore")
-      val imgBuild = t1(graft.multimodal.Q25fImageDedupStore.ensureStore(spark, dir))
+      val imgBuild = build2("graft_imgstore")(
+        graft.multimodal.Q25fImageDedupStore.ensureStore(spark, dir))
       def imgServeOnce() = t1(graft.multimodal.Q25fImageDedupStore.run(spark, dir)
         .write.format("noop").mode("overwrite").save())
       val imgServe = math.min(imgServeOnce(), imgServeOnce())
       graft.plans.Stores.evict(spark, "graft_imgstore")
       // Audio-store lifecycle (q25h): the image split without the PNG
       // codec term.
-      graft.plans.Stores.evict(spark, "graft_audstore")
-      val audBuild = t1(graft.multimodal.Q25hAudioDedupStore.ensureStore(spark, dir))
+      val audBuild = build2("graft_audstore")(
+        graft.multimodal.Q25hAudioDedupStore.ensureStore(spark, dir))
       def audServeOnce() = t1(graft.multimodal.Q25hAudioDedupStore.run(spark, dir)
         .write.format("noop").mode("overwrite").save())
       val audServe = math.min(audServeOnce(), audServeOnce())
@@ -528,6 +616,7 @@ object ScaleBench {
     // unguarded ensure would otherwise escape and kill every later
     // JSON line).
     def retrievalPoints(dir: String): Map[String, Double] = try {
+      warmPageCache(dir)
       def t1(body: => Unit): Double =
         try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -660,6 +749,7 @@ object ScaleBench {
     def ovPoints(scale: Int): Map[String, Double] = try {
       synthesizeOv(scale)
       val dir = ovDir(scale)
+      warmPageCache(dir)
       def t1(body: => Unit): Double =
         try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -746,6 +836,7 @@ object ScaleBench {
     val annNames = Seq("q19e_ann_build", "q19e_ann_serve")
     val wantAnn = only.forall(names => annNames.exists(names))
     def annPoints(dir: String): Map[String, Double] = try {
+      warmPageCache(dir)
       def t1(body: => Unit): Double =
         try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -791,6 +882,7 @@ object ScaleBench {
       "q64q_gate_decide_sampled_pruned")
     val wantGates = only.forall(names => gateNames.exists(names))
     def gatePoints(dir: String): Map[String, Double] = try {
+      warmPageCache(dir)
       def t1(body: => Unit): Double =
         try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -867,6 +959,7 @@ object ScaleBench {
     val dsirNames = Seq("q77d_store_build", "q77d_store_serve")
     val wantDsir = only.forall(names => dsirNames.exists(names))
     def dsirPoints(dir: String): Map[String, Double] = try {
+      warmPageCache(dir)
       def t1(body: => Unit): Double =
         try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -911,6 +1004,7 @@ object ScaleBench {
       "q18g_store_serve")
     val wantClosure = only.forall(names => closureNames.exists(names))
     def closurePoints(dir: String): Map[String, Double] = {
+      warmPageCache(dir)
       def t1(body: => Unit): Double =
         try { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -983,11 +1077,11 @@ object ScaleBench {
         val r100 = storeNames
           .map(n => "\"" + n + "\":" + f"${ratio(st100(n), st10(n))}%.2f")
           .mkString("{", ",", "}")
-        println(s"""{"scale_stores":"sf0.1x100","points":${srow(st100)}}""")
+        println(s"""{"scale_stores":"sf0.1x100","cache":"hot","points":${srow(st100)}}""")
         println(s"""{"store_ratio_100x_vs_10x":$r100}""")
       }
       if (st1000.nonEmpty) {
-        println(s"""{"scale_stores":"sf0.1x1000","points":${srow(st1000)}}""")
+        println(s"""{"scale_stores":"sf0.1x1000","cache":"hot","points":${srow(st1000)}}""")
         println(deepRatioRow(storeNames, st1000, st100, st10, "store_ratio"))
       }
     }
@@ -1004,14 +1098,14 @@ object ScaleBench {
         println(s"""{"excise_ratio_10x":$r}""")
       }
       if (ex100.nonEmpty) {
-        println(s"""{"scale_excise":"sf0.1x100","points":${erow(ex100)}}""")
+        println(s"""{"scale_excise":"sf0.1x100","cache":"hot","points":${erow(ex100)}}""")
         val r = exciseNames.filter(n => ex100.contains(n) && ex10.contains(n))
           .map(n => "\"" + n + "\":" + f"${ratio(ex100(n), ex10(n))}%.2f")
           .mkString("{", ",", "}")
         println(s"""{"excise_ratio_100x_vs_10x":$r}""")
       }
       if (ex1000.nonEmpty) {
-        println(s"""{"scale_excise":"sf0.1x1000","points":${erow(ex1000)}}""")
+        println(s"""{"scale_excise":"sf0.1x1000","cache":"hot","points":${erow(ex1000)}}""")
         println(deepRatioRow(exciseNames, ex1000, ex100, ex10, "excise_ratio"))
       }
     }
@@ -1028,14 +1122,14 @@ object ScaleBench {
         println(s"""{"media_ratio_10x":$r}""")
       }
       if (md100.nonEmpty) {
-        println(s"""{"scale_media":"sf0.1x100","points":${mrow(md100)}}""")
+        println(s"""{"scale_media":"sf0.1x100","cache":"hot","points":${mrow(md100)}}""")
         val r = mediaNames.filter(n => md100.contains(n) && md10.contains(n))
           .map(n => "\"" + n + "\":" + f"${ratio(md100(n), md10(n))}%.2f")
           .mkString("{", ",", "}")
         println(s"""{"media_ratio_100x_vs_10x":$r}""")
       }
       if (md1000.nonEmpty) {
-        println(s"""{"scale_media":"sf0.1x1000","points":${mrow(md1000)}}""")
+        println(s"""{"scale_media":"sf0.1x1000","cache":"hot","points":${mrow(md1000)}}""")
         println(deepRatioRow(mediaNames, md1000, md100, md10, "media_ratio"))
       }
     }
@@ -1053,7 +1147,7 @@ object ScaleBench {
       val r2 = deep.map(q =>
         "\"" + q.name + "\":" + f"${ratio(at100(q.name), at10(q.name))}%.2f")
         .mkString("{", ",", "}")
-      println(s"""{"scale":"sf0.1x100","queries":${row(deep, at100)}}""")
+      println(s"""{"scale":"sf0.1x100","cache":"hot","queries":${row(deep, at100)}}""")
       println(s"""{"ratio_100x_vs_10x":$r2}""")
     }
     if (rt1.nonEmpty) {
@@ -1069,11 +1163,11 @@ object ScaleBench {
         val r100 = retrNames.filter(n => rt100.contains(n) && rt10.contains(n))
           .map(n => "\"" + n + "\":" + f"${ratio(rt100(n), rt10(n))}%.2f")
           .mkString("{", ",", "}")
-        println(s"""{"scale_retrieval":"sf0.1x100","points":${rrow(rt100)}}""")
+        println(s"""{"scale_retrieval":"sf0.1x100","cache":"hot","points":${rrow(rt100)}}""")
         println(s"""{"retrieval_ratio_100x_vs_10x":$r100}""")
       }
       if (rt1000.nonEmpty) {
-        println(s"""{"scale_retrieval":"sf0.1x1000","points":${rrow(rt1000)}}""")
+        println(s"""{"scale_retrieval":"sf0.1x1000","cache":"hot","points":${rrow(rt1000)}}""")
         println(deepRatioRow(retrNames, rt1000, rt100, rt10,
           "retrieval_ratio"))
       }
@@ -1097,11 +1191,11 @@ object ScaleBench {
         val o100 = ovNames.filter(n => ov100.contains(n) && ov10.contains(n))
           .map(n => "\"" + n + "\":" + f"${ratio(ov100(n), ov10(n))}%.2f")
           .mkString("{", ",", "}")
-        println(s"""{"scale_openvocab":"100x","points":${orow(ov100)}}""")
+        println(s"""{"scale_openvocab":"100x","cache":"hot","points":${orow(ov100)}}""")
         println(s"""{"openvocab_ratio_100x_vs_10x":$o100}""")
       }
       if (ov1000.nonEmpty) {
-        println(s"""{"scale_openvocab":"1000x","points":${orow(ov1000)}}""")
+        println(s"""{"scale_openvocab":"1000x","cache":"hot","points":${orow(ov1000)}}""")
         println(deepRatioRow(ovNames, ov1000, ov100, ov10,
           "openvocab_ratio"))
       }
@@ -1114,9 +1208,9 @@ object ScaleBench {
       if (an10.nonEmpty)
         println(s"""{"scale_ann":"sf0.1x10","points":${arow(an10)}}""")
       if (an100.nonEmpty)
-        println(s"""{"scale_ann":"sf0.1x100","points":${arow(an100)}}""")
+        println(s"""{"scale_ann":"sf0.1x100","cache":"hot","points":${arow(an100)}}""")
       if (an1000.nonEmpty) {
-        println(s"""{"scale_ann":"sf0.1x1000","points":${arow(an1000)}}""")
+        println(s"""{"scale_ann":"sf0.1x1000","cache":"hot","points":${arow(an1000)}}""")
         println(deepRatioRow(annNames, an1000, an100, an10, "ann_ratio"))
       }
     }
@@ -1133,11 +1227,11 @@ object ScaleBench {
         val g100 = gateNames.filter(n => gt100.contains(n) && gt10.contains(n))
           .map(n => "\"" + n + "\":" + f"${ratio(gt100(n), gt10(n))}%.2f")
           .mkString("{", ",", "}")
-        println(s"""{"scale_gates":"sf0.1x100","points":${grow(gt100)}}""")
+        println(s"""{"scale_gates":"sf0.1x100","cache":"hot","points":${grow(gt100)}}""")
         println(s"""{"gate_ratio_100x_vs_10x":$g100}""")
       }
       if (gt1000.nonEmpty) {
-        println(s"""{"scale_gates":"sf0.1x1000","points":${grow(gt1000)}}""")
+        println(s"""{"scale_gates":"sf0.1x1000","cache":"hot","points":${grow(gt1000)}}""")
         println(deepRatioRow(gateNames, gt1000, gt100, gt10, "gate_ratio"))
       }
     }
@@ -1154,20 +1248,20 @@ object ScaleBench {
         val d100 = dsirNames.filter(n => dt100.contains(n) && dt10.contains(n))
           .map(n => "\"" + n + "\":" + f"${ratio(dt100(n), dt10(n))}%.2f")
           .mkString("{", ",", "}")
-        println(s"""{"scale_dsir":"sf0.1x100","points":${drow(dt100)}}""")
+        println(s"""{"scale_dsir":"sf0.1x100","cache":"hot","points":${drow(dt100)}}""")
         println(s"""{"dsir_ratio_100x_vs_10x":$d100}""")
       }
       if (dt1000.nonEmpty) {
-        println(s"""{"scale_dsir":"sf0.1x1000","points":${drow(dt1000)}}""")
+        println(s"""{"scale_dsir":"sf0.1x1000","cache":"hot","points":${drow(dt1000)}}""")
         println(deepRatioRow(dsirNames, dt1000, dt100, dt10, "dsir_ratio"))
       }
     }
     if (cl100.nonEmpty) {
       def crow(m: Map[String, Double]) = closureNames.filter(m.contains)
         .map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
-      println(s"""{"scale_closure":"sf0.1x100","points":${crow(cl100)}}""")
+      println(s"""{"scale_closure":"sf0.1x100","cache":"hot","points":${crow(cl100)}}""")
       if (cl1000.nonEmpty) {
-        println(s"""{"scale_closure":"sf0.1x1000","points":${crow(cl1000)}}""")
+        println(s"""{"scale_closure":"sf0.1x1000","cache":"hot","points":${crow(cl1000)}}""")
         // Closure's own 10× pass doesn't exist (the family starts at
         // 100×) — the fallback then degrades to an empty object only
         // when NEITHER denominator ran, which a closure-only 1000×

@@ -22,7 +22,8 @@ object SparkEntry {
       graft.multimodal.Q25gAudioNearDup,
       graft.multimodal.Q25hAudioDedupStore,
       graft.multimodal.Q25iVideoNearDup,
-      graft.multimodal.Q25jVideoDedupStore) ++
+      graft.multimodal.Q25jVideoDedupStore,
+      graft.multimodal.Q25kJpegLossy) ++
     graft.streaming.StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

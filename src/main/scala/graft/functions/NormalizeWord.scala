@@ -126,6 +126,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         UnicodeNormalize(children.head, java.text.Normalizer.Form.NFKC)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_first_pair"),
+      new ExpressionInfo(classOf[FirstSharedBandPair].getName, "graft_first_pair"),
+      (children: Seq[Expression]) => {
+        exact("graft_first_pair", 3)(children)
+        FirstSharedBandPair(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_asof_le"),
       new ExpressionInfo(classOf[graft.plans.AsofLessEqual].getName, "graft_asof_le"),
       (children: Seq[Expression]) => {

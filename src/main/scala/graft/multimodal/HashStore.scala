@@ -24,7 +24,7 @@ import graft.queries.{GraftQuery, Q40TrainTestSplit}
   * struct row per delta item. */
 private[graft] final class BandedHashStore(
     val prefix: String, val maxHamming: Int) {
-  import Q25dImageNearDup.{bandBitsFor, hammingExpr}
+  import Q25dImageNearDup.bandBitsFor
 
   /** Policy-picked band geometry for the ≤ [[maxHamming]] threshold. */
   private val bandBits = bandBitsFor(maxHamming)
@@ -167,26 +167,46 @@ private[graft] final class BandedHashStore(
     * two hashes already in the row — stateless, so the streaming
     * twins inherit it; exactly one row per pair survives because a
     * colliding pair shares ≥ 1 clean pair) cuts the expensive
-    * Hamming verify to one evaluation per pair. */
+    * Hamming verify to one evaluation per pair.
+    *
+    * The hashes are parsed into 32-bit halves ONCE per join input
+    * row (round 19 — [[Q25dImageNearDup.hexHiExpr]]): band agreement
+    * and Hamming are then shift/xor/popcount on the xor halves
+    * (`x_hi`/`x_lo`, carried in the output for [[verdictFrame]])
+    * instead of per-pair hex parsing + substring compares — the
+    * measured ~100 µs/pair CPU term that made every store serve
+    * ~13 s flat (DiagAudio, BASELINE round 19). */
   private[graft] def candidates(deltaFeats: DataFrame,
       store: DataFrame): DataFrame = {
-    val firstShared = bandPairs.map { case (i, j) =>
-      s"(substring(dhash, ${i * hexPerBand + 1}, $hexPerBand) = " +
-        s"substring(base_dhash, ${i * hexPerBand + 1}, $hexPerBand) AND " +
-        s"substring(dhash, ${j * hexPerBand + 1}, $hexPerBand) = " +
-        s"substring(base_dhash, ${j * hexPerBand + 1}, $hexPerBand))"
-    }.mkString("array(", ", ", ")")
-    bandRows(deltaFeats)
-      .join(store, Seq("bkey"))
+    import Q25dImageNearDup.{hexHiExpr, hexLoExpr}
+    val d = bandRows(deltaFeats)
+      .withColumn("d_hi", expr(hexHiExpr("dhash")))
+      .withColumn("d_lo", expr(hexLoExpr("dhash")))
+      // the bucket's pair index, parsed once per DELTA band row
+      // (never per candidate) — the join key carries the same value
+      .withColumn("bp", expr("cast(split(bkey, ':')[0] as int)"))
+    val s = store
+      .withColumn("s_hi", expr(hexHiExpr("base_dhash")))
+      .withColumn("s_lo", expr(hexLoExpr("base_dhash")))
+    // First-shared-pair as ONE native codegen'd node
+    // ([[graft.functions.FirstSharedBandPair]], round 19): spelled
+    // with built-ins the predicate is a big alias tree, and when the
+    // optimizer pushes it into the SortMergeJoin condition the
+    // aliases inline ~15× into a ~500-node condition that falls out
+    // of whole-stage codegen — measured ~80 µs per joined row, 10 s
+    // of a 14 s serve at 100× (DiagAudio3 carries the plan). As a
+    // single expression node the pushdown is harmless: wherever it
+    // lands, it is one ~30-op static Java call per candidate.
+    d.join(s, Seq("bkey"))
       .filter(expr(
-        s"cast(split(bkey, ':')[0] as int) + 1 = array_position($firstShared, true)"))
+        s"bp = graft_first_pair(d_hi ^ s_hi, d_lo ^ s_lo, $bandBits)"))
   }
 
   private[graft] def verdictFrame(deltaFeats: DataFrame,
       store: DataFrame): DataFrame = {
     val cands = candidates(deltaFeats, store)
       .withColumn("hamming",
-        expr(hammingExpr("dhash", "base_dhash")).cast("long"))
+        expr("bit_count(d_hi ^ s_hi) + bit_count(d_lo ^ s_lo)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("media_id"), lit(0).as("pri"), col("hamming"),
         col("base_id"))

@@ -61,11 +61,23 @@ object AdmitLog {
     * against data rows still tagged with the old ids (exactly the
     * ADVICE r14 hazard, one process boundary later). Callers must
     * [[ReadRepair]] the directory FIRST: the bind's schema inference
-    * reads a parquet footer. */
+    * reads a parquet footer.
+    *
+    * Only bind when the directory holds at least one visible,
+    * envelope-valid parquet file (ADVICE r18): a log dir with NO
+    * readable footer — a first-ever priming write killed mid-write
+    * leaving only `_temporary` staging, or the sole visible file just
+    * quarantined by the preceding repair — would make the bind's
+    * schema inference throw, wedging begin()/scrub() until manual
+    * cleanup. An unreadable log implies no durable admissions, so
+    * falling through to [[ensureLog]]'s deleteTree + re-prime
+    * bootstrap is the correct recovery there. */
   private def bindIfOnDisk(spark: SparkSession, logT: String): Unit =
     if (!spark.catalog.tableExists(logT)) {
       val loc = Stores.warehouse(spark).resolve(logT)
-      if (java.nio.file.Files.isDirectory(loc))
+      if (java.nio.file.Files.isDirectory(loc) &&
+          ReadRepair.hasReadablePart(spark,
+            new org.apache.hadoop.fs.Path(loc.toUri)))
         Stores.bind(spark, logT, loc, None)
     }
 
@@ -136,6 +148,7 @@ object AdmitLog {
     // that tore the file also left the intent unresolved).
     ReadRepair.repairTable(spark, logT)
     bindIfOnDisk(spark, logT)
+    tables.foreach(GuardTrace.record) // the scrub IS these tables' guard
     val ids = torn(spark, logT)
     if (ids.nonEmpty) {
       tables.foreach(ReadRepair.repairTable(spark, _))

@@ -107,9 +107,33 @@ object Bucketing {
     finally spark.conf.set(k, saved)
     val retired = table + "__retired"
     Stores.dropManaged(spark, retired) // incl. a dead JVM's orphan dir
-    spark.sql(s"ALTER TABLE $table RENAME TO $retired")
-    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
-    spark.sql(s"DROP TABLE IF EXISTS $retired")
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val meta = spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+    val isExternal = meta.tableType ==
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL
+    if (isExternal) {
+      // A store family RE-BOUND by [[Stores.ensure]] in a fresh
+      // process is EXTERNAL (round 19 — compaction now runs on the
+      // span/BM25 admit families, which bind cross-process): ALTER
+      // RENAME on an external table keeps its LOCATION, so the
+      // managed-path swap would try to move the staging dir onto the
+      // still-occupied warehouse/<table> path. Instead: drop the
+      // binding (data dir survives), clear the fragmented dir (the
+      // staging copy is complete — writeBucketed committed above),
+      // then publish staging under the family name. A crash between
+      // the deleteTree and the rename leaves "no table + staging
+      // complete", which [[recoverCompact]] republishes.
+      spark.sql(s"DROP TABLE $table")
+      Stores.deleteTree(java.nio.file.Paths.get(meta.location.getPath))
+      // Clear any unrelated debris at the managed destination too —
+      // the rename below moves the staging dir to warehouse/<table>.
+      Stores.deleteTree(Stores.warehouse(spark).resolve(table))
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    } else {
+      spark.sql(s"ALTER TABLE $table RENAME TO $retired")
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+      spark.sql(s"DROP TABLE IF EXISTS $retired")
+    }
   }
 
   /** Recovery preamble for [[compact]]: if a previous compact crashed
@@ -129,6 +153,11 @@ object Bucketing {
       val staging = table + "__compacting"
       val retired = table + "__retired"
       if (spark.catalog.tableExists(staging)) {
+        // The staging copy is complete (it is only ever bound after
+        // its write committed). An unbound leftover data dir under
+        // the published name (the external-swap crash window) must be
+        // cleared first or the rename's directory move fails.
+        Stores.deleteTree(Stores.warehouse(spark).resolve(table))
         spark.sql(s"ALTER TABLE $staging RENAME TO $table")
         Stores.dropManaged(spark, retired)
       } else if (spark.catalog.tableExists(retired)) {

@@ -107,6 +107,19 @@ object ReadRepair {
     out.result()
   }
 
+  /** True when `dir` holds at least one visible, envelope-valid
+    * parquet part — i.e. a [[Stores.bind]] schema inference has a
+    * footer to read (ADVICE r18: a log directory whose only content
+    * is `_temporary` staging from a killed first-ever priming write,
+    * or whose sole visible file was just quarantined, must NOT be
+    * bound — binding it throws in schema inference and wedges the
+    * recovery path this module exists to harden). */
+  def hasReadablePart(spark: SparkSession, rawRoot: HPath): Boolean = {
+    val root = new HPath(rawRoot.toString)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(root) && visibleParts(fs, root).exists(!isTorn(fs, _))
+  }
+
   /** Validate every visible part under `root`; move torn ones (and
     * their checksum sidecars) into the quarantine directory —
     * `to` when given (REQUIRED when `root` is a partition directory:
@@ -145,6 +158,7 @@ object ReadRepair {
     * managed and re-bound external tables — every store this
     * protocol guards lives at `warehouse/<table>` by construction. */
   def repairTable(spark: SparkSession, table: String): Seq[String] = {
+    GuardTrace.record(table)
     val root = new HPath(
       Stores.warehouse(spark).resolve(table).toUri)
     val moved = repairLocation(spark, root)

@@ -121,6 +121,30 @@ object Stores {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
 
+  /** Run `body` under the SAME cross-process advisory-lock handshake
+    * [[ensure]] uses (OS file lock + [[ownsPath]] inode check), on a
+    * dedicated lock file. JVM-local callers must already hold
+    * `this.synchronized` — FileChannel locks are per-JVM, so a second
+    * same-JVM thread reaching `ch.lock()` while the first holds it
+    * would throw OverlappingFileLockException rather than block. */
+  private def withProcessLock[T](wh: Path, lockName: String)(body: => T): T = {
+    Files.createDirectories(wh)
+    val lockPath = wh.resolve(lockName)
+    var ch: FileChannel = null
+    var lock: java.nio.channels.FileLock = null
+    var spins = 0
+    while (lock == null) {
+      spins += 1
+      require(spins <= 1000, s"lock handshake livelock on $lockPath")
+      ch = FileChannel.open(lockPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      val l = ch.lock()
+      if (ownsPath(ch, lockPath)) lock = l
+      else { l.release(); ch.close() }
+    }
+    try { try body finally lock.release() } finally ch.close()
+  }
+
   /** Fingerprint-keyed absolute warehouse path for a run-scoped
     * SNAPSHOT artifact (the oracle-bridge dirs): the same
     * (dir tag, corpus fingerprint) keying the table names use, so
@@ -128,6 +152,12 @@ object Stores {
     * specs) write distinct snapshot directories instead of silently
     * overwriting one shared path and cross-pairing a snapshot with
     * another corpus's tables (ADVICE r16). */
+  /** How long a SUPERSEDED snapshot dir must have been quiet (mtime)
+    * before [[snapPath]]'s sweep may retire it — long enough for any
+    * sibling process's run-then-oracle-read pass over that dir to
+    * finish (test-overridable). */
+  private[graft] var SnapSweepGraceMs: Long = 15L * 60 * 1000
+
   def snapPath(spark: SparkSession, base: String, dir: String,
                fpTables: Seq[String] = Seq("documents.parquet")): String =
     this.synchronized {
@@ -141,9 +171,26 @@ object Stores {
       // generation (the old fixed-name paths were self-overwriting).
       // Scoped to this dir's tag, so interleaved corpora (scale
       // decades, parallel specs) keep their own live snapshots.
-      listDir(warehouse(spark)).foreach { d =>
-        val n = d.getFileName.toString
-        if (n.startsWith(s"${base}_${tag}_") && n != name) deleteTree(d)
+      // The sweep runs under the SAME cross-process file-lock
+      // protocol ensure's builds use (ADVICE r18): `this.synchronized`
+      // is JVM-local, so two processes sharing a warehouse could
+      // otherwise interleave their list/delete — and a superseded dir
+      // is only deleted after a GRACE window (mtime-aged): the
+      // residual race is a sibling process's just-completed run
+      // handing its snapshot path to its DuckDB oracle while this
+      // process, on a regenerated corpus, sweeps it — the oracle read
+      // follows the run within the same driver pass, so an aged bar
+      // of minutes closes the window while still retiring one-per-
+      // generation orphans on the next sweep after they cool.
+      withProcessLock(warehouse(spark), s"${base}_$tag.snaplock") {
+        val cutoff = System.currentTimeMillis - SnapSweepGraceMs
+        listDir(warehouse(spark)).foreach { d =>
+          val n = d.getFileName.toString
+          if (n.startsWith(s"${base}_${tag}_") && n != name &&
+              (try Files.getLastModifiedTime(d).toMillis < cutoff
+               catch { case _: java.io.IOException => false }))
+            deleteTree(d)
+        }
       }
       warehouse(spark).resolve(name).toAbsolutePath.toString
     }
@@ -262,6 +309,16 @@ object Stores {
              fpTables: Seq[String] = Seq("documents.parquet"))
             (build: Seq[String] => Unit): Seq[String] =
     this.synchronized {
+      // Registration gate (round 19, VERDICT r18 #5): every
+      // production store family must be in [[FamilyRegistry]] so the
+      // repair-coverage audit can drill its serve path — an
+      // unregistered family fails its FIRST ensure, so the registry
+      // cannot go stale. Test-scoped stores use non-`graft_` prefixes.
+      require(!prefix.startsWith("graft_") ||
+          FamilyRegistry.isRegistered(prefix),
+        s"store family '$prefix' is not registered in " +
+          "graft.plans.FamilyRegistry — add an entry (with its serve " +
+          "path and appendability) so the repair-coverage audit covers it")
       val tag = dirTag(dir)
       // A LAYOUT version participates in the fingerprint: a code
       // change to the store's on-disk shape must behave exactly like

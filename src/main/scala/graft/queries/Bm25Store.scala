@@ -235,6 +235,24 @@ object Q74bBm25Store extends GraftQuery {
     graft.plans.AdmitLog.commit(spark, logT, adm)
   }
 
+  /** Operational COMPACTION for the batch admit waves (VERDICT r18
+    * #3 — the s23b trade, applied to the PERSISTED family in place):
+    * every [[admit]] appends ≥1 file per touched bucket to postings
+    * AND lengths, so ingest-heavy stores pay ingest-count×(open +
+    * footer) per bucket at serve. Compacts both bucketed tables back
+    * to ≤ [[PostingsBuckets]] files each through their own specs; any
+    * torn admission is scrubbed FIRST so its partial rows are excised
+    * rather than compacted into the fresh copy (after which the
+    * `_adm` tags are compaction-invariant — a later scrub still sees
+    * them). meta is one row and never fragments. Round19Spec pins
+    * file-count collapse + serve row-identity over ≥20 waves. */
+  private[graft] def compactStore(spark: SparkSession, postT: String,
+      lenT: String, metaT: String): Unit = {
+    scrubTorn(spark, postT, lenT, metaT)
+    graft.plans.Bucketing.compact(spark, postT, "word", PostingsBuckets)
+    graft.plans.Bucketing.compact(spark, lenT, "doc_id", PostingsBuckets)
+  }
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     val (postT, lenT, metaT) = ensureStore(spark, dir)
     serveFrom(spark, postT, lenT, metaT)

@@ -646,7 +646,19 @@ object Q60cExciseDuplicates extends GraftQuery {
     * DiagExcise1000 carries the decomposition, round 18). Same
     * semantics: occurrences of spans seen ≥2× minus the (doc_id, i)
     * minimum keeper — the oracle is unchanged. */
-  private[graft] def excise(docs: DataFrame): DataFrame = {
+  private[graft] def excise(docs: DataFrame): DataFrame =
+    exciseUnsorted(docs).orderBy(col("doc_id"))
+
+  /** The operator WITHOUT the final global sort — the production
+    * surface (VERDICT r18 #2). DiagReassemble proved the operator
+    * itself linear at the fourth decade (mask/rewrite 11.7 s, hop
+    * 9.75) and the superlinear tail to be the driver-dump
+    * `orderBy(doc_id)` on the corpus-sized rewritten-text output
+    * (39.1 s sorted vs 11.7 s unsorted — a 27 s range-sort spill)
+    * which exists only for the oracle gate's deterministic dump.
+    * [[writeShards]] consumes this; [[excise]] layers the sort back
+    * for the dump contract. */
+  private[graft] def exciseUnsorted(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), expr(NorthStar.toksExpr).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -660,9 +672,31 @@ object Q60cExciseDuplicates extends GraftQuery {
           !(col("doc_id") === col("keeper.doc_id") &&
             col("i") === col("keeper.i")))
         .select(col("doc_id"), col("i"))
-      reassemble(toks, removals)
+      reassembleUnsorted(toks, removals)
     } finally toks.unpersist()
   }
+
+  /** PRODUCTION WRITE TIER (VERDICT r18 #2): the excised corpus as
+    * partitioned, UNSORTED parquet shards — the exit a real training
+    * pipeline consumes. Each row rides shard = doc_id mod `nShards`
+    * and the write goes through Spark's staged file-commit protocol
+    * (task-attempt staging under `_temporary`, driver-side publish on
+    * job commit — the letters-sink atomicity discipline, here via the
+    * built-in committer): a failed or speculated task attempt can
+    * never surface a partial shard file. No global sort anywhere in
+    * the plan — the one range exchange the dump tier pays for its
+    * deterministic `orderBy(doc_id)` is exactly what this tier
+    * removes; rows land in whatever order the mask join produces and
+    * a consumer needing order sorts its own shard (doc_id mod N keeps
+    * each doc whole within one shard). Round19Spec pins write-tier
+    * rows ≡ dump-tier rows re-sorted; ScaleBench's
+    * `q60c_write_excise` decade row prices it. */
+  private[graft] def writeShards(docs: DataFrame, outDir: String,
+      nShards: Int = 32): Unit =
+    exciseUnsorted(docs)
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)).cast("int"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard").parquet(outDir)
 
   /** Window-start positions with span hashes over a token frame
     * (doc_id, t): one row per width-window occurrence. Shared with
@@ -696,6 +730,12 @@ object Q60cExciseDuplicates extends GraftQuery {
     * memory — the q62 scalar-only-driver-state rule applied to
     * row-shaped state. */
   private[graft] def reassemble(toks: DataFrame,
+      removals: DataFrame): DataFrame =
+    reassembleUnsorted(toks, removals).orderBy(col("doc_id"))
+
+  /** [[reassemble]] minus the final dump sort (see
+    * [[exciseUnsorted]]). */
+  private[graft] def reassembleUnsorted(toks: DataFrame,
       removals: DataFrame): DataFrame = {
     val w = Width
     // Overlapping/adjacent removal windows coalesce into MAXIMAL
@@ -743,7 +783,6 @@ object Q60cExciseDuplicates extends GraftQuery {
           .otherwise((size(col("t")) - size(col("kept"))).cast("double") /
             size(col("t"))).as("removed_frac"),
         concat_ws(" ", col("kept")).as("cleaned_text"))
-      .orderBy(col("doc_id"))
   }
 
   val oracle = Some(s"""
@@ -874,6 +913,26 @@ object Q60dExciseStore extends GraftQuery {
       // spec the store was created with (decade-scoped since round 18)
       .bucketBy(boundBuckets(spark, spansT), "span_h")
       .sortBy("span_h").saveAsTable(spansT)
+  }
+
+  /** Operational COMPACTION for the span store's append waves
+    * (VERDICT r18 #3 — parity with the media stores and s23b's
+    * streamed index): every [[admit]] wave appends at least one file
+    * per touched bucket through the bucket spec, so a long-lived
+    * store accumulates files linearly in INGESTS while its rows grow
+    * only with the corpus — the small-file spiral
+    * [[graft.plans.Bucketing.compact]] exists for. Routed through the
+    * table's OWN bound bucket count (decade-scoped since round 18),
+    * so the zero-exchange serve posture and the [[serve]] row set are
+    * both preserved — Round19Spec pins ≥20 admit waves, the file
+    * count collapsing to ≤ buckets, serve rows identical pre/post,
+    * and no corpus re-scan (compact reads only the store). Repairs
+    * first: compact scans every part, so a torn append must be
+    * quarantined before, not re-written into the compacted copy. */
+  private[graft] def compactStore(spark: SparkSession, spansT: String): Unit = {
+    graft.plans.ReadRepair.repairTable(spark, spansT)
+    graft.plans.Bucketing.compact(spark, spansT, "span_h",
+      boundBuckets(spark, spansT))
   }
 
   /** The bound store's own bucket count, from catalog metadata — the

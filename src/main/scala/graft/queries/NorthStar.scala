@@ -1347,6 +1347,17 @@ object Q19eAnnIvfStore extends GraftQuery {
           .select(col("list_id"), col("vec_id"), col("embedding"))
           .write.format("parquet").partitionBy("list_id").saveAsTable(listsT)
     }
+    // Read-repair the LISTS table on every resolve (ADVICE r18): the
+    // table takes unguarded ingest appends (s19's tier), and before
+    // this only [[served]]'s probed-partition repair recovered a torn
+    // part — q19f's full-table balance scan, q19g's probed scan and
+    // the q75b/s24 semantic arms all read through ensureStore with no
+    // guard, so a part a SIGKILLed ingest left torn failed those
+    // serves with no recovery short of eviction. Repairing here
+    // covers EVERY reader that resolves the store; the cost is one
+    // recursive listing + a 12-byte envelope read per part file —
+    // the same order as the partition discovery the scan performs.
+    graft.plans.ReadRepair.repairTable(spark, names(1))
     (names(0), names(1))
   }
 

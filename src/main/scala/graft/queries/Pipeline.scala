@@ -84,6 +84,151 @@ object Q58TrainingShards extends GraftQuery {
   """.trim)
 }
 
+/** Q58b — SHARD EXPORT: the assembly tail's missing last step
+  * (VERDICT r18 #6). q58 ends at shard ASSIGNMENTS — rows mapping
+  * (lang, chunk) → shard — but a real trainer consumes shard FILES.
+  * This entry writes them and returns the artifact's MANIFEST:
+  *
+  *  - one text file per (lang, shard_id) — the repartition on the
+  *    shard key puts each shard wholly in one task, so the dynamic-
+  *    partition write emits exactly one part file per shard
+  *    directory; files are size-capped by construction (q58's
+  *    fixed token Budget per shard);
+  *  - the write goes through Spark's staged file-commit protocol
+  *    (task-attempt staging, driver-side publish on job commit — the
+  *    letters-sink atomicity discipline): a failed or speculated
+  *    attempt can never surface a partial shard;
+  *  - rows arrive at the writer already sorted (lang, shard_id,
+  *    doc_id, chunk_id) — the writer's required partition-column
+  *    prefix is satisfied, so no extra sort is planned and the file
+  *    BYTES are a pure function of the corpus (Round19Spec pins
+  *    byte-stability across re-runs, GoldenSpec-style);
+  *  - the MANIFEST (lang, shard_id, path, n_docs, n_chunks,
+  *    n_tokens, checksum) is the returned frame, and `checksum` is
+  *    the md5 of the shard file's exact bytes (ordered lines, one
+  *    trailing newline each) — the DuckDB oracle replays it from
+  *    `documents` alone, so the ARTIFACT itself is hash-gated, not
+  *    just the assignment arithmetic.
+  *
+  * Scale shape: q58's (all signals join on doc_id, per-lang windowed
+  * pack), plus one hash exchange on (lang, shard_id) for the write;
+  * the checksum aggregation is per-shard state bounded by Budget
+  * tokens — never corpus-wide. */
+object Q58bShardExport extends GraftQuery {
+  val name = "q58b_shard_export"
+  private def W = Q56ChunkWindows.W
+  private def S = Q56ChunkWindows.S
+  private val Budget = 1024 // q58's — one packing rule
+
+  /** One row per exported LINE: (lang, shard_id, doc_id, chunk_id,
+    * ct, line) under exactly q58's assignment rule, with the chunk's
+    * own text carried (`doc:chunk:tokens`). */
+  private[graft] def linesFrame(spark: SparkSession, dir: String): DataFrame = {
+    val kept = Q42CorpusClean.statusByDoc(spark, dir, withContamination = true)
+      .filter(col("status") === "kept")
+      .select(col("doc_id"), col("lang"))
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(NorthStar.toksExpr).as("t"))
+      .filter(size(col("t")) >= 1)
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          s"transform(${Q56ChunkWindows.chunkIdsExpr}, " +
+            s"k -> named_struct('cid', cast(k as int), " +
+            s"'ct', cast(least($W, size(t) - k * $S) as bigint), " +
+            s"'txt', array_join(slice(t, k * $S + 1, $W), ' ')))")).as("c"))
+      .select(col("doc_id"), col("lang"),
+        col("c.cid").as("chunk_id"), col("c.ct").as("ct"),
+        col("c.txt").as("txt"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("cum", sum(col("ct")).over(w))
+      .withColumn("shard_id", expr(s"cast((cum - ct) div $Budget as int)"))
+      .select(col("lang"), col("shard_id"), col("doc_id"), col("chunk_id"),
+        col("ct"),
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("chunk_id").cast("string"), lit(":"), col("txt")).as("line"))
+  }
+
+  /** The manifest over a lines frame — checksum is the md5 of the
+    * shard file's exact bytes: lines in (doc_id, chunk_id) order,
+    * each newline-terminated (the text writer's framing). The sort
+    * happens INSIDE the aggregate (array_sort over per-shard state),
+    * so the checksum is collect-order-independent. */
+  private[graft] def manifestOf(lines: DataFrame): DataFrame =
+    lines.groupBy(col("lang"), col("shard_id"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("ct")).cast("long").as("n_tokens"),
+        expr("md5(concat(array_join(transform(" +
+          "array_sort(collect_list(struct(doc_id, chunk_id, line))), " +
+          "x -> x.line), chr(10)), chr(10)))").as("checksum"))
+      .select(col("lang"), col("shard_id"),
+        concat(lit("lang="), col("lang"), lit("/shard_id="),
+          col("shard_id").cast("string")).as("path"),
+        col("n_docs"), col("n_chunks"), col("n_tokens"), col("checksum"))
+
+  /** Write the shard files under `outDir` and return the manifest.
+    * The lines frame is checkpointed once — it feeds both the write
+    * and the manifest aggregation, and its head (the full cleaning
+    * audit) is the expensive part. */
+  private[graft] def exportShards(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    val lines = linesFrame(spark, dir).localCheckpoint(true)
+    lines.repartition(col("lang"), col("shard_id"))
+      .sortWithinPartitions(col("lang"), col("shard_id"), col("doc_id"),
+        col("chunk_id"))
+      .select(col("line").as("value"), col("lang"), col("shard_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("lang", "shard_id").text(outDir)
+    manifestOf(lines)
+  }
+
+  /** The export directory this corpus snapshot's run() writes —
+    * fingerprint-keyed (interleaved corpora export distinct dirs);
+    * exposed for the byte-stability spec. */
+  private[graft] def exportDir(spark: SparkSession, dir: String): String =
+    graft.plans.Stores.snapPath(spark, "graft_q58b_export", dir)
+
+  def run(spark: SparkSession, dir: String): DataFrame =
+    exportShards(spark, dir, exportDir(spark, dir))
+      .orderBy(col("lang"), col("shard_id"))
+
+  val oracle = Some(s"""
+    ${Q42CorpusClean.duckTaggedCtes(withContamination = true)},
+    kept8 AS (SELECT doc_id, lang FROM tagged WHERE status = 'kept'),
+    cd8 AS (SELECT k.doc_id, k.lang, t.t, CAST(len(t.t) AS INT) AS n
+           FROM kept8 k JOIN toks t ON k.doc_id = t.doc_id
+           WHERE len(t.t) >= 1),
+    ck8 AS (SELECT doc_id, lang, t, n,
+           CAST(unnest(range(0, (greatest(n - $W, 0) + ${S - 1}) // $S + 1)) AS INT) AS chunk_id
+           FROM cd8),
+    cc8 AS (SELECT doc_id, lang, chunk_id,
+           CAST(len(t[chunk_id * $S + 1 : least(chunk_id * $S + $W, n)]) AS BIGINT) AS ct,
+           array_to_string(t[chunk_id * $S + 1 : least(chunk_id * $S + $W, n)], ' ') AS txt
+           FROM ck8),
+    cum8 AS (SELECT lang, doc_id, chunk_id, ct, txt,
+            SUM(ct) OVER (PARTITION BY lang ORDER BY doc_id, chunk_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+            FROM cc8),
+    sh8 AS (SELECT lang, CAST((cum - ct) // $Budget AS INT) AS shard_id,
+            doc_id, chunk_id, ct,
+            CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR)
+              || ':' || txt AS line
+            FROM cum8)
+    SELECT lang, shard_id,
+      'lang=' || lang || '/shard_id=' || CAST(shard_id AS VARCHAR) AS path,
+      COUNT(DISTINCT doc_id) AS n_docs,
+      COUNT(*) AS n_chunks,
+      CAST(SUM(ct) AS BIGINT) AS n_tokens,
+      md5(string_agg(line, chr(10) ORDER BY doc_id, chunk_id) || chr(10))
+        AS checksum
+    FROM sh8 GROUP BY lang, shard_id ORDER BY lang, shard_id
+  """.trim)
+}
+
 /** Q71 — MULTIMODAL curation: the cross-modality admission decision
   * in ONE declarative plan — the q58 composition idea applied across
   * modalities instead of along the text assembly tail. Every document

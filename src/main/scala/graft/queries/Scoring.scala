@@ -31,7 +31,7 @@ object Scoring {
 
   val all: Seq[GraftQuery] = Seq(Q54LmPerplexity, Q55ClassifierScore,
     Q55bTrainedClassifier, Q56ChunkWindows, Q57DeltaDedup,
-    Q57bDeltaDedupStore, Q58TrainingShards)
+    Q57bDeltaDedupStore, Q58TrainingShards, Q58bShardExport)
 }
 
 /** Q56 — context-window chunking: split every document's token stream

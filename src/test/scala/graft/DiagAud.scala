@@ -10,8 +10,7 @@ object DiagAud {
     import graft.multimodal.{Multimodal, Q25gAudioNearDup, Q25hAudioDedupStore}
     import graft.queries.Q40TrainTestSplit
     val feats = Q25gAudioNearDup.extractFingerprints(
-        Multimodal.mediaTable(spark, dir)
-          .filter(col("meta.format") === "wav").as[Multimodal.MediaRow]).toDF()
+        Multimodal.wavRows(Multimodal.mediaTable(spark, dir))).toDF()
       .select(col("media_id"), col("ahash").as("dhash"),
         Q40TrainTestSplit.splitColOf("media_id").as("sp"))
       .localCheckpoint()

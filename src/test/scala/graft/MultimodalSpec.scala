@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 import graft.multimodal.Multimodal._
 
-/** The multimodal plumbing is real even though decode is a stub:
-  * typed schema, batch shape, partition-locality, and the determinism
-  * of the fake codec (same payload → same features). */
+/** The multimodal plumbing: typed schema, batch shape, partition-
+  * locality; q25's features are byte-level + metadata arithmetic (the
+  * opaque-binary tier, round 19), and the audio assertions run the
+  * REAL RIFF/WAVE codec roundtrip (8-bit PCM is lossless, so the
+  * hand-derived sample arithmetic holds byte-exact). */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -45,18 +47,16 @@ class MultimodalSpec extends SparkSpec {
     // a codec that records the largest observed batch via decode calls
     // cannot see batch boundaries; instead check grouped() semantics by
     // running with batchSize 7 and asserting identical output to 64
-    val small = extractFeatures(media, FakeCodec, batchSize = 7)
+    val small = extractFeatures(media, batchSize = 7)
       .collect().sortBy(_.media_id).toSeq
-    val big = extractFeatures(media, FakeCodec, batchSize = 64)
+    val big = extractFeatures(media, batchSize = 64)
       .collect().sortBy(_.media_id).toSeq
     assert(small === big)
   }
 
   test("frame sampling: every max(1, n_frames/4)-th frame") {
-    val d = FakeCodec.decode(Array[Byte](1, 2, 3), MediaMeta("png", 8, 8, 10))
-    assert(d.frames === Seq(0, 2, 4, 6, 8)) // step = 10/4 = 2
-    val d2 = FakeCodec.decode(Array[Byte](1), MediaMeta("png", 8, 8, 3))
-    assert(d2.frames === Seq(0, 1, 2)) // step = 1
+    assert(Multimodal.sampledFrames(10) === Seq(0, 2, 4, 6, 8)) // step = 2
+    assert(Multimodal.sampledFrames(3) === Seq(0, 1, 2)) // step = 1
   }
 
   test("q25b audio: exact-integer features on crafted PCM, hand-derived") {
@@ -67,10 +67,12 @@ class MultimodalSpec extends SparkSpec {
     // peak 30; sum_sq = 100+400+900+0+25 = 1425
     val payload = Array[Byte](138.toByte, 108.toByte, 158.toByte,
       128.toByte, 123.toByte)
-    val media = Seq(MediaRow(1L, payload, MediaMeta("wav", 16, 16, 1)),
-      MediaRow(2L, Array.empty[Byte], MediaMeta("wav", 16, 16, 1)))
+    val media = Seq(
+        MediaRow(1L, Multimodal.encodeWav(payload), MediaMeta("wav", 16, 16, 1)),
+        MediaRow(2L, Multimodal.encodeWav(Array.empty[Byte]),
+          MediaMeta("wav", 16, 16, 1)))
       .toDS()
-    val out = Q25bAudioFeatures.extractAudio(media).collect()
+    val out = Q25bAudioFeatures.extractAudio(media, codec = WavCodec).collect()
       .map(f => f.media_id -> f).toMap
     val f1 = out(1L)
     assert(f1.n_samples === 5L)
@@ -90,9 +92,10 @@ class MultimodalSpec extends SparkSpec {
     import graft.multimodal.Q25bAudioFeatures
     val sizes = Seq(1023, 1024, 1025)
     val media = sizes.zipWithIndex.map { case (n, i) =>
-      MediaRow(i.toLong, Array.fill(n)(128.toByte), MediaMeta("wav", 16, 16, 1))
+      MediaRow(i.toLong, Multimodal.encodeWav(Array.fill(n)(128.toByte)),
+        MediaMeta("wav", 16, 16, 1))
     }.toDS()
-    val got = Q25bAudioFeatures.extractAudio(media).collect()
+    val got = Q25bAudioFeatures.extractAudio(media, codec = WavCodec).collect()
       .map(f => f.media_id -> f.n_windows).toMap
     assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 2L))
   }

@@ -78,8 +78,11 @@ class Round11eSpec extends SparkSpec {
 
   private def wavRows(rows: Seq[(Long, Array[Byte])]) = {
     import spark.implicits._
+    // Real RIFF payloads (round 19 — FakeCodec retired): 8-bit PCM is
+    // lossless, so decoded samples == the raw bytes and every hash
+    // expectation below is unchanged.
     spark.createDataset(rows.map { case (id, p) =>
-      MediaRow(id, p, MediaMeta("wav", 16, 16, 1))
+      MediaRow(id, Multimodal.encodeWav(p), MediaMeta("wav", 16, 16, 1))
     })
   }
 

@@ -37,10 +37,9 @@ class Round11fSpec extends SparkSpec {
 
   private def featsOf(rows: Seq[(Long, String)]): DataFrame =
     Q25gAudioNearDup.extractFingerprints(
-        Multimodal.mediaFrame(
+        Multimodal.wavRows(Multimodal.mediaFrame(
             rows.map { case (id, t) => (id, t, t.length.toLong) }
-              .toDF("doc_id", "text", "n_chars"))
-          .filter(col("meta.format") === "wav").as[Multimodal.MediaRow])
+              .toDF("doc_id", "text", "n_chars"))))
       .toDF().select(col("media_id"), col("ahash").as("dhash"))
 
   private def ham(a: String, b: String): Int = (0 until 8).map { j =>
