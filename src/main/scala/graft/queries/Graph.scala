@@ -695,6 +695,14 @@ object Q60cExciseDuplicates extends GraftQuery {
       nShards: Int = 32): Unit =
     exciseUnsorted(docs)
       .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)).cast("int"))
+      // ONE hash exchange on the shard key — the linear trade that
+      // replaces the dump tier's range SORT — so each shard lands
+      // wholly in one task and the dynamic-partition write emits one
+      // file per shard instead of tasks×shards small files (measured:
+      // the per-task fan-out put the 100× write tier ABOVE the
+      // noop-sink full excise; one-file-per-shard writes are also
+      // what a trainer consumes).
+      .repartition(nShards, col("shard"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("shard").parquet(outDir)
 

@@ -284,7 +284,15 @@ class Round12SqlSpec extends SparkSpec {
       // fingerprint is an ImageIO mapPartitions pass, like the rest
       // of the q25 family; the banded tail's SQL shape is twinned
       // via q25d.
-      "q25i_video_neardup", "q25j_video_dedup_store")
+      "q25i_video_neardup", "q25j_video_dedup_store",
+      // q25k (round 19): the lossy JPEG encode+decode is an ImageIO
+      // mapPartitions pass; only the codec-invariant surface is
+      // relational.
+      "q25k_jpeg_lossy",
+      // q58b (round 19): the shard-file WRITE (partitioned text via
+      // the staged committer) is the non-SQL step; the manifest
+      // aggregation itself is relational and oracle-twinned.
+      "q58b_shard_export")
     // (G) streaming: driven by writeStream/foreachBatch, not sql()
     // text (Spark streaming SQL would need STREAM table refs the
     // engine deliberately keeps behind the DataFrame API).
