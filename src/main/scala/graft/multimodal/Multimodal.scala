@@ -54,6 +54,49 @@ object Multimodal {
   private[multimodal] def configureImageIo(): Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  /** Per-BATCH cached ImageIO codec (round 19, the WavSpi pattern's
+    * image half): `ImageIO.write`/`read` resolve an ImageWriter /
+    * ImageReader through the IIORegistry on EVERY call and wrap
+    * fresh stream plumbing around it — measured at 32 threads:
+    * 26.9 µs per png encode+decode pair through the static entry
+    * points (partial registry contention — the pass scales only
+    * ~3.6× across 32 cores) vs 10.7 µs reusing resolved instances.
+    * Unlike the stateless audio SPI providers, ImageWriter/Reader
+    * instances are STATEFUL (not thread-safe), so the cache scope is
+    * one batch of a single-threaded mapPartitions task: resolve once
+    * per batch, dispose after (deterministic native-resource
+    * release; the per-batch lookup amortizes 1/64). Same underlying
+    * plugin and default params as the static calls — byte-identical
+    * output, every oracle and the q25k determinism pin unchanged. */
+  private[multimodal] final class BatchImageCodec(format: String) {
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName(format).next()
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName(format).next()
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try { writer.setOutput(ios); writer.write(img); ios.flush() }
+      finally ios.close()
+      out.toByteArray
+    }
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      reader.setInput(iis, true, true)
+      try reader.read(0) finally iis.close()
+    }
+    def dispose(): Unit = { writer.dispose(); reader.dispose() }
+  }
+
+  /** Run `body` with a [[BatchImageCodec]], disposing after — the
+    * per-batch bracket every ImageIO mapPartitions site uses. */
+  private[multimodal] def withImageCodec[A](format: String)(
+      body: BatchImageCodec => A): A = {
+    val c = new BatchImageCodec(format)
+    try body(c) finally c.dispose()
+  }
+
   /** Codec contract — a real implementation would bind an image/audio
     * library here. */
   trait MediaCodec extends Serializable {
@@ -431,22 +474,22 @@ object Q25cImageFeatures extends GraftQuery {
       .mapPartitions { rows =>
         Multimodal.configureImageIo()
         rows.grouped(batchSize).flatMap { batch =>
-          batch.map { case (id, bytes, w, h) =>
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-            val raster = img.getRaster
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                raster.setSample(x, y, 0, bytes((y * w + x) % bytes.length) & 0xff)
-                x += 1
+          Multimodal.withImageCodec("png") { codec =>
+            batch.map { case (id, bytes, w, h) =>
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val raster = img.getRaster
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  raster.setSample(x, y, 0, bytes((y * w + x) % bytes.length) & 0xff)
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              ImageRow(id, codec.encode(img), w, h)
             }
-            val out = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", out)
-            ImageRow(id, out.toByteArray, w, h)
           }
         }
       }
@@ -483,9 +526,9 @@ object Q25cImageFeatures extends GraftQuery {
     images.mapPartitions { rows =>
       Multimodal.configureImageIo()
       rows.grouped(batchSize).flatMap { batch =>
+        Multimodal.withImageCodec("png") { codec =>
         batch.map { r =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
+          val img = codec.decode(r.payload)
           val (w, h) = (img.getWidth, img.getHeight)
           val raster = img.getRaster
           val px = new Array[Int](w * h)
@@ -496,6 +539,7 @@ object Q25cImageFeatures extends GraftQuery {
             y += 1
           }
           ImageFeatures(r.media_id, w, h, dhashHex(w, h, px))
+        }
         }
       }
     }
@@ -592,6 +636,7 @@ object Q25kJpegLossy extends GraftQuery {
       .mapPartitions { rows =>
         Multimodal.configureImageIo()
         rows.grouped(batchSize).flatMap { batch =>
+          Multimodal.withImageCodec("jpg") { codec =>
           batch.map { case (id, bytes, w, h) =>
             val img = new java.awt.image.BufferedImage(
               w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -605,9 +650,8 @@ object Q25kJpegLossy extends GraftQuery {
               }
               y += 1
             }
-            val out = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "jpg", out)
-            JpegRow(id, bytes, out.toByteArray, w, h)
+            JpegRow(id, bytes, codec.encode(img), w, h)
+          }
           }
         }
       }
@@ -622,9 +666,9 @@ object Q25kJpegLossy extends GraftQuery {
     rows.mapPartitions { it =>
       Multimodal.configureImageIo()
       it.grouped(batchSize).flatMap { batch =>
+        Multimodal.withImageCodec("jpg") { codec =>
         batch.map { r =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.jpeg))
+          val img = codec.decode(r.jpeg)
           val (w, h) = (img.getWidth, img.getHeight)
           val raster = img.getRaster
           var maxErr = 0
@@ -640,6 +684,7 @@ object Q25kJpegLossy extends GraftQuery {
             y += 1
           }
           JpegFeatures(r.media_id, w, h, r.src.length.toLong, maxErr)
+        }
         }
       }
     }
@@ -1080,6 +1125,7 @@ object Q25eVideoScenes extends GraftQuery {
       .mapPartitions { rows =>
         Multimodal.configureImageIo()
         rows.grouped(batchSize).flatMap { batch =>
+          Multimodal.withImageCodec("png") { codec =>
           batch.map { case (id, bytes, w, h, nf) =>
             val len = bytes.length
             var offIdx = 0
@@ -1103,15 +1149,14 @@ object Q25eVideoScenes extends GraftQuery {
                 }
                 y += 1
               }
-              val out = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(img, "png", out)
-              out.toByteArray
+              codec.encode(img)
             })
             val frames = (0 until nf).map { f =>
               if (f > 0 && (id * 31 + f) % 7 == 0) offIdx += 1
               still(offIdx)
             }
             (id, packFrames(frames), nf)
+          }
           }
         }
       }
@@ -1125,6 +1170,7 @@ object Q25eVideoScenes extends GraftQuery {
       .mapPartitions { rows =>
         Multimodal.configureImageIo()
         rows.grouped(64).flatMap { batch =>
+          Multimodal.withImageCodec("png") { codec =>
           batch.map { case (id, container, nf) =>
             // Demux + real decode, then per-frame grid dHash from the
             // DECODED raster — the detector's only input.
@@ -1132,8 +1178,7 @@ object Q25eVideoScenes extends GraftQuery {
             var changes = 0L
             var maxHam = 0L
             unpackFrames(container).foreach { fb =>
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(fb))
+              val img = codec.decode(fb)
               val (w, h) = (img.getWidth, img.getHeight)
               val raster = img.getRaster
               val hb = new Array[Int](GridH)
@@ -1163,6 +1208,7 @@ object Q25eVideoScenes extends GraftQuery {
               prev = hb
             }
             (id, nf.toLong, changes, maxHam)
+          }
           }
         }
       }
@@ -1406,13 +1452,13 @@ object Q25iVideoNearDup extends GraftQuery {
       .mapPartitions { rows =>
         Multimodal.configureImageIo()
         rows.grouped(batchSize).flatMap { batch =>
+          Multimodal.withImageCodec("png") { codec =>
           batch.map { case (id, container) =>
             // Pool the DECODED rasters over time at the grid points:
             // exact integer sums, order-independent, engine-exact.
             val sums = new Array[Long](GridH * GridW)
             Q25eVideoScenes.unpackFrames(container).foreach { fb =>
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(fb))
+              val img = codec.decode(fb)
               val (w, h) = (img.getWidth, img.getHeight)
               val raster = img.getRaster
               var gy = 0
@@ -1443,6 +1489,7 @@ object Q25iVideoNearDup extends GraftQuery {
               gy += 1
             }
             (id, sb.toString)
+          }
           }
         }
       }
