@@ -40,7 +40,17 @@ private[graft] object FamilyRegistry {
         * families; write-once families return Nil — nothing to drill). */
       tables: (SparkSession, String) => Seq[String],
       /** The production read path (the one a consumer takes). */
-      serve: (SparkSession, String) => Unit)
+      serve: (SparkSession, String) => Unit,
+      /** Index into [[tables]] of the APPEND-TARGET table — where a
+        * killed ingest's torn part lands; the registry-driven SIGKILL
+        * drill tears this one. */
+      drillIdx: Int = 0,
+      /** True when the serve's torn-row recovery runs through
+        * [[AdmitLog.scrub]] (the guard only engages on a TORN INTENT,
+        * so the drill must open a real admission before tearing —
+        * exactly the state a killed `admit` leaves). Families with
+        * unconditional serve-side [[ReadRepair]] need no intent. */
+      logGuarded: Boolean = false)
 
   private def noop(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -54,31 +64,38 @@ private[graft] object FamilyRegistry {
         (s, d) => noop(Q57bDeltaDedupStore.run(s, d))),
       StoreFamily("graft_lblstore", appendable = true,
         (s, d) => { val (l, b) = Q18gDedupLabelsStore.ensureStore(s, d); Seq(l, b) },
-        (s, d) => noop(Q18gDedupLabelsStore.run(s, d))),
+        (s, d) => noop(Q18gDedupLabelsStore.run(s, d)),
+        drillIdx = 1, logGuarded = true),
       StoreFamily("graft_bm25store", appendable = true,
         (s, d) => { val (p, l, m) = Q74bBm25Store.ensureStore(s, d); Seq(p, l, m) },
-        (s, d) => noop(Q74bBm25Store.run(s, d))),
+        (s, d) => noop(Q74bBm25Store.run(s, d)),
+        logGuarded = true),
       StoreFamily("graft_spanstore", appendable = true,
         (s, d) => Seq(Q60dExciseStore.ensureStore(s, d)),
         (s, d) => noop(Q60dExciseStore.run(s, d))),
       StoreFamily("graft_annstore", appendable = true,
         (s, d) => { val (c, l) = Q19eAnnIvfStore.ensureStore(s, d); Seq(c, l) },
-        (s, d) => noop(Q19eAnnIvfStore.run(s, d))),
+        (s, d) => noop(Q19eAnnIvfStore.run(s, d)),
+        drillIdx = 1),
       StoreFamily("graft_s19index", appendable = true,
         (s, d) => { val (c, l) = Q19eAnnIvfStore.ensureTrainStore(s, d); Seq(c, l) },
         (s, d) => {
           val (c, l) = Q19eAnnIvfStore.ensureTrainStore(s, d)
           noop(Q19eAnnIvfStore.query(s, d, c, l, Q19dAnnIvf.NProbe))
-        }),
+        },
+        drillIdx = 1),
       StoreFamily("graft_imgstore", appendable = true,
         (s, d) => Seq(Q25fImageDedupStore.ensureStore(s, d)),
-        (s, d) => noop(Q25fImageDedupStore.run(s, d))),
+        (s, d) => noop(Q25fImageDedupStore.run(s, d)),
+        logGuarded = true),
       StoreFamily("graft_audstore", appendable = true,
         (s, d) => Seq(Q25hAudioDedupStore.ensureStore(s, d)),
-        (s, d) => noop(Q25hAudioDedupStore.run(s, d))),
+        (s, d) => noop(Q25hAudioDedupStore.run(s, d)),
+        logGuarded = true),
       StoreFamily("graft_vidstore", appendable = true,
         (s, d) => Seq(Q25jVideoDedupStore.ensureStore(s, d)),
-        (s, d) => noop(Q25jVideoDedupStore.run(s, d))),
+        (s, d) => noop(Q25jVideoDedupStore.run(s, d)),
+        logGuarded = true),
       // Write-once families: build is atomic under the ensure marker;
       // a serve needs no torn-append guard because nothing appends.
       StoreFamily("graft_aggstore", appendable = false,

@@ -152,6 +152,24 @@ object TornAppendDrill {
             }
           })(Q74Bm25.postingsOf)
 
+      case prefix if FamilyRegistry.families.exists(f =>
+          f.prefix == prefix && f.appendable) =>
+        // REGISTRY-DRIVEN drill (round 19, the Round18 hand-drilled
+        // trio generalized): resolve the family's tables through its
+        // own registry entry, open a REAL admission intent when the
+        // family's recovery is AdmitLog-gated (scrub engages only on
+        // a torn intent — exactly the state a killed `admit` leaves;
+        // an intent-less torn part would be an unreachable state for
+        // those families), then tear the append-target table. The
+        // driving spec SIGKILLs us and must serve the family green.
+        val fam = FamilyRegistry.families.find(_.prefix == prefix).get
+        val tables = fam.tables(spark, corpusDir)
+        require(fam.drillIdx < tables.size,
+          s"$prefix drillIdx ${fam.drillIdx} out of ${tables.size} tables")
+        if (fam.logGuarded)
+          AdmitLog.begin(spark, AdmitLog.logTableOf(tables.head))
+        stageTornPart(wh.resolve(tables(fam.drillIdx)))
+
       case other =>
         System.err.println(s"unknown drill family: $other")
         sys.exit(2)
