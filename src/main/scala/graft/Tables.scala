@@ -37,6 +37,48 @@ object Tables {
     }
   }
 
+  /** Scale-adaptive scan spread (optimization guide §2.5/§6, r19).
+    *
+    * The fixture tables are each ONE parquet file with ONE row group,
+    * and parquet reads split at row-group granularity — so every
+    * pipeline whose heavy per-row work (tokenize/shingle/encode HOFs)
+    * sits directly on the scan ran on ONE task of the 32 available
+    * (measured: q64g 4.5 s wall with 4.3 s of task time in two
+    * 1-task stages). A corpus at real scale has orders of magnitude
+    * more row groups than cores, so this repartition is a measured
+    * no-op there: it fires ONLY when the scan yields fewer splits
+    * than `defaultParallelism` (derived from input layout, never a
+    * constant). Hash-partitioning by the table's primary id (not
+    * round-robin) lets downstream joins/groupBys on that id satisfy
+    * their distribution from this exchange instead of adding one.
+    * The exchange moves the raw fixture bytes once (~0.6 MB at
+    * sf0.1) — repaid ~30× by parallel expression evaluation. */
+  /** Spread width. Default is cores/4 (floor 4), NOT the full core
+    * count: a composed audit (q42b: ~30 stages, several independent
+    * branches scheduled concurrently) at full width oversubscribes —
+    * 32-task stages × concurrent branches × allocation-heavy HOFs
+    * inflated measured task time ~5× (GC + SMT contention; q42b wall
+    * 4.2→2.8 s at width 8 vs 32). A query whose cost is ONE dominant
+    * map stage has no such tax and wants every core — those opt in
+    * via `wide` (q64g: 0.97 s at 32 vs 2.0 s at 8). The sweep lives
+    * in DiagSpreadWidth; override for experiments: -Dgraft.spread.n. */
+  private def spreadN(df: DataFrame, wide: Boolean): Int = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    sys.props.get("graft.spread.n").map(_.toInt)
+      .getOrElse(if (wide) cores else math.max(4, cores / 4))
+  }
+
+  private[graft] def spread(df: DataFrame, key: String,
+      wide: Boolean = false): DataFrame = {
+    val n = spreadN(df, wide)
+    if (df.queryExecution.toRdd.getNumPartitions >= n) df
+    // explicit count, NOT repartition(col): an advisory-size exchange
+    // over the sub-MB fixture would be AQE-coalesced straight back to
+    // one partition (measured: the keyless form left every downstream
+    // stage serial and only added the exchange's cost).
+    else df.repartition(n, col(key))
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
@@ -44,8 +86,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame  =
+    documents(s, d, wide = false)
+  /** `wide = true`: full-core spread for single-dominant-map-stage
+    * consumers (see [[spreadN]]). */
+  def documents(s: SparkSession, d: String, wide: Boolean): DataFrame =
+    spread(load(s, d, "documents"), "doc_id", wide)
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(load(s, d, "embeddings"), "vec_id")
 
   /** `events` with `ts` normalized to TimestampType (µs, UTC),
     * whichever way the fixture generation encoded it:

@@ -747,7 +747,10 @@ object Q64gWordpieceEncode extends GraftQuery {
   }
 
   def run(spark: SparkSession, dir: String): DataFrame =
-    encode(Tables.documents(spark, dir))
+    // wide spread (r19): this tier is ONE dominant map stage (the
+    // per-word greedy fold) — measured 0.97 s at full width vs 2.0 s
+    // at the composite default (DiagSpreadWidth).
+    encode(Tables.documents(spark, dir, wide = true))
 
   /** CTE chain `v, s0..sN, enc(w, ew)` — the greedy encode of every
     * word in a caller-provided CTE `<src>(w)`, UNK included; shared

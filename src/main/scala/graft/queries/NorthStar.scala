@@ -2544,6 +2544,15 @@ object Q76ContrastiveTriplets extends GraftQuery {
     val pairs = Q18bDedupMinHash.pairsFrom(sh)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .localCheckpoint(true)
+    fromPairs(spark, dir, pairs)
+  }
+
+  /** The random-negative tier over an already-materialized pair
+    * frame — factored out (r19) so the backfilled tier (q76c) can
+    * run BOTH tiers off ONE banded-pipeline execution instead of
+    * re-deriving the shingle→MinHash→pair chain per tier. */
+  private[queries] def fromPairs(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     val tri = pairs.select(col("doc_a").as("anchor"),
         col("doc_b").as("positive"), col("est_jaccard").as("pos_sim"))
       .union(pairs.select(col("doc_b").as("anchor"),
@@ -2621,6 +2630,14 @@ object Q76bHardNegatives extends GraftQuery {
     val pairs = Q18bDedupMinHash.pairsFrom(sh)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .localCheckpoint(true)
+    fromPairs(spark, dir, pairs)
+  }
+
+  /** Hard-negative tier over a materialized pair frame (r19) — see
+    * [[Q76ContrastiveTriplets.fromPairs]]; q76c shares one pair
+    * execution across both tiers. */
+  private[queries] def fromPairs(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     val tri = pairs.select(col("doc_a").as("anchor"),
         col("doc_b").as("positive"), col("est_jaccard").as("pos_sim"))
       .union(pairs.select(col("doc_b").as("anchor"),
@@ -2693,10 +2710,21 @@ object Q76cTripletsBackfilled extends GraftQuery {
   import NorthStar._
   val name = "q76c_triplets_backfilled"
   def run(spark: SparkSession, dir: String): DataFrame = {
-    val hard = Q76bHardNegatives.run(spark, dir)
+    // ONE banded pipeline for both tiers (r19): previously each tier's
+    // run() re-derived shingles→MinHash→pairs from the corpus — the
+    // composed query paid the chain twice. `hard` is additionally
+    // checkpointed because the final union references it twice
+    // (passthrough + the backfill anti-join), which would otherwise
+    // re-run the hard tier's window join per reference.
+    val sh = NorthStar.shingleSets(spark, dir)
+    val pairs = Q18bDedupMinHash.pairsFrom(sh)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .localCheckpoint(true)
+    val hard = Q76bHardNegatives.fromPairs(spark, dir, pairs)
       .select(col("anchor"), col("positive"), col("pos_sim"),
         col("negative"), lit("hard").as("tier"))
-    val rand = Q76ContrastiveTriplets.run(spark, dir)
+      .localCheckpoint(true)
+    val rand = Q76ContrastiveTriplets.fromPairs(spark, dir, pairs)
       .select(col("anchor"), col("positive"), col("pos_sim"),
         col("negative"), lit("random").as("tier"))
     hard.union(rand.join(hard.select(col("anchor"), col("positive")),

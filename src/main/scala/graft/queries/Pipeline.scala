@@ -49,16 +49,41 @@ object Q58TrainingShards extends GraftQuery {
             s"'ct', cast(least($W, size(t) - k * $S) as bigint)))")).as("c"))
       .select(col("doc_id"), col("lang"),
         col("c.cid").as("chunk_id"), col("c.ct").as("ct"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("doc_id"), col("chunk_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    chunks
-      .withColumn("cum", sum(col("ct")).over(w))
+    cumByLang(chunks)
       .withColumn("shard_id", expr(s"cast((cum - ct) div $Budget as int)"))
       .groupBy(col("lang"), col("shard_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("ct")).cast("long").as("n_tokens"))
       .orderBy(col("lang"), col("shard_id"))
+  }
+
+  /** Exact per-lang running token total, decomposed (r19, guide §2.5):
+    * the one-window form `partitionBy(lang) orderBy(doc_id, chunk_id)`
+    * funnels EVERY chunk row of a language — q58b's text payload
+    * included — through ONE task at any scale (a handful of langs =
+    * a handful of reducers over the whole corpus). Same integer
+    * prefix sum in two levels: per-doc subtotals, a doc-level
+    * per-lang window (rows = docs, narrow columns only), then a
+    * per-doc chunk window — parallel across doc_ids and exchange-free
+    * here, because chunk rows are already hash-partitioned by doc_id
+    * (corpus spread + kept join). The doc-offset frame joins back on
+    * doc_id (docs have one lang, so doc_id alone keys it); its size
+    * is one narrow row per kept doc, so the planner/AQE picks a
+    * broadcast at fixture scale and an SMJ beyond the broadcast cap —
+    * deliberately NOT hinted. cum = off(doc) + intra-doc running ct,
+    * equal term-for-term to the one-window sum since (doc_id,
+    * chunk_id) orders all chunks of earlier docs strictly first. */
+  private[queries] def cumByLang(chunks: DataFrame): DataFrame = {
+    val wDoc = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = chunks.groupBy(col("lang"), col("doc_id"))
+      .agg(sum(col("ct")).as("dt"))
+      .select(col("doc_id"), (sum(col("dt")).over(wDoc) - col("dt")).as("off"))
+    val wChunk = Window.partitionBy(col("doc_id")).orderBy(col("chunk_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks.join(off, Seq("doc_id"))
+      .withColumn("cum", col("off") + sum(col("ct")).over(wChunk))
+      .drop("off")
   }
 
   val oracle = Some(s"""
@@ -140,11 +165,7 @@ object Q58bShardExport extends GraftQuery {
       .select(col("doc_id"), col("lang"),
         col("c.cid").as("chunk_id"), col("c.ct").as("ct"),
         col("c.txt").as("txt"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("doc_id"), col("chunk_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    chunks
-      .withColumn("cum", sum(col("ct")).over(w))
+    Q58TrainingShards.cumByLang(chunks)
       .withColumn("shard_id", expr(s"cast((cum - ct) div $Budget as int)"))
       .select(col("lang"), col("shard_id"), col("doc_id"), col("chunk_id"),
         col("ct"),

@@ -677,6 +677,10 @@ object Q12DistinctAgg extends GraftQuery {
 object Q12bApproxDistinct extends GraftQuery {
   val name = "q12b_approx_distinct"
   def run(spark: SparkSession, dir: String): DataFrame =
+    // Deliberately NOT spread (r19): parallelizing the partial HLL
+    // (rsd 0.01 → 2^14-register sketches) was measured NET-SLOWER
+    // (3.7 → 5.2 s; DiagSpread: task time inflated ~40× under 32-way
+    // concurrency) — the sketch update itself is the floor here.
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
