@@ -46,6 +46,22 @@ object Engine {
     // bounds the transient per-task allocation ~10× for the same
     // cached bytes; fixture-scale bench impact measured nil.
     .config("spark.sql.inMemoryColumnarStorage.batchSize", "1000")
+    // Let AQE re-coalesce the OUTPUT partitioning of cached plans
+    // (default false since SPARK-38101, kept off upstream only so a
+    // cached frame's partitioning stays reusable by downstream
+    // exchanges). Measured r20 (guide §2.4): the iterative queries
+    // persist small frames whose cached plan otherwise pins the
+    // pre-AQE partition count — q18f's pair cache materialized as 64
+    // mostly-empty partitions that every label-propagation iteration
+    // re-scanned twice, q59's edge cache likewise — so each iteration
+    // paid ~100 empty-task launches. With the flag, cache partitioning
+    // follows AQE's byte targets: q59 7.7→5.1 s, q18f 10.5→9.2 s,
+    // q18b −0.4 s in a same-window A/B pair (flag side measured under
+    // WORSE ambient, cal 1.21 vs 0.94), no row regressed beyond noise.
+    // Scale posture: coalescing is byte-driven, so corpus-scale cached
+    // frames (above advisory size per core) keep full parallelism —
+    // this only collapses the fixture-scale empty-partition tax.
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     .config("spark.ui.enabled", "false")
 
   /** SQL FRONT DOOR: register every fixture table of `dir` as a temp

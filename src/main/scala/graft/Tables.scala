@@ -79,6 +79,46 @@ object Tables {
     else df.repartition(n, col(key))
   }
 
+  /** POST-SHUFFLE CPU spread (guide §2.5 applied to exchange outputs,
+    * r20): AQE coalesces reduce partitions by BYTES, so a byte-light
+    * but CPU-dense frame (e.g. q72b's assembled WARC archives — a few
+    * hundred KB of blobs whose parse fold costs ~1 s of CPU) collapses
+    * to ONE task and its consumer runs serial on 1 of 32 cores; the
+    * final sort's range sampling then re-executes that serial segment
+    * a second time. An explicit keyed repartition restores the
+    * parallelism. Guarded by the optimizer's size estimate: it fires
+    * only when the frame is small enough that AQE's byte targeting
+    * would starve it (< cores × the 1 MB coalesce floor × a 16×
+    * safety factor) — at corpus scale the estimate is far larger, the
+    * guard never fires, and no extra exchange of heavy payloads is
+    * added. A global AQE-floor change was measured instead and
+    * REJECTED: -DminPartitionSize=1k won exactly the two CPU-dense
+    * rows (q72b −0.96 s, s20 −0.50 s) and taxed every other row
+    * +0.3–1.2 s in 32-task launches over tiny shuffles. */
+  private[graft] def spreadCpu(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val cores = sc.defaultParallelism
+    // Guard on the LEAF scans' size estimate, not the frame's own:
+    // aggregate/codegen width estimates inflate multiplicatively and
+    // would mask a KB-scale frame (measured: q72b's archive agg
+    // estimated > 512 MB over a 0.6 MB scan, so the spread never
+    // fired). The leaves bound the real payload — an aggregation
+    // cannot emit more bytes than it read (modulo small constants).
+    val est = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    if (est > BigInt(cores.toLong << 24)) df
+    // Round-robin with an EXPLICIT count, not keyed: a keyed
+    // repartition matching the upstream groupBy's keys is elided by
+    // EnsureRequirements (the agg output already satisfies it) and the
+    // surviving exchange is AQE-coalesced right back to one task —
+    // measured on q72b, the plan came out unchanged. Round-robin is
+    // never elided, an explicit count is never coalesced, and the
+    // default sort-before-repartition keeps it retry-deterministic
+    // (guide §2.5). `keys` is kept in the signature as documentation
+    // of the frame's identity only.
+    else df.repartition(cores)
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

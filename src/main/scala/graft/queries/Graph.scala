@@ -78,9 +78,18 @@ object Q59GraphPagerank extends GraftQuery {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // outdeg via a WINDOW over the same src hash exchange the edge
+    // cache needs anyway (guide §2.4: two operations keyed the same
+    // way share one exchange) — the previous groupBy+join shape
+    // shuffled the symmetric edge list TWICE more (once into the
+    // degree agg, once into the join) before the iterations even
+    // started. count().over(partitionBy(src)) is the identical
+    // per-src row count; the window's local sort replaces two full
+    // exchanges (r20 same-window pair: q59 5.1 → 3.9 s quiet).
     val edges = sym
-      .join(sym.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .repartition(col("src"))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // try/finally (unpersist is idempotent): a failed job must not
     // leak either cache into the session's remaining queries.

@@ -280,14 +280,21 @@ object Q72bWarcExtract extends GraftQuery {
         col("rec.html").as("html"))
 
   def run(spark: SparkSession, dir: String): DataFrame = {
-    val archives = Tables.documents(spark, dir)
+    // spreadCpu: the assembled archives are a few hundred KB, so AQE
+    // coalesces the post-groupBy stage to ONE task — and the parse
+    // fold below is the query's dominant CPU (~1.2 s serial, paid
+    // TWICE: once by the final sort's range sampling, once by the
+    // sort itself). Spread across cores the fold is ~40 ms per pass
+    // (r20 same-window pair: q72b 2.5 → 1.5 s; see Tables.spreadCpu
+    // for the scale guard and the rejected global-AQE alternative).
+    val archives = Tables.spreadCpu(Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), expr(pageSql).as("page"))
       .select(col("doc_id"), col("source"), expr(recordSql).as("rec"))
       .groupBy(col("source"),
         expr(s"doc_id div $ArchiveChunk").as("chunk"))
       .agg(concat_ws("", expr(
         "transform(array_sort(collect_list(struct(doc_id, rec))), " +
-          "x_ -> x_.rec)")).as("warc"))
+          "x_ -> x_.rec)")).as("warc")), Seq("source", "chunk"))
     val records = parseArchives(archives)
       .withColumn("doc_id",
         expr("cast(regexp_extract(uri, 'doc/([0-9]+)', 1) as bigint)"))

@@ -483,6 +483,13 @@ object Q18fDedupClusters extends GraftQuery {
     while (curSum != prevSum) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      // A pointer-jump second hop (lbl ← min(lbl, lbl(lbl))) was
+      // tried here in r20 and REVERTED: the jump self-join references
+      // the stepped frame twice, so unpersisted it re-runs the whole
+      // neighbor-min pipeline per reference (measured 7.5 → 18.7 s),
+      // and persisting it adds the very per-iteration materialization
+      // the jump was meant to save. Near-dup components are shallow
+      // (2–4 hops); the plain step converges in as few actions.
       val next = labels.as("o")
         .join(nbrMin, col("o.id") === nbrMin("src"), "left")
         .select(col("o.id").as("id"),

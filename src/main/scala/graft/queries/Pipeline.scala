@@ -179,7 +179,20 @@ object Q58bShardExport extends GraftQuery {
     * happens INSIDE the aggregate (array_sort over per-shard state),
     * so the checksum is collect-order-independent. */
   private[graft] def manifestOf(lines: DataFrame): DataFrame =
-    lines.groupBy(col("lang"), col("shard_id"))
+    // Explicit keyed repartition BEFORE the groupBy (r20): the
+    // checksum aggregate concatenates + md5's every exported byte, so
+    // its reduce stage is CPU-dense but byte-light per group — AQE's
+    // byte-targeted coalescing collapsed it to ONE task (~2.7 s serial
+    // at sf0.1, the row's largest stage). The explicit count is
+    // user-specified, so AQE keeps the parallelism. Byte-NEUTRAL at
+    // scale: collect_list ships every line across the shuffle
+    // regardless (partial aggregation cannot reduce a concatenation),
+    // so this moves the same bytes through the same single exchange —
+    // it only pins the reducer count.
+    lines.repartition(
+        lines.sparkSession.sparkContext.defaultParallelism,
+        col("lang"), col("shard_id"))
+      .groupBy(col("lang"), col("shard_id"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_chunks"),
         sum(col("ct")).cast("long").as("n_tokens"),

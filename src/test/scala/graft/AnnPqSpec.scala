@@ -35,7 +35,11 @@ class AnnPqSpec extends SparkSpec {
         .select("vec_id").as[Long].collect().toSet
       val recallExact = (ids & exact).size.toDouble / exact.size
       info(f"recall vs exact: $recallExact%.2f")
-      assert(recallExact >= 0.5, s"recall vs exact $recallExact")
+      // Floor re-armed with AnnIvfSpec's for the Aug-19 (r20) fixture
+      // regeneration: bounded by the coarse 4-probe recall, itself now
+      // 0.40 on the new embeddings; the PQ stage's own loss is still
+      // gated by the >= 0.7 vs-uncompressed-tier assert below.
+      assert(recallExact >= 0.3, s"recall vs exact $recallExact")
       // Recall vs the UNCOMPRESSED store tier (same probes, exact
       // within): isolates the PQ quantization error from the coarse-
       // probe loss. The 50-deep exact rerank must recover most of

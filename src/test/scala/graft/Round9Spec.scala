@@ -391,10 +391,17 @@ class Round9Spec extends SparkSpec {
     }
     val p52 = plan(Q52MixInterleave)
     assert(!p52.contains("Join"))
-    // exactly one shuffle besides the final range sort: the
-    // source-partitioned window
+    // exactly one OPERATOR shuffle besides the final range sort: the
+    // source-partitioned window. The scale-adaptive scan spread
+    // (Tables.spread, REPARTITION_BY_NUM) is not an operator shuffle
+    // and whether it fires tracks the fixture's file size (armed by
+    // the Aug-19 r20 fixture regeneration) — count only exchanges the
+    // QUERY requires.
     assert(p52.contains("Window"))
-    assert("hashpartitioning".r.findAllIn(p52).size === 1, p52)
+    val opShuffles = p52.linesIterator
+      .filter(l => l.contains("hashpartitioning") &&
+        !l.contains("REPARTITION_BY_NUM")).size
+    assert(opShuffles === 1, p52)
   }
 
   test("q49 flags real cross-doc duplicate lines at sf0.1") {
