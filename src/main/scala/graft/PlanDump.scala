@@ -28,16 +28,19 @@ object PlanDump {
     // Stage accounting: map stage → job description at submission so
     // stage task-time can be attributed to the query that ran it.
     val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long, Long, Int)]()
+    val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     @volatile var current = ""
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = ()
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val m = si.taskMetrics
-        if (m != null)
+        if (m != null) {
+          stageNames.put(si.stageId, si.name.takeWhile(_ != '\n').take(70))
           stageRows.add((current, si.stageId, m.executorRunTime,
             m.shuffleReadMetrics.fetchWaitTime + m.shuffleWriteMetrics.writeTime / 1000000,
             si.numTasks))
+        }
       }
     })
 
@@ -68,7 +71,7 @@ object PlanDump {
             val rows = stageRows.asScala.filter(_._1 == n).toVector.sortBy(-_._3)
             println(f"[plandump] $n%-28s $sec%7.2f s  stages=${rows.size}")
             rows.take(12).foreach { case (_, sid, run, shuf, nt) =>
-              println(f"    stage $sid%5d  runTime=${run / 1000.0}%8.1f s  shufWait+write=${shuf / 1000.0}%7.1f s  tasks=$nt%4d")
+              println(f"    stage $sid%5d  runTime=${run / 1000.0}%8.1f s  shufWait+write=${shuf / 1000.0}%7.1f s  tasks=$nt%4d  ${stageNames.getOrDefault(sid, "")}")
             }
           } catch {
             case e: Throwable =>

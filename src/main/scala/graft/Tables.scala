@@ -156,11 +156,24 @@ object Tables {
     * conf's only effect is surfacing otherwise-UNREADABLE NANOS
     * columns as Long — a benign global footprint.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    events(s, d, wide = false)
+
+  /** `wide = true`: the documents/embeddings scale-adaptive scan
+    * spread (keyed by event_id, no-op whenever the scan already
+    * yields enough splits), OPT-IN rather than default for events
+    * (r20): most events consumers shuffle immediately into their own
+    * keyed exchange (q17's user window, q63's gap-fill) where a
+    * spread exchange is pure extra cost, but the per-row-HEAVY
+    * parsers (q31's double from_json: 2.4 s of task time on the
+    * fixture's 2 scan splits) are starved without it. The streaming
+    * twin (StreamQueries.eventsStream) is untouched. */
+  def events(s: SparkSession, d: String, wide: Boolean): DataFrame = {
     s.conf.set(Engine.NanosAsLong, "true")
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
+    val canon = if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
+    if (wide) spread(canon, "event_id", wide = true) else canon
   }
 }

@@ -3560,9 +3560,23 @@ object Q19gAnnPq extends GraftQuery {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       import spark.implicits._
+      // Canonical fit-input layout (r20): k-means|| initialization
+      // draws its seed candidates with an RNG seeded per PARTITION
+      // INDEX, so the fitted codebooks depend on which rows land in
+      // which partition — and the lists table's file layout depends
+      // on which session built it (suite order / plan context). A
+      // keyed repartition + in-partition sort pins (content, order)
+      // per partition to a pure function of the data, making the
+      // codebooks — and the spec's measured recall — reproducible
+      // across sessions. (Observed before the pin: 0.30 recall with
+      // the store built in isolation vs 0.20 with the store built by
+      // an earlier suite, same tree, same seed.)
       val base = spark.table(listsT)
         .select(col("vec_id"), col("list_id"),
           col("embedding").cast("array<double>").as("emb"))
+        .repartition(math.max(8, spark.sparkContext.defaultParallelism),
+          col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
         .localCheckpoint()
       // One seeded KMeans per subspace; each fit sees only its
       // 8-dim slice. M fits over the same pinned frame.

@@ -166,6 +166,17 @@ object Q58bShardExport extends GraftQuery {
         col("c.cid").as("chunk_id"), col("c.ct").as("ct"),
         col("c.txt").as("txt"))
     Q58TrainingShards.cumByLang(chunks)
+      // Explicit repartition directly under the caller's checkpoint
+      // boundary (r20): the window/join chain above is byte-LIGHT (AQE
+      // coalesces its exchanges toward one task at fixture scale)
+      // while the `line` concat below is where the bytes and the CPU
+      // appear — without this the whole line build and the checkpoint
+      // materialized as ONE partition (~3 s serial, q58b's largest
+      // non-write stage) that every downstream pass (shard write,
+      // manifest) then re-read serially. User-specified count: AQE
+      // preserves it; placed ABOVE the window so no optimizer rule can
+      // fold it into the window's own coalescible exchange.
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("shard_id", expr(s"cast((cum - ct) div $Budget as int)"))
       .select(col("lang"), col("shard_id"), col("doc_id"), col("chunk_id"),
         col("ct"),

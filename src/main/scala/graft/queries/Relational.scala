@@ -480,7 +480,9 @@ object Q31MapJson extends GraftQuery {
     // while the oracle's unconditional branch still emits its row.
     // coalesce(m, map()) keeps those rows flowing; n_keys = size(m)+1
     // is the oracle's len(json_keys)+1 under every collision case.
-    val ev = Tables.events(spark, dir)
+    // wide: the double from_json below is this query's dominant cost
+    // and runs directly on the scan — see Tables.events(wide).
+    val ev = Tables.events(spark, dir, wide = true)
       .select(col("event_type"),
         from_json(col("props"), lit("k INT")).getField("k").as("struct_k"),
         expr("coalesce(from_json(props, 'map<string,int>'), " +
@@ -756,7 +758,9 @@ object Q13ScalarFns extends GraftQuery {
 object Q14Json extends GraftQuery {
   val name = "q14_json_extract"
   def run(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    // wide: the JSON parse is the dominant map and feeds a map-side
+    // partial agg — no downstream keyed exchange to collide with.
+    val ev = Tables.events(spark, dir, wide = true)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
     ev.groupBy(col("event_type"))
       .agg(count(col("k")).as("n"),

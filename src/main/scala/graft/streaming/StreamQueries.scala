@@ -710,7 +710,12 @@ object S12StreamDeltaDedup extends GraftQuery {
       .filter(col("split") === "test")
 
   def run(spark: SparkSession, dir: String): DataFrame = {
-    val static = graft.Tables.documents(spark, dir)
+    // wide: the corpus re-sign below (md5 + the 32-hash MinHash fold
+    // in ONE projection chain into a localCheckpoint) is this row's
+    // dominant map stage (r20 stage dump: 3.1 s of task time on 8
+    // tasks, nothing else over 1.8 s) — the q64g single-dominant-
+    // stage rule (Tables.spreadN).
+    val static = graft.Tables.documents(spark, dir, wide = true)
       .withColumn("split", Q40TrainTestSplit.splitCol)
       .filter(col("split") === "train")
     // ONE corpus-side text scan (review finding: md5 and signatures
