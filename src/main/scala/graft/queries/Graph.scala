@@ -85,7 +85,9 @@ object Q59GraphPagerank extends GraftQuery {
     // degree agg, once into the join) before the iterations even
     // started. count().over(partitionBy(src)) is the identical
     // per-src row count; the window's local sort replaces two full
-    // exchanges (r20 same-window pair: q59 5.1 → 3.9 s quiet).
+    // exchanges (r20: full-bench q59 7.2 → 4.3 s quiet-to-quiet; the
+    // two 64-task stages with 5.5–6.1 s of fetch wait are gone from
+    // the stage dump — plans/r20/q59_graph_pagerank_{before,after}).
     val edges = sym
       .repartition(col("src"))
       .withColumn("outdeg", count(lit(1)).over(
